@@ -1,0 +1,122 @@
+"""Converter conformance: Spark impl vs reference semantics vs DuckDB SQL impl.
+
+The str2inthash vectors are the reference's own cross-language test corpus
+(spec/data/str2hashconv_spec.json, referenced at column.rb:70-76).
+"""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from webhookdb_spark.functions import converters as C
+
+VECTORS_PATH = "/root/reference/spec/data/str2hashconv_spec.json"
+
+
+def test_str2inthash_python_matches_reference_vectors():
+    vectors = json.load(open(VECTORS_PATH))
+    assert len(vectors) > 2000
+    for v in vectors:
+        assert C.str2inthash_py(v["input"]) == v["output"], v
+
+
+def test_str2inthash_spark_matches_reference_vectors(spark):
+    vectors = json.load(open(VECTORS_PATH))
+    df = spark.createDataFrame(
+        [(v["input"], v["output"]) for v in vectors], "input string, expected int"
+    )
+    bad = (
+        df.withColumn("got", C.CONV_STR2HASH.spark(F.col("input")))
+        .where("got IS DISTINCT FROM expected")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_str2inthash_sql_matches_reference_vectors():
+    vectors = json.load(open(VECTORS_PATH))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(input VARCHAR, expected INTEGER)")
+    con.executemany("INSERT INTO v VALUES (?, ?)", [(x["input"], x["output"]) for x in vectors])
+    expr = C.CONV_STR2HASH.sql("input")
+    bad = con.execute(f"SELECT count(*) FROM v WHERE {expr} IS DISTINCT FROM expected").fetchone()[0]
+    assert bad == 0
+
+
+@pytest.mark.parametrize(
+    "conv,value,expected",
+    [
+        (C.CONV_TO_I, '"42"', 42),
+        (C.CONV_TO_I, "17", 17),
+        (C.CONV_TO_I, "junk", None),
+        (C.CONV_PARSE_DMY_DASH, "28-02-2025", "2025-02-28"),
+        (C.CONV_COMMA_SEP, "a, b , c", ["a", "b", "c"]),
+        (C.CONV_COMMA_SEP, None, None),
+    ],
+)
+def test_scalar_converters_spark(spark, conv, value, expected):
+    df = spark.createDataFrame([(value,)], "v string")
+    got = df.select(conv.spark(F.col("v")).alias("out")).first()["out"]
+    got = str(got) if expected is not None and not isinstance(expected, (int, list)) else got
+    assert got == expected
+
+
+def test_unix_ts(spark):
+    df = spark.createDataFrame([("1699999999.25",), ("bogus",)], "v string")
+    out = [str(r["out"]) for r in df.select(C.CONV_UNIX_TS.spark(F.col("v")).alias("out")).collect()]
+    assert out[0].startswith("2023-11-14 22:13:19")
+    assert out[1] == "None"
+
+
+def test_array_element_geo(spark):
+    # GEO "lat;lng" (icalendar_event_v1.rb:98-99)
+    lat = C.converter_array_element(index=0, sep=";")
+    lng = C.converter_array_element(index=1, sep=";")
+    df = spark.createDataFrame([('"45.5;-122.6"',), ("bad",)], "v string")
+    rows = df.select(
+        lat.spark(F.col("v")).alias("lat"), lng.spark(F.col("v")).alias("lng")
+    ).collect()
+    assert float(rows[0]["lat"]) == 45.5
+    assert float(rows[0]["lng"]) == -122.6
+    assert rows[1]["lng"] is None
+
+
+def test_array_pluck(spark):
+    conv = C.converter_array_pluck("id", dbtype="bigint")
+    df = spark.createDataFrame([('[{"id": 1, "login": "a"}, {"id": 2}]',)], "v string")
+    assert df.select(conv.spark(F.col("v")).alias("o")).first()["o"] == [1, 2]
+
+
+def test_map_lookup_not_sql_backfillable(spark):
+    conv = C.converter_map_lookup({"a": "Alpha"})
+    assert not conv.backfillable
+    df = spark.createDataFrame([("a",), ("zzz",)], "v string")
+    got = [r["o"] for r in df.select(conv.spark(F.col("v")).alias("o")).collect()]
+    assert got == ["Alpha", "zzz"]
+
+
+def test_from_regex_and_gsub(spark):
+    rx = C.converter_from_regex(r"/v1/charges/(\w+)", dbtype="string")
+    gs = C.converter_gsub("^webcal", "https")
+    df = spark.createDataFrame(
+        [("/v1/charges/ch_123", "webcal://x.ics")], "path string, url string"
+    )
+    row = df.select(
+        rx.spark(F.col("path")).alias("id"), gs.spark(F.col("url")).alias("u")
+    ).first()
+    assert row["id"] == "ch_123"
+    assert row["u"] == "https://x.ics"
+
+
+def test_strip_encoded_nuls():
+    # base.rb:793-811: encoded NUL dropped, escaped NUL survives.
+    assert C.strip_encoded_nuls('{"a":"x\\u0000y"}') == '{"a":"xy"}'
+    assert C.strip_encoded_nuls('{"a":"x\\\\u0000y"}') == '{"a":"x\\\\u0000y"}'
+
+
+def test_canonical_json_sorted():
+    assert C.canonical_json_py({"b": 1, "a": {"d": 2, "c": 3}}) == '{"a":{"c":3,"d":2},"b":1}'

@@ -1,0 +1,201 @@
+"""Upsert-engine conformance — ports of the reference's shared examples
+(lib/webhookdb/spec_helpers/shared_examples_for_replicators.rb):
+
+- "a replicator": upsert once → one row, data round-trips (:46-56)
+- idempotence: same envelope twice → one row, no change event (:100-113)
+- "prevents overwriting new data with old" (:263-326)
+- intra-batch dedup, last wins (backfiller.rb:75-83)
+- conditional value-diff guard (transistor, "upserts only under specific
+  conditions" :569)
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from webhookdb_spark.operators.upsert import merge_upsert, upsert_envelopes
+from webhookdb_spark.replicators.fake import FAKE_V1
+from webhookdb_spark.replicators.stripe_charge_v1 import STRIPE_CHARGE_V1
+from webhookdb_spark.replicators.transistor_episode_stats_v1 import (
+    TRANSISTOR_EPISODE_STATS_V1,
+)
+from webhookdb_spark.storage import ManagedTable
+
+
+def env_df(spark, bodies, received=None):
+    rows = []
+    for i, b in enumerate(bodies):
+        rows.append(
+            (
+                "svi_fake",
+                json.dumps(b),
+                f"2024-01-01T00:00:{(received or [0] * len(bodies))[i]:02d}",
+            )
+        )
+    df = spark.createDataFrame(rows, "opaque_id string, body string, received_at_s string")
+    return df.withColumn("received_at", F.col("received_at_s").cast("timestamp")).drop(
+        "received_at_s"
+    )
+
+
+def fake_table(spark, tmp_warehouse):
+    return ManagedTable(spark, tmp_warehouse / "org" / "fake_v1")
+
+
+def test_upsert_once_roundtrips_data(spark, tmp_warehouse):
+    t = fake_table(spark, tmp_warehouse)
+    body = {"my_id": "abc", "at": "2024-06-01T12:00:00Z", "extra": {"z": 1, "a": 2}}
+    res = upsert_envelopes(t, env_df(spark, [body]), FAKE_V1)
+    assert (res.inserted, res.updated, res.noop) == (1, 0, 0)
+    rows = t.read().collect()
+    assert len(rows) == 1
+    assert rows[0]["my_id"] == "abc"
+    assert str(rows[0]["at"]) == "2024-06-01 12:00:00"
+    assert json.loads(rows[0]["data"]) == body
+
+
+def test_idempotent_reupsert_no_change_event(spark, tmp_warehouse):
+    t = fake_table(spark, tmp_warehouse)
+    body = {"my_id": "abc", "at": "2024-06-01T12:00:00Z"}
+    upsert_envelopes(t, env_df(spark, [body]), FAKE_V1)
+    res2 = upsert_envelopes(t, env_df(spark, [body]), FAKE_V1)
+    # update_where `at < excluded.at` is false for equal timestamps →
+    # no write, no rowupsert event (base.rb:772-784).
+    assert (res2.inserted, res2.updated, res2.noop) == (0, 0, 1)
+    assert res2.changed.count() == 0
+    assert t.read().count() == 1
+
+
+def test_prevents_overwriting_new_with_old(spark, tmp_warehouse):
+    t = fake_table(spark, tmp_warehouse)
+    upsert_envelopes(t, env_df(spark, [{"my_id": "k", "at": "2024-06-02T00:00:00Z"}]), FAKE_V1)
+    res = upsert_envelopes(
+        t, env_df(spark, [{"my_id": "k", "at": "2024-06-01T00:00:00Z"}]), FAKE_V1
+    )
+    assert res.noop == 1 and res.updated == 0
+    assert str(t.read().first()["at"]) == "2024-06-02 00:00:00"
+    # newer wins
+    res = upsert_envelopes(
+        t, env_df(spark, [{"my_id": "k", "at": "2024-06-03T00:00:00Z"}]), FAKE_V1
+    )
+    assert res.updated == 1
+    assert str(t.read().first()["at"]) == "2024-06-03 00:00:00"
+
+
+def test_intra_batch_dedup_last_wins(spark, tmp_warehouse):
+    t = fake_table(spark, tmp_warehouse)
+    bodies = [
+        {"my_id": "k", "at": "2024-06-01T00:00:00Z"},
+        {"my_id": "k", "at": "2024-06-05T00:00:00Z"},
+        {"my_id": "k", "at": "2024-06-03T00:00:00Z"},
+    ]
+    res = upsert_envelopes(t, env_df(spark, bodies, received=[1, 2, 3]), FAKE_V1)
+    assert res.inserted == 1
+    # last arrival (at=06-03) wins, reproducing the reference's page-hash
+    # overwrite semantics (backfiller.rb:75-83).
+    assert str(t.read().first()["at"]) == "2024-06-03 00:00:00"
+
+
+def test_multiple_keys_and_buckets(spark, tmp_warehouse):
+    t = fake_table(spark, tmp_warehouse)
+    bodies = [{"my_id": f"k{i}", "at": "2024-06-01T00:00:00Z"} for i in range(50)]
+    res = upsert_envelopes(t, env_df(spark, bodies), FAKE_V1)
+    assert res.inserted == 50
+    assert t.read().count() == 50
+    # bucket routing read finds exactly the right row
+    assert t.read_for_key("k7").count() == 1
+
+
+def test_stripe_event_envelope_unwrap(spark, tmp_warehouse):
+    t = ManagedTable(spark, tmp_warehouse / "org" / "stripe_charge_v1")
+    charge = {
+        "id": "ch_1",
+        "object": "charge",
+        "amount": 500,
+        "created": 1700000000,
+        "updated": 1700000100,
+        "status": "succeeded",
+        "billing_details": {"email": "x@y.z"},
+        "payment_method_details": {"type": "card"},
+    }
+    event = {"object": "event", "type": "charge.updated", "data": {"object": charge}}
+    res = upsert_envelopes(t, env_df(spark, [event]), STRIPE_CHARGE_V1)
+    assert res.inserted == 1
+    row = t.read().first()
+    assert row["stripe_id"] == "ch_1"
+    assert row["amount"] == 500
+    assert row["billing_email"] == "x@y.z"
+    assert str(row["created"]) == "2023-11-14 22:13:20"
+    # data holds the unwrapped resource, not the event envelope
+    assert json.loads(row["data"])["object"] == "charge"
+
+
+def test_value_diff_guard_transistor(spark, tmp_warehouse):
+    t = ManagedTable(spark, tmp_warehouse / "org" / "transistor")
+    spec = TRANSISTOR_EPISODE_STATS_V1
+    b = {"episode_id": "ep1", "date": "28-02-2025", "downloads": 10}
+    res = upsert_envelopes(t, env_df(spark, [b]), spec)
+    assert res.inserted == 1
+    row = t.read().first()
+    assert row["compound_id"] == "ep1-2025-02-28"
+    # same downloads → noop even though row_updated_at would differ
+    res2 = upsert_envelopes(t, env_df(spark, [b]), spec)
+    assert res2.noop == 1 and res2.changed.count() == 0
+    # changed downloads → update
+    b2 = dict(b, downloads=25)
+    res3 = upsert_envelopes(t, env_df(spark, [b2]), spec)
+    assert res3.updated == 1
+    assert t.read().first()["downloads"] == 25
+
+
+def test_skip_nil_and_coalesce_on_update(spark, tmp_warehouse):
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.types import ColumnType
+
+    spec = ReplicatorSpec(
+        name="t_skipnil",
+        table="t_skipnil",
+        remote_key=Col("my_id", ColumnType.TEXT),
+        denorm_cols=(
+            Col("at", ColumnType.TIMESTAMP),
+            Col("note", ColumnType.TEXT, skip_nil=True, optional=True),
+            Col("first_seen", ColumnType.TEXT, optional=True),
+        ),
+        update_where=lambda s, t: t("at") < s("at"),
+        coalesce_on_update=("first_seen",),
+    )
+    t = ManagedTable(spark, tmp_warehouse / "org" / "t_skipnil")
+    upsert_envelopes(
+        t,
+        env_df(spark, [{"my_id": "k", "at": "2024-01-01T00:00:00Z", "note": "keep", "first_seen": "a"}]),
+        spec,
+    )
+    upsert_envelopes(
+        t,
+        env_df(spark, [{"my_id": "k", "at": "2024-02-01T00:00:00Z", "first_seen": "b"}]),
+        spec,
+    )
+    row = t.read().first()
+    # skip_nil: incoming NULL note didn't clobber (column.rb:362-366)
+    assert row["note"] == "keep"
+    # coalesce_on_update: first-written value retained (base.rb:958-974)
+    assert row["first_seen"] == "a"
+
+
+def test_changed_rows_feed_fanout(spark, tmp_warehouse):
+    t = fake_table(spark, tmp_warehouse)
+    res = upsert_envelopes(
+        t,
+        env_df(
+            spark,
+            [
+                {"my_id": "a", "at": "2024-06-01T00:00:00Z"},
+                {"my_id": "b", "at": "2024-06-01T00:00:00Z"},
+            ],
+        ),
+        FAKE_V1,
+    )
+    changed = {r["my_id"]: r["_action"] for r in res.changed.collect()}
+    assert changed == {"a": "insert", "b": "insert"}

@@ -1,0 +1,297 @@
+"""Isomorphic converter library.
+
+The reference declares every scalar converter twice — a Ruby proc and a
+SQL expression (``IsomorphicProc``, lib/webhookdb/replicator/column.rb:9-13) —
+so values can be derived at ingest time *and* re-derived in-database when
+backfilling a new column. The Spark-native equivalent of that split is:
+
+- ``spark``: a builder returning a native :class:`pyspark.sql.Column`
+  expression (JVM-side, whole-stage-codegen friendly — never a Python UDF
+  in the hot path), used both at ingest and for schema-evolution backfill.
+- ``sql``: the equivalent ANSI/DuckDB SQL expression string. A converter
+  with ``sql=None`` is not SQL-backfillable, matching the reference's
+  ``NOT_IMPLEMENTED`` marker (column.rb:441-447).
+
+Semantics ported from lib/webhookdb/replicator/column.rb:16-264 (cited
+per-converter below). Cross-language parity for ``CONV_STR2HASH`` is
+pinned by the reference's test vectors
+(spec/data/str2hashconv_spec.json, 2103 cases — see tests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SparkBuilder = Callable[[Column], Column]
+SqlBuilder = Callable[[str], str]
+
+
+@dataclass(frozen=True)
+class Converter:
+    """A dual-implementation scalar converter (Column expr + SQL expr)."""
+
+    name: str
+    spark: SparkBuilder
+    sql: SqlBuilder | None = None
+
+    @property
+    def backfillable(self) -> bool:
+        """Whether the column can be re-derived purely in SQL.
+
+        Mirrors the reference's NOT_IMPLEMENTED handling
+        (column.rb:441-447): the Spark engine can always backfill via the
+        ``spark`` builder, but the bit is kept for API parity/reporting.
+        """
+        return self.sql is not None
+
+
+# ---------------------------------------------------------------------------
+# Static converters (column.rb:16-90)
+# ---------------------------------------------------------------------------
+
+# column.rb:16-28 — fractional unix seconds → timestamp; bad input → NULL.
+CONV_UNIX_TS = Converter(
+    name="unix_ts",
+    spark=lambda c: F.timestamp_seconds(c.try_cast("double")),
+    sql=lambda c: f"to_timestamp(TRY_CAST({c} AS DOUBLE))",
+)
+
+# column.rb:30-33 — strip surrounding double quotes, parse integer.
+CONV_TO_I = Converter(
+    name="to_i",
+    spark=lambda c: F.regexp_replace(c.cast("string"), '^"|"$', "").try_cast("long"),
+    sql=lambda c: f"TRY_CAST(regexp_replace(CAST({c} AS VARCHAR), '^\"|\"$', '', 'g') AS BIGINT)",
+)
+
+# column.rb:35-42 — timestamptz → date in UTC (session TZ is UTC).
+CONV_TO_UTC_DATE = Converter(
+    name="to_utc_date",
+    spark=lambda c: F.to_date(c.try_cast("timestamp")),
+    sql=lambda c: f"CAST({c} AS DATE)",
+)
+
+# column.rb:44-47 — permissive time parse; unparseable → NULL.
+CONV_PARSE_TIME = Converter(
+    name="parse_time",
+    spark=lambda c: F.try_to_timestamp(c),
+    sql=lambda c: f"TRY_CAST({c} AS TIMESTAMP)",
+)
+
+# column.rb:50-53 — permissive date parse.
+CONV_PARSE_DATE = Converter(
+    name="parse_date",
+    spark=lambda c: F.try_to_timestamp(c).cast("date"),
+    sql=lambda c: f"TRY_CAST({c} AS DATE)",
+)
+
+# column.rb:55-67 — comma-separated string → trimmed text[].
+CONV_COMMA_SEP = Converter(
+    name="comma_sep",
+    spark=lambda c: F.when(
+        c.isNotNull(), F.transform(F.split(c, ","), lambda x: F.trim(x))
+    ),
+    sql=lambda c: f"list_transform(string_split({c}, ','), x -> trim(x))",
+)
+
+# transistor_episode_stats_v1.rb:25-33 — 'DD-MM-YYYY' → date.
+CONV_PARSE_DMY_DASH = Converter(
+    name="parse_dmy_dash",
+    spark=lambda c: F.to_date(c, "dd-MM-yyyy"),
+    sql=lambda c: f"strptime({c}, '%d-%m-%Y')::DATE",
+)
+
+
+# ---------------------------------------------------------------------------
+# str2inthash — the partition-key hash (column.rb:69-90,
+# partitionable_mixin.rb:74-90). Pinned by spec/data/str2hashconv_spec.json:
+#   (int(md5(coalesce(s,''))[0:9], 16) & 0xFFFFFFFF) - 2**31  → int32
+# Note the NINE hex chars (`[..8]` is inclusive in Ruby).
+# ---------------------------------------------------------------------------
+
+def str2inthash_py(s: str | None) -> int:
+    """Driver-side reference implementation (for routing predicates)."""
+    digest = hashlib.md5((s or "").encode("utf-8")).hexdigest()
+    return (int(digest[:9], 16) & 0xFFFFFFFF) - 2**31
+
+
+def _str2inthash_spark(c: Column) -> Column:
+    unsigned = F.conv(F.substring(F.md5(F.coalesce(c, F.lit(""))), 1, 9), 16, 10).cast(
+        "long"
+    )
+    return ((unsigned.bitwiseAND(F.lit(0xFFFFFFFF))) - F.lit(2**31)).cast("int")
+
+
+CONV_STR2HASH = Converter(
+    name="str2inthash",
+    spark=_str2inthash_spark,
+    sql=lambda c: (
+        "CAST((CAST(CAST(('0x' || substr(md5(coalesce(CAST({c} AS VARCHAR), '')), 1, 9)) AS UBIGINT) AS BIGINT) "
+        "& 4294967295) - 2147483648 AS INTEGER)"
+    ).format(c=c),
+)
+
+
+# ---------------------------------------------------------------------------
+# Converter factories (column.rb:95-264)
+# ---------------------------------------------------------------------------
+
+def converter_from_regex(
+    pattern: str, *, dbtype: str = "string", group: int = 1
+) -> Converter:
+    """First capture group of ``pattern``; empty match → NULL; optional cast.
+
+    column.rb:95-130.
+    """
+
+    def spark(c: Column) -> Column:
+        out = F.nullif(F.regexp_extract(c, pattern, group), F.lit(""))
+        return out if dbtype == "string" else out.try_cast(dbtype)
+
+    def sql(c: str) -> str:
+        out = f"nullif(regexp_extract({c}, '{pattern}', {group}), '')"
+        return out if dbtype == "string" else f"TRY_CAST({out} AS {dbtype.upper()})"
+
+    return Converter(name=f"from_regex({pattern!r})", spark=spark, sql=sql)
+
+
+_STRPTIME_TO_JAVA = [
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%z", "XX"),
+    ("%Z", "zz"),
+]
+
+
+def _strptime_java(fmt: str) -> str:
+    for a, b in _STRPTIME_TO_JAVA:
+        fmt = fmt.replace(a, b)
+    return fmt
+
+
+def converter_strptime(fmt: str, *, dbtype: str = "timestamp") -> Converter:
+    """Parse with a strptime-style format; optionally cast to date.
+
+    column.rb:154-174. ``fmt`` uses strptime directives; translated to a
+    Java DateTimeFormatter pattern for Spark and kept as-is for DuckDB.
+    """
+    jfmt = _strptime_java(fmt)
+
+    def spark(c: Column) -> Column:
+        ts = F.to_timestamp(c, jfmt)
+        return ts.cast("date") if dbtype == "date" else ts
+
+    def sql(c: str) -> str:
+        out = f"strptime({c}, '{fmt}')"
+        return f"CAST({out} AS DATE)" if dbtype == "date" else f"CAST({out} AS TIMESTAMP)"
+
+    return Converter(name=f"strptime({fmt!r})", spark=spark, sql=sql)
+
+
+def converter_gsub(pattern: str, replacement: str) -> Converter:
+    """Global regex replace. column.rb:176-186 (e.g. ^webcal → https)."""
+    return Converter(
+        name=f"gsub({pattern!r})",
+        spark=lambda c: F.regexp_replace(c, pattern, replacement),
+        sql=lambda c: f"regexp_replace({c}, '{pattern}', '{replacement}', 'g')",
+    )
+
+
+def converter_array_element(
+    *, index: int, sep: str, dbtype: str = "decimal(38,18)"
+) -> Converter:
+    """Split a string, pick element ``index``, '' → NULL, cast.
+
+    column.rb:188-215 — used for GEO "lat;lng" (icalendar_event_v1.rb:98-99)
+    and georss "lat lng" (atom_single_feed_v1.rb:25-26). Strips surrounding
+    double quotes before splitting, as the reference does.
+    """
+    sep_re = re.escape(sep)
+
+    def spark(c: Column) -> Column:
+        parts = F.split(F.regexp_replace(c, '^"|"$', ""), sep_re)
+        return F.nullif(F.try_element_at(parts, F.lit(index + 1)), F.lit("")).try_cast(dbtype)
+
+    def sql(c: str) -> str:
+        parts = f"string_split(regexp_replace({c}, '^\"|\"$', '', 'g'), '{sep}')"
+        return f"TRY_CAST(nullif({parts}[{index + 1}], '') AS {dbtype.upper()})"
+
+    return Converter(name=f"array_element[{index}]", spark=spark, sql=sql)
+
+
+def converter_array_pluck(key: str, *, dbtype: str = "bigint") -> Converter:
+    """``[{k: v, ...}, ...]`` JSON → ``[v, ...]``.
+
+    column.rb:217-232 (jsonb_to_recordset + array_agg); used by
+    github_issue_v1.rb:56-75 for assignee/label ids.
+    """
+    schema = f"array<struct<{key}:{dbtype}>>"
+
+    def spark(c: Column) -> Column:
+        return F.transform(F.from_json(c, schema), lambda x: x[key])
+
+    def sql(c: str) -> str:
+        return (
+            f"list_transform(CAST({c} AS JSON)::STRUCT(\"{key}\" {dbtype.upper()})[], "
+            f"x -> x.\"{key}\")"
+        )
+
+    return Converter(name=f"array_pluck({key!r})", spark=spark, sql=sql)
+
+
+def converter_map_lookup(mapping: dict, *, default_passthrough: bool = True) -> Converter:
+    """Map values through a lookup table, passing through on miss.
+
+    column.rb:244-264 — the reference marks the SQL side NOT_IMPLEMENTED,
+    so this converter is not SQL-backfillable (``sql=None``).
+    """
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    lookup = F.create_map(*pairs)
+
+    def spark(c: Column) -> Column:
+        hit = F.element_at(lookup, c)
+        return F.coalesce(hit, c) if default_passthrough else hit
+
+    return Converter(name="map_lookup", spark=spark, sql=None)
+
+
+# ---------------------------------------------------------------------------
+# JSON canonicalization / NUL handling (base.rb:793-811; SURVEY §7 JSONB
+# equality). jsonb is key-order-insensitive and cannot store NUL; we
+# store `data` as canonical JSON text (sorted keys, NULs stripped) so
+# string equality == jsonb equality.
+# ---------------------------------------------------------------------------
+
+_ENCODED_NUL_RE = re.compile(r"(?<!\\)((?:\\\\)*)\\u0000")
+
+
+def strip_encoded_nuls(json_text: str) -> str:
+    """Remove encoded ``\\u0000`` sequences, preserving escaped ones.
+
+    base.rb:793-811: jsonb cannot contain NULs; the encoder strips encoded
+    NULs (an even number of preceding backslashes ⇒ the \\u0000 is a real
+    escape sequence and is dropped) but leaves escaped ones (odd number of
+    preceding backslashes ⇒ the text "\\u0000" literal survives).
+    """
+    return _ENCODED_NUL_RE.sub(r"\1", json_text)
+
+
+def canonical_json_py(obj) -> str:
+    """Driver/UDF-side canonical JSON: sorted keys, compact separators."""
+    import json
+
+    return strip_encoded_nuls(
+        json.dumps(obj, sort_keys=True, separators=(",", ":"), ensure_ascii=False, default=str)
+    )

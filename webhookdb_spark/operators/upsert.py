@@ -1,0 +1,167 @@
+"""Conditional keyed MERGE upsert — the engine's core operator.
+
+Reference semantics (lib/webhookdb/replicator/base.rb:762-785,931-974;
+lib/webhookdb/backfiller.rb:58-114):
+
+- ``INSERT … ON CONFLICT (remote_key) DO UPDATE SET … WHERE <update_where>``
+- intra-batch duplicate keys: last one wins (backfiller.rb:75-83)
+- ``update_where`` false ⇒ row untouched AND no row-change event emitted
+- ``skip_nil`` columns update as ``coalesce(excluded.col, t.col)``
+- insert-only columns update as ``coalesce(t.col, excluded.col)``
+  (base.rb:958-974)
+
+Spark-first shape: a full-outer join of the (deduped) batch against ONLY
+the hash buckets the batch touches, a single ``when`` cascade per column,
+and a bucket-scoped overwrite. On Delta this whole function is one
+``MERGE INTO``; the join rewrite keeps identical semantics on plain
+parquet. Changed rows (insert/update) come back as a DataFrame — they
+drive dependent-notification and webhook fan-out (base.rb:813-838).
+
+Scale notes: the join shuffles only the affected buckets of the target —
+for a B-bucket table and a batch touching k keys, that is O(k/B) of the
+table, matching the reference's partition-routing trick. The batch side
+is typically broadcastable. Skewed hot keys are handled by AQE skew-join
+(enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from webhookdb_spark.spec import ReplicatorSpec
+from webhookdb_spark.storage import PART_COL, ManagedTable, bucket_expr
+
+ACTION_COL = "_action"
+
+
+@dataclass
+class MergeResult:
+    inserted: int
+    updated: int
+    noop: int
+    changed: DataFrame  # rows that were inserted or updated (post-image)
+
+    @property
+    def total_changed(self) -> int:
+        return self.inserted + self.updated
+
+
+def dedupe_last_wins(batch: DataFrame, key: str, order_col: str = "_received_at") -> DataFrame:
+    """Intra-batch dedup, last wins (backfiller.rb:75-83).
+
+    The reference accumulates a page into a hash keyed by remote key, so
+    the final occurrence of a key replaces earlier ones. ``order_col``
+    plus ``_seq`` (attach upstream when arrival order matters within
+    equal timestamps) define "last" here.
+    """
+    order = [F.col(order_col).desc_nulls_last()]
+    if "_seq" in batch.columns:
+        order.append(F.col("_seq").desc())
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(
+    table: ManagedTable,
+    batch: DataFrame,
+    spec: ReplicatorSpec,
+) -> MergeResult:
+    """Merge a shaped batch into ``table`` under ``spec``'s semantics."""
+    m = table.manifest
+    key = spec.remote_key.name
+    data_cols = [f.name for f in table.schema().fields]
+
+    part_src = spec.partition_key_source or key
+    batch = dedupe_last_wins(batch, key).withColumn(
+        PART_COL, bucket_expr(part_src, m.n_buckets)
+    )
+    batch = batch.persist()
+    try:
+        affected = [r[0] for r in batch.select(PART_COL).distinct().collect()]
+        target = table.read(buckets=affected).withColumn(
+            PART_COL, bucket_expr(part_src, m.n_buckets)
+        )
+
+        s = batch.alias("s")
+        t = target.alias("t")
+        joined = s.join(t, on=F.col(f"s.{key}") == F.col(f"t.{key}"), how="full_outer")
+
+        def sc(name: str) -> Column:
+            return F.col(f"s.{name}")
+
+        def tc(name: str) -> Column:
+            return F.col(f"t.{name}")
+
+        matched = sc(key).isNotNull() & tc(key).isNotNull()
+        update_ok = (
+            spec.update_where(sc, tc) if spec.update_where is not None else F.lit(True)
+        )
+        action = (
+            F.when(tc(key).isNull(), F.lit("insert"))
+            .when(matched & update_ok, F.lit("update"))
+            .otherwise(F.lit("keep"))
+        )
+
+        skip_nil = {c.name for c in spec.all_cols if c.skip_nil}
+        coalesce_upd = set(spec.coalesce_on_update)
+        out_cols: list[Column] = []
+        for name in data_cols:
+            if name in coalesce_upd:
+                upd = F.coalesce(tc(name), sc(name))
+            elif name in skip_nil:
+                upd = F.coalesce(sc(name), tc(name))
+            else:
+                upd = sc(name)
+            val = (
+                F.when(F.col(ACTION_COL) == "keep", tc(name))
+                .when(F.col(ACTION_COL) == "insert", sc(name))
+                .otherwise(upd)
+            )
+            out_cols.append(val.alias(name))
+        merged = joined.withColumn(ACTION_COL, action).select(
+            *out_cols,
+            F.coalesce(F.col(f"s.{PART_COL}"), F.col(f"t.{PART_COL}")).alias(PART_COL),
+            F.col(ACTION_COL),
+        )
+        merged = merged.persist()
+        try:
+            counts = {
+                r[ACTION_COL]: r["count"]
+                for r in merged.groupBy(ACTION_COL).count().collect()
+            }
+            table.overwrite_buckets(merged, affected)
+            # Change set (post-image of inserted/updated rows) goes to a
+            # per-transaction changes dir — never through the driver. It
+            # feeds dependent notification and webhook fan-out
+            # (base.rb:813-838) and is the CDC analog of Delta CDF.
+            changed = merged.where(F.col(ACTION_COL) != "keep").drop(PART_COL)
+            changes_path = str(table.path / "_changes" / f"txn_{m.txn + 1}")
+            changed.write.mode("overwrite").parquet(changes_path)
+            changed_df = table.spark.read.schema(changed.schema).parquet(changes_path)
+            return MergeResult(
+                inserted=counts.get("insert", 0),
+                updated=counts.get("update", 0),
+                noop=counts.get("keep", 0),
+                changed=changed_df,
+            )
+        finally:
+            merged.unpersist()
+    finally:
+        batch.unpersist()
+
+
+def upsert_envelopes(
+    table: ManagedTable, envelopes: DataFrame, spec: ReplicatorSpec
+) -> MergeResult:
+    """Full ingest path: shape envelopes then merge (base.rb:731-785)."""
+    if not table.exists():
+        table.create(spec.schema(), key=spec.remote_key.name, n_buckets=spec.n_buckets)
+    return merge_upsert(table, spec.shape(envelopes), spec)

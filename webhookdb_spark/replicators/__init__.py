@@ -1,0 +1,11 @@
+"""Concrete replicator specs (reference: lib/webhookdb/replicator/*.rb).
+
+Importing this package registers all bundled specs.
+"""
+
+from webhookdb_spark.replicators import (  # noqa: F401
+    fake,
+    github_issue_v1,
+    stripe_charge_v1,
+    transistor_episode_stats_v1,
+)

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]``; the config choices here are the ones
+that matter on a real multi-executor cluster too (AQE, dynamic partition
+overwrite, Arrow, UTC session time zone so timestamp semantics match the
+reference's timestamptz-in-UTC model — SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "webhookdb-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        # Local default: one shuffle partition per core. On a real cluster
+        # this is sized to keep post-shuffle partitions ~128-512MB; AQE
+        # coalescing makes the exact number less load-bearing.
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Timestamps: the reference stores timestamptz and normalizes to
+        # UTC; a UTC session TZ makes Spark TimestampType behave the same.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing + skew-join handling — the 100TB story
+        # for skewed webhook keys / skewed join sides.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # MERGE writes back only the hash buckets an upsert batch touches.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Arrow for the few pandas-UDF paths (canonical JSON, RRULE, ICS).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,200 @@
+"""Replicator specification DSL.
+
+The reference declares each replicated stream as a ``Replicator::Base``
+subclass: a remote key column, denormalized columns (each with a JSON
+path, optional converter/defaulter), a timestamp column, and a
+conditional-update expression (lib/webhookdb/replicator/base.rb:17,
+lib/webhookdb/replicator/column.rb:273-509). Here that is a pair of
+dataclasses compiled to native Spark Column expressions.
+
+Envelope model (lib/webhookdb/replicator/webhook_request.rb): every
+webhook arrives as ``{integration_opaque_id, service_name,
+request_method, request_path, headers, body, received_at}``; the
+replicator unwraps body → (resource, event) (base.rb:881-900) and shapes
+one row per resource.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from webhookdb_spark.functions.converters import Converter
+from webhookdb_spark.types import ColumnType, spark_type, validate_identifier
+
+# ---------------------------------------------------------------------------
+# Defaulters (column.rb:273-293)
+# ---------------------------------------------------------------------------
+
+def defaulter_now() -> Column:
+    return F.current_timestamp()
+
+
+def defaulter_false() -> Column:
+    return F.lit(False)
+
+
+def defaulter_uuid4() -> Column:
+    return F.expr("uuid()")
+
+
+DEFAULTERS: dict[str, Callable[[], Column]] = {
+    "now": defaulter_now,
+    "tofalse": defaulter_false,
+    "uuid4": defaulter_uuid4,
+}
+
+
+def _json_path(data_key: str | list[str]) -> str:
+    keys = [data_key] if isinstance(data_key, str) else list(data_key)
+    return "$." + ".".join(f"['{k}']" if ("." in k or " " in k) else k for k in keys)
+
+
+@dataclass(frozen=True)
+class Col:
+    """One denormalized column (reference: Webhookdb::Replicator::Column).
+
+    - ``data_key``: path into the resource JSON (string or list for
+      nested walks — column.rb:457-509 ``_dig``). Defaults to ``name``.
+    - ``event_key``: when the envelope carries an event wrapper, read
+      from the event instead (column.rb:321-326).
+    - ``optional``: missing key → NULL instead of a reject
+      (column.rb:457-465).
+    - ``skip_nil``: a NULL incoming value must not clobber the stored
+      value (column.rb:362-366; MERGE set ``coalesce(s.col, t.col)``).
+    - ``converter``/``defaulter``: see functions/converters.py.
+    - ``index``: the reference creates a btree index (base.rb:531-555);
+      Spark has no secondary indexes, so this is a sort/cluster-key hint
+      recorded in the table layout (SURVEY §4).
+    """
+
+    name: str
+    type: ColumnType
+    data_key: str | list[str] | None = None
+    event_key: str | list[str] | None = None
+    optional: bool = False
+    skip_nil: bool = False
+    converter: Converter | None = None
+    defaulter: str | None = None  # key into DEFAULTERS
+    index: bool = False
+    backfill_expr: Callable[[Column], Column] | None = None
+
+    def __post_init__(self):
+        validate_identifier(self.name, "column")
+
+    def extraction_expr(self, body: Column, event_body: Column | None = None) -> Column:
+        """Compile to a Column over the raw JSON body (to_sql_expr parity,
+        column.rb:421-455): dig → converter → cast, then defaulter."""
+        resource_raw = F.get_json_object(body, _json_path(self.data_key or self.name))
+        if self.event_key is not None and event_body is not None:
+            raw = F.coalesce(
+                F.get_json_object(event_body, _json_path(self.event_key)), resource_raw
+            )
+        else:
+            raw = resource_raw
+        out = self.converter.spark(raw) if self.converter else raw
+        out = out.try_cast(spark_type(self.type).simpleString())
+        if self.defaulter:
+            out = F.coalesce(out, DEFAULTERS[self.defaulter]().cast(spark_type(self.type)))
+        return out.alias(self.name)
+
+
+UpdateWhere = Callable[[Callable[[str], Column], Callable[[str], Column]], Column]
+
+
+@dataclass(frozen=True)
+class ReplicatorSpec:
+    """A stream definition (reference: Replicator::Base subclass).
+
+    ``update_where(s, t)`` receives two resolvers (source/"excluded" and
+    target) and returns the boolean MERGE condition — the reference's
+    ``_update_where_expr`` (base.rb:861-879), e.g.
+    ``lambda s, t: s("updated") > t("updated")``.
+    """
+
+    name: str
+    table: str
+    remote_key: Col
+    denorm_cols: tuple[Col, ...]
+    timestamp_col: str | None = None
+    update_where: UpdateWhere | None = None
+    # Insert-only columns: keep first-written value on update
+    # (base.rb:958-974 _coalesce_excluded_on_update).
+    coalesce_on_update: tuple[str, ...] = ()
+    # Hash partitioning (partitionable_mixin.rb): column receiving
+    # str2inthash(partition_key_source), used for bucket routing.
+    partition_column: str | None = None
+    partition_key_source: str | None = None
+    n_buckets: int = 16
+    # Unwrap body → resource/event JSON strings. Default: body is the
+    # resource, no event. Returns (resource_col, event_col|None).
+    resource_and_event: Callable[[Column], tuple[Column, Column | None]] | None = None
+    # Custom per-row shaping hook applied after extraction
+    # (base.rb _prepare_for_insert analog).
+    prepare_hook: Callable[[DataFrame], DataFrame] | None = None
+
+    def __post_init__(self):
+        validate_identifier(self.table, "table")
+
+    @property
+    def all_cols(self) -> tuple[Col, ...]:
+        return (self.remote_key, *self.denorm_cols)
+
+    def schema(self) -> T.StructType:
+        fields = [T.StructField(c.name, spark_type(c.type)) for c in self.all_cols]
+        fields.append(T.StructField("data", T.StringType()))
+        return T.StructType(fields)
+
+    def shape(self, envelopes: DataFrame, body_col: str = "body") -> DataFrame:
+        """Envelope DF → typed rows ready for upsert.
+
+        The Spark analog of the reference's per-row
+        ``_resource_and_event → _prepare_for_insert → to_ruby_value``
+        pipeline (base.rb:731-785, column.rb:457-491) — but compiled to a
+        single declarative projection so Catalyst sees one narrow
+        whole-stage-codegen stage, not a row loop.
+        """
+        body = F.col(body_col)
+        if self.resource_and_event is not None:
+            resource, event = self.resource_and_event(body)
+        else:
+            resource, event = body, None
+
+        cols = [c.extraction_expr(resource, event) for c in self.all_cols]
+        # `data` keeps the full raw resource payload (base.rb:456-458);
+        # canonicalized lazily on compare (functions/converters.py).
+        cols.append(resource.alias("data"))
+        if "received_at" in envelopes.columns:
+            cols.append(F.col("received_at").alias("_received_at"))
+        else:
+            cols.append(F.current_timestamp().alias("_received_at"))
+        out = envelopes.select(*cols)
+        if self.prepare_hook is not None:
+            out = self.prepare_hook(out)
+        # Rows with no remote key are skipped, matching the reference's
+        # nil-resource short-circuit (base.rb:744-760).
+        return out.where(F.col(self.remote_key.name).isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Registry (reference: lib/webhookdb/replicator.rb:151-199)
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, ReplicatorSpec] = {}
+
+
+def register(spec: ReplicatorSpec) -> ReplicatorSpec:
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def registered(name: str) -> ReplicatorSpec:
+    return _REGISTRY[name]
+
+
+def all_registered() -> dict[str, ReplicatorSpec]:
+    return dict(_REGISTRY)
