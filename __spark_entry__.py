@@ -1,38 +1,463 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the webhookdb_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator-inventory names (SURVEY.md §2 + the
+training-data-pipeline operators) to Spark implementations;
+``oracle_sql()`` carries the DuckDB twin for each. Column names and
+arithmetic are engine-portable by construction: exact decimal sums cast
+to double, ``round(x, 6)`` on float-valued results, deterministic
+tie-breaks on every ranking.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from webhookdb_spark.functions.converters import CONV_STR2HASH, CONV_TO_I  # noqa: E402
+from webhookdb_spark.operators import dedup as D  # noqa: E402
+from webhookdb_spark.operators import similarity as S  # noqa: E402
+from webhookdb_spark.operators import text as X  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+        # natively; read it as long ns (runtime-settable legacy conf)
+        # and truncate to µs exactly like DuckDB's ns→µs read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c: str, scale: int = 4):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+def _sum_d(col, alias: str):
+    """Exact decimal sum surfaced as a rounded double (engine-portable)."""
+    return F.round(F.sum(col).cast("double"), 6).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (SURVEY §2.5-2.8 surface re-expressed over testdata)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q1-style aggregation: partial-agg friendly groupBy."""
+    l = load(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _sum_d(_dec("l_quantity"), "sum_qty"),
+        _sum_d(_dec("l_extendedprice"), "sum_base_price"),
+        _sum_d(disc_price, "sum_disc_price"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+        F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_base_price,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS sum_disc_price,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_region(spark: SparkSession, sf: str) -> DataFrame:
+    """Star join: broadcast the small dims, shuffle only the fact side."""
+    region = F.broadcast(load(spark, sf, "region"))
+    nation = F.broadcast(load(spark, sf, "nation"))
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    lineitem = load(spark, sf, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(_sum_d(disc_price, "revenue"), F.count("*").alias("n_lineitems"))
+    )
+
+
+SQL_REVENUE_BY_REGION = """
+SELECT r_name AS region,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_semi_customers_with_open_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (reference: staging `pk IN (SELECT pk …)` split,
+    db_adapter/pg.rb:213-221)."""
+    customer = load(spark, sf, "customer")
+    open_orders = load(spark, sf, "orders").where(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+def q_anti_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join — the cancellation-sweep shape
+    (icalendar_calendar_v1.rb:245-261: rows not in the upserted set)."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_window_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking window — top-3 orders per customer, deterministic ties."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+SQL_WINDOW_TOP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-wins dedup — the upsert engine's intra-batch semantics
+    (backfiller.rb:75-83) expressed as a pure query."""
+    events = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS _rn
+  FROM events
+) WHERE _rn = 1
+"""
+
+
+SYNC_LO, SYNC_HI = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+
+
+def q_incremental_sync_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental export window: ts ∈ (last, now] ordered by ts
+    (sync_target.rb:428-447 dataset_to_sync)."""
+    events = load(spark, sf, "events")
+    return (
+        events.where(
+            (F.col("ts") > F.lit(SYNC_LO).cast("timestamp"))
+            & (F.col("ts") <= F.lit(SYNC_HI).cast("timestamp"))
+        )
+        .orderBy("ts", "event_id")
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+SQL_SYNC_WINDOW = f"""
+SELECT event_id, ts, user_id, event_type FROM events
+WHERE ts > TIMESTAMP '{SYNC_LO}' AND ts <= TIMESTAMP '{SYNC_HI}'
+ORDER BY ts, event_id
+"""
+
+
+def q_str2inthash_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition routing parity: the reference's str2inthash bucket for
+    each user — counts per bucket must match across engines exactly
+    (partitionable_mixin.rb:74-90; vectors spec/data/str2hashconv_spec.json)."""
+    events = load(spark, sf, "events")
+    bucket = F.pmod(CONV_STR2HASH.spark(F.col("user_id").cast("string")), F.lit(16))
+    return (
+        events.groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_STR2INTHASH = f"""
+SELECT CAST((({CONV_STR2HASH.sql("user_id")} % 16) + 16) % 16 AS INTEGER) AS bucket,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_json_extraction(spark: SparkSession, sf: str) -> DataFrame:
+    """The ingest-path JSON column extraction (column DSL) as a query:
+    dig into `props` and convert with CONV_TO_I (column.rb:30-33)."""
+    events = load(spark, sf, "events")
+    k = CONV_TO_I.spark(F.get_json_object(F.col("props"), "$.k"))
+    return events.select("event_id", k.alias("k_int"), "event_type").where(
+        F.col("k_int").isNotNull()
+    )
+
+
+SQL_JSON_EXTRACTION = f"""
+SELECT event_id, {CONV_TO_I.sql("json_extract_string(props, '$.k')")} AS k_int, event_type
+FROM events
+WHERE {CONV_TO_I.sql("json_extract_string(props, '$.k')")} IS NOT NULL
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP aggregation over the region/nation hierarchy."""
+    nation = F.broadcast(load(spark, sf, "nation"))
+    region = F.broadcast(load(spark, sf, "region"))
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        _sum_d(_dec("o_totalprice"), "total_revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT r_name AS region, n_name AS nation,
+  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_revenue,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION / EXCEPT set algebra (SURVEY §2.8)."""
+    customer = load(spark, sf, "customer")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = customer.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    nation3 = customer.where(F.col("c_nationkey") == 3).select("c_custkey")
+    return building.union(rich).distinct().subtract(nation3)
+
+
+SQL_SET_OPS = """
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION
+ SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_nationkey = 3
+"""
+
+
+def q_row_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """The 1000-row query cap (organization.rb:23,146-164) with a total
+    order so the capped set is deterministic."""
+    lineitem = load(spark, sf, "lineitem")
+    return (
+        lineitem.orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(1000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+SQL_ROW_CAP = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 1000
+"""
+
+
+RETENTION_CUTOFF = "2024-01-25 00:00:00"
+
+
+def q_retention_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Stale-row retention sweep predicate (base_stale_row_deleter.rb:6-174)
+    as a per-day candidate count."""
+    events = load(spark, sf, "events")
+    return (
+        events.where(
+            (F.col("ts") < F.lit(RETENTION_CUTOFF).cast("timestamp"))
+            & (F.col("event_type") == "error")
+        )
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_stale"))
+    )
+
+
+SQL_RETENTION = f"""
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_stale FROM events
+WHERE ts < TIMESTAMP '{RETENTION_CUTOFF}' AND event_type = 'error'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    return X.token_count(load(spark, sf, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return X.quality_score(load(spark, sf, "documents"))
+
+
+def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    return X.langid(load(spark, sf, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return X.fingerprint(load(spark, sf, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_duplicates(load(spark, sf, "documents")).select(
+        "fingerprint", "n_docs"
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.minhash_dedup_pairs(load(spark, sf, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash(load(spark, sf, "documents"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return S.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return S.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 3), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the star-join revenue rollup at sf0.001."""
+    return q_revenue_by_region(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_region": q_revenue_by_region,
+        "semi_customers_with_open_orders": q_semi_customers_with_open_orders,
+        "anti_customers_without_orders": q_anti_customers_without_orders,
+        "window_top_orders": q_window_top_orders,
+        "latest_event_per_user": q_latest_event_per_user,
+        "incremental_sync_window": q_incremental_sync_window,
+        "str2inthash_buckets": q_str2inthash_buckets,
+        "json_extraction": q_json_extraction,
+        "rollup_revenue": q_rollup_revenue,
+        "set_ops": q_set_ops,
+        "row_cap": q_row_cap,
+        "retention_candidates": q_retention_candidates,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,  # approximate — rows-only check
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": SQL_PRICING,
+        "revenue_by_region": SQL_REVENUE_BY_REGION,
+        "semi_customers_with_open_orders": SQL_SEMI,
+        "anti_customers_without_orders": SQL_ANTI,
+        "window_top_orders": SQL_WINDOW_TOP,
+        "latest_event_per_user": SQL_LATEST_EVENT,
+        "incremental_sync_window": SQL_SYNC_WINDOW,
+        "str2inthash_buckets": SQL_STR2INTHASH,
+        "json_extraction": SQL_JSON_EXTRACTION,
+        "rollup_revenue": SQL_ROLLUP,
+        "set_ops": SQL_SET_OPS,
+        "row_cap": SQL_ROW_CAP,
+        "retention_candidates": SQL_RETENTION,
+        "text_token_count": X.sql_token_count(),
+        "text_quality": X.sql_quality_score(),
+        "text_langid": X.sql_langid(),
+        "text_fingerprint": X.sql_fingerprint(),
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash": D.sql_minhash_dedup_pairs(),
+        "dedup_simhash": D.sql_simhash(),
+        "ann_cosine_topk": S.sql_cosine_topk(),
+        # ann_lsh_topk intentionally omitted: approximate operator,
+        # rows-only check.
+    }

