@@ -1,0 +1,261 @@
+"""Backfill framework + sync target conformance.
+
+Ports of the reference's shared examples: "can backfill" (:327-443),
+"can backfill incrementally" (:664-731), "alerts on backfill auth
+errors" (:732 — fail-fast 401), retry-with-backoff (backfiller.rb:37-46),
+recursive dependents, and the sync-target incremental window +
+page-committed watermark (sync_target.rb:428-447,555-598).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webhookdb_spark.replicators.fake import FAKE_V1
+from webhookdb_spark.sinks.fanout import DeliveryLedger, FanoutSink, Subscription
+from webhookdb_spark.sinks.sync_target import (
+    HttpSyncTarget,
+    SyncScheduler,
+    SyncState,
+    dataset_to_sync,
+)
+from webhookdb_spark.sources.backfill import (
+    BackfillAuthError,
+    Backfiller,
+    CursorStore,
+    parallel_backfill,
+)
+from webhookdb_spark.storage import Warehouse
+
+
+def make_pages(n_pages=3, per_page=4, prefix="it"):
+    pages = {}
+    tok = None
+    for p in range(n_pages):
+        items = [
+            {"my_id": f"{prefix}{p}_{i}", "at": "2024-06-01T00:00:00Z"}
+            for i in range(per_page)
+        ]
+        nxt = f"tok{p + 1}" if p + 1 < n_pages else None
+        pages[tok] = (items, nxt)
+        tok = nxt
+    return pages
+
+
+def test_backfill_paginates_to_exhaustion(spark, tmp_warehouse):
+    pages = make_pages()
+    calls = []
+
+    def fetch(token, last):
+        calls.append(token)
+        return pages[token]
+
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    bf = Backfiller(
+        spark=spark, warehouse=wh, org="o", spec=FAKE_V1, fetch_page=fetch,
+        cursors=CursorStore(tmp_warehouse / "cursors.json"),
+    )
+    total = bf.backfill()
+    assert total == 12
+    assert calls == [None, "tok1", "tok2"]
+    assert wh.table("o", "fake_v1").read().count() == 12
+    # cursor persisted for incremental next run
+    assert bf.cursors.get("backfill") is not None
+
+
+def test_backfill_retries_then_succeeds(spark, tmp_warehouse):
+    attempts = {"n": 0}
+
+    def fetch(token, last):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise ConnectionError("flaky 500")
+        return ([{"my_id": "a", "at": "2024-06-01T00:00:00Z"}], None)
+
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    bf = Backfiller(spark=spark, warehouse=wh, org="o", spec=FAKE_V1, fetch_page=fetch)
+    assert bf.backfill() == 1
+    assert attempts["n"] == 3
+
+
+def test_backfill_auth_error_fails_fast(spark, tmp_warehouse):
+    attempts = {"n": 0}
+
+    def fetch(token, last):
+        attempts["n"] += 1
+        raise BackfillAuthError("401")
+
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    bf = Backfiller(spark=spark, warehouse=wh, org="o", spec=FAKE_V1, fetch_page=fetch)
+    with pytest.raises(BackfillAuthError):
+        bf.backfill()
+    assert attempts["n"] == 1  # no retries on 401 (backfiller.rb:48-56)
+
+
+def test_incremental_cursor_passed_to_fetch(spark, tmp_warehouse):
+    seen_last = []
+
+    def fetch(token, last):
+        seen_last.append(last)
+        return ([{"my_id": "a", "at": "2024-06-01T00:00:00Z"}], None)
+
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    cursors = CursorStore(tmp_warehouse / "cursors.json")
+    bf = Backfiller(
+        spark=spark, warehouse=wh, org="o", spec=FAKE_V1, fetch_page=fetch,
+        cursors=cursors,
+    )
+    bf.backfill()
+    assert seen_last == [None]  # first run: full
+    bf.backfill()
+    assert seen_last[1] is not None  # second run: since cursor
+
+
+def test_recursive_backfill_runs_children(spark, tmp_warehouse):
+    order = []
+
+    def fetch_parent(token, last):
+        order.append("parent")
+        return ([{"my_id": "p", "at": "2024-06-01T00:00:00Z"}], None)
+
+    def fetch_child(token, last):
+        order.append("child")
+        return ([{"my_id": "c", "at": "2024-06-01T00:00:00Z"}], None)
+
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    child = Backfiller(
+        spark=spark, warehouse=wh, org="o", spec=FAKE_V1, fetch_page=fetch_child,
+        opaque_id="child",
+    )
+    parent = Backfiller(
+        spark=spark, warehouse=wh, org="o", spec=FAKE_V1, fetch_page=fetch_parent,
+        opaque_id="parent", children=[child],
+    )
+    parent.backfill()
+    assert order == ["parent", "child"]
+
+
+def test_parallel_backfill(spark, tmp_warehouse):
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+
+    def mk(i):
+        return Backfiller(
+            spark=spark, warehouse=wh, org=f"org{i}", spec=FAKE_V1,
+            fetch_page=lambda tok, last, i=i: (
+                [{"my_id": f"x{i}", "at": "2024-06-01T00:00:00Z"}], None
+            ),
+            opaque_id=f"bf{i}",
+        )
+
+    totals = parallel_backfill([mk(i) for i in range(3)], degree=3)
+    assert totals == [1, 1, 1]
+
+
+# -- sync targets -----------------------------------------------------------
+
+def test_dataset_to_sync_window(spark):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{i + 1:02d} 00:00:00") for i in range(10)], "id int, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = dataset_to_sync(df, "ts", "2024-01-03 00:00:00", "2024-01-07 00:00:00")
+    ids = [r["id"] for r in out.collect()]
+    assert ids == [2, 3, 4, 5, 6]  # inclusive both bounds, ordered
+
+
+def test_http_sync_pages_and_watermark(spark, tmp_warehouse):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 00:00:{i:02d}") for i in range(25)], "id int, ts_s string"
+    ).withColumn("updated", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    posted = []
+    tgt = HttpSyncTarget(
+        state=SyncState(tmp_warehouse / "st.json"),
+        ts_col="updated",
+        post=lambda rows, now: posted.append(len(rows)),
+        page_size=10,
+    )
+    sent = tgt.run_sync(df, "2024-01-02 00:00:00")
+    assert sent == 25
+    assert posted == [10, 10, 5]  # 200-row default paging scaled to 10
+    st = tgt.state.load()
+    assert st["last_synced_at"] == "2024-01-02 00:00:00"
+    # second sync: nothing new
+    assert tgt.run_sync(df, "2024-01-03 00:00:00") == 0
+
+
+def test_http_sync_crash_resumes_from_page_watermark(spark, tmp_warehouse):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 00:00:{i:02d}") for i in range(20)], "id int, ts_s string"
+    ).withColumn("updated", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    calls = {"n": 0}
+
+    def flaky_post(rows, now):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise ConnectionError("boom")
+
+    state = SyncState(tmp_warehouse / "st2.json")
+    tgt = HttpSyncTarget(state=state, ts_col="updated", post=flaky_post, page_size=10)
+    with pytest.raises(ConnectionError):
+        tgt.run_sync(df, "2024-01-02 00:00:00")
+    # watermark committed through the last fully-delivered page only
+    assert state.load()["last_synced_at"].startswith("2024-01-01T00:00:09")
+    # resume delivers the remainder (>= low bound ⇒ boundary row resent;
+    # receivers upsert idempotently — sync_target.rb:428-447 semantics)
+    ok = []
+    tgt2 = HttpSyncTarget(
+        state=state, ts_col="updated",
+        post=lambda rows, now: ok.append([r["id"] for r in rows]), page_size=10,
+    )
+    tgt2.run_sync(df, "2024-01-02 00:00:00")
+    delivered = [i for page in ok for i in page]
+    assert delivered == list(range(9, 20))
+
+
+def test_scheduler_period_gate(spark, tmp_warehouse):
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "id int, ts_s string"
+    ).withColumn("updated", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    tgt = HttpSyncTarget(
+        state=SyncState(tmp_warehouse / "st3.json"),
+        ts_col="updated",
+        post=lambda rows, now: None,
+        period_seconds=600,
+    )
+    sched = SyncScheduler()
+    sched.add(tgt, lambda: df)
+    t0 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+    assert sched.tick(t0) == {0: 1}
+    # not due again immediately
+    assert sched.tick(t0) == {}
+
+
+# -- fan-out ---------------------------------------------------------------
+
+def test_fanout_delivery_and_abandon(tmp_warehouse):
+    ok_urls = []
+
+    def deliver(url, payload):
+        if url == "https://bad.example":
+            raise ConnectionError("down")
+        ok_urls.append((url, payload["row"]["my_id"]))
+
+    sink = FanoutSink(
+        subscriptions=[
+            Subscription(id="s1", url="https://good.example"),
+            Subscription(id="s2", url="https://bad.example"),
+        ],
+        ledger=DeliveryLedger(tmp_warehouse / "ledger.jsonl"),
+        deliver=deliver,
+        max_attempts=3,
+        backoff_base=0.0,
+    )
+    sink.on_rowupsert(
+        [{"my_id": "a"}, {"my_id": "b"}], integration_id="svi_x", table="fake_v1"
+    )
+    delivered, abandoned = sink.pump(max_rounds=5)
+    assert delivered == 2
+    assert abandoned == 2  # bad URL exhausted 3 attempts (cap: 25 in prod)
+    assert sorted(u for u, _ in ok_urls) == ["https://good.example"] * 2

@@ -1,0 +1,109 @@
+"""Retention operators: stale-row deletes, cancellation sweeps, audit trims.
+
+Reference:
+
+- Stale-row deleter (lib/webhookdb/replicator/base_stale_row_deleter.rb:6-174):
+  delete rows with ``updated_at ∈ [now-stale_at-lookback, now-stale_at)``
+  AND a condition (e.g. status='CANCELLED'); chunked 10k/hour-windows to
+  bound Postgres locks.
+- Cancellation sweep (icalendar_calendar_v1.rb:245-261): after a feed
+  sync, rows NOT in the upserted identity set and not yet CANCELLED get
+  status='CANCELLED'.
+- Logged-webhook trims (logged_webhook.rb:40-90).
+
+Spark shape: snapshot isolation makes the chunking dance unnecessary —
+each is ONE declarative predicate applied via a bucket-scoped rewrite
+(delete = anti-filter overwrite; at 100 TB on Delta these are
+``DELETE FROM … WHERE`` / ``MERGE`` statements and the predicates
+partition-prune by date/bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+from webhookdb_spark.storage import PART_COL, ManagedTable, bucket_expr
+
+
+def _rewrite(table: ManagedTable, transform) -> tuple[int, int]:
+    """Apply a full-table transform; returns (rows_before, rows_after).
+
+    Local implementation rewrites all buckets; on Delta this is a
+    single DELETE/UPDATE with partition pruning.
+    """
+    df = table.read()
+    before = df.count()
+    m = table.manifest
+    out = transform(df).withColumn(PART_COL, bucket_expr(m.key, m.n_buckets))
+    after = out.count()
+    table.overwrite_buckets(out, list(range(m.n_buckets)))
+    return before, after
+
+
+def delete_stale_rows(
+    table: ManagedTable,
+    ts_col: str,
+    stale_cutoff: str,
+    lookback_cutoff: str,
+    condition: Column | None = None,
+) -> int:
+    """base_stale_row_deleter semantics: delete rows whose ``ts_col`` is
+    in [lookback_cutoff, stale_cutoff) and that match ``condition``.
+    Returns number of rows deleted."""
+    doomed = (
+        (F.col(ts_col) >= F.lit(lookback_cutoff).cast("timestamp"))
+        & (F.col(ts_col) < F.lit(stale_cutoff).cast("timestamp"))
+    )
+    if condition is not None:
+        doomed = doomed & condition
+    before, after = _rewrite(table, lambda df: df.where(~doomed))
+    return before - after
+
+
+def cancellation_sweep(
+    table: ManagedTable,
+    upserted_keys: DataFrame,
+    key_col: str,
+    status_col: str = "status",
+    cancelled_value: str = "CANCELLED",
+    scope: Column | None = None,
+) -> int:
+    """Rows in scope, not in ``upserted_keys``, not yet cancelled →
+    status := CANCELLED (icalendar_calendar_v1.rb:245-261).
+    Returns number of rows flipped."""
+    keys = upserted_keys.select(F.col(key_col).alias("__k")).distinct()
+
+    def transform(df: DataFrame) -> DataFrame:
+        joined = df.join(
+            F.broadcast(keys), df[key_col] == F.col("__k"), "left_outer"
+        )
+        in_scope = F.lit(True) if scope is None else scope
+        flip = (
+            F.col("__k").isNull()
+            & in_scope
+            & (F.coalesce(F.col(status_col) != cancelled_value, F.lit(True)))
+        )
+        return joined.withColumn(
+            status_col, F.when(flip, F.lit(cancelled_value)).otherwise(F.col(status_col))
+        ).drop("__k")
+
+    df = table.read()
+    in_scope = F.lit(True) if scope is None else scope
+    flipped = (
+        df.join(keys, df[key_col] == F.col("__k"), "left_anti")
+        .where(in_scope & (F.coalesce(F.col(status_col) != cancelled_value, F.lit(True))))
+        .count()
+    )
+    _rewrite(table, transform)
+    return flipped
+
+
+def trim_audit_log(
+    spark_df: DataFrame, received_col: str, max_age_days: int
+) -> DataFrame:
+    """Logged-webhook trim predicate (logged_webhook.rb:40-90) as a
+    filter; callers overwrite the audit directory with the result."""
+    cutoff = F.date_sub(F.current_date(), max_age_days)
+    return spark_df.where(F.col(received_col).cast("date") >= cutoff)

@@ -1,0 +1,208 @@
+"""Sync targets: periodic incremental export of replicated tables.
+
+Reference (lib/webhookdb/sync_target.rb):
+
+- ``dataset_to_sync`` (:428-447): rows with ``ts <= now`` and
+  ``ts >= last_synced_at``, ordered by the timestamp column.
+- HTTP routine (:483-599): page rows (default 200/POST :48-49), POST
+  ``{rows, integration_id, table, sync_timestamp}``; with parallelism,
+  commit the watermark as the *earliest inflight chunk's* timestamp so
+  a crash never skips rows (min-prefix commit, :555-598).
+- Database routine (:618-672): stage rows then UPDATE matches + INSERT
+  non-matches (pg.rb:205-224) — here a JDBC-shaped staging merge; local
+  tests exercise a parquet "external database" stand-in.
+- Scheduler (:97-106, jobs/sync_target_enqueue_scheduled.rb): every
+  minute, enqueue targets whose period has elapsed.
+
+Spark shape: the export query is a timestamp-range filter + orderBy —
+partition-prunable when the table is date-partitioned; pages stream to
+the sink via ``toLocalIterator`` so the driver holds one page, not the
+result set.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_PAGE_SIZE = 200  # sync_target.rb:48-49
+DEFAULT_MIN_PERIOD = 600  # sync_target.rb:40-47
+MAX_PERIOD = 86_400
+
+
+@dataclass
+class SyncState:
+    """Durable per-target state (last_synced_at; stats window)."""
+
+    path: Path
+    max_stats: int = 200  # sync_target.rb:38
+
+    def load(self) -> dict:
+        if self.path.exists():
+            return json.loads(self.path.read_text())
+        return {"last_synced_at": None, "stats": []}
+
+    def save(self, state: dict) -> None:
+        state["stats"] = state.get("stats", [])[-self.max_stats :]
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(state))
+        tmp.replace(self.path)
+
+
+def dataset_to_sync(
+    df: DataFrame, ts_col: str, last: str | None, now: str
+) -> DataFrame:
+    """sync_target.rb:428-447 — half-open window (last, now], ordered.
+
+    Uses >= on the low bound like the reference (rows sharing the
+    boundary timestamp are re-sent; the sink upsert makes that safe).
+    """
+    out = df.where(F.col(ts_col) <= F.lit(now).cast("timestamp"))
+    if last is not None:
+        out = out.where(F.col(ts_col) >= F.lit(last).cast("timestamp"))
+    return out.orderBy(ts_col)
+
+
+RowPoster = Callable[[Sequence[dict], str], None]
+# (rows_page, sync_timestamp) -> None; raises on delivery failure
+
+
+@dataclass
+class HttpSyncTarget:
+    """HTTP sync routine with the min-prefix watermark commit.
+
+    ``post`` abstracts the HTTP POST (sync_target.rb:543-553) so tests
+    inject a recorder and deployments inject requests/urllib sessions.
+    """
+
+    state: SyncState
+    ts_col: str
+    post: RowPoster
+    page_size: int = DEFAULT_PAGE_SIZE
+    period_seconds: int = DEFAULT_MIN_PERIOD
+
+    def due(self, now: datetime) -> bool:
+        last = self.state.load().get("last_synced_at")
+        if last is None:
+            return True
+        prev = datetime.fromisoformat(last)
+        if prev.tzinfo is None:
+            prev = prev.replace(tzinfo=timezone.utc)
+        if now.tzinfo is None:
+            now = now.replace(tzinfo=timezone.utc)
+        return prev <= now - timedelta(seconds=self.period_seconds)
+
+    def run_sync(self, df: DataFrame, now: str) -> int:
+        """Export the pending window in ts order, committing the
+        watermark after each fully-delivered page (so a crash resumes
+        from the last complete page — the serial case of
+        sync_target.rb:555-598's ordered commit)."""
+        st = self.state.load()
+        last = st.get("last_synced_at")
+        pending = dataset_to_sync(df, self.ts_col, last, now)
+        cols = pending.columns
+        page: list[dict] = []
+        page_max_ts: str | None = None
+        sent = 0
+
+        def flush() -> None:
+            nonlocal page, page_max_ts, sent
+            if not page:
+                return
+            self.post(page, now)
+            sent += len(page)
+            st["last_synced_at"] = page_max_ts
+            self.state.save(st)
+            page, page_max_ts = [], None
+
+        # toLocalIterator: one partition at a time on the driver — the
+        # server-side-cursor analog (sync_target.rb:504 paged_each).
+        for row in pending.toLocalIterator():
+            d = dict(zip(cols, row))
+            ts = d[self.ts_col]
+            page_max_ts = ts.isoformat() if hasattr(ts, "isoformat") else str(ts)
+            page.append(d)
+            if len(page) >= self.page_size:
+                flush()
+        flush()
+        st["last_synced_at"] = now
+        st.setdefault("stats", []).append({"synced": sent, "at": now})
+        self.state.save(st)
+        return sent
+
+
+@dataclass
+class DatabaseSyncTarget:
+    """Staging-merge export to an external database.
+
+    The reference COPYs changed rows to a temp table then issues
+    UPDATE-matches + INSERT-non-matches (pg.rb:205-224). With a JDBC
+    sink this maps to ``df.write.jdbc(staging)`` + a remote MERGE; the
+    local stand-in merges into a parquet directory keyed by ``key_col``
+    so tests run hermetically.
+    """
+
+    state: SyncState
+    ts_col: str
+    key_col: str
+    dest_path: Path
+
+    def run_sync(self, df: DataFrame, now: str) -> int:
+        st = self.state.load()
+        pending = dataset_to_sync(df, self.ts_col, st.get("last_synced_at"), now)
+        n = pending.count()
+        if n:
+            spark = pending.sparkSession
+            dest = str(self.dest_path)
+            if Path(dest).exists():
+                existing = spark.read.parquet(dest)
+                merged = (
+                    existing.join(
+                        pending.select(self.key_col), on=self.key_col, how="left_anti"
+                    )
+                    .unionByName(pending)
+                )
+                tmp = dest + ".staging"
+                merged.write.mode("overwrite").parquet(tmp)
+                final = spark.read.parquet(tmp)
+                final.write.mode("overwrite").parquet(dest)
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                pending.write.parquet(dest)
+        st["last_synced_at"] = now
+        st.setdefault("stats", []).append({"synced": n, "at": now})
+        self.state.save(st)
+        return n
+
+
+@dataclass
+class SyncScheduler:
+    """Every-minute due-target scan (jobs/sync_target_enqueue_scheduled.rb:8-19).
+
+    Single-driver, so the reference's per-target advisory locks are
+    unnecessary (SURVEY §2.2 sync scheduling row)."""
+
+    targets: list[tuple[HttpSyncTarget, Callable[[], DataFrame]]] = field(
+        default_factory=list
+    )
+
+    def add(self, target: HttpSyncTarget, df_source: Callable[[], DataFrame]) -> None:
+        self.targets.append((target, df_source))
+
+    def tick(self, now: datetime | None = None) -> dict[int, int]:
+        now = now or datetime.now(timezone.utc)
+        now_s = now.strftime("%Y-%m-%d %H:%M:%S")
+        ran: dict[int, int] = {}
+        for i, (tgt, src) in enumerate(self.targets):
+            if tgt.due(now):
+                ran[i] = tgt.run_sync(src(), now_s)
+        return ran

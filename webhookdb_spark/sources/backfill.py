@@ -1,0 +1,160 @@
+"""Paginated backfill framework.
+
+Reference semantics (lib/webhookdb/backfiller.rb:13-114,
+lib/webhookdb/replicator/base.rb:1101-1247, lib/webhookdb/jobs/backfill.rb):
+
+- loop ``fetch_backfill_page(token, last_backfilled)`` → (items, next
+  token); stop on blank token
+- page fetch retried with backoff (3 attempts); HTTP 401 fails fast
+- incremental mode passes ``last_backfilled_at`` as the low cursor
+- pages accumulate into bulk upserts (intra-page last-wins dedup)
+- after success: persist new cursor, enqueue dependent integrations
+  (recursive backfill)
+- optional parallel fan-out over independent backfillers
+
+Spark split: page *fetching* is inherently driver-side sequential HTTP
+(rate limits live with the token), but page *processing* is the same
+distributed shape-and-merge as streaming. Fetching can overlap
+processing: pages are buffered and merged in chunks of
+``upsert_page_size`` so the cluster sees few large merges rather than
+many small ones.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterable, Sequence
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from webhookdb_spark.operators.upsert import MergeResult, upsert_envelopes
+from webhookdb_spark.sources.envelopes import ENVELOPE_SCHEMA
+from webhookdb_spark.spec import ReplicatorSpec
+from webhookdb_spark.storage import Warehouse
+
+
+class BackfillAuthError(RuntimeError):
+    """HTTP 401 — fail fast, no retry (backfiller.rb:48-56)."""
+
+
+PageFetcher = Callable[[str | None, Any], tuple[Sequence[dict], str | None]]
+# (pagination_token, last_backfilled) -> (items, next_token)
+
+
+@dataclass
+class CursorStore:
+    """Per-integration incremental cursors (``last_backfilled_at``,
+    service_integration.rb cursor fields) persisted as JSON."""
+
+    path: Path
+
+    def get(self, key: str) -> str | None:
+        if not self.path.exists():
+            return None
+        return json.loads(self.path.read_text()).get(key)
+
+    def set(self, key: str, value: str) -> None:
+        data = json.loads(self.path.read_text()) if self.path.exists() else {}
+        data[key] = value
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(data))
+        tmp.replace(self.path)
+
+
+@dataclass
+class Backfiller:
+    """Driver-side pagination loop feeding distributed merges."""
+
+    spark: SparkSession
+    warehouse: Warehouse
+    org: str
+    spec: ReplicatorSpec
+    fetch_page: PageFetcher
+    opaque_id: str = "backfill"
+    page_retries: int = 3
+    retry_base_sleep: float = 0.1  # backfiller.rb:37-46 backoff (scaled down)
+    upsert_page_size: int = 2000  # icalendar_calendar_v1.rb:165
+    cursors: CursorStore | None = None
+    # dependent integrations to backfill after this one
+    # (recursive backfill, base.rb:215-226)
+    children: list["Backfiller"] = field(default_factory=list)
+    merge_results: list[MergeResult] = field(default_factory=list)
+
+    def _fetch_with_retry(self, token: str | None, last: Any):
+        attempt = 0
+        while True:
+            try:
+                return self.fetch_page(token, last)
+            except BackfillAuthError:
+                raise
+            except Exception:
+                attempt += 1
+                if attempt >= self.page_retries:
+                    raise
+                time.sleep(self.retry_base_sleep * (2 ** (attempt - 1)))
+
+    def _flush(self, items: list[dict]) -> None:
+        if not items:
+            return
+        rows = [
+            (
+                self.opaque_id,
+                self.spec.name,
+                "POST",
+                f"/v1/service_integrations/{self.opaque_id}",
+                {},
+                json.dumps(it),
+                None,
+            )
+            for it in items
+        ]
+        env = self.spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+        table = self.warehouse.table(self.org, self.spec.table)
+        self.merge_results.append(upsert_envelopes(table, env, self.spec))
+
+    def backfill(self, incremental: bool = True, recursive: bool = True) -> int:
+        """Run to exhaustion; returns total items processed."""
+        last = (
+            self.cursors.get(self.opaque_id)
+            if (incremental and self.cursors)
+            else None
+        )
+        started_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        token: str | None = None
+        buffer: list[dict] = []
+        total = 0
+        while True:
+            items, token = self._fetch_with_retry(token, last)
+            buffer.extend(items)
+            total += len(items)
+            if len(buffer) >= self.upsert_page_size:
+                self._flush(buffer)
+                buffer = []
+            if not token:
+                break
+        self._flush(buffer)
+        if self.cursors:
+            # cursor = job start time, matching the reference's
+            # last_backfilled_at semantics (base.rb:1110-1130)
+            self.cursors.set(self.opaque_id, started_at)
+        if recursive:
+            for child in self.children:
+                child.backfill(incremental=incremental, recursive=True)
+        return total
+
+
+def parallel_backfill(backfillers: Iterable[Backfiller], degree: int = 3) -> list[int]:
+    """Thread-pool fan-out over independent backfillers
+    (base.rb:1134-1192 ``_do_parallel_backfill``; e.g. aws_pricing = 3).
+
+    Threads block on driver-side HTTP; Spark merges from different
+    tables proceed concurrently through the shared scheduler.
+    """
+    with ThreadPoolExecutor(max_workers=degree) as pool:
+        return list(pool.map(lambda b: b.backfill(), backfillers))

@@ -1,0 +1,58 @@
+"""Webhook envelope source.
+
+The universal ingest record (reference:
+lib/webhookdb/replicator/webhook_request.rb — body/headers/path/method;
+enqueued kwargs lib/webhookdb/api/helpers.rb:218-231). Batch and
+streaming readers share one schema; verification and bot-filtering are
+plain Column predicates applied before routing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("integration_opaque_id", T.StringType()),
+        T.StructField("service_name", T.StringType()),
+        T.StructField("request_method", T.StringType()),
+        T.StructField("request_path", T.StringType()),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("body", T.StringType()),
+        T.StructField("received_at", T.TimestampType()),
+    ]
+)
+
+
+def read_envelopes(spark: SparkSession, path: str) -> DataFrame:
+    """Batch envelope read (JSONL files)."""
+    return spark.read.schema(ENVELOPE_SCHEMA).json(path)
+
+
+def read_envelope_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming envelope source over a landing directory.
+
+    On a real deployment this is a Kafka topic
+    (``spark.readStream.format("kafka")``) with the same downstream
+    plan; the file source keeps local tests hermetic. Backpressure =
+    maxFilesPerTrigger (reference analog: per-org job semaphores,
+    jobs/process_webhook.rb:15-24).
+    """
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def reject_bot_gets(envelopes: DataFrame) -> DataFrame:
+    """Reject bot user-agents on GET webhook requests
+    (api/helpers.rb:182-198)."""
+    ua = F.lower(F.coalesce(F.element_at(F.col("headers"), "user-agent"), F.lit("")))
+    is_bot_get = (F.upper(F.col("request_method")) == "GET") & (
+        ua.rlike("bot|crawler|spider|preview|scan")
+    )
+    return envelopes.where(~is_bot_get)
