@@ -97,7 +97,13 @@ class Col:
         else:
             raw = resource_raw
         out = self.converter.spark(raw) if self.converter else raw
-        out = out.try_cast(spark_type(self.type).simpleString())
+        target = spark_type(self.type)
+        if self.converter is None and isinstance(target, T.ArrayType):
+            # JSON arrays come back from get_json_object as JSON text;
+            # parse rather than cast.
+            out = F.from_json(out, target)
+        else:
+            out = out.try_cast(target.simpleString())
         if self.defaulter:
             out = F.coalesce(out, DEFAULTERS[self.defaulter]().cast(spark_type(self.type)))
         return out.alias(self.name)
@@ -133,6 +139,11 @@ class ReplicatorSpec:
     # Unwrap body → resource/event JSON strings. Default: body is the
     # resource, no event. Returns (resource_col, event_col|None).
     resource_and_event: Callable[[Column], tuple[Column, Column | None]] | None = None
+    # When the resource carries its own raw-payload field (the
+    # _resource_to_data hook, base.rb:744-760 — e.g. icalendar rows are
+    # pre-shaped and embed `data`), name it here; `data` is read from
+    # that key instead of storing the whole resource.
+    data_key: str | None = None
     # Custom per-row shaping hook applied after extraction
     # (base.rb _prepare_for_insert analog).
     prepare_hook: Callable[[DataFrame], DataFrame] | None = None
@@ -167,11 +178,19 @@ class ReplicatorSpec:
         cols = [c.extraction_expr(resource, event) for c in self.all_cols]
         # `data` keeps the full raw resource payload (base.rb:456-458);
         # canonicalized lazily on compare (functions/converters.py).
-        cols.append(resource.alias("data"))
+        if self.data_key is not None:
+            cols.append(F.get_json_object(resource, f"$.{self.data_key}").alias("data"))
+        else:
+            cols.append(resource.alias("data"))
         if "received_at" in envelopes.columns:
             cols.append(F.col("received_at").alias("_received_at"))
         else:
             cols.append(F.current_timestamp().alias("_received_at"))
+        if "_seq" in envelopes.columns:
+            # arrival ordinal — the intra-batch last-wins tiebreaker
+            # (page order in the reference's hash overwrite,
+            # backfiller.rb:75-83)
+            cols.append(F.col("_seq"))
         out = envelopes.select(*cols)
         if self.prepare_hook is not None:
             out = self.prepare_hook(out)
