@@ -29,14 +29,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from webhookdb_spark.operators.text import SQL_TOKENS, tokens
+from webhookdb_spark.operators.util import bind, scale_out
 
 DEFAULT_N_HASHES = 8
 DEFAULT_BANDS = 4
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of ``text`` (native, no UDF)."""
-    t = tokens(F.lower(text))
+    """Distinct word n-gram shingles of ``text`` (native, no UDF).
+
+    NOTE: referencing this directly embeds the token-split expression
+    inside a lambda, which interpreted HOF evaluation recomputes per
+    element (quadratic). Prefer ``shingle_sets`` which binds the token
+    array first.
+    """
+    return shingles_of(tokens(F.lower(text)), n)
+
+
+def shingles_of(t: Column, n: int = 3) -> Column:
+    """Shingles over an (ideally already-bound) token-array column."""
     if n == 1:
         return F.array_distinct(t)
     joined = F.when(
@@ -47,6 +58,18 @@ def shingles(text: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(joined)
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", shingle_n: int = 3, out: str = "_sh"
+) -> DataFrame:
+    """(all df columns…, ``out``: array<string>) with the shingle array
+    evaluated exactly once per row: tokens are bound behind one
+    projection barrier (so per-position ``element_at`` is O(1) on a
+    materialized array), the shingle array behind a second (so K
+    downstream hash columns don't re-shingle). Narrow, no shuffle."""
+    b = bind(scale_out(df), "_toks", tokens(F.lower(F.col(text_col))))
+    return bind(b, out, shingles_of(F.col("_toks"), shingle_n)).drop("_toks")
 
 
 def sql_shingles(c: str = "text", n: int = 3) -> str:
@@ -96,16 +119,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, h0..h{K-1}) — hᵢ = min over shingles of md5('i:'+shingle).
 
-    One explode + one groupBy: a single shuffle keyed by doc_id, with
-    map-side partial min aggregation. At 100 TB the explode output is
-    the dominant cost; K mins ride the same shuffle.
+    Entirely row-local: ``array_min(transform(shingles, md5(...)))``
+    per hash — a narrow map with NO shuffle. At 100 TB this scales
+    linearly with input bytes and never materializes the exploded
+    (doc_id, shingle) stream; the alternative explode→groupBy design
+    shuffles |shingles| rows and is strictly worse. Docs with zero
+    shingles are dropped (same semantics as an explode-based plan).
     """
-    sh = df.select("doc_id", F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+    sh = F.col("_sh")
+    base = shingle_sets(df.select("doc_id", text_col), text_col, shingle_n)
+    cols = [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return base.where(F.size(sh) > 0).select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(
@@ -160,7 +189,9 @@ def jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold, rounded
     to 6 places for engine portability.
     """
-    sets_ = df.select("doc_id", shingles(F.col(text_col), shingle_n).alias("sh"))
+    sets_ = shingle_sets(df.select("doc_id", text_col), text_col, shingle_n).select(
+        "doc_id", F.col("_sh").alias("sh")
+    )
     if pairs is None:
         a, b = sets_.alias("a"), sets_.alias("b")
         joined = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -209,25 +240,35 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     as str2inthash, so it has an exact SQL twin). For each bit, sum
     ±1 over distinct tokens; bit set iff sum > 0. Near-duplicates have
     small hamming distance between fingerprints.
+
+    Row-local (no shuffle): token hashes live in an array column and
+    each bit-sum is an ``aggregate`` over that array, so the whole
+    fingerprint is a narrow map — the explode→groupBy alternative
+    shuffles |tokens| rows for no benefit. Docs with zero tokens are
+    dropped (parity with an explode-based plan).
     """
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
     h = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")  # noqa: E731
-    exploded = df.select("doc_id", F.explode(toks).alias("tok")).select(
-        "doc_id", h(F.col("tok")).alias("th")
+    th = F.col("_th")
+    bit_sum = lambda b: F.aggregate(  # noqa: E731
+        th,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(F.shiftright(t, b).bitwiseAND(1) == 1, 1).otherwise(-1),
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    per_doc = exploded.groupBy("doc_id").agg(*bit_sums)
     fingerprint = None
     for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << b).cast("long")
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return per_doc.select("doc_id", fingerprint.alias("simhash"))
+        bit = F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    # Same explode(array(...)) projection barrier as minhash_signatures:
+    # evaluate the hashed-token array once, not once per bit.
+    return (
+        scale_out(df).select("doc_id", F.explode(F.array(F.transform(toks, h))).alias("_th"))
+        .where(F.size(th) > 0)
+        .select("doc_id", fingerprint.alias("simhash"))
+    )
 
 
 def sql_simhash(table: str = "documents") -> str:

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from webhookdb_spark.operators.util import bind, scale_out
+
 WS = r"\s+"
 
 # Tiny deterministic stopword lexicons for the language-ID heuristic and
@@ -30,8 +32,11 @@ def tokens(text: Column) -> Column:
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token + char counting (the `wc` of the pipeline)."""
-    t = tokens(F.col(text_col))
-    return df.select(
+    # Bind the token array once (see util.bind) so the two size()
+    # columns don't each re-split the text.
+    b = bind(scale_out(df.select("doc_id", text_col)), "_t", tokens(F.col(text_col)))
+    t = F.col("_t")
+    return b.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
         F.length(text_col).alias("n_chars_computed"),
@@ -46,7 +51,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     All arithmetic is done in exact integer/decimal space until the
     final rounded doubles so results are engine-portable.
     """
-    t = tokens(F.col(text_col))
+    b = bind(scale_out(df.select("doc_id", text_col)), "_t", tokens(F.col(text_col)))
+    t = F.col("_t")
     n_tok = F.size(t)
     n_chars = F.length(text_col)
     stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS_EN)))
@@ -68,7 +74,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + ttr.cast(dec) * F.lit(0.3).cast("decimal(2,1)"),
         6,
     ).cast("double")
-    return df.select(
+    return b.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         mean_wl.alias("mean_word_len"),
@@ -102,7 +108,10 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     argmax, 'und' when nothing matches. Ties break by language code
     order for determinism.
     """
-    t = tokens(F.lower(F.col(text_col)))
+    b = bind(
+        scale_out(df.select("doc_id", text_col)), "_t", tokens(F.lower(F.col(text_col)))
+    )
+    t = F.col("_t")
 
     def profile_hits(words: tuple[str, ...]):
         return lambda x: x.isin(*words)
@@ -111,7 +120,7 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.filter(t, profile_hits(words))).alias(f"score_{lang}")
         for lang, words in LANG_PROFILES.items()
     ]
-    scored = df.select("doc_id", *scores)
+    scored = b.select("doc_id", *scores)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
     pick = F.lit("und")
     # reversed so earlier languages win ties via later .when precedence

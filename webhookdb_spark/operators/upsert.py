@@ -164,4 +164,11 @@ def upsert_envelopes(
     """Full ingest path: shape envelopes then merge (base.rb:731-785)."""
     if not table.exists():
         table.create(spec.schema(), key=spec.remote_key.name, n_buckets=spec.n_buckets)
+    if "_seq" not in envelopes.columns:
+        # Arrival ordinal: duplicate keys in one batch resolve to the
+        # LAST occurrence even when timestamps tie (backfiller.rb:75-83's
+        # hash-overwrite order). monotonically_increasing_id encodes
+        # (partition index, row-in-partition), which preserves source
+        # order for any ordered batch source.
+        envelopes = envelopes.withColumn("_seq", F.monotonically_increasing_id())
     return merge_upsert(table, spec.shape(envelopes), spec)

@@ -1,0 +1,49 @@
+"""Shared operator plumbing.
+
+``scale_out`` fixes the "one fat file = one task" trap: a narrow,
+CPU-heavy map (minhash, simhash, language-ID) inherits the scan's
+partitioning, and a single parquet file with one row group yields a
+single task no matter how many cores exist. One round-robin shuffle of
+the input bytes buys full-cluster parallelism for the expensive
+compute that follows — worth it exactly when the per-row work dwarfs
+one pass of I/O, which is true for all the hashing operators here.
+
+On a real cluster reading 100 TB the scan already produces thousands
+of splits, so the guard (`partitions >= defaultParallelism`) makes
+this a no-op there; it only fires for coarse inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to the cluster's parallelism iff its
+    current partitioning would leave cores idle."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def bind(df: DataFrame, name: str, expr: Column) -> DataFrame:
+    """Materialize ``expr`` as column ``name`` behind a projection
+    barrier, guaranteeing it is evaluated exactly once per row.
+
+    ``explode(array(expr))`` is a single-element Generate: it never
+    changes the row count (a NULL result is a one-element [NULL]
+    array), but CollapseProject cannot inline expressions through a
+    Generate node, so downstream references see a cheap attribute.
+
+    This matters in two situations the optimizer does not handle:
+    (1) an expensive expression referenced by many output columns —
+    higher-order functions are interpreted, outside whole-stage
+    codegen's subexpression elimination; (2) an array expression
+    referenced *inside* a lambda (e.g. ``element_at(split(x), i)`` in a
+    ``transform``) — the inner expression is re-evaluated per array
+    element, turning a linear scan quadratic.
+    """
+    return df.select(*df.columns, F.explode(F.array(expr)).alias(name))
