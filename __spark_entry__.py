@@ -389,6 +389,14 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash(load(spark, sf, "documents"))
 
 
+def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Standalone all-pairs n-gram Jaccard over a bounded id window
+    (quadratic by definition — the scale path is minhash LSH candidates
+    → the same jaccard verification)."""
+    docs = load(spark, sf, "documents").where(F.col("doc_id") < 500)
+    return D.jaccard_pairs(docs, None, threshold=0.5)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return S.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
@@ -397,6 +405,23 @@ def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return S.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 3), k=5)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return S.ann_topk_ivf(emb, emb.where(F.col("vec_id") < 3), k=5)
+
+
+def q_embed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dedup. The synthetic embeddings are random
+    (no natural cos ≥ 0.95 pairs), so the query corpus plants exact
+    duplicates — every 20th vector re-appears under vec_id+1000000 — and
+    the operator must recover precisely those pairs via LSH buckets."""
+    emb = load(spark, sf, "embeddings")
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    return S.embedding_near_dup_pairs(emb.unionByName(planted))
 
 
 # ---------------------------------------------------------------------------
@@ -430,8 +455,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,  # approximate — rows-only check
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embed_near_dup": q_embed_near_dup,
     }
 
 
@@ -457,7 +485,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": D.sql_minhash_dedup_pairs(),
         "dedup_simhash": D.sql_simhash(),
+        "dedup_ngram": D.sql_jaccard_all_pairs(),
         "ann_cosine_topk": S.sql_cosine_topk(),
         # ann_lsh_topk intentionally omitted: approximate operator,
         # rows-only check.
+        "ann_ivf_topk": S.sql_ann_topk_ivf(),
+        "embed_near_dup": S.sql_embedding_near_dup(
+            table="(SELECT vec_id, embedding FROM embeddings"
+            " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding"
+            " FROM embeddings WHERE vec_id % 20 = 0)"
+        ),
     }

@@ -1,0 +1,95 @@
+"""Edge-semantics tests for similarity / dedup operators (the oracle
+harness covers value parity; these cover shapes the synthetic tables
+don't exercise)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webhookdb_spark.operators import dedup as D
+from webhookdb_spark.operators import similarity as S
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_identical_docs_full_jaccard(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely here now again ok"),
+        ],
+    )
+    out = D.minhash_dedup_pairs(df).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_minhash_drops_empty_and_short_docs(spark):
+    # fewer tokens than the shingle width => zero shingles => dropped
+    df = _docs(spark, [(1, "one two"), (2, ""), (3, "a b c d e")])
+    sigs = D.minhash_signatures(df)
+    assert [r.doc_id for r in sigs.select("doc_id").collect()] == [3]
+
+
+def test_shingles_match_bound_and_unbound_paths(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "x y")])
+    direct = df.select(
+        "doc_id", D.shingles(F.col("text"), 3).alias("sh")
+    ).collect()
+    bound = (
+        D.shingle_sets(df, "text", 3).select("doc_id", "_sh").collect()
+    )
+    assert {r.doc_id: r.sh for r in direct} == {r.doc_id: r._sh for r in bound}
+
+
+def test_simhash_identical_fingerprints(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "")])
+    rows = D.simhash(df).collect()
+    fp = {r.doc_id: r.simhash for r in rows}
+    assert fp[1] == fp[2]
+    # split("") yields [""] on both engines, so the empty doc keeps a
+    # (distinct) fingerprint rather than being dropped
+    assert fp[3] != fp[1]
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_assign_self_centroid(spark):
+    vs = _vecs(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]), (3, [-0.1, 0.8])],
+    )
+    cents = S.ivf_centroids(vs, n_centroids=2)
+    assert cents == [[1.0, 0.0], [0.0, 1.0]]
+    assigned = {r.vec_id: r.cent_id for r in S.ivf_assign(vs, cents).collect()}
+    assert assigned == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_ivf_topk_finds_same_cell_neighbor(spark):
+    vs = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.95, 0.05]),
+            (3, [0.05, 0.95]),
+        ],
+    )
+    out = S.ann_topk_ivf(vs, vs.where(F.col("vec_id") == 2), k=1, n_centroids=2, nprobe=1)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].vec_id == 0
+
+
+def test_embedding_near_dup_catches_duplicate_vector(spark):
+    vs = _vecs(
+        spark,
+        [(0, [0.5, 0.5, 0.1]), (1, [0.5, 0.5, 0.1]), (2, [-0.9, 0.1, 0.0])],
+    )
+    rows = S.embedding_near_dup_pairs(vs, threshold=0.99, n_planes=4, bands=2).collect()
+    assert [(r.vec_a, r.vec_b) for r in rows] == [(0, 1)]
+    assert rows[0].cosine_sim == 1.0

@@ -345,3 +345,25 @@ def sql_minhash_dedup_pairs(
     WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= {threshold}
     """
+
+
+def sql_jaccard_all_pairs(
+    table: str = "documents",
+    pred: str = "doc_id < 500",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`jaccard_pairs` with ``pairs=None`` over a
+    predicate-scoped subset (all-pairs is quadratic by definition; the
+    scale path is LSH candidates → :func:`jaccard_pairs`)."""
+    sh = sql_shingles("text", shingle_n)
+    jac = (
+        "round(len(list_intersect(a.sh, b.sh))::DOUBLE"
+        " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)"
+    )
+    return f"""
+    WITH sets_ AS (SELECT doc_id, {sh} AS sh FROM {table} WHERE {pred})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+    FROM sets_ a JOIN sets_ b ON a.doc_id < b.doc_id
+    WHERE {jac} >= {threshold}
+    """

@@ -194,3 +194,318 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# -- IVF (inverted-file) ANN -------------------------------------------------
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse-quantizer centroids: the ``n_centroids`` lowest-id vectors.
+
+    Deterministic and engine-reproducible (the DuckDB oracle derives the
+    identical set with ``ORDER BY vec_id LIMIT C``). A production build
+    would refine these with Lloyd iterations; every downstream plan —
+    tiny broadcast centroid table, one narrow assignment pass over the
+    corpus — is identical, so the *operator shape* is the 100 TB one.
+    """
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, c_vec, cent_id): nearest centroid by cosine (ties → the
+    lowest cent_id). Centroids ride along as literals, so assignment is
+    a single narrow map over the corpus — no join, no shuffle. At 100 TB
+    the output is written partitioned by cent_id, which is what makes
+    probing read ``nprobe/C`` of the data."""
+    import math
+
+    from webhookdb_spark.operators.util import bind, scale_out
+
+    # The vector's norm is bound once per row; centroid norms fold to
+    # Python constants (same left-fold sum as the Column expression, so
+    # the resulting doubles are bit-identical). Per centroid that leaves
+    # one dot product instead of dot + two norm passes.
+    b = bind(scale_out(corpus.select(id_col, vec_col)), "_vn", _norm(F.col(vec_col)))
+    scores = F.array(
+        *[
+            F.round(
+                _dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+                / (F.col("_vn") * F.lit(math.sqrt(sum(x * x for x in c)))),
+                6,
+            )
+            for c in centroids
+        ]
+    )
+    b = bind(b, "_cs", scores)
+    assigned = (
+        F.array_position(F.col("_cs"), F.array_max(F.col("_cs"))) - 1
+    ).cast("int")
+    return b.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        assigned.alias("cent_id"),
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign corpus to coarse cells, probe the ``nprobe`` cells
+    nearest each query, exact-cosine re-rank inside the probed cells.
+
+    Deterministic end-to-end (rounded scores, fixed tie-breaks), so it
+    carries a full value-hash oracle, unlike most ANN implementations.
+    """
+    spark = corpus.sparkSession
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cent_id int, cent_vec array<double>"
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.withColumn("prank", F.row_number().over(pw))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "q_vec", "cent_id")
+    )
+    # Each corpus vector lives in exactly one cell, so the probe join
+    # cannot duplicate (query, vec) pairs.
+    paired = assigned.join(F.broadcast(probes), on="cent_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = paired.select(
+        "query_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_SQL_COS = (
+    "round(list_sum(list_transform(range(1, len({b}) + 1),"
+    " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 6)"
+)
+
+
+def sql_ann_topk_ivf(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ann_topk_ivf` (same centroid rule, same
+    rounded scores, same tie-breaks)."""
+    cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _SQL_COS.format(a="q.embedding", b="c.cvec")
+    cos_qv = _SQL_COS.format(a="p.q_vec", b="a.embedding")
+    return f"""
+    WITH cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id,
+             embedding AS cvec
+      FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {n_centroids})
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ac} DESC, c.cent_id ASC) AS rn
+        FROM {table} e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, q_vec, cent_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_qc} DESC, c.cent_id ASC) AS rn
+        FROM {table} q CROSS JOIN cent c WHERE {query_pred}
+      ) WHERE rn <= {nprobe}
+    ),
+    pairs AS (
+      SELECT p.query_id, a.vec_id, {cos_qv} AS cosine_sim
+      FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM pairs
+    ) WHERE rank <= {k}
+    """
+
+
+# -- Embedding-cosine near-duplicate detection -------------------------------
+
+def sign_bits(vec: Column, planes: list[list[float]]) -> list[Column]:
+    """Per-plane sign bits; the dot product is rounded to 6 places first
+    so boundary cases resolve identically across engines."""
+    out = []
+    for plane in planes:
+        dot = F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        out.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return out
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate (vec_a, vec_b, cosine_sim) pairs via banded
+    random-hyperplane LSH + exact cosine verification.
+
+    Same two-phase shape as dedup.minhash_dedup_pairs: candidates come
+    from a hash-join on (band_id, band_key) — never an O(n²) scan — and
+    only candidates pay the exact-cosine cost. Candidates travel as ID
+    pairs only (vectors re-join afterwards), so the distinct never
+    shuffles vector payloads. Defaults target true near-duplicates
+    (cos ≥ 0.95): one 8-bit band keeps the bucket collision rate for
+    unrelated vectors at ~2⁻⁸ while near-identical vectors share all
+    sign bits with high probability; more/narrower bands buy recall at
+    lower thresholds at the price of candidate volume.
+    """
+    n_dims = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, n_dims)
+    rows_per_band = n_planes // bands
+    bits = sign_bits(F.col(vec_col), planes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat(*bits[b * rows_per_band : (b + 1) * rows_per_band]).alias(
+                "band_key"
+            ),
+        )
+        for b in range(bands)
+    ]
+    tagged = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select("vec_id", "band.band_id", "band.band_key")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    return (
+        cand.join(vecs.alias("va"), cand.vec_a == F.col("va.vec_id"))
+        .join(vecs.alias("vb"), cand.vec_b == F.col("vb.vec_id"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("va.vec"), F.col("vb.vec")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def sql_embedding_near_dup(
+    table: str = "embeddings",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 1,
+    n_dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_pairs`: identical
+    md5-derived plane constants, rounded dots, band keys."""
+    planes = hyperplanes(n_planes, n_dims)
+    rows_per_band = n_planes // bands
+    values = ",\n      ".join(
+        f"({p}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(planes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, "
+        f"substr(sig, {1 + b * rows_per_band}, {rows_per_band}) AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    cos_ab = _SQL_COS.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+    WITH planes(plane_id, pvec) AS (VALUES
+      {values}
+    ),
+    dots AS (
+      SELECT e.vec_id, p.plane_id,
+             round(list_sum(list_transform(range(1, {n_dims} + 1),
+                    i -> e.embedding[i]::DOUBLE * p.pvec[i])), 6) AS dot
+      FROM {table} e CROSS JOIN planes p
+    ),
+    sigs AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY plane_id) AS sig
+      FROM dots GROUP BY vec_id
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {cos_ab} AS cosine_sim
+    FROM cand c
+    JOIN {table} ea ON c.vec_a = ea.vec_id
+    JOIN {table} eb ON c.vec_b = eb.vec_id
+    WHERE {cos_ab} >= {threshold}
+    """
