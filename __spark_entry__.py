@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from webhookdb_spark.functions.converters import CONV_STR2HASH, CONV_TO_I  # noqa: E402
 from webhookdb_spark.operators import dedup as D  # noqa: E402
+from webhookdb_spark.operators import multimodal as M  # noqa: E402
 from webhookdb_spark.operators import similarity as S  # noqa: E402
 from webhookdb_spark.operators import text as X  # noqa: E402
 
@@ -397,6 +398,19 @@ def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     return D.jaccard_pairs(docs, None, threshold=0.5)
 
 
+def q_media_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal binary-column plumbing: documents → opaque media
+    payloads + typed metadata → native summary (no UDF)."""
+    return M.media_summary(M.media_from_documents(load(spark, sf, "documents")))
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (byte-histogram stand-in for a codec-backed embedder) — genuinely
+    non-SQL, so rows-only."""
+    return M.byte_histogram_features(M.media_from_documents(load(spark, sf, "documents")))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return S.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
@@ -456,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
+        "media_summary": q_media_summary,
+        "media_features": q_media_features,  # pandas-UDF — rows-only check
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,  # approximate — rows-only check
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -486,6 +502,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": D.sql_minhash_dedup_pairs(),
         "dedup_simhash": D.sql_simhash(),
         "dedup_ngram": D.sql_jaccard_all_pairs(),
+        "media_summary": M.sql_media_summary(),
+        # media_features intentionally omitted: Arrow/numpy kernel over
+        # binary payloads — rows-only check.
         "ann_cosine_topk": S.sql_cosine_topk(),
         # ann_lsh_topk intentionally omitted: approximate operator,
         # rows-only check.
