@@ -51,7 +51,14 @@ DEFAULTERS: dict[str, Callable[[], Column]] = {
 
 def _json_path(data_key: str | list[str]) -> str:
     keys = [data_key] if isinstance(data_key, str) else list(data_key)
-    return "$." + ".".join(f"['{k}']" if ("." in k or " " in k) else k for k in keys)
+    # bracket-quote anything beyond [A-Za-z0-9_] (dots, spaces, colons —
+    # e.g. the Atom "georss:point" key) so get_json_object parses it as
+    # one field name
+    import re
+
+    return "$" + "".join(
+        f".{k}" if re.fullmatch(r"\w+", k) else f"['{k}']" for k in keys
+    )
 
 
 @dataclass(frozen=True)
