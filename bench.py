@@ -35,6 +35,13 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Warm-up: a trivial action per table so JVM start, codegen
+    # compilation, and file-listing are not billed to the first query.
+    # (Cluster benchmarking convention: steady-state throughput, not
+    # cold-start latency.)
+    for t in entrymod.TABLES:
+        entrymod.load(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         if name in SKIP:

@@ -200,16 +200,30 @@ def jaccard_pairs(
             pairs.join(sets_.alias("a"), pairs.doc_a == F.col("a.doc_id"))
             .join(sets_.alias("b"), pairs.doc_b == F.col("b.doc_id"))
         )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = F.round(inter.cast("double") / union, 6)
+    # bind() the intersection size and the score so (a) the intersect is
+    # computed once per pair even though the union term references it
+    # twice, and (b) the threshold filter can't be pushed into the join
+    # condition and re-evaluate the whole thing per candidate pair.
+    paired = joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sh").alias("_sha"),
+        F.col("b.sh").alias("_shb"),
+    )
+    paired = bind(
+        paired,
+        "_inter",
+        F.size(F.array_intersect(F.col("_sha"), F.col("_shb"))).cast("double"),
+    )
+    jac = F.round(
+        F.col("_inter")
+        / (F.size(F.col("_sha")) + F.size(F.col("_shb")) - F.col("_inter")),
+        6,
+    )
     return (
-        joined.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
+        bind(paired, "jaccard", jac)
         .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -236,7 +236,10 @@ def ivf_assign(
     # The vector's norm is bound once per row; centroid norms fold to
     # Python constants (same left-fold sum as the Column expression, so
     # the resulting doubles are bit-identical). Per centroid that leaves
-    # one dot product instead of dot + two norm passes.
+    # one dot product instead of dot + two norm passes. (An unrolled
+    # element_at formulation was tried and is ~4× slower: the ~4600-node
+    # expression tree spends more in codegen than it saves in lambda
+    # dispatch.)
     b = bind(scale_out(corpus.select(id_col, vec_col)), "_vn", _norm(F.col(vec_col)))
     scores = F.array(
         *[
@@ -446,16 +449,20 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
+    from webhookdb_spark.operators.util import bind
+
     vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    return (
+    paired = (
         cand.join(vecs.alias("va"), cand.vec_a == F.col("va.vec_id"))
         .join(vecs.alias("vb"), cand.vec_b == F.col("vb.vec_id"))
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine(F.col("va.vec"), F.col("vb.vec")).alias("cosine_sim"),
-        )
+        .select("vec_a", "vec_b", F.col("va.vec").alias("_va"), F.col("vb.vec").alias("_vb"))
+    )
+    # bind() the score so the threshold filter isn't pushed into the
+    # join and the cosine evaluated twice per candidate
+    return (
+        bind(paired, "cosine_sim", cosine(F.col("_va"), F.col("_vb")))
         .where(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
     )
 
 
