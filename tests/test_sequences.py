@@ -1,0 +1,98 @@
+"""Integration-sequence defaulter (column.rb:277-280, base.rb:689-699)
+and uuid7 — the stateful/generated defaulters."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import re
+
+from webhookdb_spark.operators.upsert import IntegrationSequence, upsert_envelopes
+from webhookdb_spark.spec import Col, ReplicatorSpec, defaulter_uuid7
+from webhookdb_spark.storage import Warehouse
+from webhookdb_spark.types import ColumnType
+
+SPEC = ReplicatorSpec(
+    name="seqd_v1",
+    table="seqd_v1",
+    remote_key=Col("my_id", ColumnType.TEXT, data_key="id"),
+    denorm_cols=(
+        Col("at", ColumnType.TIMESTAMP),
+        # converter_int_or_sequence_from_regex composition
+        # (column.rb:132-152): take the int from the payload when
+        # present, else draw from the integration sequence.
+        Col("counter", ColumnType.BIGINT, data_key="num", optional=True,
+            defaulter="sequence"),
+    ),
+    timestamp_col="at",
+    update_where=lambda s, t: t("at") < s("at"),
+    n_buckets=4,
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        [(json.dumps(r), dt.datetime(2026, 1, 1)) for r in rows],
+        "body string, received_at timestamp",
+    )
+
+
+def test_sequence_unique_monotonic_across_batches(spark, tmp_warehouse):
+    t = Warehouse(spark, str(tmp_warehouse)).table("org", "seqd_v1")
+    upsert_envelopes(
+        t,
+        _env(spark, [{"id": f"a{i}", "at": "2024-01-01T00:00:00Z"} for i in range(5)]),
+        SPEC,
+    )
+    first = {r.my_id: r.counter for r in t.read().collect()}
+    assert len(set(first.values())) == 5  # unique
+    assert all(v >= 1 for v in first.values())
+
+    upsert_envelopes(
+        t,
+        _env(spark, [{"id": f"b{i}", "at": "2024-01-01T00:00:00Z"} for i in range(5)]),
+        SPEC,
+    )
+    rows = {r.my_id: r.counter for r in t.read().collect()}
+    batch2 = {v for k, v in rows.items() if k.startswith("b")}
+    assert len(set(rows.values())) == 10  # globally unique
+    assert min(batch2) > max(first.values())  # monotonic across batches
+
+
+def test_sequence_respects_payload_value(spark, tmp_warehouse):
+    t = Warehouse(spark, str(tmp_warehouse)).table("org", "seqd_v1")
+    upsert_envelopes(
+        t,
+        _env(
+            spark,
+            [
+                {"id": "x", "at": "2024-01-01T00:00:00Z", "num": 777},
+                {"id": "y", "at": "2024-01-01T00:00:00Z"},
+            ],
+        ),
+        SPEC,
+    )
+    rows = {r.my_id: r.counter for r in t.read().collect()}
+    assert rows["x"] == 777  # payload value wins (regex-or-sequence parity)
+    assert rows["y"] != 777 and rows["y"] >= 1
+
+
+def test_sequence_watermark_persists(tmp_warehouse):
+    s = IntegrationSequence(tmp_warehouse)
+    assert s.watermark() == 0
+    s._advance(41)
+    assert IntegrationSequence(tmp_warehouse).watermark() == 41
+
+
+UUID7_RE = re.compile(
+    r"^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+)
+
+
+def test_uuid7_format_and_time_ordering(spark):
+    df = spark.range(50).select(defaulter_uuid7().alias("u"))
+    vals = [r.u for r in df.collect()]
+    assert all(UUID7_RE.match(v) for v in vals), vals[:3]
+    assert len(set(vals)) == 50
+    # time prefix is the same batch-millisecond or later vs a past stamp
+    assert all(v >= "017" for v in vals)

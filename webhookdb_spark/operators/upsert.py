@@ -38,6 +38,75 @@ from webhookdb_spark.storage import PART_COL, ManagedTable, bucket_expr
 ACTION_COL = "_action"
 
 
+class IntegrationSequence:
+    """Cross-batch unique-monotonic counter — the PG ``nextval`` analog
+    (column.rb:277-280, base.rb:689-699) and a SURVEY §7 hard part.
+
+    PG sequences promise uniqueness and monotonic growth but tolerate
+    gaps; that contract is reproducible distributed-ly without any
+    global coordination: each batch's values are
+    ``watermark + monotonically_increasing_id() + 1`` (unique within
+    the batch, partition-parallel), and the watermark then advances
+    past the batch's max. Values are dense per-partition but gappy
+    across partitions — exactly as gappy as sequence caching makes PG.
+    State is one JSON file beside the table.
+    """
+
+    def __init__(self, path) -> None:
+        from pathlib import Path
+
+        self.file = Path(path) / "_sequence.json"
+
+    def watermark(self) -> int:
+        import json
+
+        if self.file.exists():
+            return json.loads(self.file.read_text())["watermark"]
+        return 0
+
+    def _advance(self, to: int) -> None:
+        import json
+
+        self.file.parent.mkdir(parents=True, exist_ok=True)
+        self.file.write_text(json.dumps({"watermark": to}))
+
+    def fill(self, df: DataFrame, col: str) -> DataFrame:
+        """Fill NULLs of ``col`` with fresh sequence values and advance
+        the watermark.
+
+        Dense assignment without global coordination: one cheap
+        per-partition count job computes cumulative offsets (the
+        ``zipWithIndex`` algorithm, kept JVM-side), then each row gets
+        ``watermark + offset[partition] + row_number_in_partition``.
+        The input is persisted first so partition membership is
+        identical between the count job and the write. The watermark
+        advances by the batch's row count, so values stay compact —
+        a ``monotonically_increasing_id`` offset would inflate the
+        counter by 2^33 per partition per batch."""
+        wm = self.watermark()
+        df = df.persist()
+        with_pid = df.withColumn("_pid", F.spark_partition_id())
+        counts = {
+            r["_pid"]: r["n"]
+            for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        }
+        if not counts:
+            return df
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+            F.col("_pid"),
+        )
+        w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+        fresh = (F.lit(wm) + off + F.row_number().over(w)).cast("long")
+        out = with_pid.withColumn(col, F.coalesce(F.col(col), fresh)).drop("_pid")
+        self._advance(wm + acc)
+        return out
+
+
 @dataclass
 class MergeResult:
     inserted: int
@@ -171,4 +240,10 @@ def upsert_envelopes(
         # (partition index, row-in-partition), which preserves source
         # order for any ordered batch source.
         envelopes = envelopes.withColumn("_seq", F.monotonically_increasing_id())
-    return merge_upsert(table, spec.shape(envelopes), spec)
+    shaped = spec.shape(envelopes)
+    seq_cols = [c.name for c in spec.all_cols if c.defaulter == "sequence"]
+    if seq_cols:
+        seq = IntegrationSequence(table.path)
+        for name in seq_cols:
+            shaped = seq.fill(shaped, name)
+    return merge_upsert(table, shaped, spec)

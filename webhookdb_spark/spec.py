@@ -42,10 +42,35 @@ def defaulter_uuid4() -> Column:
     return F.expr("uuid()")
 
 
+def defaulter_uuid7() -> Column:
+    """UUIDv7 (time-ordered): 48-bit unix millis, version 7, random
+    tail — built from native expressions (column.rb:283 :uuid7)."""
+    ts = F.lpad(F.lower(F.hex(F.unix_millis(F.current_timestamp()))), 12, "0")
+    def rhex(bits: int, width: int) -> Column:
+        return F.lpad(
+            F.lower(F.hex((F.rand() * (1 << bits)).cast("long"))), width, "0"
+        )
+    variant = F.substring(F.lit("89ab"), (F.rand() * 4).cast("int") + 1, 1)
+    return F.concat_ws(
+        "-",
+        F.substring(ts, 1, 8),
+        F.substring(ts, 9, 4),
+        F.concat(F.lit("7"), rhex(12, 3)),
+        F.concat(variant, rhex(12, 3)),
+        rhex(48, 12),
+    )
+
+
+# "sequence" is declared here but resolved at the DataFrame level (it
+# needs per-integration persisted state, see operators/upsert.py);
+# extraction leaves NULL for it.
+SEQUENCE_DEFAULTER = "sequence"
+
 DEFAULTERS: dict[str, Callable[[], Column]] = {
     "now": defaulter_now,
     "tofalse": defaulter_false,
     "uuid4": defaulter_uuid4,
+    "uuid7": defaulter_uuid7,
 }
 
 
@@ -111,7 +136,7 @@ class Col:
             out = F.from_json(out, target)
         else:
             out = out.try_cast(target.simpleString())
-        if self.defaulter:
+        if self.defaulter and self.defaulter != SEQUENCE_DEFAULTER:
             out = F.coalesce(out, DEFAULTERS[self.defaulter]().cast(spark_type(self.type)))
         return out.alias(self.name)
 
