@@ -119,6 +119,31 @@ class MergeResult:
         return self.inserted + self.updated
 
 
+def _json_shallow_merge():
+    """Pandas UDF: shallow merge of two JSON-object strings, right
+    (incoming) keys winning; NULL on either side passes the other
+    through. Matches Postgres jsonb ``||``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def merge(a, b):
+        import json as _json
+
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(y if x is None else x)
+                continue
+            try:
+                merged = {**_json.loads(x), **_json.loads(y)}
+                out.append(_json.dumps(merged, separators=(",", ":")))
+            except (ValueError, TypeError):
+                out.append(y)
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(merge, "string")
+
+
 def dedupe_last_wins(batch: DataFrame, key: str, order_col: str = "_received_at") -> DataFrame:
     """Intra-batch dedup, last wins (backfiller.rb:75-83).
 
@@ -183,7 +208,14 @@ def merge_upsert(
         coalesce_upd = set(spec.coalesce_on_update)
         out_cols: list[Column] = []
         for name in data_cols:
-            if name in coalesce_upd:
+            if name == "data" and spec.merge_data_on_update:
+                # jsonb `t.data || excluded.data` (base.rb:948-949):
+                # shallow object merge, incoming keys win. Arrow-batched
+                # UDF — a faithful shallow merge must preserve nested
+                # values verbatim, which map<string,string> round-trips
+                # cannot. Opt-in per replicator, off the default path.
+                upd = _json_shallow_merge()(tc(name), sc(name))
+            elif name in coalesce_upd:
                 upd = F.coalesce(tc(name), sc(name))
             elif name in skip_nil:
                 upd = F.coalesce(sc(name), tc(name))

@@ -163,6 +163,9 @@ class ReplicatorSpec:
     # Insert-only columns: keep first-written value on update
     # (base.rb:958-974 _coalesce_excluded_on_update).
     coalesce_on_update: tuple[str, ...] = ()
+    # jsonb-concat on update: ``data = t.data || excluded.data``
+    # (base.rb:948-949) — shallow key merge, incoming keys win.
+    merge_data_on_update: bool = False
     # Hash partitioning (partitionable_mixin.rb): column receiving
     # str2inthash(partition_key_source), used for bucket routing.
     partition_column: str | None = None
