@@ -353,6 +353,50 @@ GROUP BY 1
 # Training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
 
+def q_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling event-time windows (streaming §2.9 surface; same plan
+    runs batch or stream — here batch for the oracle)."""
+    from webhookdb_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(load(spark, sf, "events"), window="1 hour")
+
+
+SQL_WINDOWED_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_sessionized(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30-min gap) per user — the native
+    session_window; oracle reproduces it with gaps-and-islands SQL."""
+    from webhookdb_spark.streaming.windows import sessionized_counts
+
+    return sessionized_counts(load(spark, sf, "events"), gap="30 minutes")
+
+
+SQL_SESSIONIZED = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+grouped AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, COUNT(*) AS n_events
+FROM grouped GROUP BY user_id, grp
+"""
+
+
 def q_text_token_count(spark: SparkSession, sf: str) -> DataFrame:
     return X.token_count(load(spark, sf, "documents"))
 
@@ -462,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
+        "windowed_counts": q_windowed_counts,
+        "sessionized": q_sessionized,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -494,6 +540,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": SQL_SET_OPS,
         "row_cap": SQL_ROW_CAP,
         "retention_candidates": SQL_RETENTION,
+        "windowed_counts": SQL_WINDOWED_COUNTS,
+        "sessionized": SQL_SESSIONIZED,
         "text_token_count": X.sql_token_count(),
         "text_quality": X.sql_quality_score(),
         "text_langid": X.sql_langid(),

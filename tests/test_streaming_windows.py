@@ -1,0 +1,115 @@
+"""Windowed/sessionized aggregation values (batch = same plan) and the
+cross-batch changed-rows stateful operator on a real stream."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+from webhookdb_spark.streaming.windows import (
+    changed_rows_stream,
+    sessionized_counts,
+    windowed_event_counts,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string")
+
+
+def test_windowed_counts_batch_values(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 5)
+    df = _events(
+        spark,
+        [
+            (t0, 1, "click"),
+            (t0 + dt.timedelta(minutes=10), 2, "click"),
+            (t0 + dt.timedelta(hours=1), 1, "click"),
+            (t0 + dt.timedelta(hours=1, minutes=2), 1, "error"),
+        ],
+    )
+    out = {
+        (r.window_start.hour, r.event_type): r.n_events
+        for r in windowed_event_counts(df, window="1 hour").collect()
+    }
+    assert out == {(10, "click"): 2, (11, "click"): 1, (11, "error"): 1}
+
+
+def test_sessionized_counts_batch_values(spark):
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    df = _events(
+        spark,
+        [
+            (t0, 7, "a"),
+            (t0 + dt.timedelta(minutes=10), 7, "a"),   # same session (gap 30m)
+            (t0 + dt.timedelta(hours=2), 7, "a"),      # new session
+            (t0, 8, "a"),
+        ],
+    )
+    rows = sessionized_counts(df, gap="30 minutes", key_col="user_id").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[7]) == [1, 2]
+    assert per_user[8] == [1]
+
+
+def test_changed_rows_stream_cross_batch_state(spark):
+    """Feed two micro-batches through a file stream: the second batch
+    repeats an unchanged payload (suppressed) and changes another."""
+    src = Path(tempfile.mkdtemp(prefix="whdb_stream_src_"))
+    ckpt = Path(tempfile.mkdtemp(prefix="whdb_stream_ckpt_"))
+    try:
+        b1 = [
+            {"opaque_id": "a", "body": json.dumps({"v": 1})},
+            {"opaque_id": "b", "body": json.dumps({"v": 10})},
+        ]
+        (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+        stream = spark.readStream.schema("opaque_id string, body string").json(str(src))
+        q = (
+            changed_rows_stream(stream)
+            .writeStream.format("memory")
+            .queryName("changed_rows_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+        def rows_snapshot():
+            return {
+                (r.key, r.change)
+                for r in spark.sql("SELECT * FROM changed_rows_t").collect()
+            }
+
+        def wait_for(pred, timeout=90):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if pred(rows_snapshot()):
+                    return rows_snapshot()
+                time.sleep(0.5)
+            raise AssertionError(f"timeout; last snapshot: {rows_snapshot()}")
+
+        first = wait_for(lambda s: len(s) >= 2)
+        assert first == {("a", "insert"), ("b", "insert")}
+
+        b2 = [
+            {"opaque_id": "a", "body": json.dumps({"v": 1})},   # unchanged → drop
+            {"opaque_id": "b", "body": json.dumps({"v": 11})},  # changed → update
+            {"opaque_id": "c", "body": json.dumps({"v": 5})},   # new → insert
+        ]
+        (src / "batch2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        second = wait_for(lambda s: len(s) >= 4)
+        q.stop()
+        # same running state store: only the delta of batch2 was emitted
+        assert ("b", "update") in second and ("c", "insert") in second
+        assert ("a", "update") not in second
+        assert sum(1 for k, _ in second if k == "a") == 1  # no re-emit for a
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
