@@ -1,0 +1,63 @@
+"""Logged-webhook replay (reference: lib/webhookdb/logged_webhook.rb:22-31,
+lib/webhookdb/api/replay.rb).
+
+Archived webhook envelopes are re-driven through the normal ingest
+path. The reference caps one replay call at a 4-hour interval over the
+last 7 days (logged_webhook.rb:22-26); replays are safe because the
+keyed conditional MERGE is idempotent — re-upserting an old envelope
+either no-ops (update_where false) or converges to the same row.
+
+Spark shape: the audit table is date-partitioned parquet, so the time
+predicate prunes to the touched partitions before the scan.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+MAX_INTERVAL = timedelta(hours=4)  # logged_webhook.rb:23
+MAX_AGE = timedelta(days=7)  # logged_webhook.rb:25
+
+
+class ReplayWindowError(ValueError):
+    pass
+
+
+def replay_webhooks(
+    pipeline,
+    from_ts: datetime,
+    to_ts: datetime,
+    now: datetime | None = None,
+) -> int:
+    """Re-process archived envelopes in [from_ts, to_ts) through
+    ``pipeline`` (an IngestPipeline with an audit table). Returns the
+    number of envelopes replayed."""
+    now = now or datetime.utcnow()
+    if to_ts <= from_ts:
+        raise ReplayWindowError("empty interval")
+    if to_ts - from_ts > MAX_INTERVAL:
+        raise ReplayWindowError(f"interval exceeds {MAX_INTERVAL}")
+    if now - from_ts > MAX_AGE:
+        raise ReplayWindowError(f"cannot replay webhooks older than {MAX_AGE}")
+    if not pipeline.audit_table_path:
+        raise ValueError("pipeline has no audit table")
+    spark = pipeline.warehouse.spark
+    df = (
+        spark.read.parquet(pipeline.audit_table_path)
+        # _day prunes partitions; received_at refines within them
+        .where(
+            (F.col("_day") >= F.lit(from_ts.date().isoformat()).cast("date"))
+            & (F.col("_day") <= F.lit(to_ts.date().isoformat()).cast("date"))
+            & (F.col("received_at") >= F.lit(from_ts))
+            & (F.col("received_at") < F.lit(to_ts))
+        )
+        .drop("_day")
+    )
+    n = df.count()
+    if n:
+        # marked so process_batch won't re-append them to the archive
+        # (RETRY_HEADER parity, logged_webhook.rb:44-45)
+        pipeline.process_batch(df.withColumn("_replay", F.lit(True)))
+    return n

@@ -114,3 +114,34 @@ def create_saved_view(spark: SparkSession, name: str, sql: str) -> None:
     (saved_view.rb:20-40: CREATE OR REPLACE VIEW after validation)."""
     validate_readonly(sql)
     spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+
+
+class MaterializedViews:
+    """FDW materialized-view analog (db_builder.rb:358-401): the
+    reference imports replicated tables over postgres_fdw and snapshots
+    them as matviews. Here a matview is a validated CTAS to parquet
+    plus a registered view over the snapshot; ``refresh`` re-runs the
+    CTAS — the same REFRESH MATERIALIZED VIEW contract, executed as a
+    distributed write instead of a single-node rescan."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self._sql: dict[str, str] = {}
+
+    def _path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def create(self, name: str, sql: str) -> None:
+        validate_readonly(sql)
+        self._sql[name] = sql
+        self.refresh(name)
+
+    def refresh(self, name: str) -> None:
+        sql = self._sql[name]
+        df = self.spark.sql(sql)
+        df.write.mode("overwrite").parquet(self._path(name))
+        self.spark.read.parquet(self._path(name)).createOrReplaceTempView(name)
+
+    def names(self) -> list[str]:
+        return sorted(self._sql)

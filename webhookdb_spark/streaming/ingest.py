@@ -60,9 +60,15 @@ class IngestPipeline:
         persisted once and filtered per target, so each integration's
         shaping+merge reads from cache.
         """
+        # Replayed envelopes carry a marker so they are not re-logged
+        # (LoggedWebhook::RETRY_HEADER parity, logged_webhook.rb:44-45) —
+        # otherwise every replay would double the audit archive.
+        is_replay = "_replay" in envelopes.columns
+        if is_replay:
+            envelopes = envelopes.drop("_replay")
         envelopes = envelopes.persist()
         try:
-            if self.audit_table_path:
+            if self.audit_table_path and not is_replay:
                 # Audit log (logged_webhooks analog, api/helpers.rb:227-230):
                 # append-only, partitioned by arrival date for the trim jobs.
                 (
