@@ -41,6 +41,9 @@ def main() -> None:
     # cold-start latency.)
     for t in entrymod.TABLES:
         entrymod.load(spark, sf_dir, t).count()
+    # spin up the Python/Arrow worker pool so the first pandas-UDF
+    # query isn't billed for it
+    spark.range(8).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

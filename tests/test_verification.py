@@ -1,0 +1,81 @@
+"""Webhook signature verification schemes + the envelope verdict stage."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import hmac
+from base64 import b64encode
+
+from webhookdb_spark.functions.verification import (
+    accepted,
+    rejected,
+    verify_envelopes,
+    verify_github,
+    verify_shopify,
+    verify_stripe,
+)
+
+SECRET = "whsec_test"
+BODY = '{"id": "x", "v": 1}'
+
+
+def _github_sig(body=BODY, secret=SECRET):
+    return "sha256=" + hmac.new(secret.encode(), body.encode(), hashlib.sha256).hexdigest()
+
+
+def _stripe_sig(ts, body=BODY, secret=SECRET):
+    mac = hmac.new(secret.encode(), f"{ts}.{body}".encode(), hashlib.sha256).hexdigest()
+    return f"t={ts},v1={mac}"
+
+
+def test_github_scheme():
+    assert verify_github(BODY, _github_sig(), SECRET) is None
+    assert verify_github(BODY, None, SECRET) == "missing sha256"
+    assert verify_github(BODY, "sha256=deadbeef", SECRET) == "invalid sha256"
+    assert verify_github(BODY + " ", _github_sig(), SECRET) == "invalid sha256"
+
+
+def test_shopify_scheme():
+    good = b64encode(hmac.new(SECRET.encode(), BODY.encode(), hashlib.sha256).digest()).decode()
+    assert verify_shopify(BODY, good, SECRET) is None
+    assert verify_shopify(BODY, "nope", SECRET) == "invalid hmac"
+
+
+def test_stripe_scheme_and_tolerance():
+    now = 1_750_000_000
+    assert verify_stripe(BODY, _stripe_sig(now), SECRET, now) is None
+    assert verify_stripe(BODY, _stripe_sig(now - 600), SECRET, now) == "timestamp outside tolerance"
+    assert verify_stripe(BODY, "t=1,v1=bad", SECRET, now) == "invalid hmac"
+    assert verify_stripe(BODY, None, SECRET, now) == "missing hmac"
+    # any v1 may match (key-roll window)
+    two = _stripe_sig(now) + ",v1=deadbeef"
+    assert verify_stripe(BODY, two, SECRET, now) is None
+
+
+def test_verify_envelopes_stage(spark):
+    now = 1_750_000_000
+    rows = [
+        ("gh", "github", "GET", "/v1", {"x-hub-signature-256": _github_sig()}, BODY,
+         dt.datetime(2026, 1, 1)),
+        ("gh", "github", "GET", "/v1", {"x-hub-signature-256": "sha256=bad"}, BODY,
+         dt.datetime(2026, 1, 1)),
+        ("st", "stripe", "POST", "/v1", {"stripe-signature": _stripe_sig(now)}, BODY,
+         dt.datetime(2026, 1, 1)),
+        ("??", "other", "POST", "/v1", {}, BODY, dt.datetime(2026, 1, 1)),
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "integration_opaque_id string, service_name string, request_method string,"
+        " request_path string, headers map<string,string>, body string,"
+        " received_at timestamp",
+    )
+    verified = verify_envelopes(
+        env, {"gh": ("github", SECRET), "st": ("stripe", SECRET)}, now_ts=now
+    )
+    ok = accepted(verified).select("integration_opaque_id").collect()
+    assert sorted(r[0] for r in ok) == ["gh", "st"]
+    bad = {
+        r.integration_opaque_id: r._reject_reason for r in rejected(verified).collect()
+    }
+    assert bad == {"gh": "invalid sha256", "??": "unknown integration"}
