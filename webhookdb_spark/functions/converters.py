@@ -79,7 +79,17 @@ CONV_TO_UTC_DATE = Converter(
 # column.rb:44-47 — permissive time parse; unparseable → NULL.
 CONV_PARSE_TIME = Converter(
     name="parse_time",
-    spark=lambda c: F.try_to_timestamp(c),
+    # Ruby Time.parse is permissive: ISO-8601 AND RFC-2822
+    # ("Mon, 16 Aug 2010 03:45:01 +0000", Twilio's format) both parse.
+    # Spark's parser rejects day-of-week ('EEE') on input, so the RFC
+    # branch strips the weekday prefix first.
+    spark=lambda c: F.coalesce(
+        F.try_to_timestamp(c),
+        F.try_to_timestamp(
+            F.regexp_replace(c, r"^[A-Za-z]{3},\s*", ""),
+            F.lit("dd MMM yyyy HH:mm:ss Z"),
+        ),
+    ),
     sql=lambda c: f"TRY_CAST({c} AS TIMESTAMP)",
 )
 
@@ -295,3 +305,43 @@ def canonical_json_py(obj) -> str:
     return strip_encoded_nuls(
         json.dumps(obj, sort_keys=True, separators=(",", ":"), ensure_ascii=False, default=str)
     )
+
+
+# intercom_v1_mixin.rb:7-18 — payloads carry unix seconds in some API
+# versions and ISO strings in others; handle both. SQL side is
+# NOT_IMPLEMENTED in the reference (backfillable=False parity).
+CONV_QUESTIONABLE_TS = Converter(
+    name="questionable_ts",
+    spark=lambda c: F.when(
+        c.cast("string").rlike(r"^\d+(\.\d+)?$"),
+        F.timestamp_seconds(c.try_cast("double")),
+    ).otherwise(F.to_timestamp(c)),
+    sql=None,
+)
+
+
+def json_merge_udf():
+    """Pandas UDF: shallow merge of two JSON-object strings, right keys
+    winning; NULL on either side passes the other through. Matches
+    Postgres jsonb ``||`` (base.rb:948-949) — a UDF because a faithful
+    merge must preserve nested values verbatim, which native
+    map<string,string> round-trips cannot."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def merge(a, b):
+        import json as _json
+
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(y if x is None else x)
+                continue
+            try:
+                merged = {**_json.loads(x), **_json.loads(y)}
+                out.append(_json.dumps(merged, separators=(",", ":")))
+            except (ValueError, TypeError):
+                out.append(y)
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(merge, "string")

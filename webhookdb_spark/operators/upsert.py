@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from webhookdb_spark.functions.converters import json_merge_udf
 from webhookdb_spark.spec import ReplicatorSpec
 from webhookdb_spark.storage import PART_COL, ManagedTable, bucket_expr
 
@@ -119,31 +120,6 @@ class MergeResult:
         return self.inserted + self.updated
 
 
-def _json_shallow_merge():
-    """Pandas UDF: shallow merge of two JSON-object strings, right
-    (incoming) keys winning; NULL on either side passes the other
-    through. Matches Postgres jsonb ``||``."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    def merge(a, b):
-        import json as _json
-
-        out = []
-        for x, y in zip(a, b):
-            if x is None or y is None:
-                out.append(y if x is None else x)
-                continue
-            try:
-                merged = {**_json.loads(x), **_json.loads(y)}
-                out.append(_json.dumps(merged, separators=(",", ":")))
-            except (ValueError, TypeError):
-                out.append(y)
-        return pd.Series(out, dtype="object")
-
-    return pandas_udf(merge, "string")
-
-
 def dedupe_last_wins(batch: DataFrame, key: str, order_col: str = "_received_at") -> DataFrame:
     """Intra-batch dedup, last wins (backfiller.rb:75-83).
 
@@ -214,7 +190,7 @@ def merge_upsert(
                 # UDF — a faithful shallow merge must preserve nested
                 # values verbatim, which map<string,string> round-trips
                 # cannot. Opt-in per replicator, off the default path.
-                upd = _json_shallow_merge()(tc(name), sc(name))
+                upd = json_merge_udf()(tc(name), sc(name))
             elif name in coalesce_upd:
                 upd = F.coalesce(tc(name), sc(name))
             elif name in skip_nil:
