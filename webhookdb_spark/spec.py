@@ -114,14 +114,31 @@ class Col:
     defaulter: str | None = None  # key into DEFAULTERS
     index: bool = False
     backfill_expr: Callable[[Column], Column] | None = None
+    # dig data_key from the enrichment body instead of the resource
+    # (column.rb:328-335 from_enrichment)
+    from_enrichment: bool = False
 
     def __post_init__(self):
         validate_identifier(self.name, "column")
 
-    def extraction_expr(self, body: Column, event_body: Column | None = None) -> Column:
+    def extraction_expr(
+        self,
+        body: Column,
+        event_body: Column | None = None,
+        enrichment: Column | None = None,
+    ) -> Column:
         """Compile to a Column over the raw JSON body (to_sql_expr parity,
         column.rb:421-455): dig → converter → cast, then defaulter."""
-        resource_raw = F.get_json_object(body, _json_path(self.data_key or self.name))
+        path = _json_path(self.data_key or self.name)
+        if self.from_enrichment:
+            if enrichment is None:
+                raise ValueError(
+                    f"column {self.name!r} is from_enrichment but the spec"
+                    " has no enrichment_fetcher"
+                )
+            resource_raw = F.get_json_object(enrichment, path)
+        else:
+            resource_raw = F.get_json_object(body, path)
         if self.event_key is not None and event_body is not None:
             raw = F.coalesce(
                 F.get_json_object(event_body, _json_path(self.event_key)), resource_raw
@@ -142,6 +159,37 @@ class Col:
 
 
 UpdateWhere = Callable[[Callable[[str], Column], Callable[[str], Column]], Column]
+
+
+def _attach_enrichment(envelopes: DataFrame, fetcher) -> DataFrame:
+    """Run the enrichment fetcher per resource, executor-side in Arrow
+    batches, appending ``_enrichment`` (JSON string or NULL). The
+    fetcher ships with the closure; in production it is the per-row
+    API call (batch/rate-limit inside it — base.rb:849-859)."""
+    import json as _json
+
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        list(envelopes.schema.fields) + [_T.StructField("_enrichment", _T.StringType())]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals = []
+            for res in pdf["_resource"]:
+                if res is None:
+                    vals.append(None)
+                    continue
+                enr = fetcher(_json.loads(res))
+                vals.append(None if enr is None else _json.dumps(enr))
+            out = pdf.copy()
+            out["_enrichment"] = pd.Series(vals, index=pdf.index, dtype="object")
+            yield out
+
+    return envelopes.mapInPandas(run, schema=schema)
 
 
 @dataclass(frozen=True)
@@ -182,6 +230,15 @@ class ReplicatorSpec:
     # Custom per-row shaping hook applied after extraction
     # (base.rb _prepare_for_insert analog).
     prepare_hook: Callable[[DataFrame], DataFrame] | None = None
+    # Per-resource enrichment fetch (base.rb:849-859 _fetch_enrichment):
+    # a Python callable dict→dict|None run executor-side in Arrow
+    # batches BEFORE extraction; from_enrichment columns dig into its
+    # result. In production this is the per-row API call — batch it /
+    # rate-limit it inside the callable.
+    enrichment_fetcher: Callable[[dict], dict | None] | None = None
+    # Keep the enrichment body in an `enrichment` column
+    # (base.rb:338-342 _store_enrichment_body?).
+    store_enrichment_body: bool = False
 
     def __post_init__(self):
         validate_identifier(self.table, "table")
@@ -192,6 +249,10 @@ class ReplicatorSpec:
 
     def schema(self) -> T.StructType:
         fields = [T.StructField(c.name, spark_type(c.type)) for c in self.all_cols]
+        if self.store_enrichment_body:
+            # enrichment sits between denorm cols and data
+            # (base.rb:441-465 column order)
+            fields.append(T.StructField("enrichment", T.StringType()))
         fields.append(T.StructField("data", T.StringType()))
         return T.StructType(fields)
 
@@ -210,7 +271,18 @@ class ReplicatorSpec:
         else:
             resource, event = body, None
 
-        cols = [c.extraction_expr(resource, event) for c in self.all_cols]
+        enrichment = None
+        if self.enrichment_fetcher is not None:
+            envelopes = _attach_enrichment(
+                envelopes.withColumn("_resource", resource), self.enrichment_fetcher
+            )
+            # extraction now reads the materialized resource/enrichment
+            resource = F.col("_resource")
+            enrichment = F.col("_enrichment")
+
+        cols = [c.extraction_expr(resource, event, enrichment) for c in self.all_cols]
+        if self.store_enrichment_body:
+            cols.append(enrichment.alias("enrichment"))
         # `data` keeps the full raw resource payload (base.rb:456-458);
         # canonicalized lazily on compare (functions/converters.py).
         if self.data_key is not None:
