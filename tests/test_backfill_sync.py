@@ -259,3 +259,53 @@ def test_fanout_delivery_and_abandon(tmp_warehouse):
     assert delivered == 2
     assert abandoned == 2  # bad URL exhausted 3 attempts (cap: 25 in prod)
     assert sorted(u for u, _ in ok_urls) == ["https://good.example"] * 2
+
+
+def test_http_parallel_sync_min_prefix_watermark(spark, tmp_warehouse):
+    """A failing middle page must hold the watermark at the end of the
+    completed PREFIX even though later pages delivered
+    (sync_target.rb:555-598 ordered-commit parity)."""
+    import datetime as dt
+
+    from webhookdb_spark.sinks.sync_target import HttpSyncTarget, SyncState
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i)) for i in range(9)
+    ]  # 9 rows → 3 pages of 3
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+
+    calls = []
+
+    def post(page, now):
+        calls.append([r["id"] for r in page])
+        if any(r["id"] == 4 for r in page):  # second page fails
+            raise RuntimeError("boom")
+
+    tgt = HttpSyncTarget(
+        state=SyncState(tmp_warehouse / "st.json"),
+        ts_col="ts",
+        post=post,
+        page_size=3,
+    )
+    sent = tgt.run_sync_parallel(df, "2024-01-02T00:00:00", parallelism=3)
+    assert sent == 6  # pages 0 and 2 delivered
+    st = tgt.state.load()
+    # watermark = end of page 0 (the only complete prefix), NOT page 2's
+    assert st["last_synced_at"] == "2024-01-01T00:02:00"
+
+    # re-run: resumes from the held-back watermark, re-sending rows 3..8
+    calls.clear()
+
+    def post_ok(page, now):
+        calls.append([r["id"] for r in page])
+
+    tgt2 = HttpSyncTarget(
+        state=SyncState(tmp_warehouse / "st.json"), ts_col="ts", post=post_ok,
+        page_size=3,
+    )
+    sent2 = tgt2.run_sync_parallel(df, "2024-01-02T00:00:00", parallelism=2)
+    # inclusive lower bound (ts >= last, sync_target.rb:428-447): the
+    # boundary row re-sends — at-least-once, never row loss
+    assert sent2 == 7
+    assert sorted(x for page in calls for x in page) == [2, 3, 4, 5, 6, 7, 8]
+    assert tgt2.state.load()["last_synced_at"] == "2024-01-02T00:00:00"

@@ -137,6 +137,73 @@ class HttpSyncTarget:
         self.state.save(st)
         return sent
 
+    def run_sync_parallel(self, df: DataFrame, now: str, parallelism: int = 2) -> int:
+        """Parallel export with the reference's ordered watermark commit
+        (sync_target.rb:555-598 ParallelizedPool): pages POST
+        concurrently, but the watermark only ever advances to the end of
+        the longest fully-delivered PREFIX of pages in timestamp order —
+        a failed or still-inflight early page holds the watermark back
+        so a crash re-sends at-least-once instead of skipping rows.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        st = self.state.load()
+        pending = dataset_to_sync(df, self.ts_col, st.get("last_synced_at"), now)
+        cols = pending.columns
+
+        pages: list[tuple[list[dict], str]] = []
+        page: list[dict] = []
+        page_max_ts = None
+        for row in pending.toLocalIterator():
+            d = dict(zip(cols, row))
+            ts = d[self.ts_col]
+            page_max_ts = ts.isoformat() if hasattr(ts, "isoformat") else str(ts)
+            page.append(d)
+            if len(page) >= self.page_size:
+                pages.append((page, page_max_ts))
+                page, page_max_ts = [], None
+        if page:
+            pages.append((page, page_max_ts))
+
+        done: dict[int, str] = {}
+        failed: set[int] = set()
+        sent = 0
+
+        def commit_prefix() -> None:
+            # advance through consecutively-completed pages only
+            committed = st.get("last_synced_at")
+            i = 0
+            while i in done:
+                committed = done[i]
+                i += 1
+            if committed is not None:
+                st["last_synced_at"] = committed
+                self.state.save(st)
+
+        def send(idx: int, rows: list[dict]) -> int:
+            self.post(rows, now)
+            return idx
+
+        with ThreadPoolExecutor(max_workers=parallelism) as ex:
+            futures = {
+                ex.submit(send, i, rows): (i, max_ts)
+                for i, (rows, max_ts) in enumerate(pages)
+            }
+            for fut in list(futures):
+                i, max_ts = futures[fut]
+                try:
+                    fut.result()
+                    done[i] = max_ts
+                    sent += len(pages[i][0])
+                except Exception:
+                    failed.add(i)
+            commit_prefix()
+        if not failed:
+            st["last_synced_at"] = now
+            st.setdefault("stats", []).append({"synced": sent, "at": now})
+            self.state.save(st)
+        return sent
+
 
 @dataclass
 class DatabaseSyncTarget:
