@@ -293,3 +293,36 @@ def test_sync_feeds_distributed(spark, tmp_warehouse):
     table = wh.table("org1", "icalendar_event_v1")
     got = {r["compound_identity"] for r in table.read().collect()}
     assert got == {"calA-a1", "calB-b1-0", "calB-b1-1", "calB-b1-2"}
+
+
+def test_delete_calendar_cascade(spark, tmp_warehouse):
+    """DELETE webhook: calendar row + its events vanish; other
+    calendars untouched (icalendar_calendar_v1.rb:119-153)."""
+    from webhookdb_spark.replicators.icalendar_calendar_v1 import (
+        delete_calendar_cascade,
+        sync_feed,
+    )
+    from webhookdb_spark.storage import Warehouse
+
+    ics = """BEGIN:VCALENDAR
+BEGIN:VEVENT
+UID:ev-1
+DTSTART:20240101T100000Z
+DTEND:20240101T110000Z
+SUMMARY:One
+END:VEVENT
+END:VCALENDAR
+"""
+    wh = Warehouse(spark, str(tmp_warehouse))
+    for cal_id in ("cal-a", "cal-b"):
+        sync_feed(spark, wh, "org", cal_id, ics)
+    ev = wh.table("org", "icalendar_event_v1")
+    assert ev.read().count() == 2
+
+    deleted = delete_calendar_cascade(wh, "org", "cal-a")
+    assert deleted["icalendar_event_v1"] == 1
+    rows = ev.read().collect()
+    assert len(rows) == 1 and rows[0].calendar_external_id == "cal-b"
+    cal = wh.table("org", "icalendar_calendar_v1")
+    if deleted.get("icalendar_calendar_v1"):
+        assert all(r.external_id != "cal-a" for r in cal.read().collect())

@@ -291,3 +291,34 @@ def feed_changed(last_fetch_context: dict | None, ics_text: str,
     ):
         return False
     return True
+
+
+def delete_calendar_cascade(warehouse, org: str, external_id: str) -> dict[str, int]:
+    """DELETE webhook handling (icalendar_calendar_v1.rb:119-153
+    ``delete_data_for_external_id``): remove the calendar row and every
+    dependent event row for that calendar.
+
+    Bucket routing keeps both deletes narrow: the calendar table is
+    keyed by external_id and the event table is hash-partitioned by
+    calendar_external_id, so each delete rewrites exactly ONE bucket —
+    the Spark analog of the reference's ``append_partition_key``
+    single-partition delete (icalendar_calendar_v1.rb:145-149).
+    """
+    from webhookdb_spark.functions.converters import str2inthash_py
+
+    deleted: dict[str, int] = {}
+    cal = warehouse.table(org, ICALENDAR_CALENDAR_V1.table)
+    if cal.exists():
+        b = str2inthash_py(external_id) % cal.manifest.n_buckets
+        deleted[ICALENDAR_CALENDAR_V1.table] = cal.delete_where(
+            F.col("external_id") == external_id, buckets=[b]
+        )
+    ev = warehouse.table(org, ICALENDAR_EVENT_V1.table)
+    if ev.exists():
+        b = str2inthash_py(external_id) % ev.manifest.n_buckets
+        deleted[ICALENDAR_EVENT_V1.table] = ev.delete_where(
+            F.col("calendar_external_id") == external_id,
+            buckets=[b],
+            part_key=ICALENDAR_EVENT_V1.partition_key_source,
+        )
+    return deleted

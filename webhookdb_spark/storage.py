@@ -170,6 +170,39 @@ class ManagedTable:
             df = df.withColumn(PART_COL, bucket_expr(m.key, m.n_buckets))
         self.overwrite_buckets(df, list(range(m.n_buckets)))
 
+    def delete_where(
+        self,
+        condition,
+        buckets: list[int] | None = None,
+        part_key: str | None = None,
+    ) -> int:
+        """Predicate delete (the Delta ``DELETE WHERE`` analog): rewrite
+        only the affected buckets without the matching rows. Returns the
+        number of rows deleted.
+
+        Pass ``buckets`` (or derive them from a routing key upstream) to
+        prune the rewrite — the reference's partition-key routing trick
+        (partitionable_mixin.rb:49-54) that keeps a keyed delete from
+        touching the whole table. ``part_key`` overrides the column the
+        bucket hash is computed from (hash-partitioned tables bucket by
+        the partition source, not the remote key).
+        """
+        m = self.manifest
+        affected = buckets if buckets is not None else list(range(m.n_buckets))
+        df = self.read(buckets=affected).withColumn(
+            PART_COL, bucket_expr(part_key or m.key, m.n_buckets)
+        )
+        df = df.persist()
+        try:
+            before = df.count()
+            remaining = df.where(~condition)
+            after = remaining.count()
+            if after != before:
+                self.overwrite_buckets(remaining, affected)
+            return before - after
+        finally:
+            df.unpersist()
+
     # -- schema evolution (additive only, base.rb:557-631) -----------------
     def add_columns(self, new_fields: list[T.StructField], backfill: dict | None = None) -> None:
         """Additive schema evolution: extend the schema and rewrite with
