@@ -353,6 +353,88 @@ GROUP BY 1
 # Training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
 
+UPSERT_SPLIT = "2024-01-15 00:00:00"
+
+
+def q_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """THE core engine operator under oracle check: conditional keyed
+    MERGE (insert / newer-wins update / stale no-op + intra-batch
+    last-wins) driven with real data.
+
+    Events become webhook envelopes keyed by (user_id, event_type);
+    they ingest as two batches split at a date boundary through the
+    actual warehouse upsert path. The oracle reproduces the semantics
+    in pure SQL: per key, batch-2's winner replaces batch-1's winner
+    only when strictly newer (ties by event_id within a batch).
+    """
+    import tempfile
+
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.storage import Warehouse
+    from webhookdb_spark.types import ColumnType
+
+    spec = ReplicatorSpec(
+        name="events_sim",
+        table="events_sim",
+        remote_key=Col("k", ColumnType.TEXT),
+        denorm_cols=(
+            Col("ts", ColumnType.TIMESTAMP),
+            Col("event_id", ColumnType.BIGINT),
+            Col("value", ColumnType.DOUBLE),
+        ),
+        timestamp_col="ts",
+        update_where=lambda s, t: t("ts") < s("ts"),
+        n_buckets=8,
+    )
+    events = load(spark, sf, "events")
+    env = events.select(
+        F.to_json(
+            F.struct(
+                F.concat_ws("|", "user_id", "event_type").alias("k"),
+                F.col("ts").cast("string").alias("ts"),
+                "event_id",
+                "value",
+            )
+        ).alias("body"),
+        F.col("ts").alias("received_at"),
+        F.col("event_id").alias("_seq"),
+    )
+    split = F.lit(UPSERT_SPLIT).cast("timestamp")
+    t = Warehouse(spark, tempfile.mkdtemp(prefix="whdb_q_upsert_")).table(
+        "org", "events_sim"
+    )
+    upsert_envelopes(t, env.where(F.col("received_at") < split), spec)
+    upsert_envelopes(t, env.where(F.col("received_at") >= split), spec)
+    return t.read().select("k", "ts", "event_id", F.round("value", 6).alias("value"))
+
+
+SQL_UPSERT_MERGE = f"""
+WITH keyed AS (
+  SELECT user_id || '|' || event_type AS k, ts, event_id, round(value, 6) AS value,
+         CASE WHEN ts < TIMESTAMP '{UPSERT_SPLIT}' THEN 1 ELSE 2 END AS batch
+  FROM events
+),
+winners AS (
+  SELECT k, batch, ts, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY k, batch
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM keyed
+  ) WHERE rn = 1
+),
+b1 AS (SELECT * FROM winners WHERE batch = 1),
+b2 AS (SELECT * FROM winners WHERE batch = 2)
+SELECT coalesce(b2.k, b1.k) AS k,
+       CASE WHEN b1.k IS NULL OR (b2.k IS NOT NULL AND b2.ts > b1.ts)
+            THEN b2.ts ELSE b1.ts END AS ts,
+       CASE WHEN b1.k IS NULL OR (b2.k IS NOT NULL AND b2.ts > b1.ts)
+            THEN b2.event_id ELSE b1.event_id END AS event_id,
+       CASE WHEN b1.k IS NULL OR (b2.k IS NOT NULL AND b2.ts > b1.ts)
+            THEN b2.value ELSE b1.value END AS value
+FROM b1 FULL OUTER JOIN b2 ON b1.k = b2.k
+"""
+
+
 def q_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling event-time windows (streaming §2.9 surface; same plan
     runs batch or stream — here batch for the oracle)."""
@@ -506,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
+        "upsert_merge": q_upsert_merge,
         "windowed_counts": q_windowed_counts,
         "sessionized": q_sessionized,
         "text_token_count": q_text_token_count,
@@ -540,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": SQL_SET_OPS,
         "row_cap": SQL_ROW_CAP,
         "retention_candidates": SQL_RETENTION,
+        "upsert_merge": SQL_UPSERT_MERGE,
         "windowed_counts": SQL_WINDOWED_COUNTS,
         "sessionized": SQL_SESSIONIZED,
         "text_token_count": X.sql_token_count(),
