@@ -387,7 +387,10 @@ def q_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
         update_where=lambda s, t: t("ts") < s("ts"),
         n_buckets=8,
     )
-    events = load(spark, sf, "events")
+    # events.parquet is one row group → a single scan task; spread the
+    # envelope construction across cores the way a real webhook source
+    # (Kafka partitions / many files) would arrive already parallel.
+    events = load(spark, sf, "events").repartition(32)
     env = events.select(
         F.to_json(
             F.struct(
@@ -404,8 +407,11 @@ def q_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
     t = Warehouse(spark, tempfile.mkdtemp(prefix="whdb_q_upsert_")).table(
         "org", "events_sim"
     )
-    upsert_envelopes(t, env.where(F.col("received_at") < split), spec)
-    upsert_envelopes(t, env.where(F.col("received_at") >= split), spec)
+    # Bulk loads touch the whole keyspace: the bucket hint skips the
+    # per-batch discovery scan (merge_upsert docstring).
+    all_buckets = list(range(spec.n_buckets))
+    upsert_envelopes(t, env.where(F.col("received_at") < split), spec, buckets=all_buckets)
+    upsert_envelopes(t, env.where(F.col("received_at") >= split), spec, buckets=all_buckets)
     return t.read().select("k", "ts", "event_id", F.round("value", 6).alias("value"))
 
 

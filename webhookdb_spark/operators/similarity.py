@@ -235,21 +235,20 @@ def ivf_assign(
 
     # The vector's norm is bound once per row; centroid norms fold to
     # Python constants (same left-fold sum as the Column expression, so
-    # the resulting doubles are bit-identical). Per centroid that leaves
-    # one dot product instead of dot + two norm passes. (An unrolled
-    # element_at formulation was tried and is ~4× slower: the ~4600-node
-    # expression tree spends more in codegen than it saves in lambda
-    # dispatch.)
+    # the resulting doubles are bit-identical). Centroids enter as ONE
+    # array-of-arrays literal scored by a single generic zip_with lambda:
+    # structurally constant codegen regardless of C, where a per-centroid
+    # expression list recompiles a ~C×dim-node tree on every new centroid
+    # set (~3× slower end-to-end at C=8).
     b = bind(scale_out(corpus.select(id_col, vec_col)), "_vn", _norm(F.col(vec_col)))
-    scores = F.array(
-        *[
-            F.round(
-                _dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
-                / (F.col("_vn") * F.lit(math.sqrt(sum(x * x for x in c)))),
-                6,
-            )
-            for c in centroids
-        ]
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    norms_lit = F.array(*[F.lit(math.sqrt(sum(x * x for x in c))) for c in centroids])
+    scores = F.zip_with(
+        cents_lit,
+        norms_lit,
+        lambda c, nrm: F.round(
+            _dot(F.col(vec_col), c) / (F.col("_vn") * nrm), 6
+        ),
     )
     b = bind(b, "_cs", scores)
     assigned = (

@@ -128,14 +128,19 @@ def dedupe_last_wins(batch: DataFrame, key: str, order_col: str = "_received_at"
     plus ``_seq`` (attach upstream when arrival order matters within
     equal timestamps) define "last" here.
     """
-    order = [F.col(order_col).desc_nulls_last()]
+    # max_by over an ordering struct instead of a row_number window: the
+    # aggregation gets map-side partial combine, so a dup-heavy webhook
+    # batch collapses BEFORE the shuffle (a window shuffles every row).
+    # Struct comparison puts NULL order keys lowest, matching
+    # desc_nulls_last; `_seq` breaks received_at ties by arrival order.
+    order_cols = [F.col(order_col)]
     if "_seq" in batch.columns:
-        order.append(F.col("_seq").desc())
-    w = Window.partitionBy(key).orderBy(*order)
+        order_cols.append(F.col("_seq"))
+    others = [c for c in batch.columns if c != key]
     return (
-        batch.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        batch.groupBy(key)
+        .agg(F.max_by(F.struct(*others), F.struct(*order_cols)).alias("_r"))
+        .select(key, "_r.*")
     )
 
 
@@ -143,19 +148,61 @@ def merge_upsert(
     table: ManagedTable,
     batch: DataFrame,
     spec: ReplicatorSpec,
+    buckets: list[int] | None = None,
 ) -> MergeResult:
-    """Merge a shaped batch into ``table`` under ``spec``'s semantics."""
+    """Merge a shaped batch into ``table`` under ``spec``'s semantics.
+
+    Single-pass plan: the merged result is written exactly once (action
+    counts ride along as ``Observation`` metrics on that same write), and
+    the change set is copied out of the just-written bucket files rather
+    than recomputed. No ``persist`` — the only lineage recomputation is a
+    column-pruned pass to discover affected buckets, which Catalyst
+    reduces to parsing the key alone. Batches landing in untouched
+    buckets (the initial-backfill case) skip the join entirely.
+
+    ``buckets`` is the caller's routing hint: a bulk load that touches the
+    whole keyspace should pass ``range(n_buckets)`` to skip the discovery
+    pass, and a caller that already knows its keys (e.g. a single-feed
+    sync routed by partition key) passes just those — the reference's
+    partition-key routing (partitionable_mixin.rb:49-54). Rows hashing
+    outside the hint would be lost; the hint must be a superset.
+    """
+    from pyspark.sql import Observation
+
     m = table.manifest
     key = spec.remote_key.name
     data_cols = [f.name for f in table.schema().fields]
 
     part_src = spec.partition_key_source or key
+    if buckets is not None:
+        affected = list(buckets)
+    else:
+        # Column-pruned discovery pass over the PRE-dedup batch: dedup
+        # never changes the key set, so this skips the row_number shuffle
+        # and Catalyst prunes the scan to the key column alone.
+        affected = [
+            r[0]
+            for r in batch.select(bucket_expr(part_src, m.n_buckets).alias(PART_COL))
+            .distinct()
+            .collect()
+        ]
     batch = dedupe_last_wins(batch, key).withColumn(
         PART_COL, bucket_expr(part_src, m.n_buckets)
     )
-    batch = batch.persist()
-    try:
-        affected = [r[0] for r in batch.select(PART_COL).distinct().collect()]
+    changed_schema = table.spark.createDataFrame(
+        [], table.schema().add(ACTION_COL, "string")
+    ).schema
+    if not affected:  # empty batch: no txn churn
+        empty = table.spark.createDataFrame([], changed_schema)
+        return MergeResult(inserted=0, updated=0, noop=0, changed=empty)
+
+    if not any(str(b) in m.buckets for b in affected):
+        # All-insert fast path: every touched bucket is empty, so the
+        # deduped batch IS the merge result — no join, no target scan.
+        merged = batch.select(
+            *data_cols, F.col(PART_COL), F.lit("insert").alias(ACTION_COL)
+        )
+    else:
         target = table.read(buckets=affected).withColumn(
             PART_COL, bucket_expr(part_src, m.n_buckets)
         )
@@ -208,37 +255,50 @@ def merge_upsert(
             F.coalesce(F.col(f"s.{PART_COL}"), F.col(f"t.{PART_COL}")).alias(PART_COL),
             F.col(ACTION_COL),
         )
-        merged = merged.persist()
-        try:
-            counts = {
-                r[ACTION_COL]: r["count"]
-                for r in merged.groupBy(ACTION_COL).count().collect()
-            }
-            table.overwrite_buckets(merged, affected)
-            # Change set (post-image of inserted/updated rows) goes to a
-            # per-transaction changes dir — never through the driver. It
-            # feeds dependent notification and webhook fan-out
-            # (base.rb:813-838) and is the CDC analog of Delta CDF.
-            changed = merged.where(F.col(ACTION_COL) != "keep").drop(PART_COL)
-            changes_path = str(table.path / "_changes" / f"txn_{m.txn + 1}")
-            changed.write.mode("overwrite").parquet(changes_path)
-            changed_df = table.spark.read.schema(changed.schema).parquet(changes_path)
-            return MergeResult(
-                inserted=counts.get("insert", 0),
-                updated=counts.get("update", 0),
-                noop=counts.get("keep", 0),
-                changed=changed_df,
-            )
-        finally:
-            merged.unpersist()
-    finally:
-        batch.unpersist()
+
+    obs = Observation()
+    merged = merged.observe(
+        obs,
+        F.count(F.when(F.col(ACTION_COL) == "insert", 1)).alias("insert"),
+        F.count(F.when(F.col(ACTION_COL) == "update", 1)).alias("update"),
+        F.count(F.when(F.col(ACTION_COL) == "keep", 1)).alias("keep"),
+    )
+    table.overwrite_buckets(merged, affected, extra_cols=[ACTION_COL])
+    counts = obs.get
+    # Change set (post-image of inserted/updated rows) goes to a
+    # per-transaction changes dir — never through the driver. It feeds
+    # dependent notification and webhook fan-out (base.rb:813-838) and is
+    # the CDC analog of Delta CDF. Derived by re-reading the bucket files
+    # written above (no lineage recompute).
+    new_m = table.manifest
+    written = [str(table.path / new_m.buckets[str(b)]) for b in affected]
+    changed = (
+        table.spark.read.schema(changed_schema)
+        .parquet(*written)
+        .where(F.col(ACTION_COL) != "keep")
+    )
+    changes_path = str(table.path / "_changes" / f"txn_{new_m.txn}")
+    changed.write.mode("overwrite").parquet(changes_path)
+    changed_df = table.spark.read.schema(changed_schema).parquet(changes_path)
+    return MergeResult(
+        inserted=counts.get("insert", 0),
+        updated=counts.get("update", 0),
+        noop=counts.get("keep", 0),
+        changed=changed_df,
+    )
 
 
 def upsert_envelopes(
-    table: ManagedTable, envelopes: DataFrame, spec: ReplicatorSpec
+    table: ManagedTable,
+    envelopes: DataFrame,
+    spec: ReplicatorSpec,
+    buckets: list[int] | None = None,
 ) -> MergeResult:
-    """Full ingest path: shape envelopes then merge (base.rb:731-785)."""
+    """Full ingest path: shape envelopes then merge (base.rb:731-785).
+
+    ``buckets``: optional routing hint forwarded to :func:`merge_upsert`
+    (pass ``range(spec.n_buckets)`` for whole-keyspace bulk loads).
+    """
     if not table.exists():
         table.create(spec.schema(), key=spec.remote_key.name, n_buckets=spec.n_buckets)
     if "_seq" not in envelopes.columns:
@@ -254,4 +314,4 @@ def upsert_envelopes(
         seq = IntegrationSequence(table.path)
         for name in seq_cols:
             shaped = seq.fill(shaped, name)
-    return merge_upsert(table, shaped, spec)
+    return merge_upsert(table, shaped, spec, buckets=buckets)

@@ -122,18 +122,22 @@ class ManagedTable:
         return self.read(buckets=[b]).where(F.col(m.key) == F.lit(key_value))
 
     # -- write -------------------------------------------------------------
-    def overwrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
+    def overwrite_buckets(
+        self, df: DataFrame, buckets: list[int], extra_cols: list[str] | None = None
+    ) -> None:
         """Swap in new data for the given buckets; df must carry PART_COL.
 
         Writes the new bucket files under a fresh txn directory, then
         atomically replaces the manifest — readers of the old snapshot
-        keep their file list.
+        keep their file list. ``extra_cols`` are written into the files
+        beyond the declared schema (reads with an explicit schema prune
+        them; MERGE uses this to persist its action tag in one pass).
         """
         m = self.manifest
         txn = m.txn + 1
         staging = self.path / f"_staging_{txn}_{uuid.uuid4().hex[:8]}"
         (
-            df.select(*[f.name for f in self.schema().fields], PART_COL)
+            df.select(*[f.name for f in self.schema().fields], *(extra_cols or []), PART_COL)
             .repartition(max(len(buckets), 1), F.col(PART_COL))
             .write.partitionBy(PART_COL)
             .mode("overwrite")
