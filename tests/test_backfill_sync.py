@@ -309,3 +309,48 @@ def test_http_parallel_sync_min_prefix_watermark(spark, tmp_warehouse):
     assert sent2 == 7
     assert sorted(x for page in calls for x in page) == [2, 3, 4, 5, 6, 7, 8]
     assert tgt2.state.load()["last_synced_at"] == "2024-01-02T00:00:00"
+
+
+def test_snowflake_sync_stage_put_merge(spark, tmp_warehouse):
+    """Stage → PUT → MERGE statement shape (snowflake.rb:81-125):
+    quote-enclosed CSV stage, one PUT per part file, positional $n
+    staged select, parse_json on OBJECT columns, purge at the end."""
+    from webhookdb_spark.sinks.sync_target import SnowflakeSyncTarget
+
+    df = (
+        spark.createDataFrame(
+            [(f"id{i}", f"2024-01-01 00:00:{i:02d}", '{"a": %d}' % i) for i in range(6)],
+            "my_id string, ts_s string, data string",
+        )
+        .withColumn("updated", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    executed: list[str] = []
+    tgt = SnowflakeSyncTarget(
+        state=SyncState(tmp_warehouse / "sf.json"),
+        ts_col="updated",
+        key_col="my_id",
+        schema_name="org_acme",
+        table_name="fake_v1",
+        execute=executed.append,
+        object_cols=("data",),
+    )
+    sent = tgt.run_sync(df, "2024-01-02 00:00:00", tmp_warehouse)
+    assert sent == 6
+    assert executed[0].startswith('CREATE STAGE "org_acme"."whdb_tempstage_')
+    assert "FIELD_OPTIONALLY_ENCLOSED_BY = '\"'" in executed[0]
+    puts = [s for s in executed if s.startswith("PUT file://")]
+    assert puts and all("auto_compress=true" in s for s in puts)
+    merge = next(s for s in executed if s.startswith("MERGE INTO"))
+    assert '"org_acme"."fake_v1"' in merge
+    assert '$1 "my_id"' in merge  # positional staged columns
+    assert 'parse_json(src."data")' in merge  # OBJECT columns parsed
+    assert 'tgt."my_id" = src."my_id"' in merge
+    assert "WHEN MATCHED THEN UPDATE SET" in merge
+    assert "WHEN NOT MATCHED THEN INSERT" in merge
+    assert 'tgt."my_id" = parse' not in merge  # pk not reassigned
+    assert executed[-1].startswith("DROP STAGE IF EXISTS")
+    # watermark advanced; incremental second run exports nothing
+    executed.clear()
+    assert tgt.run_sync(df, "2024-01-03 00:00:00", tmp_warehouse) == 0
+    assert not [s for s in executed if s.startswith("MERGE")]

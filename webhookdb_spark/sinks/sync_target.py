@@ -251,6 +251,91 @@ class DatabaseSyncTarget:
         return n
 
 
+def _sf_ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+@dataclass
+class SnowflakeSyncTarget:
+    """Stage → PUT → MERGE export, the Snowflake routine
+    (lib/webhookdb/db_adapter/snowflake.rb:81-125 ``merge_from_csv``).
+
+    Spark writes the pending window as partitioned CSV part-files (the
+    files a real deployment would ``PUT``), then the routine issues the
+    reference's statement sequence — ``CREATE STAGE`` with a
+    quote-enclosed CSV file format, one ``PUT file://…`` per part, and a
+    ``MERGE`` whose staged source reads positional ``$n`` columns with
+    ``parse_json`` applied to OBJECT columns — through an injected
+    ``execute`` callable (a Snowflake connector in production, a recorder
+    in tests). At scale the CSV export is the only distributed work; the
+    statements are metadata-sized.
+    """
+
+    state: SyncState
+    ts_col: str
+    key_col: str
+    schema_name: str
+    table_name: str
+    execute: Callable[[str], None]
+    object_cols: tuple[str, ...] = ()
+    stage_suffix: str = "ab12"  # SecureRandom.hex(2) in the reference
+
+    def run_sync(self, df: DataFrame, now: str, workdir: str | Path) -> int:
+        st = self.state.load()
+        pending = dataset_to_sync(df, self.ts_col, st.get("last_synced_at"), now)
+        cols = pending.columns
+        out = Path(workdir) / f"sf_export_{self.table_name}"
+        # escape='"' doubles embedded quotes (RFC-4180), which is what the
+        # FIELD_OPTIONALLY_ENCLOSED_BY='"' stage format parses; Spark's
+        # default backslash escaping would corrupt OBJECT columns.
+        (
+            pending.write.mode("overwrite")
+            .option("header", True)
+            .option("escape", '"')
+            .csv(str(out))
+        )
+        parts = sorted(p for p in out.glob("part-*.csv"))
+        n = pending.count()
+        if n:
+            qtable = f"{_sf_ident(self.schema_name)}.{_sf_ident(self.table_name)}"
+            stage = (
+                f"{_sf_ident(self.schema_name)}."
+                f"{_sf_ident(f'whdb_tempstage_{self.stage_suffix}_{self.table_name}')}"
+            )
+            names = [_sf_ident(c) for c in cols]
+            placeholders = ", ".join(f"${i + 1} {n_}" for i, n_ in enumerate(names))
+            values = [
+                f"parse_json(src.{n_})" if c in self.object_cols else f"src.{n_}"
+                for c, n_ in zip(cols, names)
+            ]
+            assigns = ", ".join(
+                f"tgt.{n_} = {v}"
+                for c, n_, v in zip(cols, names, values)
+                if c != self.key_col
+            )
+            pk = _sf_ident(self.key_col)
+            stmts = [
+                f"CREATE STAGE {stage} FILE_FORMAT = (type = 'CSV' skip_header = 1"
+                " FIELD_OPTIONALLY_ENCLOSED_BY = '\"');"
+            ]
+            stmts += [f"PUT file://{p} @{stage} auto_compress=true;" for p in parts]
+            stmts.append(
+                f"MERGE INTO {qtable} AS tgt\n"
+                f"  USING (SELECT {placeholders} FROM @{stage}) src\n"
+                f"  ON tgt.{pk} = src.{pk}\n"
+                f"  WHEN MATCHED THEN UPDATE SET {assigns}\n"
+                f"  WHEN NOT MATCHED THEN INSERT ({', '.join(names)})"
+                f" VALUES ({', '.join(values)});"
+            )
+            stmts.append(f"DROP STAGE IF EXISTS {stage};")  # purge
+            for s in stmts:
+                self.execute(s)
+        st["last_synced_at"] = now
+        st.setdefault("stats", []).append({"synced": n, "at": now})
+        self.state.save(st)
+        return n
+
+
 @dataclass
 class SyncScheduler:
     """Every-minute due-target scan (jobs/sync_target_enqueue_scheduled.rb:8-19).
