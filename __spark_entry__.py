@@ -39,9 +39,51 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # Keep the raw int64 alongside the derived timestamp: filters
+            # on a derived column cannot reach the parquet scan, so range
+            # queries add an equivalent `_ts_ns` predicate (ts_filter) and
+            # get row-group pruning back.
+            df = df.withColumn("_ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _epoch_us(ts_str: str) -> int:
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(ts_str).replace(tzinfo=dt.timezone.utc)
+    return int(d.timestamp()) * 1_000_000 + d.microsecond
+
+
+def ts_filter(events: DataFrame, *, gt: str | None = None, le: str | None = None,
+              lt: str | None = None) -> DataFrame:
+    """Timestamp-range filter that survives the ns→µs derivation.
+
+    The exact predicate stays on the derived ``ts``; when the raw
+    ``_ts_ns`` int64 is present an equivalent (superset) predicate on it
+    is added so the parquet scan shows ``PushedFilters: [GreaterThan…]``
+    and prunes row groups — the difference between scanning a day and
+    scanning 100 TB on an incremental export."""
+    conds = []
+    if gt is not None:
+        conds.append(F.col("ts") > F.lit(gt).cast("timestamp"))
+    if le is not None:
+        conds.append(F.col("ts") <= F.lit(le).cast("timestamp"))
+    if lt is not None:
+        conds.append(F.col("ts") < F.lit(lt).cast("timestamp"))
+    if "_ts_ns" in events.columns:
+        if gt is not None:
+            conds.append(F.col("_ts_ns") > F.lit(_epoch_us(gt) * 1000))
+        if le is not None:
+            conds.append(F.col("_ts_ns") <= F.lit(_epoch_us(le) * 1000 + 999))
+        if lt is not None:
+            conds.append(F.col("_ts_ns") < F.lit(_epoch_us(lt) * 1000))
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return events.where(out)
 
 
 def _dec(c: str, scale: int = 4):
@@ -204,10 +246,7 @@ def q_incremental_sync_window(spark: SparkSession, sf: str) -> DataFrame:
     (sync_target.rb:428-447 dataset_to_sync)."""
     events = load(spark, sf, "events")
     return (
-        events.where(
-            (F.col("ts") > F.lit(SYNC_LO).cast("timestamp"))
-            & (F.col("ts") <= F.lit(SYNC_HI).cast("timestamp"))
-        )
+        ts_filter(events, gt=SYNC_LO, le=SYNC_HI)
         .orderBy("ts", "event_id")
         .select("event_id", "ts", "user_id", "event_type")
     )
@@ -333,10 +372,8 @@ def q_retention_candidates(spark: SparkSession, sf: str) -> DataFrame:
     as a per-day candidate count."""
     events = load(spark, sf, "events")
     return (
-        events.where(
-            (F.col("ts") < F.lit(RETENTION_CUTOFF).cast("timestamp"))
-            & (F.col("event_type") == "error")
-        )
+        ts_filter(events, lt=RETENTION_CUTOFF)
+        .where(F.col("event_type") == "error")
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.count("*").alias("n_stale"))
     )

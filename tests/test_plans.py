@@ -1,0 +1,107 @@
+"""Physical-plan quality gates (SURVEY §4).
+
+The reference delegates plan quality to Postgres; here Catalyst owns it,
+and these tests pin the properties that matter at 100 TB: filters reach
+the parquet scan (row-group pruning), scans read only referenced columns,
+small sides broadcast, bucket-pruned table reads open only the routed
+bucket's files, and no row-at-a-time Python sits in relational hot paths.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_ts_range_filter_pushes_to_scan(spark):
+    """The incremental-export window (sync_target.rb:428-447) must prune
+    at the scan: the derived µs timestamp can't push, so ts_filter adds
+    the equivalent raw-int64 range."""
+    p = plan_of(entry.queries()["incremental_sync_window"](spark, SF))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "GreaterThan(ts" in pushed and "LessThanOrEqual(ts" in pushed, pushed
+
+
+def test_retention_sweep_pushes_both_predicates(spark):
+    p = plan_of(entry.queries()["retention_candidates"](spark, SF))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "LessThan(ts" in pushed, pushed
+    assert "EqualTo(event_type,error)" in pushed, pushed
+
+
+def test_pricing_summary_prunes_columns(spark):
+    """A 6-column aggregate over a 16-column table must not scan the
+    other 10 (ReadSchema check)."""
+    p = plan_of(entry.queries()["pricing_summary"](spark, SF))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas, p
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, cols
+
+
+def test_semi_join_broadcasts_small_side(spark):
+    p = plan_of(entry.queries()["semi_customers_with_open_orders"](spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p[:2000]
+
+
+def test_ann_probe_join_broadcasts(spark):
+    """The IVF probe join ships (query, cell) pairs to the corpus —
+    broadcast by construction, never a corpus shuffle."""
+    p = plan_of(entry.queries()["ann_ivf_topk"](spark, SF))
+    assert "BroadcastHashJoin" in p, p[:2000]
+
+
+# Queries allowed to contain Python evaluation nodes: the multimodal
+# decode path is explicitly a (stubbed) Pandas-UDF pipeline.
+_PYTHON_OK = {"media_features", "media_summary"}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in entry.queries() if n not in _PYTHON_OK]
+)
+def test_no_row_python_in_hot_path(spark, name):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned everywhere;
+    relational/text/dedup paths must stay fully JVM-side."""
+    df = entry.queries()[name](spark, SF)
+    p = plan_of(df)
+    assert "BatchEvalPython" not in p, f"{name} has a row-at-a-time Python UDF"
+
+
+def test_bucket_pruned_read_opens_only_routed_files(spark, tmp_path):
+    """Key-routed reads (partitionable_mixin.rb:49-54) are path-pruned:
+    the scan's file list is exactly the routed bucket's files."""
+    import pyspark.sql.functions as F
+
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.storage import Warehouse
+
+    t = Warehouse(spark, tmp_path / "wh").table("org", "fake_v1")
+    env = spark.createDataFrame(
+        [(f'{{"my_id": "id{i}", "at": "2024-06-01T00:00:00Z"}}',) for i in range(40)],
+        "body string",
+    ).withColumn("received_at", F.lit("2024-06-01 00:00:00").cast("timestamp"))
+    upsert_envelopes(t, env, FAKE_V1)
+    routed = t.read_for_key("id7")
+    files = routed.inputFiles()
+    assert files, "routed read lists no files"
+    from webhookdb_spark.functions.converters import str2inthash_py
+
+    b = str2inthash_py("id7") % t.manifest.n_buckets
+    assert all(f"/buckets/{b}/" in f for f in files), files
+    assert routed.count() == 1
