@@ -4,10 +4,19 @@ Importing this package registers all bundled specs.
 """
 
 from webhookdb_spark.replicators import (  # noqa: F401
+    atom_single_feed_v1,
+    aws_pricing_v1,
+    email_octopus_event_v1,
     fake,
     github_issue_v1,
+    github_pull_v1,
     icalendar_calendar_v1,
     icalendar_event_v1,
+    increase,
+    intercom_contact_v1,
+    shopify_order_v1,
     stripe_charge_v1,
+    stripe_refund_v1,
     transistor_episode_stats_v1,
+    twilio_sms_v1,
 )

@@ -52,7 +52,18 @@ STRIPE_CHARGE_V1 = register(
             ),
             Col("receipt_email", ColumnType.TEXT, optional=True),
             Col("status", ColumnType.TEXT, index=True),
-            Col("updated", ColumnType.TIMESTAMP, converter=CONV_UNIX_TS, index=True),
+            # stripe_charge_v1.rb:48-55: `updated` reads the resource's
+            # `created`, preferring the EVENT envelope's `created` when a
+            # webhook event wraps the charge — that is what makes the
+            # staleness guard meaningful for bare-resource payloads.
+            Col(
+                "updated",
+                ColumnType.TIMESTAMP,
+                data_key="created",
+                event_key="created",
+                converter=CONV_UNIX_TS,
+                index=True,
+            ),
         ),
         timestamp_col="updated",
         update_where=lambda s, t: t("updated") < s("updated"),

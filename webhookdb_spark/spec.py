@@ -111,7 +111,11 @@ class Col:
     optional: bool = False
     skip_nil: bool = False
     converter: Converter | None = None
-    defaulter: str | None = None  # key into DEFAULTERS
+    # Key into DEFAULTERS, or a callable ``(resource: Column) -> Column``
+    # for from-resource-fields defaulters (the reference's IsomorphicProc
+    # defaulters that read the payload, e.g. email_octopus_event_v1.rb's
+    # BUILD_EVENT_MD5 compound key).
+    defaulter: str | Callable[[Column], Column] | None = None
     index: bool = False
     backfill_expr: Callable[[Column], Column] | None = None
     # dig data_key from the enrichment body instead of the resource
@@ -153,7 +157,9 @@ class Col:
             out = F.from_json(out, target)
         else:
             out = out.try_cast(target.simpleString())
-        if self.defaulter and self.defaulter != SEQUENCE_DEFAULTER:
+        if callable(self.defaulter):
+            out = F.coalesce(out, self.defaulter(body).cast(spark_type(self.type)))
+        elif self.defaulter and self.defaulter != SEQUENCE_DEFAULTER:
             out = F.coalesce(out, DEFAULTERS[self.defaulter]().cast(spark_type(self.type)))
         return out.alias(self.name)
 
@@ -239,6 +245,14 @@ class ReplicatorSpec:
     # Keep the enrichment body in an `enrichment` column
     # (base.rb:338-342 _store_enrichment_body?).
     store_enrichment_body: bool = False
+    # The enrichment IS the resource when present (the Increase mixin's
+    # _prepare_for_insert: an event envelope is swapped for the fetched
+    # resource, increase_v1_mixin.rb:33-58).
+    enrichment_replaces_resource: bool = False
+    # One webhook body may be a JSON ARRAY of resources (base.rb:747-760
+    # list handling; email_octopus_event_v1.rb:55-80): explode each
+    # element into its own envelope row before extraction.
+    explode_body_array: bool = False
 
     def __post_init__(self):
         validate_identifier(self.table, "table")
@@ -265,6 +279,24 @@ class ReplicatorSpec:
         single declarative projection so Catalyst sees one narrow
         whole-stage-codegen stage, not a row loop.
         """
+        if self.explode_body_array:
+            # Array bodies fan out one element per row (order-preserving:
+            # posexplode folds into _seq so intra-batch last-wins still
+            # follows arrival order); scalar bodies pass through.
+            elems = F.coalesce(
+                F.from_json(F.col(body_col), "array<string>"),
+                F.array(F.col(body_col)),
+            )
+            envelopes = envelopes.select(
+                *[c for c in envelopes.columns if c != body_col],
+                F.posexplode(elems).alias("_elem_idx", body_col),
+            )
+            if "_seq" in envelopes.columns:
+                envelopes = envelopes.withColumn(
+                    "_seq",
+                    F.col("_seq") * F.lit(1_000_000) + F.col("_elem_idx"),
+                )
+            envelopes = envelopes.drop("_elem_idx")
         body = F.col(body_col)
         if self.resource_and_event is not None:
             resource, event = self.resource_and_event(body)
@@ -279,6 +311,10 @@ class ReplicatorSpec:
             # extraction now reads the materialized resource/enrichment
             resource = F.col("_resource")
             enrichment = F.col("_enrichment")
+            if self.enrichment_replaces_resource:
+                # increase_v1_mixin.rb:55-58 — the fetched resource
+                # replaces an event envelope; `data` follows suit.
+                resource = F.coalesce(enrichment, resource)
 
         cols = [c.extraction_expr(resource, event, enrichment) for c in self.all_cols]
         if self.store_enrichment_body:
