@@ -15,6 +15,7 @@ from webhookdb_spark.replicators import (  # noqa: F401
     increase,
     intercom_contact_v1,
     shopify_order_v1,
+    stripe,
     stripe_charge_v1,
     stripe_refund_v1,
     transistor_episode_stats_v1,
