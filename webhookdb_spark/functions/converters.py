@@ -277,6 +277,37 @@ def converter_map_lookup(mapping: dict, *, default_passthrough: bool = True) -> 
     return Converter(name="map_lookup", spark=spark, sql=None)
 
 
+def converter_map_lookup_array(
+    mapping: dict, *, value_type: str = "int", default_passthrough: bool = True
+) -> Converter:
+    """Array form of map_lookup (column.rb:244-264 with ``array: true``):
+    each element of a JSON array is looked up; misses pass through.
+
+    Keys are matched as strings (JSON scalars arrive as text), so an
+    int-keyed map like sponsy_publication_v1.rb's day-number→name table
+    works on numeric payloads too.
+    """
+    frozen = tuple(mapping.items())
+
+    def spark(c: Column) -> Column:
+        # build literals lazily — specs are declared at import time,
+        # before any SparkContext exists
+        pairs: list[Column] = []
+        for k, v in frozen:
+            pairs.append(F.lit(str(k)))
+            pairs.append(F.lit(v))
+        lookup = F.create_map(*pairs)
+        elems = F.from_json(c, "array<string>")
+        return F.transform(
+            elems,
+            (lambda x: F.coalesce(F.element_at(lookup, x), x.try_cast(value_type)))
+            if default_passthrough
+            else (lambda x: F.element_at(lookup, x)),
+        )
+
+    return Converter(name="map_lookup_array", spark=spark, sql=None)
+
+
 # ---------------------------------------------------------------------------
 # JSON canonicalization / NUL handling (base.rb:793-811; SURVEY §7 JSONB
 # equality). jsonb is key-order-insensitive and cannot store NUL; we

@@ -231,7 +231,10 @@ def merge_upsert(
         coalesce_upd = set(spec.coalesce_on_update)
         out_cols: list[Column] = []
         for name in data_cols:
-            if name == "data" and spec.merge_data_on_update:
+            if name in spec.custom_update_exprs:
+                # _upsert_update_expr override (base.rb:931-956)
+                upd = spec.custom_update_exprs[name](sc, tc)
+            elif name == "data" and spec.merge_data_on_update:
                 # jsonb `t.data || excluded.data` (base.rb:948-949):
                 # shallow object merge, incoming keys win. Arrow-batched
                 # UDF — a faithful shallow merge must preserve nested

@@ -6,6 +6,8 @@ Importing this package registers all bundled specs.
 from webhookdb_spark.replicators import (  # noqa: F401
     atom_single_feed_v1,
     aws_pricing_v1,
+    convertkit,
+    email_octopus,
     email_octopus_event_v1,
     fake,
     github_issue_v1,
@@ -15,6 +17,7 @@ from webhookdb_spark.replicators import (  # noqa: F401
     increase,
     intercom_contact_v1,
     shopify_order_v1,
+    sponsy,
     stripe,
     stripe_charge_v1,
     stripe_refund_v1,

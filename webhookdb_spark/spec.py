@@ -220,6 +220,12 @@ class ReplicatorSpec:
     # jsonb-concat on update: ``data = t.data || excluded.data``
     # (base.rb:948-949) — shallow key merge, incoming keys win.
     merge_data_on_update: bool = False
+    # Per-column custom MERGE set expressions (the _upsert_update_expr
+    # override, base.rb:931-956): column name → callable(s, t) -> Column
+    # where s/t resolve source ("excluded") and target columns. E.g.
+    # convertkit_subscriber_v1.rb:150-158 sets canceled_at
+    # unconditionally when state is active, else keeps the first value.
+    custom_update_exprs: dict[str, UpdateWhere] = field(default_factory=dict)
     # Hash partitioning (partitionable_mixin.rb): column receiving
     # str2inthash(partition_key_source), used for bucket routing.
     partition_column: str | None = None
