@@ -34,7 +34,14 @@ from __future__ import annotations
 import re
 from datetime import date, datetime, time, timedelta, timezone
 
-from webhookdb_spark.functions.converters import canonical_json_py
+import dataclasses
+
+from pyspark.sql import functions as F
+
+from webhookdb_spark.functions.converters import (
+    _str2inthash_spark,
+    canonical_json_py,
+)
 from webhookdb_spark.operators.recurrence import (
     entry_to_date_or_datetime,
     value_is_date_str,
@@ -223,5 +230,26 @@ ICALENDAR_EVENT_V1 = register(
         # touches one bucket (icalendar_event_v1_partitioned.rb)
         partition_key_source="calendar_external_id",
         n_buckets=16,
+    )
+)
+
+
+# icalendar_event_v1_partitioned.rb: same columns plus an explicit
+# `calendar_external_hash` partition column (str2inthash of the calendar
+# id, partitionable_mixin.rb:74-90). Our storage hash-buckets every
+# table already, so the parent spec routes identically; this variant
+# exists for reference parity and materializes the hash as a column.
+ICALENDAR_EVENT_V1_PARTITIONED = register(
+    dataclasses.replace(
+        ICALENDAR_EVENT_V1,
+        name="icalendar_event_v1_partitioned",
+        table="icalendar_event_v1_partitioned",
+        denorm_cols=(
+            *ICALENDAR_EVENT_V1.denorm_cols,
+            Col("calendar_external_hash", ColumnType.INTEGER, optional=True,
+                defaulter=lambda b: _str2inthash_spark(
+                    F.get_json_object(b, "$.calendar_external_id"))),
+        ),
+        partition_column="calendar_external_hash",
     )
 )

@@ -1,0 +1,253 @@
+"""Transistor episode/show replicators (reference:
+lib/webhookdb/replicator/transistor_v1_mixin.rb,
+transistor_episode_v1.rb, transistor_show_v1.rb; episode download stats
+live in transistor_episode_stats_v1.py).
+
+Mixin shape: remote key ``transistor_id`` (``id``), JSONAPI payloads
+(columns dig ``attributes.*``), conditional update
+``updated_at < excluded.updated_at``.
+
+Episodes reproduce the reference's February-2023 format split
+(transistor_episode_v1.rb:68-137): api_format 1 payloads have separate
+``attributes.summary``/``description``; api_format 2 merged them into
+one description HTML blob, from which the first text line of the first
+<div>/<p> becomes ``logical_summary`` and the remainder (leading <br>s
+dropped, emptied first block removed) becomes ``logical_description``.
+The split runs as an Arrow-batched pandas UDF over a tiny stdlib
+html.parser DOM — no HTML library ships in this container.
+
+Transcript text is an enrichment fetch (``transcript_url`` + ".txt",
+:140-157); the fetcher is injected per deployment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T_
+
+from webhookdb_spark.functions.converters import CONV_PARSE_TIME
+from webhookdb_spark.spec import Col, ReplicatorSpec, register
+from webhookdb_spark.types import ColumnType
+
+T, I, TS = ColumnType.TEXT, ColumnType.INTEGER, ColumnType.TIMESTAMP
+
+_KEY = Col("transistor_id", T, data_key="id")
+_GUARD = lambda s, t: t("updated_at") < s("updated_at")  # noqa: E731
+
+
+# --- minimal DOM for the description split ---------------------------------
+
+_VOID = {"br", "hr", "img", "input", "meta", "link"}
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "text", "parent")
+
+    def __init__(self, tag=None, attrs=None, text=None, parent=None):
+        self.tag, self.attrs, self.text = tag, attrs or [], text
+        self.children: list[_Node] = []
+        self.parent = parent
+
+    def inner_text(self) -> str:
+        if self.text is not None:
+            return self.text
+        return "".join(c.inner_text() for c in self.children)
+
+    def to_html(self) -> str:
+        if self.text is not None:
+            return self.text
+        attrs = "".join(
+            f' {k}="{v}"' if v is not None else f" {k}" for k, v in self.attrs
+        )
+        inner = "".join(c.to_html() for c in self.children)
+        if self.tag is None:  # fragment root
+            return inner
+        if self.tag in _VOID:
+            return f"<{self.tag}{attrs}>"
+        return f"<{self.tag}{attrs}>{inner}</{self.tag}>"
+
+    def find_first(self, tags) -> "_Node | None":
+        for c in self.children:
+            if c.tag in tags:
+                return c
+            hit = c.find_first(tags) if c.text is None else None
+            if hit is not None:
+                return hit
+        return None
+
+
+def _parse_fragment(html: str) -> _Node:
+    from html.parser import HTMLParser
+
+    root = _Node()
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.cur = root
+
+        def handle_starttag(self, tag, attrs):
+            node = _Node(tag, attrs, parent=self.cur)
+            self.cur.children.append(node)
+            if tag not in _VOID:
+                self.cur = node
+
+        def handle_endtag(self, tag):
+            n = self.cur
+            while n.parent is not None:
+                if n.tag == tag:
+                    self.cur = n.parent
+                    return
+                n = n.parent
+
+        def handle_data(self, data):
+            self.cur.children.append(_Node(text=data, parent=self.cur))
+
+    p = P()
+    p.feed(html)
+    p.close()
+    return root
+
+
+def split_description(summary: str | None, description: str | None):
+    """Returns (api_format, logical_summary, logical_description) per
+    transistor_episode_v1.rb:68-137."""
+    if summary is not None:
+        return 1, summary, description
+    if description is None:
+        return 2, None, None
+    frag = _parse_fragment(description)
+    first = frag.find_first(("div", "p"))
+    extracted = None
+    if first is not None:
+        line = []
+        kids = first.children
+        i = 0
+        while i < len(kids):
+            child = kids[i]
+            if child.text is not None:
+                line.append(child.text)
+                kids.pop(i)
+            elif child.tag == "br":
+                # drop this br and any immediately following brs
+                kids.pop(i)
+                while i < len(kids) and kids[i].tag == "br":
+                    kids.pop(i)
+                break
+            elif child.tag in ("p", "div"):
+                break
+            else:
+                line.append(child.to_html())
+                kids.pop(i)
+        if not first.inner_text().strip():
+            first.parent.children.remove(first)
+        extracted = "".join(line).strip()
+    if extracted:
+        rest = frag.to_html().strip()
+        logical_desc = rest if frag.inner_text().strip() else None
+        return 2, extracted, logical_desc
+    return 2, frag.to_html().strip(), None
+
+
+def _episode_format_hook(df: DataFrame) -> DataFrame:
+    @F.pandas_udf(
+        T_.StructType(
+            [
+                T_.StructField("api_format", T_.IntegerType()),
+                T_.StructField("logical_summary", T_.StringType()),
+                T_.StructField("logical_description", T_.StringType()),
+            ]
+        )
+    )
+    def split(summary: pd.Series, description: pd.Series) -> pd.DataFrame:
+        rows = [split_description(s, d) for s, d in zip(summary, description)]
+        return pd.DataFrame(
+            rows, columns=["api_format", "logical_summary", "logical_description"]
+        )
+
+    parts = split(
+        F.get_json_object(F.col("data"), "$.attributes.summary"),
+        F.get_json_object(F.col("data"), "$.attributes.description"),
+    )
+    return (
+        df.withColumn("_fmt", parts)
+        .withColumn("api_format", F.col("_fmt.api_format"))
+        .withColumn("logical_summary", F.col("_fmt.logical_summary"))
+        .withColumn("logical_description", F.col("_fmt.logical_description"))
+        .drop("_fmt")
+    )
+
+
+def transistor_episode_v1(
+    fetch_transcript: Callable[[dict], dict | None] | None = None,
+) -> ReplicatorSpec:
+    def enrich(resource: dict) -> dict | None:
+        if fetch_transcript is None:
+            return None
+        return fetch_transcript(resource)
+
+    return ReplicatorSpec(
+        name="transistor_episode_v1",
+        table="transistor_episode_v1",
+        remote_key=_KEY,
+        denorm_cols=(
+            Col("author", T, data_key=["attributes", "author"], optional=True),
+            Col("created_at", TS, index=True,
+                data_key=["attributes", "created_at"], converter=CONV_PARSE_TIME),
+            Col("duration", I, data_key=["attributes", "duration"], optional=True),
+            Col("keywords", T, data_key=["attributes", "keywords"], optional=True),
+            Col("number", I, index=True, data_key=["attributes", "number"],
+                optional=True),
+            Col("published_at", TS, index=True,
+                data_key=["attributes", "published_at"], converter=CONV_PARSE_TIME,
+                optional=True),
+            Col("season", I, index=True, data_key=["attributes", "season"],
+                optional=True),
+            Col("show_id", T, index=True,
+                data_key=["relationships", "show", "data", "id"], optional=True),
+            Col("status", T, data_key=["attributes", "status"], optional=True),
+            Col("title", T, data_key=["attributes", "title"], optional=True),
+            Col("type", T, data_key=["attributes", "type"], optional=True),
+            Col("updated_at", TS, index=True,
+                data_key=["attributes", "updated_at"], converter=CONV_PARSE_TIME),
+            Col("transcript_text", T, optional=True, from_enrichment=True,
+                data_key="transcript_text"),
+            # filled by the prepare hook
+            Col("api_format", I, optional=True),
+            Col("logical_summary", T, optional=True),
+            Col("logical_description", T, optional=True),
+        ),
+        timestamp_col="updated_at",
+        update_where=_GUARD,
+        enrichment_fetcher=enrich,
+        prepare_hook=_episode_format_hook,
+    )
+
+
+TRANSISTOR_EPISODE_V1 = register(transistor_episode_v1())
+
+# transistor_show_v1.rb:21-38
+TRANSISTOR_SHOW_V1 = register(
+    ReplicatorSpec(
+        name="transistor_show_v1",
+        table="transistor_show_v1",
+        remote_key=_KEY,
+        denorm_cols=(
+            Col("author", T, data_key=["attributes", "author"], optional=True),
+            Col("created_at", TS, index=True,
+                data_key=["attributes", "created_at"], converter=CONV_PARSE_TIME),
+            Col("description", T, data_key=["attributes", "description"],
+                optional=True),
+            Col("title", T, data_key=["attributes", "title"], optional=True),
+            Col("updated_at", TS, index=True,
+                data_key=["attributes", "updated_at"], converter=CONV_PARSE_TIME),
+            Col("website", T, data_key=["attributes", "website"], optional=True),
+        ),
+        timestamp_col="updated_at",
+        update_where=_GUARD,
+    )
+)

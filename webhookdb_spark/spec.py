@@ -82,7 +82,12 @@ def _json_path(data_key: str | list[str]) -> str:
     import re
 
     return "$" + "".join(
-        f".{k}" if re.fullmatch(r"\w+", k) else f"['{k}']" for k in keys
+        f"[{k}]"  # integer path element = array index (column.rb _dig
+        # walks lists too — postmark_inbound_message_v1.rb's
+        # ["ToFull", 0, "Email"])
+        if isinstance(k, int)
+        else (f".{k}" if re.fullmatch(r"\w+", k) else f"['{k}']")
+        for k in keys
     )
 
 
@@ -344,7 +349,12 @@ class ReplicatorSpec:
         if self.prepare_hook is not None:
             out = self.prepare_hook(out)
         # Rows with no remote key are skipped, matching the reference's
-        # nil-resource short-circuit (base.rb:744-760).
+        # nil-resource short-circuit (base.rb:744-760) — EXCEPT when the
+        # key draws from the integration sequence (url_recorder_v1.rb's
+        # requires_sequence?): those keys are NULL by design until the
+        # upsert path fills them.
+        if self.remote_key.defaulter == SEQUENCE_DEFAULTER:
+            return out
         return out.where(F.col(self.remote_key.name).isNotNull())
 
 
