@@ -79,3 +79,45 @@ def test_verify_envelopes_stage(spark):
         r.integration_opaque_id: r._reject_reason for r in rejected(verified).collect()
     }
     assert bad == {"gh": "invalid sha256", "??": "unknown integration"}
+
+
+def test_front_scheme():
+    from webhookdb_spark.functions.verification import verify_front
+
+    ts = "1700000000"
+    good = b64encode(
+        hmac.new(SECRET.encode(), f"{ts}:{BODY}".encode(), hashlib.sha256).digest()
+    ).decode()
+    assert verify_front(BODY, good, ts, SECRET) is None
+    assert verify_front(BODY, None, ts, SECRET) == "missing signature"
+    assert verify_front(BODY, good, "1700000001", SECRET) == "invalid signature"
+
+
+def test_intercom_scheme():
+    from webhookdb_spark.functions.verification import verify_intercom
+
+    good = "sha1=" + hmac.new(SECRET.encode(), BODY.encode(), hashlib.sha1).hexdigest()
+    assert verify_intercom(BODY, good, SECRET) is None
+    assert verify_intercom(BODY, None, SECRET) == "missing hmac"
+    assert verify_intercom(BODY, "sha1=bad", SECRET) == "invalid hmac"
+
+
+def test_increase_scheme_and_cutoffs():
+    from webhookdb_spark.functions.verification import verify_increase
+
+    now = 1_750_000_000
+    t_iso = dt.datetime.fromtimestamp(now, dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    mac = hmac.new(
+        SECRET.encode(), f"{t_iso}.{BODY}".encode(), hashlib.sha256
+    ).hexdigest()
+    sig = f"t={t_iso},v1={mac}"
+    assert verify_increase(BODY, sig, SECRET, now) is None
+    assert verify_increase(BODY, None, SECRET, now) == "missing header"
+    assert verify_increase(BODY, f"v1={mac}", SECRET, now) == "missing timestamp"
+    assert verify_increase(BODY, f"t={t_iso}", SECRET, now) == "missing signatures"
+    # 36 days old → too old; 5 days ahead → too new
+    assert verify_increase(BODY, sig, SECRET, now + 36 * 86400) == "too old"
+    assert verify_increase(BODY, sig, SECRET, now - 5 * 86400) == "too new"
+    assert verify_increase(BODY, f"t={t_iso},v1=bad", SECRET, now) == "invalid signature"

@@ -11,6 +11,17 @@ Schemes reproduced from the reference:
   timestamp must be within tolerance (300 s default).
 - **Shopify** (shopify.rb:31-34): ``X-Shopify-Hmac-SHA256``, base64 of
   the HMAC-SHA256 digest.
+- **Front** (front.rb:28-41): ``X-Front-Signature`` = base64
+  HMAC-SHA256 over ``"{X-Front-Request-Timestamp}:{body}"``.
+- **Intercom** (intercom.rb:15-24): ``X-Hub-Signature`` =
+  ``sha1=<hex>`` of HMAC-SHA1(body).
+- **Increase** (increase.rb:40-88): ``Increase-Webhook-Signature`` =
+  ``t=<rfc3339>,v1=<hex>[,v1=…]``; signature = HMAC-SHA256 over
+  ``"{t_iso}.{body}"``; timestamp must be within (-35 d, +4 d).
+
+Twilio's scheme signs the full request URL plus sorted POST params,
+which the envelope stream does not carry — verification for it belongs
+at the HTTP intake edge.
 
 All comparisons are constant-time. The ingest-path stage is an
 Arrow-batched verdict column over the envelope stream: rejected rows
@@ -85,11 +96,76 @@ def verify_stripe(
     return None
 
 
+def verify_front(
+    body: str, sig_header: str | None, ts_header: str | None, secret: str
+) -> str | None:
+    if not sig_header:
+        return "missing signature"
+    base = f"{ts_header or ''}:{body}"
+    digest = b64encode(
+        hmac_mod.new(secret.encode(), base.encode(), hashlib.sha256).digest()
+    ).decode()
+    if hmac_mod.compare_digest(digest, sig_header):
+        return None
+    return "invalid signature"
+
+
+def verify_intercom(body: str, sig_header: str | None, secret: str) -> str | None:
+    if not sig_header:
+        return "missing hmac"
+    digest = hmac_mod.new(secret.encode(), body.encode(), hashlib.sha1).hexdigest()
+    if hmac_mod.compare_digest("sha1=" + digest, sig_header):
+        return None
+    return "invalid hmac"
+
+
+INCREASE_OLD_CUTOFF_S = 35 * 86400
+INCREASE_NEW_CUTOFF_S = 4 * 86400
+
+
+def verify_increase(
+    body: str, sig_header: str | None, secret: str, now_ts: int
+) -> str | None:
+    import datetime as _dt
+
+    if not sig_header:
+        return "missing header"
+    t_iso, v1s = None, []
+    for part in sig_header.split(","):
+        k, _, v = part.strip().partition("=")
+        if k == "t":
+            t_iso = v
+        elif k == "v1":
+            v1s.append(v)
+    if t_iso is None:
+        return "missing timestamp"
+    if not v1s:
+        return "missing signatures"
+    try:
+        t = _dt.datetime.fromisoformat(t_iso.replace("Z", "+00:00"))
+    except ValueError:
+        return "missing timestamp"
+    ts = t.timestamp()
+    if ts < now_ts - INCREASE_OLD_CUTOFF_S:
+        return "too old"
+    if ts > now_ts + INCREASE_NEW_CUTOFF_S:
+        return "too new"
+    expected = hmac_mod.new(
+        secret.encode(), f"{t_iso}.{body}".encode(), hashlib.sha256
+    ).hexdigest()
+    if any(hmac_mod.compare_digest(expected, v) for v in v1s):
+        return None
+    return "invalid signature"
+
+
 # header each scheme reads (lower-cased; envelope headers are a map)
 SCHEME_HEADERS = {
     "github": "x-hub-signature-256",
     "stripe": "stripe-signature",
     "shopify": "x-shopify-hmac-sha256",
+    "front": "x-front-signature",
+    "intercom": "x-hub-signature",
+    "increase": "increase-webhook-signature",
 }
 
 
@@ -112,16 +188,30 @@ def verify_envelopes(
     verifiers: dict[str, Callable[[str, str | None], str | None]] = {}
 
     def make(scheme: str, secret: str):
+        # each returns fn(body, headers) -> reason|None
         if scheme == "github":
-            return lambda body, sig: verify_github(body, sig, secret)
+            return lambda body, h: verify_github(
+                body, h.get("x-hub-signature-256"), secret)
         if scheme == "shopify":
-            return lambda body, sig: verify_shopify(body, sig, secret)
+            return lambda body, h: verify_shopify(
+                body, h.get("x-shopify-hmac-sha256"), secret)
         if scheme == "stripe":
-            return lambda body, sig: verify_stripe(body, sig, secret, now)
+            return lambda body, h: verify_stripe(
+                body, h.get("stripe-signature"), secret, now)
+        if scheme == "front":
+            return lambda body, h: verify_front(
+                body, h.get("x-front-signature"),
+                h.get("x-front-request-timestamp"), secret)
+        if scheme == "intercom":
+            return lambda body, h: verify_intercom(
+                body, h.get("x-hub-signature"), secret)
+        if scheme == "increase":
+            return lambda body, h: verify_increase(
+                body, h.get("increase-webhook-signature"), secret, now)
         raise ValueError(f"unknown scheme {scheme!r}")
 
     for opaque_id, (scheme, secret) in secrets.items():
-        verifiers[opaque_id] = (SCHEME_HEADERS[scheme], make(scheme, secret))
+        verifiers[opaque_id] = make(scheme, secret)
 
     def check(batches):
         import pandas as pd
@@ -129,14 +219,11 @@ def verify_envelopes(
         for pdf in batches:
             reasons = []
             for _, row in pdf.iterrows():
-                v = verifiers.get(row["integration_opaque_id"])
-                if v is None:
+                fn = verifiers.get(row["integration_opaque_id"])
+                if fn is None:
                     reasons.append("unknown integration")
                     continue
-                header_name, fn = v
-                headers = row["headers"] or {}
-                sig = headers.get(header_name)
-                reasons.append(fn(row["body"], sig))
+                reasons.append(fn(row["body"], row["headers"] or {}))
             out = pdf.copy()
             out["_reject_reason"] = pd.Series(reasons, index=pdf.index, dtype="object")
             yield out
