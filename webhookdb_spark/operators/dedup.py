@@ -119,22 +119,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, h0..h{K-1}) — hᵢ = min over shingles of md5('i:'+shingle).
 
-    Entirely row-local: ``array_min(transform(shingles, md5(...)))``
-    per hash — a narrow map with NO shuffle. At 100 TB this scales
-    linearly with input bytes and never materializes the exploded
-    (doc_id, shingle) stream; the alternative explode→groupBy design
-    shuffles |shingles| rows and is strictly worse. Docs with zero
-    shingles are dropped (same semantics as an explode-based plan).
+    Entirely row-local: ONE ``aggregate`` walk over the shingle array
+    carries a K-wide running-minimum accumulator (``zip_with`` + least
+    against per-salt md5s) — a narrow map with NO shuffle, and one array
+    traversal instead of K independent ``array_min`` passes (~1.5× at
+    sf0.1; md5 count is identical, the walk overhead isn't). At 100 TB
+    this scales linearly with input bytes and never materializes the
+    exploded (doc_id, shingle) stream; the alternative explode→groupBy
+    design shuffles |shingles| rows and is strictly worse. Docs with
+    zero shingles are dropped (same semantics as an explode-based plan).
     """
     sh = F.col("_sh")
     base = shingle_sets(df.select("doc_id", text_col), text_col, shingle_n)
+    salts = F.array(*[F.lit(f"{i}:") for i in range(n_hashes)])
+    sigs = F.aggregate(
+        sh,
+        # 'g' sorts above every md5 hex digit — the identity for least()
+        F.array_repeat(F.lit("g"), n_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(salts, lambda p: F.md5(F.concat(p, s))),
+            lambda a, b: F.least(a, b),
+        ),
+    )
     cols = [
-        F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.element_at(F.col("_sigs"), i + 1).alias(f"h{i}") for i in range(n_hashes)
     ]
-    return base.where(F.size(sh) > 0).select("doc_id", *cols)
+    return (
+        base.where(F.size(sh) > 0)
+        .select("doc_id", sigs.alias("_sigs"))
+        .select("doc_id", *cols)
+    )
 
 
 def lsh_candidate_pairs(
