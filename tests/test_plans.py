@@ -105,3 +105,51 @@ def test_bucket_pruned_read_opens_only_routed_files(spark, tmp_path):
     b = str2inthash_py("id7") % t.manifest.n_buckets
     assert all(f"/buckets/{b}/" in f for f in files), files
     assert routed.count() == 1
+
+
+def test_signature_stages_are_shuffle_free(spark):
+    """MinHash and SimHash fingerprints are row-local narrow maps: at
+    100 TB they must scale linearly with input bytes, so their plans may
+    not contain a single Exchange (the LSH band join later shuffles —
+    the signature computation itself never does)."""
+    from webhookdb_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for fn in (D.minhash_signatures, D.simhash):
+        p = plan_of(fn(docs))
+        # scale_out's RoundRobin repartition is allowed (it only spreads
+        # the single-row-group bench file across cores; with many input
+        # files it's moot) — what must never appear is a KEYED shuffle.
+        assert "hashpartitioning" not in p and "rangepartitioning" not in p, (
+            f"{fn.__name__} plan key-shuffles:\n{p}"
+        )
+
+
+def test_text_analysis_is_shuffle_free(spark):
+    """Language-ID / quality / token-count / fingerprint are per-row
+    expressions; any Exchange in their plans is a scale bug."""
+    for name in ("text_token_count", "text_quality", "text_langid",
+                 "text_fingerprint"):
+        p = plan_of(entry.queries()[name](spark, SF))
+        # same RoundRobin allowance as the signature gate above
+        assert "hashpartitioning" not in p and "rangepartitioning" not in p, (
+            f"{name} plan key-shuffles:\n{p}"
+        )
+
+
+def test_replicator_shaping_is_one_narrow_projection(spark):
+    """Spec extraction compiles to a single whole-stage-codegen
+    projection over the envelope scan — no shuffle, no Python in the
+    relational path (enrichment-free specs)."""
+    import datetime as dt
+    import json
+
+    from webhookdb_spark.replicators.stripe import STRIPE_CUSTOMER_V1
+
+    env = spark.createDataFrame(
+        [(json.dumps({"id": "c", "created": 1}), dt.datetime(2026, 1, 1))],
+        "body string, received_at timestamp",
+    )
+    p = plan_of(STRIPE_CUSTOMER_V1.shape(env))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
