@@ -575,8 +575,8 @@ def q_media_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
-    (byte-histogram stand-in for a codec-backed embedder) — genuinely
-    non-SQL, so rows-only."""
+    (byte-histogram stand-in for a codec-backed embedder); emits scalar
+    f0..f15 doubles so the result is fully hash-checkable."""
     return M.byte_histogram_features(M.media_from_documents(load(spark, sf, "documents")))
 
 
@@ -678,8 +678,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": D.sql_simhash(),
         "dedup_ngram": D.sql_jaccard_all_pairs(),
         "media_summary": M.sql_media_summary(),
-        # media_features intentionally omitted: Arrow/numpy kernel over
-        # binary payloads — rows-only check.
+        "media_features": M.sql_byte_histogram_features(),
         "ann_cosine_topk": S.sql_cosine_topk(),
         # ann_lsh_topk intentionally omitted: approximate operator,
         # rows-only check.

@@ -37,9 +37,28 @@ def test_byte_histogram_features_shape_and_norm(spark):
     out = {r.media_id: r for r in M.byte_histogram_features(media).collect()}
     assert set(out) == {1, 2, 3}
     for r in out.values():
-        assert len(r.features) == M.FEATURE_DIM
-        assert abs(sum(r.features) - 1.0) < 1e-3  # normalized histogram
+        feats = [r[f"f{i}"] for i in range(M.FEATURE_DIM)]
+        assert abs(sum(feats) - 1.0) < 1e-9  # normalized histogram
     assert out[1].n_bytes == len(b"hello world")
+    # "hello world": bytes 0x20-0x7f → only nibble buckets 2,6,7 populated
+    assert out[1].f2 == 1 / 11  # the space
+    assert out[1].f0 == 0.0
+
+
+def test_byte_histogram_matches_duckdb_oracle(spark):
+    import duckdb
+
+    media = M.media_from_documents(_docs(spark))
+    got = {
+        r.media_id: [r[f"f{i}"] for i in range(M.FEATURE_DIM)]
+        for r in M.byte_histogram_features(media).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                "(1, 'hello world'), (2, 'a somewhat longer document body here'), "
+                "(3, 'x')) t(doc_id, text)")
+    for row in con.execute(M.sql_byte_histogram_features()).fetchall():
+        assert got[row[0]] == list(row[2:]), f"media_id {row[0]} mismatch"
 
 
 def test_decode_images_gated_without_codec(spark):

@@ -1,0 +1,81 @@
+"""Driver-contract parity: run every ``queries()`` entry AND its
+``oracle_sql()`` twin at sf0.001 and compare canonicalized results —
+the same check the driver performs at sf0.01, run locally so a contract
+break (column rename, rounding drift, un-hashable output shape) fails
+in pytest before it costs a CORRECTNESS row.
+
+Canonicalization mirrors the driver: sort columns by name, sort rows by
+all columns, then compare values (exact for ints/strings, 1e-9 relative
+for floats). A column the driver's pandas sort cannot factorize (lists,
+dicts) is itself a failure here — that is exactly the media_features
+r1 regression shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Approximate operators with rows-only driver checks: parity here is
+# row-count presence, not value equality.
+ROWS_ONLY = {name for name in E.queries() if name not in E.oracle_sql()}
+
+
+def _canon(rows, cols):
+    """Sort columns by name, then rows by all values (None-safe)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [cols[i] for i in order], out
+
+
+def _eq(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return str(a) == str(b)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in E.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_query_matches_oracle(spark, oracle, name):
+    sdf = E.queries()[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name in ROWS_ONLY:
+        assert srows is not None  # ran and produced a stable collect
+        return
+    cur = oracle.execute(E.oracle_sql()[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+
+    assert sorted(sdf.columns) == sorted(ocols), "column names must match"
+    assert len(srows) == len(orows), f"row count {len(srows)} vs oracle {len(orows)}"
+
+    _, s = _canon(srows, sdf.columns)
+    _, o = _canon(orows, ocols)
+    bad = [
+        (i, sv, ov)
+        for i, (sv, ov) in enumerate(zip(s, o))
+        if not all(_eq(a, b) for a, b in zip(sv, ov))
+    ]
+    assert not bad, f"{len(bad)} mismatched rows; first: {bad[0]}"

@@ -115,48 +115,77 @@ def sql_media_summary(table: str = "documents", kind: str = "image") -> str:
 FEATURE_DIM = 16
 
 _FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("features", T.ArrayType(T.DoubleType())),
-    ]
+    [T.StructField("media_id", T.LongType()), T.StructField("n_bytes", T.IntegerType())]
+    + [T.StructField(f"f{i}", T.DoubleType()) for i in range(FEATURE_DIM)]
 )
 
 
-def byte_histogram_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+def byte_histogram_features(media: DataFrame) -> DataFrame:
     """Feature extraction over the opaque payload: normalized histogram
-    of byte values in ``dim`` buckets.
+    of byte values in 16 buckets, one scalar double column per bucket
+    (``f0``..``f15`` — scalars, not ``array<double>``, so any downstream
+    engine/canonicalizer can sort and hash the result).
 
     This is the real multimodal plumbing: Arrow-batched ``mapInPandas``
     (never row-at-a-time Python), numpy-vectorized inside the batch. A
     codec-backed embedding model drops into the same iterator.
+
+    Values are unrounded IEEE-754 ``count/total`` quotients: both numpy
+    and any SQL engine compute the identical double for the same two
+    ints, whereas round-to-6 can straddle a half-even/half-away tie
+    (e.g. 4/512) across engines.
     """
     import numpy as np
 
+    dim = FEATURE_DIM
     bucket = 256 // dim
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            feats, sizes = [], []
-            for buf in pdf["content"]:
+            n = len(pdf)
+            hists = np.zeros((n, dim), dtype="int64")
+            sizes = np.zeros(n, dtype="int32")
+            for j, buf in enumerate(pdf["content"]):
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
-                sizes.append(len(arr))
-                hist = np.bincount(arr // bucket, minlength=dim)[:dim]
-                total = max(len(arr), 1)
-                feats.append(np.round(hist / total, 6).tolist())
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": np.array(sizes, dtype="int32"),
-                    "features": feats,
-                }
-            )
+                sizes[j] = len(arr)
+                hists[j] = np.bincount(arr // bucket, minlength=dim)[:dim]
+            feats = hists / np.maximum(sizes, 1)[:, None]
+            out = {"media_id": pdf["media_id"], "n_bytes": sizes}
+            for i in range(dim):
+                out[f"f{i}"] = feats[:, i]
+            yield pd.DataFrame(out)
 
     return scale_out(media.select("media_id", "content")).mapInPandas(
         extract, schema=_FEATURES_SCHEMA
     )
+
+
+def sql_byte_histogram_features(table: str = "documents") -> str:
+    """DuckDB twin of media_from_documents → byte_histogram_features.
+
+    With dim=16 the bucket of a byte is exactly its high nibble, so the
+    histogram falls out of ``hex(encode(text))``: strip every second hex
+    char (``regexp_replace('(.).', '\\1')``) leaving one nibble per
+    byte, then count each hex digit by length-difference."""
+    digits = "0123456789ABCDEF"
+    fcols = ",\n  ".join(
+        "CAST(length(hi) - length(replace(hi, '%s', '')) AS DOUBLE)"
+        " / greatest(n_bytes, 1) AS f%d" % (d, i)
+        for i, d in enumerate(digits)
+    )
+    return f"""
+WITH nib AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hi
+  FROM {table}
+)
+SELECT media_id, n_bytes,
+  {fcols}
+FROM nib
+"""
 
 
 _DECODED_SCHEMA = T.StructType(
