@@ -295,6 +295,58 @@ def test_sync_feeds_distributed(spark, tmp_warehouse):
     assert got == {"calA-a1", "calB-b1-0", "calB-b1-1", "calB-b1-2"}
 
 
+def test_sweep_rewrites_only_touched_buckets(spark, tmp_warehouse):
+    """Bucket pruning in the cancellation sweep: a one-calendar sync
+    against a multi-calendar table must rewrite ONLY the bucket owning
+    that calendar (partitionable_mixin.rb:49-54 routing), leaving every
+    other bucket's data directory untouched."""
+    from webhookdb_spark.functions.converters import str2inthash_py
+
+    wh = Warehouse(spark, tmp_warehouse / "wh3")
+    table = wh.table("org1", "icalendar_event_v1")
+    # seed many calendars so several buckets are populated
+    cal_ids = [f"cal{i}" for i in range(8)]
+    feeds = spark.createDataFrame(
+        [(c, ics(vevent(f"UID:{c}-ev", "DTSTART:20240610T100000Z"))) for c in cal_ids],
+        "calendar_external_id string, ics_text string",
+    )
+    sync_feeds_distributed(spark, wh, "org1", feeds, NOW)
+    before = dict(table.manifest.buckets)
+    n_buckets = table.manifest.n_buckets
+    target = cal_ids[0]
+    target_bucket = str(str2inthash_py(target) % n_buckets)
+
+    # re-sync ONE calendar with a changed feed (event removed → sweep)
+    sync_feed(spark, wh, "org1", target, ics(
+        vevent(f"UID:{target}-other", "DTSTART:20240611T100000Z")
+    ), NOW + timedelta(days=1))
+    after = dict(table.manifest.buckets)
+    changed = {b for b in after if after[b] != before.get(b)}
+    assert changed == {target_bucket}, (changed, target_bucket)
+    # and the sweep actually ran: the removed event is CANCELLED
+    rows = {r["uid"]: r for r in table.read().collect()}
+    assert rows[f"{target}-ev"]["status"] == "CANCELLED"
+    assert rows["cal1-ev"]["status"] != "CANCELLED"
+
+
+def test_marker_literal_in_payload_not_misrouted(spark, tmp_warehouse):
+    """An event whose SUMMARY contains the literal ``__marker__`` must
+    ingest as a normal event — marker rows are routed by the _seq == -1
+    sentinel, never by body content."""
+    wh = Warehouse(spark, tmp_warehouse / "wh4")
+    feeds = spark.createDataFrame(
+        [("calM", ics(vevent("UID:m1", "DTSTART:20240610T100000Z",
+                             "SUMMARY:contains __marker__ literal")))],
+        "calendar_external_id string, ics_text string",
+    )
+    res = sync_feeds_distributed(spark, wh, "org1", feeds, NOW)
+    assert res.inserted == 1
+    rows = wh.table("org1", "icalendar_event_v1").read().collect()
+    assert len(rows) == 1
+    assert "contains __marker__ literal" in rows[0]["data"]
+    assert rows[0]["compound_identity"] == "calM-m1"
+
+
 def test_delete_calendar_cascade(spark, tmp_warehouse):
     """DELETE webhook: calendar row + its events vanish; other
     calendars untouched (icalendar_calendar_v1.rb:119-153)."""

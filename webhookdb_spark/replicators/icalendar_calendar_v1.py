@@ -121,12 +121,14 @@ def sync_feeds_distributed(
                         {"calendar_external_id": cal_id, "body": json.dumps(r),
                          "_seq": i}
                     )
+                # one marker row per feed carrying its uid→max_seq map;
+                # routed ONLY by the _seq == -1 sentinel (event rows are
+                # always _seq >= 0), never by body content — a payload
+                # may legitimately contain any literal.
                 out_rows.append(
                     {
                         "calendar_external_id": cal_id,
-                        "body": json.dumps(
-                            {"__max_seqs__": max_seqs, "__marker__": True}
-                        ),
+                        "body": json.dumps(max_seqs),
                         "_seq": -1,
                     }
                 )
@@ -139,17 +141,23 @@ def sync_feeds_distributed(
     )
     projected = projected.persist()
     try:
-        markers = (
-            projected.where(F.col("body").contains("__marker__"))
-            .collect()
-        )
-        max_seqs_by_cal: dict[str, dict[str, int]] = {}
-        for r in markers:
-            payload = json.loads(r["body"])
-            max_seqs_by_cal.setdefault(r["calendar_external_id"], {}).update(
-                payload["__max_seqs__"]
+        # Per-feed recurrence state stays distributed: markers explode to
+        # a (cal, ruid, max_seq) DataFrame that _sweep joins — nothing
+        # round-trips through the driver (at 10k feeds × many recurring
+        # UIDs a collect() here is a driver memory bottleneck).
+        markers = projected.where(F.col("_seq") == -1)
+        synced_cals = markers.select(
+            F.col("calendar_external_id").alias("cal")
+        ).distinct()
+        max_seqs = (
+            markers.select(
+                F.col("calendar_external_id").alias("cal"),
+                F.explode(F.from_json("body", "map<string,int>")).alias(
+                    "ruid", "max_seq"
+                ),
             )
-        event_rows = projected.where(~F.col("body").contains("__marker__"))
+        )
+        event_rows = projected.where(F.col("_seq") >= 0)
         env = event_rows.select(
             F.lit("icalendar_event_v1").alias("integration_opaque_id"),
             F.lit("icalendar_event_v1").alias("service_name"),
@@ -170,11 +178,11 @@ def sync_feeds_distributed(
         result = upsert_envelopes(table, env, ICALENDAR_EVENT_V1)
         _sweep(
             spark, table,
-            synced_calendars=list(max_seqs_by_cal),
+            synced_cals=synced_cals,
             upserted=env.select(
                 F.get_json_object("body", "$.compound_identity").alias("k")
             ),
-            max_seqs_by_cal=max_seqs_by_cal,
+            max_seqs=max_seqs,
         )
         return result
     finally:
@@ -205,46 +213,74 @@ def _upsert_and_sweep(spark, warehouse, org, max_seqs_by_cal, rows) -> MergeResu
     upserted = spark.createDataFrame(
         [(r["compound_identity"],) for r in rows] or [("",)], "k string"
     )
-    _sweep(spark, table, list(max_seqs_by_cal), upserted, max_seqs_by_cal)
-    return result
-
-
-def _sweep(spark, table, synced_calendars, upserted, max_seqs_by_cal) -> None:
-    """Post-sync cleanup, set-based:
-
-    - recurring rows beyond a UID's max sequence → DELETE (:445-450)
-    - other rows of the synced calendars not in the upserted set and not
-      CANCELLED → status 'CANCELLED' + data patch (:245-261)
-    """
-    from webhookdb_spark.storage import PART_COL, bucket_expr
-
-    m = table.manifest
-    df = table.read()
-    in_sync_scope = F.col("calendar_external_id").isin(synced_calendars)
+    synced_cals = spark.createDataFrame(
+        [(c,) for c in max_seqs_by_cal], "cal string"
+    )
     seq_rows = [
         (cal, uid, mx)
         for cal, seqs in max_seqs_by_cal.items()
         for uid, mx in seqs.items()
     ]
-    if seq_rows:
-        seq_df = spark.createDataFrame(
-            seq_rows, "cal string, ruid string, max_seq int"
+    max_seqs = spark.createDataFrame(seq_rows, "cal string, ruid string, max_seq int")
+    _sweep(spark, table, synced_cals, upserted, max_seqs)
+    return result
+
+
+def _sweep(spark, table, synced_cals, upserted, max_seqs) -> None:
+    """Post-sync cleanup, set-based AND bucket-pruned:
+
+    - recurring rows beyond a UID's max sequence → DELETE (:445-450)
+    - other rows of the synced calendars not in the upserted set and not
+      CANCELLED → status 'CANCELLED' + data patch (:245-261)
+
+    ``synced_cals``: DataFrame ``(cal string)`` — calendars in this sync.
+    ``max_seqs``: DataFrame ``(cal string, ruid string, max_seq int)``.
+    ``upserted``: DataFrame ``(k string)`` — upserted compound identities.
+
+    Only the hash buckets owning the synced calendars are read and
+    rewritten — ``str2inthash(calendar_external_id)`` routing, the same
+    trick ``delete_calendar_cascade`` uses and the Spark analog of the
+    reference's single-partition delete (partitionable_mixin.rb:49-54).
+    A one-calendar sync against a fleet-sized table rewrites exactly one
+    bucket. The bucket-id collect is metadata-sized (≤ n_buckets ints);
+    everything row-shaped stays distributed.
+    """
+    from webhookdb_spark.storage import PART_COL, bucket_expr
+
+    m = table.manifest
+    touched = sorted(
+        r["_b"]
+        for r in synced_cals.select(
+            bucket_expr("cal", m.n_buckets).cast("int").alias("_b")
         )
-        df = (
-            df.join(
-                F.broadcast(seq_df),
-                (df.calendar_external_id == seq_df.cal)
-                & (df.recurring_event_id == seq_df.ruid),
-                "left_outer",
-            )
-            .where(
-                F.col("max_seq").isNull()
-                | (F.col("recurring_event_sequence") <= F.col("max_seq"))
-            )
-            .drop("cal", "ruid", "max_seq")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return
+    df = table.read(buckets=touched)
+    scope = synced_cals.select(F.col("cal").alias("_scope_cal")).distinct()
+    df = df.join(
+        F.broadcast(scope),
+        df.calendar_external_id == F.col("_scope_cal"),
+        "left_outer",
+    )
+    in_sync_scope = F.col("_scope_cal").isNotNull()
+    df = (
+        df.join(
+            F.broadcast(max_seqs),
+            (df.calendar_external_id == max_seqs.cal)
+            & (df.recurring_event_id == max_seqs.ruid),
+            "left_outer",
         )
+        .where(
+            F.col("max_seq").isNull()
+            | (F.col("recurring_event_sequence") <= F.col("max_seq"))
+        )
+        .drop("cal", "ruid", "max_seq")
+    )
     keys = upserted.select(F.col("k")).distinct()
-    joined = df.join(F.broadcast(keys), df.compound_identity == F.col("k"), "left_outer")
+    joined = df.join(keys, df.compound_identity == F.col("k"), "left_outer")
     flip = (
         F.col("k").isNull()
         & in_sync_scope
@@ -255,11 +291,11 @@ def _sweep(spark, table, synced_calendars, upserted, max_seqs_by_cal) -> None:
     ).withColumn(
         "row_updated_at",
         F.when(flip, F.current_timestamp()).otherwise(F.col("row_updated_at")),
-    ).drop("k")
+    ).drop("k", "_scope_cal")
     swept = swept.withColumn(
         PART_COL, bucket_expr(ICALENDAR_EVENT_V1.partition_key_source, m.n_buckets)
     )
-    table.overwrite_buckets(swept, list(range(m.n_buckets)))
+    table.overwrite_buckets(swept, touched)
 
 
 def build_fetch_context(ics_text: str, content_type: str = "text/calendar") -> dict:
