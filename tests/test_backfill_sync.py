@@ -264,10 +264,17 @@ def test_fanout_delivery_and_abandon(tmp_warehouse):
 def test_http_parallel_sync_min_prefix_watermark(spark, tmp_warehouse):
     """A failing middle page must hold the watermark at the end of the
     completed PREFIX even though later pages delivered
-    (sync_target.rb:555-598 ordered-commit parity)."""
+    (sync_target.rb:555-598 ordered-commit parity) — and the partial
+    failure must surface to the caller, not read as success."""
     import datetime as dt
 
-    from webhookdb_spark.sinks.sync_target import HttpSyncTarget, SyncState
+    import pytest
+
+    from webhookdb_spark.sinks.sync_target import (
+        HttpSyncTarget,
+        SyncPagesFailed,
+        SyncState,
+    )
 
     rows = [
         (i, dt.datetime(2024, 1, 1, 0, i)) for i in range(9)
@@ -287,8 +294,10 @@ def test_http_parallel_sync_min_prefix_watermark(spark, tmp_warehouse):
         post=post,
         page_size=3,
     )
-    sent = tgt.run_sync_parallel(df, "2024-01-02T00:00:00", parallelism=3)
-    assert sent == 6  # pages 0 and 2 delivered
+    with pytest.raises(SyncPagesFailed) as exc:
+        tgt.run_sync_parallel(df, "2024-01-02T00:00:00", parallelism=3)
+    assert exc.value.failed_pages == [1]
+    assert exc.value.sent == 6  # pages 0 and 2 delivered
     st = tgt.state.load()
     # watermark = end of page 0 (the only complete prefix), NOT page 2's
     assert st["last_synced_at"] == "2024-01-01T00:02:00"

@@ -58,6 +58,54 @@ def test_sessionized_counts_batch_values(spark):
     assert per_user[8] == [1]
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the grouped function."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def test_changed_rows_fn_orders_by_received_at():
+    """Rows arrive shuffle-scrambled within a micro-batch; the retained
+    state hash must belong to the LATEST payload by received_at, so a
+    later re-send of that payload is correctly suppressed."""
+    import hashlib
+
+    import pandas as pd
+
+    from webhookdb_spark.streaming.windows import _changed_rows_fn
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    scrambled = pd.DataFrame(
+        {
+            "key": ["k"] * 3,
+            "body": ['{"v": 3}', '{"v": 1}', '{"v": 2}'],  # v3 is newest
+            "received_at": [t0 + dt.timedelta(seconds=9), t0, t0 + dt.timedelta(seconds=5)],
+        }
+    )
+    state = _FakeState()
+    out = pd.concat(list(_changed_rows_fn(("k",), iter([scrambled]), state)))
+    assert list(out["body"]) == ['{"v": 1}', '{"v": 2}', '{"v": 3}']
+    assert list(out["change"]) == ["insert", "update", "update"]
+    assert state.get[0] == hashlib.md5(b'{"v": 3}').hexdigest()
+
+    # re-send of the true latest payload is suppressed as unchanged
+    resend = scrambled.iloc[[0]].assign(received_at=t0 + dt.timedelta(seconds=20))
+    again = list(_changed_rows_fn(("k",), iter([resend]), state))
+    assert again == []
+
+
 def test_changed_rows_stream_cross_batch_state(spark):
     """Feed two micro-batches through a file stream: the second batch
     repeats an unchanged payload (suppressed) and changes another."""

@@ -19,9 +19,13 @@ Schemes reproduced from the reference:
   ``t=<rfc3339>,v1=<hex>[,v1=…]``; signature = HMAC-SHA256 over
   ``"{t_iso}.{body}"``; timestamp must be within (-35 d, +4 d).
 
-Twilio's scheme signs the full request URL plus sorted POST params,
-which the envelope stream does not carry — verification for it belongs
-at the HTTP intake edge.
+- **Twilio** (twilio_sms_v1.rb:20-44): the reference authenticates
+  Twilio webhooks with HTTP Basic auth against the integration's
+  webhook secret (not Twilio's URL-signing scheme). Reproduced as
+  ``verify_twilio_basic``. The public ``X-Twilio-Signature`` scheme
+  (base64 HMAC-SHA1 over URL + sorted POST params) is ALSO provided as
+  ``verify_twilio_signature``, reconstructing the signed URL from the
+  envelope's forwarded-proto/host headers + request_path.
 
 All comparisons are constant-time. The ingest-path stage is an
 Arrow-batched verdict column over the envelope stream: rejected rows
@@ -150,12 +154,73 @@ def verify_increase(
         return "too old"
     if ts > now_ts + INCREASE_NEW_CUTOFF_S:
         return "too new"
+    # The reference signs the PARSED time re-serialized as UTC ISO8601
+    # (Increase.compute_signature: t.utc.iso8601), not the raw header
+    # string — a t= with a non-Z offset or fractional seconds must still
+    # verify against the canonical form.
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=_dt.timezone.utc)
+    t_signed = t.astimezone(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
     expected = hmac_mod.new(
-        secret.encode(), f"{t_iso}.{body}".encode(), hashlib.sha256
+        secret.encode(), f"{t_signed}.{body}".encode(), hashlib.sha256
     ).hexdigest()
     if any(hmac_mod.compare_digest(expected, v) for v in v1s):
         return None
     return "invalid signature"
+
+
+def verify_twilio_basic(auth_header: str | None, secret: str) -> str | None:
+    """Reference-faithful Twilio check (twilio_sms_v1.rb:20-44): the
+    webhook must carry HTTP Basic auth whose decoded ``user:pass`` equals
+    the integration's webhook secret. 401 "challenge" when absent, 401
+    "invalid" on mismatch, 202 otherwise."""
+    from base64 import b64decode
+
+    if auth_header is None or not auth_header.startswith("Basic "):
+        return "challenge"
+    try:
+        user_and_pass = b64decode(auth_header[len("Basic "):]).decode()
+    except Exception:
+        return "invalid"
+    if hmac_mod.compare_digest(user_and_pass, secret):
+        return None
+    return "invalid"
+
+
+def verify_twilio_signature(
+    body: str,
+    sig_header: str | None,
+    auth_token: str,
+    url: str,
+) -> str | None:
+    """Twilio's public ``X-Twilio-Signature`` scheme (the reference takes
+    the Basic-auth path above instead; this covers users pointing real
+    Twilio webhooks at the intake): base64(HMAC-SHA1(auth_token,
+    url + concat(sorted POST param key+value)))."""
+    from urllib.parse import parse_qsl
+
+    if not sig_header:
+        return "missing signature"
+    signed = url
+    if body:
+        for k, v in sorted(parse_qsl(body, keep_blank_values=True)):
+            signed += k + v
+    digest = b64encode(
+        hmac_mod.new(auth_token.encode(), signed.encode(), hashlib.sha1).digest()
+    ).decode()
+    if hmac_mod.compare_digest(digest, sig_header):
+        return None
+    return "invalid signature"
+
+
+def _twilio_url_from_envelope(headers: dict, request_path: str) -> str:
+    """Reconstruct the signed URL from proxy headers + request path.
+
+    Twilio signs the exact public URL it POSTed to; behind a proxy that
+    is scheme://host/path[?query] from the forwarded headers."""
+    proto = headers.get("x-forwarded-proto") or "https"
+    host = headers.get("host") or headers.get("x-forwarded-host") or ""
+    return f"{proto}://{host}{request_path or ''}"
 
 
 # header each scheme reads (lower-cased; envelope headers are a map)
@@ -166,6 +231,8 @@ SCHEME_HEADERS = {
     "front": "x-front-signature",
     "intercom": "x-hub-signature",
     "increase": "increase-webhook-signature",
+    "twilio": "authorization",
+    "twilio_signature": "x-twilio-signature",
 }
 
 
@@ -181,49 +248,68 @@ def verify_envelopes(
     unknown opaque ids. Arrow-batched; secrets ride the closure
     (broadcast) so the stage is narrow.
     """
-    import datetime as _dt
-
-    now = now_ts if now_ts is not None else int(_dt.datetime.now().timestamp())
-
-    verifiers: dict[str, Callable[[str, str | None], str | None]] = {}
+    verifiers: dict[str, Callable[..., str | None]] = {}
 
     def make(scheme: str, secret: str):
-        # each returns fn(body, headers) -> reason|None
+        # each returns fn(body, headers, path, now) -> reason|None; `now`
+        # is resolved PER BATCH inside the executor closure — capturing it
+        # at plan-build time would evaluate the Stripe/Increase timestamp
+        # windows against an ever-staler clock on a long-running stream.
         if scheme == "github":
-            return lambda body, h: verify_github(
+            return lambda body, h, p, now: verify_github(
                 body, h.get("x-hub-signature-256"), secret)
         if scheme == "shopify":
-            return lambda body, h: verify_shopify(
+            return lambda body, h, p, now: verify_shopify(
                 body, h.get("x-shopify-hmac-sha256"), secret)
         if scheme == "stripe":
-            return lambda body, h: verify_stripe(
+            return lambda body, h, p, now: verify_stripe(
                 body, h.get("stripe-signature"), secret, now)
         if scheme == "front":
-            return lambda body, h: verify_front(
+            return lambda body, h, p, now: verify_front(
                 body, h.get("x-front-signature"),
                 h.get("x-front-request-timestamp"), secret)
         if scheme == "intercom":
-            return lambda body, h: verify_intercom(
+            return lambda body, h, p, now: verify_intercom(
                 body, h.get("x-hub-signature"), secret)
         if scheme == "increase":
-            return lambda body, h: verify_increase(
+            return lambda body, h, p, now: verify_increase(
                 body, h.get("increase-webhook-signature"), secret, now)
+        if scheme == "twilio":
+            return lambda body, h, p, now: verify_twilio_basic(
+                h.get("authorization"), secret)
+        if scheme == "twilio_signature":
+            return lambda body, h, p, now: verify_twilio_signature(
+                body, h.get("x-twilio-signature"), secret,
+                _twilio_url_from_envelope(h, p))
         raise ValueError(f"unknown scheme {scheme!r}")
 
     for opaque_id, (scheme, secret) in secrets.items():
         verifiers[opaque_id] = make(scheme, secret)
 
+    fixed_now = now_ts
+
     def check(batches):
+        import datetime as _dt
+
         import pandas as pd
 
+        has_path = None
         for pdf in batches:
+            now = (
+                fixed_now
+                if fixed_now is not None
+                else int(_dt.datetime.now(_dt.timezone.utc).timestamp())
+            )
+            if has_path is None:
+                has_path = "request_path" in pdf.columns
             reasons = []
             for _, row in pdf.iterrows():
                 fn = verifiers.get(row["integration_opaque_id"])
                 if fn is None:
                     reasons.append("unknown integration")
                     continue
-                reasons.append(fn(row["body"], row["headers"] or {}))
+                path = row["request_path"] if has_path else ""
+                reasons.append(fn(row["body"], row["headers"] or {}, path, now))
             out = pdf.copy()
             out["_reject_reason"] = pd.Series(reasons, index=pdf.index, dtype="object")
             yield out

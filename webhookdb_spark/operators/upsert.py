@@ -79,13 +79,18 @@ class IntegrationSequence:
         per-partition count job computes cumulative offsets (the
         ``zipWithIndex`` algorithm, kept JVM-side), then each row gets
         ``watermark + offset[partition] + row_number_in_partition``.
-        The input is persisted first so partition membership is
-        identical between the count job and the write. The watermark
-        advances by the batch's row count, so values stay compact —
-        a ``monotonically_increasing_id`` offset would inflate the
-        counter by 2^33 per partition per batch."""
+        The input is materialized with an EAGER localCheckpoint first —
+        not a mere persist — so partition membership is pinned: a cached
+        partition that was evicted and recomputed through lineage could
+        land rows in different partitions between the count job and the
+        downstream write, shifting or colliding assigned values after
+        the watermark already advanced. Checkpointing truncates lineage,
+        making the assignment stable before the watermark moves. The
+        watermark advances by the batch's row count, so values stay
+        compact — a ``monotonically_increasing_id`` offset would inflate
+        the counter by 2^33 per partition per batch."""
         wm = self.watermark()
-        df = df.persist()
+        df = df.localCheckpoint(eager=True)
         with_pid = df.withColumn("_pid", F.spark_partition_id())
         counts = {
             r["_pid"]: r["n"]

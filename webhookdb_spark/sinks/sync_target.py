@@ -74,6 +74,23 @@ RowPoster = Callable[[Sequence[dict], str], None]
 # (rows_page, sync_timestamp) -> None; raises on delivery failure
 
 
+class SyncPagesFailed(RuntimeError):
+    """Raised by run_sync_parallel when some pages failed to deliver.
+
+    The prefix watermark has already been committed, so retrying the
+    sync resumes at the first failed page (at-least-once, never a skip).
+    """
+
+    def __init__(self, failed_pages: list[int], sent: int):
+        self.failed_pages = failed_pages
+        self.sent = sent
+        super().__init__(
+            f"{len(failed_pages)} sync page(s) failed (indices {failed_pages}); "
+            f"{sent} rows delivered; watermark committed at the last "
+            "contiguous delivered page"
+        )
+
+
 @dataclass
 class HttpSyncTarget:
     """HTTP sync routine with the min-prefix watermark commit.
@@ -198,10 +215,15 @@ class HttpSyncTarget:
                 except Exception:
                     failed.add(i)
             commit_prefix()
-        if not failed:
-            st["last_synced_at"] = now
-            st.setdefault("stats", []).append({"synced": sent, "at": now})
-            self.state.save(st)
+        if failed:
+            # Surface partial failure AFTER committing the delivered
+            # prefix — run_sync propagates page errors, so this path must
+            # not silently report success either. The committed watermark
+            # makes the retry resume at the first failed page.
+            raise SyncPagesFailed(sorted(failed), sent)
+        st["last_synced_at"] = now
+        st.setdefault("stats", []).append({"synced": sent, "at": now})
+        self.state.save(st)
         return sent
 
 

@@ -106,16 +106,23 @@ def _changed_rows_fn(
     import pandas as pd
 
     last = state.get[0] if state.exists else None
+    # applyInPandasWithState gives no intra-group ordering guarantee after
+    # the groupBy shuffle, so materialize the batch and impose event order
+    # (received_at, stable) before hashing — otherwise the retained state
+    # hash can belong to a stale version and the true latest update would
+    # later be suppressed as "unchanged".
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if "received_at" in batch.columns:
+        batch = batch.sort_values("received_at", kind="stable")
     out_key, out_body, out_change = [], [], []
-    for pdf in pdfs:
-        for body in pdf["body"]:
-            h = hashlib.md5(body.encode()).hexdigest()
-            if h == last:
-                continue  # unchanged payload → no downstream work
-            out_key.append(key[0])
-            out_body.append(body)
-            out_change.append("insert" if last is None else "update")
-            last = h
+    for body in batch["body"]:
+        h = hashlib.md5(body.encode()).hexdigest()
+        if h == last:
+            continue  # unchanged payload → no downstream work
+        out_key.append(key[0])
+        out_body.append(body)
+        out_change.append("insert" if last is None else "update")
+        last = h
     if last is not None:
         state.update((last,))
     if out_key:
@@ -131,8 +138,11 @@ def changed_rows_stream(envelopes: DataFrame, key_col: str = "opaque_id") -> Dat
     ``applyInPandasWithState``. NoTimeout: replicated keys live forever,
     like their table rows.
     """
+    cols = [F.col(key_col).alias("key"), F.col("body")]
+    if "received_at" in envelopes.columns:
+        cols.append(F.col("received_at"))
     return (
-        envelopes.select(F.col(key_col).alias("key"), "body")
+        envelopes.select(*cols)
         .groupBy("key")
         .applyInPandasWithState(
             _changed_rows_fn,
