@@ -586,8 +586,17 @@ def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming-1 multiprobe sign-LSH ANN. Deterministic (rounded sign
+    bits, fixed tie-breaks) so it carries a full value-hash oracle."""
     emb = load(spark, sf, "embeddings")
     return S.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 3), k=5)
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the multiprobe LSH ANN vs exact cosine top-5, per
+    query — the approximate operator's self-check."""
+    emb = load(spark, sf, "embeddings")
+    return S.ann_lsh_recall(emb, emb.where(F.col("vec_id") < 3), k=5)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -645,7 +654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_summary": q_media_summary,
         "media_features": q_media_features,  # pandas-UDF — rows-only check
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,  # approximate — rows-only check
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_near_dup": q_embed_near_dup,
     }
@@ -680,8 +690,8 @@ def oracle_sql() -> dict[str, str]:
         "media_summary": M.sql_media_summary(),
         "media_features": M.sql_byte_histogram_features(),
         "ann_cosine_topk": S.sql_cosine_topk(),
-        # ann_lsh_topk intentionally omitted: approximate operator,
-        # rows-only check.
+        "ann_lsh_topk": S.sql_ann_topk_lsh(),
+        "ann_lsh_recall": S.sql_ann_lsh_recall(),
         "ann_ivf_topk": S.sql_ann_topk_ivf(),
         "embed_near_dup": S.sql_embedding_near_dup(
             table="(SELECT vec_id, embedding FROM embeddings"

@@ -85,6 +85,43 @@ def test_ivf_topk_finds_same_cell_neighbor(spark):
     assert len(rows) == 1 and rows[0].vec_id == 0
 
 
+def test_ann_lsh_multiprobe_recovers_hamming1_neighbor(spark):
+    """An identical vector always shares the bucket; multiprobe must
+    also surface near-misses one sign-bit away, and never duplicate a
+    (query, vec) pair found by several tables/probes."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    vs = _vecs(
+        spark,
+        [(0, base)]
+        + [(i, [x + rng.uniform(-0.05, 0.05) for x in base]) for i in range(1, 6)]
+        + [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(6, 30)],
+    )
+    out = S.ann_topk_lsh(vs, vs.where(F.col("vec_id") == 0), k=5, n_planes=6, n_tables=2)
+    rows = out.collect()
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids)) == 5  # full k, no dup pairs
+    # the 5 jittered near-copies dominate the top-k
+    assert set(ids) == {1, 2, 3, 4, 5}
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+
+
+def test_ann_lsh_recall_bounds_and_exact_copy(spark):
+    """recall_at_k is in [0,1] per query, and a planted exact duplicate
+    is always recalled (it shares every sign bit)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rows.append((100, list(rows[0][1])))  # exact copy of vec 0
+    vs = _vecs(spark, rows)
+    rec = S.ann_lsh_recall(vs, vs.where(F.col("vec_id") == 0), k=1, n_planes=6)
+    got = rec.collect()
+    assert len(got) == 1 and got[0].recall_at_k == 1.0
+
+
 def test_embedding_near_dup_catches_duplicate_vector(spark):
     vs = _vecs(
         spark,

@@ -158,33 +158,94 @@ def ann_topk_lsh(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
+    multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the sign-signature bucket,
-    exact cosine re-ranks within the bucket.
+    """Approximate top-k via multi-table, multiprobe sign-LSH: a
+    candidate is any vector sharing a bucket with the query in ANY of
+    the ``n_tables`` independent hash tables, where each table probes
+    the exact bucket plus (with ``multiprobe``) its ``n_planes``
+    hamming-1 neighbors. Exact cosine re-ranks the candidates.
 
-    At scale the corpus is written bucketed by signature, so a query
-    reads one bucket (plus optionally hamming-1 neighbors for recall).
-    Here both sides compute signatures inline and hash-join on them.
+    Both knobs are the standard recall levers: one 8-bit bucket holds
+    ~|corpus|/256 vectors (~2 candidates per 500 rows — useless);
+    hamming-1 multiprobe ×(1+8) and four OR'd tables ×4 lift the probe
+    set to 36 buckets drawn from independent projections, the classic
+    (L, probe) trade of probe cost for recall. Everything stays a hash
+    join on (table_id, sig) — never a scan. Signatures use ROUNDED dots
+    (6 places, like :func:`sign_bits`), so bucket membership — and
+    hence the whole result — is deterministic and engine-portable: this
+    ANN carries a full value-hash oracle (:func:`sql_ann_topk_lsh`).
+
+    Candidates travel as (query_id, vec_id) pairs only and are
+    distinct'd before vectors re-join for scoring (same shape as
+    :func:`embedding_near_dup_pairs`), so the cross-table dedup never
+    shuffles vector payloads. At 100 TB the corpus is written
+    ``n_tables``× bucketed by (table_id, sig); each query reads
+    ``n_tables × (1 + n_planes)`` buckets.
     """
     n_dims = len(corpus.select(vec_col).first()[0])
-    planes = hyperplanes(n_planes, n_dims)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("c_vec"),
-        sign_signature(F.col(vec_col), planes).alias("sig"),
+    planes = hyperplanes(n_planes * n_tables, n_dims)
+    bits = sign_bits(F.col(vec_col), planes)
+    tbl_sigs = [
+        F.concat(*bits[t * n_planes : (t + 1) * n_planes]) for t in range(n_tables)
+    ]
+    tagged = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), tbl_sigs[t].alias("sig"))
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("ts")
+    c_sigs = corpus.select(F.col(id_col).alias("vec_id"), tagged).select(
+        "vec_id", "ts.tbl", "ts.sig"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        sign_signature(F.col(vec_col), planes).alias("sig"),
+    if multiprobe:
+        probe_structs = []
+        for t in range(n_tables):
+            sig_t = tbl_sigs[t]
+            probe_structs.append(
+                F.struct(F.lit(t).alias("tbl"), sig_t.alias("sig"))
+            )
+            for p in range(n_planes):
+                flipped = F.when(
+                    F.substring(sig_t, p + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1"))
+                probe_structs.append(
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.concat(
+                            F.substring(sig_t, 1, p),
+                            flipped,
+                            F.substring(sig_t, p + 2, n_planes - p - 1),
+                        ).alias("sig"),
+                    )
+                )
+        q_tagged = F.explode(F.array(*probe_structs)).alias("ts")
+    else:
+        q_tagged = tagged
+    q_probes = queries.select(F.col(id_col).alias("query_id"), q_tagged).select(
+        "query_id", "ts.tbl", "ts.sig"
     )
-    paired = c.join(F.broadcast(q), on="sig").where(
-        F.col("vec_id") != F.col("query_id")
+    cand = (
+        c_sigs.join(F.broadcast(q_probes), on=["tbl", "sig"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
     )
-    scored = paired.select(
-        "query_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(cv, on="vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
@@ -194,6 +255,140 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def sql_ann_topk_lsh(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    multiprobe: bool = True,
+    n_dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ann_topk_lsh`: identical md5-derived plane
+    constants, rounded dots, table split, hamming-1 probe set, and
+    tie-breaks."""
+    planes = hyperplanes(n_planes * n_tables, n_dims)
+    values = ",\n      ".join(
+        f"({p}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(planes)
+    )
+    cos_qv = _SQL_COS.format(a="q.embedding", b="e.embedding")
+    # per-table signature = substr of the concatenated bit string
+    tbl_rows = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, substr(sig, {1 + t * n_planes}, {n_planes}) AS sig FROM sigs"
+        for t in range(n_tables)
+    )
+    probe_src = "SELECT query_id, tbl, sig AS probe FROM qsigs"
+    if multiprobe:
+        probe_src += f"""
+      UNION ALL
+      SELECT query_id, tbl,
+             substr(sig, 1, CAST(r.range AS INTEGER))
+             || (CASE WHEN substr(sig, CAST(r.range AS INTEGER) + 1, 1) = '1'
+                      THEN '0' ELSE '1' END)
+             || substr(sig, CAST(r.range AS INTEGER) + 2) AS probe
+      FROM qsigs CROSS JOIN range({n_planes}) r"""
+    return f"""
+    WITH planes(plane_id, pvec) AS (VALUES
+      {values}
+    ),
+    dots AS (
+      SELECT e.vec_id, p.plane_id,
+             round(list_sum(list_transform(range(1, {n_dims} + 1),
+                    i -> e.embedding[i]::DOUBLE * p.pvec[i])), 6) AS dot
+      FROM {table} e CROSS JOIN planes p
+    ),
+    sigs AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY plane_id) AS sig
+      FROM dots GROUP BY vec_id
+    ),
+    tsigs AS (
+      {tbl_rows}
+    ),
+    qsigs AS (
+      SELECT vec_id AS query_id, tbl, sig FROM tsigs WHERE {query_pred}
+    ),
+    probes AS (
+      {probe_src}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, s.vec_id
+      FROM probes p JOIN tsigs s ON s.tbl = p.tbl AND s.sig = p.probe
+      WHERE s.vec_id != p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id, {cos_qv} AS cosine_sim
+      FROM cand c
+      JOIN {table} q ON q.vec_id = c.query_id
+      JOIN {table} e ON e.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def ann_lsh_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Self-check for the approximate operator: recall@k of
+    :func:`ann_topk_lsh` against the exact :func:`cosine_topk`, per
+    query. Both sides are deterministic, so recall itself is
+    deterministic and carries a full oracle — rare for an ANN."""
+    exact = cosine_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "vec_id"
+    )
+    approx = ann_topk_lsh(
+        corpus, queries, k, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    qs = queries.select(F.col(id_col).alias("query_id"))
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(k)), 6).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def sql_ann_lsh_recall(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    n_planes: int = 8,
+    n_dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ann_lsh_recall`."""
+    exact = sql_cosine_topk(table, query_pred, k)
+    approx = sql_ann_topk_lsh(table, query_pred, k, n_planes=n_planes, n_dims=n_dims)
+    return f"""
+    WITH exact AS ({exact}),
+    approx AS ({approx}),
+    hits AS (
+      SELECT e.query_id, count(*) AS hits
+      FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT q.vec_id AS query_id,
+           round(coalesce(h.hits, 0) / {float(k)}, 6) AS recall_at_k
+    FROM {table} q LEFT JOIN hits h ON q.vec_id = h.query_id
+    WHERE {query_pred}
+    """
 
 
 # -- IVF (inverted-file) ANN -------------------------------------------------
