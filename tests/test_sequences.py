@@ -77,6 +77,38 @@ def test_sequence_respects_payload_value(spark, tmp_warehouse):
     assert rows["y"] != 777 and rows["y"] >= 1
 
 
+def test_int_or_sequence_from_regex_round_trip(spark, tmp_warehouse):
+    """fake.rb:368-380 parity: the URL-embedded id wins when present,
+    the integration sequence supplies it otherwise."""
+    from webhookdb_spark.functions.converters import (
+        converter_int_or_sequence_from_regex,
+    )
+    from webhookdb_spark.replicators.fake import FAKE_INT_OR_SEQ_V1
+
+    conv = converter_int_or_sequence_from_regex(r"/resources/(\d+)")
+    assert conv.needs_sequence and not conv.backfillable
+
+    t = Warehouse(spark, str(tmp_warehouse)).table("org", "fake_int_or_seq_v1")
+    upsert_envelopes(
+        t,
+        _env(
+            spark,
+            [
+                {"my_id": "a", "at": "2024-01-01T00:00:00Z",
+                 "url": "https://api.example.com/resources/4242"},
+                {"my_id": "b", "at": "2024-01-01T00:00:00Z",
+                 "url": "https://api.example.com/resources/"},  # no id yet
+                {"my_id": "c", "at": "2024-01-01T00:00:00Z"},   # no url at all
+            ],
+        ),
+        FAKE_INT_OR_SEQ_V1,
+    )
+    rows = {r.my_id: r.int_or_seq for r in t.read().collect()}
+    assert rows["a"] == 4242
+    assert rows["b"] != rows["c"] and rows["b"] >= 1 and rows["c"] >= 1
+    assert 4242 not in (rows["b"], rows["c"])
+
+
 def test_sequence_watermark_persists(tmp_warehouse):
     s = IntegrationSequence(tmp_warehouse)
     assert s.watermark() == 0

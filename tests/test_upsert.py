@@ -199,3 +199,41 @@ def test_changed_rows_feed_fanout(spark, tmp_warehouse):
     )
     changed = {r["my_id"]: r["_action"] for r in res.changed.collect()}
     assert changed == {"a": "insert", "b": "insert"}
+
+
+def test_delete_where_single_pass_counts(spark, tmp_warehouse):
+    """delete_where returns the dropped-row count from an Observation on
+    the single rewrite pass — including the shapes that used to prune
+    the metrics node (bucket emptied at runtime; constant condition
+    folded at optimization time)."""
+    from pyspark.sql import types as T
+
+    from webhookdb_spark.storage import PART_COL, Warehouse, bucket_expr
+
+    t = Warehouse(spark, str(tmp_warehouse)).table("o", "delt")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    t.create(schema, key="k", n_buckets=4)
+
+    def fill():
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], schema
+        ).withColumn(PART_COL, bucket_expr("k", 4))
+        t.overwrite_buckets(df, [0, 1, 2, 3])
+
+    fill()
+    assert t.delete_where(F.col("v") >= 2) == 2
+    assert t.read().count() == 1
+    assert t.delete_where(F.col("v") >= 100) == 0  # zero matches
+    # empties every affected bucket at runtime (AQE empty-propagation shape)
+    assert t.delete_where(F.col("v") >= 0) == 1
+    assert t.read().count() == 0
+    fill()
+    # constant condition: the filter folds statically — full wipe
+    assert t.delete_where(F.lit(True)) == 3
+    assert t.read().count() == 0
+    # empty table: nothing to delete, no write
+    t2 = Warehouse(spark, str(tmp_warehouse)).table("o", "delt2")
+    t2.create(schema, key="k", n_buckets=4)
+    assert t2.delete_where(F.col("v") > 0) == 0

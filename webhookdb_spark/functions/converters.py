@@ -39,6 +39,11 @@ class Converter:
     name: str
     spark: SparkBuilder
     sql: SqlBuilder | None = None
+    # The scalar expression leaves NULL where the integration sequence
+    # must supply the value; the upsert path fills those NULLs from
+    # IntegrationSequence (the reference's requires_sequence contract,
+    # column.rb:132-152 + base.rb:689-699).
+    needs_sequence: bool = False
 
     @property
     def backfillable(self) -> bool:
@@ -168,6 +173,30 @@ def converter_from_regex(
         return out if dbtype == "string" else f"TRY_CAST({out} AS {dbtype.upper()})"
 
     return Converter(name=f"from_regex({pattern!r})", spark=spark, sql=sql)
+
+
+def converter_int_or_sequence_from_regex(
+    pattern: str, *, dbtype: str = "bigint", group: int = 1
+) -> Converter:
+    """Extract an integer with ``pattern``; when nothing matches, draw
+    the next value from the integration sequence (column.rb:132-152;
+    exercised by fake.rb:368-380).
+
+    Used where an API sends the ID only in a request URL, and the URL
+    carries no ID on first delivery. The scalar expression is the regex
+    extraction; the sequence branch is a DataFrame-level fill in the
+    upsert path (``needs_sequence``), because it requires persisted
+    per-integration state no scalar expression can carry. ``sql`` is
+    None, matching the reference's NOT_IMPLEMENTED — the column is not
+    SQL-backfillable (sequence values are not re-derivable).
+    """
+    base = converter_from_regex(pattern, dbtype=dbtype, group=group)
+    return Converter(
+        name=f"int_or_sequence_from_regex({pattern!r})",
+        spark=base.spark,
+        sql=None,
+        needs_sequence=True,
+    )
 
 
 _STRPTIME_TO_JAVA = [

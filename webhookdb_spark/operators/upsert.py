@@ -317,7 +317,12 @@ def upsert_envelopes(
         # order for any ordered batch source.
         envelopes = envelopes.withColumn("_seq", F.monotonically_increasing_id())
     shaped = spec.shape(envelopes)
-    seq_cols = [c.name for c in spec.all_cols if c.defaulter == "sequence"]
+    seq_cols = [
+        c.name
+        for c in spec.all_cols
+        if c.defaulter == "sequence"
+        or (c.converter is not None and c.converter.needs_sequence)
+    ]
     if seq_cols:
         seq = IntegrationSequence(table.path)
         for name in seq_cols:

@@ -191,21 +191,58 @@ class ManagedTable:
         bucket hash is computed from (hash-partitioned tables bucket by
         the partition source, not the remote key).
         """
+        from pyspark.sql import Observation
+
         m = self.manifest
         affected = buckets if buckets is not None else list(range(m.n_buckets))
+        # No data in any affected bucket → nothing to delete. (Also
+        # required for correctness of the Observation below: an empty
+        # table reads as a local relation whose CollectMetrics node
+        # Catalyst folds away, so the metric would never materialize.)
+        if not any(str(b) in m.buckets for b in affected):
+            return 0
         df = self.read(buckets=affected).withColumn(
             PART_COL, bucket_expr(part_key or m.key, m.n_buckets)
         )
-        df = df.persist()
-        try:
-            before = df.count()
-            remaining = df.where(~condition)
-            after = remaining.count()
-            if after != before:
-                self.overwrite_buckets(remaining, affected)
-            return before - after
-        finally:
-            df.unpersist()
+        # Single pass: the deleted count rides the rewrite as an
+        # Observation (same trick merge_upsert uses for its action
+        # counts) instead of two count() actions that materialize the
+        # buckets twice. A zero-match delete still swaps in identical
+        # data for the affected buckets — callers prune via ``buckets``,
+        # so that write is bounded by the routing, and one bounded write
+        # beats two full counts on every real delete.
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("before"),
+            # mirror where(~condition) exactly: a NULL condition drops
+            # the row, so it must count as deleted
+            F.sum(F.when(~condition, 0).otherwise(1)).alias("deleted"),
+        )
+        # The always-false nondeterministic disjunct changes nothing per
+        # row but blocks constant folding: a literal condition (e.g.
+        # lit(True) for a full wipe) would otherwise fold the filter and
+        # prune the CollectMetrics branch at optimization time.
+        never = F.monotonically_increasing_id() < F.lit(-1)
+        remaining = observed.where(~condition | never)
+        # When the delete empties every affected bucket, AQE's
+        # empty-relation propagation replaces the map-stage subtree —
+        # CollectMetrics included — with an empty LocalRelation, and the
+        # observation never materializes (obs.get then dies in toPyRow
+        # on Row.empty). A sentinel row routed to pseudo-bucket -1 keeps
+        # the written plan non-empty; overwrite_buckets only promotes
+        # dirs for the listed buckets, so the sentinel's staging dir is
+        # discarded with the staging area.
+        fields = self.schema().fields
+        sentinel = self.spark.range(1).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in fields],
+            F.lit(-1).alias(PART_COL),
+        )
+        to_write = remaining.select(
+            *[f.name for f in fields], PART_COL
+        ).unionByName(sentinel)
+        self.overwrite_buckets(to_write, affected)
+        return int(obs.get["deleted"] or 0)
 
     # -- schema evolution (additive only, base.rb:557-631) -----------------
     def add_columns(self, new_fields: list[T.StructField], backfill: dict | None = None) -> None:
