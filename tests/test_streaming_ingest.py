@@ -99,3 +99,105 @@ def test_reject_bot_gets(spark):
     )
     kept = [r["integration_opaque_id"] for r in reject_bot_gets(df).collect()]
     assert sorted(kept) == ["b", "c"]
+
+
+def test_per_org_semaphore_bounds_concurrent_merges(spark, tmp_warehouse):
+    """process_webhook.rb:15-24 parity: with an 8-thread pool, one org's
+    merges never exceed max_concurrent_per_org in flight, while a second
+    org still gets a slot (fairness)."""
+    import threading
+    import time
+
+    land = tmp_warehouse / "landing3"
+    # 6 integrations: 5 in org-flood, 1 in org-quiet
+    for i in range(5):
+        write_envelopes(
+            land, [{"my_id": f"f{i}", "at": "2024-06-01T00:00:00Z"}],
+            opaque_id=f"svi_flood_{i}",
+        )
+    write_envelopes(
+        land, [{"my_id": "q", "at": "2024-06-01T00:00:00Z"}], opaque_id="svi_quiet"
+    )
+
+    wh = Warehouse(spark, tmp_warehouse / "wh3")
+    pipeline = IngestPipeline(
+        warehouse=wh, max_parallel_merges=8, max_concurrent_per_org=2
+    )
+    # distinct tables per integration: the per-table mutex must not be
+    # what bounds the flood — only the org semaphore should
+    from dataclasses import replace
+
+    for i in range(5):
+        pipeline.register(
+            IntegrationRuntime(
+                opaque_id=f"svi_flood_{i}",
+                org="org-flood",
+                spec=replace(FAKE_V1, name=f"fake_c{i}_v1", table=f"fake_c{i}_v1"),
+            )
+        )
+    pipeline.register(
+        IntegrationRuntime(opaque_id="svi_quiet", org="org-quiet", spec=FAKE_V1)
+    )
+
+    lock = threading.Lock()
+    inflight: dict[str, int] = {}
+    peak: dict[str, int] = {}
+    orgs = {f"svi_flood_{i}": "org-flood" for i in range(5)}
+    orgs["svi_quiet"] = "org-quiet"
+
+    def slow_merge(table, subset, spec):
+        org = orgs[subset.select("integration_opaque_id").first()[0]]
+        with lock:
+            inflight[org] = inflight.get(org, 0) + 1
+            peak[org] = max(peak.get(org, 0), inflight[org])
+        time.sleep(0.3)  # hold the slot so overlap is observable
+        with lock:
+            inflight[org] -= 1
+        from webhookdb_spark.operators.upsert import upsert_envelopes
+
+        return upsert_envelopes(table, subset, spec)
+
+    pipeline._merge_fn = slow_merge
+    pipeline.process_batch(read_envelopes(spark, str(land)))
+
+    assert peak["org-flood"] == 2  # bound held AND actually contended
+    assert peak.get("org-quiet", 0) >= 1  # quiet org was not starved
+    assert len(pipeline.merge_log) == 6
+    assert wh.table("org-quiet", "fake_v1").read().count() == 1
+    for i in range(5):
+        assert wh.table("org-flood", f"fake_c{i}_v1").read().count() == 1
+
+
+def test_same_table_merges_serialize(spark, tmp_warehouse):
+    """Two integrations feeding ONE table must never merge concurrently
+    (the manifest swap is last-writer-wins)."""
+    import threading
+    import time
+
+    land = tmp_warehouse / "landing4"
+    write_envelopes(land, [{"my_id": "a1", "at": "2024-06-01T00:00:00Z"}], opaque_id="svi_s1")
+    write_envelopes(land, [{"my_id": "a2", "at": "2024-06-01T00:00:00Z"}], opaque_id="svi_s2")
+
+    wh = Warehouse(spark, tmp_warehouse / "wh4")
+    pipeline = IngestPipeline(warehouse=wh, max_parallel_merges=4)
+    for oid in ("svi_s1", "svi_s2"):
+        pipeline.register(IntegrationRuntime(opaque_id=oid, org="org1", spec=FAKE_V1))
+
+    lock = threading.Lock()
+    state = {"inflight": 0, "peak": 0}
+
+    def slow_merge(table, subset, spec):
+        with lock:
+            state["inflight"] += 1
+            state["peak"] = max(state["peak"], state["inflight"])
+        time.sleep(0.3)
+        with lock:
+            state["inflight"] -= 1
+        from webhookdb_spark.operators.upsert import upsert_envelopes
+
+        return upsert_envelopes(table, subset, spec)
+
+    pipeline._merge_fn = slow_merge
+    pipeline.process_batch(read_envelopes(spark, str(land)))
+    assert state["peak"] == 1  # serialized
+    assert wh.table("org1", "fake_v1").read().count() == 2  # both rows landed

@@ -15,6 +15,7 @@ argument the reference makes for Sidekiq retries + ON CONFLICT
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -25,6 +26,10 @@ from pyspark.sql.streaming import StreamingQuery
 from webhookdb_spark.operators.upsert import MergeResult, upsert_envelopes
 from webhookdb_spark.spec import ReplicatorSpec
 from webhookdb_spark.storage import Warehouse
+
+# process_webhook.rb:15-24: at most this many concurrent webhook-process
+# jobs per organization — one tenant's flood cannot monopolize the pool.
+DEFAULT_MAX_CONCURRENT_PER_ORG = 10
 
 
 @dataclass
@@ -47,9 +52,45 @@ class IngestPipeline:
     integrations: dict[str, IntegrationRuntime] = field(default_factory=dict)
     audit_table_path: str | None = None
     merge_log: list[tuple[str, MergeResult]] = field(default_factory=list)
+    # Per-integration merges within a micro-batch run on this many
+    # threads (Spark job submission is thread-safe; each merge touches
+    # its own table). 1 = sequential.
+    max_parallel_merges: int = 1
+    # Per-org fairness bound (process_webhook.rb:15-24 semaphore parity):
+    # however large the pool, at most this many merges of ONE org run
+    # concurrently, so a flooding tenant leaves slots for the rest.
+    max_concurrent_per_org: int = DEFAULT_MAX_CONCURRENT_PER_ORG
+    _org_sems: dict[str, threading.BoundedSemaphore] = field(
+        default_factory=dict, repr=False
+    )
+    # The manifest swap is last-writer-wins, so two merges into the SAME
+    # table must never overlap (the reference gets this for free from
+    # Postgres MERGE transactionality); merges into different tables
+    # parallelize freely.
+    _table_locks: dict[str, threading.Lock] = field(default_factory=dict, repr=False)
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+    # Injection point for tests; production always merges via
+    # upsert_envelopes.
+    _merge_fn: Callable = upsert_envelopes
 
     def register(self, rt: IntegrationRuntime) -> None:
         self.integrations[rt.opaque_id] = rt
+
+    def _org_semaphore(self, org: str) -> threading.BoundedSemaphore:
+        with self._lock:
+            sem = self._org_sems.get(org)
+            if sem is None:
+                sem = self._org_sems[org] = threading.BoundedSemaphore(
+                    self.max_concurrent_per_org
+                )
+            return sem
+
+    def _table_lock(self, key: str) -> threading.Lock:
+        with self._lock:
+            lk = self._table_locks.get(key)
+            if lk is None:
+                lk = self._table_locks[key] = threading.Lock()
+            return lk
 
     # -- batch path --------------------------------------------------------
     def process_batch(self, envelopes: DataFrame, batch_id: int = 0) -> None:
@@ -81,18 +122,37 @@ class IngestPipeline:
                 r[0]
                 for r in envelopes.select("integration_opaque_id").distinct().collect()
             ]
-            for opaque_id in present:
+
+            def run_one(opaque_id: str) -> None:
                 rt = self.integrations.get(opaque_id)
                 if rt is None:
-                    continue  # unknown integration: logged but not replicated
+                    return  # unknown integration: logged but not replicated
                 subset = envelopes.where(
                     F.col("integration_opaque_id") == opaque_id
                 )
                 table = self.warehouse.table(rt.org, rt.spec.table)
-                result = upsert_envelopes(table, subset, rt.spec)
-                self.merge_log.append((opaque_id, result))
+                # the per-org semaphore is held across the merge only —
+                # fan-out happens outside it like the reference's job body
+                with self._org_semaphore(rt.org), self._table_lock(
+                    f"{rt.org}/{rt.spec.table}"
+                ):
+                    result = self._merge_fn(table, subset, rt.spec)
+                with self._lock:
+                    self.merge_log.append((opaque_id, result))
                 if rt.on_rowupsert is not None and result.total_changed:
                     rt.on_rowupsert(result.changed)
+
+            if self.max_parallel_merges <= 1 or len(present) <= 1:
+                for opaque_id in present:
+                    run_one(opaque_id)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=self.max_parallel_merges
+                ) as ex:
+                    # list() propagates the first worker exception
+                    list(ex.map(run_one, present))
         finally:
             envelopes.unpersist()
 
