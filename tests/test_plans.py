@@ -137,6 +137,39 @@ def test_text_analysis_is_shuffle_free(spark):
         )
 
 
+def test_merge_plan_reuses_dedupe_partitioning(spark, tmp_path):
+    """The upsert MERGE must shuffle exactly twice: once for the
+    map-side-combined dedupe aggregation on the batch, once to co-locate
+    the target side of the key join. The dedupe's hash partitioning on
+    the key is REUSED by the join — a third keyed exchange means the
+    plan regressed (e.g. dedup switched to a window, or the join key
+    diverged from the agg key)."""
+    import datetime as dt
+    import json
+
+    import pyspark.sql.functions as F
+
+    from webhookdb_spark.operators.upsert import build_merge, upsert_envelopes
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.storage import Warehouse
+
+    t = Warehouse(spark, tmp_path / "wh").table("org", "fake_v1")
+    env = spark.createDataFrame(
+        [
+            (json.dumps({"my_id": f"id{i}", "at": "2024-06-01T00:00:00Z"}),
+             dt.datetime(2026, 1, 1))
+            for i in range(40)
+        ],
+        "body string, received_at timestamp",
+    )
+    upsert_envelopes(t, env, FAKE_V1)
+    shaped = FAKE_V1.shape(env.withColumn("_seq", F.monotonically_increasing_id()))
+    p = plan_of(build_merge(t, shaped, FAKE_V1, affected=list(range(8))))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+    assert "hashpartitioning" in p and "rangepartitioning" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_replicator_shaping_is_one_narrow_projection(spark):
     """Spec extraction compiles to a single whole-stage-codegen
     projection over the envelope scan — no shuffle, no Python in the

@@ -176,8 +176,6 @@ def merge_upsert(
 
     m = table.manifest
     key = spec.remote_key.name
-    data_cols = [f.name for f in table.schema().fields]
-
     part_src = spec.partition_key_source or key
     if buckets is not None:
         affected = list(buckets)
@@ -191,9 +189,6 @@ def merge_upsert(
             .distinct()
             .collect()
         ]
-    batch = dedupe_last_wins(batch, key).withColumn(
-        PART_COL, bucket_expr(part_src, m.n_buckets)
-    )
     changed_schema = table.spark.createDataFrame(
         [], table.schema().add(ACTION_COL, "string")
     ).schema
@@ -201,6 +196,58 @@ def merge_upsert(
         empty = table.spark.createDataFrame([], changed_schema)
         return MergeResult(inserted=0, updated=0, noop=0, changed=empty)
 
+    merged = build_merge(table, batch, spec, affected)
+
+    obs = Observation()
+    merged = merged.observe(
+        obs,
+        F.count(F.when(F.col(ACTION_COL) == "insert", 1)).alias("insert"),
+        F.count(F.when(F.col(ACTION_COL) == "update", 1)).alias("update"),
+        F.count(F.when(F.col(ACTION_COL) == "keep", 1)).alias("keep"),
+    )
+    table.overwrite_buckets(merged, affected, extra_cols=[ACTION_COL])
+    counts = obs.get
+    # Change set (post-image of inserted/updated rows) goes to a
+    # per-transaction changes dir — never through the driver. It feeds
+    # dependent notification and webhook fan-out (base.rb:813-838) and is
+    # the CDC analog of Delta CDF. Derived by re-reading the bucket files
+    # written above (no lineage recompute).
+    new_m = table.manifest
+    written = [str(table.path / new_m.buckets[str(b)]) for b in affected]
+    changed = (
+        table.spark.read.schema(changed_schema)
+        .parquet(*written)
+        .where(F.col(ACTION_COL) != "keep")
+    )
+    changes_path = str(table.path / "_changes" / f"txn_{new_m.txn}")
+    changed.write.mode("overwrite").parquet(changes_path)
+    changed_df = table.spark.read.schema(changed_schema).parquet(changes_path)
+    return MergeResult(
+        inserted=counts.get("insert", 0),
+        updated=counts.get("update", 0),
+        noop=counts.get("keep", 0),
+        changed=changed_df,
+    )
+
+
+def build_merge(
+    table: ManagedTable,
+    batch: DataFrame,
+    spec: ReplicatorSpec,
+    affected: list[int],
+) -> DataFrame:
+    """The declarative merge plan (pre-write): deduped batch full-outer
+    joined with the affected buckets, action-tagged per row. Exposed so
+    the plan-quality gates can pin its shuffle structure without running
+    a write."""
+    m = table.manifest
+    key = spec.remote_key.name
+    data_cols = [f.name for f in table.schema().fields]
+    part_src = spec.partition_key_source or key
+
+    batch = dedupe_last_wins(batch, key).withColumn(
+        PART_COL, bucket_expr(part_src, m.n_buckets)
+    )
     if not any(str(b) in m.buckets for b in affected):
         # All-insert fast path: every touched bucket is empty, so the
         # deduped batch IS the merge result — no join, no target scan.
@@ -263,37 +310,7 @@ def merge_upsert(
             F.coalesce(F.col(f"s.{PART_COL}"), F.col(f"t.{PART_COL}")).alias(PART_COL),
             F.col(ACTION_COL),
         )
-
-    obs = Observation()
-    merged = merged.observe(
-        obs,
-        F.count(F.when(F.col(ACTION_COL) == "insert", 1)).alias("insert"),
-        F.count(F.when(F.col(ACTION_COL) == "update", 1)).alias("update"),
-        F.count(F.when(F.col(ACTION_COL) == "keep", 1)).alias("keep"),
-    )
-    table.overwrite_buckets(merged, affected, extra_cols=[ACTION_COL])
-    counts = obs.get
-    # Change set (post-image of inserted/updated rows) goes to a
-    # per-transaction changes dir — never through the driver. It feeds
-    # dependent notification and webhook fan-out (base.rb:813-838) and is
-    # the CDC analog of Delta CDF. Derived by re-reading the bucket files
-    # written above (no lineage recompute).
-    new_m = table.manifest
-    written = [str(table.path / new_m.buckets[str(b)]) for b in affected]
-    changed = (
-        table.spark.read.schema(changed_schema)
-        .parquet(*written)
-        .where(F.col(ACTION_COL) != "keep")
-    )
-    changes_path = str(table.path / "_changes" / f"txn_{new_m.txn}")
-    changed.write.mode("overwrite").parquet(changes_path)
-    changed_df = table.spark.read.schema(changed_schema).parquet(changes_path)
-    return MergeResult(
-        inserted=counts.get("insert", 0),
-        updated=counts.get("update", 0),
-        noop=counts.get("keep", 0),
-        changed=changed_df,
-    )
+    return merged
 
 
 def upsert_envelopes(
