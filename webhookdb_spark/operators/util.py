@@ -21,10 +21,21 @@ from pyspark.sql import functions as F
 
 def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` up to the cluster's parallelism iff its
-    current partitioning would leave cores idle."""
+    current partitioning would leave cores idle.
+
+    Gates on the scan's file count (a metadata listing) rather than
+    ``df.rdd.getNumPartitions()`` — the RDD hop forces plan analysis
+    and a JVM round-trip on every operator entry. Files under-count
+    splits (a file can hold many row groups), which only errs toward a
+    harmless extra repartition of an already-parallel input.
+    """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
 
