@@ -47,19 +47,28 @@ def main() -> None:
     # query isn't billed for it
     spark.range(8).mapInPandas(lambda it: it, "id long").count()
 
-    # Steady-state timing: each query runs twice and reports the min —
-    # the first execution pays one-off whole-stage-codegen compilation
-    # and host noise that a cluster's sustained throughput never sees.
+    # Steady-state timing: each query runs at least twice and reports
+    # the min — the first execution pays one-off whole-stage-codegen
+    # compilation and host noise that a cluster's sustained throughput
+    # never sees. The host's I/O jitter is lumpy (multi-second straggler
+    # spikes on otherwise-identical runs), so when the two fastest runs
+    # still disagree by >25% the query re-runs (up to 4 total) until the
+    # min is corroborated — otherwise a single anomaly window inflates
+    # the recorded number by 3-4x.
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         if name in SKIP:
             continue
-        runs = []
-        for _ in range(2):
+        runs: list[float] = []
+        while True:
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
+            if len(runs) >= 2:
+                best, second = sorted(runs)[:2]
+                if second <= best * 1.25 or len(runs) >= 4:
+                    break
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
