@@ -253,54 +253,62 @@ def ann_topk_lsh(
             sig_kernel(F.col("_v")),
         )
 
-    def tbl_sig(t: int) -> Column:
-        return F.substring("_sig", t * n_planes + 1, n_planes)
+    # Table/probe expansion is GENERIC — explode over position sequences
+    # with one substring/flip expression — rather than an array of
+    # n_tables*(1+n_planes) per-probe struct expressions. The result is
+    # identical; the expression tree is constant-size in both knobs, so
+    # Catalyst analysis + codegen (paid on every execution) stays flat
+    # as tables/probes grow.
+    tbl = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
+    tsig = F.col("_sig").substr(
+        F.col("tbl") * n_planes + 1, F.lit(n_planes)
+    )
 
-    c_sigs = with_sig(corpus, "vec_id").select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), tbl_sig(t).alias("sig"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("ts"),
-    ).select("vec_id", "ts.tbl", "ts.sig")
+    c_sigs = (
+        with_sig(corpus, "vec_id")
+        .select("vec_id", "_sig", tbl)
+        .select("vec_id", "tbl", tsig.alias("sig"))
+    )
 
-    probe_structs = []
-    for t in range(n_tables):
-        sig_t = tbl_sig(t)
-        probe_structs.append(F.struct(F.lit(t).alias("tbl"), sig_t.alias("sig")))
-        if multiprobe:
-            for p in range(n_planes):
-                flipped = F.when(
-                    F.substring(sig_t, p + 1, 1) == "1", F.lit("0")
-                ).otherwise(F.lit("1"))
-                probe_structs.append(
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.concat(
-                            F.substring(sig_t, 1, p),
-                            flipped,
-                            F.substring(sig_t, p + 2, n_planes - p - 1),
-                        ).alias("sig"),
-                    )
-                )
-    q_probes = with_sig(queries, "query_id").select(
-        "query_id", F.explode(F.array(*probe_structs)).alias("ts")
-    ).select("query_id", "ts.tbl", "ts.sig")
+    # probe position 0 = the exact bucket; position p>=1 = hamming-1
+    # neighbor with bit p flipped
+    last_probe = n_planes if multiprobe else 0
+    probe_pos = F.explode(F.sequence(F.lit(0), F.lit(last_probe))).alias("p")
+    flipped = F.concat(
+        tsig.substr(F.lit(1), F.col("p") - 1),
+        F.when(tsig.substr(F.col("p"), F.lit(1)) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        ),
+        tsig.substr(F.col("p") + 1, F.lit(n_planes)),
+    )
+    # q_vec rides the (small, broadcast) probe side so scoring needs no
+    # second broadcast join back to the queries — one fewer job; the
+    # duplication is bounded by |queries| * n_tables * (1 + n_planes)
+    # rows, which is broadcast-sized by construction.
+    q_probes = (
+        with_sig(queries, "query_id")
+        .select("query_id", F.col("_v").alias("q_vec"), "_sig", tbl)
+        .select("query_id", "q_vec", "tbl", "_sig", probe_pos)
+        .select(
+            "query_id",
+            "q_vec",
+            "tbl",
+            F.when(F.col("p") == 0, tsig).otherwise(flipped).alias("sig"),
+        )
+    )
+    # multiprobe hits the same (query, vector) pair through several
+    # buckets: aggregate on the pair (one shuffle, replaces distinct)
+    # and keep q_vec via first() so only IDs + the already-broadcast
+    # query vector travel
     cand = (
         c_sigs.join(F.broadcast(q_probes), on=["tbl", "sig"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-        .distinct()
+        .groupBy("query_id", "vec_id")
+        .agg(F.first("q_vec").alias("q_vec"))
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
     scored = (
-        cand.join(F.broadcast(qv), on="query_id")
-        .join(cv, on="vec_id")
+        cand.join(cv, on="vec_id")
         .select(
             "query_id",
             "vec_id",
