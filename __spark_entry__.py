@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from webhookdb_spark.functions.converters import CONV_STR2HASH, CONV_TO_I  # noqa: E402
 from webhookdb_spark.operators import dedup as D  # noqa: E402
 from webhookdb_spark.operators import multimodal as M  # noqa: E402
+from webhookdb_spark.operators import sampling as SA  # noqa: E402
 from webhookdb_spark.operators import similarity as S  # noqa: E402
 from webhookdb_spark.operators import text as X  # noqa: E402
 
@@ -567,6 +568,29 @@ def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     return D.jaccard_pairs(docs, None, threshold=0.5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive closure of the minhash near-dup pairs (iterative
+    min-label propagation) + canonical pick per cluster — the keep-list
+    step that turns pair detection into an actual dedup."""
+    return D.dedup_clusters(load(spark, sf, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language quota sample (md5-ordered top-N per
+    stratum; WindowGroupLimit keeps the shuffle bounded by the quota)."""
+    return SA.stratified_sample_n(load(spark, sf, "documents"), "lang", 20).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_hash_fraction_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~10% corpus sample — pure map-side hash filter, the
+    no-shuffle scale path for fractional quotas."""
+    return SA.hash_fraction_sample(load(spark, sf, "documents"), 0.1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_media_summary(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents → opaque media
     payloads + typed metadata → native summary (no UDF)."""
@@ -651,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "hash_fraction_sample": q_hash_fraction_sample,
         "media_summary": q_media_summary,
         "media_features": q_media_features,  # pandas-UDF — rows-only check
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -687,6 +714,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": D.sql_minhash_dedup_pairs(),
         "dedup_simhash": D.sql_simhash(),
         "dedup_ngram": D.sql_jaccard_all_pairs(),
+        "dedup_clusters": D.sql_dedup_clusters(),
+        "stratified_sample": SA.sql_stratified_sample_n(),
+        "hash_fraction_sample": SA.sql_hash_fraction_sample(),
         "media_summary": M.sql_media_summary(),
         "media_features": M.sql_byte_histogram_features(),
         "ann_cosine_topk": S.sql_cosine_topk(),

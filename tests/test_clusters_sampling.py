@@ -1,0 +1,90 @@
+"""Semantics of duplicate clustering (connected components + canonical
+pick) and deterministic sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webhookdb_spark.operators.dedup import connected_components, dedup_clusters
+from webhookdb_spark.operators.sampling import (
+    hash_fraction_sample,
+    stratified_sample_n,
+)
+
+
+def test_connected_components_chain_collapses(spark):
+    # a-b, b-c, plus isolated pair d-e: two components, labels = min id
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["v"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_needs_iterations(spark):
+    # a path graph 0-1-2-...-7: diameter 7 forces several propagation
+    # rounds; all vertices must still land on label 0
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+    )
+    got = {r["v"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(8)}
+
+
+def test_dedup_clusters_keep_list(spark):
+    # docs 1,2,3 are near-identical (cluster via explicit pairs); doc 2
+    # is the longest so it is the canonical keep; doc 9 is a singleton
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc"),
+            (2, "aa bb cc dd ee"),
+            (3, "aa bb cc dd"),
+            (9, "zz"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keep"])
+        for r in dedup_clusters(docs, pairs=pairs).collect()
+    }
+    assert rows == {
+        1: (1, 3, False),
+        2: (1, 3, True),
+        3: (1, 3, False),
+        9: (9, 1, True),
+    }
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = stratified_sample_n(docs, "lang", 5)
+    per = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(5, totals[lang])
+    # deterministic: same ids on a re-run
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"] for r in stratified_sample_n(docs, "lang", 5).select("doc_id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_stratified_sample_plan_has_group_limit(spark):
+    # the row_number <= N predicate must push into a WindowGroupLimit so
+    # each map task pre-trims its stratum before the shuffle
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = stratified_sample_n(docs, "lang", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_hash_fraction_sample_subset_semantics(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tenth = {r["doc_id"] for r in hash_fraction_sample(docs, 0.1).select("doc_id").collect()}
+    fifth = {r["doc_id"] for r in hash_fraction_sample(docs, 0.2).select("doc_id").collect()}
+    # a smaller fraction is always a subset of a larger one (cutoff is a
+    # prefix of the same hash order) — what makes samples diffable
+    assert tenth <= fifth
+    n = docs.count()
+    assert 0.02 * n <= len(tenth) <= 0.25 * n

@@ -406,3 +406,139 @@ def sql_jaccard_all_pairs(
     FROM sets_ a JOIN sets_ b ON a.doc_id < b.doc_id
     WHERE {jac} >= {threshold}
     """
+
+
+# -- Duplicate clustering (connected components + canonical pick) -----------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph by min-label
+    propagation: every vertex starts labeled with its own id; each round
+    the label becomes the min over itself and its neighbors; at fixpoint
+    the label is the component's minimum vertex id. Returns
+    ``(v, component)`` for every vertex appearing in an edge.
+
+    Iterative-algorithm shape for Spark: each round is one hash join
+    (edges x labels) + one min-aggregate — both shuffle on vertex id, so
+    at 100 TB the edge list pre-bucketed by ``src`` reuses its
+    partitioning every round. The round count is the component DIAMETER,
+    and near-dup clusters are dense little cliques (diameter 1-3), not
+    long chains — so this converges in a handful of rounds where a
+    pointer-jumping scheme would only add complexity. Each round's
+    labels are materialized with an eager ``localCheckpoint`` to
+    truncate lineage (otherwise the plan doubles per round and analysis
+    cost explodes exponentially); convergence is detected by the label
+    SUM strictly decreasing (labels only ever decrease), a single-row
+    aggregate per round on the just-checkpointed frame.
+    """
+    sym = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).union(
+        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+    )
+    labels = (
+        sym.select(F.col("_s").alias("v")).distinct().withColumn("label", F.col("v"))
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.groupBy().agg(F.sum("label").alias("s")).collect()[0]["s"]
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym["_s"] == labels["v"]).select(
+            F.col("_d").alias("v"), F.col("label")
+        )
+        labels = (
+            labels.select("v", "label")
+            .union(prop)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        cur_sum = labels.groupBy().agg(F.sum("label").alias("s")).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Cluster near-duplicates and pick one canonical document per
+    cluster — the "keep list" step a training-data pipeline runs after
+    pair detection (pairs alone don't dedupe: A~B and B~C must collapse
+    to ONE kept document, which needs the transitive closure).
+
+    ``pairs`` defaults to :func:`minhash_dedup_pairs` on ``df``.
+    Output: one row per document with its ``cluster_id`` (the cluster's
+    minimum doc id; singletons are their own cluster), ``cluster_size``,
+    and ``keep`` — true for the canonical pick (longest text, ties to
+    the smallest id: prefer the most complete copy).
+
+    Deterministic end-to-end, so it carries a full value-hash oracle
+    (:func:`sql_dedup_clusters`, a recursive CTE) — the single window
+    at the end is partitioned by cluster, and clusters are tiny by
+    construction, so no skew concern at scale.
+    """
+    if pairs is None:
+        pairs = minhash_dedup_pairs(df, text_col, n_hashes, bands, shingle_n, threshold)
+    cc = connected_components(pairs)
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.length(F.col(text_col)).alias("_len")
+    )
+    labeled = docs.join(cc, docs["doc_id"] == cc["v"], "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id"), "_len"
+    )
+    w = Window.partitionBy("cluster_id")
+    pick = Window.partitionBy("cluster_id").orderBy(
+        F.col("_len").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labeled.withColumn("cluster_size", F.count("*").over(w).cast("int"))
+        .withColumn("keep", F.row_number().over(pick) == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "keep")
+    )
+
+
+def sql_dedup_clusters(
+    table: str = "documents",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB twin of :func:`dedup_clusters`: identical pair generation
+    (:func:`sql_minhash_dedup_pairs`), then a recursive CTE propagates
+    the min label across edges until fixpoint (UNION set semantics
+    bound the recursion)."""
+    pairs = sql_minhash_dedup_pairs(table, n_hashes, bands, shingle_n, threshold)
+    return f"""
+    WITH RECURSIVE pairs_ AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs_
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs_
+    ),
+    walk(v, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.v
+    ),
+    cc AS (SELECT v, min(label) AS label FROM walk GROUP BY v),
+    labeled AS (
+      SELECT d.doc_id,
+             coalesce(cc.label, d.doc_id) AS cluster_id,
+             length(d.text) AS _len
+      FROM {table} d LEFT JOIN cc ON cc.v = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY _len DESC, doc_id ASC) = 1) AS keep
+    FROM labeled
+    """
