@@ -88,3 +88,32 @@ def test_hash_fraction_sample_subset_semantics(spark):
     assert tenth <= fifth
     n = docs.count()
     assert 0.02 * n <= len(tenth) <= 0.25 * n
+
+
+def test_connected_components_one_job_per_round(spark):
+    """Driver-action budget gate: the CC loop must spend exactly ONE
+    Spark job per round (the eager localCheckpoint whose Observation
+    carries the convergence sum) — a regression to probe-per-round
+    doubles the fixed cost that dominates dedup_clusters."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup("cc_gate") or [])
+    # AQE materializes query stages as separate jobs, which would make
+    # the job count plan-dependent; the gate measures driver actions.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("cc_gate", "cc jobs-per-round gate")
+        stats = {}
+        labels = connected_components(edges, stats=stats)
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    jobs = set(tracker.getJobIdsForGroup("cc_gate") or []) - before
+    # chain 1-2-3 with min-seeding: seed round + 1 propagation + 1
+    # fixpoint-confirm round = 3 rounds, 3 jobs
+    assert stats["rounds"] == len(jobs), (stats, len(jobs))
+    got = {r.v: r.label for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -415,12 +415,14 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of the undirected pair graph by min-label
-    propagation: every vertex starts labeled with its own id; each round
-    the label becomes the min over itself and its neighbors; at fixpoint
-    the label is the component's minimum vertex id. Returns
-    ``(v, component)`` for every vertex appearing in an edge.
+    propagation: labels start at ``min(self, neighbors)`` (the seed
+    aggregate already performs round one's work); each round the label
+    becomes the min over itself and its neighbors; at fixpoint the label
+    is the component's minimum vertex id. Returns ``(v, component)``
+    for every vertex appearing in an edge.
 
     Iterative-algorithm shape for Spark: each round is one hash join
     (edges x labels) + one min-aggregate — both shuffle on vertex id, so
@@ -428,34 +430,56 @@ def connected_components(
     partitioning every round. The round count is the component DIAMETER,
     and near-dup clusters are dense little cliques (diameter 1-3), not
     long chains — so this converges in a handful of rounds where a
-    pointer-jumping scheme would only add complexity. Each round's
+    pointer-jumping scheme would only add complexity.
+
+    Driver-action budget: exactly ONE Spark job per round. Each round's
     labels are materialized with an eager ``localCheckpoint`` to
     truncate lineage (otherwise the plan doubles per round and analysis
-    cost explodes exponentially); convergence is detected by the label
-    SUM strictly decreasing (labels only ever decrease), a single-row
-    aggregate per round on the just-checkpointed frame.
+    cost explodes exponentially), and the convergence probe — the label
+    SUM, strictly decreasing while any label moves — rides that same
+    materialization as an ``Observation`` metric (checkpointing runs
+    through ``withAction``, which delivers collected metrics), instead
+    of a second per-round aggregate job. ``stats`` (optional dict)
+    receives ``{"rounds": n}`` for test gating.
     """
+    from pyspark.sql import Observation
+
     sym = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).union(
         edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
     )
+    # Seed = min(self, neighbors): the same aggregate shape as a
+    # propagation round, so round one comes free with initialization
+    # (an id-labeled seed would spend a full round reaching this state).
+    obs = Observation()
     labels = (
-        sym.select(F.col("_s").alias("v")).distinct().withColumn("label", F.col("v"))
-    ).localCheckpoint(eager=True)
-    prev_sum = labels.groupBy().agg(F.sum("label").alias("s")).collect()[0]["s"]
+        sym.groupBy(F.col("_s").alias("v"))
+        .agg(F.min("_d").alias("_m"))
+        .select("v", F.least(F.col("v"), F.col("_m")).alias("label"))
+        .observe(obs, F.sum("label").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs.get["s"]
+    rounds = 1
     for _ in range(max_iter):
         prop = sym.join(labels, sym["_s"] == labels["v"]).select(
             F.col("_d").alias("v"), F.col("label")
         )
+        obs = Observation()
         labels = (
             labels.select("v", "label")
             .union(prop)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        cur_sum = labels.groupBy().agg(F.sum("label").alias("s")).collect()[0]["s"]
+            .observe(obs, F.sum("label").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 
