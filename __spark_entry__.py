@@ -405,6 +405,8 @@ def q_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
     in pure SQL: per key, batch-2's winner replaces batch-1's winner
     only when strictly newer (ties by event_id within a batch).
     """
+    import atexit
+    import shutil
     import tempfile
 
     from webhookdb_spark.operators.upsert import upsert_envelopes
@@ -442,9 +444,12 @@ def q_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("_seq"),
     )
     split = F.lit(UPSERT_SPLIT).cast("timestamp")
-    t = Warehouse(spark, tempfile.mkdtemp(prefix="whdb_q_upsert_")).table(
-        "org", "events_sim"
-    )
+    wh_dir = tempfile.mkdtemp(prefix="whdb_q_upsert_")
+    # The result DataFrame is lazy over these parquet files, so the
+    # warehouse must outlive the function — reclaim it at interpreter
+    # exit instead (a bench/correctness run calls this repeatedly).
+    atexit.register(shutil.rmtree, wh_dir, ignore_errors=True)
+    t = Warehouse(spark, wh_dir).table("org", "events_sim")
     # Bulk loads touch the whole keyspace: the bucket hint skips the
     # per-batch discovery scan (merge_upsert docstring).
     all_buckets = list(range(spec.n_buckets))
@@ -604,6 +609,20 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     return M.byte_histogram_features(M.media_from_documents(load(spark, sf, "documents")))
 
 
+def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode, zero dependencies: documents become
+    structurally valid BMPs (native hex-assembled binary), and the
+    kernel parses width/height back out of the actual header bytes.
+    The oracle rebuilds the same bytes and re-parses them in SQL."""
+    return M.decode_images(M.media_bmp_from_documents(load(spark, sf, "documents")))
+
+
+def q_media_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode: canonical PCM WAV payloads, chunk-walking
+    parser extracting (sample_rate, channels, bits, n_samples)."""
+    return M.decode_audio(M.media_wav_from_documents(load(spark, sf, "documents")))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return S.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
@@ -680,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_fraction_sample": q_hash_fraction_sample,
         "media_summary": q_media_summary,
         "media_features": q_media_features,  # pandas-UDF — rows-only check
+        "media_decode": q_media_decode,
+        "media_wav_decode": q_media_wav_decode,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -719,6 +740,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_fraction_sample": SA.sql_hash_fraction_sample(),
         "media_summary": M.sql_media_summary(),
         "media_features": M.sql_byte_histogram_features(),
+        "media_decode": M.sql_media_decode(),
+        "media_wav_decode": M.sql_media_wav_decode(),
         "ann_cosine_topk": S.sql_cosine_topk(),
         "ann_lsh_topk": S.sql_ann_topk_lsh(),
         "ann_lsh_recall": S.sql_ann_lsh_recall(),

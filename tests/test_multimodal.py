@@ -62,6 +62,8 @@ def test_byte_histogram_matches_duckdb_oracle(spark):
 
 
 def test_decode_images_gated_without_codec(spark):
+    # non-headerful payload (raw text bytes) + no codec + no fake ⇒ the
+    # kernel raises at execution time
     media = M.media_from_documents(_docs(spark))
     try:
         import PIL.Image  # noqa: F401
@@ -69,8 +71,8 @@ def test_decode_images_gated_without_codec(spark):
         pytest.skip("codec present; stub gate not applicable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError):
-        M.decode_images(media)
+    with pytest.raises(Exception, match="unrecognized image format"):
+        M.decode_images(media).collect()
 
 
 def test_decode_images_fake_path(spark):
@@ -78,9 +80,85 @@ def test_decode_images_fake_path(spark):
     rows = {r.media_id: r for r in M.decode_images(media, allow_fake=True).collect()}
     meta = {r.media_id: r.meta for r in media.collect()}
     assert rows[2].width == meta[2]["width"]
-    assert rows[2].checksum == hashlib.md5(
-        "a somewhat longer document body here".encode()
-    ).hexdigest()
+    buf = "a somewhat longer document body here".encode()
+    assert rows[2].checksum == hashlib.md5(buf.hex().upper().encode()).hexdigest()
+
+
+def test_parse_image_header_formats():
+    import struct
+
+    # handcrafted BMP: 7x5, and a negative (top-down) height variant
+    bmp = (b"BM" + struct.pack("<I", 54) + b"\x00" * 4 + struct.pack("<I", 54)
+           + struct.pack("<I", 40) + struct.pack("<ii", 7, 5)
+           + struct.pack("<HH", 1, 24) + b"\x00" * 24)
+    assert M._parse_image_header(bmp) == (7, 5)
+    topdown = bmp[:22] + struct.pack("<i", -5) + bmp[26:]
+    assert M._parse_image_header(topdown) == (7, 5)
+    # handcrafted PNG IHDR: big-endian dims at offset 16
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    assert M._parse_image_header(png) == (640, 480)
+    # GIF89a: little-endian u16 dims at offset 6
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert M._parse_image_header(gif) == (320, 200)
+    assert M._parse_image_header(b"not an image") is None
+
+
+def test_decode_images_real_bmp_roundtrip(spark):
+    docs = _docs(spark)
+    media = M.media_bmp_from_documents(docs)
+    rows = {r.media_id: r for r in M.decode_images(media).collect()}
+    # dimensions round-trip through real header bytes, not metadata
+    for doc_id in (1, 2, 3):
+        assert rows[doc_id].width == doc_id % 64 + 1
+        assert rows[doc_id].height == doc_id % 48 + 1
+    # and the assembled payload is a byte-exact BMP the python parser accepts
+    buf = bytes({r.media_id: r for r in media.collect()}[1].content)
+    assert buf[:2] == b"BM" and len(buf) == 54 + len(b"hello world")
+    assert M._parse_image_header(buf) == (2, 2)
+
+
+def test_decode_audio_real_wav_roundtrip(spark):
+    docs = _docs(spark)
+    media = M.media_wav_from_documents(docs)
+    rows = {r.media_id: r for r in M.decode_audio(media).collect()}
+    for doc_id, text in ((1, "hello world"), (3, "x")):
+        r = rows[doc_id]
+        assert r.sample_rate == 8000 + (doc_id % 5) * 4000
+        assert r.n_channels == doc_id % 2 + 1
+        assert r.bits == 16
+        assert r.n_samples == len(text.encode()) // (r.n_channels * 2)
+
+
+def test_wav_chunk_walk_noncanonical():
+    import struct
+
+    # fmt chunk NOT at the canonical offset: a junk chunk precedes it,
+    # with an odd size (exercises word-alignment), and data follows
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16
+    )
+    data = b"data" + struct.pack("<I", 8) + b"\x01" * 8
+    body = b"WAVE" + junk + fmt + data
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert M._parse_wav_header(buf) == (44100, 2, 16, 2)
+    assert M._parse_wav_header(b"RIFFxxxxNOPE") is None
+
+
+def test_media_decode_matches_duckdb_oracle(spark):
+    import duckdb
+
+    got = {
+        r.media_id: (r.width, r.height, r.checksum)
+        for r in M.decode_images(M.media_bmp_from_documents(_docs(spark))).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                "(1, 'hello world'), (2, 'a somewhat longer document body here'), "
+                "(3, 'x')) t(doc_id, text)")
+    for mid, w, h, ck in con.execute(M.sql_media_decode()).fetchall():
+        assert got[mid] == (w, h, ck), f"media_id {mid} mismatch"
 
 
 def test_sample_frames_explosion_geometry(spark):

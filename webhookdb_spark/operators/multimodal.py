@@ -10,20 +10,16 @@ Spark never interprets the bytes until a Pandas-UDF stage asks it to).
           meta struct<mime string, width int, height int,
                       duration_ms long, sample_rate int>)
 
-The decode/resize/frame-sample kernels are STUBS: this container ships
-no codec libraries (PIL/librosa/av), so each kernel import-gates the
-real library and otherwise either raises ``NotImplementedError`` or
-runs a clearly-marked deterministic fake. Everything AROUND the kernel
-— schema, Arrow batching, ``mapInPandas`` iterator signatures, frame
-explosion, partition sizing — is real and tested; swapping the fake for
-``PIL.Image.open(io.BytesIO(buf))`` changes one function body and no
-plan shape.
-
-Status note (round 2, 2026-08): flipping ``decode_images`` to a real
-codec was re-evaluated — ``import PIL`` still fails in this container
-and installing packages is prohibited, so the import-gated fake remains
-the honest maximum here. The gate is live code: in an environment with
-pillow present, ``decode_images`` takes the real branch with no edits.
+Decode strategy (round 3): this container ships no codec libraries
+(PIL/librosa/av) and installs are prohibited, but *headerful* formats
+need no codec at all — BMP/PNG/GIF dimensions and WAV fmt-chunk fields
+sit at fixed offsets a pure-Python ``struct`` parse reads directly. So
+``decode_images`` / ``decode_audio`` are now REAL decoders for those
+formats (`_parse_image_header` / `_parse_wav_header`), with PIL as an
+import-gated fallback for compressed formats and the deterministic
+metadata fake only behind ``allow_fake``. Only ``sample_frames`` (a
+demuxer job — inherently codec-bound) remains a declared stub; its
+explosion geometry, schema, and partitioning are production.
 
 Scale notes: binary payloads make row-group sizing the lever —
 keep ``spark.sql.files.maxPartitionBytes`` at the default 128 MB and
@@ -194,6 +190,62 @@ FROM nib
 """
 
 
+# -- Real zero-dependency decoders -------------------------------------------
+#
+# Headerful formats carry their dimensions/parameters at fixed or
+# chunk-addressed offsets; parsing them needs `struct`, not a codec.
+# (Reference analog: the engine's converters parse provider payload
+# bytes/strings directly — lib/webhookdb/replicator/column.rb — rather
+# than shelling to a library; same spirit for media headers.)
+
+
+def _parse_image_header(buf: bytes) -> tuple[int, int] | None:
+    """(width, height) from a BMP / PNG / GIF header, else None."""
+    import struct
+
+    if len(buf) >= 26 and buf[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", buf, 18)
+        return w, abs(h)  # negative height = top-down DIB
+    if len(buf) >= 24 and buf[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack_from(">II", buf, 16)
+        return int(w), int(h)
+    if len(buf) >= 10 and buf[:4] in (b"GIF8",):
+        w, h = struct.unpack_from("<HH", buf, 6)
+        return w, h
+    return None
+
+
+def _parse_wav_header(buf: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, n_channels, bits, n_samples) from a RIFF/WAVE
+    payload via a real chunk walk (fmt may sit anywhere), else None."""
+    import struct
+
+    if len(buf) < 20 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        if cid == b"fmt " and pos + 8 + 16 <= len(buf):
+            fmt = struct.unpack_from("<HHIIHH", buf, pos + 8)
+        elif cid == b"data":
+            data_size = min(size, len(buf) - pos - 8)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    _, n_channels, sample_rate, _, block_align, bits = fmt
+    n_samples = (data_size or 0) // max(block_align, 1)
+    return sample_rate, n_channels, bits, n_samples
+
+
+def _hex_md5(buf: bytes) -> str:
+    """md5 over the uppercase-hex text of the payload — the portable
+    content hash (DuckDB: ``md5(hex(blob))``), same convention as
+    media_summary."""
+    import hashlib
+
+    return hashlib.md5(buf.hex().upper().encode()).hexdigest()
+
+
 _DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -205,13 +257,14 @@ _DECODED_SCHEMA = T.StructType(
 
 
 def decode_images(media: DataFrame, allow_fake: bool = False) -> DataFrame:
-    """Decode image payloads to (width, height, pixel checksum).
+    """Decode image payloads to (width, height, payload checksum).
 
-    STUB KERNEL: with a real codec available (``PIL``) this decodes;
-    otherwise it raises ``NotImplementedError`` unless ``allow_fake``,
-    in which case a deterministic fake "decodes" dimensions from the
-    metadata struct and checksums the raw bytes. The mapInPandas
-    batching, schema, and partition shape are the production ones.
+    REAL for headerful formats: BMP/PNG/GIF dimensions are parsed from
+    the bytes by ``_parse_image_header`` (no codec library involved).
+    Compressed formats (JPEG etc.) fall back to PIL when importable;
+    otherwise ``allow_fake`` substitutes metadata dimensions, and with
+    neither available an unrecognized payload raises at execution time.
+    Arrow-batched ``mapInPandas``; no row iterators.
     """
     try:  # pragma: no cover - codec not present in this container
         import PIL.Image  # noqa: F401
@@ -219,40 +272,254 @@ def decode_images(media: DataFrame, allow_fake: bool = False) -> DataFrame:
         have_codec = True
     except ImportError:
         have_codec = False
-    if not have_codec and not allow_fake:
-        raise NotImplementedError(
-            "no image codec available in this environment; "
-            "install pillow or pass allow_fake=True for the deterministic stub"
-        )
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import hashlib
         import io
 
         import pandas as pd
 
         for pdf in batches:
-            out = {"media_id": [], "width": [], "height": [], "checksum": []}
-            for _, row in pdf.iterrows():
-                buf = bytes(row["content"])
-                if have_codec:  # pragma: no cover
+            bufs = [bytes(b) for b in pdf["content"]]
+            dims: list[tuple[int, int]] = []
+            for buf, meta in zip(bufs, pdf["meta"]):
+                parsed = _parse_image_header(buf)
+                if parsed is None and have_codec:  # pragma: no cover
                     import PIL.Image
 
-                    img = PIL.Image.open(io.BytesIO(buf))
-                    w, h = img.size
-                else:
-                    # deterministic fake: dimensions from metadata
-                    w = int(row["meta"]["width"] or 0)
-                    h = int(row["meta"]["height"] or 0)
-                out["media_id"].append(row["media_id"])
-                out["width"].append(w)
-                out["height"].append(h)
-                out["checksum"].append(hashlib.md5(buf).hexdigest())
-            yield pd.DataFrame(out)
+                    parsed = PIL.Image.open(io.BytesIO(buf)).size
+                if parsed is None:
+                    if not allow_fake:
+                        raise NotImplementedError(
+                            "unrecognized image format (not BMP/PNG/GIF) and no "
+                            "codec available; install pillow or pass allow_fake"
+                        )
+                    parsed = (int(meta["width"] or 0), int(meta["height"] or 0))
+                dims.append(parsed)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "checksum": [_hex_md5(b) for b in bufs],
+                }
+            )
 
     return scale_out(media.select("media_id", "content", "meta")).mapInPandas(
         decode, schema=_DECODED_SCHEMA
     )
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Decode RIFF/WAVE payloads to (sample_rate, n_channels, bits,
+    n_samples, checksum) — a real chunk-walking parser, codec-free.
+    Unrecognized payloads yield NULL fields (so a mixed corpus maps to
+    a filterable column, not a failed job)."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            bufs = [bytes(b) for b in pdf["content"]]
+            parsed = [_parse_wav_header(b) for b in bufs]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [p[0] if p else None for p in parsed],
+                    "n_channels": [p[1] if p else None for p in parsed],
+                    "bits": [p[2] if p else None for p in parsed],
+                    "n_samples": [p[3] if p else None for p in parsed],
+                    "checksum": [_hex_md5(b) for b in bufs],
+                }
+            )
+
+    return scale_out(media.select("media_id", "content")).mapInPandas(
+        decode, schema=_AUDIO_SCHEMA
+    )
+
+
+# -- Hex-assembled fixtures (engine-portable real payloads) ------------------
+#
+# Both engines assemble the identical payload as an uppercase hex string
+# from the documents table — Spark materializes it to binary via unhex()
+# so the kernels parse *real bytes*, while the DuckDB twin parses the
+# same bytes out of the hex text at the same offsets. No files, no
+# codecs, and the oracle genuinely re-reads the header fields.
+
+
+def _le_hex(c, nbytes: int):
+    """Little-endian uppercase hex of an int Column (Spark side)."""
+    c = c.cast("long")
+    return F.format_string(
+        "%02X" * nbytes,
+        *[F.shiftright(c, 8 * i).bitwiseAND(F.lit(255)) for i in range(nbytes)],
+    )
+
+
+def _sql_le_hex(expr: str, nbytes: int) -> str:
+    """DuckDB twin of _le_hex."""
+    fmt = "%02X" * nbytes
+    args = ", ".join(f"(({expr}) >> {8 * i}) & 255" for i in range(nbytes))
+    return f"printf('{fmt}', {args})"
+
+
+def _sql_le_int(hex_col: str, byte_off: int, nbytes: int) -> str:
+    """DuckDB: parse a little-endian unsigned int out of an uppercase
+    hex string at a 0-based byte offset (pure string math — no blob
+    functions needed because hex text IS the byte sequence)."""
+
+    def pair(p: int) -> str:
+        hi = f"(strpos('0123456789ABCDEF', substr({hex_col}, {2 * p + 1}, 1)) - 1)"
+        lo = f"(strpos('0123456789ABCDEF', substr({hex_col}, {2 * p + 2}, 1)) - 1)"
+        return f"({hi} * 16 + {lo})"
+
+    return "(" + " + ".join(
+        f"{pair(byte_off + i)} * {256 ** i}" for i in range(nbytes)
+    ) + ")"
+
+
+_BMP_ZEROS = "0" * 48  # compression..importantcolors: 6 zero uint32 fields
+
+
+def media_bmp_from_documents(docs: DataFrame) -> DataFrame:
+    """Structurally valid 24-bpp BMP per document: 54-byte header
+    (deterministic width/height from doc_id) + the document's UTF-8
+    bytes as the pixel stream. Entirely native column expressions —
+    the binary is unhex() of a computed hex string."""
+    n = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    w = (F.col("doc_id") % 64 + 1).cast("int")
+    h = (F.col("doc_id") % 48 + 1).cast("int")
+    header_hex = F.concat(
+        F.lit("424D"),  # 'BM'
+        _le_hex(n + F.lit(54), 4),  # file size
+        F.lit("00000000"),  # reserved
+        F.lit("36000000"),  # pixel offset = 54
+        F.lit("28000000"),  # DIB header size = 40
+        _le_hex(w, 4),
+        _le_hex(h, 4),
+        F.lit("0100"),  # planes = 1
+        F.lit("1800"),  # bpp = 24
+        F.lit(_BMP_ZEROS),
+    )
+    content = F.unhex(F.concat(header_hex, F.hex(F.encode(F.col("text"), "UTF-8"))))
+    meta = F.struct(
+        F.lit("image/bmp").alias("mime"),
+        w.alias("width"),
+        h.alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def sql_media_bmp_hex(table: str = "documents") -> str:
+    """DuckDB expression building the identical BMP payload as hex."""
+    n = "octet_length(encode(text))"
+    w = "(doc_id % 64 + 1)"
+    h = "(doc_id % 48 + 1)"
+    return (
+        f"'424D' || {_sql_le_hex(f'{n} + 54', 4)} || '0000000036000000' || "
+        f"'28000000' || {_sql_le_hex(w, 4)} || {_sql_le_hex(h, 4)} || "
+        f"'01001800' || '{_BMP_ZEROS}' || hex(encode(text))"
+    )
+
+
+def sql_media_decode(table: str = "documents") -> str:
+    """DuckDB twin of media_bmp_from_documents → decode_images: builds
+    the same bytes, then *parses width/height back out of them* at the
+    BMP header offsets (18 and 22) and hashes the payload."""
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, {sql_media_bmp_hex(table)} AS hx
+  FROM {table}
+)
+SELECT media_id,
+       CAST({_sql_le_int("hx", 18, 4)} AS INTEGER) AS width,
+       CAST({_sql_le_int("hx", 22, 4)} AS INTEGER) AS height,
+       md5(hx) AS checksum
+FROM m
+"""
+
+
+def media_wav_from_documents(docs: DataFrame) -> DataFrame:
+    """Canonical 44-byte-header PCM WAV per document (deterministic
+    rate/channels from doc_id; UTF-8 text bytes as sample data)."""
+    n = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    ch = (F.col("doc_id") % 2 + 1).cast("int")
+    rate = (F.lit(8000) + (F.col("doc_id") % 5) * 4000).cast("int")
+    block = ch * 2  # 16-bit samples
+    header_hex = F.concat(
+        F.lit("52494646"),  # 'RIFF'
+        _le_hex(n + F.lit(36), 4),  # riff size
+        F.lit("57415645"),  # 'WAVE'
+        F.lit("666D7420"),  # 'fmt '
+        F.lit("10000000"),  # fmt size = 16
+        F.lit("0100"),  # PCM
+        _le_hex(ch, 2),
+        _le_hex(rate, 4),
+        _le_hex(rate * block, 4),  # byte rate
+        _le_hex(block, 2),
+        F.lit("1000"),  # 16 bits
+        F.lit("64617461"),  # 'data'
+        _le_hex(n, 4),
+    )
+    content = F.unhex(F.concat(header_hex, F.hex(F.encode(F.col("text"), "UTF-8"))))
+    meta = F.struct(
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        rate.alias("sample_rate"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        content.alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def sql_media_wav_decode(table: str = "documents") -> str:
+    """DuckDB twin of media_wav_from_documents → decode_audio: builds
+    the same bytes and parses the fmt-chunk fields back out at the
+    canonical offsets (22, 24, 34) plus n_samples from the data size."""
+    n = "octet_length(encode(text))"
+    ch = "(doc_id % 2 + 1)"
+    rate = "(8000 + (doc_id % 5) * 4000)"
+    hx = (
+        f"'52494646' || {_sql_le_hex(f'{n} + 36', 4)} || '57415645666D7420"
+        f"10000000' || '0100' || {_sql_le_hex(ch, 2)} || {_sql_le_hex(rate, 4)} || "
+        f"{_sql_le_hex(f'{rate} * {ch} * 2', 4)} || {_sql_le_hex(f'{ch} * 2', 2)} || "
+        f"'1000' || '64617461' || {_sql_le_hex(n, 4)} || hex(encode(text))"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, {hx} AS hx FROM {table}
+)
+SELECT media_id,
+       CAST({_sql_le_int("hx", 24, 4)} AS INTEGER) AS sample_rate,
+       CAST({_sql_le_int("hx", 22, 2)} AS INTEGER) AS n_channels,
+       CAST({_sql_le_int("hx", 34, 2)} AS INTEGER) AS bits,
+       CAST({_sql_le_int("hx", 40, 4)} // ({_sql_le_int("hx", 32, 2)}) AS BIGINT) AS n_samples,
+       md5(hx) AS checksum
+FROM m
+"""
 
 
 _FRAMES_SCHEMA = T.StructType(
@@ -277,21 +544,31 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            out = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame_bytes": []}
-            for _, row in pdf.iterrows():
-                buf = bytes(row["content"])
-                dur = int(row["meta"]["duration_ms"] or 0)
-                n_frames = max(dur // every_ms, 1)
-                step = max(len(buf) // n_frames, 1)
-                for i in range(n_frames):
-                    out["media_id"].append(row["media_id"])
-                    out["frame_idx"].append(i)
-                    out["frame_ms"].append(i * every_ms)
-                    out["frame_bytes"].append(buf[i * step : (i + 1) * step])
-            yield pd.DataFrame(out)
+            bufs = [bytes(b) for b in pdf["content"]]
+            durs = np.array(
+                [int(m["duration_ms"] or 0) for m in pdf["meta"]], dtype="int64"
+            )
+            n_frames = np.maximum(durs // every_ms, 1)
+            steps = np.maximum(
+                np.array([len(b) for b in bufs], dtype="int64") // n_frames, 1
+            )
+            idx = np.concatenate([np.arange(k) for k in n_frames])
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n_frames),
+                    "frame_idx": idx.astype("int32"),
+                    "frame_ms": idx * every_ms,
+                    "frame_bytes": [
+                        buf[i * step : (i + 1) * step]
+                        for buf, step, k in zip(bufs, steps, n_frames)
+                        for i in range(k)
+                    ],
+                }
+            )
 
     return scale_out(media.select("media_id", "content", "meta")).mapInPandas(
         sample, schema=_FRAMES_SCHEMA
