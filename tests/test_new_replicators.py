@@ -104,3 +104,30 @@ def test_intercom_iso_string_timestamps(spark, tmp_warehouse):
     body = {"id": "c3", "updated_at": "2023-05-01T10:00:00Z"}
     upsert_envelopes(t, _env(spark, [body]), INTERCOM_CONTACT_V1)
     assert t.read().collect()[0].updated_at == dt.datetime(2023, 5, 1, 10, 0)
+
+
+def test_marketplace_roots_registered_and_auth_only(spark):
+    import pytest
+
+    import webhookdb_spark.replicators  # noqa: F401 - registers all specs
+    from webhookdb_spark.spec import all_registered, registered
+
+    reg = all_registered()
+    # full reference registry parity: 65 concrete replicators
+    # (ls lib/webhookdb/replicator/*.rb minus mixins/support = 65)
+    assert len(reg) >= 67  # 64 data-table specs + 3 auth-only roots
+    for name, deps in {
+        "front_marketplace_root_v1": ("front_conversation_v1", "front_message_v1"),
+        "intercom_marketplace_root_v1": ("intercom_contact_v1",
+                                         "intercom_conversation_v1"),
+        "increase_app_v1": ("increase_event_v1",),
+    }.items():
+        spec = registered(name)
+        assert spec.auth_only and spec.denorm_cols == ()
+        assert spec.creates_dependents == deps
+        # every declared dependent must itself be a registered spec
+        for d in deps:
+            assert d in reg
+        env = spark.createDataFrame([("{}",)], "body string")
+        with pytest.raises(NotImplementedError, match="auth purposes"):
+            spec.shape(env)

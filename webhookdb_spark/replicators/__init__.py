@@ -18,6 +18,7 @@ from webhookdb_spark.replicators import (  # noqa: F401
     icalendar_event_v1,
     increase,
     intercom_contact_v1,
+    marketplace_roots,
     misc,
     postmark,
     shopify_customer_v1,

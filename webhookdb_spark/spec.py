@@ -264,6 +264,13 @@ class ReplicatorSpec:
     # list handling; email_octopus_event_v1.rb:55-80): explode each
     # element into its own envelope row before extraction.
     explode_body_array: bool = False
+    # Auth-only stub integration: owns no data table; upserting raises
+    # (front_marketplace_root_v1.rb:29-31 — "a stub integration only for
+    # auth purposes"). Installing one materializes its dependents.
+    auth_only: bool = False
+    # Dependent integrations an installer creates alongside this spec
+    # (the build_dependents hook, front_marketplace_root_v1.rb:34-47).
+    creates_dependents: tuple[str, ...] = ()
 
     def __post_init__(self):
         validate_identifier(self.table, "table")
@@ -290,6 +297,10 @@ class ReplicatorSpec:
         single declarative projection so Catalyst sees one narrow
         whole-stage-codegen stage, not a row loop.
         """
+        if self.auth_only:
+            raise NotImplementedError(
+                f"{self.name} is a stub integration only for auth purposes"
+            )
         if self.explode_body_array:
             # Array bodies fan out one element per row (order-preserving:
             # posexplode folds into _seq so intra-batch last-wins still
