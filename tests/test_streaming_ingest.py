@@ -201,3 +201,37 @@ def test_same_table_merges_serialize(spark, tmp_warehouse):
     pipeline.process_batch(read_envelopes(spark, str(land)))
     assert state["peak"] == 1  # serialized
     assert wh.table("org1", "fake_v1").read().count() == 2  # both rows landed
+
+
+def test_max_files_per_trigger_paces_microbatches(spark, tmp_warehouse):
+    """maxFilesPerTrigger plumbed through IngestPipeline.start: three
+    landing files + cap 1 + availableNow => three paced micro-batches,
+    each merged separately (merge_log has one entry per batch)."""
+    land = tmp_warehouse / "landing"
+    for i in range(3):
+        write_envelopes(land, [{"my_id": f"m{i}", "at": "2024-06-01T00:00:00Z"}])
+    assert len(list(land.glob("*.json"))) == 3
+
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    pipeline = IngestPipeline(warehouse=wh)
+    pipeline.register(IntegrationRuntime(opaque_id="svi_a", org="org1", spec=FAKE_V1))
+    q = pipeline.start(
+        str(land), str(tmp_warehouse / "ckpt"), trigger_once=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert wh.table("org1", "fake_v1").read().count() == 3
+    assert len(pipeline.merge_log) == 3  # one merge per paced micro-batch
+    assert all(r.inserted == 1 for _, r in pipeline.merge_log)
+
+
+def test_per_trigger_caps_rejected_on_prebuilt_stream(spark, tmp_warehouse):
+    import pytest
+
+    land = tmp_warehouse / "landing"
+    write_envelopes(land, [{"my_id": "x", "at": "2024-06-01T00:00:00Z"}])
+    pipeline = IngestPipeline(warehouse=Warehouse(spark, tmp_warehouse / "wh"))
+    stream = read_envelope_stream(spark, str(land))
+    with pytest.raises(ValueError, match="source options"):
+        pipeline.start(stream, str(tmp_warehouse / "ckpt"), trigger_once=True,
+                       max_files_per_trigger=1)

@@ -32,19 +32,26 @@ def read_envelopes(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_envelope_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming envelope source over a landing directory.
 
     On a real deployment this is a Kafka topic
     (``spark.readStream.format("kafka")``) with the same downstream
     plan; the file source keeps local tests hermetic. Backpressure =
-    maxFilesPerTrigger (reference analog: per-org job semaphores,
-    jobs/process_webhook.rb:15-24).
+    maxFilesPerTrigger (file source) / maxOffsetsPerTrigger (Kafka and
+    rate sources — set here so the same call site works against either;
+    the file source ignores it). Reference analog: per-org job
+    semaphores + queue backoff, jobs/process_webhook.rb:15-24.
     """
     reader = spark.readStream.schema(ENVELOPE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
     return reader.json(path)
 
 

@@ -159,17 +159,40 @@ class IngestPipeline:
     # -- streaming path ----------------------------------------------------
     def start(
         self,
-        envelope_stream: DataFrame,
+        envelope_stream: DataFrame | str,
         checkpoint_dir: str,
         trigger_once: bool = False,
         processing_time: str = "10 seconds",
+        max_files_per_trigger: int | None = None,
+        max_offsets_per_trigger: int | None = None,
     ) -> StreamingQuery:
         """Run the pipeline as a streaming query.
 
         The checkpoint directory carries the source offsets — the
         durable-cursor story that replaces the reference's Sidekiq
         durable jobs + last_backfilled_at bookkeeping for the hot path.
+
+        ``envelope_stream`` may be a pre-built streaming DataFrame or a
+        landing-directory path; with a path, the per-trigger intake caps
+        (maxFilesPerTrigger / maxOffsetsPerTrigger — SURVEY §2.9
+        backpressure) are applied to the source. They are source options,
+        so with a pre-built DataFrame set them where it was built
+        (sources.envelopes.read_envelope_stream takes the same kwargs).
         """
+        if isinstance(envelope_stream, str):
+            from webhookdb_spark.sources.envelopes import read_envelope_stream
+
+            envelope_stream = read_envelope_stream(
+                self.warehouse.spark,
+                envelope_stream,
+                max_files_per_trigger=max_files_per_trigger,
+                max_offsets_per_trigger=max_offsets_per_trigger,
+            )
+        elif max_files_per_trigger or max_offsets_per_trigger:
+            raise ValueError(
+                "per-trigger caps are streaming-source options; pass a path, or "
+                "set them on read_envelope_stream when building the DataFrame"
+            )
         writer = (
             envelope_stream.writeStream.foreachBatch(
                 lambda df, bid: self.process_batch(df, bid)
