@@ -204,7 +204,7 @@ def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
     n_tables: int = 4,
     multiprobe: bool = True,
     id_col: str = "vec_id",
@@ -217,11 +217,15 @@ def ann_topk_lsh(
     the exact bucket plus (with ``multiprobe``) its ``n_planes``
     hamming-1 neighbors. Exact cosine re-ranks the candidates.
 
-    Both knobs are the standard recall levers: one 8-bit bucket holds
-    ~|corpus|/256 vectors (~2 candidates per 500 rows — useless);
-    hamming-1 multiprobe ×(1+8) and four OR'd tables ×4 lift the probe
-    set to 36 buckets drawn from independent projections, the classic
-    (L, probe) trade of probe cost for recall. Everything stays a hash
+    Both knobs are the standard recall levers: hamming-1 multiprobe
+    ×(1+n_planes) and four OR'd tables ×4 (28 probed buckets at the
+    defaults) trade probe cost for recall. The 6-bit default is sized
+    for the HARD regime — structureless vectors where the true top-k
+    sit at cosine ≈0.3, so each sign bit agrees with only p = 1 - θ/π
+    ≈ 0.6: per-table hit ≈ p^6 + 6(1-p)p^5 ≈ 0.23, OR of 4 tables
+    ≈ 0.65 (8-bit tables measured 0.32 mean recall@5 on the random
+    fixture — the floor test pins ≥0.6). Clustered real embeddings sit
+    at higher cosine where the same knobs probe far fewer rows. Everything stays a hash
     join on (table_id, sig) — never a scan. Signatures use ROUNDED dots
     (6 places, like :func:`sign_bits`), so bucket membership — and
     hence the whole result — is deterministic and engine-portable: this
@@ -329,7 +333,7 @@ def sql_ann_topk_lsh(
     table: str = "embeddings",
     query_pred: str = "vec_id < 3",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
     n_tables: int = 4,
     multiprobe: bool = True,
     n_dims: int = 64,
@@ -406,7 +410,7 @@ def ann_lsh_recall(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_dims: int | None = None,
@@ -440,7 +444,7 @@ def sql_ann_lsh_recall(
     table: str = "embeddings",
     query_pred: str = "vec_id < 3",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
     n_dims: int = 64,
 ) -> str:
     """DuckDB twin of :func:`ann_lsh_recall`."""
@@ -469,18 +473,67 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[float]]:
-    """Coarse-quantizer centroids: the ``n_centroids`` lowest-id vectors.
-
-    Deterministic and engine-reproducible (the DuckDB oracle derives the
-    identical set with ``ORDER BY vec_id LIMIT C``). A production build
-    would refine these with Lloyd iterations; every downstream plan —
-    tiny broadcast centroid table, one narrow assignment pass over the
-    corpus — is identical, so the *operator shape* is the 100 TB one.
-    """
+    """Seed coarse-quantizer centroids: the ``n_centroids`` lowest-id
+    vectors — deterministic and engine-reproducible (the DuckDB oracle
+    derives the identical set with ``ORDER BY vec_id LIMIT C``).
+    Refine with :func:`ivf_refine` (deterministic Lloyd) before use;
+    raw seeds give unbalanced cells."""
     rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
     return [[float(x) for x in r[1]] for r in rows]
+
+
+_FIX_SCALE = 1_000_000
+
+
+def ivf_refine(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """One deterministic Lloyd iteration: assign every vector to its
+    nearest centroid (same rounded-cosine + lowest-cent-id rule as
+    :func:`ivf_assign`), then move each centroid to its cell's mean.
+
+    The mean is computed in FIXED POINT — per dimension,
+    ``floor(sum(floor(x * 1e6)) / n) / 1e6`` — because a double-sum
+    mean is order-sensitive in its low bits and the DuckDB twin could
+    round-to-6 across a tie; int64 sums and floor-division are exact
+    and identical in any engine. Empty cells keep their centroid.
+
+    Plan shape: one narrow assignment map (centroids as literals, no
+    join) + posexplode + a (cent_id, pos)-keyed aggregate; the collect
+    is C×dims rows — metadata-sized. At 100 TB you would run this on a
+    deterministic hash-sample of the corpus (hash_fraction_sample);
+    the aggregate is partial-agg friendly either way.
+    """
+    dims = len(centroids[0])
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    means = (
+        assigned.select("cent_id", F.posexplode("c_vec").alias("pos", "x"))
+        .groupBy("cent_id", "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * _FIX_SCALE).cast("long")
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cent_id",
+            "pos",
+            (F.floor(F.col("s") / F.col("n")) / _FIX_SCALE).alias("m"),
+        )
+        .collect()
+    )
+    out = [list(c) for c in centroids]  # empty cells keep their centroid
+    by_cell: dict[int, list[float]] = {}
+    for r in means:
+        by_cell.setdefault(r.cent_id, [0.0] * dims)[r.pos] = float(r.m)
+    for cid, vec in by_cell.items():
+        out[cid] = vec
+    return out
 
 
 def ivf_assign(
@@ -532,17 +585,23 @@ def ann_topk_ivf(
     k: int = 5,
     n_centroids: int = 8,
     nprobe: int = 2,
+    n_refine: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: assign corpus to coarse cells, probe the ``nprobe`` cells
-    nearest each query, exact-cosine re-rank inside the probed cells.
+    """IVF ANN: assign corpus to coarse cells (seed centroids +
+    ``n_refine`` deterministic Lloyd iterations), probe the ``nprobe``
+    cells nearest each query, exact-cosine re-rank inside the probed
+    cells.
 
-    Deterministic end-to-end (rounded scores, fixed tie-breaks), so it
-    carries a full value-hash oracle, unlike most ANN implementations.
+    Deterministic end-to-end (rounded scores, fixed-point Lloyd means,
+    fixed tie-breaks), so it carries a full value-hash oracle, unlike
+    most ANN implementations.
     """
     spark = corpus.sparkSession
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    for _ in range(n_refine):
+        cents = ivf_refine(corpus, cents, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     cent_df = spark.createDataFrame(
@@ -595,24 +654,56 @@ def sql_ann_topk_ivf(
     k: int = 5,
     n_centroids: int = 8,
     nprobe: int = 2,
+    n_refine: int = 1,
 ) -> str:
-    """DuckDB twin of :func:`ann_topk_ivf` (same centroid rule, same
-    rounded scores, same tie-breaks)."""
+    """DuckDB twin of :func:`ann_topk_ivf` (same seed rule, the same
+    ``n_refine`` unrolled fixed-point Lloyd iterations, same rounded
+    scores, same tie-breaks)."""
     cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
     cos_qc = _SQL_COS.format(a="q.embedding", b="c.cvec")
     cos_qv = _SQL_COS.format(a="p.q_vec", b="a.embedding")
-    return f"""
-    WITH cent AS (
+    # cent0 = seed; each refinement layer re-assigns against cent{i} and
+    # takes exact fixed-point per-dimension means (empty cells keep
+    # their centroid via the left-join coalesce).
+    layers = [f"""
+    cent0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id,
-             embedding AS cvec
+             list_transform(embedding, x -> x::DOUBLE) AS cvec
       FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {n_centroids})
+    )"""]
+    for i in range(n_refine):
+        layers.append(f"""
+    assign{i} AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ac} DESC, c.cent_id ASC) AS rn
+        FROM {table} e CROSS JOIN cent{i} c
+      ) WHERE rn = 1
     ),
+    means{i} AS (
+      SELECT cent_id, u.i AS pos,
+             floor(sum(floor(a.embedding[u.i]::DOUBLE * {_FIX_SCALE}))
+                   / count(*)) / {_FIX_SCALE} AS m
+      FROM assign{i} a, unnest(range(1, len(a.embedding) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    cent{i + 1} AS (
+      SELECT c.cent_id,
+             coalesce(m.cvec, c.cvec) AS cvec
+      FROM cent{i} c LEFT JOIN (
+        SELECT cent_id, list(m ORDER BY pos) AS cvec FROM means{i} GROUP BY 1
+      ) m ON c.cent_id = m.cent_id
+    )""")
+    cent_final = f"cent{n_refine}"
+    return f"""
+    WITH {",".join(layers)},
     assigned AS (
       SELECT vec_id, embedding, cent_id FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cos_ac} DESC, c.cent_id ASC) AS rn
-        FROM {table} e CROSS JOIN cent c
+        FROM {table} e CROSS JOIN {cent_final} c
       ) WHERE rn = 1
     ),
     probes AS (
@@ -620,7 +711,7 @@ def sql_ann_topk_ivf(
         SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cent_id,
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY {cos_qc} DESC, c.cent_id ASC) AS rn
-        FROM {table} q CROSS JOIN cent c WHERE {query_pred}
+        FROM {table} q CROSS JOIN {cent_final} c WHERE {query_pred}
       ) WHERE rn <= {nprobe}
     ),
     pairs AS (
