@@ -596,6 +596,32 @@ def q_hash_fraction_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# documents.source is src0..src19; exercise full-keep, partial, zero,
+# and unlisted-passthrough paths of the mixture.
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.1, "src3": 0.0}
+
+
+def q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic leak-free train/val/test assignment (salted-hash
+    thresholds, map-side only)."""
+    return SA.corpus_split(load(spark, sf, "documents")).select(
+        "doc_id", "lang", "source", "split"
+    )
+
+
+def q_weighted_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus-mixture subsampling; unlisted sources pass
+    through whole."""
+    return SA.weighted_mix(load(spark, sf, "documents"), MIX_WEIGHTS).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter features."""
+    return X.repetition_stats(load(spark, sf, "documents"))
+
+
 def q_media_summary(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents → opaque media
     payloads + typed metadata → native summary (no UDF)."""
@@ -697,6 +723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "hash_fraction_sample": q_hash_fraction_sample,
+        "corpus_split": q_corpus_split,
+        "weighted_mix": q_weighted_mix,
+        "text_repetition": q_text_repetition,
         "media_summary": q_media_summary,
         "media_features": q_media_features,  # pandas-UDF — rows-only check
         "media_decode": q_media_decode,
@@ -738,6 +767,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": D.sql_dedup_clusters(),
         "stratified_sample": SA.sql_stratified_sample_n(),
         "hash_fraction_sample": SA.sql_hash_fraction_sample(),
+        "corpus_split": SA.sql_corpus_split(),
+        "weighted_mix": SA.sql_weighted_mix(source_weights=MIX_WEIGHTS),
+        "text_repetition": X.sql_repetition_stats(),
         "media_summary": M.sql_media_summary(),
         "media_features": M.sql_byte_histogram_features(),
         "media_decode": M.sql_media_decode(),

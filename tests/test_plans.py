@@ -186,3 +186,33 @@ def test_replicator_shaping_is_one_narrow_projection(spark):
     p = plan_of(STRIPE_CUSTOMER_V1.shape(env))
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_corpus_assembly_is_shuffle_free(spark):
+    """Split assignment, weighted mixture, and repetition stats are
+    per-row salted-hash/array expressions — map-side only at any scale;
+    a keyed Exchange in any of them is a scale bug."""
+    for name in ("corpus_split", "weighted_mix", "text_repetition"):
+        p = plan_of(entry.queries()[name](spark, SF))
+        assert "hashpartitioning" not in p and "rangepartitioning" not in p, (
+            f"{name} plan key-shuffles:\n{p}"
+        )
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_media_fixture_assembly_is_native(spark):
+    """The BMP/WAV payload assembly (hex build + unhex) must be pure
+    Column expressions — the ONLY Python stage in the decode queries is
+    the decode kernel itself (exactly one MapInPandas)."""
+    from webhookdb_spark.operators import multimodal as M
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for builder in (M.media_bmp_from_documents, M.media_wav_from_documents):
+        p = plan_of(builder(docs))
+        assert "Python" not in p and "Pandas" not in p, (
+            f"{builder.__name__} fixture assembly left JVM:\n{p}"
+        )
+        assert "Exchange" not in p, p
+    for q in ("media_decode", "media_wav_decode"):
+        p = plan_of(entry.queries()[q](spark, SF))
+        assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p

@@ -67,6 +67,116 @@ def hash_fraction_sample(
     return df.where(bucket < F.lit(cutoff))
 
 
+def _bucket28(id_col: Column, salt: str) -> Column:
+    """28-bit integer from the md5 of salt+id. Each operator salts its
+    hash differently so composed stages (split -> mix -> sample) draw
+    INDEPENDENT permutations — sharing one hash would correlate them
+    (e.g. every sampled row landing in 'train')."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+
+
+def _sql_bucket28(id_col: str, salt: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 7)"
+        " AS BIGINT)"
+    )
+
+
+def corpus_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a ``split`` column from
+    the row's salted 28-bit hash against the cumulative weight
+    thresholds. Every engine and every run assigns each id to the same
+    split — the property that keeps eval sets leak-free when the corpus
+    is re-materialized. Pure map-side (no shuffle); weights are
+    normalized, so {9, 0.5, 0.5} works as well as fractions."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = _bucket28(F.col(id_col), "split:")
+    expr: Column | None = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, wt in items[:-1]:
+        acc += wt / total
+        cutoff = int(acc * float(1 << 28))
+        expr = (
+            F.when(bucket < cutoff, F.lit(name))
+            if expr is None
+            else expr.when(bucket < cutoff, F.lit(name))
+        )
+    last = items[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", split)
+
+
+def weighted_mix(
+    df: DataFrame,
+    source_weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source subsampling — the corpus-mixture step ("keep 100% of
+    wiki, 30% of web, 5% of forum"): a row survives when its salted
+    hash falls under its source's keep-fraction. Sources not listed
+    pass through whole (weight 1.0). Map-side only, reproducible, and
+    composable with :func:`corpus_split` (independent salts)."""
+    pairs: list[Column] = []
+    for s, wt in source_weights.items():
+        pairs += [F.lit(s), F.lit(int(min(max(wt, 0.0), 1.0) * float(1 << 28)))]
+    cutoff = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(source_col)),
+        F.lit(1 << 28),
+    )
+    return df.where(_bucket28(F.col(id_col), "mix:") < cutoff)
+
+
+def sql_corpus_split(
+    table: str = "documents",
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    cols: str = "doc_id, lang, source",
+) -> str:
+    """DuckDB twin of :func:`corpus_split`."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    b = _sql_bucket28(id_col, "split:")
+    acc = 0.0
+    whens = []
+    items = list(weights.items())
+    for name, wt in items[:-1]:
+        acc += wt / total
+        whens.append(f"WHEN {b} < {int(acc * float(1 << 28))} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{items[-1][0]}' END"
+    return f"SELECT {cols}, {case} AS split FROM {table}"
+
+
+def sql_weighted_mix(
+    table: str = "documents",
+    source_weights: dict[str, float] | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    cols: str = "doc_id, lang, source",
+) -> str:
+    """DuckDB twin of :func:`weighted_mix`."""
+    source_weights = source_weights or {}
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(min(max(w, 0.0), 1.0) * float(1 << 28))}"
+        for s, w in source_weights.items()
+    )
+    cutoff = f"CASE {source_col} {whens} ELSE {1 << 28} END"
+    return f"""
+    SELECT {cols} FROM {table}
+    WHERE {_sql_bucket28(id_col, 'mix:')} < {cutoff}
+    """
+
+
 def sql_stratified_sample_n(
     table: str = "documents",
     strata_col: str = "lang",

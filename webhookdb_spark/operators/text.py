@@ -148,6 +148,94 @@ def sql_langid(table: str = "documents") -> str:
     """
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", seg_tokens: int = 5
+) -> DataFrame:
+    """Gopher-style intra-document repetition features. Segments are
+    non-overlapping ``seg_tokens``-token windows (robust for corpora
+    without line/sentence structure; a line-based corpus can pre-split
+    and pass one line per row). Measures
+
+    - ``n_segments``
+    - ``dup_segment_frac`` — fraction of segments that are repeats of
+      an earlier one (1 - distinct/total)
+    - ``dup_char_frac`` — fraction of characters living in segments
+      that occur more than once (all occurrences counted)
+
+    Heavily repetitive documents (boilerplate, scraped nav bars,
+    degenerate generations) score high and get filtered before
+    training. Pure native expressions — the nested lambda for
+    ``dup_char_frac`` is O(segments²) per row, bounded by document
+    segment counts, still narrow/map-side (no shuffle, no UDF).
+    """
+    k = seg_tokens
+    chunks = lambda t: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.ceil(F.size(t) / k).cast("int") - 1),
+        lambda i: F.array_join(F.slice(t, i * k + 1, k), " "),
+    )
+    b = bind(
+        scale_out(df.select("doc_id", text_col)),
+        "_segs",
+        chunks(tokens(F.col(text_col))),
+    )
+    segs = F.col("_segs")
+    n = F.size(segs)
+    n_distinct = F.size(F.array_distinct(segs))
+    total_chars = F.aggregate(
+        segs, F.lit(0), lambda acc, s: acc + F.length(s)
+    )
+    dup_chars = F.aggregate(
+        F.filter(
+            segs,
+            lambda s: F.size(F.filter(segs, lambda x: x == s)) > 1,
+        ),
+        F.lit(0),
+        lambda acc, s: acc + F.length(s),
+    )
+    denom_n = F.greatest(n, F.lit(1))
+    denom_c = F.greatest(total_chars, F.lit(1))
+    return b.select(
+        "doc_id",
+        n.cast("int").alias("n_segments"),
+        F.round((n - n_distinct).cast("double") / denom_n, 6).alias(
+            "dup_segment_frac"
+        ),
+        F.round(dup_chars.cast("double") / denom_c, 6).alias("dup_char_frac"),
+    )
+
+
+def sql_repetition_stats(table: str = "documents", seg_tokens: int = 5) -> str:
+    """DuckDB twin of :func:`repetition_stats`."""
+    k = seg_tokens
+    t = SQL_TOKENS.format(c="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {t} AS t FROM {table}
+    ), b AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(t) / {k}.0) AS INTEGER)),
+                            i -> array_to_string(t[i * {k} + 1 : i * {k} + {k}], ' '))
+               AS segs
+      FROM toks
+    ), m AS (
+      SELECT doc_id,
+             len(segs) AS n,
+             len(list_distinct(segs)) AS n_distinct,
+             list_sum(list_transform(segs, s -> length(s))) AS total_chars,
+             list_sum(list_transform(
+               list_filter(segs, s -> len(list_filter(segs, x -> x = s)) > 1),
+               s -> length(s))) AS dup_chars
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_segments,
+           round((n - n_distinct)::DOUBLE / greatest(n, 1), 6) AS dup_segment_frac,
+           round(coalesce(dup_chars, 0)::DOUBLE / greatest(total_chars, 1), 6)
+             AS dup_char_frac
+    FROM m
+    """
+
+
 # SQL twins -----------------------------------------------------------------
 
 SQL_TOKENS = "regexp_split_to_array(trim({c}), '\\s+')"
