@@ -302,14 +302,15 @@ def verify_envelopes(
             )
             if has_path is None:
                 has_path = "request_path" in pdf.columns
-            reasons = []
-            for _, row in pdf.iterrows():
-                fn = verifiers.get(row["integration_opaque_id"])
-                if fn is None:
-                    reasons.append("unknown integration")
-                    continue
-                path = row["request_path"] if has_path else ""
-                reasons.append(fn(row["body"], row["headers"] or {}, path, now))
+            paths = pdf["request_path"] if has_path else [""] * len(pdf)
+            reasons = [
+                "unknown integration"
+                if (fn := verifiers.get(opaque)) is None
+                else fn(body, headers or {}, path, now)
+                for opaque, body, headers, path in zip(
+                    pdf["integration_opaque_id"], pdf["body"], pdf["headers"], paths
+                )
+            ]
             out = pdf.copy()
             out["_reject_reason"] = pd.Series(reasons, index=pdf.index, dtype="object")
             yield out
