@@ -622,6 +622,34 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return X.repetition_stats(load(spark, sf, "documents"))
 
 
+def q_text_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex token counting (training-cost estimator)."""
+    return X.token_count_bpe(load(spark, sf, "documents"))
+
+
+def q_text_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction. The synthetic corpus carries no PII, so the query
+    plants a deterministic email/URL/phone per document (both engines
+    build the identical text) and the operator must find and redact
+    exactly those."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact user%s@example.com or https://ex.io/d/%s tel +1-555-%04d-99",
+                F.col("doc_id"), F.col("doc_id"), F.col("doc_id") % 10000,
+            ),
+        ).alias("text"),
+    )
+    return X.scrub_pii(docs)
+
+
+def q_text_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (one row per selected hash)."""
+    return X.winnow_fingerprints(load(spark, sf, "documents"))
+
+
 def q_media_summary(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents → opaque media
     payloads + typed metadata → native summary (no UDF)."""
@@ -726,6 +754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "weighted_mix": q_weighted_mix,
         "text_repetition": q_text_repetition,
+        "text_token_count_bpe": q_text_token_count_bpe,
+        "text_scrub_pii": q_text_scrub_pii,
+        "text_winnow": q_text_winnow,
         "media_summary": q_media_summary,
         "media_features": q_media_features,  # pandas-UDF — rows-only check
         "media_decode": q_media_decode,
@@ -770,6 +801,14 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": SA.sql_corpus_split(),
         "weighted_mix": SA.sql_weighted_mix(source_weights=MIX_WEIGHTS),
         "text_repetition": X.sql_repetition_stats(),
+        "text_token_count_bpe": X.sql_token_count_bpe(),
+        "text_scrub_pii": X.sql_scrub_pii(
+            table="(SELECT doc_id, text || ' contact user' || doc_id"
+            " || '@example.com or https://ex.io/d/' || doc_id"
+            " || ' tel +1-555-' || printf('%04d', doc_id % 10000)"
+            " || '-99' AS text FROM documents)"
+        ),
+        "text_winnow": X.sql_winnow_fingerprints(),
         "media_summary": M.sql_media_summary(),
         "media_features": M.sql_byte_histogram_features(),
         "media_decode": M.sql_media_decode(),

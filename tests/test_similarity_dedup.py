@@ -211,3 +211,59 @@ def test_ivf_refine_fixed_point_means_match_duckdb(spark):
     for cid, vec in enumerate(refined):
         if cid in duck:
             assert vec == duck[cid], f"cent {cid} diverged"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's core property: two documents sharing a run of
+    w + k - 1 characters (here 11) must share at least one fingerprint;
+    unrelated documents of distinct alphabets share none."""
+    from webhookdb_spark.operators.text import winnow_fingerprints
+
+    shared = "identical shared passage of text here"
+    df = _docs(
+        spark,
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCC " + shared + " DDDD"),
+            (3, "zz qq ww ee rr tt yy uu ii oo pp"),
+        ],
+    )
+    fps = winnow_fingerprints(df, k=8, w=4)
+    by_doc = {
+        d: {r.fp for r in rows}
+        for d, rows in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r.doc_id), key=lambda r: r.doc_id
+        )
+    }
+    assert by_doc[1] & by_doc[2], "shared passage produced no shared fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from webhookdb_spark.operators.text import scrub_pii
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail a.b+c@ex-amp.le.org and b@c.io see https://x.io/p?q=1"),
+            (2, "call +1 (555) 000-1234 now"),
+            (3, "nothing sensitive here"),
+        ],
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert rows[1].n_email == 2 and rows[1].n_url == 1 and rows[1].n_phone == 0
+    assert "<EMAIL>" in rows[1].scrubbed_text and "<URL>" in rows[1].scrubbed_text
+    assert "@" not in rows[1].scrubbed_text.replace("<EMAIL>", "")
+    assert rows[2].n_phone == 1 and "<PHONE>" in rows[2].scrubbed_text
+    assert rows[3].scrubbed_text == "nothing sensitive here"
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    from webhookdb_spark.operators.text import token_count_bpe
+
+    df = _docs(spark, [(1, "it's spark-graft v2.0, really")])
+    r = token_count_bpe(df).collect()[0]
+    # 'it' 's ' spark' '-' 'graft' ' v' '2' '.' '0' ',' ' really'
+    assert r.n_bpe_tokens == 11 and r.n_ws_tokens == 4
+    assert r.bpe_per_word == 2.75

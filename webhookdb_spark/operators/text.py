@@ -204,6 +204,149 @@ def repetition_stats(
     )
 
 
+# A GPT-2-style byte-pair pre-tokenizer pattern, restricted to the
+# common subset of Java regex (Spark) and RE2 (DuckDB): no lookarounds,
+# no unicode property classes. Contractions, space-prefixed word/number
+# runs, punctuation runs, residual whitespace.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenizer regex — the
+    training-cost estimator (whitespace counts under-estimate typical
+    BPE token counts; this pattern tracks them closely). Native
+    ``regexp_extract_all``; map-side only."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    b = bind(scale_out(df.select("doc_id", text_col)), "_bt", toks)
+    t = F.col("_bt")
+    ws = F.size(tokens(F.col(text_col)))
+    return b.select(
+        "doc_id",
+        F.size(t).cast("int").alias("n_bpe_tokens"),
+        ws.cast("int").alias("n_ws_tokens"),
+        F.round(F.size(t).cast("double") / F.greatest(ws, F.lit(1)), 6).alias(
+            "bpe_per_word"
+        ),
+    )
+
+
+def sql_token_count_bpe(table: str = "documents") -> str:
+    """DuckDB twin of :func:`token_count_bpe`."""
+    t = SQL_TOKENS.format(c="text")
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len({t}) AS INTEGER) AS n_ws_tokens,
+           round(len(regexp_extract_all(text, '{pat}'))::DOUBLE
+                 / greatest(len({t}), 1), 6) AS bpe_per_word
+    FROM {table}
+    """
+
+
+# PII scrubbing patterns — shared Java-regex/RE2 subset, applied in a
+# fixed order (email, then URL, then phone) so both engines produce the
+# identical scrubbed text.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, URLs, and phone-shaped runs; emit the scrubbed
+    text plus per-category match counts (the audit columns a pipeline
+    monitors for drift). Pure regexp expressions, map-side only."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            .cast("int")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select("doc_id", *counts, scrubbed.alias("scrubbed_text"))
+
+
+def sql_scrub_pii(table: str = "documents") -> str:
+    """DuckDB twin of :func:`scrub_pii` (same patterns, same order —
+    counts are measured on the same partially-scrubbed stages)."""
+    scrubbed = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({scrubbed}, '{pat}')) AS INTEGER)"
+            f" AS n_{name}"
+        )
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    return f"""
+    SELECT doc_id, {', '.join(counts)}, {scrubbed} AS scrubbed_text
+    FROM {table}
+    """
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the
+    MOSS/local-minima scheme): hash every ``k``-char gram of the
+    normalized text, slide a ``w``-hash window, keep each window's
+    minimum, emit the distinct selected hashes one per row. Two
+    documents sharing any run of ``w + k - 1`` characters are
+    guaranteed to share a fingerprint — the substring-overlap detector
+    that whole-document md5 (:func:`fingerprint`) cannot provide.
+
+    Hashes are md5-prefix 28-bit ints (engine-portable, like the
+    sampling buckets). All HOF expressions — O(len·w) per row, narrow,
+    no shuffle until the caller joins fingerprints."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
+    b = bind(scale_out(df.select("doc_id", text_col)), "_n", norm)
+    n = F.col("_n")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(n) - (k - 1), F.lit(1))),
+        lambda i: F.substring(n, i, k),
+    )
+    b = bind(b, "_h", F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long"),
+    ))
+    h = F.col("_h")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(h) - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(h, j, w)),
+    )
+    return b.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def sql_winnow_fingerprints(
+    table: str = "documents", k: int = 8, w: int = 4
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`."""
+    return f"""
+    WITH n AS (
+      SELECT doc_id,
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+      FROM {table}
+    ), h AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1),
+                              i -> substr(t, i, {k})),
+               g -> CAST('0x' || substr(md5(g), 1, 7) AS BIGINT)) AS hs
+      FROM n
+    )
+    SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(hs) - {w - 1}, 1) + 1),
+                            j -> list_min(hs[j : j + {w - 1}])))) AS fp
+    FROM h
+    """
+
+
 def sql_repetition_stats(table: str = "documents", seg_tokens: int = 5) -> str:
     """DuckDB twin of :func:`repetition_stats`."""
     k = seg_tokens
