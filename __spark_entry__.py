@@ -677,6 +677,15 @@ def q_media_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     return M.decode_audio(M.media_wav_from_documents(load(spark, sf, "documents")))
 
 
+def q_media_avi_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL frame extraction: documents become structurally valid
+    RIFF/AVI containers (native hex assembly) and the kernel demuxes
+    the movi chunk list — the row-multiplying UDTF shape with a genuine
+    parser. The oracle rebuilds the container and re-slices each frame
+    at its chunk offset."""
+    return M.demux_avi_frames(M.media_avi_from_documents(load(spark, sf, "documents")))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return S.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
@@ -761,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,  # pandas-UDF — rows-only check
         "media_decode": q_media_decode,
         "media_wav_decode": q_media_wav_decode,
+        "media_avi_frames": q_media_avi_frames,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -813,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": M.sql_byte_histogram_features(),
         "media_decode": M.sql_media_decode(),
         "media_wav_decode": M.sql_media_wav_decode(),
+        "media_avi_frames": M.sql_media_avi_frames(),
         "ann_cosine_topk": S.sql_cosine_topk(),
         "ann_lsh_topk": S.sql_ann_topk_lsh(),
         "ann_lsh_recall": S.sql_ann_lsh_recall(),

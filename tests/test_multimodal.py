@@ -178,3 +178,39 @@ def test_sample_frames_explosion_geometry(spark):
     )
     joined = b"".join(b for _, b in frames)
     assert b"hello world".startswith(joined[: len(b"hello world")])
+
+
+def test_avi_demux_chunk_walk(spark):
+    import struct
+
+    # handcrafted AVI with junk before movi, word-aligned odd-size frame,
+    # and a '00dc' (compressed-flagged) chunk - the walker must take both
+    # db and dc chunks, skip the junk LIST, and honor alignment padding
+    f0, f1 = b"0123456789abcdef", b"odd"
+    junk = b"LIST" + struct.pack("<I", 8) + b"strl" + b"\x00" * 4
+    movi_body = (b"movi"
+                 + b"00db" + struct.pack("<I", len(f0)) + f0
+                 + b"00dc" + struct.pack("<I", len(f1)) + f1 + b"\x00")
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + junk + movi
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert M._parse_avi_frames(buf) == [f0, f1]
+    assert M._parse_avi_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def test_avi_fixture_roundtrip_through_kernel(spark):
+    docs = _docs(spark)  # doc 2 has 36 chars -> 2 frames; 1 and 3 -> 0
+    media = M.media_avi_from_documents(docs)
+    rows = M.demux_avi_frames(media).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.media_id, []).append(r)
+    assert set(by_doc) == {2}
+    assert [r.frame_idx for r in sorted(by_doc[2], key=lambda r: r.frame_idx)] == [0, 1]
+    assert all(r.n_bytes == 16 for r in by_doc[2])
+    # the first frame is exactly the first 16 bytes of the text
+    buf = b"a somewhat longer document body here"[:16]
+    assert by_doc[2][0].checksum == hashlib.md5(buf.hex().upper().encode()).hexdigest()
+    # meta carries the derived duration (2 frames @ 25fps)
+    meta = {r.media_id: r.meta for r in media.collect()}
+    assert meta[2]["duration_ms"] == 80
