@@ -453,8 +453,12 @@ def q_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
     # Bulk loads touch the whole keyspace: the bucket hint skips the
     # per-batch discovery scan (merge_upsert docstring).
     all_buckets = list(range(spec.n_buckets))
-    upsert_envelopes(t, env.where(F.col("received_at") < split), spec, buckets=all_buckets)
-    upsert_envelopes(t, env.where(F.col("received_at") >= split), spec, buckets=all_buckets)
+    # capture_changes=False: a bulk load with no fan-out/dependent
+    # consumers skips the durable CDC write (one whole write per MERGE).
+    upsert_envelopes(t, env.where(F.col("received_at") < split), spec,
+                     buckets=all_buckets, capture_changes=False)
+    upsert_envelopes(t, env.where(F.col("received_at") >= split), spec,
+                     buckets=all_buckets, capture_changes=False)
     return t.read().select("k", "ts", "event_id", F.round("value", 6).alias("value"))
 
 

@@ -237,3 +237,34 @@ def test_delete_where_single_pass_counts(spark, tmp_warehouse):
     t2 = Warehouse(spark, str(tmp_warehouse)).table("o", "delt2")
     t2.create(schema, key="k", n_buckets=4)
     assert t2.delete_where(F.col("v") > 0) == 0
+
+
+def test_capture_changes_off_skips_cdc_write(spark, tmp_warehouse):
+    """capture_changes=False must not create a _changes txn dir, while
+    MergeResult.changed stays readable (lazily, from the bucket files)
+    and the observed counts are unaffected."""
+    import datetime as dt
+    import json
+
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.storage import Warehouse
+
+    t = Warehouse(spark, str(tmp_warehouse)).table("org", "fake_v1")
+    env = spark.createDataFrame(
+        [(json.dumps({"my_id": f"k{i}", "at": "2024-06-01T00:00:00Z"}),
+          dt.datetime(2026, 1, 1)) for i in range(5)],
+        "body string, received_at timestamp",
+    )
+    res = upsert_envelopes(t, env, FAKE_V1, capture_changes=False)
+    assert res.inserted == 5
+    assert res.changed.where("_action != 'keep'").count() == 5
+    changes_dir = tmp_warehouse / "org" / "fake_v1" / "_changes"
+    assert not changes_dir.exists() or not any(changes_dir.iterdir())
+    # default path still persists the change set
+    env2 = spark.createDataFrame(
+        [(json.dumps({"my_id": "k9", "at": "2024-06-02T00:00:00Z"}),
+          dt.datetime(2026, 1, 2))],
+        "body string, received_at timestamp",
+    )
+    upsert_envelopes(t, env2, FAKE_V1)
+    assert any((tmp_warehouse / "org" / "fake_v1" / "_changes").iterdir())

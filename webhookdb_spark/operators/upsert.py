@@ -154,6 +154,7 @@ def merge_upsert(
     batch: DataFrame,
     spec: ReplicatorSpec,
     buckets: list[int] | None = None,
+    capture_changes: bool = True,
 ) -> MergeResult:
     """Merge a shaped batch into ``table`` under ``spec``'s semantics.
 
@@ -171,6 +172,15 @@ def merge_upsert(
     sync routed by partition key) passes just those — the reference's
     partition-key routing (partitionable_mixin.rb:49-54). Rows hashing
     outside the hint would be lost; the hint must be a superset.
+
+    ``capture_changes=False`` skips persisting the change set to the
+    per-transaction ``_changes`` dir (one whole extra write per MERGE):
+    ``MergeResult.changed`` is then a lazy filter over the just-written
+    bucket files, valid only until the NEXT transaction rewrites those
+    buckets. Use it for bulk loads with no fan-out/dependent consumers
+    (the reference skips ``_publish_rowupsert`` exactly when nothing
+    subscribes, base.rb:820-827); any pipeline that notifies dependents
+    or webhooks must keep the durable default.
     """
     from pyspark.sql import Observation
 
@@ -219,9 +229,12 @@ def merge_upsert(
         .parquet(*written)
         .where(F.col(ACTION_COL) != "keep")
     )
-    changes_path = str(table.path / "_changes" / f"txn_{new_m.txn}")
-    changed.write.mode("overwrite").parquet(changes_path)
-    changed_df = table.spark.read.schema(changed_schema).parquet(changes_path)
+    if capture_changes:
+        changes_path = str(table.path / "_changes" / f"txn_{new_m.txn}")
+        changed.write.mode("overwrite").parquet(changes_path)
+        changed_df = table.spark.read.schema(changed_schema).parquet(changes_path)
+    else:
+        changed_df = changed
     return MergeResult(
         inserted=counts.get("insert", 0),
         updated=counts.get("update", 0),
@@ -318,11 +331,14 @@ def upsert_envelopes(
     envelopes: DataFrame,
     spec: ReplicatorSpec,
     buckets: list[int] | None = None,
+    capture_changes: bool = True,
 ) -> MergeResult:
     """Full ingest path: shape envelopes then merge (base.rb:731-785).
 
     ``buckets``: optional routing hint forwarded to :func:`merge_upsert`
-    (pass ``range(spec.n_buckets)`` for whole-keyspace bulk loads).
+    (pass ``range(spec.n_buckets)`` for whole-keyspace bulk loads);
+    ``capture_changes`` forwarded likewise (False = skip the durable
+    CDC write for subscriber-less bulk loads).
     """
     if not table.exists():
         table.create(spec.schema(), key=spec.remote_key.name, n_buckets=spec.n_buckets)
@@ -344,4 +360,6 @@ def upsert_envelopes(
         seq = IntegrationSequence(table.path)
         for name in seq_cols:
             shaped = seq.fill(shaped, name)
-    return merge_upsert(table, shaped, spec, buckets=buckets)
+    return merge_upsert(
+        table, shaped, spec, buckets=buckets, capture_changes=capture_changes
+    )
