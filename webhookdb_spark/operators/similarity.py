@@ -504,10 +504,15 @@ def ivf_refine(
     and identical in any engine. Empty cells keep their centroid.
 
     Plan shape: one narrow assignment map (centroids as literals, no
-    join) + posexplode + a (cent_id, pos)-keyed aggregate; the collect
-    is C×dims rows — metadata-sized. At 100 TB you would run this on a
-    deterministic hash-sample of the corpus (hash_fraction_sample);
-    the aggregate is partial-agg friendly either way.
+    join) + posexplode + a (cent_id, pos)-keyed aggregate whose
+    map-side combine reduces each task to C×dims partial rows before
+    the shuffle; the collect is C×dims rows — metadata-sized. (A
+    64-wide per-dimension-sum aggregate avoiding the explode was
+    measured 1.6× SLOWER at sf0.1 — the narrow exploded agg stays in
+    vectorized codegen where 65 aggregate buffers do not.) At 100 TB
+    you would run this on a deterministic hash-sample of the corpus
+    (hash_fraction_sample); the aggregate is partial-agg friendly
+    either way.
     """
     dims = len(centroids[0])
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
