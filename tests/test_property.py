@@ -1,0 +1,147 @@
+"""Property-based cross-engine tests (hypothesis).
+
+The repo's correctness story rests on isomorphic Spark/DuckDB pairs;
+the fixed oracle queries check them on the synthetic corpus, and these
+properties check them on ADVERSARIAL inputs hypothesis invents (unicode
+edge cases, pathological whitespace, empty strings). Each property runs
+ONE Spark job per example batch — examples are batches of strings, not
+single rows, so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from webhookdb_spark.functions.converters import CONV_STR2HASH, str2inthash_py
+
+# no NUL (parquet/duckdb varchar forbids it; the engine strips NULs on
+# the JSON ingest path before any hashing — base.rb:793-811 parity)
+_text = st.text(
+    alphabet=st.characters(blacklist_characters="\x00", codec="utf-8"),
+    max_size=40,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(st.lists(_text, min_size=1, max_size=24, unique=True))
+@_settings
+def test_str2inthash_three_way_agreement(spark, strings):
+    """The partition-routing hash (partitionable_mixin.rb:74-90) must
+    agree across the Python, Spark-Column, and DuckDB implementations
+    for arbitrary unicode — a silent divergence would route rows to
+    different buckets on different engines."""
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got_spark = {
+        r.s: r.h
+        for r in df.select("s", CONV_STR2HASH.spark(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in strings])
+    got_duck = dict(
+        con.execute(f"SELECT s, {CONV_STR2HASH.sql('s')} FROM t").fetchall()
+    )
+    for s in strings:
+        py = str2inthash_py(s)
+        assert got_spark[s] == py, f"spark vs py diverged on {s!r}"
+        assert got_duck[s] == py, f"duckdb vs py diverged on {s!r}"
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**9), _text),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda t: t[0],
+    )
+)
+@_settings
+def test_corpus_split_and_mix_cross_engine(spark, rows):
+    """Split assignment and mixture survival are pure functions of the
+    id — Spark and DuckDB must pick identical splits and identical
+    surviving rows for arbitrary ids."""
+    from webhookdb_spark.operators.sampling import (
+        corpus_split,
+        sql_corpus_split,
+        sql_weighted_mix,
+        weighted_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, "s%d" % (i % 3)) for i, t in rows], "doc_id long, lang string, source string"
+    )
+    weights = {"s0": 0.5, "s1": 0.0}
+    got_split = {
+        r.doc_id: r.split for r in corpus_split(df).select("doc_id", "split").collect()
+    }
+    got_mix = {r.doc_id for r in weighted_mix(df, weights).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, lang VARCHAR, source VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?)",
+        [(i, t, "s%d" % (i % 3)) for i, t in rows],
+    )
+    want_split = dict(
+        con.execute(
+            sql_corpus_split(cols="doc_id").replace("SELECT doc_id,", "SELECT doc_id,")
+        ).fetchall()
+    )
+    want_mix = {
+        r[0]
+        for r in con.execute(
+            sql_weighted_mix(source_weights=weights, cols="doc_id")
+        ).fetchall()
+    }
+    assert got_split == want_split
+    assert got_mix == want_mix
+    # s1 rows never survive a 0-weight; unlisted s2 always survives
+    for i, _ in rows:
+        src = "s%d" % (i % 3)
+        if src == "s1":
+            assert i not in got_mix
+        if src == "s2":
+            assert i in got_mix
+
+
+@given(st.lists(st.tuples(st.integers(0, 10**6), _text), min_size=1,
+                max_size=12, unique_by=lambda t: t[0]))
+@_settings
+def test_repetition_and_bpe_cross_engine(spark, rows):
+    """Repetition stats and BPE token counts agree across engines for
+    arbitrary text (whitespace runs, punctuation, unicode)."""
+    from webhookdb_spark.operators.text import (
+        repetition_stats,
+        sql_repetition_stats,
+        sql_token_count_bpe,
+        token_count_bpe,
+    )
+
+    df = spark.createDataFrame(list(rows), "doc_id long, text string")
+    got_rep = {
+        r.doc_id: (r.n_segments, r.dup_segment_frac, r.dup_char_frac)
+        for r in repetition_stats(df).collect()
+    }
+    got_bpe = {
+        r.doc_id: (r.n_bpe_tokens, r.n_ws_tokens) for r in token_count_bpe(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(rows))
+    for did, n, dsf, dcf in con.execute(sql_repetition_stats()).fetchall():
+        assert got_rep[did] == (n, dsf, dcf), f"repetition diverged on doc {did}"
+    for did, nb, nw, _ in con.execute(sql_token_count_bpe()).fetchall():
+        assert got_bpe[did] == (nb, nw), f"bpe diverged on doc {did}"
+
+
+if __name__ == "__main__":  # pragma: no cover
+    pytest.main([__file__, "-q"])

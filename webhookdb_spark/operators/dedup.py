@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from webhookdb_spark.operators.text import SQL_TOKENS, tokens
+from webhookdb_spark.operators.text import SQL_TOKENS, WS, tokens
 from webhookdb_spark.operators.util import bind, scale_out
 
 DEFAULT_N_HASHES = 8
@@ -90,7 +90,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Returns (fingerprint, n_docs, doc_ids) for groups with n_docs > 1.
     """
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
     return (
         df.select("doc_id", F.md5(norm).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -104,7 +104,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def dedupe_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep the lowest doc_id per fingerprint (deterministic survivor)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
     w = F.row_number().over(Window.partitionBy(F.md5(norm)).orderBy(F.col("doc_id")))
     return df.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_rn")
 

@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 
 from webhookdb_spark.operators.util import bind, scale_out
 
-WS = r"\s+"
+# Explicit whitespace class shared by Java regex (Spark) and RE2
+# (DuckDB): Java's ASCII \s includes \x0B (vertical tab), RE2's does
+# not -- found by the hypothesis cross-engine property test. Every twin
+# pattern uses this class so both engines tokenize identically.
+WS = r"[ \t\n\r\f\x0B]+"
 
 # Tiny deterministic stopword lexicons for the language-ID heuristic and
 # quality scoring. (A real deployment would ship per-language n-gram
@@ -208,7 +212,10 @@ def repetition_stats(
 # common subset of Java regex (Spark) and RE2 (DuckDB): no lookarounds,
 # no unicode property classes. Contractions, space-prefixed word/number
 # runs, punctuation runs, residual whitespace.
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+"
+)
 
 
 def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -250,8 +257,8 @@ def sql_token_count_bpe(table: str = "documents") -> str:
 # identical scrubbed text.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("url", r"https?://[^\s]+", "<URL>"),
-    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+    ("url", r"https?://[^ \t\n\r\f\x0B]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\- \t]{6,}[0-9]", "<PHONE>"),
 )
 
 
@@ -330,7 +337,7 @@ def sql_winnow_fingerprints(
     return f"""
     WITH n AS (
       SELECT doc_id,
-             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+             lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS t
       FROM {table}
     ), h AS (
       SELECT doc_id,
@@ -381,8 +388,8 @@ def sql_repetition_stats(table: str = "documents", seg_tokens: int = 5) -> str:
 
 # SQL twins -----------------------------------------------------------------
 
-SQL_TOKENS = "regexp_split_to_array(trim({c}), '\\s+')"
-SQL_TOKENS_LOWER = "regexp_split_to_array(trim(lower({c})), '\\s+')"
+SQL_TOKENS = "regexp_split_to_array(trim({c}), '[ \\t\\n\\r\\f\\x0B]+')"
+SQL_TOKENS_LOWER = "regexp_split_to_array(trim(lower({c})), '[ \\t\\n\\r\\f\\x0B]+')"
 
 
 def sql_token_count(table: str = "documents") -> str:
@@ -427,6 +434,6 @@ def sql_quality_score(table: str = "documents") -> str:
 def sql_fingerprint(table: str = "documents") -> str:
     return f"""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+           md5(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint
     FROM {table}
     """
