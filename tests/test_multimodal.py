@@ -214,3 +214,24 @@ def test_avi_fixture_roundtrip_through_kernel(spark):
     # meta carries the derived duration (2 frames @ 25fps)
     meta = {r.media_id: r.meta for r in media.collect()}
     assert meta[2]["duration_ms"] == 80
+
+
+def test_sample_frames_real_branch_on_avi(spark):
+    """sample_frames must demux real AVI frames (not byte-slice) when
+    the payload is a RIFF/AVI container: with 40ms frames and
+    every_ms=80, every 2nd movi chunk is emitted."""
+    docs = _docs(spark)  # doc 2 -> 2 frames of 16 bytes at 40ms
+    media = M.media_avi_from_documents(docs)
+    out = M.sample_frames(media, every_ms=80).collect()
+    rows = [r for r in out if r.media_id == 2]
+    assert len(rows) == 1  # frames 0 and 1 exist; stride 2 keeps frame 0
+    assert rows[0].frame_idx == 0 and rows[0].frame_ms == 0
+    assert bytes(rows[0].frame_bytes) == b"a somewhat longe"  # real movi chunk
+    # every_ms=40 keeps both frames with true timestamps
+    both = sorted(
+        (r.frame_idx, r.frame_ms, bytes(r.frame_bytes))
+        for r in M.sample_frames(media, every_ms=40).collect()
+        if r.media_id == 2
+    )
+    assert [(i, ms) for i, ms, _ in both] == [(0, 0), (1, 40)]
+    assert both[1][2] == b"r document body "

@@ -17,9 +17,12 @@ sit at fixed offsets a pure-Python ``struct`` parse reads directly. So
 ``decode_images`` / ``decode_audio`` are now REAL decoders for those
 formats (`_parse_image_header` / `_parse_wav_header`), with PIL as an
 import-gated fallback for compressed formats and the deterministic
-metadata fake only behind ``allow_fake``. Only ``sample_frames`` (a
-demuxer job — inherently codec-bound) remains a declared stub; its
-explosion geometry, schema, and partitioning are production.
+metadata fake only behind ``allow_fake``. Frame extraction is REAL for
+RIFF/AVI containers (``_parse_avi_frames`` chunk walk, used by both
+``demux_avi_frames`` and ``sample_frames``); only non-AVI video
+sampling (inherently codec-bound) falls back to a clearly-marked
+deterministic fake, with identical explosion geometry, schema, and
+partitioning on both branches.
 
 Scale notes: binary payloads make row-group sizing the lever —
 keep ``spark.sql.files.maxPartitionBytes`` at the default 128 MB and
@@ -714,36 +717,58 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     row-multiplying UDTF shape (``mapInPandas`` yielding more rows than
     it consumes).
 
-    STUB KERNEL: a real build hands the payload to a demuxer (``av``)
-    and emits encoded frames; the deterministic fake slices the payload
-    into equal chunks, one per ``every_ms`` of ``meta.duration_ms``.
-    The explosion geometry, schema, and partitioning are production.
+    REAL for RIFF/AVI payloads: frames come from the actual ``movi``
+    chunk walk (:func:`_parse_avi_frames`, 40 ms/frame per the fixture's
+    avih), thinned to every ``max(1, every_ms // 40)``-th frame. Other
+    containers need a codec demuxer (``av``) this environment cannot
+    ship, so non-AVI payloads fall back to the clearly-marked
+    deterministic fake: equal byte slices, one per ``every_ms`` of
+    ``meta.duration_ms``. Explosion geometry, schema, and partitioning
+    are identical on both branches.
     """
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
 
+        stride = max(1, every_ms // 40)
         for pdf in batches:
-            bufs = [bytes(b) for b in pdf["content"]]
-            durs = np.array(
-                [int(m["duration_ms"] or 0) for m in pdf["meta"]], dtype="int64"
-            )
-            n_frames = np.maximum(durs // every_ms, 1)
-            steps = np.maximum(
-                np.array([len(b) for b in bufs], dtype="int64") // n_frames, 1
-            )
-            idx = np.concatenate([np.arange(k) for k in n_frames])
+            out_id: list[int] = []
+            out_idx: list[int] = []
+            out_ms: list[int] = []
+            out_b: list[bytes] = []
+            fake_rows = []
+            for mid, buf, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                buf = bytes(buf)
+                frames = _parse_avi_frames(buf)
+                if frames is not None:
+                    for j, k in enumerate(range(0, len(frames), stride)):
+                        out_id.append(mid)
+                        out_idx.append(j)
+                        out_ms.append(k * 40)
+                        out_b.append(frames[k])
+                else:
+                    fake_rows.append((mid, buf, int(meta["duration_ms"] or 0)))
+            if fake_rows:
+                durs = np.array([d for _, _, d in fake_rows], dtype="int64")
+                n_frames = np.maximum(durs // every_ms, 1)
+                steps = np.maximum(
+                    np.array([len(b) for _, b, _ in fake_rows], dtype="int64")
+                    // n_frames,
+                    1,
+                )
+                for (mid, buf, _), k, step in zip(fake_rows, n_frames, steps):
+                    for i in range(k):
+                        out_id.append(mid)
+                        out_idx.append(i)
+                        out_ms.append(i * every_ms)
+                        out_b.append(buf[i * step : (i + 1) * step])
             yield pd.DataFrame(
                 {
-                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n_frames),
-                    "frame_idx": idx.astype("int32"),
-                    "frame_ms": idx * every_ms,
-                    "frame_bytes": [
-                        buf[i * step : (i + 1) * step]
-                        for buf, step, k in zip(bufs, steps, n_frames)
-                        for i in range(k)
-                    ],
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_ms": pd.Series(out_ms, dtype="int64"),
+                    "frame_bytes": pd.Series(out_b, dtype="object"),
                 }
             )
 
