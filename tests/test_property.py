@@ -145,3 +145,49 @@ def test_repetition_and_bpe_cross_engine(spark, rows):
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
+
+
+@given(st.lists(st.tuples(st.integers(0, 10**6), _text), min_size=1,
+                max_size=10, unique_by=lambda t: t[0]))
+@_settings
+def test_winnow_and_fingerprint_cross_engine(spark, rows):
+    """Winnowing fingerprints and the whole-document md5 agree across
+    engines for arbitrary unicode — both depend on char-indexed
+    substring + md5-of-UTF8 semantics matching exactly."""
+    from webhookdb_spark.operators.text import (
+        fingerprint,
+        sql_fingerprint,
+        sql_winnow_fingerprints,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(list(rows), "doc_id long, text string")
+    got_fp = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    got_w = {(r.doc_id, r.fp) for r in winnow_fingerprints(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(rows))
+    want_fp = dict(con.execute(sql_fingerprint()).fetchall())
+    want_w = set(map(tuple, con.execute(sql_winnow_fingerprints()).fetchall()))
+    assert got_fp == want_fp
+    assert got_w == want_w
+
+
+@given(st.lists(_text, min_size=1, max_size=16, unique=True))
+@_settings
+def test_comma_sep_converter_cross_engine(spark, strings):
+    """The comma-split/trim converter (column.rb:55-67) yields identical
+    arrays in both engines for arbitrary unicode values."""
+    from webhookdb_spark.functions.converters import CONV_COMMA_SEP
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r.s: list(r.v)
+        for r in df.select("s", CONV_COMMA_SEP.spark(F.col("s")).alias("v")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in strings])
+    want = dict(con.execute(f"SELECT s, {CONV_COMMA_SEP.sql('s')} FROM t").fetchall())
+    for s in strings:
+        assert got[s] == list(want[s]), f"comma_sep diverged on {s!r}"

@@ -111,7 +111,7 @@ CONV_COMMA_SEP = Converter(
     spark=lambda c: F.when(
         c.isNotNull(), F.transform(F.split(c, ","), lambda x: F.trim(x))
     ),
-    sql=lambda c: f"list_transform(string_split({c}, ','), x -> trim(x))",
+    sql=lambda c: f"list_transform(string_split({c}, ','), x -> trim(x, ' '))",
 )
 
 # transistor_episode_stats_v1.rb:25-33 — 'DD-MM-YYYY' → date.

@@ -337,7 +337,7 @@ def sql_winnow_fingerprints(
     return f"""
     WITH n AS (
       SELECT doc_id,
-             lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS t
+             lower(regexp_replace(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS t
       FROM {table}
     ), h AS (
       SELECT doc_id,
@@ -388,8 +388,8 @@ def sql_repetition_stats(table: str = "documents", seg_tokens: int = 5) -> str:
 
 # SQL twins -----------------------------------------------------------------
 
-SQL_TOKENS = "regexp_split_to_array(trim({c}), '[ \\t\\n\\r\\f\\x0B]+')"
-SQL_TOKENS_LOWER = "regexp_split_to_array(trim(lower({c})), '[ \\t\\n\\r\\f\\x0B]+')"
+SQL_TOKENS = "regexp_split_to_array(trim({c}, ' '), '[ \\t\\n\\r\\f\\x0B]+')"
+SQL_TOKENS_LOWER = "regexp_split_to_array(trim(lower({c}), ' '), '[ \\t\\n\\r\\f\\x0B]+')"
 
 
 def sql_token_count(table: str = "documents") -> str:
@@ -434,6 +434,6 @@ def sql_quality_score(table: str = "documents") -> str:
 def sql_fingerprint(table: str = "documents") -> str:
     return f"""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint
+           md5(lower(regexp_replace(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint
     FROM {table}
     """
