@@ -555,7 +555,7 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = """
-SELECT md5(lower(regexp_replace(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint,
+SELECT md5(translate(regexp_replace(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint,
        COUNT(*) AS n_docs
 FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 """

@@ -191,3 +191,26 @@ def test_comma_sep_converter_cross_engine(spark, strings):
     want = dict(con.execute(f"SELECT s, {CONV_COMMA_SEP.sql('s')} FROM t").fetchall())
     for s in strings:
         assert got[s] == list(want[s]), f"comma_sep diverged on {s!r}"
+
+
+def test_lowercase_twins_on_unicode_edge_cases(spark):
+    """Explicit nasty-case check for every twin that lowercases:
+    Turkish dotted/dotless I, German sharp s, Greek final sigma,
+    ligatures, full-width Latin. Full-Unicode lower() provably diverges
+    between Java and DuckDB (İ → i+U+0307 and contextual final sigma on
+    Java only), which is why the twins use locale-free ASCII
+    translate-lowercasing — this pins that both engines agree under it,
+    with the nasty characters passing through untouched."""
+    from webhookdb_spark.operators.text import fingerprint, sql_fingerprint
+
+    cases = ["İstanbul", "ıSPARTA", "STRASSE ß", "ΣΟΦΟΣ τέλος",
+             "ＦＵＬＬＷＩＤＴＨ", "ﬁligature", "ǅungla"]
+    rows = [(i, c) for i, c in enumerate(cases)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = dict(con.execute(sql_fingerprint()).fetchall())
+    diverged = {cases[d] for d in got if got[d] != want[d]}
+    assert not diverged, f"lowercase diverged on {diverged}"

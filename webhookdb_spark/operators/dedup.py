@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from webhookdb_spark.operators.text import SQL_TOKENS, WS, tokens
+from webhookdb_spark.operators.text import SQL_TOKENS, WS, ascii_lower, tokens
 from webhookdb_spark.operators.util import bind, scale_out
 
 DEFAULT_N_HASHES = 8
@@ -43,7 +43,7 @@ def shingles(text: Column, n: int = 3) -> Column:
     element (quadratic). Prefer ``shingle_sets`` which binds the token
     array first.
     """
-    return shingles_of(tokens(F.lower(text)), n)
+    return shingles_of(tokens(ascii_lower(text)), n)
 
 
 def shingles_of(t: Column, n: int = 3) -> Column:
@@ -68,12 +68,12 @@ def shingle_sets(
     projection barrier (so per-position ``element_at`` is O(1) on a
     materialized array), the shingle array behind a second (so K
     downstream hash columns don't re-shingle). Narrow, no shuffle."""
-    b = bind(scale_out(df), "_toks", tokens(F.lower(F.col(text_col))))
+    b = bind(scale_out(df), "_toks", tokens(ascii_lower(F.col(text_col))))
     return bind(b, out, shingles_of(F.col("_toks"), shingle_n)).drop("_toks")
 
 
 def sql_shingles(c: str = "text", n: int = 3) -> str:
-    t = SQL_TOKENS.format(c=f"lower({c})")
+    t = SQL_TOKENS.format(c=f"translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')")
     if n == 1:
         return f"list_distinct({t})"
     parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
@@ -90,7 +90,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Returns (fingerprint, n_docs, doc_ids) for groups with n_docs > 1.
     """
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
+    norm = ascii_lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
     return (
         df.select("doc_id", F.md5(norm).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -104,7 +104,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def dedupe_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep the lowest doc_id per fingerprint (deterministic survivor)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
+    norm = ascii_lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
     w = F.row_number().over(Window.partitionBy(F.md5(norm)).orderBy(F.col("doc_id")))
     return df.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_rn")
 
@@ -279,7 +279,7 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     benefit. Docs with zero tokens are dropped (parity with an
     explode-based plan).
     """
-    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    toks = F.array_distinct(tokens(ascii_lower(F.col(text_col))))
     h = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")  # noqa: E731
     th = F.col("_th")
     weights = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
@@ -311,7 +311,7 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def sql_simhash(table: str = "documents") -> str:
-    toks = SQL_TOKENS.format(c="lower(text)")
+    toks = SQL_TOKENS.format(c="translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')")
     bit_sums = ", ".join(
         f"sum(CASE WHEN (th // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIMHASH_BITS)

@@ -29,6 +29,25 @@ WS = r"[ \t\n\r\f\x0B]+"
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
 
+_UPPER_ASCII = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER_ASCII = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(c: Column) -> Column:
+    """Locale-free ASCII lowercasing for normalization twins.
+
+    Full Unicode lower() DIVERGES between engines (property-test
+    finding: Java expands Turkish İ to i+U+0307 and applies contextual
+    final sigma; DuckDB does neither), so every twin that normalizes
+    case uses this translate — deterministic in any engine; non-ASCII
+    letters pass through on both sides. Dedup/langid normalization
+    needs determinism, not locale fidelity."""
+    return F.translate(c, _UPPER_ASCII, _LOWER_ASCII)
+
+
+SQL_ASCII_LOWER = "translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization."""
     return F.split(F.trim(text), WS)
@@ -92,7 +111,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text — the exact-dedup key. (Reference analog: the payload-hash
     comparison used for `data !~ excluded.data` guards, SURVEY §2.2.)"""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
+    norm = ascii_lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
     return df.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
@@ -113,7 +132,7 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     order for determinism.
     """
     b = bind(
-        scale_out(df.select("doc_id", text_col)), "_t", tokens(F.lower(F.col(text_col)))
+        scale_out(df.select("doc_id", text_col)), "_t", tokens(ascii_lower(F.col(text_col)))
     )
     t = F.col("_t")
 
@@ -309,7 +328,7 @@ def winnow_fingerprints(
     Hashes are md5-prefix 28-bit ints (engine-portable, like the
     sampling buckets). All HOF expressions — O(len·w) per row, narrow,
     no shuffle until the caller joins fingerprints."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
+    norm = ascii_lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
     b = bind(scale_out(df.select("doc_id", text_col)), "_n", norm)
     n = F.col("_n")
     grams = F.transform(
@@ -337,7 +356,7 @@ def sql_winnow_fingerprints(
     return f"""
     WITH n AS (
       SELECT doc_id,
-             lower(regexp_replace(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS t
+             translate(regexp_replace(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t
       FROM {table}
     ), h AS (
       SELECT doc_id,
@@ -389,7 +408,7 @@ def sql_repetition_stats(table: str = "documents", seg_tokens: int = 5) -> str:
 # SQL twins -----------------------------------------------------------------
 
 SQL_TOKENS = "regexp_split_to_array(trim({c}, ' '), '[ \\t\\n\\r\\f\\x0B]+')"
-SQL_TOKENS_LOWER = "regexp_split_to_array(trim(lower({c}), ' '), '[ \\t\\n\\r\\f\\x0B]+')"
+SQL_TOKENS_LOWER = "regexp_split_to_array(trim(translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[ \\t\\n\\r\\f\\x0B]+')"
 
 
 def sql_token_count(table: str = "documents") -> str:
@@ -434,6 +453,6 @@ def sql_quality_score(table: str = "documents") -> str:
 def sql_fingerprint(table: str = "documents") -> str:
     return f"""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint
+           md5(translate(regexp_replace(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
     FROM {table}
     """
