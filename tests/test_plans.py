@@ -214,6 +214,6 @@ def test_media_fixture_assembly_is_native(spark):
             f"{builder.__name__} fixture assembly left JVM:\n{p}"
         )
         assert "Exchange" not in p, p
-    for q in ("media_decode", "media_wav_decode"):
+    for q in ("media_decode", "media_wav_decode", "media_avi_frames"):
         p = plan_of(entry.queries()[q](spark, SF))
         assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
