@@ -214,3 +214,81 @@ def test_lowercase_twins_on_unicode_edge_cases(spark):
     want = dict(con.execute(sql_fingerprint()).fetchall())
     diverged = {cases[d] for d in got if got[d] != want[d]}
     assert not diverged, f"lowercase diverged on {diverged}"
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=4),   # key id
+                st.integers(min_value=0, max_value=6),   # ts (seconds)
+                st.integers(min_value=0, max_value=99),  # payload value
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_upsert_matches_reference_model(spark, batches):
+    """Model-based check of THE core operator: a random sequence of
+    envelope batches (duplicate keys, ties, stale updates, empty
+    batches) through the real warehouse MERGE must land exactly where
+    an in-memory reference model of the semantics lands:
+
+    - intra-batch winner per key = max (received_at, arrival ordinal)
+      (backfiller.rb:75-83 hash-overwrite order)
+    - table update iff stored ts < winner ts (base.rb:861-879 guard);
+      ties keep the stored row
+    """
+    import datetime as dt
+    import json
+    import shutil
+    import tempfile
+
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.storage import Warehouse
+    from webhookdb_spark.types import ColumnType
+
+    spec = ReplicatorSpec(
+        name="model_sim",
+        table="model_sim",
+        remote_key=Col("k", ColumnType.TEXT),
+        denorm_cols=(Col("at", ColumnType.TIMESTAMP), Col("v", ColumnType.INTEGER)),
+        timestamp_col="at",
+        update_where=lambda s, t: t("at") < s("at"),
+        n_buckets=4,
+    )
+    base = dt.datetime(2026, 1, 1)
+    model: dict[str, tuple[dt.datetime, int]] = {}
+    wh_dir = tempfile.mkdtemp(prefix="whdb_model_")
+    try:
+        t = Warehouse(spark, wh_dir).table("org", "model_sim")
+        for batch in batches:
+            rows = [
+                (json.dumps({"k": f"k{k}",
+                             "at": (base + dt.timedelta(seconds=ts)).isoformat(),
+                             "v": v}),
+                 base + dt.timedelta(seconds=ts))
+                for k, ts, v in batch
+            ]
+            env = spark.createDataFrame(rows, "body string, received_at timestamp") \
+                if rows else spark.createDataFrame([], "body string, received_at timestamp")
+            upsert_envelopes(t, env, spec)
+            # reference model: per-key winner by (ts, arrival), then guard
+            winners: dict[str, tuple[dt.datetime, int]] = {}
+            for k, ts, v in batch:  # later arrival overwrites on >= ts
+                key, at = f"k{k}", base + dt.timedelta(seconds=ts)
+                if key not in winners or at >= winners[key][0]:
+                    winners[key] = (at, v)
+            for key, (at, v) in winners.items():
+                if key not in model or model[key][0] < at:
+                    model[key] = (at, v)
+        got = {r.k: (r.at, r.v) for r in t.read().collect()}
+        assert got == model
+    finally:
+        shutil.rmtree(wh_dir, ignore_errors=True)
