@@ -235,3 +235,18 @@ def test_sample_frames_real_branch_on_avi(spark):
     )
     assert [(i, ms) for i, ms, _ in both] == [(0, 0), (1, 40)]
     assert both[1][2] == b"r document body "
+
+
+def test_decode_images_null_mode_on_mixed_corpus(spark):
+    """on_error='null': a corpus mixing real BMPs with undecodable
+    payloads yields NULL dimensions for the bad rows instead of a dead
+    job — one corrupt payload must not kill a 100 TB decode."""
+    bmp = M.media_bmp_from_documents(_docs(spark))
+    raw = M.media_from_documents(_docs(spark)).withColumn(
+        "media_id", F.col("media_id") + 100
+    )
+    mixed = bmp.unionByName(raw)
+    rows = {r.media_id: r for r in M.decode_images(mixed, on_error="null").collect()}
+    assert rows[1].width == 2 and rows[1].height == 2  # real BMP decoded
+    assert rows[101].width is None and rows[101].height is None
+    assert rows[101].checksum is not None  # checksum still computed

@@ -267,3 +267,17 @@ def test_bpe_token_count_vs_whitespace(spark):
     # 'it' 's ' spark' '-' 'graft' ' v' '2' '.' '0' ',' ' really'
     assert r.n_bpe_tokens == 11 and r.n_ws_tokens == 4
     assert r.bpe_per_word == 2.75
+
+
+def test_ivf_refine_sampled_matches_manual_subset(spark):
+    """sample_fraction refines on the deterministic md5-bucket sample:
+    identical to refining on the manually-filtered subset (the property
+    that lets an oracle reproduce a sampled refinement)."""
+    from webhookdb_spark.operators.sampling import hash_fraction_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = S.ivf_centroids(emb, n_centroids=4)
+    sampled = S.ivf_refine(emb, seeds, sample_fraction=0.5)
+    manual = S.ivf_refine(hash_fraction_sample(emb, 0.5, id_col="vec_id"), seeds)
+    assert sampled == manual
+    assert sampled != S.ivf_refine(emb, seeds)  # and it genuinely sampled

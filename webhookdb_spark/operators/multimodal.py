@@ -259,16 +259,24 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_images(media: DataFrame, allow_fake: bool = False) -> DataFrame:
+def decode_images(
+    media: DataFrame, allow_fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """Decode image payloads to (width, height, payload checksum).
 
     REAL for headerful formats: BMP/PNG/GIF dimensions are parsed from
     the bytes by ``_parse_image_header`` (no codec library involved).
     Compressed formats (JPEG etc.) fall back to PIL when importable;
     otherwise ``allow_fake`` substitutes metadata dimensions, and with
-    neither available an unrecognized payload raises at execution time.
-    Arrow-batched ``mapInPandas``; no row iterators.
+    neither available an unrecognized payload follows ``on_error``:
+    ``"raise"`` fails the task (strict pipelines), ``"null"`` emits
+    NULL dimensions — the 100 TB posture, where one corrupt payload
+    must become a filterable row, not a dead job (same convention as
+    :func:`decode_audio`). Arrow-batched ``mapInPandas``; no row
+    iterators.
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
     try:  # pragma: no cover - codec not present in this container
         import PIL.Image  # noqa: F401
 
@@ -283,7 +291,7 @@ def decode_images(media: DataFrame, allow_fake: bool = False) -> DataFrame:
 
         for pdf in batches:
             bufs = [bytes(b) for b in pdf["content"]]
-            dims: list[tuple[int, int]] = []
+            dims: list[tuple[int | None, int | None]] = []
             for buf, meta in zip(bufs, pdf["meta"]):
                 parsed = _parse_image_header(buf)
                 if parsed is None and have_codec:  # pragma: no cover
@@ -291,18 +299,22 @@ def decode_images(media: DataFrame, allow_fake: bool = False) -> DataFrame:
 
                     parsed = PIL.Image.open(io.BytesIO(buf)).size
                 if parsed is None:
-                    if not allow_fake:
+                    if allow_fake:
+                        parsed = (int(meta["width"] or 0), int(meta["height"] or 0))
+                    elif on_error == "raise":
                         raise NotImplementedError(
                             "unrecognized image format (not BMP/PNG/GIF) and no "
-                            "codec available; install pillow or pass allow_fake"
+                            "codec available; install pillow, pass allow_fake, "
+                            "or use on_error='null'"
                         )
-                    parsed = (int(meta["width"] or 0), int(meta["height"] or 0))
+                    else:
+                        parsed = (None, None)
                 dims.append(parsed)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [w for w, _ in dims],
-                    "height": [h for _, h in dims],
+                    "width": pd.array([w for w, _ in dims], dtype="Int32"),
+                    "height": pd.array([h for _, h in dims], dtype="Int32"),
                     "checksum": [_hex_md5(b) for b in bufs],
                 }
             )

@@ -492,6 +492,7 @@ def ivf_refine(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
 ) -> list[list[float]]:
     """One deterministic Lloyd iteration: assign every vector to its
     nearest centroid (same rounded-cosine + lowest-cent-id rule as
@@ -513,8 +514,17 @@ def ivf_refine(
     you would run this on a deterministic hash-sample of the corpus
     (hash_fraction_sample); the aggregate is partial-agg friendly
     either way.
+
+    ``sample_fraction`` IS that 100 TB path: refine on the
+    deterministic md5-bucket sample instead of the full corpus. The
+    sample is a pure map-side filter, reproducible in any engine, so
+    an oracle twin can refine on the identical subset.
     """
     dims = len(centroids[0])
+    if sample_fraction is not None:
+        from webhookdb_spark.operators.sampling import hash_fraction_sample
+
+        corpus = hash_fraction_sample(corpus, sample_fraction, id_col=id_col)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     means = (
         assigned.select("cent_id", F.posexplode("c_vec").alias("pos", "x"))
