@@ -94,3 +94,41 @@ def test_materialized_view_snapshot_and_refresh(spark, tmp_warehouse):
 
     with pytest.raises(QueryNotAllowed):
         mv.create("bad", "DROP TABLE mv_src")
+
+
+def test_readonly_validator_blocks_sandbox_escapes(spark):
+    """Adversarial read-only validation (SURVEY §7 hard part: Spark has
+    no engine-level read-only role, so the validator IS the privilege
+    boundary): JVM reflection, path-backed tables, Hive script
+    transform, CTE-smuggled DML, comment-hidden DML, and statement
+    stacking must all be rejected; benign lookalikes must pass."""
+    import pytest
+
+    from webhookdb_spark.plans.query_surface import (
+        QueryNotAllowed,
+        validate_readonly,
+    )
+
+    blocked = [
+        "SELECT java_method('java.lang.System', 'getProperty', 'user.dir')",
+        "SELECT reflect('java.lang.System', 'exit', 0)",
+        "SELECT * FROM parquet.`/etc/hostname`",
+        "SELECT * FROM text . `/etc/passwd`",
+        "SELECT TRANSFORM(a) USING 'cat' FROM t",
+        "WITH x AS (SELECT 1) INSERT INTO t SELECT * FROM x",
+        "SELECT 1; DROP TABLE t",
+        "SELECT 1 /* hidden */; DELETE FROM t",
+        "EXPLAIN INSERT INTO t VALUES (1)",
+    ]
+    for sql in blocked:
+        with pytest.raises(QueryNotAllowed):
+            validate_readonly(sql)
+    allowed = [
+        "SELECT 'insert into t' AS s",          # keywords inside literals
+        "SELECT a FROM t JOIN u USING (k)",     # join USING is fine
+        "SELECT transform(xs, x -> x + 1) FROM t",  # the HOF, not Hive
+        "-- note\nSELECT 1",
+        "WITH x AS (SELECT 1 AS a) SELECT * FROM x;",
+    ]
+    for sql in allowed:
+        validate_readonly(sql)

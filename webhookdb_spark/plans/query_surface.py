@@ -27,7 +27,22 @@ DEFAULT_MAX_ROWS = 1000  # organization.rb:23
 _FORBIDDEN = re.compile(
     r"\b(insert|update|delete|merge|drop|create|alter|truncate|grant|revoke|"
     r"set|reset|refresh|cache|uncache|analyze|msck|call|copy|vacuum|optimize|"
-    r"add\s+jar|add\s+file|list\s+jar|list\s+file)\b",
+    r"add\s+jar|add\s+file|list\s+jar|list\s+file|"
+    # arbitrary static-method invocation from SQL — a full JVM escape
+    r"reflect|java_method)\b",
+    re.IGNORECASE,
+)
+
+# Hive script transform runs a shell command; after literal stripping
+# the script string is '', so `USING ''` is its exact signature (join
+# USING takes parenthesized columns, never a string literal).
+_SCRIPT_TRANSFORM = re.compile(r"\busing\s*''", re.IGNORECASE)
+
+# Path-backed tables (`parquet.`/some/path``, `text.`/etc/passwd``)
+# read arbitrary filesystem paths, bypassing the per-org catalog — the
+# reference scopes users to their org database (organization.rb:146-164).
+_PATH_TABLE = re.compile(
+    r"\b(parquet|json|csv|orc|avro|text|binaryfile|delta)\s*\.\s*`",
     re.IGNORECASE,
 )
 
@@ -54,6 +69,10 @@ def validate_readonly(sql: str) -> None:
     m = _FORBIDDEN.search(stripped)
     if m:
         raise QueryNotAllowed(f"statement contains forbidden keyword {m.group(0)!r}")
+    if _PATH_TABLE.search(stripped):
+        raise QueryNotAllowed("path-backed tables are not allowed")
+    if _SCRIPT_TRANSFORM.search(stripped):
+        raise QueryNotAllowed("script transform (TRANSFORM ... USING) is not allowed")
     if ";" in stripped.rstrip().rstrip(";"):
         raise QueryNotAllowed("multiple statements are not allowed")
 
