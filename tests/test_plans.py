@@ -217,3 +217,21 @@ def test_media_fixture_assembly_is_native(spark):
     for q in ("media_decode", "media_wav_decode", "media_avi_frames"):
         p = plan_of(entry.queries()[q](spark, SF))
         assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
+
+
+def test_corpus_ops_prune_document_columns(spark):
+    """The documents scans under the corpus/text/media operators must
+    read only the referenced columns (ReadSchema pruning) — reading
+    `text` for a split assignment would 30x the scan bytes at 100 TB."""
+    expected = {
+        "corpus_split": {"doc_id", "lang", "source"},
+        "weighted_mix": {"doc_id", "lang", "source"},
+        "text_winnow": {"doc_id", "text"},
+        "text_scrub_pii": {"doc_id", "text"},
+        "media_decode": {"doc_id", "text"},
+    }
+    for name, want in expected.items():
+        p = plan_of(entry.queries()[name](spark, SF))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        cols = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
+        assert cols == want, (name, cols)
