@@ -164,7 +164,8 @@ def test_media_decode_matches_duckdb_oracle(spark):
 def test_sample_frames_explosion_geometry(spark):
     media = M.media_from_documents(_docs(spark), kind="video")
     # duration_ms = n_bytes * 10; every_ms=40 => n_frames = dur//40 (>=1)
-    out = M.sample_frames(media, every_ms=40)
+    # (raw text bytes are not an AVI, so this exercises the opt-in fake)
+    out = M.sample_frames(media, every_ms=40, allow_fake=True)
     counts = {
         r.media_id: r.n
         for r in out.groupBy("media_id").agg(F.count("*").alias("n")).collect()
@@ -235,6 +236,88 @@ def test_sample_frames_real_branch_on_avi(spark):
     )
     assert [(i, ms) for i, ms, _ in both] == [(0, 0), (1, 40)]
     assert both[1][2] == b"r document body "
+
+
+def test_sample_frames_non_avi_gated_by_default(spark):
+    """The deterministic fake is opt-in: a non-AVI payload must raise by
+    default and emit a NULL marker row under on_error='null' — never a
+    plausible-looking fabricated frame."""
+    media = M.media_from_documents(_docs(spark), kind="video")
+    with pytest.raises(Exception, match="cannot demux non-AVI video"):
+        M.sample_frames(media, every_ms=40).collect()
+    rows = M.sample_frames(media, every_ms=40, on_error="null").collect()
+    assert len(rows) == 3  # exactly one marker row per media
+    assert all(
+        r.frame_idx is None and r.frame_ms is None and r.frame_bytes is None
+        for r in rows
+    )
+    with pytest.raises(ValueError):
+        M.sample_frames(media, on_error="bogus")
+
+
+def _avi(frames, usec_per_frame=40000, wrap_rec=False):
+    import struct
+
+    avih = (b"avih" + struct.pack("<I", 56) + struct.pack("<I", usec_per_frame)
+            + b"\x00" * 12 + struct.pack("<I", len(frames)) + b"\x00" * 36)
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    chunks = b"".join(
+        b"00db" + struct.pack("<I", len(f)) + f + (b"\x00" if len(f) & 1 else b"")
+        for f in frames
+    )
+    if wrap_rec:
+        chunks = b"LIST" + struct.pack("<I", 4 + len(chunks)) + b"rec " + chunks
+    movi = b"LIST" + struct.pack("<I", 4 + len(chunks)) + b"movi" + chunks
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_rec_list_recursion():
+    """Interleaved AVIs wrap frame runs in 'rec ' grouping LISTs; the
+    demuxer must descend into them instead of silently skipping."""
+    f0, f1 = b"0123456789abcdef", b"fedcba9876543210"
+    assert M._parse_avi_frames(_avi([f0, f1], wrap_rec=True)) == [f0, f1]
+    # and mixed: one bare chunk after a rec list
+    import struct
+
+    buf = _avi([f0], wrap_rec=True)
+    # append a bare frame chunk inside movi by rebuilding
+    rec = b"LIST" + struct.pack("<I", 4 + 8 + 16) + b"rec " + (
+        b"00db" + struct.pack("<I", 16) + f0)
+    bare = b"00dc" + struct.pack("<I", 16) + f1
+    movi_body = b"movi" + rec + bare
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + movi
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert M._parse_avi_frames(buf) == [f0, f1]
+
+
+def test_sample_frames_honors_container_frame_clock(spark):
+    """frame_ms and the thinning stride derive from the avih
+    dwMicroSecPerFrame, not a hardcoded 25 fps."""
+    frames = [bytes([i]) * 16 for i in range(4)]
+    buf = _avi(frames, usec_per_frame=100000)  # 10 fps => 100 ms/frame
+    assert M._parse_avi_usec_per_frame(buf) == 100000
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(buf), None)], M.MEDIA_SCHEMA
+    )
+    # every_ms=200 at 100ms/frame => stride 2 => frames 0 and 2
+    rows = sorted(
+        (r.frame_idx, r.frame_ms, bytes(r.frame_bytes))
+        for r in M.sample_frames(media, every_ms=200).collect()
+    )
+    assert [(i, ms) for i, ms, _ in rows] == [(0, 0), (1, 200)]
+    assert rows[1][2] == frames[2]
+    # zero/absent field falls back to 40 ms
+    buf0 = _avi(frames, usec_per_frame=0)
+    assert M._parse_avi_usec_per_frame(buf0) is None
+    media0 = spark.createDataFrame(
+        [(1, "video", bytearray(buf0), None)], M.MEDIA_SCHEMA
+    )
+    ms0 = sorted(
+        r.frame_ms for r in M.sample_frames(media0, every_ms=40).collect()
+    )
+    assert ms0 == [0, 40, 80, 120]
 
 
 def test_decode_images_null_mode_on_mixed_corpus(spark):

@@ -19,10 +19,12 @@ formats (`_parse_image_header` / `_parse_wav_header`), with PIL as an
 import-gated fallback for compressed formats and the deterministic
 metadata fake only behind ``allow_fake``. Frame extraction is REAL for
 RIFF/AVI containers (``_parse_avi_frames`` chunk walk, used by both
-``demux_avi_frames`` and ``sample_frames``); only non-AVI video
-sampling (inherently codec-bound) falls back to a clearly-marked
-deterministic fake, with identical explosion geometry, schema, and
-partitioning on both branches.
+``demux_avi_frames`` and ``sample_frames``, frame clock from the
+container's own ``dwMicroSecPerFrame``); non-AVI video sampling
+(inherently codec-bound) raises by default, emits filterable NULL
+marker rows under ``on_error='null'``, and produces the clearly-marked
+deterministic fake only behind ``allow_fake`` — identical explosion
+geometry, schema, and partitioning on every branch.
 
 Scale notes: binary payloads make row-group sizing the lever —
 keep ``spark.sql.files.maxPartitionBytes`` at the default 128 MB and
@@ -297,7 +299,13 @@ def decode_images(
                 if parsed is None and have_codec:  # pragma: no cover
                     import PIL.Image
 
-                    parsed = PIL.Image.open(io.BytesIO(buf)).size
+                    # A PIL-unreadable payload must fall through to the
+                    # allow_fake / on_error ladder, not kill the task —
+                    # the codec is an upgrade, not a new failure mode.
+                    try:
+                        parsed = PIL.Image.open(io.BytesIO(buf)).size
+                    except Exception:
+                        parsed = None
                 if parsed is None:
                     if allow_fake:
                         parsed = (int(meta["width"] or 0), int(meta["height"] or 0))
@@ -544,26 +552,57 @@ def _parse_avi_frames(buf: bytes) -> list[bytes] | None:
     """Extract video frame payloads from a RIFF/AVI container by
     walking the chunk tree to the ``movi`` LIST and collecting
     ``##db``/``##dc`` stream chunks — real demuxing (frame addressing
-    needs no codec; only pixel DECODING would)."""
+    needs no codec; only pixel DECODING would). Descends into ``rec ``
+    grouping LISTs (interleaved AVIs wrap frame runs in them)."""
     import struct
 
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         return None
     frames: list[bytes] = []
+
+    def walk(mp: int, mend: int) -> None:
+        while mp + 8 <= mend:
+            mcid = buf[mp : mp + 4]
+            msize = struct.unpack_from("<I", buf, mp + 4)[0]
+            if mcid == b"LIST" and buf[mp + 8 : mp + 12] == b"rec ":
+                walk(mp + 12, min(mp + 8 + msize, mend))
+            elif mcid[2:4] in (b"db", b"dc"):
+                frames.append(buf[mp + 8 : mp + 8 + msize])
+            mp += 8 + msize + (msize & 1)
+
     pos, end = 12, len(buf)
     while pos + 8 <= end:
         cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
         body = pos + 8
         if cid == b"LIST" and buf[body : body + 4] == b"movi":
-            mp, mend = body + 4, min(body + size, end)
-            while mp + 8 <= mend:
-                mcid = buf[mp : mp + 4]
-                msize = struct.unpack_from("<I", buf, mp + 4)[0]
-                if mcid[2:4] in (b"db", b"dc"):
-                    frames.append(buf[mp + 8 : mp + 8 + msize])
-                mp += 8 + msize + (msize & 1)
+            walk(body + 4, min(body + size, end))
         pos = body + size + (size & 1)
     return frames
+
+
+def _parse_avi_usec_per_frame(buf: bytes) -> int | None:
+    """dwMicroSecPerFrame (first uint32 of the ``avih`` chunk inside
+    the ``hdrl`` LIST), or None when absent/zero — the container's own
+    frame clock, so sampling never assumes a frame rate."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        return None
+    pos, end = 12, len(buf)
+    while pos + 8 <= end:
+        cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = pos + 8
+        if cid == b"LIST" and buf[body : body + 4] == b"hdrl":
+            hp, hend = body + 4, min(body + size, end)
+            while hp + 8 <= hend:
+                hcid = buf[hp : hp + 4]
+                hsize = struct.unpack_from("<I", buf, hp + 4)[0]
+                if hcid == b"avih" and hp + 12 <= hend:
+                    usec = struct.unpack_from("<I", buf, hp + 8)[0]
+                    return usec or None
+                hp += 8 + hsize + (hsize & 1)
+        pos = body + size + (size & 1)
+    return None
 
 
 _DEMUX_SCHEMA = T.StructType(
@@ -724,43 +763,68 @@ _FRAMES_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    allow_fake: bool = False,
+    on_error: str = "raise",
+) -> DataFrame:
     """Frame sampling: one output row per sampled frame — the
     row-multiplying UDTF shape (``mapInPandas`` yielding more rows than
     it consumes).
 
     REAL for RIFF/AVI payloads: frames come from the actual ``movi``
-    chunk walk (:func:`_parse_avi_frames`, 40 ms/frame per the fixture's
-    avih), thinned to every ``max(1, every_ms // 40)``-th frame. Other
-    containers need a codec demuxer (``av``) this environment cannot
-    ship, so non-AVI payloads fall back to the clearly-marked
-    deterministic fake: equal byte slices, one per ``every_ms`` of
-    ``meta.duration_ms``. Explosion geometry, schema, and partitioning
-    are identical on both branches.
+    chunk walk (:func:`_parse_avi_frames`) and timestamps from the
+    container's own ``dwMicroSecPerFrame`` clock
+    (:func:`_parse_avi_usec_per_frame`; 40 ms only when the field is
+    absent/zero), thinned to every ``max(1, every_ms // frame_ms)``-th
+    frame. Other containers need a codec demuxer (``av``) this
+    environment cannot ship, so by default a non-AVI payload follows
+    ``on_error`` — ``"raise"`` fails the task, ``"null"`` emits one
+    NULL-frame marker row (filterable, never plausible-looking) — and
+    only ``allow_fake=True`` opts into the clearly-marked deterministic
+    fake (equal byte slices, one per ``every_ms`` of
+    ``meta.duration_ms``), same posture as :func:`decode_images`.
+    Explosion geometry, schema, and partitioning are identical on all
+    branches.
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
 
-        stride = max(1, every_ms // 40)
         for pdf in batches:
             out_id: list[int] = []
-            out_idx: list[int] = []
-            out_ms: list[int] = []
-            out_b: list[bytes] = []
+            out_idx: list[int | None] = []
+            out_ms: list[int | None] = []
+            out_b: list[bytes | None] = []
             fake_rows = []
             for mid, buf, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 buf = bytes(buf)
                 frames = _parse_avi_frames(buf)
                 if frames is not None:
+                    frame_ms = max((_parse_avi_usec_per_frame(buf) or 40000) // 1000, 1)
+                    stride = max(1, every_ms // frame_ms)
                     for j, k in enumerate(range(0, len(frames), stride)):
                         out_id.append(mid)
                         out_idx.append(j)
-                        out_ms.append(k * 40)
+                        out_ms.append(k * frame_ms)
                         out_b.append(frames[k])
-                else:
+                elif allow_fake:
                     fake_rows.append((mid, buf, int(meta["duration_ms"] or 0)))
+                elif on_error == "raise":
+                    raise NotImplementedError(
+                        "cannot demux non-AVI video without a codec; pass "
+                        "allow_fake for the deterministic fake or "
+                        "on_error='null' for a filterable marker row"
+                    )
+                else:  # NULL marker row: visible, filterable, never fabricated
+                    out_id.append(mid)
+                    out_idx.append(None)
+                    out_ms.append(None)
+                    out_b.append(None)
             if fake_rows:
                 durs = np.array([d for _, _, d in fake_rows], dtype="int64")
                 n_frames = np.maximum(durs // every_ms, 1)
@@ -778,8 +842,8 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(out_id, dtype="int64"),
-                    "frame_idx": pd.Series(out_idx, dtype="int32"),
-                    "frame_ms": pd.Series(out_ms, dtype="int64"),
+                    "frame_idx": pd.array(out_idx, dtype="Int32"),
+                    "frame_ms": pd.array(out_ms, dtype="Int64"),
                     "frame_bytes": pd.Series(out_b, dtype="object"),
                 }
             )
