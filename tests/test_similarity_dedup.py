@@ -201,7 +201,7 @@ def test_ivf_refine_fixed_point_means_match_duckdb(spark):
         )
         SELECT cent_id, list(m ORDER BY pos) FROM (
           SELECT cent_id, u.i AS pos,
-                 floor(sum(floor(a.embedding[u.i]::DOUBLE * 1000000))
+                 floor(sum(CAST(floor(a.embedding[u.i]::DOUBLE * 1000000) AS BIGINT))
                        / count(*)) / 1000000 AS m
           FROM assign0 a, unnest(range(1, len(a.embedding) + 1)) AS u(i)
           GROUP BY 1, 2

@@ -698,7 +698,7 @@ def sql_ann_topk_ivf(
     ),
     means{i} AS (
       SELECT cent_id, u.i AS pos,
-             floor(sum(floor(a.embedding[u.i]::DOUBLE * {_FIX_SCALE}))
+             floor(sum(CAST(floor(a.embedding[u.i]::DOUBLE * {_FIX_SCALE}) AS BIGINT))
                    / count(*)) / {_FIX_SCALE} AS m
       FROM assign{i} a, unnest(range(1, len(a.embedding) + 1)) AS u(i)
       GROUP BY 1, 2
