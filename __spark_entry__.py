@@ -675,6 +675,16 @@ def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
     return M.decode_images(M.media_bmp_from_documents(load(spark, sf, "documents")))
 
 
+def q_media_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG dimension decode, zero dependencies: documents become
+    structurally valid baseline JPEGs (SOI/APP0/SOF0/SOS marker stream,
+    native hex assembly) and the kernel walks the markers to the SOF0
+    frame header — the majority format of a real image corpus, no codec
+    involved. The oracle rebuilds the bytes and re-parses the
+    big-endian SOF fields in SQL."""
+    return M.decode_images(M.media_jpeg_from_documents(load(spark, sf, "documents")))
+
+
 def q_media_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio decode: canonical PCM WAV payloads, chunk-walking
     parser extracting (sample_rate, channels, bits, n_samples)."""
@@ -773,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_summary": q_media_summary,
         "media_features": q_media_features,  # pandas-UDF — rows-only check
         "media_decode": q_media_decode,
+        "media_jpeg_decode": q_media_jpeg_decode,
         "media_wav_decode": q_media_wav_decode,
         "media_avi_frames": q_media_avi_frames,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -826,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
         "media_summary": M.sql_media_summary(),
         "media_features": M.sql_byte_histogram_features(),
         "media_decode": M.sql_media_decode(),
+        "media_jpeg_decode": M.sql_media_jpeg_decode(),
         "media_wav_decode": M.sql_media_wav_decode(),
         "media_avi_frames": M.sql_media_avi_frames(),
         "ann_cosine_topk": S.sql_cosine_topk(),

@@ -104,6 +104,59 @@ def test_parse_image_header_formats():
     assert M._parse_image_header(b"not an image") is None
 
 
+def _jpeg(w, h, marker=b"\xc0", extra_segments=b"", fill=b""):
+    import struct
+
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    sof = (fill + b"\xff" + marker + struct.pack(">H", 11) + b"\x08"
+           + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + extra_segments + sof + sos + b"entropy" + b"\xff\xd9"
+
+
+def test_parse_jpeg_dims_marker_walk():
+    import struct
+
+    # baseline SOF0 at the canonical position
+    assert M._parse_image_header(_jpeg(640, 480)) == (640, 480)
+    # progressive SOF2 and a non-canonical position (DQT + DHT first,
+    # DHT is C4 and must NOT be mistaken for a frame header)
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    dht = b"\xff\xc4" + struct.pack(">H", 21) + b"\x00" + bytes(18)
+    buf = _jpeg(123, 457, marker=b"\xc2", extra_segments=dqt + dht)
+    assert M._parse_image_header(buf) == (123, 457)
+    # fill bytes (FF padding) before the SOF marker
+    assert M._parse_image_header(_jpeg(7, 9, fill=b"\xff\xff")) == (7, 9)
+    # SOS before any SOF, truncation, and lost sync all yield None
+    sos_only = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    assert M._parse_image_header(sos_only) is None
+    assert M._parse_image_header(_jpeg(640, 480)[:23]) is None
+    assert M._parse_image_header(b"\xff\xd8junk") is None
+
+
+def test_media_jpeg_decode_roundtrip_and_oracle(spark):
+    import duckdb
+
+    docs = _docs(spark)
+    media = M.media_jpeg_from_documents(docs)
+    # the assembled payload is a real JPEG marker stream the walker reads
+    buf = bytes({r.media_id: r for r in media.collect()}[1].content)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    assert M._parse_image_header(buf) == (1 % 100 + 16, 1 % 80 + 16)
+    got = {
+        r.media_id: (r.width, r.height, r.checksum)
+        for r in M.decode_images(media).collect()
+    }
+    assert got[2] == (2 % 100 + 16, 2 % 80 + 16, got[2][2])
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                "(1, 'hello world'), (2, 'a somewhat longer document body here'), "
+                "(3, 'x')) t(doc_id, text)")
+    for mid, w, h, ck in con.execute(M.sql_media_jpeg_decode()).fetchall():
+        assert got[mid] == (w, h, ck), f"media_id {mid} mismatch"
+
+
 def test_decode_images_real_bmp_roundtrip(spark):
     docs = _docs(spark)
     media = M.media_bmp_from_documents(docs)

@@ -205,7 +205,7 @@ FROM nib
 
 
 def _parse_image_header(buf: bytes) -> tuple[int, int] | None:
-    """(width, height) from a BMP / PNG / GIF header, else None."""
+    """(width, height) from a BMP / PNG / GIF / JPEG header, else None."""
     import struct
 
     if len(buf) >= 26 and buf[:2] == b"BM":
@@ -217,6 +217,40 @@ def _parse_image_header(buf: bytes) -> tuple[int, int] | None:
     if len(buf) >= 10 and buf[:4] in (b"GIF8",):
         w, h = struct.unpack_from("<HH", buf, 6)
         return w, h
+    if len(buf) >= 4 and buf[:2] == b"\xff\xd8":
+        return _parse_jpeg_dims(buf)
+    return None
+
+
+def _parse_jpeg_dims(buf: bytes) -> tuple[int, int] | None:
+    """Walk JPEG marker segments to the first SOFn frame header and
+    read its height/width fields — pure ``struct``, no codec (the SOF
+    always precedes the entropy-coded scan, so decoding never starts).
+    Covers baseline (SOF0), extended (SOF1), progressive (SOF2) and
+    the other SOFn variants; DHT/JPG/DAC (C4/C8/CC) are not frame
+    headers and are skipped like any other segment."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            return None  # lost sync: not a well-formed marker stream
+        marker = buf[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF: give up
+            return None
+        seg_len = struct.unpack_from(">H", buf, pos + 2)[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 <= len(buf):
+                h, w = struct.unpack_from(">HH", buf, pos + 5)
+                return w, h
+            return None
+        pos += 2 + seg_len
     return None
 
 
@@ -267,8 +301,9 @@ def decode_images(
     """Decode image payloads to (width, height, payload checksum).
 
     REAL for headerful formats: BMP/PNG/GIF dimensions are parsed from
-    the bytes by ``_parse_image_header`` (no codec library involved).
-    Compressed formats (JPEG etc.) fall back to PIL when importable;
+    the bytes by ``_parse_image_header``, and JPEG dimensions by the
+    SOFn marker walk (``_parse_jpeg_dims``) — no codec library
+    involved. Other compressed formats fall back to PIL when importable;
     otherwise ``allow_fake`` substitutes metadata dimensions, and with
     neither available an unrecognized payload follows ``on_error``:
     ``"raise"`` fails the task (strict pipelines), ``"null"`` emits
@@ -397,18 +432,29 @@ def _sql_le_hex(expr: str, nbytes: int) -> str:
     return f"printf('{fmt}', {args})"
 
 
+def _sql_hex_byte(hex_col: str, p: int) -> str:
+    """DuckDB: the unsigned value of byte ``p`` (0-based) of an
+    uppercase hex string."""
+    hi = f"(strpos('0123456789ABCDEF', substr({hex_col}, {2 * p + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789ABCDEF', substr({hex_col}, {2 * p + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
 def _sql_le_int(hex_col: str, byte_off: int, nbytes: int) -> str:
     """DuckDB: parse a little-endian unsigned int out of an uppercase
     hex string at a 0-based byte offset (pure string math — no blob
     functions needed because hex text IS the byte sequence)."""
-
-    def pair(p: int) -> str:
-        hi = f"(strpos('0123456789ABCDEF', substr({hex_col}, {2 * p + 1}, 1)) - 1)"
-        lo = f"(strpos('0123456789ABCDEF', substr({hex_col}, {2 * p + 2}, 1)) - 1)"
-        return f"({hi} * 16 + {lo})"
-
     return "(" + " + ".join(
-        f"{pair(byte_off + i)} * {256 ** i}" for i in range(nbytes)
+        f"{_sql_hex_byte(hex_col, byte_off + i)} * {256 ** i}" for i in range(nbytes)
+    ) + ")"
+
+
+def _sql_be_int(hex_col: str, byte_off: int, nbytes: int) -> str:
+    """Big-endian variant of :func:`_sql_le_int` (JPEG fields are
+    network byte order)."""
+    return "(" + " + ".join(
+        f"{_sql_hex_byte(hex_col, byte_off + i)} * {256 ** (nbytes - 1 - i)}"
+        for i in range(nbytes)
     ) + ")"
 
 
@@ -475,6 +521,80 @@ WITH m AS (
 SELECT media_id,
        CAST({_sql_le_int("hx", 18, 4)} AS INTEGER) AS width,
        CAST({_sql_le_int("hx", 22, 4)} AS INTEGER) AS height,
+       md5(hx) AS checksum
+FROM m
+"""
+
+
+# SOI + APP0/JFIF (fixed 18-byte segment): the canonical JPEG preamble.
+_JPEG_SOI_APP0 = "FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" + \
+    "0001" + "0001" + "0000"
+# SOS for one component + EOI; entropy data (the text bytes) sits between.
+_JPEG_SOS = "FFDA" + "0008" + "01" + "0100" + "003F00"
+# SOF0 layout: FFC0 000B precision=8, then BE height, BE width, 1 component.
+_JPEG_SOF_PRE = "FFC0" + "000B" + "08"
+_JPEG_SOF_POST = "01" + "011100"
+# byte offsets of the BE height/width fields given the fixed preamble:
+# SOI+APP0 = 20 bytes, SOF marker+len+precision = 5 more.
+_JPEG_H_OFF = 25
+_JPEG_W_OFF = 27
+
+
+def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
+    """Structurally valid baseline JPEG per document: SOI + JFIF APP0 +
+    SOF0 (deterministic width/height from doc_id, big-endian as the
+    format demands) + SOS + the document's UTF-8 bytes as the entropy
+    stream + EOI. Native hex assembly like the BMP/WAV fixtures; the
+    SOFn walker reads the dimensions back out of the real marker
+    stream."""
+    w = (F.col("doc_id") % 100 + 16).cast("int")
+    h = (F.col("doc_id") % 80 + 16).cast("int")
+    content = F.unhex(
+        F.concat(
+            F.lit(_JPEG_SOI_APP0),
+            F.lit(_JPEG_SOF_PRE),
+            F.format_string("%04X", h),
+            F.format_string("%04X", w),
+            F.lit(_JPEG_SOF_POST),
+            F.lit(_JPEG_SOS),
+            F.hex(F.encode(F.col("text"), "UTF-8")),
+            F.lit("FFD9"),
+        )
+    )
+    meta = F.struct(
+        F.lit("image/jpeg").alias("mime"),
+        w.alias("width"),
+        h.alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def sql_media_jpeg_decode(table: str = "documents") -> str:
+    """DuckDB twin of media_jpeg_from_documents → decode_images: builds
+    the identical JPEG bytes as hex, then parses the big-endian
+    height/width back out at the SOF0 field offsets and hashes the
+    payload."""
+    w = "(doc_id % 100 + 16)"
+    h = "(doc_id % 80 + 16)"
+    hx = (
+        f"'{_JPEG_SOI_APP0}' || '{_JPEG_SOF_PRE}' || printf('%04X', {h}) || "
+        f"printf('%04X', {w}) || '{_JPEG_SOF_POST}' || '{_JPEG_SOS}' || "
+        f"hex(encode(text)) || 'FFD9'"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, {hx} AS hx FROM {table}
+)
+SELECT media_id,
+       CAST({_sql_be_int("hx", _JPEG_W_OFF, 2)} AS INTEGER) AS width,
+       CAST({_sql_be_int("hx", _JPEG_H_OFF, 2)} AS INTEGER) AS height,
        md5(hx) AS checksum
 FROM m
 """
