@@ -424,63 +424,98 @@ def connected_components(
     is the component's minimum vertex id. Returns ``(v, component)``
     for every vertex appearing in an edge.
 
-    Iterative-algorithm shape for Spark: each round is one hash join
-    (edges x labels) + one min-aggregate — both shuffle on vertex id, so
-    at 100 TB the edge list pre-bucketed by ``src`` reuses its
-    partitioning every round. The round count is the component DIAMETER,
-    and near-dup clusters are dense little cliques (diameter 1-3), not
-    long chains — so this converges in a handful of rounds where a
-    pointer-jumping scheme would only add complexity.
+    Iterative-algorithm shape for Spark, with CONTRACTION (the standard
+    star-contraction family of MapReduce CC optimizations): each level
+    merges every vertex into the min of its closed neighborhood, then
+    rewrites the edge list itself over the merged representatives
+    (loops dropped, duplicates collapsed). The full edge volume is
+    touched exactly once — the level-0 seed aggregate plus one
+    relabel-both-endpoints pass — and every later level runs on the
+    contracted remainder, which for near-dup graphs (dense little
+    cliques) is empty or near-empty after one contraction. A plain
+    min-label propagation instead re-joins the FULL edge list every
+    round, so its per-round cost never shrinks; that was the dominant
+    sf1 cost of ``dedup_clusters``.
 
-    Driver-action budget: exactly ONE Spark job per round. Each round's
-    labels are materialized with an eager ``localCheckpoint`` to
-    truncate lineage (otherwise the plan doubles per round and analysis
-    cost explodes exponentially), and the convergence probe — the label
-    SUM, strictly decreasing while any label moves — rides that same
-    materialization as an ``Observation`` metric (checkpointing runs
-    through ``withAction``, which delivers collected metrics), instead
-    of a second per-round aggregate job. ``stats`` (optional dict)
-    receives ``{"rounds": n}`` for test gating.
+    Driver-action budget: one eager ``localCheckpoint`` job per
+    materialization — the input edge list (so an expensive pair
+    pipeline upstream runs exactly once), the level-0 labels, then one
+    contracted edge list per level (lineage would otherwise double per
+    level). The
+    convergence probe — the contracted edge COUNT, zero exactly at
+    fixpoint — rides the same materialization as an ``Observation``
+    metric (checkpointing runs through ``withAction``, which delivers
+    collected metrics), so no extra probe jobs. Per-level mappings are
+    tiny (one row per still-contracting representative) and are
+    composed into the final labels lazily with broadcast-sized left
+    joins. ``stats`` (optional dict) receives ``{"rounds": n}`` (the
+    driver-job count, gated in tests) and ``{"levels": k}``.
     """
     from pyspark.sql import Observation
 
-    sym = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).union(
-        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
-    )
-    # Seed = min(self, neighbors): the same aggregate shape as a
-    # propagation round, so round one comes free with initialization
-    # (an id-labeled seed would spend a full round reaching this state).
-    obs = Observation()
-    labels = (
-        sym.groupBy(F.col("_s").alias("v"))
-        .agg(F.min("_d").alias("_m"))
-        .select("v", F.least(F.col("v"), F.col("_m")).alias("label"))
-        .observe(obs, F.sum("label").alias("s"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = obs.get["s"]
+    # Materialize the edge list ONCE before anything touches it. The
+    # symmetric union reads `edges` twice and every job re-plans its
+    # lineage from scratch, so an expensive upstream (LSH pair
+    # generation over the full corpus) would otherwise re-run per
+    # materialization — at sf1 that recompute, not propagation, was the
+    # dominant dedup_clusters cost. Candidate pair lists are orders of
+    # magnitude smaller than the corpus, so this checkpoint is cheap at
+    # any scale.
+    edges = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=True)
+    sym = edges.union(edges.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    cur = sym
     rounds = 1
+    labels0 = None
+    mappings: list[DataFrame] = []
+    levels = 0
     for _ in range(max_iter):
-        prop = sym.join(labels, sym["_s"] == labels["v"]).select(
-            F.col("_d").alias("v"), F.col("label")
+        # Merge rule: label = min(self, neighbors) — the seed aggregate
+        # IS a propagation round, so initialization does round one's work.
+        lab = (
+            cur.groupBy(F.col("_s").alias("v"))
+            .agg(F.min("_d").alias("_m"))
+            .select("v", F.least(F.col("v"), F.col("_m")).alias("label"))
         )
+        if labels0 is None:
+            # Level 0 touches the full edge volume and feeds both the
+            # contraction and the final output: materialize it once.
+            lab = lab.localCheckpoint(eager=True)
+            labels0 = lab
+            rounds += 1
+        else:
+            # Later levels re-derive their (tiny) mapping lazily from
+            # the checkpointed contracted edges — no extra job.
+            mappings.append(lab)
+        levels += 1
+        la = lab.select(F.col("v").alias("_sv"), F.col("label").alias("_sl"))
+        lb = lab.select(F.col("v").alias("_dv"), F.col("label").alias("_dl"))
         obs = Observation()
-        labels = (
-            labels.select("v", "label")
-            .union(prop)
-            .groupBy("v")
-            .agg(F.min("label").alias("label"))
-            .observe(obs, F.sum("label").alias("s"))
+        cur = (
+            cur.join(la, cur["_s"] == la["_sv"])
+            .join(lb, cur["_d"] == lb["_dv"])
+            .where(F.col("_sl") != F.col("_dl"))
+            .select(F.col("_sl").alias("_s"), F.col("_dl").alias("_d"))
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("c"))
             .localCheckpoint(eager=True)
         )
         rounds += 1
-        cur_sum = obs.get["s"]
-        if cur_sum == prev_sum:
+        if obs.get["c"] == 0:
             break
-        prev_sum = cur_sum
     if stats is not None:
         stats["rounds"] = rounds
-    return labels
+        stats["levels"] = levels
+    if labels0 is None:  # no iterations ran (max_iter == 0)
+        return sym.select(F.col("_s").alias("v"), F.col("_s").alias("label")).limit(0)
+    final = labels0
+    for m in mappings:
+        m2 = m.select(F.col("v").alias("_r"), F.col("label").alias("_nl"))
+        final = final.join(m2, final["label"] == m2["_r"], "left").select(
+            final["v"], F.coalesce(F.col("_nl"), final["label"]).alias("label")
+        )
+    return final
 
 
 def dedup_clusters(
