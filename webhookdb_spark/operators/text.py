@@ -271,46 +271,94 @@ def sql_token_count_bpe(table: str = "documents") -> str:
     """
 
 
-# PII scrubbing patterns — shared Java-regex/RE2 subset, applied in a
-# fixed order (email, then URL, then phone) so both engines produce the
-# identical scrubbed text.
+# PII scrubbing patterns — shared Java-regex/RE2 subset. Branch order is
+# the alternation priority (position ties resolve email > url > phone,
+# the lexer rule both engines implement as leftmost-first matching).
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("url", r"https?://[^ \t\n\r\f\x0B]+", "<URL>"),
     ("phone", r"\+?[0-9][0-9()\- \t]{6,}[0-9]", "<PHONE>"),
 )
 
+# One combined alternation: the text is scanned ONCE (lexer-style,
+# leftmost match wins; at equal positions the branch order above wins —
+# identical semantics in Java regex and RE2, both leftmost-first).
+_PII_RX = "|".join(f"(?:{p})" for _, p, _ in PII_PATTERNS)
+
+
+def _pii_tag(m: Column) -> Column:
+    """Replacement token for one matched substring. Anchored full-match
+    classification in branch order mirrors which alternation branch
+    consumed the match (the branch languages are mutually exclusive on
+    full strings: emails contain '@', URLs a scheme, phones neither)."""
+    tag = F.lit(PII_PATTERNS[-1][2])
+    for _, pat, repl in reversed(PII_PATTERNS[:-1]):
+        tag = F.when(m.rlike(f"^(?:{pat})$"), F.lit(repl)).otherwise(tag)
+    return tag
+
 
 def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails, URLs, and phone-shaped runs; emit the scrubbed
     text plus per-category match counts (the audit columns a pipeline
-    monitors for drift). Pure regexp expressions, map-side only."""
-    scrubbed = F.col(text_col)
-    counts = []
-    for name, pat, repl in PII_PATTERNS:
-        counts.append(
-            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
-            .cast("int")
-            .alias(f"n_{name}")
-        )
-        scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    return df.select("doc_id", *counts, scrubbed.alias("scrubbed_text"))
+    monitors for drift). Pure regexp expressions, map-side only.
+
+    SINGLE-PASS (round 4): one combined-alternation scan splits the
+    text into kept segments and matches, each match classified to its
+    replacement token — previously three sequential ``regexp_replace``
+    passes re-scanned the full text per category (the worst sf1 scan
+    ratio in the suite), and their counts were order-dependent (an
+    email inside a URL counted as both). Counts now report exactly
+    what was scrubbed per branch.
+    """
+    t = F.col(text_col)
+    b = bind(scale_out(df.select("doc_id", text_col)), "_parts", F.split(t, _PII_RX, -1))
+    b = bind(
+        b, "_tags",
+        F.transform(F.regexp_extract_all(t, F.lit(_PII_RX), F.lit(0)), _pii_tag),
+    )
+    tags = F.col("_tags")
+    counts = [
+        F.size(F.filter(tags, lambda x: x == F.lit(repl)))
+        .cast("int")
+        .alias(f"n_{name}")
+        for name, _, repl in PII_PATTERNS
+    ]
+    # parts has exactly len(tags)+1 elements (split keeps leading and
+    # trailing empties), so pad tags with one '' and stitch pairwise.
+    scrubbed = F.array_join(
+        F.zip_with(
+            F.col("_parts"),
+            F.concat(tags, F.array(F.lit(""))),
+            lambda p, g: F.concat(p, g),
+        ),
+        "",
+    )
+    return b.select("doc_id", *counts, scrubbed.alias("scrubbed_text"))
 
 
 def sql_scrub_pii(table: str = "documents") -> str:
-    """DuckDB twin of :func:`scrub_pii` (same patterns, same order —
-    counts are measured on the same partially-scrubbed stages)."""
-    scrubbed = "text"
-    counts = []
-    for name, pat, repl in PII_PATTERNS:
-        counts.append(
-            f"CAST(len(regexp_extract_all({scrubbed}, '{pat}')) AS INTEGER)"
-            f" AS n_{name}"
-        )
-        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    """DuckDB twin of :func:`scrub_pii` (same combined alternation,
+    same leftmost-first single pass, same branch classification)."""
+    tag = f"'{PII_PATTERNS[-1][2]}'"
+    for _, pat, repl in reversed(PII_PATTERNS[:-1]):
+        tag = f"CASE WHEN regexp_full_match(x, '{pat}') THEN '{repl}' ELSE {tag} END"
+    counts = ", ".join(
+        f"CAST(len(list_filter(tags, x -> x = '{repl}')) AS INTEGER) AS n_{name}"
+        for name, _, repl in PII_PATTERNS
+    )
     return f"""
-    SELECT doc_id, {', '.join(counts)}, {scrubbed} AS scrubbed_text
-    FROM {table}
+    WITH m AS (
+      SELECT doc_id,
+             str_split_regex(text, '{_PII_RX}') AS parts,
+             list_transform(regexp_extract_all(text, '{_PII_RX}'), x -> {tag}) AS tags
+      FROM {table}
+    )
+    SELECT doc_id, {counts},
+           list_aggregate(
+             list_transform(range(1, len(parts) + 1),
+               i -> parts[i] || CASE WHEN i <= len(tags) THEN tags[i] ELSE '' END),
+             'string_agg', '') AS scrubbed_text
+    FROM m
     """
 
 
