@@ -132,3 +132,31 @@ def test_readonly_validator_blocks_sandbox_escapes(spark):
     ]
     for sql in allowed:
         validate_readonly(sql)
+
+
+def test_readonly_blocks_any_datasource_path_table(spark):
+    """The regex denylist only names common formats; `format`.`/path``
+    works for ANY registered datasource (libsvm, xml, jdbc, ...), so the
+    structural guard — runSQLOnFiles disabled during analysis — must
+    stop the rest: resolution fails instead of reading the filesystem,
+    and the session conf is restored afterward (including on error)."""
+    import pytest
+
+    from webhookdb_spark.plans.query_surface import run_readonly_sql
+
+    for sql in (
+        "SELECT * FROM libsvm.`/etc/passwd`",
+        "SELECT * FROM xml.`/etc/passwd`",
+        "TABLE binaryFile.`/etc`",
+    ):
+        with pytest.raises(Exception) as ei:
+            run_readonly_sql(spark, sql)
+        # failure mode is unresolved table, never a successful file read
+        assert "QueryNotAllowed" in ei.typename or "Analysis" in ei.typename or \
+            "TABLE_OR_VIEW_NOT_FOUND" in str(ei.value), str(ei.value)[:200]
+        assert spark.conf.get("spark.sql.runSQLOnFiles") == "true"
+    # legit catalog tables still resolve under the guard
+    spark.range(3).createOrReplaceTempView("ro_guard_ok")
+    res = run_readonly_sql(spark, "SELECT count(*) AS n FROM ro_guard_ok")
+    assert res.rows == [(3,)]
+    assert spark.conf.get("spark.sql.runSQLOnFiles") == "true"

@@ -16,6 +16,7 @@ keyword screen.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,10 +42,30 @@ _SCRIPT_TRANSFORM = re.compile(r"\busing\s*''", re.IGNORECASE)
 # Path-backed tables (`parquet.`/some/path``, `text.`/etc/passwd``)
 # read arbitrary filesystem paths, bypassing the per-org catalog — the
 # reference scopes users to their org database (organization.rb:146-164).
+# This denylist covers the common formats with a CLEAR error message;
+# the STRUCTURAL guard is `_no_sql_on_files` below, which disables
+# Spark's SQL-on-files resolution entirely during analysis, so ANY
+# registered datasource name (libsvm, xml, jdbc, iceberg, ...) fails
+# table resolution instead of reading the filesystem.
 _PATH_TABLE = re.compile(
     r"\b(parquet|json|csv|orc|avro|text|binaryfile|delta)\s*\.\s*`",
     re.IGNORECASE,
 )
+
+
+@contextmanager
+def _no_sql_on_files(spark: SparkSession):
+    """Disable ``format.`path``` table resolution while user SQL is
+    ANALYZED (``spark.sql`` analyzes eagerly, so wrapping the call is
+    sufficient; later execution reuses the resolved plan). This is the
+    allowlist the regex screen can't be: only catalog-registered
+    tables/views resolve, no matter which datasource name is used."""
+    old = spark.conf.get("spark.sql.runSQLOnFiles", "true")
+    spark.conf.set("spark.sql.runSQLOnFiles", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.runSQLOnFiles", old)
 
 
 class QueryNotAllowed(ValueError):
@@ -90,7 +111,8 @@ def run_readonly_sql(
     """Execute user SQL read-only with the reference's row-cap contract
     (organization.rb:146-195): fetch max_rows+1, flag overflow."""
     validate_readonly(sql)
-    df = spark.sql(sql)
+    with _no_sql_on_files(spark):
+        df = spark.sql(sql)
     rows = df.limit(max_rows + 1).collect()
     over = len(rows) > max_rows
     return QueryResult(
@@ -103,7 +125,8 @@ def run_readonly_sql(
 def readonly_df(spark: SparkSession, sql: str) -> DataFrame:
     """Validated SQL → DataFrame (no row cap applied)."""
     validate_readonly(sql)
-    return spark.sql(sql)
+    with _no_sql_on_files(spark):
+        return spark.sql(sql)
 
 
 # -- saved queries / views (saved_query.rb, saved_view.rb) -----------------
@@ -132,7 +155,8 @@ def create_saved_view(spark: SparkSession, name: str, sql: str) -> None:
     """Validated read-only SQL → catalog view
     (saved_view.rb:20-40: CREATE OR REPLACE VIEW after validation)."""
     validate_readonly(sql)
-    spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+    with _no_sql_on_files(spark):
+        spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
 
 
 class MaterializedViews:
@@ -158,7 +182,8 @@ class MaterializedViews:
 
     def refresh(self, name: str) -> None:
         sql = self._sql[name]
-        df = self.spark.sql(sql)
+        with _no_sql_on_files(self.spark):
+            df = self.spark.sql(sql)
         df.write.mode("overwrite").parquet(self._path(name))
         self.spark.read.parquet(self._path(name)).createOrReplaceTempView(name)
 
