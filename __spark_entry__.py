@@ -631,6 +631,13 @@ def q_text_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
     return X.token_count_bpe(load(spark, sf, "documents"))
 
 
+def q_text_token_count_bpe2(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL BPE token counting: trained merge table (tools/train_bpe.py,
+    deterministic) applied in rank order per letter run — counts credit
+    actual merges instead of pretokenizer splits."""
+    return X.token_count_bpe2(load(spark, sf, "documents"))
+
+
 def q_text_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction. The synthetic corpus carries no PII, so the query
     plants a deterministic email/URL/phone per document (both engines
@@ -778,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mix": q_weighted_mix,
         "text_repetition": q_text_repetition,
         "text_token_count_bpe": q_text_token_count_bpe,
+        "text_token_count_bpe2": q_text_token_count_bpe2,
         "text_scrub_pii": q_text_scrub_pii,
         "text_winnow": q_text_winnow,
         "media_summary": q_media_summary,
@@ -827,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mix": SA.sql_weighted_mix(source_weights=MIX_WEIGHTS),
         "text_repetition": X.sql_repetition_stats(),
         "text_token_count_bpe": X.sql_token_count_bpe(),
+        "text_token_count_bpe2": X.sql_token_count_bpe2(),
         "text_scrub_pii": X.sql_scrub_pii(
             table="(SELECT doc_id, text || ' contact user' || doc_id"
             " || '@example.com or https://ex.io/d/' || doc_id"

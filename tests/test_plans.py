@@ -193,7 +193,8 @@ def test_corpus_assembly_is_shuffle_free(spark):
     per-row salted-hash/array expressions — map-side only at any scale;
     a keyed Exchange in any of them is a scale bug."""
     for name in ("corpus_split", "weighted_mix", "text_repetition",
-                 "text_token_count_bpe", "text_scrub_pii", "text_winnow"):
+                 "text_token_count_bpe", "text_token_count_bpe2",
+                 "text_scrub_pii", "text_winnow"):
         p = plan_of(entry.queries()[name](spark, SF))
         assert "hashpartitioning" not in p and "rangepartitioning" not in p, (
             f"{name} plan key-shuffles:\n{p}"

@@ -123,7 +123,9 @@ def test_repetition_and_bpe_cross_engine(spark, rows):
         repetition_stats,
         sql_repetition_stats,
         sql_token_count_bpe,
+        sql_token_count_bpe2,
         token_count_bpe,
+        token_count_bpe2,
     )
 
     df = spark.createDataFrame(list(rows), "doc_id long, text string")
@@ -134,6 +136,10 @@ def test_repetition_and_bpe_cross_engine(spark, rows):
     got_bpe = {
         r.doc_id: (r.n_bpe_tokens, r.n_ws_tokens) for r in token_count_bpe(df).collect()
     }
+    got_bpe2 = {
+        r.doc_id: (r.n_bpe2_tokens, r.n_pretokens)
+        for r in token_count_bpe2(df).collect()
+    }
     con = duckdb.connect()
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", list(rows))
@@ -141,6 +147,8 @@ def test_repetition_and_bpe_cross_engine(spark, rows):
         assert got_rep[did] == (n, dsf, dcf), f"repetition diverged on doc {did}"
     for did, nb, nw, _ in con.execute(sql_token_count_bpe()).fetchall():
         assert got_bpe[did] == (nb, nw), f"bpe diverged on doc {did}"
+    for did, nb, np_, _ in con.execute(sql_token_count_bpe2()).fetchall():
+        assert got_bpe2[did] == (nb, np_), f"bpe2 diverged on doc {did}"
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -269,6 +269,33 @@ def test_bpe_token_count_vs_whitespace(spark):
     assert r.bpe_per_word == 2.75
 
 
+def test_bpe2_counts_credit_real_merges(spark):
+    """Real-BPE counting: merges from the trained table shrink letter
+    runs, units match a reference Python application of the same merge
+    table, and non-letter pretokens count 1 each."""
+    from webhookdb_spark.operators.text import BPE_MERGES, token_count_bpe2
+
+    def py_bpe_len(word: str) -> int:
+        w = word.lower()
+        for pair, sym in BPE_MERGES:
+            w = w.replace(pair, sym)
+        return len(w)
+
+    df = _docs(spark, [(1, "winter is starting, v2.0!"), (2, "erererer")])
+    rows = {r.doc_id: r for r in token_count_bpe2(df).collect()}
+    # doc 1 pretokens: 'winter'(letters) ' is' ' starting' ','(1) ' v'
+    # '2'(1) '.'(1) '0'(1) '!'(1)
+    want1 = (py_bpe_len("winter") + py_bpe_len("is") + py_bpe_len("starting")
+             + 1 + py_bpe_len("v") + 1 + 1 + 1 + 1)
+    assert rows[1].n_bpe2_tokens == want1
+    assert rows[1].n_pretokens == 9
+    # 'erererer' → 'AAAA' under the first merge: 4 units from 8 chars
+    assert rows[2].n_bpe2_tokens == 4
+    # and real-BPE counts are <= pretokenizer-count × max word len trivially,
+    # but strictly less when merges fire:
+    assert rows[2].n_bpe2_tokens < 8
+
+
 def test_ivf_refine_sampled_matches_manual_subset(spark):
     """sample_fraction refines on the deterministic md5-bucket sample:
     identical to refining on the manually-filtered subset (the property

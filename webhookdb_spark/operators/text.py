@@ -271,6 +271,84 @@ def sql_token_count_bpe(table: str = "documents") -> str:
     """
 
 
+# A REAL trained BPE merge table (classic Sennrich-style training, run
+# deterministically by tools/train_bpe.py over the sf0.01 fixture
+# corpus; ties broken lexicographically). Merge #k's output symbol is
+# chr(65+k) — uppercase cannot collide with the lowercase base
+# alphabet, so every BPE unit stays exactly ONE character and merge
+# application is plain ordered string replace() in any engine (replace
+# is leftmost non-overlapping in both Spark and DuckDB, which is
+# exactly BPE's merge-everywhere-by-rank rule: a merged symbol never
+# recreates its own pair).
+BPE_MERGES = (
+    ("er", "A"), ("in", "B"), ("ow", "C"), ("or", "D"), ("st", "E"),
+    ("mA", "F"), ("at", "G"), ("lu", "H"), ("ar", "I"), ("pI", "J"),
+    ("jo", "K"), ("KB", "L"), ("as", "M"), ("Mh", "N"), ("hN", "O"),
+    ("rC", "P"), ("Gc", "Q"), ("Qh", "R"), ("bR", "S"), ("an", "T"),
+    ("cT", "U"), ("sU", "V"), ("Eo", "W"), ("Hm", "X"),
+)
+
+
+def token_count_bpe2(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting under REAL BPE merges (round 4): pretokenize with
+    :data:`BPE_PATTERN`, then for each lowercase-letter run apply the
+    trained :data:`BPE_MERGES` in rank order and count the remaining
+    units; non-letter pretokens (digits, punctuation, whitespace runs,
+    contraction suffixes) count as one unit each. The pretokenizer-only
+    count (:func:`token_count_bpe`) drifts from true BPE counts because
+    it never credits merges — this is the count a mixture-weighting
+    pipeline actually wants. Pure HOF expressions, map-side only."""
+    pretoks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    b = bind(scale_out(df.select("doc_id", text_col)), "_pt", pretoks)
+
+    def unit_count(p: Column) -> Column:
+        w = ascii_lower(F.regexp_replace(p, "^ ", ""))
+        merged = w
+        for pair, sym in BPE_MERGES:
+            merged = F.replace(merged, F.lit(pair), F.lit(sym))
+        return F.when(w.rlike("^[a-z]+$"), F.length(merged)).otherwise(F.lit(1))
+
+    units = F.transform(F.col("_pt"), unit_count)
+    n_bpe = F.aggregate(units, F.lit(0), lambda acc, x: acc + x)
+    n_pre = F.size(F.col("_pt"))
+    return b.select(
+        "doc_id",
+        n_bpe.cast("int").alias("n_bpe2_tokens"),
+        n_pre.cast("int").alias("n_pretokens"),
+        F.round(
+            n_bpe.cast("double") / F.greatest(n_pre, F.lit(1)), 6
+        ).alias("bpe2_per_pretoken"),
+    )
+
+
+def sql_token_count_bpe2(table: str = "documents") -> str:
+    """DuckDB twin of :func:`token_count_bpe2` (same pretokenizer, same
+    ordered merge replaces, same unit rule)."""
+    pat = BPE_PATTERN.replace("'", "''")
+    lw = SQL_ASCII_LOWER.format(c="regexp_replace(p, '^ ', '')")
+    merged = lw
+    for pair, sym in BPE_MERGES:
+        merged = f"replace({merged}, '{pair}', '{sym}')"
+    unit = (
+        f"CASE WHEN regexp_full_match({lw}, '[a-z]+')"
+        f" THEN length({merged}) ELSE 1 END"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '{pat}'), p -> {unit}) AS units,
+             len(regexp_extract_all(text, '{pat}')) AS n_pre
+      FROM {table}
+    )
+    SELECT doc_id,
+           CAST(coalesce(list_sum(units), 0) AS INTEGER) AS n_bpe2_tokens,
+           CAST(n_pre AS INTEGER) AS n_pretokens,
+           round(coalesce(list_sum(units), 0)::DOUBLE / greatest(n_pre, 1), 6)
+             AS bpe2_per_pretoken
+    FROM m
+    """
+
+
 # PII scrubbing patterns — shared Java-regex/RE2 subset. Branch order is
 # the alternation priority (position ties resolve email > url > phone,
 # the lexer rule both engines implement as leftmost-first matching).
