@@ -225,6 +225,103 @@ def test_max_files_per_trigger_paces_microbatches(spark, tmp_warehouse):
     assert all(r.inserted == 1 for _, r in pipeline.merge_log)
 
 
+def test_rate_source_pipeline_is_source_agnostic(spark, tmp_warehouse):
+    """The envelope pipeline must run from a NON-file streaming source
+    with no landing directory (the reference's queue boundary,
+    api/helpers.rb:231-244: HTTP -> queue -> worker; the queue swap-in
+    here is Spark's rate-micro-batch source standing in for Kafka).
+    Per-trigger intake caps compose on this path too: the cap knob lives
+    on the SOURCE (rowsPerBatch here, maxOffsetsPerTrigger on Kafka),
+    and every micro-batch's merge honors it."""
+    import time
+
+    wh = Warehouse(spark, tmp_warehouse / "wh_rate")
+    pipeline = IngestPipeline(
+        warehouse=wh, audit_table_path=str(tmp_warehouse / "audit_rate")
+    )
+    pipeline.register(IntegrationRuntime(opaque_id="svi_r", org="org1", spec=FAKE_V1))
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 4)
+        .option("numPartitions", 2)
+        .load()
+    )
+    env = raw.select(
+        F.lit("svi_r").alias("integration_opaque_id"),
+        F.format_string(
+            '{"my_id": "k%s", "at": "2024-06-01T00:00:00Z"}', F.col("value")
+        ).alias("body"),
+        F.col("timestamp").alias("received_at"),
+    )
+    q = pipeline.start(env, str(tmp_warehouse / "ckpt_rate"),
+                       processing_time="0 seconds")
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and len(pipeline.merge_log) < 3:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(pipeline.merge_log) >= 3, "expected several capped micro-batches"
+    # the per-trigger cap bounds every batch's merge
+    assert all(r.inserted + r.updated <= 4 for _, r in pipeline.merge_log)
+    # distinct rate values -> strictly growing table; audit kept pace
+    table = wh.table("org1", "fake_v1")
+    n = table.read().count()
+    assert n >= 8  # at least two full capped batches landed
+    audit = spark.read.parquet(str(tmp_warehouse / "audit_rate"))
+    assert audit.count() >= n
+
+
+def test_kafka_projection_feeds_pipeline(spark, tmp_warehouse):
+    """envelopes_from_kafka: Kafka-shaped records (binary value, broker
+    timestamp) project to the envelope schema — producer received_at
+    wins, broker timestamp fills the gap — and the result drives
+    process_batch unchanged (the projection is the only Kafka-specific
+    code; everything downstream is source-agnostic)."""
+    import datetime as dt
+
+    from webhookdb_spark.sources.envelopes import envelopes_from_kafka
+
+    body = json.dumps({"my_id": "kk1", "at": "2024-06-01T00:00:00Z"})
+    with_ts = json.dumps(
+        {
+            "integration_opaque_id": "svi_a",
+            "body": body,
+            "received_at": "2024-06-02T03:04:05.000Z",
+        }
+    )
+    without_ts = json.dumps(
+        {
+            "integration_opaque_id": "svi_a",
+            "body": json.dumps({"my_id": "kk2", "at": "2024-06-01T00:00:00Z"}),
+        }
+    )
+    broker_ts = dt.datetime(2024, 6, 5, 12, 0, 0)
+    records = spark.createDataFrame(
+        [
+            (bytearray(b"k1"), bytearray(with_ts.encode()), "t", 0, 0, broker_ts, 0),
+            (bytearray(b"k2"), bytearray(without_ts.encode()), "t", 0, 1, broker_ts, 0),
+        ],
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, timestampType int",
+    )
+    env = envelopes_from_kafka(records)
+    assert [f.name for f in env.schema.fields] == [
+        "integration_opaque_id", "service_name", "request_method",
+        "request_path", "headers", "body", "received_at",
+    ]
+    rows = {r.body: r.received_at for r in env.collect()}
+    assert rows[body] == dt.datetime(2024, 6, 2, 3, 4, 5)       # producer wins
+    assert min(rows.values()) != broker_ts or max(rows.values()) == broker_ts
+
+    wh = Warehouse(spark, tmp_warehouse / "wh_kafka")
+    pipeline = IngestPipeline(warehouse=wh)
+    pipeline.register(IntegrationRuntime(opaque_id="svi_a", org="org1", spec=FAKE_V1))
+    pipeline.process_batch(env)
+    got = {r.my_id for r in wh.table("org1", "fake_v1").read().collect()}
+    assert got == {"kk1", "kk2"}
+
+
 def test_per_trigger_caps_rejected_on_prebuilt_stream(spark, tmp_warehouse):
     import pytest
 

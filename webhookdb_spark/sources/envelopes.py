@@ -55,6 +55,48 @@ def read_envelope_stream(
     return reader.json(path)
 
 
+def envelopes_from_kafka(records: DataFrame) -> DataFrame:
+    """Project Kafka-shaped records (``value`` bytes + broker
+    ``timestamp``) into the envelope schema: the value is the JSON
+    envelope exactly as the HTTP intake enqueues it
+    (api/helpers.rb:218-231), and ``received_at`` falls back to the
+    broker timestamp when the producer omitted it. Works on a streaming
+    OR batch DataFrame — the projection is source-agnostic, which is
+    what lets tests cover this path without a broker."""
+    parsed = F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA)
+    cols = [
+        F.coalesce(parsed["received_at"], F.col("timestamp")).alias("received_at")
+        if f.name == "received_at"
+        else parsed[f.name].alias(f.name)
+        for f in ENVELOPE_SCHEMA.fields
+    ]
+    return records.select(*cols)
+
+
+def read_envelope_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int | None = None,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """The production queue boundary: HTTP intake -> Kafka topic ->
+    this stream (the reference's HTTP -> Redis queue -> worker hop,
+    api/helpers.rb:231-244). Same downstream plan as the file source;
+    backpressure = maxOffsetsPerTrigger. Requires the spark-sql-kafka
+    connector package on the cluster (not shipped in this sandbox —
+    the projection itself is covered by envelopes_from_kafka tests)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return envelopes_from_kafka(reader.load())
+
+
 def reject_bot_gets(envelopes: DataFrame) -> DataFrame:
     """Reject bot user-agents on GET webhook requests
     (api/helpers.rb:182-198)."""
