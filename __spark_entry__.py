@@ -578,10 +578,22 @@ def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Transitive closure of the minhash near-dup pairs (iterative
-    min-label propagation) + canonical pick per cluster — the keep-list
+    """Transitive closure of the minhash near-dup pairs (contraction
+    connected components) + canonical pick per cluster — the keep-list
     step that turns pair detection into an actual dedup."""
     return D.dedup_clusters(load(spark, sf, "documents"))
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 5-gram
+    with the (deterministically carved) eval slice are flagged — the
+    GPT-3-style n-gram overlap audit as a broadcast gram probe. The %7
+    carve overlaps the planted near-dup structure, so the oracle checks
+    real hits (12 contaminated docs at sf0.01), not an all-zero column."""
+    docs = load(spark, sf, "documents")
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    return D.decontaminate(train, ev)
 
 
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -779,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "hash_fraction_sample": q_hash_fraction_sample,
         "corpus_split": q_corpus_split,
@@ -829,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": D.sql_simhash(),
         "dedup_ngram": D.sql_jaccard_all_pairs(),
         "dedup_clusters": D.sql_dedup_clusters(),
+        "decontaminate": D.sql_decontaminate(),
         "stratified_sample": SA.sql_stratified_sample_n(),
         "hash_fraction_sample": SA.sql_hash_fraction_sample(),
         "corpus_split": SA.sql_corpus_split(),

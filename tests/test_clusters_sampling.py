@@ -90,6 +90,56 @@ def test_hash_fraction_sample_subset_semantics(spark):
     assert 0.02 * n <= len(tenth) <= 0.25 * n
 
 
+def test_decontaminate_flags_shared_ngrams(spark):
+    """Planted contamination: a train doc embedding a full eval 5-gram
+    is flagged with the right shared-gram count; clean and too-short
+    docs are not. Cross-engine: the DuckDB twin on the same carved
+    corpus agrees exactly."""
+    import duckdb
+
+    from webhookdb_spark.operators.dedup import decontaminate, sql_decontaminate
+
+    # doc 0 is the eval doc (0 % 7 == 0, the twin's default carve);
+    # 1 embeds 6 of its tokens (two shared 5-grams), 2 is clean, 3 is
+    # too short for any 5-gram
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "intro text then the quick brown fox jumps over and done"),
+        (2, "completely different words in this training document here"),
+        (3, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    got = {
+        r.doc_id: (r.n_shared_ngrams, r.n_ngrams, r.contaminated)
+        for r in decontaminate(train, ev).collect()
+    }
+    assert got[1] == (2, 7, True)   # "the quick brown fox jumps (over)"
+    assert got[2] == (0, 4, False)
+    assert got[3] == (0, 0, False)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(sql_decontaminate()).fetchall()
+    }
+    assert got == want
+
+
+def test_decontaminate_plan_broadcasts_eval_grams(spark):
+    """The gram probe must be a broadcast join (eval grams are tiny);
+    a sort-merge join on gram values would shuffle the exploded corpus."""
+    from webhookdb_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 101 == 0)
+    train = docs.where(F.col("doc_id") % 101 != 0)
+    plan = decontaminate(train, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_connected_components_one_job_per_round(spark):
     """Driver-action budget gate: the CC loop must spend exactly ONE
     Spark job per round (the eager localCheckpoint whose Observation

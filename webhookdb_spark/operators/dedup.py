@@ -408,6 +408,90 @@ def sql_jaccard_all_pairs(
     """
 
 
+# -- Benchmark decontamination (cross-corpus n-gram overlap) ----------------
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Flag training documents sharing any word ``ngram_n``-gram with an
+    evaluation/benchmark set — the standard n-gram decontamination
+    discipline for LLM training corpora (published method: GPT-3
+    appendix C / Dodge et al. C4 audit; 8-13 grams in production, 5
+    here because the fixture documents are short).
+
+    Output: ``(doc_id, n_shared_ngrams, n_ngrams, contaminated)`` — one
+    row per training document, counting its distinct grams that also
+    appear anywhere in the eval set.
+
+    100 TB shape: the eval side reduces to DISTINCT grams (benchmarks
+    are tiny next to a training corpus) and is explicitly broadcast, so
+    the gram probe is map-side against the exploded train grams — no
+    corpus-wide shuffle on gram values. Per-doc hit counts then shuffle
+    only (doc_id, count) pairs back onto the (narrow) doc spine; AQE
+    turns that join broadcast when contamination is sparse, which it
+    is by construction in a decontamination pass.
+    """
+    tg = shingle_sets(train, text_col, ngram_n)
+    base = tg.select(
+        F.col(id_col).alias("doc_id"), F.size("_sh").alias("n_ngrams"), "_sh"
+    )
+    grams = base.select("doc_id", F.explode("_sh").alias("_g"))
+    ev = (
+        shingle_sets(eval_df, text_col, ngram_n)
+        .select(F.explode("_sh").alias("_g"))
+        .distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(ev), "_g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+    )
+    return (
+        base.drop("_sh")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_n_shared", F.lit(0)).cast("int").alias("n_shared_ngrams"),
+            F.col("n_ngrams").cast("int").alias("n_ngrams"),
+            (F.coalesce("_n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sql_decontaminate(
+    table: str = "documents",
+    eval_pred: str = "doc_id % 7 = 0",
+    ngram_n: int = 5,
+) -> str:
+    """DuckDB twin of :func:`decontaminate` with the eval set carved
+    from the same table by ``eval_pred`` (train = the complement)."""
+    sh = sql_shingles("text", ngram_n)
+    return f"""
+    WITH ev AS (
+      SELECT DISTINCT g
+      FROM (SELECT unnest({sh}) AS g FROM {table} WHERE {eval_pred})
+    ),
+    tr AS (
+      SELECT doc_id, {sh} AS sh FROM {table} WHERE NOT ({eval_pred})
+    ),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM (SELECT doc_id, unnest(sh) AS g FROM tr) t
+      JOIN ev USING (g)
+      GROUP BY 1
+    )
+    SELECT tr.doc_id,
+           CAST(coalesce(h.n_shared, 0) AS INTEGER) AS n_shared_ngrams,
+           CAST(len(tr.sh) AS INTEGER) AS n_ngrams,
+           coalesce(h.n_shared, 0) > 0 AS contaminated
+    FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+    """
+
+
 # -- Duplicate clustering (connected components + canonical pick) -----------
 
 def connected_components(
