@@ -584,6 +584,14 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_clusters(load(spark, sf, "documents"))
 
 
+def q_dedup_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus exact segment dedup (RefinedWeb-style remove-the-
+    span): duplicated aligned 8-token segments are stripped from every
+    occurrence but the first, and documents are rebuilt from the
+    surviving segments."""
+    return D.segment_dedup(load(spark, sf, "documents"))
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word 5-gram
     with the (deterministically carved) eval slice are flagged — the
@@ -790,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
+        "dedup_segments": q_dedup_segments,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -841,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": D.sql_minhash_dedup_pairs(),
         "dedup_simhash": D.sql_simhash(),
         "dedup_ngram": D.sql_jaccard_all_pairs(),
+        "dedup_segments": D.sql_segment_dedup(),
         "dedup_clusters": D.sql_dedup_clusters(),
         "decontaminate": D.sql_decontaminate(),
         "stratified_sample": SA.sql_stratified_sample_n(),

@@ -308,3 +308,50 @@ def test_ivf_refine_sampled_matches_manual_subset(spark):
     manual = S.ivf_refine(hash_fraction_sample(emb, 0.5, id_col="vec_id"), seeds)
     assert sampled == manual
     assert sampled != S.ivf_refine(emb, seeds)  # and it genuinely sampled
+
+
+def test_segment_dedup_strips_shared_run_and_keeps_first(spark):
+    """A verbatim run of >= 2k-1 tokens shared by two docs must lose at
+    least one aligned segment in the later doc; the earlier doc keeps
+    its full text. A fully-duplicated doc survives as an empty row."""
+    from webhookdb_spark.operators.dedup import segment_dedup
+
+    run = " ".join(f"w{i}" for i in range(15))  # 15 >= 2*8-1
+    df = spark.createDataFrame(
+        [
+            (1, "alpha " + run + " omega"),
+            (2, run + " tail unique words here beyond the shared run"),
+            (3, "totally different content with no overlap at all"),
+            (4, run[: run.rindex(" ")]),  # prefix - may or may not collide
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(df).collect()}
+    assert out[1].n_dropped == 0
+    assert out[1].clean_text == "alpha " + run + " omega"
+    assert out[3].n_dropped == 0
+    # doc 2 shares tokens w0..w14 but its segments are differently
+    # aligned than doc 1's ("alpha" shifts them) -- the 2k-1 guarantee
+    # applies to IDENTICALLY tokenized docs; verify the exact-alignment
+    # case instead:
+    df2 = spark.createDataFrame(
+        [(10, run + " x y z"), (11, run + " p q r")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in segment_dedup(df2).collect()}
+    assert out2[10].n_dropped == 0
+    assert out2[11].n_dropped == 1  # first aligned 8-token block collides
+    assert out2[11].clean_text.startswith("w8")
+
+
+def test_segment_dedup_fully_duplicated_doc_is_empty_not_missing(spark):
+    from webhookdb_spark.operators.dedup import segment_dedup
+
+    text = " ".join(f"t{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in segment_dedup(df).collect()}
+    assert out[1].clean_text == text
+    assert out[2].clean_text == ""
+    assert out[2].n_dropped == out[2].n_segments == 2

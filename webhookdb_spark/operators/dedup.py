@@ -685,3 +685,100 @@ def sql_dedup_clusters(
                                ORDER BY _len DESC, doc_id ASC) = 1) AS keep
     FROM labeled
     """
+
+
+# -- Cross-corpus exact segment dedup (RefinedWeb-style) ---------------------
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Exact substring deduplication ACROSS documents, approximated as
+    aligned non-overlapping ``seg_tokens``-token segments — the
+    scalable stand-in for suffix-array exact-substring dedup
+    (RefinedWeb/Lee et al. "Deduplicating Training Data Makes Language
+    Models Better"): a verbatim run of ≥ ``2*seg_tokens - 1`` tokens
+    shared by two documents is guaranteed to collide on at least one
+    aligned segment. Every duplicated segment is removed from all but
+    its first occurrence (lowest ``(doc_id, seg_idx)``), and each
+    document's text is rebuilt from its surviving segments in order —
+    the remove-the-span posture of the paper, not drop-the-document.
+
+    Returns (doc_id, n_segments, n_dropped, clean_text); a fully
+    duplicated document survives as an empty ``clean_text`` row (a
+    filterable fact, not a silent disappearance).
+
+    100 TB shape: segment building is a narrow map (no UDF); duplicate
+    detection is ONE shuffle keyed by the segment string — a
+    hash-partitionable key, never an all-pairs compare — and the
+    rebuild is one more shuffle keyed by doc_id. Both aggregates are
+    partial-agg friendly; a skewed boilerplate segment (the same nav
+    bar on a billion pages) is exactly what AQE skew-split handles, and
+    the first-occurrence rule keeps the survivor deterministic under
+    any partitioning. Reference scope note: the Ruby reference has no
+    corpus operators at all; this is pipeline surface beyond it.
+    """
+    k = seg_tokens
+    chunks = lambda t: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.ceil(F.size(t) / k).cast("int") - 1),
+        lambda i: F.array_join(F.slice(t, i * k + 1, k), " "),
+    )
+    b = bind(
+        scale_out(df.select("doc_id", text_col)),
+        "_segs",
+        chunks(tokens(F.col(text_col))),
+    )
+    segs = b.select(
+        "doc_id", F.posexplode("_segs").alias("seg_idx", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    flagged = segs.withColumn("_occ", F.row_number().over(w))
+    keep = F.col("_occ") == 1
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_segments"),
+        F.sum(F.when(~keep, 1).otherwise(0)).cast("int").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda s: s.seg,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def sql_segment_dedup(table: str = "documents", seg_tokens: int = 8) -> str:
+    """DuckDB twin of :func:`segment_dedup` (same tokenization, same
+    aligned segments, same first-occurrence keep rule)."""
+    k = seg_tokens
+    t = SQL_TOKENS.format(c="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {t} AS t FROM {table}
+    ), segs0 AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(t) / {k}.0) AS INTEGER)),
+                            i -> array_to_string(t[i * {k} + 1 : i * {k} + {k}], ' '))
+               AS segs
+      FROM toks
+    ), segs AS (
+      SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS seg_idx, segs[CAST(u.i AS INTEGER)] AS seg
+      FROM segs0, unnest(range(1, len(segs) + 1)) AS u(i)
+    ), flagged AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS occ
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_segments,
+           CAST(count(*) FILTER (WHERE occ > 1) AS INTEGER) AS n_dropped,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE occ = 1), '')
+             AS clean_text
+    FROM flagged
+    GROUP BY doc_id
+    """
