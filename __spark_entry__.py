@@ -584,6 +584,17 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_clusters(load(spark, sf, "documents"))
 
 
+def q_text_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring: train a bigram familiarity model
+    on the %5!=0 reference slice, score the held-out %5==0 slice —
+    exact integer fixed-point so the hash matches across engines (no
+    libm transcendentals)."""
+    docs = load(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 5 != 0)
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    return X.lm_familiarity(held, model_df=ref)
+
+
 def q_dedup_segments(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus exact segment dedup (RefinedWeb-style remove-the-
     span): duplicated aligned 8-token segments are stripped from every
@@ -810,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count_bpe2": q_text_token_count_bpe2,
         "text_scrub_pii": q_text_scrub_pii,
         "text_winnow": q_text_winnow,
+        "text_lm_score": q_text_lm_score,
         "media_summary": q_media_summary,
         "media_features": q_media_features,  # pandas-UDF — rows-only check
         "media_decode": q_media_decode,
@@ -867,6 +879,9 @@ def oracle_sql() -> dict[str, str]:
             " || '-99' AS text FROM documents)"
         ),
         "text_winnow": X.sql_winnow_fingerprints(),
+        "text_lm_score": X.sql_lm_familiarity(
+            score_pred="doc_id % 5 = 0", train_pred="doc_id % 5 != 0"
+        ),
         "media_summary": M.sql_media_summary(),
         "media_features": M.sql_byte_histogram_features(),
         "media_decode": M.sql_media_decode(),

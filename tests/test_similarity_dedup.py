@@ -355,3 +355,25 @@ def test_segment_dedup_fully_duplicated_doc_is_empty_not_missing(spark):
     assert out[1].clean_text == text
     assert out[2].clean_text == ""
     assert out[2].n_dropped == out[2].n_segments == 2
+
+
+def test_lm_familiarity_separates_in_domain_from_gibberish(spark):
+    """Held-out text made of reference-corpus transitions must outscore
+    unseen-vocabulary text, and unseen bigrams are counted."""
+    from webhookdb_spark.operators.text import lm_familiarity
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (100, "the quick brown fox"),
+            (101, "zxq vbnm qwerty asdfgh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_familiarity(score, model_df=ref).collect()}
+    assert out[100].unseen_bigrams == 0
+    assert out[101].unseen_bigrams == 3 == out[101].n_bigrams
+    assert out[100].lm_score > out[101].lm_score

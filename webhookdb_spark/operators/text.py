@@ -582,3 +582,153 @@ def sql_fingerprint(table: str = "documents") -> str:
            md5(translate(regexp_replace(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint
     FROM {table}
     """
+
+
+# -- Bigram LM familiarity (CCNet-style quality signal) ----------------------
+
+def lm_familiarity(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-model quality scoring in the CCNet mold: train a word
+    bigram model on a reference corpus, score every document by how
+    familiar its token transitions are, filter/bucket on the score.
+
+    CCNet uses KenLM perplexity; ``exp``/``ln`` are NOT bit-identical
+    across engines (libm is not correctly rounded), so this operator
+    scores the *mean smoothed transition probability* instead — a
+    monotone stand-in for per-token probability computed entirely in
+    exact integer fixed point:
+
+        fam(w_{i-1}, w_i) = (c2 + 1) * 1e6  div  (c1 + V)
+        lm_score = (sum(fam) div n_bigrams) / 1e6
+
+    where ``c2`` is the bigram count, ``c1`` the unigram count of the
+    prefix, ``V`` the vocabulary size (add-one smoothing). Every
+    intermediate is a BIGINT, so any engine reproduces the hash — the
+    same fixed-point discipline as the IVF Lloyd means.
+
+    ``model_df`` defaults to training on ``df`` itself (self-scoring,
+    the common dedup-then-score pipeline order); pass a separate
+    reference corpus for CCNet's "score web text against Wikipedia"
+    posture.
+
+    100 TB shape: counting is two groupBy-word aggregates with map-side
+    partial combine; the model (vocab + bigram tables) is
+    vocabulary-sized, orders of magnitude smaller than the corpus, and
+    rides broadcast joins — the corpus itself is never shuffled. V
+    joins as a broadcast 1-row scalar, not a driver collect.
+    """
+    model_df = model_df if model_df is not None else df
+    toks = lambda c: F.split(  # noqa: E731
+        F.trim(ascii_lower(F.col(c))), WS
+    )
+    b = bind(scale_out(df.select("doc_id", text_col)), "_t", toks(text_col))
+    t = F.col("_t")
+    grams = F.transform(
+        F.sequence(F.lit(2), F.greatest(F.size(t), F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(t, i - 1).alias("w_prev"),
+            F.element_at(t, i).alias("w"),
+        ),
+    )
+    doc_bg = b.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.w_prev").alias("w_prev"), F.col("g.w").alias("w")
+    )
+
+    m = bind(
+        scale_out(model_df.select(text_col)), "_t", toks(text_col)
+    ).select(F.col("_t").alias("t"))
+    uni = (
+        m.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    mg = m.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.greatest(F.size("t"), F.lit(1))),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i - 1).alias("w_prev"),
+                    F.element_at(F.col("t"), i).alias("w"),
+                ),
+            )
+        ).alias("g")
+    ).select("g.w_prev", "g.w")
+    bi = mg.groupBy("w_prev", "w").agg(F.count("*").cast("long").alias("c2"))
+    vocab = uni.agg(F.count("*").cast("long").alias("v"))
+
+    scored = (
+        doc_bg.join(F.broadcast(bi), ["w_prev", "w"], "left")
+        .join(
+            F.broadcast(uni.withColumnRenamed("w", "w_prev")),
+            ["w_prev"],
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(
+                "(coalesce(c2, 0L) + 1L) * 1000000L div (coalesce(c1, 0L) + v)"
+            ).alias("fam"),
+            F.when(F.col("c2").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.sum("oov").cast("int").alias("unseen_bigrams"),
+        (
+            F.expr("sum(fam) div count(*)") / F.lit(1000000.0)
+        ).alias("lm_score"),
+    )
+
+
+def sql_lm_familiarity(
+    table: str = "documents",
+    score_pred: str = "TRUE",
+    train_pred: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`lm_familiarity`: same lowercased
+    tokenization, the same exact integer fixed-point arithmetic (`//`
+    is DuckDB's integral floor-div, matching Spark's ``div`` on the
+    all-positive operands). ``train_pred``/``score_pred`` carve the
+    reference corpus and the scored slice (CCNet's train-on-Wikipedia,
+    score-web-text posture)."""
+    t = SQL_TOKENS_LOWER.format(c="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {t} AS t FROM {table} WHERE {score_pred}
+    ), mtoks AS (
+      SELECT {t} AS t FROM {table} WHERE {train_pred}
+    ), doc_bg AS (
+      SELECT doc_id, t[CAST(u.i - 1 AS INTEGER)] AS w_prev, t[CAST(u.i AS INTEGER)] AS w
+      FROM toks, unnest(range(2, greatest(len(t), 1) + 1)) AS u(i)
+    ), m_bg AS (
+      SELECT t[CAST(u.i - 1 AS INTEGER)] AS w_prev, t[CAST(u.i AS INTEGER)] AS w
+      FROM mtoks, unnest(range(2, greatest(len(t), 1) + 1)) AS u(i)
+    ), uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(t) AS w FROM mtoks) GROUP BY w
+    ), bi AS (
+      SELECT w_prev, w, CAST(count(*) AS BIGINT) AS c2
+      FROM m_bg GROUP BY w_prev, w
+    ), vocab AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM uni
+    ), scored AS (
+      SELECT d.doc_id,
+             (coalesce(b.c2, 0) + 1) * 1000000 // (coalesce(u.c1, 0) + vocab.v)
+               AS fam,
+             CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END AS oov
+      FROM doc_bg d
+      LEFT JOIN bi b ON d.w_prev = b.w_prev AND d.w = b.w
+      LEFT JOIN uni u ON d.w_prev = u.w
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_bigrams,
+           CAST(sum(oov) AS INTEGER) AS unseen_bigrams,
+           (sum(fam) // count(*)) / 1000000.0 AS lm_score
+    FROM scored
+    GROUP BY doc_id
+    """
