@@ -762,6 +762,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.ann_topk_ivf(emb, emb.where(F.col("vec_id") < 3), k=5)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance): 64 floats become
+    8 one-byte codes (32x compression), queries score the corpus with
+    m LUT lookups per vector — the compressed-domain scan path for
+    100 TB embedding stores. Deterministic fixed-point codebooks, full
+    value-hash oracle."""
+    emb = load(spark, sf, "embeddings")
+    return S.ann_topk_pq(emb, emb.where(F.col("vec_id") < 3), k=5)
+
+
 def q_embed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dedup. The synthetic embeddings are random
     (no natural cos ≥ 0.95 pairs), so the query corpus plants exact
@@ -832,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "embed_near_dup": q_embed_near_dup,
     }
 
@@ -892,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": S.sql_ann_topk_lsh(),
         "ann_lsh_recall": S.sql_ann_lsh_recall(),
         "ann_ivf_topk": S.sql_ann_topk_ivf(),
+        "ann_pq_topk": S.sql_ann_topk_pq(),
         "embed_near_dup": S.sql_embedding_near_dup(
             table="(SELECT vec_id, embedding FROM embeddings"
             " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding"

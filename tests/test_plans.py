@@ -236,3 +236,29 @@ def test_corpus_ops_prune_document_columns(spark):
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
         cols = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
         assert cols == want, (name, cols)
+
+
+def test_pq_adc_scan_reads_only_codes(spark, tmp_path):
+    """The encode-once/query-many PQ path: once codes are persisted,
+    the ADC ranking scan must read ONLY (vec_id, codes) — m bytes a
+    vector, never the 64-float embedding column — and shuffle only for
+    the per-query top-k window. This is the property that makes PQ the
+    100 TB ANN story."""
+    import webhookdb_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cbs = S.pq_codebooks(emb, m=8, ksub=8, n_refine=1)
+    codes_path = str(tmp_path / "pq_codes")
+    S.pq_encode(emb, cbs).write.parquet(codes_path)
+    codes = spark.read.parquet(codes_path)
+    queries = emb.where(F.col("vec_id") < 3)
+
+    p = plan_of(S.adc_topk(codes, cbs, queries, k=5))
+    scans = re.findall(r"ReadSchema: (\S+)", p)
+    codes_scan = [s for s in scans if "codes" in s]
+    assert codes_scan, p
+    assert all("embedding" not in s for s in codes_scan), codes_scan
+    # one Exchange for the top-k window, one for the tiny broadcast side
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -377,3 +377,35 @@ def test_lm_familiarity_separates_in_domain_from_gibberish(spark):
     assert out[100].unseen_bigrams == 0
     assert out[101].unseen_bigrams == 3 == out[101].n_bigrams
     assert out[100].lm_score > out[101].lm_score
+
+
+def test_pq_codes_domain_and_compression(spark):
+    """Every vector compresses to exactly m codes, each in [0, ksub)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = S.pq_codebooks(emb, m=8, ksub=8, n_refine=1)
+    assert len(cbs) == 8 and len(cbs[0]) == 8 and len(cbs[0][0]) == 8
+    codes = S.pq_encode(emb, cbs).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 8 for c in r.codes)
+
+
+def test_pq_recall_floor_vs_brute_force(spark):
+    """ADC ranking over 8-byte codes must keep a usable fraction of the
+    exact top-5 on the random sf0.001 embeddings (random vectors are
+    PQ's adversarial case — no cluster structure for the codebooks to
+    exploit; measured 0.28 at commit time, against 5/500 = 0.01 for a
+    random ranking)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.ann_topk_pq(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"PQ recall@5 collapsed to {recall}"

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from webhookdb_spark.operators.util import bind, scale_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -888,4 +890,344 @@ def sql_embedding_near_dup(
     JOIN {table} ea ON c.vec_a = ea.vec_id
     JOIN {table} eb ON c.vec_b = eb.vec_id
     WHERE {cos_ab} >= {threshold}
+    """
+
+
+# -- Product quantization (PQ) ANN -------------------------------------------
+#
+# Flat-PQ compressed-domain search (Jégou et al., "Product Quantization
+# for Nearest Neighbor Search"): split each vector into ``m`` subvectors,
+# learn a tiny per-subspace codebook, store each vector as ``m`` small
+# integer codes (64 floats -> 8 bytes here, a 32x compression), and score
+# query-vector pairs ASYMMETRICALLY (ADC): the query builds one
+# m x ksub lookup table of exact subspace dot products, and every
+# corpus vector is scored with m table lookups instead of a d-dim dot.
+#
+# The 100 TB story is the whole point: the scan that ranks 100 TB of
+# embeddings reads ONLY the code columns (m bytes/vector, pruned at the
+# parquet scan), the codebook training aggregates are fixed-point and
+# metadata-sized (m*ksub*d values), the per-query LUT rides a broadcast,
+# and the ADC scan is a narrow map + top-k window — no shuffle of the
+# corpus beyond the final per-query k rows. Deterministic end-to-end
+# (rounded distances, fixed-point Lloyd means, lowest-code tie-breaks),
+# so it carries a full value-hash oracle like the IVF path.
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_cb_lit(cbs: list[list[list[float]]]) -> Column:
+    return F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in cb])
+        for cb in cbs
+    ])
+
+
+def _pq_subvectors(corpus: DataFrame, m: int, d: int, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, sub_id, sv): each vector split into m d-dim DOUBLE
+    subvectors — a narrow map (posexplode), no shuffle."""
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.element_at(F.col(vec_col), s * d + i).cast("double"),
+        ),
+    )
+    return (
+        scale_out(corpus.select(id_col, vec_col))
+        .select(F.col(id_col).alias("vec_id"), F.posexplode(subs).alias("sub_id", "sv"))
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 8,
+    n_refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: seed from the ``ksub`` lowest-id
+    vectors' subvectors (engine-reproducible, same rule as
+    :func:`ivf_centroids`), then ``n_refine`` deterministic fixed-point
+    Lloyd iterations run for ALL subspaces in one job per iteration."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+    dims = len(rows[0][1])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    d = dims // m
+    cbs = [
+        [[float(x) for x in r[1][s * d:(s + 1) * d]] for r in rows]
+        for s in range(m)
+    ]
+    for _ in range(n_refine):
+        cbs = _pq_refine(corpus, cbs, id_col, vec_col)
+    return cbs
+
+
+def _pq_assign_code(cb_lit: Column, sub_id: Column, sv: Column) -> Column:
+    """Nearest codeword in ``sv``'s subspace: rounded squared-L2, ties
+    to the lowest code id (array_position returns the FIRST minimum)."""
+    dists = F.transform(
+        F.element_at(cb_lit, sub_id + 1),
+        lambda cw: F.round(_l2sq(sv, cw), 6),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _pq_refine(
+    corpus: DataFrame,
+    cbs: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> list[list[list[float]]]:
+    """One Lloyd iteration over every subspace at once: assign each
+    (vector, subspace) to its nearest codeword, then move codewords to
+    their cells' fixed-point means (same exact-int64 discipline as
+    :func:`ivf_refine`; empty cells keep their codeword)."""
+    m, ksub, d = len(cbs), len(cbs[0]), len(cbs[0][0])
+    sub = _pq_subvectors(corpus, m, d, id_col, vec_col)
+    cb_lit = _pq_cb_lit(cbs)
+    assigned = sub.select(
+        "sub_id",
+        _pq_assign_code(cb_lit, F.col("sub_id"), F.col("sv")).alias("code_id"),
+        "sv",
+    )
+    means = (
+        assigned.select("sub_id", "code_id", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("sub_id", "code_id", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * _FIX_SCALE).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "sub_id", "code_id", "pos",
+            (F.floor(F.col("s") / F.col("n")) / _FIX_SCALE).alias("mval"),
+        )
+        .collect()
+    )
+    out = [[list(cw) for cw in cb] for cb in cbs]
+    touched: dict[tuple[int, int], list[float]] = {}
+    for r in means:
+        touched.setdefault((r.sub_id, r.code_id), [0.0] * d)[r.pos] = float(r.mval)
+    for (s, c), vec in touched.items():
+        out[s][c] = vec
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cbs: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes): each vector compressed to ``m`` small-int codes.
+    Codebooks ride as one nested literal; encoding is a single narrow
+    map — at 100 TB this is the write-once pass whose output (m bytes a
+    row) is what every later ANN query scans instead of the floats."""
+    m, d = len(cbs), len(cbs[0][0])
+    cb_lit = _pq_cb_lit(cbs)
+    sub = _pq_subvectors(corpus, m, d, id_col, vec_col)
+    enc = sub.select(
+        "vec_id", "sub_id",
+        _pq_assign_code(cb_lit, F.col("sub_id"), F.col("sv")).alias("code_id"),
+    )
+    return enc.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code_id"))),
+            lambda s: s.code_id,
+        ).alias("codes")
+    )
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 8,
+    n_refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k: train codebooks, encode the corpus
+    once, bind each query's m x ksub dot-product LUT on the (broadcast)
+    query side, then score every corpus vector with m lookups and keep
+    the per-query top ``k`` by approximate inner product.
+
+    This convenience form re-encodes per call; the 100 TB usage is
+    encode-once/query-many — persist :func:`pq_encode`'s output and
+    call :func:`adc_topk` against the stored codes, whose scan then
+    reads m bytes per vector instead of the float column."""
+    cbs = pq_codebooks(corpus, m, ksub, n_refine, id_col, vec_col)
+    codes = pq_encode(corpus, cbs, id_col, vec_col)
+    return adc_topk(codes, cbs, queries, k, id_col, vec_col)
+
+
+def adc_topk(
+    codes: DataFrame,
+    cbs: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC scan against pre-encoded PQ codes: per-query LUT on the
+    broadcast side, m table lookups per corpus vector, top-k window.
+    The only shuffle is the final per-query top-k."""
+    m, d = len(cbs), len(cbs[0][0])
+    cb_lit = _pq_cb_lit(cbs)
+
+    q_subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.element_at(F.col("q_vec"), s * d + i).cast("double"),
+        ),
+    )
+    lut = F.zip_with(
+        q_subs,
+        cb_lit,
+        lambda qs, cb: F.transform(cb, lambda cw: _dot_pre(qs, cw)),
+    )
+    q = bind(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "_lut",
+        lut,
+    ).select("query_id", "_lut")
+
+    paired = codes.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    approx = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(F.col("_lut"), s + 1),
+                F.element_at(F.col("codes"), s + 1) + 1,
+            ),
+        ),
+        6,
+    )
+    scored = paired.select("query_id", "vec_id", approx.alias("approx_ip"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_ip").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "approx_ip",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _dot_pre(a: Column, b: Column) -> Column:
+    """Dot product of two already-DOUBLE arrays (no per-element cast, so
+    the fold is the exact IEEE sequence the DuckDB twin folds)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_ann_topk_pq(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 8,
+    n_refine: int = 1,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ann_topk_pq`: the same seed rule, the same
+    ``n_refine`` unrolled fixed-point Lloyd layers per subspace, the
+    same rounded squared-L2 assignment and lowest-code tie-break, and
+    an ADC sum folded in sub_id order so the IEEE additions match
+    Spark's fold exactly."""
+    d = dims // m
+    l2 = (
+        f"round(list_sum(list_transform(range(1, {d} + 1),"
+        " i -> (u.sv[CAST(i AS INTEGER)] - c.cvec[CAST(i AS INTEGER)])"
+        " * (u.sv[CAST(i AS INTEGER)] - c.cvec[CAST(i AS INTEGER)]))), 6)"
+    )
+    layers = [f"""
+    sub AS (
+      SELECT vec_id, CAST(s.s AS INTEGER) AS sub_id,
+             list_transform(range(1, {d} + 1),
+                            i -> embedding[CAST(s.s * {d} + i AS INTEGER)]::DOUBLE) AS sv
+      FROM {table}, unnest(range(0, {m})) AS s(s)
+    ),
+    cb0 AS (
+      SELECT CAST(s.s AS INTEGER) AS sub_id,
+             CAST(row_number() OVER (PARTITION BY s.s ORDER BY e.vec_id) - 1 AS INTEGER) AS code_id,
+             list_transform(range(1, {d} + 1),
+                            i -> e.embedding[CAST(s.s * {d} + i AS INTEGER)]::DOUBLE) AS cvec
+      FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {ksub}) e,
+           unnest(range(0, {m})) AS s(s)
+    )"""]
+    for i in range(n_refine):
+        layers.append(f"""
+    assign{i} AS (
+      SELECT vec_id, sub_id, sv, code_id FROM (
+        SELECT u.vec_id, u.sub_id, u.sv, c.code_id,
+               row_number() OVER (PARTITION BY u.vec_id, u.sub_id
+                                  ORDER BY {l2} ASC, c.code_id ASC) AS rn
+        FROM sub u JOIN cb{i} c USING (sub_id)
+      ) WHERE rn = 1
+    ),
+    means{i} AS (
+      SELECT sub_id, code_id, u.i AS pos,
+             floor(sum(CAST(floor(a.sv[CAST(u.i AS INTEGER)] * {_FIX_SCALE}) AS BIGINT))
+                   / count(*)) / {_FIX_SCALE} AS mval
+      FROM assign{i} a, unnest(range(1, {d} + 1)) AS u(i)
+      GROUP BY 1, 2, 3
+    ),
+    cb{i + 1} AS (
+      SELECT c.sub_id, c.code_id, coalesce(mm.cvec, c.cvec) AS cvec
+      FROM cb{i} c LEFT JOIN (
+        SELECT sub_id, code_id, list(mval ORDER BY pos) AS cvec
+        FROM means{i} GROUP BY 1, 2
+      ) mm ON c.sub_id = mm.sub_id AND c.code_id = mm.code_id
+    )""")
+    cbf = f"cb{n_refine}"
+    return f"""
+    WITH {",".join(layers)},
+    codes AS (
+      SELECT vec_id, sub_id, code_id FROM (
+        SELECT u.vec_id, u.sub_id, c.code_id,
+               row_number() OVER (PARTITION BY u.vec_id, u.sub_id
+                                  ORDER BY {l2} ASC, c.code_id ASC) AS rn
+        FROM sub u JOIN {cbf} c USING (sub_id)
+      ) WHERE rn = 1
+    ),
+    terms AS (
+      SELECT q.vec_id AS query_id, cd.vec_id, q.sub_id,
+             list_sum(list_transform(range(1, {d} + 1),
+               i -> q.sv[CAST(i AS INTEGER)] * c.cvec[CAST(i AS INTEGER)])) AS term
+      FROM (SELECT vec_id, sub_id, sv FROM sub WHERE {query_pred}) q
+      JOIN codes cd ON cd.sub_id = q.sub_id AND cd.vec_id != q.vec_id
+      JOIN {cbf} c ON c.sub_id = cd.sub_id AND c.code_id = cd.code_id
+    ),
+    approx AS (
+      SELECT query_id, vec_id,
+             round(list_sum(list(term ORDER BY sub_id)), 6) AS approx_ip
+      FROM terms GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, approx_ip, rank FROM (
+      SELECT query_id, vec_id, approx_ip,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_ip DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM approx
+    ) WHERE rank <= {k}
     """
