@@ -584,6 +584,14 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_clusters(load(spark, sf, "documents"))
 
 
+def q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing over the
+    deterministic shuffle order — a distributed two-phase prefix sum
+    (never a single-partition window) assigns every doc its global
+    token offset and pack coordinates."""
+    return SA.sequence_pack(load(spark, sf, "documents"))
+
+
 def q_text_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style LM quality scoring: train a bigram familiarity model
     on the %5!=0 reference slice, score the held-out %5==0 slice —
@@ -826,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_fraction_sample": q_hash_fraction_sample,
         "corpus_split": q_corpus_split,
         "weighted_mix": q_weighted_mix,
+        "sequence_pack": q_sequence_pack,
         "text_repetition": q_text_repetition,
         "text_token_count_bpe": q_text_token_count_bpe,
         "text_token_count_bpe2": q_text_token_count_bpe2,
@@ -880,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_fraction_sample": SA.sql_hash_fraction_sample(),
         "corpus_split": SA.sql_corpus_split(),
         "weighted_mix": SA.sql_weighted_mix(source_weights=MIX_WEIGHTS),
+        "sequence_pack": SA.sql_sequence_pack(),
         "text_repetition": X.sql_repetition_stats(),
         "text_token_count_bpe": X.sql_token_count_bpe(),
         "text_token_count_bpe2": X.sql_token_count_bpe2(),

@@ -262,3 +262,34 @@ def test_pq_adc_scan_reads_only_codes(spark, tmp_path):
     # one Exchange for the top-k window, one for the tiny broadcast side
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_sequence_pack_has_no_single_partition_window(spark):
+    """The global prefix sum must run as parallel per-bucket windows +
+    a metadata-sized offset join — if the plan contains a
+    SinglePartition exchange feeding a Window, the operator would
+    serialize the whole corpus through one task at 100 TB. (The tiny
+    256-row bucket-offset window is computed on the aggregate side and
+    is the one permitted SinglePartition; assert it windows only the
+    post-aggregate stream.)"""
+    p = plan_of(entry.queries()["sequence_pack"](spark, SF))
+    # the doc-level window must be hash-partitioned by bucket
+    assert "hashpartitioning(_bucket" in p, p
+    # exactly one SinglePartition exchange is permitted: the 256-row
+    # bucket-totals window. It must carry only aggregate output
+    # (sum of n_tokens), never document text.
+    singles = re.findall(r"Exchange SinglePartition[^\n]*", p)
+    assert len(singles) <= 1, p
+    assert all("text" not in s for s in singles), singles
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_corpus_shuffle_is_distributed_sort(spark):
+    """Deterministic training-order shuffle must compile to a range-
+    partitioned distributed sort, never a global window/rank."""
+    from webhookdb_spark.operators.sampling import corpus_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(corpus_shuffle(docs))
+    assert "rangepartitioning" in p, p
+    assert "SinglePartition" not in p, p

@@ -209,3 +209,125 @@ def sql_hash_fraction_sample(
     WHERE CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 7) AS BIGINT)
           < {cutoff}
     """
+
+
+# -- Training-order shuffle + sequence packing -------------------------------
+
+def corpus_shuffle(df: DataFrame, salt: str = "shuffle:", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle: order by the salted
+    md5 of the id. The physical shape is Spark's distributed sort
+    (range partition + per-partition sort) — NEVER a single-partition
+    window — so a 100 TB corpus shuffles with full parallelism and the
+    writer emits part files already in global order. Reproducible
+    across runs/engines like every sampling op here."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("shuffle_key", key)
+        .sort(F.col("shuffle_key").asc(), F.col(id_col).asc())
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    context_len: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack:",
+) -> DataFrame:
+    """GPT-style sequence packing: documents are laid out in the
+    deterministic shuffle order, concatenated token-wise, and chopped
+    into fixed ``context_len`` windows; a document may straddle packs
+    (the standard concat-then-chunk training layout). Emits, per doc:
+    its global token offset, starting pack, offset inside that pack,
+    and how many packs it spans.
+
+    The layout needs a GLOBAL prefix sum of token counts — the naive
+    ``Window.orderBy(key)`` collapses to a single partition at scale,
+    so this computes it as a distributed two-phase prefix sum:
+
+    1. bucket = first byte of the shuffle key (the bucket is a PREFIX
+       of the sort key, so (bucket, key) order == key order),
+    2. per-bucket cumulative sums in parallel windows,
+    3. per-bucket totals (256 rows — metadata) get their own running
+       offsets and broadcast-join back.
+
+    Every quantity is exact integer arithmetic over deterministic
+    hashes, so the layout is reproducible in any engine and carries a
+    value-hash oracle (the DuckDB twin uses the equivalent single
+    cumulative window — same math, different physical plan)."""
+    from webhookdb_spark.operators.text import WS
+
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    b = (
+        df.select(id_col, text_col)
+        .withColumn("_key", key)
+        .withColumn("_bucket", F.conv(F.substring("_key", 1, 2), 16, 10).cast("int"))
+        .withColumn(
+            "n_tokens",
+            F.size(F.split(F.trim(F.col(text_col)), WS)).cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("_key").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_cum", F.sum("n_tokens").over(w))
+    totals = local.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
+    wo = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "_bucket",
+        (F.sum("_total").over(wo) - F.col("_total")).alias("_offset"),
+    )
+    L = int(context_len)
+    g = local.join(F.broadcast(offsets), "_bucket").select(
+        id_col,
+        "n_tokens",
+        (F.col("_offset") + F.col("_cum") - F.col("n_tokens")).alias("_gs"),
+    )
+    return g.select(
+        id_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("_gs").alias("global_offset"),
+        F.expr(f"_gs div {L}").alias("pack_id"),
+        (F.col("_gs") % L).cast("int").alias("pack_offset"),
+        (
+            F.expr(f"(_gs + n_tokens - 1) div {L}") - F.expr(f"_gs div {L}") + 1
+        ).cast("int").alias("n_packs"),
+    )
+
+
+def sql_sequence_pack(
+    table: str = "documents",
+    context_len: int = 256,
+    id_col: str = "doc_id",
+    salt: str = "pack:",
+) -> str:
+    """DuckDB twin of :func:`sequence_pack`: one cumulative window in
+    shuffle-key order (the two-phase prefix sum is a physical-plan
+    strategy, not a semantics change)."""
+    L = int(context_len)
+    t = "regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+')"
+    return f"""
+    WITH b AS (
+      SELECT {id_col},
+             md5('{salt}' || CAST({id_col} AS VARCHAR)) AS key,
+             CAST(len({t}) AS BIGINT) AS n_tokens
+      FROM {table}
+    ), c AS (
+      SELECT {id_col}, n_tokens,
+             sum(n_tokens) OVER (ORDER BY key ASC, {id_col} ASC
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS gs
+      FROM b
+    )
+    SELECT {id_col},
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           gs AS global_offset,
+           gs // {L} AS pack_id,
+           CAST(gs % {L} AS INTEGER) AS pack_offset,
+           CAST((gs + n_tokens - 1) // {L} - gs // {L} + 1 AS INTEGER) AS n_packs
+    FROM c
+    """
