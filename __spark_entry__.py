@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from webhookdb_spark.functions.converters import CONV_STR2HASH, CONV_TO_I  # noqa: E402
+from webhookdb_spark.operators import corpus as C  # noqa: E402
 from webhookdb_spark.operators import dedup as D  # noqa: E402
 from webhookdb_spark.operators import multimodal as M  # noqa: E402
 from webhookdb_spark.operators import sampling as SA  # noqa: E402
@@ -584,6 +585,19 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_clusters(load(spark, sf, "documents"))
 
 
+def q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/Gopher-style rule cascade (lang allowlist, source blocklist,
+    length bounds, badword screen) as one shuffle-free narrow map with
+    a deterministic first-failing-rule reason column."""
+    return C.corpus_filter(load(spark, sf, "documents"))
+
+
+def q_length_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language exact token-length percentiles (the profile that
+    drives filter thresholds and mixture weights)."""
+    return C.length_stats(load(spark, sf, "documents"))
+
+
 def q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     """GPT-style concat-then-chunk sequence packing over the
     deterministic shuffle order — a distributed two-phase prefix sum
@@ -835,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "weighted_mix": q_weighted_mix,
         "sequence_pack": q_sequence_pack,
+        "corpus_filter": q_corpus_filter,
+        "length_stats": q_length_stats,
         "text_repetition": q_text_repetition,
         "text_token_count_bpe": q_text_token_count_bpe,
         "text_token_count_bpe2": q_text_token_count_bpe2,
@@ -890,6 +906,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": SA.sql_corpus_split(),
         "weighted_mix": SA.sql_weighted_mix(source_weights=MIX_WEIGHTS),
         "sequence_pack": SA.sql_sequence_pack(),
+        "corpus_filter": C.sql_corpus_filter(),
+        "length_stats": C.sql_length_stats(),
         "text_repetition": X.sql_repetition_stats(),
         "text_token_count_bpe": X.sql_token_count_bpe(),
         "text_token_count_bpe2": X.sql_token_count_bpe2(),

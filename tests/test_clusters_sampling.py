@@ -167,3 +167,23 @@ def test_connected_components_one_job_per_round(spark):
     assert stats["rounds"] == len(jobs), (stats, len(jobs))
     got = {r.v: r.label for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_corpus_filter_cascade_order_is_contractual(spark):
+    """A doc failing several rules reports the FIRST failing rule
+    (lang beats source beats length beats badword)."""
+    from webhookdb_spark.operators.corpus import corpus_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "xx", "src13", "dup " * 5),          # lang wins over all
+            (2, "en", "src13", "dup " * 20),         # source beats length+badword
+            (3, "en", "src0", "dup short"),          # too_short beats badword
+            (4, "en", "src0", " ".join(["dup"] * 20)),  # badword
+            (5, "en", "src0", " ".join(["ok"] * 20)),   # kept
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = {r.doc_id: r.reason for r in corpus_filter(df).collect()}
+    assert out == {1: "lang", 2: "source", 3: "too_short",
+                   4: "badword", 5: "kept"}

@@ -293,3 +293,12 @@ def test_corpus_shuffle_is_distributed_sort(spark):
     p = plan_of(corpus_shuffle(docs))
     assert "rangepartitioning" in p, p
     assert "SinglePartition" not in p, p
+
+
+def test_corpus_filter_is_shuffle_free(spark):
+    """Every filter rule is a literal predicate — the cascade must be
+    one narrow map (no Exchange besides scale_out's round-robin, no
+    Python)."""
+    p = plan_of(entry.queries()["corpus_filter"](spark, SF))
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -1,0 +1,155 @@
+"""Corpus-level filtering and profiling for training-data pipelines.
+
+``corpus_filter`` is the C4/Gopher-style rule cascade (language
+allowlist, source blocklist, length bounds, badword screen) expressed
+as ONE narrow map over the corpus: every rule is a literal-array or
+bound-range predicate, so the whole filter is shuffle-free and rides
+whole-stage codegen at any scale — no dimension join is needed until
+blocklists outgrow a broadcast literal (then swap the isin for a
+broadcast anti-join, same semantics).
+
+``length_stats`` is the corpus profile that drives those thresholds:
+exact per-stratum token percentiles (Spark ``percentile`` and DuckDB
+``quantile_cont`` both interpolate linearly at rank p*(n-1), so the
+twin hashes match). One groupBy on the stratum — partial-agg friendly;
+at 100 TB the percentile state is the per-group value list, so profile
+on a hash-fraction sample when groups are corpus-sized (the same
+``sample_fraction`` posture as IVF refinement).
+
+Reference scope note: the Ruby reference (webhookdb) has no corpus
+operators; this module is training-pipeline surface beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webhookdb_spark.operators.text import SQL_TOKENS, WS
+from webhookdb_spark.operators.util import bind, scale_out
+
+DEFAULT_LANGS = ("en", "de", "fr", "es")
+DEFAULT_BLOCKED_SOURCES = ("src13", "src17")
+DEFAULT_BADWORDS = ("dup",)
+
+
+def corpus_filter(
+    df: DataFrame,
+    langs: tuple[str, ...] = DEFAULT_LANGS,
+    blocked_sources: tuple[str, ...] = DEFAULT_BLOCKED_SOURCES,
+    badwords: tuple[str, ...] = DEFAULT_BADWORDS,
+    min_tokens: int = 12,
+    max_tokens: int = 90,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, keep, reason): first-failing-rule verdict per
+    document. The cascade order (lang -> source -> length -> badword)
+    is part of the contract so the reason column is deterministic."""
+    b = bind(
+        scale_out(df.select("doc_id", "lang", "source", text_col)),
+        "_t",
+        F.split(F.trim(F.col(text_col)), WS),
+    )
+    n_tok = F.size("_t")
+    reason = (
+        F.when(~F.col("lang").isin(*langs), F.lit("lang"))
+        .when(F.col("source").isin(*blocked_sources), F.lit("source"))
+        .when(n_tok < min_tokens, F.lit("too_short"))
+        .when(n_tok > max_tokens, F.lit("too_long"))
+        .when(
+            F.arrays_overlap("_t", F.array(*[F.lit(w) for w in badwords])),
+            F.lit("badword"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return b.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        (reason == "kept").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def sql_corpus_filter(
+    table: str = "documents",
+    langs: tuple[str, ...] = DEFAULT_LANGS,
+    blocked_sources: tuple[str, ...] = DEFAULT_BLOCKED_SOURCES,
+    badwords: tuple[str, ...] = DEFAULT_BADWORDS,
+    min_tokens: int = 12,
+    max_tokens: int = 90,
+) -> str:
+    """DuckDB twin of :func:`corpus_filter`."""
+    t = SQL_TOKENS.format(c="text")
+    langs_sql = ", ".join(f"'{x}'" for x in langs)
+    src_sql = ", ".join(f"'{x}'" for x in blocked_sources)
+    bad_sql = ", ".join(f"'{x}'" for x in badwords)
+    return f"""
+    WITH b AS (
+      SELECT doc_id, lang, source, {t} AS t FROM {table}
+    ), v AS (
+      SELECT doc_id, len(t) AS n_tok,
+             CASE
+               WHEN lang NOT IN ({langs_sql}) THEN 'lang'
+               WHEN source IN ({src_sql}) THEN 'source'
+               WHEN len(t) < {min_tokens} THEN 'too_short'
+               WHEN len(t) > {max_tokens} THEN 'too_long'
+               WHEN list_has_any(t, [{bad_sql}]) THEN 'badword'
+               ELSE 'kept'
+             END AS reason
+      FROM b
+    )
+    SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tokens,
+           reason = 'kept' AS keep, reason
+    FROM v
+    """
+
+
+PCTS = (0.25, 0.5, 0.75, 0.9)
+
+
+def length_stats(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum token-length profile: doc count, exact interpolated
+    percentiles, mean, max. Drives min/max_tokens choices and mixture
+    weighting; also the quickest skew check before a corpus-wide run."""
+    b = bind(
+        scale_out(df.select(strata_col, text_col)),
+        "_n",
+        F.size(F.split(F.trim(F.col(text_col)), WS)).cast("double"),
+    )
+    aggs = [F.count("*").cast("int").alias("n_docs")]
+    for p in PCTS:
+        aggs.append(
+            F.round(F.percentile(F.col("_n"), F.lit(p)), 6).alias(
+                f"p{int(p * 100)}"
+            )
+        )
+    aggs.append(F.round(F.avg("_n"), 6).alias("mean_tokens"))
+    aggs.append(F.max("_n").cast("int").alias("max_tokens"))
+    return b.groupBy(strata_col).agg(*aggs)
+
+
+def sql_length_stats(
+    table: str = "documents", strata_col: str = "lang"
+) -> str:
+    """DuckDB twin of :func:`length_stats` (``quantile_cont`` is the
+    same rank-p*(n-1) linear interpolation as Spark ``percentile``)."""
+    t = SQL_TOKENS.format(c="text")
+    pct_cols = ",\n           ".join(
+        f"round(quantile_cont(n, {p}), 6) AS p{int(p * 100)}" for p in PCTS
+    )
+    return f"""
+    WITH b AS (
+      SELECT {strata_col}, CAST(len({t}) AS DOUBLE) AS n FROM {table}
+    )
+    SELECT {strata_col},
+           CAST(count(*) AS INTEGER) AS n_docs,
+           {pct_cols},
+           round(avg(n), 6) AS mean_tokens,
+           CAST(max(n) AS INTEGER) AS max_tokens
+    FROM b
+    GROUP BY {strata_col}
+    """
