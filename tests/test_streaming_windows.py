@@ -161,3 +161,70 @@ def test_changed_rows_stream_cross_batch_state(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_dedup_deliveries_stream_drops_redelivery_across_batches(spark):
+    """Two micro-batches; batch 2 re-delivers an id from batch 1 (a
+    provider retry) plus one new id — the retry must be dropped by the
+    watermark-bounded state, the new id kept."""
+    from webhookdb_spark.streaming.windows import dedup_deliveries_stream
+
+    src = Path(tempfile.mkdtemp(prefix="whdb_ddl_src_"))
+    ckpt = Path(tempfile.mkdtemp(prefix="whdb_ddl_ckpt_"))
+    try:
+        t0 = "2026-01-01T00:00:"
+        b1 = [
+            {"opaque_id": "a", "body": "1", "received_at": t0 + "01"},
+            {"opaque_id": "b", "body": "2", "received_at": t0 + "02"},
+        ]
+        (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+        stream = spark.readStream.schema(
+            "opaque_id string, body string, received_at timestamp"
+        ).json(str(src))
+        q = (
+            dedup_deliveries_stream(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_deliveries_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+        def ids():
+            return sorted(
+                r.opaque_id
+                for r in spark.sql("SELECT * FROM dedup_deliveries_t").collect()
+            )
+
+        def wait_for(pred, timeout=90):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if pred():
+                    return True
+                time.sleep(0.5)
+            return False
+
+        assert wait_for(lambda: ids() == ["a", "b"]), ids()
+
+        b2 = [
+            {"opaque_id": "a", "body": "1", "received_at": t0 + "03"},  # retry
+            {"opaque_id": "c", "body": "3", "received_at": t0 + "04"},
+        ]
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        assert wait_for(lambda: ids() == ["a", "b", "c"]), ids()
+        q.stop()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_dedup_deliveries_batch_degrades_to_exact(spark):
+    from webhookdb_spark.streaming.windows import dedup_deliveries_stream
+
+    df = spark.createDataFrame(
+        [("a", "1"), ("a", "1"), ("b", "2")], "opaque_id string, body string"
+    )
+    out = dedup_deliveries_stream(df)
+    assert out.count() == 2

@@ -152,3 +152,31 @@ def changed_rows_stream(envelopes: DataFrame, key_col: str = "opaque_id") -> Dat
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_deliveries_stream(
+    envelopes: DataFrame,
+    id_col: str = "opaque_id",
+    ts_col: str = "received_at",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once delivery -> effectively-once processing: drop
+    re-delivered envelopes (same ``id_col``) BEFORE they reach shaping
+    and the MERGE, with state bounded by the watermark.
+
+    The reference absorbs webhook retries by making the upsert
+    idempotent (base.rb `_upsert_webhook`); that stays true here, but
+    at 100 TB/day re-running shape + MERGE for every provider retry is
+    real wasted work. ``dropDuplicatesWithinWatermark`` keeps one state
+    row per id only until the watermark passes it — a retry storm costs
+    state proportional to the retry horizon, not the stream's history
+    (plain ``dropDuplicates`` on a stream grows state forever).
+
+    On a batch frame the same call degrades to exact global dedup,
+    which is how the value tests pin the semantics.
+    """
+    if envelopes.isStreaming:
+        return envelopes.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [id_col]
+        )
+    return envelopes.dropDuplicates([id_col])
