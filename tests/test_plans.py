@@ -302,3 +302,15 @@ def test_corpus_filter_is_shuffle_free(spark):
     p = plan_of(entry.queries()["corpus_filter"](spark, SF))
     assert "hashpartitioning" not in p and "rangepartitioning" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """Compressing the corpus to codes is a per-row expression — a
+    keyed Exchange here would shuffle 100 TB for nothing."""
+    import webhookdb_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cbs = S.pq_codebooks(emb, m=8, ksub=8, n_refine=1)
+    p = plan_of(S.pq_encode(emb, cbs))
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

@@ -1026,22 +1026,26 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, codes): each vector compressed to ``m`` small-int codes.
-    Codebooks ride as one nested literal; encoding is a single narrow
-    map — at 100 TB this is the write-once pass whose output (m bytes a
-    row) is what every later ANN query scans instead of the floats."""
+    Codebooks ride as one nested literal and the whole encoding is ONE
+    per-row array expression — zero shuffle. At 100 TB this is the
+    write-once pass whose output (m bytes a row) is what every later
+    ANN query scans instead of the floats; a keyed exchange here would
+    shuffle the entire corpus for nothing."""
     m, d = len(cbs), len(cbs[0][0])
     cb_lit = _pq_cb_lit(cbs)
-    sub = _pq_subvectors(corpus, m, d, id_col, vec_col)
-    enc = sub.select(
-        "vec_id", "sub_id",
-        _pq_assign_code(cb_lit, F.col("sub_id"), F.col("sv")).alias("code_id"),
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.element_at(F.col(vec_col), s * d + i).cast("double"),
+        ),
     )
-    return enc.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub_id", "code_id"))),
-            lambda s: s.code_id,
-        ).alias("codes")
+    b = bind(scale_out(corpus.select(id_col, vec_col)), "_subs", subs)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _pq_assign_code(cb_lit, s, F.element_at(F.col("_subs"), s + 1)),
     )
+    return b.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
 
 
 def ann_topk_pq(
