@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from webhookdb_spark.functions.converters import CONV_STR2HASH, CONV_TO_I  # noqa: E402
 from webhookdb_spark.operators import corpus as C  # noqa: E402
+from webhookdb_spark.operators import joins as J  # noqa: E402
 from webhookdb_spark.operators import dedup as D  # noqa: E402
 from webhookdb_spark.operators import multimodal as M  # noqa: E402
 from webhookdb_spark.operators import sampling as SA  # noqa: E402
@@ -585,6 +586,38 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_clusters(load(spark, sf, "documents"))
 
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribution as-of join: each purchase picks up the user's latest
+    prior click via the union-merge window construction (one shuffle,
+    no per-key cross product). Oracle is DuckDB's NATIVE ASOF JOIN."""
+    ev = load(spark, sf, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click")
+    return J.asof_join(
+        left, right, key="user_id", ts="ts", right_cols=("event_id", "value")
+    )
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join (clicks inside 30-minute error windows)
+    via grid-cell bucketing: equi-join on (user, cell) + exact residual
+    filter — bounded fan-out instead of a per-key cross product."""
+    ev = load(spark, sf, "events")
+    points = ev.where(F.col("event_type") == "click")
+    intervals = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1800 SECOND")).alias("end_ts"),
+        "event_id",
+    )
+    return J.range_join(
+        points, intervals, key="user_id",
+        grid_seconds=1800, interval_cols=("event_id",),
+    )
+
+
 def q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
     """C4/Gopher-style rule cascade (lang allowlist, source blocklist,
     length bounds, badword screen) as one shuffle-free narrow map with
@@ -850,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mix": q_weighted_mix,
         "sequence_pack": q_sequence_pack,
         "corpus_filter": q_corpus_filter,
+        "asof_join_events": q_asof_join,
+        "range_join_events": q_range_join,
         "length_stats": q_length_stats,
         "text_repetition": q_text_repetition,
         "text_token_count_bpe": q_text_token_count_bpe,
@@ -907,6 +942,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mix": SA.sql_weighted_mix(source_weights=MIX_WEIGHTS),
         "sequence_pack": SA.sql_sequence_pack(),
         "corpus_filter": C.sql_corpus_filter(),
+        "asof_join_events": J.sql_asof_join_events(),
+        "range_join_events": J.sql_range_join_events(window_seconds=1800),
         "length_stats": C.sql_length_stats(),
         "text_repetition": X.sql_repetition_stats(),
         "text_token_count_bpe": X.sql_token_count_bpe(),

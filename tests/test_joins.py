@@ -1,0 +1,111 @@
+"""Temporal join semantics + plan-shape gates (operators/joins.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from webhookdb_spark.operators.joins import asof_join, range_join
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def ts(sec: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _left(spark, rows):
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+
+def _right(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_asof_backward_picks_latest_prior_and_nulls_when_none(spark):
+    left = _left(spark, [(1, 7, ts(100)), (2, 7, ts(10)), (3, 8, ts(50))])
+    right = _right(
+        spark,
+        [(90, 7, ts(20), 1.0), (91, 7, ts(60), 2.0), (92, 9, ts(1), 9.0)],
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, key="user_id", ts="ts", right_cols=("event_id", "value")
+        ).collect()
+    }
+    assert out[1].event_id_r == 91 and out[1].value_r == 2.0  # latest <= 100
+    assert out[2].event_id_r is None and out[2].ts_r is None  # nothing <= 10
+    assert out[3].event_id_r is None  # user 8 has no right rows
+
+
+def test_asof_equal_timestamp_is_a_match(spark):
+    left = _left(spark, [(1, 7, ts(100))])
+    right = _right(spark, [(90, 7, ts(100), 1.0)])
+    out = asof_join(
+        left, right, key="user_id", ts="ts", right_cols=("event_id",)
+    ).collect()[0]
+    assert out.event_id_r == 90  # <= semantics, matching ASOF JOIN
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = _left(spark, [(1, 7, ts(1000)), (2, 7, ts(130))])
+    right = _right(spark, [(90, 7, ts(100), 1.0)])
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, key="user_id", ts="ts",
+            right_cols=("event_id",), tolerance_seconds=60,
+        ).collect()
+    }
+    assert out[1].event_id_r is None  # 900s stale > 60s horizon
+    assert out[2].event_id_r == 90  # 30s fresh
+
+
+def test_asof_plan_is_one_keyed_shuffle_no_cross_product(spark):
+    from tests.test_plans import plan_of
+
+    left = _left(spark, [(1, 7, ts(100))])
+    right = _right(spark, [(90, 7, ts(20), 1.0)])
+    p = plan_of(
+        asof_join(left, right, key="user_id", ts="ts", right_cols=("event_id",))
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert len(re.findall(r"hashpartitioning\(user_id", p)) >= 1, p
+
+
+def test_range_join_boundaries_and_cross_cell_dedup(spark):
+    points = spark.createDataFrame(
+        [(7, ts(0)), (7, ts(299)), (7, ts(300)), (7, ts(150))],
+        "user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(7, ts(0), ts(300), 1)],
+        "user_id long, start_ts timestamp, end_ts timestamp, iid long",
+    )
+    out = range_join(
+        points, intervals, key="user_id", grid_seconds=300,
+        interval_cols=("iid",),
+    ).collect()
+    hit_ts = sorted(r.ts for r in out)
+    # [start, end): 0 and 299 and 150 in; 300 out; no duplicate pairs
+    assert hit_ts == [ts(0), ts(150), ts(299)]
+    assert len(out) == len(set((r.ts, r.iid_i) for r in out))
+
+
+def test_range_join_rejects_interval_wider_than_grid(spark):
+    points = spark.createDataFrame([(7, ts(10))], "user_id long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(7, ts(0), ts(2000), 1)],
+        "user_id long, start_ts timestamp, end_ts timestamp, iid long",
+    )
+    with pytest.raises(Exception, match="wider than grid"):
+        range_join(
+            points, intervals, key="user_id", grid_seconds=300,
+            interval_cols=("iid",),
+        ).collect()

@@ -1,0 +1,186 @@
+"""Temporal joins Spark lacks as built-ins: as-of and point-in-interval
+(range) joins, implemented with scale-safe plans.
+
+SURVEY §2.5 notes the reference engine has neither (users hand-write
+them in SQL); these are the Spark-first constructions a 100 TB event
+store actually needs, because the naive formulations collapse at scale:
+
+- **as-of** written as an inequality join (`l.ts >= r.ts` + keep max)
+  is a per-key cross product — O(|L|·|R|) pairs per key before the
+  window prunes them. The union-merge construction here is ONE shuffle
+  on the key and a single ordered window pass: right rows are merged
+  into the left stream and each left row picks up the running "last
+  right row seen" with `last(ignorenulls)` — linear in rows, skew
+  bounded by key cardinality, no pair blow-up.
+- **range** (point-in-interval) written as a raw inequality join is the
+  same cross product. Bucketing intervals to a fixed grid turns it
+  into an equi-join on (key, grid_cell) + an exact residual filter;
+  with cell width >= max interval width every interval lands in at
+  most 2 cells, so the join fan-out is bounded by 2x the true match
+  candidates. (This is the published grid-bucketing strategy behind
+  interval-join support in Flink and Databricks' range-join hints.)
+
+Both are deterministic (ties broken by an id ordering) and carry full
+value-hash oracles — DuckDB's native ``ASOF JOIN`` verifies the as-of
+semantics are the standard ones, not a private variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    suffix: str = "_r",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: every left row gains the latest right row
+    with ``right.ts <= left.ts`` on the same key (NULLs when none).
+
+    Plan shape: tag both sides, union, one window partitioned by
+    ``key`` ordered by (ts, side, right-id): at equal timestamps the
+    right row sorts FIRST so it is visible to a left row at the same
+    instant (the <= convention, matching DuckDB/pandas ``merge_asof``
+    backward semantics). ``tolerance_seconds`` nulls out matches older
+    than the horizon after the fact — same contract as pandas.
+    """
+    rts = f"{ts}{suffix}"
+    lcols = [c for c in left.columns]
+    carried = [rts] + [f"{c}{suffix}" for c in right_cols]
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in (ts, *right_cols)],
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        F.col(ts).alias(rts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in (key, ts)],
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col(rts).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.select(
+        *lcols,
+        "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    ).where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        horizon = (
+            F.col(ts).cast("timestamp").cast("long") - F.col(rts).cast("timestamp").cast("long")
+            <= F.lit(int(tolerance_seconds))
+        )
+        matched = matched.select(
+            *lcols,
+            *[F.when(horizon, F.col(c)).alias(c) for c in carried],
+        )
+    else:
+        matched = matched.select(*lcols, *carried)
+    return matched
+
+
+def sql_asof_join_events(
+    table: str = "events",
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> str:
+    """DuckDB twin of the event-attribution as-of query, written with
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` — the oracle proves the Spark
+    construction reproduces the standard backward as-of semantics."""
+    return f"""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS ts_r, r.event_id AS event_id_r, r.value AS value_r
+    FROM (SELECT * FROM {table} WHERE event_type = '{left_type}') l
+    ASOF LEFT JOIN (SELECT * FROM {table} WHERE event_type = '{right_type}') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    grid_seconds: int = 300,
+    interval_cols: tuple[str, ...] = (),
+    suffix: str = "_i",
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair on the same
+    key with ``start <= point_ts < end``. Intervals wider than
+    ``grid_seconds`` raise — widen the grid or split the interval (the
+    2-cells-per-interval bound is what keeps the fan-out linear).
+    """
+    p_cell = F.floor(F.col(point_ts).cast("timestamp").cast("long") / grid_seconds)
+    pts = points.select(key, point_ts).withColumn("_cell", p_cell)
+    ivs = (
+        intervals.select(
+            F.col(key),
+            F.col(start_col).alias(f"{start_col}{suffix}"),
+            F.col(end_col).alias(f"{end_col}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in interval_cols],
+        )
+        .withColumn(
+            "_cells",
+            F.sequence(
+                F.floor(F.col(f"{start_col}{suffix}").cast("timestamp").cast("long") / grid_seconds),
+                F.floor(F.col(f"{end_col}{suffix}").cast("timestamp").cast("long") / grid_seconds),
+            ),
+        )
+    )
+    # the at-most-2-cells guarantee; a wider interval silently exploding
+    # the join is exactly the scale bug this operator exists to prevent
+    ivs = ivs.withColumn(
+        "_ncells", F.size("_cells")
+    ).withColumn(
+        "_cell",
+        F.explode(
+            F.when(F.col("_ncells") <= 2, F.col("_cells")).otherwise(
+                F.raise_error(
+                    F.lit("range_join: interval wider than grid_seconds")
+                )
+            )
+        ),
+    ).drop("_cells", "_ncells")
+    joined = pts.join(ivs, [key, "_cell"]).where(
+        (F.col(f"{start_col}{suffix}") <= F.col(point_ts))
+        & (F.col(point_ts) < F.col(f"{end_col}{suffix}"))
+    )
+    # a point can meet the same interval through both of its cells
+    return joined.drop("_cell").distinct()
+
+
+def sql_range_join_events(
+    table: str = "events",
+    point_type: str = "click",
+    interval_type: str = "error",
+    window_seconds: int = 300,
+) -> str:
+    """DuckDB twin of the clicks-inside-error-windows range query —
+    the plain inequality join the grid construction must reproduce."""
+    return f"""
+    SELECT DISTINCT p.user_id, p.ts,
+           i.ts AS start_ts_i,
+           i.ts + INTERVAL {window_seconds} SECOND AS end_ts_i,
+           i.event_id AS event_id_i
+    FROM (SELECT * FROM {table} WHERE event_type = '{point_type}') p
+    JOIN (SELECT * FROM {table} WHERE event_type = '{interval_type}') i
+      ON p.user_id = i.user_id
+     AND i.ts <= p.ts AND p.ts < i.ts + INTERVAL {window_seconds} SECOND
+    """
