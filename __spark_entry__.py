@@ -827,6 +827,14 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.ann_topk_pq(emb, emb.where(F.col("vec_id") < 3), k=5)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composition (the FAISS billion-scale default): coarse
+    cells route the probe, PQ codes make the probed scan 32x smaller —
+    at 100 TB a query reads nprobe/C of an already-compressed store."""
+    emb = load(spark, sf, "embeddings")
+    return S.ann_topk_ivfpq(emb, emb.where(F.col("vec_id") < 3), k=5)
+
+
 def q_embed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dedup. The synthetic embeddings are random
     (no natural cos ≥ 0.95 pairs), so the query corpus plants exact
@@ -903,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "embed_near_dup": q_embed_near_dup,
     }
 
@@ -969,6 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": S.sql_ann_lsh_recall(),
         "ann_ivf_topk": S.sql_ann_topk_ivf(),
         "ann_pq_topk": S.sql_ann_topk_pq(),
+        "ann_ivfpq_topk": S.sql_ann_topk_ivfpq(),
         "embed_near_dup": S.sql_embedding_near_dup(
             table="(SELECT vec_id, embedding FROM embeddings"
             " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding"

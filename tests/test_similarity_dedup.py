@@ -409,3 +409,41 @@ def test_pq_recall_floor_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"PQ recall@5 collapsed to {recall}"
+
+
+def test_ivfpq_recall_floor_and_probe_containment(spark):
+    """IVF-PQ results must be a subset of the probed cells' members and
+    keep a usable fraction of the exact top-5 (it degrades vs flat PQ
+    only by the probe miss rate)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    got = S.ann_topk_ivfpq(emb, queries, k=5).collect()
+    approx = {(r.query_id, r.vec_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, f"IVF-PQ recall@5 collapsed to {recall}"
+    # containment: every hit must live in one of its query's probed cells
+    cents = S.ivf_centroids(emb, 8)
+    cents = S.ivf_refine(emb, cents)
+    assigned = {r.vec_id: r.cent_id for r in S.ivf_assign(emb, cents).collect()}
+    probed = {}
+    from pyspark.sql.window import Window as W
+
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cent_id int, cent_vec array<double>"
+    )
+    q = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cscore", S.cosine(F.col("q_vec"), F.col("cent_vec")))
+    )
+    pw = W.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cent_id").asc())
+    for r in (
+        q.withColumn("prank", F.row_number().over(pw)).where("prank <= 2").collect()
+    ):
+        probed.setdefault(r.query_id, set()).add(r.cent_id)
+    for r in got:
+        assert assigned[r.vec_id] in probed[r.query_id], r

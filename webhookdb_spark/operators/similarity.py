@@ -1235,3 +1235,245 @@ def sql_ann_topk_pq(
       FROM approx
     ) WHERE rank <= {k}
     """
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 8,
+    n_refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production large-scale ANN architecture (FAISS's
+    default at billion scale): a coarse quantizer routes each vector to
+    one of ``n_centroids`` cells, vectors are stored as ``m``-byte PQ
+    codes, and a query ADC-scans ONLY the ``nprobe`` probed cells.
+
+    At 100 TB: codes are written partitioned by ``cent_id``, so a probe
+    reads ``nprobe/C`` of an already-32x-compressed store — the scan
+    cost drops by both factors multiplied. Training (coarse + subspace
+    codebooks) is the same fixed-point Lloyd machinery as the IVF and
+    PQ operators, so the composition stays deterministic end-to-end and
+    carries a full value-hash oracle.
+    """
+    spark = corpus.sparkSession
+    # coarse quantizer + cell assignment (ivf machinery)
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    for _ in range(n_refine):
+        cents = ivf_refine(corpus, cents, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    # PQ codes (subspace codebooks over the full corpus)
+    cbs = pq_codebooks(corpus, m, ksub, n_refine, id_col, vec_col)
+    codes = pq_encode(corpus, cbs, id_col, vec_col)
+    cells = codes.join(assigned.select("vec_id", "cent_id"), "vec_id")
+
+    # probe the nprobe nearest cells per query
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cent_id int, cent_vec array<double>"
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.withColumn("prank", F.row_number().over(pw))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "q_vec", "cent_id")
+    )
+
+    # ADC scan restricted to probed cells: LUT bound on the broadcast side
+    d = len(cbs[0][0])
+    cb_lit = _pq_cb_lit(cbs)
+    q_subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.element_at(F.col("q_vec"), s * d + i).cast("double"),
+        ),
+    )
+    lut = F.zip_with(
+        q_subs, cb_lit,
+        lambda qs, cb: F.transform(cb, lambda cw: _dot_pre(qs, cw)),
+    )
+    probes_lut = bind(probes, "_lut", lut).select("query_id", "cent_id", "_lut")
+    paired = cells.join(F.broadcast(probes_lut), on="cent_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    approx = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(F.col("_lut"), s + 1),
+                F.element_at(F.col("codes"), s + 1) + 1,
+            ),
+        ),
+        6,
+    )
+    scored = paired.select("query_id", "vec_id", approx.alias("approx_ip"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_ip").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "approx_ip",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def sql_ann_topk_ivfpq(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 8,
+    n_refine: int = 1,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ann_topk_ivfpq`: the IVF twin's coarse
+    layers + the PQ twin's subspace layers + a cell-filtered ADC sum."""
+    d = dims // m
+    cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _SQL_COS.format(a="q.embedding", b="c.cvec")
+    l2 = (
+        f"round(list_sum(list_transform(range(1, {d} + 1),"
+        " i -> (u.sv[CAST(i AS INTEGER)] - c.cvec[CAST(i AS INTEGER)])"
+        " * (u.sv[CAST(i AS INTEGER)] - c.cvec[CAST(i AS INTEGER)]))), 6)"
+    )
+    # coarse (IVF) layers, prefixed ivf_
+    layers = [f"""
+    ivf_cent0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id,
+             list_transform(embedding, x -> x::DOUBLE) AS cvec
+      FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {n_centroids})
+    )"""]
+    for i in range(n_refine):
+        layers.append(f"""
+    ivf_assign{i} AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ac} DESC, c.cent_id ASC) AS rn
+        FROM {table} e CROSS JOIN ivf_cent{i} c
+      ) WHERE rn = 1
+    ),
+    ivf_means{i} AS (
+      SELECT cent_id, u.i AS pos,
+             floor(sum(CAST(floor(a.embedding[u.i]::DOUBLE * {_FIX_SCALE}) AS BIGINT))
+                   / count(*)) / {_FIX_SCALE} AS mval
+      FROM ivf_assign{i} a, unnest(range(1, len(a.embedding) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    ivf_cent{i + 1} AS (
+      SELECT c.cent_id, coalesce(m.cvec, c.cvec) AS cvec
+      FROM ivf_cent{i} c LEFT JOIN (
+        SELECT cent_id, list(mval ORDER BY pos) AS cvec FROM ivf_means{i} GROUP BY 1
+      ) m ON c.cent_id = m.cent_id
+    )""")
+    ivf_final = f"ivf_cent{n_refine}"
+    # subspace (PQ) layers
+    layers.append(f"""
+    sub AS (
+      SELECT vec_id, CAST(s.s AS INTEGER) AS sub_id,
+             list_transform(range(1, {d} + 1),
+                            i -> embedding[CAST(s.s * {d} + i AS INTEGER)]::DOUBLE) AS sv
+      FROM {table}, unnest(range(0, {m})) AS s(s)
+    ),
+    cb0 AS (
+      SELECT CAST(s.s AS INTEGER) AS sub_id,
+             CAST(row_number() OVER (PARTITION BY s.s ORDER BY e.vec_id) - 1 AS INTEGER) AS code_id,
+             list_transform(range(1, {d} + 1),
+                            i -> e.embedding[CAST(s.s * {d} + i AS INTEGER)]::DOUBLE) AS cvec
+      FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {ksub}) e,
+           unnest(range(0, {m})) AS s(s)
+    )""")
+    for i in range(n_refine):
+        layers.append(f"""
+    pq_assign{i} AS (
+      SELECT vec_id, sub_id, sv, code_id FROM (
+        SELECT u.vec_id, u.sub_id, u.sv, c.code_id,
+               row_number() OVER (PARTITION BY u.vec_id, u.sub_id
+                                  ORDER BY {l2} ASC, c.code_id ASC) AS rn
+        FROM sub u JOIN cb{i} c USING (sub_id)
+      ) WHERE rn = 1
+    ),
+    pq_means{i} AS (
+      SELECT sub_id, code_id, u.i AS pos,
+             floor(sum(CAST(floor(a.sv[CAST(u.i AS INTEGER)] * {_FIX_SCALE}) AS BIGINT))
+                   / count(*)) / {_FIX_SCALE} AS mval
+      FROM pq_assign{i} a, unnest(range(1, {d} + 1)) AS u(i)
+      GROUP BY 1, 2, 3
+    ),
+    cb{i + 1} AS (
+      SELECT c.sub_id, c.code_id, coalesce(mm.cvec, c.cvec) AS cvec
+      FROM cb{i} c LEFT JOIN (
+        SELECT sub_id, code_id, list(mval ORDER BY pos) AS cvec
+        FROM pq_means{i} GROUP BY 1, 2
+      ) mm ON c.sub_id = mm.sub_id AND c.code_id = mm.code_id
+    )""")
+    cbf = f"cb{n_refine}"
+    return f"""
+    WITH {",".join(layers)},
+    cell_of AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ac} DESC, c.cent_id ASC) AS rn
+        FROM {table} e CROSS JOIN {ivf_final} c
+      ) WHERE rn = 1
+    ),
+    codes AS (
+      SELECT vec_id, sub_id, code_id FROM (
+        SELECT u.vec_id, u.sub_id, c.code_id,
+               row_number() OVER (PARTITION BY u.vec_id, u.sub_id
+                                  ORDER BY {l2} ASC, c.code_id ASC) AS rn
+        FROM sub u JOIN {cbf} c USING (sub_id)
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT q.vec_id AS query_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_qc} DESC, c.cent_id ASC) AS rn
+        FROM {table} q CROSS JOIN {ivf_final} c WHERE {query_pred}
+      ) WHERE rn <= {nprobe}
+    ),
+    terms AS (
+      SELECT q.vec_id AS query_id, cd.vec_id, q.sub_id,
+             list_sum(list_transform(range(1, {d} + 1),
+               i -> q.sv[CAST(i AS INTEGER)] * c.cvec[CAST(i AS INTEGER)])) AS term
+      FROM (SELECT vec_id, sub_id, sv FROM sub WHERE {query_pred}) q
+      JOIN probes p ON p.query_id = q.vec_id
+      JOIN cell_of cf ON cf.cent_id = p.cent_id
+      JOIN codes cd ON cd.vec_id = cf.vec_id AND cd.sub_id = q.sub_id
+                    AND cd.vec_id != q.vec_id
+      JOIN {cbf} c ON c.sub_id = cd.sub_id AND c.code_id = cd.code_id
+    ),
+    approx AS (
+      SELECT query_id, vec_id,
+             round(list_sum(list(term ORDER BY sub_id)), 6) AS approx_ip
+      FROM terms GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, approx_ip, rank FROM (
+      SELECT query_id, vec_id, approx_ip,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_ip DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM approx
+    ) WHERE rank <= {k}
+    """
