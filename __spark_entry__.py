@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from webhookdb_spark.functions.converters import CONV_STR2HASH, CONV_TO_I  # noqa: E402
 from webhookdb_spark.operators import corpus as C  # noqa: E402
 from webhookdb_spark.operators import joins as J  # noqa: E402
+from webhookdb_spark.operators import sketches as SK  # noqa: E402
 from webhookdb_spark.operators import dedup as D  # noqa: E402
 from webhookdb_spark.operators import multimodal as M  # noqa: E402
 from webhookdb_spark.operators import sampling as SA  # noqa: E402
@@ -586,6 +587,14 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_clusters(load(spark, sf, "documents"))
 
 
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-count sketch per language — unlike HLL the md5-based
+    k-minimum-values estimator is bit-reproducible in any engine, so
+    the sketch itself carries a value-hash oracle. WindowGroupLimit
+    keeps the per-group selection map-side-pruned."""
+    return SK.kmv_distinct(load(spark, sf, "documents"), "lang", "text", k=64)
+
+
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """Attribution as-of join: each purchase picks up the user's latest
     prior click via the union-merge window construction (one shuffle,
@@ -892,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "corpus_filter": q_corpus_filter,
         "asof_join_events": q_asof_join,
+        "kmv_distinct": q_kmv_distinct,
         "range_join_events": q_range_join,
         "length_stats": q_length_stats,
         "text_repetition": q_text_repetition,
@@ -952,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": SA.sql_sequence_pack(),
         "corpus_filter": C.sql_corpus_filter(),
         "asof_join_events": J.sql_asof_join_events(),
+        "kmv_distinct": SK.sql_kmv_distinct(),
         "range_join_events": J.sql_range_join_events(window_seconds=1800),
         "length_stats": C.sql_length_stats(),
         "text_repetition": X.sql_repetition_stats(),

@@ -187,3 +187,18 @@ def test_corpus_filter_cascade_order_is_contractual(spark):
     out = {r.doc_id: r.reason for r in corpus_filter(df).collect()}
     assert out == {1: "lang", 2: "source", 3: "too_short",
                    4: "badword", 5: "kept"}
+
+
+def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
+    """Groups under k are exact; groups over k estimate within ~2/sqrt(k)
+    relative error (k=64 -> 25%); planting 1000 distinct values checks
+    the estimator path, not just the exact path."""
+    from webhookdb_spark.operators.sketches import kmv_distinct
+
+    rows = [("big", f"v{i}") for i in range(1000)]
+    rows += [("small", f"s{i % 10}") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.g: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert out["small"].exact_k and out["small"].est_distinct == 10
+    assert not out["big"].exact_k
+    assert abs(out["big"].est_distinct - 1000) / 1000 < 0.3, out["big"]

@@ -314,3 +314,11 @@ def test_pq_encode_is_shuffle_free(spark):
     p = plan_of(S.pq_encode(emb, cbs))
     assert "hashpartitioning" not in p and "rangepartitioning" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_kmv_uses_window_group_limit(spark):
+    """The per-group k-minima selection must compile to
+    WindowGroupLimit (map-side local prune before the shuffle) — the
+    property that lets the sketch union at cluster scale."""
+    p = plan_of(entry.queries()["kmv_distinct"](spark, SF))
+    assert "WindowGroupLimit" in p, p

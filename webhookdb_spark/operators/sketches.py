@@ -1,0 +1,91 @@
+"""Deterministic cardinality sketching.
+
+Spark's ``approx_count_distinct`` and DuckDB's equivalent are both
+HyperLogLog variants, but with different register layouts and hash
+functions — their estimates can never hash-match across engines, so a
+pipeline that checkpoints sketch outputs cannot be verified against an
+oracle. The KMV (k-minimum-values) sketch (Bar-Yossef et al., "Counting
+distinct elements in a data stream") has none of that problem when the
+hash is fixed: keep the ``k`` smallest md5-derived hash values per
+group; if the k-th smallest of uniform hashes on [0, M) is ``h_k``,
+the distinct count is estimated by ``(k-1) * M / h_k``.
+
+Everything here is integer arithmetic over the same 28-bit md5 prefix
+used by the sampling operators, so Spark and DuckDB produce the SAME
+estimate bit-for-bit — a sketch with a value-hash oracle.
+
+100 TB shape: the per-group k-smallest selection compiles to a window
+whose ``row_number <= k`` Spark rewrites into WindowGroupLimit — each
+map task keeps only its local k minima per group BEFORE the shuffle,
+so the exchange carries ~k * n_partitions rows per group, not the
+group. That local-prune-then-merge is exactly how a distributed KMV
+union works on a real cluster (sketches merge by keeping the k
+smallest of the union), and it is why the operator never materializes
+a group's distinct set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_M = 1 << 28
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """(group, est_distinct, exact_k): KMV distinct-count estimate per
+    group. ``exact_k`` flags groups whose observed hash count was below
+    ``k`` — there the estimate IS the exact distinct count (the sketch
+    saw every element)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    hashes = df.select(F.col(group_col), h.alias("_h")).distinct()
+    w = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
+    topk = hashes.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    return topk.groupBy(group_col).agg(
+        F.when(
+            F.count("*") < k, F.count("*")
+        )
+        .otherwise(
+            F.expr(f"({k} - 1) * {_M}L div max(_h)")
+        )
+        .cast("long")
+        .alias("est_distinct"),
+        (F.count("*") < k).alias("exact_k"),
+    )
+
+
+def sql_kmv_distinct(
+    table: str = "documents",
+    group_col: str = "lang",
+    value_expr: str = "text",
+    k: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct` — identical md5-prefix hash,
+    identical integer estimator."""
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT {group_col},
+             CAST('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 7) AS BIGINT) AS hv
+      FROM {table}
+    ), topk AS (
+      SELECT {group_col}, hv,
+             row_number() OVER (PARTITION BY {group_col} ORDER BY hv ASC) AS rn
+      FROM h
+    )
+    SELECT {group_col},
+           CAST(CASE WHEN count(*) < {k} THEN count(*)
+                     ELSE CAST({k} - 1 AS BIGINT) * {_M} // max(hv) END AS BIGINT) AS est_distinct,
+           count(*) < {k} AS exact_k
+    FROM topk WHERE rn <= {k}
+    GROUP BY {group_col}
+    """
