@@ -614,7 +614,7 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     via grid-cell bucketing: equi-join on (user, cell) + exact residual
     filter — bounded fan-out instead of a per-key cross product."""
     ev = load(spark, sf, "events")
-    points = ev.where(F.col("event_type") == "click")
+    points = ev.where(F.col("event_type") == "click").select("user_id", "ts")
     intervals = ev.where(F.col("event_type") == "error").select(
         "user_id",
         F.col("ts").alias("start_ts"),

@@ -128,7 +128,7 @@ def range_join(
     2-cells-per-interval bound is what keeps the fan-out linear).
     """
     p_cell = F.floor(F.col(point_ts).cast("timestamp").cast("long") / grid_seconds)
-    pts = points.select(key, point_ts).withColumn("_cell", p_cell)
+    pts = points.withColumn("_cell", p_cell)
     ivs = (
         intervals.select(
             F.col(key),
