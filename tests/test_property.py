@@ -300,3 +300,140 @@ def test_upsert_matches_reference_model(spark, batches):
         assert got == model
     finally:
         shutil.rmtree(wh_dir, ignore_errors=True)
+
+
+# -- round-4 temporal joins + packing ----------------------------------------
+
+_evt = st.tuples(
+    st.integers(min_value=0, max_value=3),      # key
+    st.integers(min_value=0, max_value=5000),   # seconds offset
+    st.integers(min_value=0, max_value=10**6),  # payload
+)
+
+
+@given(
+    st.lists(_evt, min_size=1, max_size=30),
+    st.lists(_evt, min_size=0, max_size=30),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    """The union-merge window construction must agree with pandas
+    merge_asof (backward, by-key) on arbitrary event sets — a third
+    independent implementation beyond the DuckDB ASOF oracle."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from webhookdb_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda rows, tag: [  # noqa: E731
+        (i + tag * 10**6, k, t0 + dt.timedelta(seconds=s), float(v))
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    # pandas merge_asof requires unique match candidates per ts to be
+    # deterministic; dedupe right rows to one per (key, ts)
+    rseen, rr = set(), []
+    for row in mk(rrows, 2):
+        if (row[1], row[2]) not in rseen:
+            rseen.add((row[1], row[2]))
+            rr.append(row)
+    ll = mk(lrows, 1)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    out = asof_join(
+        spark.createDataFrame(ll, schema),
+        spark.createDataFrame(rr, schema) if rr
+        else spark.createDataFrame([], schema),
+        key="user_id", ts="ts", right_cols=("event_id",),
+    ).collect()
+    got = {r.event_id: r.event_id_r for r in out}
+
+    lp = pd.DataFrame(ll, columns=["event_id", "user_id", "ts", "value"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rr, columns=["event_id", "user_id", "ts", "value"]).sort_values("ts", kind="stable")
+    if len(rp):
+        m = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction="backward",
+            suffixes=("", "_r"),
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.event_id_r) else int(r.event_id_r))
+            for r in m.itertuples()
+        }
+    else:
+        want = {int(e): None for e in lp.event_id}
+    assert got == want
+
+
+@given(st.lists(_evt, min_size=1, max_size=25),
+       st.lists(_evt, min_size=0, max_size=25))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_range_join_matches_brute_force(spark, prows, irows):
+    """Grid-bucketed point-in-interval join == the O(n*m) definition."""
+    import datetime as dt
+
+    from webhookdb_spark.operators.joins import range_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    pts = [(k, t0 + dt.timedelta(seconds=s)) for k, s, _ in prows]
+    ivs = [
+        (i, k, t0 + dt.timedelta(seconds=s),
+         t0 + dt.timedelta(seconds=s + 1 + (v % 300)))
+        for i, (k, s, v) in enumerate(irows)
+    ]
+    pdf = spark.createDataFrame(pts, "user_id long, ts timestamp")
+    idf = (
+        spark.createDataFrame(
+            ivs, "iid long, user_id long, start_ts timestamp, end_ts timestamp"
+        )
+        if ivs
+        else spark.createDataFrame(
+            [], "iid long, user_id long, start_ts timestamp, end_ts timestamp"
+        )
+    )
+    got = {
+        (r.user_id, r.ts, r.iid_i)
+        for r in range_join(
+            pdf, idf, key="user_id", grid_seconds=301, interval_cols=("iid",)
+        ).collect()
+    }
+    want = {
+        (k, ts, iid)
+        for k, ts in set(pts)
+        for iid, ik, s, e in ivs
+        if ik == k and s <= ts < e
+    }
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 40)),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sequence_pack_layout_invariants(spark, rows):
+    """For any corpus: offsets form a contiguous 0-based layout in
+    deterministic order, pack arithmetic is self-consistent, and the
+    Spark result equals the DuckDB twin."""
+    from webhookdb_spark.operators.sampling import sequence_pack, sql_sequence_pack
+
+    docs = [(i, " ".join(["w"] * max(n, 1))) for i, n in rows]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sorted(sequence_pack(df, context_len=64).collect(),
+                 key=lambda r: r.global_offset)
+    total = 0
+    for r in out:
+        assert r.global_offset == total
+        assert r.pack_id == r.global_offset // 64
+        assert r.pack_offset == r.global_offset % 64
+        end = r.global_offset + r.n_tokens - 1
+        assert r.n_packs == end // 64 - r.pack_id + 1
+        total += r.n_tokens
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    orows = sorted(
+        [tuple(r) for r in con.execute(sql_sequence_pack(context_len=64)).fetchall()]
+    )
+    assert sorted([tuple(r) for r in out]) == orows
