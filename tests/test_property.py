@@ -437,3 +437,45 @@ def test_sequence_pack_layout_invariants(spark, rows):
         [tuple(r) for r in con.execute(sql_sequence_pack(context_len=64)).fetchall()]
     )
     assert sorted([tuple(r) for r in out]) == orows
+
+
+@given(st.lists(_text, min_size=1, max_size=20))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_segment_dedup_and_lm_score_cross_engine(spark, texts):
+    """Round-4 twin pairs under adversarial unicode/whitespace text:
+    segment dedup and the fixed-point bigram LM must agree with their
+    DuckDB twins on arbitrary corpora (this test class found three real
+    engine divergences in round 3)."""
+    from webhookdb_spark.operators.dedup import segment_dedup, sql_segment_dedup
+    from webhookdb_spark.operators.text import lm_familiarity, sql_lm_familiarity
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+
+    s1 = sorted([tuple(r) for r in segment_dedup(df).collect()])
+    o1 = sorted([tuple(r) for r in con.execute(sql_segment_dedup()).fetchall()])
+    assert s1 == o1
+
+    s2 = sorted([tuple(r) for r in lm_familiarity(df).collect()])
+    o2 = sorted([tuple(r) for r in con.execute(sql_lm_familiarity()).fetchall()])
+    assert s2 == o2
+
+
+@given(st.lists(_text, min_size=1, max_size=20))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmv_sketch_cross_engine(spark, texts):
+    from webhookdb_spark.operators.sketches import kmv_distinct, sql_kmv_distinct
+
+    docs = [(i, t, ["a", "b"][i % 2]) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
+    s = sorted([tuple(r) for r in kmv_distinct(df, "lang", "text", k=8).collect()])
+    o = sorted([tuple(r) for r in con.execute(sql_kmv_distinct(k=8)).fetchall()])
+    assert s == o

@@ -624,16 +624,25 @@ def lm_familiarity(
     toks = lambda c: F.split(  # noqa: E731
         F.trim(ascii_lower(F.col(c))), WS
     )
+    # Spark's sequence(2, stop) runs BACKWARDS ([2, 1]) when stop < 2,
+    # where DuckDB's range(2, stop+1) is empty — guard short docs so a
+    # 0/1-token document contributes no bigrams in either engine
+    # (found by the hypothesis cross-engine suite, like the r3 trio).
+    def _bigrams(t):
+        idx = F.when(
+            F.size(t) >= 2, F.sequence(F.lit(2), F.size(t))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(t, i - 1).alias("w_prev"),
+                F.element_at(t, i).alias("w"),
+            ),
+        )
+
     b = bind(scale_out(df.select("doc_id", text_col)), "_t", toks(text_col))
     t = F.col("_t")
-    grams = F.transform(
-        F.sequence(F.lit(2), F.greatest(F.size(t), F.lit(1))),
-        lambda i: F.struct(
-            F.element_at(t, i - 1).alias("w_prev"),
-            F.element_at(t, i).alias("w"),
-        ),
-    )
-    doc_bg = b.select("doc_id", F.explode(grams).alias("g")).select(
+    doc_bg = b.select("doc_id", F.explode(_bigrams(t)).alias("g")).select(
         "doc_id", F.col("g.w_prev").alias("w_prev"), F.col("g.w").alias("w")
     )
 
@@ -646,15 +655,7 @@ def lm_familiarity(
         .agg(F.count("*").cast("long").alias("c1"))
     )
     mg = m.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(2), F.greatest(F.size("t"), F.lit(1))),
-                lambda i: F.struct(
-                    F.element_at(F.col("t"), i - 1).alias("w_prev"),
-                    F.element_at(F.col("t"), i).alias("w"),
-                ),
-            )
-        ).alias("g")
+        F.explode(_bigrams(F.col("t"))).alias("g")
     ).select("g.w_prev", "g.w")
     bi = mg.groupBy("w_prev", "w").agg(F.count("*").cast("long").alias("c2"))
     vocab = uni.agg(F.count("*").cast("long").alias("v"))
