@@ -667,6 +667,17 @@ def q_dedup_segments(spark: SparkSession, sf: str) -> DataFrame:
     return D.segment_dedup(load(spark, sf, "documents"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-vs-corpus incremental near-dedup: the %10 'incoming batch'
+    joins its LSH bands against the standing corpus's band index —
+    batch-sized work per refresh, never a corpus recompute."""
+    docs = load(spark, sf, "documents")
+    return D.incremental_minhash_dedup(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word 5-gram
     with the (deterministically carved) eval slice are flagged — the
@@ -892,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "dedup_segments": q_dedup_segments,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
@@ -953,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": D.sql_simhash(),
         "dedup_ngram": D.sql_jaccard_all_pairs(),
         "dedup_segments": D.sql_segment_dedup(),
+        "dedup_incremental": D.sql_incremental_minhash_dedup(),
         "dedup_clusters": D.sql_dedup_clusters(),
         "decontaminate": D.sql_decontaminate(),
         "stratified_sample": SA.sql_stratified_sample_n(),

@@ -447,3 +447,30 @@ def test_ivfpq_recall_floor_and_probe_containment(spark):
         probed.setdefault(r.query_id, set()).add(r.cent_id)
     for r in got:
         assert assigned[r.vec_id] in probed[r.query_id], r
+
+
+def test_incremental_dedup_stored_index_equals_cold_start(spark, tmp_path):
+    """Passing a PERSISTED band index must give exactly the cold-start
+    result — the stored artifact is a pure cache, and the new batch's
+    plan must not rescan the corpus text for candidate generation."""
+    from webhookdb_spark.operators.dedup import (
+        incremental_minhash_dedup, lsh_bands, minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+
+    cold = sorted(
+        tuple(r) for r in incremental_minhash_dedup(new, corpus).collect()
+    )
+    idx_path = str(tmp_path / "bands")
+    lsh_bands(minhash_signatures(corpus)).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    warm = sorted(
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            new, corpus, corpus_bands=stored
+        ).collect()
+    )
+    assert cold == warm and len(cold) > 0

@@ -163,19 +163,7 @@ def lsh_candidate_pairs(
     pair — a plain hash join (shuffle on band_key), NOT a cross join.
     Returns distinct (doc_a, doc_b) with doc_a < doc_b.
     """
-    rows_per_band = n_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws(
-                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    exploded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+    exploded = lsh_bands(sigs, n_hashes, bands)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -781,4 +769,143 @@ def sql_segment_dedup(table: str = "documents", seg_tokens: int = 8) -> str:
              AS clean_text
     FROM flagged
     GROUP BY doc_id
+    """
+
+
+# -- Incremental (batch-vs-corpus) near-dedup --------------------------------
+
+def lsh_bands(
+    sigs: DataFrame,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(doc_id, band_id, band_key): the persistable LSH band index of a
+    signature table. This IS the stored artifact of incremental dedup —
+    at 100 TB you write it partitioned/bucketed by (band_id, band_key)
+    once, and every new batch joins against it instead of recomputing
+    corpus signatures."""
+    rows_per_band = n_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_bands: DataFrame | None = None,
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dedup a NEW batch against an EXISTING corpus without
+    recomputing the corpus: (new_doc, dup_of, jaccard) for every new
+    document whose true shingle Jaccard against some corpus document
+    clears ``threshold``.
+
+    The production posture behind every periodically-refreshed training
+    corpus: signatures/bands of the standing corpus are computed once
+    and stored (:func:`lsh_bands`); each incoming batch computes ONLY
+    its own signatures (batch-sized work), hash-joins its bands against
+    the stored index, and verifies the surviving candidates with exact
+    Jaccard — corpus-sized work never recurs. Pass ``corpus_bands`` to
+    use a stored index; omitted, it is derived from ``corpus_docs``
+    (the cold-start path, equivalent by construction).
+    """
+    if corpus_bands is None:
+        corpus_bands = lsh_bands(
+            minhash_signatures(corpus_docs, text_col, n_hashes, shingle_n),
+            n_hashes, bands,
+        )
+    new_bands = lsh_bands(
+        minhash_signatures(new_docs, text_col, n_hashes, shingle_n),
+        n_hashes, bands,
+    )
+    cand = (
+        new_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            on=[
+                F.col("n.band_id") == F.col("c.band_id"),
+                F.col("n.band_key") == F.col("c.band_key"),
+            ],
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    both = new_docs.select("doc_id", text_col).unionByName(
+        corpus_docs.select("doc_id", text_col)
+    )
+    verified = jaccard_pairs(both, cand, text_col, shingle_n, threshold)
+    return verified.select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("dup_of"),
+        "jaccard",
+    )
+
+
+def sql_incremental_minhash_dedup(
+    table: str = "documents",
+    new_pred: str = "doc_id % 10 = 0",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB twin of :func:`incremental_minhash_dedup` with the corpus
+    carved by ``NOT (new_pred)``."""
+    rows = n_hashes // bands
+    sh = sql_shingles("text", shingle_n)
+    mins = ", ".join(f"min(md5('{i}:' || sh)) AS h{i}" for i in range(n_hashes))
+
+    def bands_cte(src: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            + " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+            + f" AS band_key FROM {src}"
+            for b in range(bands)
+        )
+
+    return f"""
+    WITH newd AS (SELECT * FROM {table} WHERE {new_pred}),
+    corpus AS (SELECT * FROM {table} WHERE NOT ({new_pred})),
+    sig_n AS (
+      SELECT doc_id, {mins} FROM
+        (SELECT doc_id, unnest({sh}) AS sh FROM newd) GROUP BY doc_id
+    ),
+    sig_c AS (
+      SELECT doc_id, {mins} FROM
+        (SELECT doc_id, unnest({sh}) AS sh FROM corpus) GROUP BY doc_id
+    ),
+    bands_n AS ({bands_cte("sig_n")}),
+    bands_c AS ({bands_cte("sig_c")}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS dup_of
+      FROM bands_n n JOIN bands_c c
+        ON n.band_id = c.band_id AND n.band_key = c.band_key
+    ),
+    sets_ AS (SELECT doc_id, {sh} AS sh FROM {table})
+    SELECT cd.new_doc, cd.dup_of,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+             AS jaccard
+    FROM cand cd
+    JOIN sets_ a ON cd.new_doc = a.doc_id
+    JOIN sets_ b ON cd.dup_of = b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+          >= {threshold}
     """
