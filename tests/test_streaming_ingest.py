@@ -332,3 +332,45 @@ def test_per_trigger_caps_rejected_on_prebuilt_stream(spark, tmp_warehouse):
     with pytest.raises(ValueError, match="source options"):
         pipeline.start(stream, str(tmp_warehouse / "ckpt"), trigger_once=True,
                        max_files_per_trigger=1)
+
+
+def test_pipeline_delivery_dedup_absorbs_retry_storm(spark, tmp_warehouse):
+    """With dedup_deliveries_watermark set, a batch-2 redelivery of a
+    batch-1 envelope (same integration + body) is dropped BEFORE the
+    merge: the second micro-batch's merge sees only the genuinely new
+    envelope, and the audit log records only deduped deliveries."""
+    land = tmp_warehouse / "landing"
+    write_envelopes(land, [{"my_id": "k0", "at": "2024-06-01T00:00:00Z"},
+                           {"my_id": "k1", "at": "2024-06-01T00:00:00Z"}])
+
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    pipeline = IngestPipeline(
+        warehouse=wh, audit_table_path=str(tmp_warehouse / "audit")
+    )
+    merged_counts: list[int] = []
+    pipeline.register(
+        IntegrationRuntime(
+            opaque_id="svi_a", org="org1", spec=FAKE_V1,
+            on_rowupsert=lambda df: merged_counts.append(df.count()),
+        )
+    )
+    q = pipeline.start(
+        str(land), str(tmp_warehouse / "ckpt"), trigger_once=True,
+        dedup_deliveries_watermark="1 hour",
+    )
+    q.awaitTermination(120)
+    assert merged_counts == [2]
+
+    # batch 2: k0 redelivered byte-identical (retry) + k2 new
+    write_envelopes(land, [{"my_id": "k0", "at": "2024-06-01T00:00:00Z"},
+                           {"my_id": "k2", "at": "2024-06-01T00:00:00Z"}])
+    q2 = pipeline.start(
+        str(land), str(tmp_warehouse / "ckpt"), trigger_once=True,
+        dedup_deliveries_watermark="1 hour",
+    )
+    q2.awaitTermination(120)
+    assert merged_counts == [2, 1]  # retry dropped before the merge
+    table = wh.table("org1", "fake_v1")
+    assert table.read().count() == 3
+    audit = spark.read.parquet(str(tmp_warehouse / "audit"))
+    assert audit.count() == 3  # the retry never reached the audit append

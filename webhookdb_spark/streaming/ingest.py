@@ -165,6 +165,7 @@ class IngestPipeline:
         processing_time: str = "10 seconds",
         max_files_per_trigger: int | None = None,
         max_offsets_per_trigger: int | None = None,
+        dedup_deliveries_watermark: str | None = None,
     ) -> StreamingQuery:
         """Run the pipeline as a streaming query.
 
@@ -178,6 +179,11 @@ class IngestPipeline:
         backpressure) are applied to the source. They are source options,
         so with a pre-built DataFrame set them where it was built
         (sources.envelopes.read_envelope_stream takes the same kwargs).
+
+        ``dedup_deliveries_watermark`` (e.g. ``"1 hour"``) inserts the
+        watermark-bounded delivery dedup (streaming/windows.py) ahead of
+        shaping: provider retry storms are absorbed before they cost a
+        shape + MERGE pass, with state bounded by the retry horizon.
         """
         if isinstance(envelope_stream, str):
             from webhookdb_spark.sources.envelopes import read_envelope_stream
@@ -193,6 +199,19 @@ class IngestPipeline:
                 "per-trigger caps are streaming-source options; pass a path, or "
                 "set them on read_envelope_stream when building the DataFrame"
             )
+        if dedup_deliveries_watermark is not None:
+            from webhookdb_spark.streaming.windows import dedup_deliveries_stream
+
+            # envelopes carry no provider delivery id, so a retry is
+            # identified by content: same integration + same raw body
+            envelope_stream = dedup_deliveries_stream(
+                envelope_stream.withColumn(
+                    "_delivery_key",
+                    F.md5(F.concat_ws("|", "integration_opaque_id", "body")),
+                ),
+                id_col="_delivery_key",
+                watermark=dedup_deliveries_watermark,
+            ).drop("_delivery_key")
         writer = (
             envelope_stream.writeStream.foreachBatch(
                 lambda df, bid: self.process_batch(df, bid)
