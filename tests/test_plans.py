@@ -322,3 +322,16 @@ def test_kmv_uses_window_group_limit(spark):
     property that lets the sketch union at cluster scale."""
     p = plan_of(entry.queries()["kmv_distinct"](spark, SF))
     assert "WindowGroupLimit" in p, p
+
+
+def test_ivfpq_joins_broadcast_never_cartesian(spark):
+    """The IVF-PQ composition must route every join through a
+    broadcast: the probe join and the code lookup are
+    BroadcastHashJoins, the only nested-loop joins are the two
+    tiny-centroid crossJoins (C rows broadcast), and no CartesianProduct
+    or Python node may appear."""
+    p = plan_of(entry.queries()["ann_ivfpq_topk"](spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
