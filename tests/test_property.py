@@ -479,3 +479,24 @@ def test_kmv_sketch_cross_engine(spark, texts):
     s = sorted([tuple(r) for r in kmv_distinct(df, "lang", "text", k=8).collect()])
     o = sorted([tuple(r) for r in con.execute(sql_kmv_distinct(k=8)).fetchall()])
     assert s == o
+
+
+@given(st.lists(_text, min_size=1, max_size=20))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_corpus_filter_cross_engine(spark, texts):
+    from webhookdb_spark.operators.corpus import corpus_filter, sql_corpus_filter
+
+    docs = [
+        (i, t, ["en", "zh"][i % 2], ["src0", "src13"][(i // 2) % 2])
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", docs)
+    s = sorted([tuple(r) for r in corpus_filter(df).collect()])
+    o = sorted([tuple(r) for r in con.execute(sql_corpus_filter()).fetchall()])
+    assert s == o
