@@ -804,6 +804,16 @@ def q_media_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     return M.decode_audio(M.media_wav_from_documents(load(spark, sf, "documents")))
 
 
+def q_media_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL waveform DSP (not header fields): mean-square energy,
+    zero-crossings, and peak over the decoded int16 PCM stream, all in
+    exact integer math so the sketchiest stage of a real pipeline —
+    float DSP — still carries a value-hash oracle. The ASCII-byte
+    fixture yields all-positive samples (zero_crossings exercises its
+    negative-sample branch in the unit suite)."""
+    return M.audio_features(M.media_wav_from_documents(load(spark, sf, "documents")))
+
+
 def q_media_avi_frames(spark: SparkSession, sf: str) -> DataFrame:
     """REAL frame extraction: documents become structurally valid
     RIFF/AVI containers (native hex assembly) and the kernel demuxes
@@ -927,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_jpeg_decode": q_media_jpeg_decode,
         "media_wav_decode": q_media_wav_decode,
+        "media_audio_features": q_media_audio_features,
         "media_avi_frames": q_media_avi_frames,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -996,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": M.sql_media_decode(),
         "media_jpeg_decode": M.sql_media_jpeg_decode(),
         "media_wav_decode": M.sql_media_wav_decode(),
+        "media_audio_features": M.sql_media_audio_features(),
         "media_avi_frames": M.sql_media_avi_frames(),
         "ann_cosine_topk": S.sql_cosine_topk(),
         "ann_lsh_topk": S.sql_ann_topk_lsh(),

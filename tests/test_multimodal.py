@@ -386,3 +386,34 @@ def test_decode_images_null_mode_on_mixed_corpus(spark):
     assert rows[1].width == 2 and rows[1].height == 2  # real BMP decoded
     assert rows[101].width is None and rows[101].height is None
     assert rows[101].checksum is not None  # checksum still computed
+
+
+def test_audio_features_negative_samples_and_garbage(spark):
+    """Hand-built PCM with sign changes: features must match manual
+    math (energy = sum(s^2) div n, zc counts sign flips, peak = |min|),
+    and a non-WAV payload yields NULL features, not a dead job."""
+    import struct
+
+    from webhookdb_spark.operators.multimodal import audio_features
+
+    samples = [1000, -2000, 3000, -4000, 0, -32768]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not a wav at all"))],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r for r in audio_features(media).collect()}
+    n = len(samples)
+    want_energy = sum(s * s for s in samples) // n
+    # sign flips: 1000/-2000, -2000/3000, 3000/-4000, -4000/0, 0/-32768
+    assert out[1].n_pcm16 == n
+    assert out[1].energy == want_energy
+    assert out[1].zero_crossings == 5
+    assert out[1].peak == 32768
+    assert out[2].n_pcm16 is None and out[2].energy is None

@@ -971,3 +971,118 @@ def sample_frames(
     return scale_out(media.select("media_id", "content", "meta")).mapInPandas(
         sample, schema=_FRAMES_SCHEMA
     )
+
+
+# -- Real waveform features (PCM DSP, exact integer math) --------------------
+
+_AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_pcm16", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def _parse_wav_pcm(buf: bytes) -> bytes | None:
+    """The data chunk's bytes from a RIFF/WAVE payload (same chunk walk
+    as :func:`_parse_wav_header`), else None."""
+    import struct
+
+    if len(buf) < 20 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        if cid == b"data":
+            return buf[pos + 8 : pos + 8 + min(size, len(buf) - pos - 8)]
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL waveform DSP over decoded 16-bit PCM — not header fields:
+    mean-square energy, zero-crossing count, and peak amplitude over
+    the raw interleaved int16 stream (numpy kernel, Arrow-batched).
+    Every statistic is exact integer arithmetic (``energy`` is
+    ``sum(s^2) div n`` — no sqrt, no floats), so the DuckDB twin
+    recomputes the identical values from the same bytes and the
+    operator carries a full value-hash oracle, which real-world audio
+    feature extractors (float RMS/dB) cannot.
+
+    Zero-crossings are counted over the interleaved stream (channel
+    boundaries included) — a deterministic definition the twin shares;
+    per-channel analysis would deinterleave first. Undecodable payloads
+    yield NULL features (filterable rows, not dead jobs)."""
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                data = _parse_wav_pcm(bytes(b))
+                n = (len(data) // 2) if data is not None else 0
+                if data is None or n == 0:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                s = np.frombuffer(data[: n * 2], "<i2").astype(np.int64)
+                energy = int((s * s).sum()) // n
+                zc = int(np.count_nonzero((s[1:] >= 0) != (s[:-1] >= 0)))
+                peak = int(np.abs(s).max())
+                rows.append((mid, n, energy, zc, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_pcm16", "energy",
+                         "zero_crossings", "peak"],
+            )
+
+    return scale_out(media.select("media_id", "content")).mapInPandas(
+        feats, schema=_AUDIO_FEAT_SCHEMA
+    )
+
+
+def sql_media_audio_features(table: str = "documents") -> str:
+    """DuckDB twin of media_wav_from_documents → :func:`audio_features`:
+    rebuilds the same WAV hex, reads each int16 LE sample out of the
+    hex text (data chunk at byte 44 in the canonical fixture), and
+    recomputes the identical integer statistics."""
+    n = "octet_length(encode(text))"
+    ch = "(doc_id % 2 + 1)"
+    rate = "(8000 + (doc_id % 5) * 4000)"
+    hx = (
+        f"'52494646' || {_sql_le_hex(f'{n} + 36', 4)} || '57415645666D7420"
+        f"10000000' || '0100' || {_sql_le_hex(ch, 2)} || {_sql_le_hex(rate, 4)} || "
+        f"{_sql_le_hex(f'{rate} * {ch} * 2', 4)} || {_sql_le_hex(f'{ch} * 2', 2)} || "
+        f"'1000' || '64617461' || {_sql_le_hex(n, 4)} || hex(encode(text))"
+    )
+    # sample i (0-based): lo byte at 44+2i -> hex pos 89+4i; hi at 45+2i -> 91+4i
+    raw = ("(CAST('0x' || substr(hx, 91 + 4 * CAST(i AS INTEGER), 2) AS INTEGER) * 256"
+           " + CAST('0x' || substr(hx, 89 + 4 * CAST(i AS INTEGER), 2) AS INTEGER))")
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, {hx} AS hx, {n} // 2 AS np FROM {table}
+    ), sig AS (
+      SELECT media_id, np,
+             list_transform(range(0, np),
+               i -> {raw} - CASE WHEN {raw} >= 32768 THEN 65536 ELSE 0 END) AS s
+      FROM m
+    )
+    SELECT media_id,
+           CASE WHEN np > 0 THEN CAST(np AS INTEGER) END AS n_pcm16,
+           CASE WHEN np > 0 THEN
+             CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x)) // np AS BIGINT)
+           END AS energy,
+           CASE WHEN np > 0 THEN
+             CAST(coalesce(list_sum(list_transform(range(1, CAST(np AS INTEGER)),
+               i -> CASE WHEN (s[CAST(i AS INTEGER)] >= 0) != (s[CAST(i AS INTEGER) + 1] >= 0)
+                         THEN 1 ELSE 0 END)), 0) AS INTEGER)
+           END AS zero_crossings,
+           CASE WHEN np > 0 THEN
+             CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER)
+           END AS peak
+    FROM sig
+    """
