@@ -804,6 +804,15 @@ def q_media_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     return M.decode_audio(M.media_wav_from_documents(load(spark, sf, "documents")))
 
 
+def q_media_pixel_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL pixel-domain image stats: stride-aware walk of the BMP
+    pixel array, per-channel BGR means over every complete pixel —
+    exact integer division keeps float-free parity with the twin."""
+    return M.image_pixel_features(
+        M.media_bmp_from_documents(load(spark, sf, "documents"))
+    )
+
+
 def q_media_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """REAL waveform DSP (not header fields): mean-square energy,
     zero-crossings, and peak over the decoded int16 PCM stream, all in
@@ -938,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_decode": q_media_jpeg_decode,
         "media_wav_decode": q_media_wav_decode,
         "media_audio_features": q_media_audio_features,
+        "media_pixel_features": q_media_pixel_features,
         "media_avi_frames": q_media_avi_frames,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1008,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         "media_jpeg_decode": M.sql_media_jpeg_decode(),
         "media_wav_decode": M.sql_media_wav_decode(),
         "media_audio_features": M.sql_media_audio_features(),
+        "media_pixel_features": M.sql_media_pixel_features(),
         "media_avi_frames": M.sql_media_avi_frames(),
         "ann_cosine_topk": S.sql_cosine_topk(),
         "ann_lsh_topk": S.sql_ann_topk_lsh(),

@@ -417,3 +417,42 @@ def test_audio_features_negative_samples_and_garbage(spark):
     assert out[1].zero_crossings == 5
     assert out[1].peak == 32768
     assert out[2].n_pcm16 is None and out[2].energy is None
+
+
+def test_pixel_features_stride_padding_and_garbage(spark):
+    """A proper 2x2 24-bpp BMP with 4-byte row padding: the walk must
+    read exactly the 4 real pixels (skipping the 2 pad bytes per row)
+    and match hand-computed channel means; a truncated pixel array
+    counts only complete pixels; non-BMP bytes yield NULLs."""
+    import struct
+
+    from webhookdb_spark.operators.multimodal import image_pixel_features
+
+    def bmp(w, h, pixel_rows):
+        stride = (w * 3 + 3) // 4 * 4
+        data = b"".join(
+            row + b"\x00" * (stride - len(row)) for row in pixel_rows
+        )
+        return (
+            b"BM" + struct.pack("<I", 54 + len(data)) + b"\x00" * 4
+            + struct.pack("<I", 54) + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h) + struct.pack("<HH", 1, 24)
+            + b"\x00" * 24 + data
+        )
+
+    # 2x2: pixels (B,G,R) = (10,20,30) (40,50,60) / (70,80,90) (100,110,120)
+    full = bmp(2, 2, [bytes([10, 20, 30, 40, 50, 60]),
+                      bytes([70, 80, 90, 100, 110, 120])])
+    truncated = bmp(2, 2, [bytes([10, 20, 30, 40, 50, 60])])[: 54 + 7]
+    media = spark.createDataFrame(
+        [(1, bytearray(full)), (2, bytearray(truncated)), (3, bytearray(b"JUNK"))],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r for r in image_pixel_features(media).collect()}
+    assert out[1].n_pixels == 4
+    assert (out[1].mean_b, out[1].mean_g, out[1].mean_r) == (
+        (10 + 40 + 70 + 100) // 4, (20 + 50 + 80 + 110) // 4,
+        (30 + 60 + 90 + 120) // 4,
+    )
+    assert out[2].n_pixels == 2  # 7 bytes -> 2 complete pixels
+    assert out[3].n_pixels is None

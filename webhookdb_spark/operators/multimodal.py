@@ -1086,3 +1086,115 @@ def sql_media_audio_features(table: str = "documents") -> str:
            END AS peak
     FROM sig
     """
+
+
+# -- Real pixel-domain features (BMP, exact integer math) --------------------
+
+_IMAGE_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_pixels", T.IntegerType()),
+        T.StructField("mean_b", T.IntegerType()),
+        T.StructField("mean_g", T.IntegerType()),
+        T.StructField("mean_r", T.IntegerType()),
+    ]
+)
+
+
+def image_pixel_features(media: DataFrame) -> DataFrame:
+    """REAL pixel-domain statistics from uncompressed 24-bpp BMPs: walk
+    the actual BMP layout (pixel array at the header's offset, rows
+    padded to 4-byte strides) and compute per-channel BGR means over
+    every complete pixel the buffer actually contains — numpy kernel,
+    Arrow-batched, exact integer division so the DuckDB twin reproduces
+    the values bit-for-bit. Non-BMP / truncated payloads yield NULL
+    rows (the standard filterable-not-fatal posture)."""
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(b)
+                if len(buf) < 54 or buf[:2] != b"BM":
+                    rows.append((mid, None, None, None, None))
+                    continue
+                off = struct.unpack_from("<I", buf, 10)[0]
+                w = struct.unpack_from("<i", buf, 18)[0]
+                h = struct.unpack_from("<i", buf, 22)[0]
+                bpp = struct.unpack_from("<H", buf, 28)[0]
+                if bpp != 24 or w <= 0 or h == 0:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                stride = (w * 3 + 3) // 4 * 4
+                sums = np.zeros(3, dtype=np.int64)
+                count = 0
+                for r in range(abs(h)):
+                    start = off + r * stride
+                    avail = min(w * 3, len(buf) - start)
+                    if avail < 3:
+                        continue
+                    px = np.frombuffer(
+                        buf, dtype=np.uint8, count=avail - avail % 3, offset=start
+                    ).reshape(-1, 3)
+                    sums += px.astype(np.int64).sum(axis=0)
+                    count += len(px)
+                if count == 0:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                rows.append(
+                    (mid, count, int(sums[0]) // count,
+                     int(sums[1]) // count, int(sums[2]) // count)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_pixels", "mean_b", "mean_g", "mean_r"],
+            )
+
+    return scale_out(media.select("media_id", "content")).mapInPandas(
+        feats, schema=_IMAGE_FEAT_SCHEMA
+    )
+
+
+def sql_media_pixel_features(table: str = "documents") -> str:
+    """DuckDB twin of media_bmp_from_documents →
+    :func:`image_pixel_features`: the same stride-aware pixel walk over
+    the identical hex string (pixel array at byte 54, rows padded to
+    4-byte strides, complete BGR triplets only)."""
+    n = "octet_length(encode(text))"
+    w = "(doc_id % 64 + 1)"
+    h = "(doc_id % 48 + 1)"
+    hx = sql_media_bmp_hex(table)
+    # byte value at 0-based offset p of the payload == hex chars [2p+1, 2p+2]
+    byte_at = "CAST('0x' || substr(hx, 2 * CAST({p} AS INTEGER) + 1, 2) AS BIGINT)"
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, ({hx}) AS hx,
+             {w} AS w, {h} AS h, {n} + 54 AS total,
+             ({w} * 3 + 3) // 4 * 4 AS stride
+      FROM {table}
+    ), px AS (
+      SELECT media_id, hx,
+             flatten(list_transform(range(0, h),
+               r -> list_filter(
+                      list_transform(range(0, w), c -> 54 + r * stride + c * 3),
+                      p -> p + 3 <= total))) AS ps
+      FROM m
+    )
+    SELECT media_id,
+           CASE WHEN len(ps) > 0 THEN CAST(len(ps) AS INTEGER) END AS n_pixels,
+           CASE WHEN len(ps) > 0 THEN CAST(
+             list_sum(list_transform(ps, p -> {byte_at.format(p='p')})) // len(ps)
+             AS INTEGER) END AS mean_b,
+           CASE WHEN len(ps) > 0 THEN CAST(
+             list_sum(list_transform(ps, p -> {byte_at.format(p='p + 1')})) // len(ps)
+             AS INTEGER) END AS mean_g,
+           CASE WHEN len(ps) > 0 THEN CAST(
+             list_sum(list_transform(ps, p -> {byte_at.format(p='p + 2')})) // len(ps)
+             AS INTEGER) END AS mean_r
+    FROM px
+    """
