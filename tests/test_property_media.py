@@ -220,3 +220,27 @@ def test_null_mode_never_dies_on_arbitrary_payloads(spark, payloads):
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
+
+
+@given(_doc_rows)
+@_settings
+def test_audio_and_pixel_features_cross_engine(spark, rows):
+    """The two real-DSP twins (PCM waveform stats, stride-aware pixel
+    means) under arbitrary unicode payloads: multi-byte UTF-8 makes the
+    byte/hex offset math adversarial in exactly the way ASCII fixtures
+    are not."""
+    df = spark.createDataFrame(list(rows), "doc_id long, text string")
+    con = _duck_docs(rows)
+
+    got = sorted(
+        tuple(r) for r in M.audio_features(M.media_wav_from_documents(df)).collect()
+    )
+    want = sorted(tuple(r) for r in con.execute(M.sql_media_audio_features()).fetchall())
+    assert got == want
+
+    got = sorted(
+        tuple(r)
+        for r in M.image_pixel_features(M.media_bmp_from_documents(df)).collect()
+    )
+    want = sorted(tuple(r) for r in con.execute(M.sql_media_pixel_features()).fetchall())
+    assert got == want
