@@ -500,3 +500,36 @@ def test_corpus_filter_cross_engine(spark, texts):
     s = sorted([tuple(r) for r in corpus_filter(df).collect()])
     o = sorted([tuple(r) for r in con.execute(sql_corpus_filter()).fetchall()])
     assert s == o
+
+
+@given(st.lists(_text, min_size=2, max_size=14))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_dedup_cross_engine(spark, texts):
+    """Batch-vs-corpus LSH dedup twins under arbitrary text, including
+    planted near-dup structure across the batch/corpus carve (every
+    even doc repeats the preceding odd doc's text)."""
+    from webhookdb_spark.operators.dedup import (
+        incremental_minhash_dedup, sql_incremental_minhash_dedup,
+    )
+
+    docs = []
+    for i, t in enumerate(texts):
+        docs.append((i, texts[i - 1] if i % 2 == 1 and len(t) < 10 else t))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    s = sorted(
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            df.where(F.col("doc_id") % 2 == 0), df.where(F.col("doc_id") % 2 != 0)
+        ).collect()
+    )
+    o = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_incremental_minhash_dedup(new_pred="doc_id % 2 = 0")
+        ).fetchall()
+    )
+    assert s == o
