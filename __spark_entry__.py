@@ -299,6 +299,92 @@ WHERE {CONV_TO_I.sql("json_extract_string(props, '$.k')")} IS NOT NULL
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue of undelivered orders by order, top 10.
+    Exact-decimal revenue; (revenue desc, orderkey asc) tie-break keeps
+    the limit deterministic. The limit rides a TakeOrderedAndProject —
+    each task keeps its local top-10, no global sort materializes."""
+    orders = load(spark, sf, "orders")
+    lineitem = load(spark, sf, "lineitem")
+    customer = load(spark, sf, "customer")
+    cutoff = "1995-03-15"
+    joined = (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > cutoff)
+    )
+    rev = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(rev.cast("double"), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_big_spenders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity clears a threshold, joined back to the customer —
+    a HAVING-over-join with map-side partial aggregation."""
+    orders = load(spark, sf, "orders")
+    lineitem = load(spark, sf, "lineitem")
+    customer = load(spark, sf, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", 2)).alias("_qty"))
+        .where(F.col("_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("orderdate"),
+            F.round(F.col("o_totalprice").cast("double"), 6).alias("totalprice"),
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                  AS DOUBLE), 6) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+SQL_BIG_SPENDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING qty > 150
+)
+SELECT c_name, c_custkey, o_orderkey,
+       o_orderdate AS orderdate,
+       round(CAST(o_totalprice AS DOUBLE), 6) AS totalprice,
+       CAST(qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP aggregation over the region/nation hierarchy."""
     nation = F.broadcast(load(spark, sf, "nation"))
@@ -907,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str2inthash_buckets": q_str2inthash_buckets,
         "json_extraction": q_json_extraction,
         "rollup_revenue": q_rollup_revenue,
+        "shipping_priority": q_shipping_priority,
+        "big_spenders": q_big_spenders,
         "set_ops": q_set_ops,
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -971,6 +1059,8 @@ def oracle_sql() -> dict[str, str]:
         "str2inthash_buckets": SQL_STR2INTHASH,
         "json_extraction": SQL_JSON_EXTRACTION,
         "rollup_revenue": SQL_ROLLUP,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "big_spenders": SQL_BIG_SPENDERS,
         "set_ops": SQL_SET_OPS,
         "row_cap": SQL_ROW_CAP,
         "retention_candidates": SQL_RETENTION,

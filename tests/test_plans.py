@@ -335,3 +335,12 @@ def test_ivfpq_joins_broadcast_never_cartesian(spark):
     assert p.count("BroadcastHashJoin") >= 2, p
     assert p.count("BroadcastNestedLoopJoin") <= 2, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_shipping_priority_top10_never_global_sorts(spark):
+    """The Q3-shape limit must compile to TakeOrderedAndProject (local
+    per-task top-10 + merge) — a global Sort before a limit of 10 is a
+    full-corpus sort for 10 rows."""
+    p = plan_of(entry.queries()["shipping_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+    assert "rangepartitioning" not in p, p
