@@ -713,6 +713,20 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Token -> (df_count, sorted postings): one groupBy over distinct
+    doc tokens — the buildable-and-bucketable retrieval index."""
+    return C.inverted_index(load(spark, sf, "documents"))
+
+
+def q_search_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive boolean retrieval by count-matching: docs containing
+    every query term, no driver-side posting intersection."""
+    return C.search_all_terms(
+        load(spark, sf, "documents"), ("spark", "merge", "window")
+    )
+
+
 def q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
     """C4/Gopher-style rule cascade (lang allowlist, source blocklist,
     length bounds, badword screen) as one shuffle-free narrow map with
@@ -1019,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mix": q_weighted_mix,
         "sequence_pack": q_sequence_pack,
         "corpus_filter": q_corpus_filter,
+        "inverted_index": q_inverted_index,
+        "search_terms": q_search_terms,
         "asof_join_events": q_asof_join,
         "kmv_distinct": q_kmv_distinct,
         "range_join_events": q_range_join,
@@ -1085,6 +1101,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mix": SA.sql_weighted_mix(source_weights=MIX_WEIGHTS),
         "sequence_pack": SA.sql_sequence_pack(),
         "corpus_filter": C.sql_corpus_filter(),
+        "inverted_index": C.sql_inverted_index(),
+        "search_terms": C.sql_search_all_terms(),
         "asof_join_events": J.sql_asof_join_events(),
         "kmv_distinct": SK.sql_kmv_distinct(),
         "range_join_events": J.sql_range_join_events(window_seconds=1800),

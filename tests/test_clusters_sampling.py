@@ -202,3 +202,17 @@ def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
     assert out["small"].exact_k and out["small"].est_distinct == 10
     assert not out["big"].exact_k
     assert abs(out["big"].est_distinct - 1000) / 1000 < 0.3, out["big"]
+
+
+def test_search_all_terms_requires_every_term(spark):
+    from webhookdb_spark.operators.corpus import search_all_terms
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "c a"), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id for r in search_all_terms(df, ("a", "c")).collect()}
+    assert out == {1, 3}
+    # duplicate terms in the query must not double-count
+    out2 = {r.doc_id for r in search_all_terms(df, ("a", "a", "c")).collect()}
+    assert out2 == {1, 3}

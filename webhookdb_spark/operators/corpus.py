@@ -153,3 +153,85 @@ def sql_length_stats(
     FROM b
     GROUP BY {strata_col}
     """
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, df_count, postings): the classic inverted index as a
+    table — distinct tokens per document, one groupBy on the token,
+    postings kept sorted for deterministic storage. At 100 TB the
+    postings column for a stop-word-grade token is the skew case: store
+    the index bucketed by token and leave `postings` unmaterialized
+    (drop the collect_list) for tokens above a df threshold — the
+    `df_count` aggregate itself is map-side combined and cheap. This
+    operator materializes postings because the testdata vocabulary is
+    bounded; the query path (:func:`search_all_terms`) never reads
+    them."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), WS))
+    posting = (
+        bind(scale_out(df.select("doc_id", text_col)), "_t", toks)
+        .select("doc_id", F.explode("_t").alias("token"))
+    )
+    return posting.groupBy("token").agg(
+        F.count("*").cast("int").alias("df_count"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+def search_all_terms(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents containing ALL ``terms`` (conjunctive boolean search),
+    as (doc_id, n_terms_matched). The distributed shape is
+    count-matching: explode distinct doc tokens, semi-restrict to the
+    query terms (a literal isin — map-side), group by doc and keep
+    docs matching every term. No posting-list intersection materializes
+    driver-side, and the (doc, term) stream is pre-shrunk by the isin
+    filter to |terms| rows per doc max."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), WS))
+    hits = (
+        bind(scale_out(df.select("doc_id", text_col)), "_t", toks)
+        .select("doc_id", F.explode("_t").alias("token"))
+        .where(F.col("token").isin(*terms))
+    )
+    n = len(set(terms))
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_terms_matched"))
+        .where(F.col("n_terms_matched") == n)
+    )
+
+
+def sql_inverted_index(table: str = "documents") -> str:
+    """DuckDB twin of :func:`inverted_index` (postings compared as the
+    sorted list itself)."""
+    t = SQL_TOKENS.format(c="text")
+    return f"""
+    WITH p AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct({t})) AS token FROM {table}
+    )
+    SELECT token, CAST(count(*) AS INTEGER) AS df_count,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM p GROUP BY token
+    """
+
+
+def sql_search_all_terms(
+    table: str = "documents", terms: tuple[str, ...] = ("spark", "merge", "window")
+) -> str:
+    """DuckDB twin of :func:`search_all_terms`."""
+    t = SQL_TOKENS.format(c="text")
+    terms_sql = ", ".join(f"'{x}'" for x in sorted(set(terms)))
+    n = len(set(terms))
+    return f"""
+    WITH p AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct({t})) AS token FROM {table}
+    )
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_matched
+    FROM p WHERE token IN ({terms_sql})
+    GROUP BY doc_id HAVING count(*) = {n}
+    """
