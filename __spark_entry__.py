@@ -727,6 +727,15 @@ def q_search_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_search_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF-style ranked retrieval with an exact-integer idf proxy
+    (log-free so the ranking is oracle-verifiable); top-k rides
+    TakeOrderedAndProject, never a global sort."""
+    return C.search_ranked(
+        load(spark, sf, "documents"), ("spark", "merge", "window")
+    )
+
+
 def q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
     """C4/Gopher-style rule cascade (lang allowlist, source blocklist,
     length bounds, badword screen) as one shuffle-free narrow map with
@@ -1035,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "inverted_index": q_inverted_index,
         "search_terms": q_search_terms,
+        "search_ranked": q_search_ranked,
         "asof_join_events": q_asof_join,
         "kmv_distinct": q_kmv_distinct,
         "range_join_events": q_range_join,
@@ -1103,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": C.sql_corpus_filter(),
         "inverted_index": C.sql_inverted_index(),
         "search_terms": C.sql_search_all_terms(),
+        "search_ranked": C.sql_search_ranked(),
         "asof_join_events": J.sql_asof_join_events(),
         "kmv_distinct": SK.sql_kmv_distinct(),
         "range_join_events": J.sql_range_join_events(window_seconds=1800),

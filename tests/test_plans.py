@@ -344,3 +344,12 @@ def test_shipping_priority_top10_never_global_sorts(spark):
     p = plan_of(entry.queries()["shipping_priority"](spark, SF))
     assert "TakeOrderedAndProject" in p, p
     assert "rangepartitioning" not in p, p
+
+
+def test_search_ranked_topk_never_global_sorts(spark):
+    """Ranked retrieval's top-k must be TakeOrderedAndProject — a
+    stop-word query matches most of the corpus and a global sort there
+    is the retrieval scale bug."""
+    p = plan_of(entry.queries()["search_ranked"](spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+    assert "rangepartitioning" not in p, p

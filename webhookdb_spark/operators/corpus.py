@@ -235,3 +235,97 @@ def sql_search_all_terms(
     FROM p WHERE token IN ({terms_sql})
     GROUP BY doc_id HAVING count(*) = {n}
     """
+
+
+def search_ranked(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """TF-IDF-style ranked retrieval (disjunctive): score every doc
+    containing any query term by ``sum over matched terms of
+    tf * idf_proxy`` where ``idf_proxy = N * 1e6 div df`` — rarer terms
+    weigh more, exactly the IDF ordering, computed entirely in BIGINT
+    arithmetic because ``log``-based BM25/IDF is not bit-reproducible
+    across engines (libm), and a retrieval stage that cannot be
+    oracle-verified is a silent-corruption risk in a pipeline.
+
+    Shape: term df-counts come from one aggregate over the (doc, term)
+    stream pre-shrunk by the literal ``isin`` (map-side); the per-doc
+    score is a second small aggregate; top-k rides the usual
+    deterministic window. ``N`` joins as a broadcast 1-row scalar.
+    """
+    term_list = sorted(set(terms))
+    toks = F.split(F.trim(F.col(text_col)), WS)
+    hits = (
+        bind(scale_out(df.select("doc_id", text_col)), "_t", toks)
+        .select("doc_id", F.explode("_t").alias("token"))
+        .where(F.col("token").isin(*term_list))
+    )
+    n_docs = df.select(F.count("*").cast("long").alias("n")).alias("nd")
+    dfreq = (
+        hits.select("doc_id", "token").distinct()
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    tf = hits.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("tf * (n * 1000000L div df)")).alias("score"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+    )
+    # top-k via orderBy+limit -> TakeOrderedAndProject (per-task local
+    # top-k, no global sort); ranking the <= k survivors afterwards is a
+    # k-row window, not a corpus-wide one
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "score", "n_terms_matched",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def sql_search_ranked(
+    table: str = "documents",
+    terms: tuple[str, ...] = ("spark", "merge", "window"),
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`search_ranked` — same integer idf-proxy,
+    same tie-breaks."""
+    t = SQL_TOKENS.format(c="text")
+    terms_sql = ", ".join(f"'{x}'" for x in sorted(set(terms)))
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, unnest({t}) AS token FROM {table}
+    ), q AS (
+      SELECT doc_id, token FROM hits WHERE token IN ({terms_sql})
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM {table}
+    ), dfreq AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM q GROUP BY token
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM q GROUP BY doc_id, token
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum(tf.tf * (nd.n * 1000000 // dfreq.df)) AS score,
+             CAST(count(*) AS INTEGER) AS n_terms_matched
+      FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, n_terms_matched, rank FROM (
+      SELECT doc_id, score, n_terms_matched,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
