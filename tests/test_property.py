@@ -533,3 +533,43 @@ def test_incremental_dedup_cross_engine(spark, texts):
         ).fetchall()
     )
     assert s == o
+
+
+@given(st.lists(_text, min_size=1, max_size=16))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_retrieval_cross_engine(spark, texts):
+    """Inverted index + ranked retrieval twins under arbitrary unicode
+    corpora; query terms drawn from the corpus itself so matches are
+    non-trivial."""
+    from webhookdb_spark.operators.corpus import (
+        inverted_index, search_ranked, sql_inverted_index, sql_search_ranked,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+
+    s = sorted(
+        (r.token, r.df_count, tuple(r.postings))
+        for r in inverted_index(df).collect()
+    )
+    o = sorted(
+        (t, c, tuple(p))
+        for t, c, p in con.execute(sql_inverted_index()).fetchall()
+    )
+    assert s == o
+
+    # terms: first token of the first doc + a never-present sentinel
+    first = (texts[0].strip().split() or ["zz_absent"])[0]
+    terms = (first, "zz_absent_term")
+    s2 = sorted(tuple(r) for r in search_ranked(df, terms).collect())
+    o2 = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_search_ranked(terms=terms)
+        ).fetchall()
+    )
+    assert s2 == o2
