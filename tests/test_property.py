@@ -553,11 +553,11 @@ def test_retrieval_cross_engine(spark, texts):
     con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
 
     s = sorted(
-        (r.token, r.df_count, tuple(r.postings))
+        (r.token, r.df_count, r.postings)
         for r in inverted_index(df).collect()
     )
     o = sorted(
-        (t, c, tuple(p))
+        (t, c, p)
         for t, c, p in con.execute(sql_inverted_index()).fetchall()
     )
     assert s == o

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from webhookdb_spark.operators.text import SQL_TOKENS, WS
-from webhookdb_spark.operators.util import bind, scale_out
+from webhookdb_spark.operators.util import bind, scale_out, sql_str_list
 
 DEFAULT_LANGS = ("en", "de", "fr", "es")
 DEFAULT_BLOCKED_SOURCES = ("src13", "src17")
@@ -80,9 +80,9 @@ def sql_corpus_filter(
 ) -> str:
     """DuckDB twin of :func:`corpus_filter`."""
     t = SQL_TOKENS.format(c="text")
-    langs_sql = ", ".join(f"'{x}'" for x in langs)
-    src_sql = ", ".join(f"'{x}'" for x in blocked_sources)
-    bad_sql = ", ".join(f"'{x}'" for x in badwords)
+    langs_sql = sql_str_list(langs)
+    src_sql = sql_str_list(blocked_sources)
+    bad_sql = sql_str_list(badwords)
     return f"""
     WITH b AS (
       SELECT doc_id, lang, source, {t} AS t FROM {table}
@@ -161,7 +161,9 @@ def inverted_index(
 ) -> DataFrame:
     """(token, df_count, postings): the classic inverted index as a
     table — distinct tokens per document, one groupBy on the token,
-    postings kept sorted for deterministic storage. At 100 TB the
+    postings kept sorted and emitted as a ','-joined string so the
+    result is flat-scalar (hashable by any downstream canonicalizer
+    that sorts rows, e.g. a pandas comparator). At 100 TB the
     postings column for a stop-word-grade token is the skew case: store
     the index bucketed by token and leave `postings` unmaterialized
     (drop the collect_list) for tokens above a df threshold — the
@@ -176,7 +178,13 @@ def inverted_index(
     )
     return posting.groupBy("token").agg(
         F.count("*").cast("int").alias("df_count"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 
@@ -208,14 +216,14 @@ def search_all_terms(
 
 def sql_inverted_index(table: str = "documents") -> str:
     """DuckDB twin of :func:`inverted_index` (postings compared as the
-    sorted list itself)."""
+    sorted ','-joined string)."""
     t = SQL_TOKENS.format(c="text")
     return f"""
     WITH p AS (
       SELECT DISTINCT doc_id, unnest(list_distinct({t})) AS token FROM {table}
     )
     SELECT token, CAST(count(*) AS INTEGER) AS df_count,
-           list(doc_id ORDER BY doc_id) AS postings
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
     FROM p GROUP BY token
     """
 
@@ -225,7 +233,7 @@ def sql_search_all_terms(
 ) -> str:
     """DuckDB twin of :func:`search_all_terms`."""
     t = SQL_TOKENS.format(c="text")
-    terms_sql = ", ".join(f"'{x}'" for x in sorted(set(terms)))
+    terms_sql = sql_str_list(sorted(set(terms)))
     n = len(set(terms))
     return f"""
     WITH p AS (
@@ -302,7 +310,7 @@ def sql_search_ranked(
     """DuckDB twin of :func:`search_ranked` — same integer idf-proxy,
     same tie-breaks."""
     t = SQL_TOKENS.format(c="text")
-    terms_sql = ", ".join(f"'{x}'" for x in sorted(set(terms)))
+    terms_sql = sql_str_list(sorted(set(terms)))
     return f"""
     WITH hits AS (
       SELECT doc_id, unnest({t}) AS token FROM {table}
@@ -318,7 +326,7 @@ def sql_search_ranked(
       FROM q GROUP BY doc_id, token
     ), scored AS (
       SELECT tf.doc_id,
-             sum(tf.tf * (nd.n * 1000000 // dfreq.df)) AS score,
+             CAST(sum(tf.tf * (nd.n * 1000000 // dfreq.df)) AS BIGINT) AS score,
              CAST(count(*) AS INTEGER) AS n_terms_matched
       FROM tf JOIN dfreq USING (token) CROSS JOIN nd
       GROUP BY tf.doc_id

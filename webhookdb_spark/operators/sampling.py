@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from webhookdb_spark.operators.util import sql_str_lit
+
 
 def sample_order(id_col: Column) -> Column:
     """The deterministic shuffle key: md5 of the id rendered as text.
@@ -152,8 +154,10 @@ def sql_corpus_split(
     items = list(weights.items())
     for name, wt in items[:-1]:
         acc += wt / total
-        whens.append(f"WHEN {b} < {int(acc * float(1 << 28))} THEN '{name}'")
-    case = "CASE " + " ".join(whens) + f" ELSE '{items[-1][0]}' END"
+        whens.append(
+            f"WHEN {b} < {int(acc * float(1 << 28))} THEN {sql_str_lit(name)}"
+        )
+    case = "CASE " + " ".join(whens) + f" ELSE {sql_str_lit(items[-1][0])} END"
     return f"SELECT {cols}, {case} AS split FROM {table}"
 
 
@@ -167,7 +171,7 @@ def sql_weighted_mix(
     """DuckDB twin of :func:`weighted_mix`."""
     source_weights = source_weights or {}
     whens = " ".join(
-        f"WHEN '{s}' THEN {int(min(max(w, 0.0), 1.0) * float(1 << 28))}"
+        f"WHEN {sql_str_lit(s)} THEN {int(min(max(w, 0.0), 1.0) * float(1 << 28))}"
         for s, w in source_weights.items()
     )
     cutoff = f"CASE {source_col} {whens} ELSE {1 << 28} END"
@@ -325,8 +329,8 @@ def sql_sequence_pack(
     )
     SELECT {id_col},
            CAST(n_tokens AS INTEGER) AS n_tokens,
-           gs AS global_offset,
-           gs // {L} AS pack_id,
+           CAST(gs AS BIGINT) AS global_offset,
+           CAST(gs // {L} AS BIGINT) AS pack_id,
            CAST(gs % {L} AS INTEGER) AS pack_offset,
            CAST((gs + n_tokens - 1) // {L} - gs // {L} + 1 AS INTEGER) AS n_packs
     FROM c

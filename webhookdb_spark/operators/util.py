@@ -40,6 +40,19 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def sql_str_lit(x) -> str:
+    """Render a Python string as a SQL string literal, escaping embedded
+    single quotes (the only metacharacter inside a standard literal).
+    Every oracle-twin builder that interpolates user-supplied strings
+    must route through this (or :func:`sql_str_list`)."""
+    return "'" + str(x).replace("'", "''") + "'"
+
+
+def sql_str_list(items) -> str:
+    """Render a string iterable as a comma-separated SQL literal list."""
+    return ", ".join(sql_str_lit(x) for x in items)
+
+
 def bind(df: DataFrame, name: str, expr: Column) -> DataFrame:
     """Materialize ``expr`` as column ``name`` behind a projection
     barrier, guaranteeing it is evaluated exactly once per row.
