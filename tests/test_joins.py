@@ -67,6 +67,22 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert out[2].event_id_r == 90  # 30s fresh
 
 
+def test_asof_null_right_column_stays_with_its_row(spark):
+    """A matched right row whose carried column is NULL must carry that
+    NULL — not inherit an older row's value for just that field (the
+    per-column last(ignorenulls) bug ADVICE r4 flagged)."""
+    left = _left(spark, [(1, 7, ts(100))])
+    right = _right(
+        spark, [(90, 7, ts(20), 5.0), (91, 7, ts(60), None)]
+    )
+    out = asof_join(
+        left, right, key="user_id", ts="ts", right_cols=("event_id", "value")
+    ).collect()[0]
+    assert out.event_id_r == 91
+    assert out.ts_r == ts(60)
+    assert out.value_r is None  # from row 91, not row 90's 5.0
+
+
 def test_asof_plan_is_one_keyed_shuffle_no_cross_product(spark):
     from tests.test_plans import plan_of
 

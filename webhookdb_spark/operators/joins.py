@@ -45,53 +45,72 @@ def asof_join(
     with ``right.ts <= left.ts`` on the same key (NULLs when none).
 
     Plan shape: tag both sides, union, one window partitioned by
-    ``key`` ordered by (ts, side, right-id): at equal timestamps the
+    ``key`` ordered by (ts, side, right-row): at equal timestamps the
     right row sorts FIRST so it is visible to a left row at the same
     instant (the <= convention, matching DuckDB/pandas ``merge_asof``
     backward semantics). ``tolerance_seconds`` nulls out matches older
     than the horizon after the fact — same contract as pandas.
+
+    All carried columns ride in ONE struct and the window takes
+    ``last(ignorenulls)`` over that struct, so every carried field
+    comes from the SAME matched right row — a right row whose carried
+    column is NULL must not inherit an older row's value for just that
+    field (per-column ``last(ignorenulls)`` would mix rows, diverging
+    from DuckDB ASOF / pandas merge_asof when right columns contain
+    NULLs).
     """
+    from pyspark.sql.types import StructField, StructType
+
     rts = f"{ts}{suffix}"
     lcols = [c for c in left.columns]
     carried = [rts] + [f"{c}{suffix}" for c in right_cols]
+    rtype = StructType(
+        [StructField(rts, right.schema[ts].dataType)]
+        + [StructField(f"{c}{suffix}", right.schema[c].dataType)
+           for c in right_cols]
+    )
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in (ts, *right_cols)],
+        F.lit(None).cast(rtype).alias("_rrow"),
     )
     r_tag = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("_side"),
-        F.col(ts).alias(rts),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(
+            F.col(ts).alias(rts),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        ).alias("_rrow"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in (key, ts)],
     )
     u = l_tag.unionByName(r_tag)
+    # struct comparison is lexicographic by field, so ties between
+    # right rows at the same instant resolve deterministically
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col(rts).asc())
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_rrow").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.select(
         *lcols,
         "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_m"),
     ).where(F.col("_side") == 1)
     if tolerance_seconds is not None:
         horizon = (
-            F.col(ts).cast("timestamp").cast("long") - F.col(rts).cast("timestamp").cast("long")
+            F.col(ts).cast("timestamp").cast("long")
+            - F.col("_m")[rts].cast("timestamp").cast("long")
             <= F.lit(int(tolerance_seconds))
         )
-        matched = matched.select(
+        return matched.select(
             *lcols,
-            *[F.when(horizon, F.col(c)).alias(c) for c in carried],
+            *[F.when(horizon, F.col("_m")[c]).alias(c) for c in carried],
         )
-    else:
-        matched = matched.select(*lcols, *carried)
-    return matched
+    return matched.select(
+        *lcols, *[F.col("_m")[c].alias(c) for c in carried]
+    )
 
 
 def sql_asof_join_events(
