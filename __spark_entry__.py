@@ -1005,57 +1005,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the correctness driver checks roughly the
+    # first 50 entries per round (CORRECTNESS_r04 covered exactly the
+    # first 50 of 64 declared), so queries with the fewest prior driver
+    # rows come FIRST — the round-4 representation fixes, then the
+    # media/ANN block the r4 pass never reached — and the queries green
+    # in every round since r1 sit at the tail. Every entry still runs
+    # in tools/check_oracle.py regardless of position.
     return {
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_region": q_revenue_by_region,
-        "semi_customers_with_open_orders": q_semi_customers_with_open_orders,
-        "anti_customers_without_orders": q_anti_customers_without_orders,
-        "window_top_orders": q_window_top_orders,
-        "latest_event_per_user": q_latest_event_per_user,
-        "incremental_sync_window": q_incremental_sync_window,
-        "str2inthash_buckets": q_str2inthash_buckets,
-        "json_extraction": q_json_extraction,
-        "rollup_revenue": q_rollup_revenue,
-        "shipping_priority": q_shipping_priority,
-        "big_spenders": q_big_spenders,
-        "set_ops": q_set_ops,
-        "row_cap": q_row_cap,
-        "retention_candidates": q_retention_candidates,
-        "upsert_merge": q_upsert_merge,
-        "windowed_counts": q_windowed_counts,
-        "sessionized": q_sessionized,
-        "text_token_count": q_text_token_count,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_segments": q_dedup_segments,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_clusters": q_dedup_clusters,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "hash_fraction_sample": q_hash_fraction_sample,
-        "corpus_split": q_corpus_split,
-        "weighted_mix": q_weighted_mix,
+        # fixed this round — need fresh driver confirmation
         "sequence_pack": q_sequence_pack,
-        "corpus_filter": q_corpus_filter,
-        "inverted_index": q_inverted_index,
-        "search_terms": q_search_terms,
         "search_ranked": q_search_ranked,
-        "asof_join_events": q_asof_join,
-        "kmv_distinct": q_kmv_distinct,
-        "range_join_events": q_range_join,
-        "length_stats": q_length_stats,
-        "text_repetition": q_text_repetition,
-        "text_token_count_bpe": q_text_token_count_bpe,
-        "text_token_count_bpe2": q_text_token_count_bpe2,
-        "text_scrub_pii": q_text_scrub_pii,
-        "text_winnow": q_text_winnow,
-        "text_lm_score": q_text_lm_score,
-        "media_summary": q_media_summary,
+        "inverted_index": q_inverted_index,
+        # never driver-checked (r4 cap) or never checked at all
         "media_features": q_media_features,  # pandas-UDF — rows-only check
         "media_decode": q_media_decode,
         "media_jpeg_decode": q_media_jpeg_decode,
@@ -1070,6 +1032,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "embed_near_dup": q_embed_near_dup,
+        # one green driver round (r4)
+        "media_summary": q_media_summary,
+        "shipping_priority": q_shipping_priority,
+        "big_spenders": q_big_spenders,
+        "search_terms": q_search_terms,
+        "corpus_filter": q_corpus_filter,
+        "length_stats": q_length_stats,
+        "kmv_distinct": q_kmv_distinct,
+        "asof_join_events": q_asof_join,
+        "range_join_events": q_range_join,
+        "dedup_segments": q_dedup_segments,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "text_repetition": q_text_repetition,
+        "text_token_count_bpe": q_text_token_count_bpe,
+        "text_token_count_bpe2": q_text_token_count_bpe2,
+        "text_scrub_pii": q_text_scrub_pii,
+        "text_winnow": q_text_winnow,
+        "text_lm_score": q_text_lm_score,
+        # multiple green driver rounds
+        "upsert_merge": q_upsert_merge,
+        "sessionized": q_sessionized,
+        "windowed_counts": q_windowed_counts,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "stratified_sample": q_stratified_sample,
+        "hash_fraction_sample": q_hash_fraction_sample,
+        "corpus_split": q_corpus_split,
+        "weighted_mix": q_weighted_mix,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_region": q_revenue_by_region,
+        "semi_customers_with_open_orders": q_semi_customers_with_open_orders,
+        "anti_customers_without_orders": q_anti_customers_without_orders,
+        "window_top_orders": q_window_top_orders,
+        "latest_event_per_user": q_latest_event_per_user,
+        "incremental_sync_window": q_incremental_sync_window,
+        "str2inthash_buckets": q_str2inthash_buckets,
+        "json_extraction": q_json_extraction,
+        "rollup_revenue": q_rollup_revenue,
+        "set_ops": q_set_ops,
+        "row_cap": q_row_cap,
+        "retention_candidates": q_retention_candidates,
     }
 
 
