@@ -373,4 +373,41 @@ def test_pipeline_delivery_dedup_absorbs_retry_storm(spark, tmp_warehouse):
     table = wh.table("org1", "fake_v1")
     assert table.read().count() == 3
     audit = spark.read.parquet(str(tmp_warehouse / "audit"))
-    assert audit.count() == 3  # the retry never reached the audit append
+    # documented trade of the stream-level knob: the dropped retry never
+    # reaches the audit append (reference parity needs dedup_deliveries)
+    assert audit.count() == 3
+
+
+def test_batch_delivery_dedup_preserves_audit_parity(spark, tmp_warehouse):
+    """IngestPipeline.dedup_deliveries dedups AFTER the audit append:
+    every delivery (retries included) lands in the archive — the
+    reference's log-then-process order (api/helpers.rb:271) — while the
+    merge sees each distinct delivery once."""
+    land = tmp_warehouse / "landing"
+    # k0 delivered twice byte-identical in the same batch + k1 once
+    write_envelopes(land, [{"my_id": "k0", "at": "2024-06-01T00:00:00Z"},
+                           {"my_id": "k1", "at": "2024-06-01T00:00:00Z"}])
+    write_envelopes(land, [{"my_id": "k0", "at": "2024-06-01T00:00:00Z"},
+                           {"my_id": "k0", "at": "2024-06-01T00:00:00Z"}])
+
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    pipeline = IngestPipeline(
+        warehouse=wh,
+        audit_table_path=str(tmp_warehouse / "audit"),
+        dedup_deliveries=True,
+    )
+    merged_counts: list[int] = []
+    pipeline.register(
+        IntegrationRuntime(
+            opaque_id="svi_a", org="org1", spec=FAKE_V1,
+            on_rowupsert=lambda df: merged_counts.append(df.count()),
+        )
+    )
+    pipeline.process_batch(read_envelopes(spark, str(land)))
+
+    assert wh.table("org1", "fake_v1").read().count() == 2  # k0, k1
+    # the merge path saw the deduped stream (2 distinct deliveries) ...
+    assert merged_counts == [2]
+    # ... but the audit archive holds all 4 raw deliveries
+    audit = spark.read.parquet(str(tmp_warehouse / "audit"))
+    assert audit.count() == 4

@@ -69,6 +69,13 @@ class IngestPipeline:
     # parallelize freely.
     _table_locks: dict[str, threading.Lock] = field(default_factory=dict, repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+    # Drop intra-batch duplicate deliveries (same integration + same raw
+    # body) AFTER the audit append — the reference logs every delivery
+    # at intake before processing (api/helpers.rb:271), so dedup must
+    # never starve the audit archive. Cross-batch retries are absorbed
+    # by the idempotent MERGE itself; this knob only saves the
+    # shape+merge cost for retry bursts landing in one micro-batch.
+    dedup_deliveries: bool = False
     # Injection point for tests; production always merges via
     # upsert_envelopes.
     _merge_fn: Callable = upsert_envelopes
@@ -112,12 +119,27 @@ class IngestPipeline:
             if self.audit_table_path and not is_replay:
                 # Audit log (logged_webhooks analog, api/helpers.rb:227-230):
                 # append-only, partitioned by arrival date for the trim jobs.
+                # This runs BEFORE any delivery dedup: the reference logs
+                # every delivery at intake (api/helpers.rb:271), retries
+                # included, so replay/forensics never lose rows.
                 (
                     envelopes.withColumn("_day", F.to_date("received_at"))
                     .write.mode("append")
                     .partitionBy("_day")
                     .parquet(self.audit_table_path)
                 )
+            if self.dedup_deliveries:
+                deduped = (
+                    envelopes.withColumn(
+                        "_dk",
+                        F.md5(F.concat_ws("|", "integration_opaque_id", "body")),
+                    )
+                    .dropDuplicates(["_dk"])
+                    .drop("_dk")
+                    .persist()
+                )
+                envelopes.unpersist()
+                envelopes = deduped
             present = [
                 r[0]
                 for r in envelopes.select("integration_opaque_id").distinct().collect()
@@ -184,6 +206,16 @@ class IngestPipeline:
         watermark-bounded delivery dedup (streaming/windows.py) ahead of
         shaping: provider retry storms are absorbed before they cost a
         shape + MERGE pass, with state bounded by the retry horizon.
+
+        AUDIT SEMANTICS: the stream-level dedup runs upstream of
+        ``foreachBatch``, so dropped retries never reach the audit
+        append — the archive records only the first delivery. The
+        reference logs EVERY delivery before processing
+        (api/helpers.rb:271); for that parity leave this unset and use
+        ``IngestPipeline.dedup_deliveries`` instead, which dedups after
+        the audit append inside the batch. Use the watermark variant
+        when retry-storm volume itself is the problem (it also spares
+        the audit write) and the trade is acceptable.
         """
         if isinstance(envelope_stream, str):
             from webhookdb_spark.sources.envelopes import read_envelope_stream
