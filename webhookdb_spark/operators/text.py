@@ -440,8 +440,72 @@ def sql_scrub_pii(table: str = "documents") -> str:
     """
 
 
+def _winnow_kernel(k: int, w: int):
+    """Arrow-batched winnowing kernel: per normalized text, md5-hash
+    every k-gram (C hashlib), sliding-window min via one numpy strided
+    view, distinct via np.unique.
+
+    JUSTIFIED UDF (same argument as similarity.sign_signature_udf):
+    the expression formulation is two higher-order transforms per row —
+    len(text) interpreted md5 invocations (each paying a fresh JVM
+    MessageDigest) plus an O(len·w) slice/array_min pass, all outside
+    whole-stage codegen. This was the suite's worst sf0.1→sf1 scale
+    ratio three rounds running. Hash parity is exact, not approximate:
+    the 28-bit fingerprint is the first 7 hex chars of md5 == the first
+    28 bits of the digest, integer math both sides."""
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, t in zip(pdf["doc_id"].values, pdf["_n"].values):
+                if t is None:
+                    continue
+                n_grams = max(len(t) - k + 1, 1)
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(t[i : i + k].encode("utf-8")).digest()[:4],
+                            "big",
+                        )
+                        >> 4
+                        for i in range(n_grams)
+                    ),
+                    dtype=np.int64,
+                    count=n_grams,
+                )
+                if n_grams >= w:
+                    mins = sliding_window_view(hs, w).min(axis=1)
+                else:
+                    mins = hs.min(keepdims=True)
+                u = np.unique(mins)
+                ids.append(np.full(len(u), doc_id, dtype=np.int64))
+                fps.append(u)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids) if ids else
+                    np.array([], dtype=np.int64),
+                    "fp": np.concatenate(fps) if fps else
+                    np.array([], dtype=np.int64),
+                }
+            )
+
+    return gen
+
+
 def winnow_fingerprints(
-    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing (the
     MOSS/local-minima scheme): hash every ``k``-char gram of the
@@ -452,9 +516,18 @@ def winnow_fingerprints(
     that whole-document md5 (:func:`fingerprint`) cannot provide.
 
     Hashes are md5-prefix 28-bit ints (engine-portable, like the
-    sampling buckets). All HOF expressions — O(len·w) per row, narrow,
-    no shuffle until the caller joins fingerprints."""
+    sampling buckets). Normalization stays a native Column expression
+    in both paths (identical bytes reach the hash). ``use_kernel=True``
+    (default) computes grams/mins in the Arrow-batched kernel — narrow,
+    no shuffle, hash-identical to the expression path, which remains
+    available (``use_kernel=False``) for pure-expression environments
+    or non-bigint id columns."""
     norm = ascii_lower(F.regexp_replace(F.trim(F.col(text_col)), WS, " "))
+    if use_kernel:
+        b = scale_out(df.select("doc_id", text_col)).select(
+            "doc_id", norm.alias("_n")
+        )
+        return b.mapInPandas(_winnow_kernel(k, w), "doc_id long, fp long")
     b = bind(scale_out(df.select("doc_id", text_col)), "_n", norm)
     n = F.col("_n")
     grams = F.transform(
