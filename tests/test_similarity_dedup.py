@@ -474,3 +474,68 @@ def test_incremental_dedup_stored_index_equals_cold_start(spark, tmp_path):
         ).collect()
     )
     assert cold == warm and len(cold) > 0
+
+
+def test_incremental_dedup_index_survives_restart_across_batches(spark, tmp_path):
+    """The 100 TB operating mode end-to-end: build the band index once,
+    persist it to parquet, then process TWO sequential batches against
+    the persisted index across a simulated restart (fresh reads, no
+    lineage to the builder). Batch-1 survivors are appended to the
+    stored index (batch-sized write) before batch 2 — the corpus text
+    is never re-signatured. Batch-1 results are verified against the
+    DuckDB twin; batch-2 results must equal the cold-start computation
+    over the grown corpus."""
+    import duckdb
+
+    from webhookdb_spark.operators.dedup import (
+        incremental_minhash_dedup, lsh_bands, minhash_signatures,
+        sql_incremental_minhash_dedup,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(src)
+    corpus = docs.where(F.col("doc_id") % 5 >= 2)
+    batch1 = docs.where(F.col("doc_id") % 5 == 0)
+    batch2 = docs.where(F.col("doc_id") % 5 == 1)
+
+    idx = str(tmp_path / "band_index")
+    lsh_bands(minhash_signatures(corpus)).write.parquet(idx)
+
+    # ---- restart boundary: everything below reads the index from disk
+    stored = spark.read.parquet(idx)
+    got1 = sorted(
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            batch1, corpus, corpus_bands=stored
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{src}'")
+    con.execute(
+        "CREATE VIEW d2 AS SELECT * FROM documents WHERE doc_id % 5 != 1"
+    )
+    want1 = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_incremental_minhash_dedup(table="d2", new_pred="doc_id % 5 = 0")
+        ).fetchall()
+    )
+    assert got1 == want1 and len(got1) > 0
+
+    # append batch-1 survivors' bands (batch-sized work) and reload
+    dup1 = {t[0] for t in got1}
+    survivors1 = batch1.where(~F.col("doc_id").isin(*dup1) if dup1 else F.lit(True))
+    lsh_bands(minhash_signatures(survivors1)).write.mode("append").parquet(idx)
+    stored2 = spark.read.parquet(idx)
+
+    corpus2 = corpus.unionByName(survivors1)
+    got2 = sorted(
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            batch2, corpus2, corpus_bands=stored2
+        ).collect()
+    )
+    cold2 = sorted(
+        tuple(r) for r in incremental_minhash_dedup(batch2, corpus2).collect()
+    )
+    assert got2 == cold2 and len(got2) > 0
