@@ -160,3 +160,43 @@ def test_readonly_blocks_any_datasource_path_table(spark):
     res = run_readonly_sql(spark, "SELECT count(*) AS n FROM ro_guard_ok")
     assert res.rows == [(3,)]
     assert spark.conf.get("spark.sql.runSQLOnFiles") == "true"
+
+
+def test_retrieval_reachable_from_readonly_sql_surface(spark):
+    """Retrieval ops compose with the read-only SQL surface: register a
+    documents view, expose a ranked search as a view, query it through
+    run_readonly_sql with the row cap, and confirm the validator still
+    rejects mutations against it."""
+    import pytest
+
+    from webhookdb_spark.plans.query_surface import (
+        QueryNotAllowed, create_retrieval_view, run_readonly_sql,
+    )
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("docs_rv")
+    create_retrieval_view(
+        spark, "docs_search", "docs_rv", terms=("spark", "merge"), k=10
+    )
+    res = run_readonly_sql(
+        spark,
+        "SELECT doc_id, score, rank FROM docs_search WHERE rank <= 5"
+        " ORDER BY rank",
+        max_rows=3,
+    )
+    assert res.max_rows_reached and len(res.rows) == 3
+    assert [r[2] for r in res.rows] == [1, 2, 3]
+
+    create_retrieval_view(
+        spark, "docs_all", "docs_rv", terms=("spark", "merge"),
+        mode="all_terms",
+    )
+    both = run_readonly_sql(
+        spark, "SELECT count(*) AS n FROM docs_all WHERE n_terms_matched = 2"
+    )
+    assert both.rows[0][0] > 0
+
+    with pytest.raises(QueryNotAllowed):
+        run_readonly_sql(spark, "DROP VIEW docs_search")
+    with pytest.raises(QueryNotAllowed):
+        create_retrieval_view(spark, "bad;name", "docs_rv", terms=("x",))

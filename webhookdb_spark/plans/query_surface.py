@@ -129,6 +129,47 @@ def readonly_df(spark: SparkSession, sql: str) -> DataFrame:
         return spark.sql(sql)
 
 
+# -- retrieval through the SQL surface -------------------------------------
+
+def create_retrieval_view(
+    spark: SparkSession,
+    name: str,
+    source_view: str,
+    terms: tuple[str, ...],
+    mode: str = "ranked",
+    k: int = 10,
+    text_col: str = "text",
+) -> None:
+    """Register a retrieval result as a temp view reachable from the
+    read-only SQL surface — the reference exposes every capability
+    through the org's SQL connection (organization.rb:146-164), so the
+    retrieval operators (operators/corpus.py) get the same posture:
+    compute over a CATALOG view (never a path), register the result,
+    and let users compose it with plain validated SELECTs.
+
+    ``mode``: ``"ranked"`` → :func:`~webhookdb_spark.operators.corpus.
+    search_ranked` (doc_id, score, n_terms_matched, rank);
+    ``"all_terms"`` → conjunctive :func:`search_all_terms`.
+
+    ``source_view`` resolves through ``spark.table`` under the same
+    no-SQL-on-files guard as user SQL, so only registered tables/views
+    can be searched. The view name is validated as an identifier (it is
+    interpolated into DDL)."""
+    from webhookdb_spark.operators.corpus import search_all_terms, search_ranked
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise QueryNotAllowed(f"invalid view name {name!r}")
+    with _no_sql_on_files(spark):
+        src = spark.table(source_view)
+    if mode == "ranked":
+        df = search_ranked(src, terms, text_col=text_col, k=k)
+    elif mode == "all_terms":
+        df = search_all_terms(src, terms, text_col=text_col)
+    else:
+        raise QueryNotAllowed(f"unknown retrieval mode {mode!r}")
+    df.createOrReplaceTempView(name)
+
+
 # -- saved queries / views (saved_query.rb, saved_view.rb) -----------------
 
 class SavedQueries:
