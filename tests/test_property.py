@@ -573,3 +573,64 @@ def test_retrieval_cross_engine(spark, texts):
         ).fetchall()
     )
     assert s2 == o2
+
+
+# -- round-5 PQ / IVF-PQ quantizer twins -------------------------------------
+
+# fixed-point-friendly vector entries: multiples of 0.25 are exact in
+# binary, so fold order cannot produce last-ulp divergence between the
+# engines' IEEE sums
+_vec8 = st.lists(
+    st.integers(min_value=-8, max_value=8).map(lambda i: i / 4.0),
+    min_size=8, max_size=8,
+)
+
+
+@given(st.lists(_vec8, min_size=4, max_size=12))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pq_and_ivfpq_cross_engine(spark, vecs):
+    """The hand-rolled PQ / IVF-PQ numeric twins (seeding, fixed-point
+    Lloyd, rounded L2 assignment, ADC fold order, tie-breaks) must
+    agree between engines on arbitrary small corpora — the newest
+    hand-rolled quantizers are exactly the class where the property
+    suite keeps finding real divergences."""
+    from webhookdb_spark.operators.similarity import (
+        ann_topk_ivfpq, ann_topk_pq, sql_ann_topk_ivfpq, sql_ann_topk_pq,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+
+    q = df.where(F.col("vec_id") < 2)
+    s_pq = sorted(
+        tuple(r)
+        for r in ann_topk_pq(df, q, k=3, m=4, ksub=4).collect()
+    )
+    o_pq = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_ann_topk_pq(query_pred="vec_id < 2", k=3, m=4, ksub=4, dims=8)
+        ).fetchall()
+    )
+    assert s_pq == o_pq
+
+    s_ip = sorted(
+        tuple(r)
+        for r in ann_topk_ivfpq(
+            df, q, k=3, n_centroids=2, nprobe=1, m=4, ksub=4
+        ).collect()
+    )
+    o_ip = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_ann_topk_ivfpq(
+                query_pred="vec_id < 2", k=3, n_centroids=2, nprobe=1,
+                m=4, ksub=4, dims=8,
+            )
+        ).fetchall()
+    )
+    assert s_ip == o_ip

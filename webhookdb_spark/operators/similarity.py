@@ -46,7 +46,15 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+    """Cosine similarity, defined as 0.0 when either vector has zero
+    norm (a degenerate-but-real corpus case: zeroed/padded embeddings;
+    found by the round-5 property test — ANSI Spark throws
+    DIVIDE_BY_ZERO while DuckDB's double division silently yields NULL,
+    so BOTH engines need the explicit convention)."""
+    denom = _norm(a) * _norm(b)
+    return F.round(
+        F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / denom), 6
+    )
 
 
 def cosine_topk(
@@ -98,12 +106,7 @@ def sql_cosine_topk(
     ),
     pairs AS (
       SELECT q.query_id, c.vec_id,
-             round(
-               list_sum(list_transform(range(1, len(c.embedding) + 1),
-                        i -> q.q_vec[i]::DOUBLE * c.embedding[i]::DOUBLE))
-               / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
-                  * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
-               6) AS cosine_sim
+             {_SQL_COS.format(a="q.q_vec", b="c.embedding")} AS cosine_sim
       FROM {table} c, q
       WHERE c.vec_id != q.query_id
     ),
@@ -578,11 +581,15 @@ def ivf_assign(
     b = bind(scale_out(corpus.select(id_col, vec_col)), "_vn", _norm(F.col(vec_col)))
     cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     norms_lit = F.array(*[F.lit(math.sqrt(sum(x * x for x in c))) for c in centroids])
+    # zero-norm guard matches :func:`cosine`'s 0.0 convention
     scores = F.zip_with(
         cents_lit,
         norms_lit,
         lambda c, nrm: F.round(
-            _dot(F.col(vec_col), c) / (F.col("_vn") * nrm), 6
+            F.when(F.col("_vn") * nrm == 0.0, F.lit(0.0)).otherwise(
+                _dot(F.col(vec_col), c) / (F.col("_vn") * nrm)
+            ),
+            6,
         ),
     )
     b = bind(b, "_cs", scores)
@@ -657,11 +664,17 @@ def ann_topk_ivf(
     )
 
 
+# zero-norm guard matches :func:`cosine`'s 0.0 convention
 _SQL_COS = (
-    "round(list_sum(list_transform(range(1, len({b}) + 1),"
+    "round(CASE WHEN"
+    " sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))) = 0"
+    " THEN 0.0 ELSE"
+    " list_sum(list_transform(range(1, len({b}) + 1),"
     " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
     " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
-    " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 6)"
+    " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+    " END, 6)"
 )
 
 
