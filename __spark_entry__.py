@@ -799,6 +799,19 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return D.decontaminate(train, ev)
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination: the eval set compressed to a fixed
+    8 KB bitmap, every training gram probed with 3 bit tests — a pure
+    narrow map with zero joins, the shape that holds when the union of
+    all benchmark suites is itself too large to broadcast. FP rate is
+    deterministic (md5 positions), so the oracle checks it exactly."""
+    docs = load(spark, sf, "documents")
+    return D.bloom_decontaminate(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-language quota sample (md5-ordered top-N per
     stratum; WindowGroupLimit keeps the shuffle bounded by the quota)."""
@@ -1046,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,  # new r5
         "text_repetition": q_text_repetition,
         "text_token_count_bpe": q_text_token_count_bpe,
         "text_token_count_bpe2": q_text_token_count_bpe2,
@@ -1116,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": D.sql_incremental_minhash_dedup(),
         "dedup_clusters": D.sql_dedup_clusters(),
         "decontaminate": D.sql_decontaminate(),
+        "decontaminate_bloom": D.sql_bloom_decontaminate(),
         "stratified_sample": SA.sql_stratified_sample_n(),
         "hash_fraction_sample": SA.sql_hash_fraction_sample(),
         "corpus_split": SA.sql_corpus_split(),

@@ -539,3 +539,26 @@ def test_incremental_dedup_index_survives_restart_across_batches(spark, tmp_path
         tuple(r) for r in incremental_minhash_dedup(batch2, corpus2).collect()
     )
     assert got2 == cold2 and len(got2) > 0
+
+
+def test_bloom_decontaminate_superset_of_exact_and_joinless(spark):
+    """Bloom flags must be a SUPERSET of exact decontamination flags
+    (a Bloom filter has false positives, never false negatives), and
+    the probe plan must be join-free — the whole point is scoring the
+    corpus against a fixed-size broadcast bitmap with a narrow map."""
+    from tests.test_plans import plan_of
+    from webhookdb_spark.operators.dedup import (
+        bloom_decontaminate, decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    tr = docs.where(F.col("doc_id") % 7 != 0)
+
+    exact = {r.doc_id for r in decontaminate(tr, ev).collect() if r.contaminated}
+    out = bloom_decontaminate(tr, ev)
+    bloom = {r.doc_id for r in out.collect() if r.flagged}
+    assert exact and exact <= bloom
+
+    p = plan_of(out)
+    assert "Join" not in p and "Exchange" not in p.split("AdaptiveSparkPlan")[0], p
