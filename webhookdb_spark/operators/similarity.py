@@ -933,6 +933,18 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _floor6(c: Column) -> Column:
+    """Quantize to 6 places with floor(x*1e6)/1e6 instead of round:
+    floor has no midpoint, so as long as both engines produce the same
+    input double (identical fold order) the quantized value is
+    bit-identical. round() is NOT: when x*1e6 lands exactly on .5
+    (common here — LUT entries are products of 1e-6-grid codewords and
+    coarse-grid inputs) Spark HALF_UPs the exact decimal expansion of
+    x while DuckDB rounds the product double, and they disagree
+    (found by the round-5 PQ property test: 8.883333499999999)."""
+    return F.floor(c * F.lit(1e6)) / F.lit(1e6)
+
+
 def _pq_cb_lit(cbs: list[list[list[float]]]) -> Column:
     return F.array(*[
         F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in cb])
@@ -983,11 +995,15 @@ def pq_codebooks(
 
 
 def _pq_assign_code(cb_lit: Column, sub_id: Column, sv: Column) -> Column:
-    """Nearest codeword in ``sv``'s subspace: rounded squared-L2, ties
-    to the lowest code id (array_position returns the FIRST minimum)."""
+    """Nearest codeword in ``sv``'s subspace: floor-scaled squared-L2
+    (floor(x*1e6) — midpoint-free, so both engines quantize the same
+    double identically; round() diverges when x*1e6 lands exactly on
+    .5 because Spark rounds the exact decimal expansion HALF_UP while
+    DuckDB rounds the product double half-away), ties to the lowest
+    code id (array_position returns the FIRST minimum)."""
     dists = F.transform(
         F.element_at(cb_lit, sub_id + 1),
-        lambda cw: F.round(_l2sq(sv, cw), 6),
+        lambda cw: F.floor(_l2sq(sv, cw) * F.lit(1e6)),
     )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
@@ -1122,7 +1138,7 @@ def adc_topk(
     paired = codes.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id")
     )
-    approx = F.round(
+    approx = _floor6(
         F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),
             F.lit(0.0),
@@ -1131,8 +1147,7 @@ def adc_topk(
                 F.element_at(F.col("_lut"), s + 1),
                 F.element_at(F.col("codes"), s + 1) + 1,
             ),
-        ),
-        6,
+        )
     )
     scored = paired.select("query_id", "vec_id", approx.alias("approx_ip"))
     w = Window.partitionBy("query_id").orderBy(
@@ -1169,14 +1184,15 @@ def sql_ann_topk_pq(
 ) -> str:
     """DuckDB twin of :func:`ann_topk_pq`: the same seed rule, the same
     ``n_refine`` unrolled fixed-point Lloyd layers per subspace, the
-    same rounded squared-L2 assignment and lowest-code tie-break, and
-    an ADC sum folded in sub_id order so the IEEE additions match
-    Spark's fold exactly."""
+    same floor-scaled squared-L2 assignment (floor(x*1e6), midpoint-free
+    — see Spark-side ``_floor6``) and lowest-code tie-break, and an ADC
+    sum folded in sub_id order so the IEEE additions match Spark's fold
+    exactly."""
     d = dims // m
     l2 = (
-        f"round(list_sum(list_transform(range(1, {d} + 1),"
+        f"floor(list_sum(list_transform(range(1, {d} + 1),"
         " i -> (u.sv[CAST(i AS INTEGER)] - c.cvec[CAST(i AS INTEGER)])"
-        " * (u.sv[CAST(i AS INTEGER)] - c.cvec[CAST(i AS INTEGER)]))), 6)"
+        " * (u.sv[CAST(i AS INTEGER)] - c.cvec[CAST(i AS INTEGER)]))) * 1000000.0)"
     )
     layers = [f"""
     sub AS (
@@ -1238,7 +1254,8 @@ def sql_ann_topk_pq(
     ),
     approx AS (
       SELECT query_id, vec_id,
-             round(list_sum(list(term ORDER BY sub_id)), 6) AS approx_ip
+             floor(list_sum(list(term ORDER BY sub_id)) * 1000000.0) / 1000000.0
+               AS approx_ip
       FROM terms GROUP BY query_id, vec_id
     )
     SELECT query_id, vec_id, approx_ip, rank FROM (
@@ -1322,7 +1339,7 @@ def ann_topk_ivfpq(
     paired = cells.join(F.broadcast(probes_lut), on="cent_id").where(
         F.col("vec_id") != F.col("query_id")
     )
-    approx = F.round(
+    approx = _floor6(
         F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),
             F.lit(0.0),
@@ -1331,8 +1348,7 @@ def ann_topk_ivfpq(
                 F.element_at(F.col("_lut"), s + 1),
                 F.element_at(F.col("codes"), s + 1) + 1,
             ),
-        ),
-        6,
+        )
     )
     scored = paired.select("query_id", "vec_id", approx.alias("approx_ip"))
     w = Window.partitionBy("query_id").orderBy(
@@ -1365,9 +1381,9 @@ def sql_ann_topk_ivfpq(
     cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
     cos_qc = _SQL_COS.format(a="q.embedding", b="c.cvec")
     l2 = (
-        f"round(list_sum(list_transform(range(1, {d} + 1),"
+        f"floor(list_sum(list_transform(range(1, {d} + 1),"
         " i -> (u.sv[CAST(i AS INTEGER)] - c.cvec[CAST(i AS INTEGER)])"
-        " * (u.sv[CAST(i AS INTEGER)] - c.cvec[CAST(i AS INTEGER)]))), 6)"
+        " * (u.sv[CAST(i AS INTEGER)] - c.cvec[CAST(i AS INTEGER)]))) * 1000000.0)"
     )
     # coarse (IVF) layers, prefixed ivf_
     layers = [f"""
@@ -1480,7 +1496,8 @@ def sql_ann_topk_ivfpq(
     ),
     approx AS (
       SELECT query_id, vec_id,
-             round(list_sum(list(term ORDER BY sub_id)), 6) AS approx_ip
+             floor(list_sum(list(term ORDER BY sub_id)) * 1000000.0) / 1000000.0
+               AS approx_ip
       FROM terms GROUP BY query_id, vec_id
     )
     SELECT query_id, vec_id, approx_ip, rank FROM (
