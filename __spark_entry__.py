@@ -385,6 +385,211 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_order_priority_check(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in a half-year
+    window with at least one late-shipping lineitem (ship > order
+    date + 60d — the fixture lacks commit/receipt dates, so lateness is
+    defined against the order date), counted per priority. The EXISTS
+    becomes a LEFT SEMI join: the probe stays a semi (no fan-out on
+    multi-lineitem orders, no post-join distinct), and both sides
+    prune to two columns at the scan."""
+    orders = load(spark, sf, "orders")
+    lineitem = load(spark, sf, "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    late = o.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS late_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): per ship-month, the share of
+    discounted revenue from PROMO-type parts. part (2k rows) is
+    broadcast so the lineitem scan never shuffles; sums stay exact
+    DECIMAL through the aggregate and only the final ratio goes
+    through doubles — quantized with floor(x*1e6)/1e6, which is
+    midpoint-free and therefore engine-portable where round() is not
+    (the identical decimal→double casts and the identical multiply/
+    divide sequence make the pre-quantization double bit-equal in both
+    engines)."""
+    lineitem = load(spark, sf, "lineitem")
+    part = F.broadcast(load(spark, sf, "part"))
+    disc = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    )
+    j = lineitem.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        F.when(F.col("p_type") == "PROMO", disc)
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+        .alias("promo_rev"),
+        disc.alias("rev"),
+    )
+    agg = j.groupBy("ship_month").agg(
+        F.sum("promo_rev").alias("_num"), F.sum("rev").alias("_den")
+    )
+    num = F.col("_num").cast("double")
+    den = F.col("_den").cast("double")
+    pct = F.floor(F.lit(100.0) * num / den * F.lit(1e6)) / F.lit(1e6)
+    return agg.select(
+        "ship_month",
+        pct.alias("promo_pct"),
+        F.round(den, 6).alias("total_revenue"),
+    ).orderBy("ship_month")
+
+
+SQL_PROMO_REVENUE = """
+WITH j AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+         CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+              ELSE CAST(0 AS DECIMAL(18,4)) END AS promo_rev,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT ship_month,
+       floor(100.0 * CAST(sum(promo_rev) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE) * 1e6) / 1e6 AS promo_pct,
+       round(CAST(sum(rev) AS DOUBLE), 6) AS total_revenue
+FROM j
+GROUP BY ship_month
+ORDER BY ship_month
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): per brand, the
+    revenue from lineitems whose quantity is below 20% of that part's
+    average. The correlated AVG becomes a per-part pre-aggregate
+    joined back broadcast (|part| rows — never a shuffle of lineitem),
+    and the 0.2*avg comparison is exact int64 (10*qty*cnt < 2*sum,
+    quantities are integral) so no engine ever divides."""
+    lineitem = load(spark, sf, "lineitem")
+    part = F.broadcast(load(spark, sf, "part"))
+    qty = F.col("l_quantity").cast("bigint")
+    per_part = F.broadcast(
+        lineitem.groupBy("l_partkey").agg(
+            F.sum(qty).alias("_sq"), F.count("*").alias("_nq")
+        ).select(F.col("l_partkey").alias("_pk"), "_sq", "_nq")
+    )
+    small = (
+        lineitem.join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .where(F.lit(10) * qty * F.col("_nq") < F.lit(2) * F.col("_sq"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        small.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _sum_d(_dec("l_extendedprice"), "revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_SMALL_QTY = """
+WITH pp AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         count(*) AS nq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, count(*) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN pp ON l_partkey = pk
+JOIN part ON l_partkey = p_partkey
+WHERE 10 * CAST(l_quantity AS BIGINT) * nq < 2 * sq
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive balance and no RECENT orders (none since
+    2000-01-01 — the synthetic fixture gives every customer at least
+    one lifetime order, so the classic no-orders-ever predicate is
+    vacuously empty), per nation. The
+    scalar subquery (global avg balance) broadcasts as a 1-row
+    crossJoin; customers-without-orders is a LEFT ANTI join. The
+    above-average test is exact int64 on floor-cents
+    (cents*n > total_cents ⟺ acctbal > avg) — floor(x*100) of the
+    same double is engine-identical, so no floating comparison
+    decides membership."""
+    customer = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    cents = F.floor(F.col("c_acctbal") * F.lit(100.0)).cast("bigint")
+    pos = customer.where(F.col("c_acctbal") > 0)
+    glob = F.broadcast(
+        pos.agg(
+            F.sum(cents).alias("_tot"), F.count("*").alias("_n")
+        )
+    )
+    rich = (
+        pos.crossJoin(glob)
+        .where(cents * F.col("_n") > F.col("_tot"))
+        .join(
+            orders.where(F.col("o_orderdate") >= "2000-01-01"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return (
+        rich.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _sum_d(_dec("c_acctbal", 2), "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_GLOBAL_SALES_OPP = """
+WITH pos AS (
+  SELECT *, CAST(floor(c_acctbal * 100.0) AS BIGINT) AS cents
+  FROM customer WHERE c_acctbal > 0
+),
+tot_n AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS tot, count(*) AS n FROM pos
+)
+SELECT c_nationkey, count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6) AS totacctbal
+FROM pos, tot_n
+WHERE cents * n > tot
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP aggregation over the region/nation hierarchy."""
     nation = F.broadcast(load(spark, sf, "nation"))
@@ -1026,6 +1231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in every round since r1 sit at the tail. Every entry still runs
     # in tools/check_oracle.py regardless of position.
     return {
+        # new round 5 — never driver-checked
+        "order_priority_check": q_order_priority_check,
+        "promo_revenue": q_promo_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "global_sales_opportunity": q_global_sales_opportunity,
         # fixed this round — need fresh driver confirmation
         "sequence_pack": q_sequence_pack,
         "search_ranked": q_search_ranked,
@@ -1112,6 +1322,10 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": SQL_ROLLUP,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "big_spenders": SQL_BIG_SPENDERS,
+        "order_priority_check": SQL_ORDER_PRIORITY,
+        "promo_revenue": SQL_PROMO_REVENUE,
+        "small_qty_revenue": SQL_SMALL_QTY,
+        "global_sales_opportunity": SQL_GLOBAL_SALES_OPP,
         "set_ops": SQL_SET_OPS,
         "row_cap": SQL_ROW_CAP,
         "retention_candidates": SQL_RETENTION,
