@@ -590,6 +590,144 @@ ORDER BY c_nationkey
 """
 
 
+def q_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-mktsegment event volume through the salted hot-key join
+    (`operators/skew.py`): events (big, potentially hot user_ids) join
+    customer (small) on user_id = c_custkey with a 16-way salt, so a
+    single user producing half the stream spreads over 16 tasks
+    instead of stalling one. Output is row-identical to the plain
+    join — which is exactly what the DuckDB twin runs."""
+    from webhookdb_spark.operators.skew import salted_join
+
+    events = load(spark, sf, "events")
+    customer = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(events.select("user_id", "value"), customer, on="user_id")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            _sum_d(_dec("value"), "total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_SKEW_SALTED = """
+SELECT c_mktsegment, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov-style event-type transition counts: LAG over each user's
+    (ts, event_id)-ordered stream, then count (prev -> curr) pairs.
+    One shuffle on user_id serves the window; the transition count is
+    a map-side-combinable aggregate on top."""
+    events = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return (
+        t.groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev_type", "curr_type")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS curr_type, count(*) AS n
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY prev_type, curr_type
+ORDER BY prev_type, curr_type
+"""
+
+
+def q_order_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75/p90) of order value
+    per priority — Spark's exact `percentile` aggregate against
+    DuckDB's `quantile_cont`. Both define rank = p*(n-1) with linear
+    interpolation on the same sorted doubles; results are quantized
+    midpoint-free (floor(x*1e6)/1e6) so a last-ulp difference in the
+    interpolation arithmetic cannot flip a rounding. Exact percentile
+    is a sort-per-group; at 100 TB swap in approx_percentile (t-digest,
+    mergeable, one pass) — this query pins the exact semantics."""
+    orders = load(spark, sf, "orders")
+    pcts = [0.25, 0.5, 0.75, 0.9]
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", pcts).alias("_p"),
+        F.count("*").alias("n_orders"),
+    )
+    cols = [
+        (F.floor(F.element_at("_p", i + 1) * F.lit(1e6)) / F.lit(1e6)).alias(a)
+        for i, a in enumerate(["p25", "p50", "p75", "p90"])
+    ]
+    return agg.select("o_orderpriority", "n_orders", *cols).orderBy("o_orderpriority")
+
+
+SQL_ORDER_PERCENTILES = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       floor(quantile_cont(o_totalprice, 0.25) * 1e6) / 1e6 AS p25,
+       floor(quantile_cont(o_totalprice, 0.5) * 1e6) / 1e6 AS p50,
+       floor(quantile_cont(o_totalprice, 0.75) * 1e6) / 1e6 AS p75,
+       floor(quantile_cont(o_totalprice, 0.9) * 1e6) / 1e6 AS p90
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_order_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE(10) decile profile of order values: deterministic bucket
+    assignment via a total order (o_totalprice, o_orderkey), then
+    per-decile count / min / max / exact-decimal sum. The global sort
+    is one range-partitioned exchange (Spark samples split points), so
+    it scales as a sort, not a single-task window."""
+    orders = load(spark, sf, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    d = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 6).alias("min_value"),
+            F.round(F.max("o_totalprice"), 6).alias("max_value"),
+            _sum_d(_dec("o_totalprice"), "total_value"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_ORDER_DECILES = """
+WITH d AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, count(*) AS n_orders,
+       round(min(o_totalprice), 6) AS min_value,
+       round(max(o_totalprice), 6) AS max_value,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_value
+FROM d
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP aggregation over the region/nation hierarchy."""
     nation = F.broadcast(load(spark, sf, "nation"))
@@ -1236,6 +1374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "small_qty_revenue": q_small_qty_revenue,
         "global_sales_opportunity": q_global_sales_opportunity,
+        "skew_salted_join": q_skew_salted_join,
+        "event_transitions": q_event_transitions,
+        "order_percentiles": q_order_percentiles,
+        "order_deciles": q_order_deciles,
         # fixed this round — need fresh driver confirmation
         "sequence_pack": q_sequence_pack,
         "search_ranked": q_search_ranked,
@@ -1326,6 +1468,10 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": SQL_PROMO_REVENUE,
         "small_qty_revenue": SQL_SMALL_QTY,
         "global_sales_opportunity": SQL_GLOBAL_SALES_OPP,
+        "skew_salted_join": SQL_SKEW_SALTED,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
+        "order_percentiles": SQL_ORDER_PERCENTILES,
+        "order_deciles": SQL_ORDER_DECILES,
         "set_ops": SQL_SET_OPS,
         "row_cap": SQL_ROW_CAP,
         "retention_candidates": SQL_RETENTION,
