@@ -728,6 +728,56 @@ ORDER BY decile
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary OOV-rate profile of the held-out split against a
+    top-200 vocabulary fit on the train split (corpus.py)."""
+    return C.vocab_coverage(load(spark, sf, "documents"))
+
+
+def q_revenue_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS ((segment, priority), (segment), ()) revenue —
+    the general form rollup/cube specialize; grouping_id disambiguates
+    NULL-as-subtotal from NULL-as-value. One expand + one aggregate;
+    map-side combine applies per set."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    j = orders.join(customer, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_mktsegment", "o_orderpriority", "o_totalprice"
+    )
+    return (
+        j.groupingSets(
+            [["c_mktsegment", "o_orderpriority"], ["c_mktsegment"], []],
+            "c_mktsegment",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            _sum_d(_dec("o_totalprice"), "revenue"),
+        )
+        # subtotal NULLs become a sentinel: every output column stays a
+        # non-null scalar, which any canonicalizer can sort and hash
+        .select(
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid", "n_orders", "revenue",
+        )
+        .orderBy("gid", "segment", "priority")
+    )
+
+
+SQL_REVENUE_GROUPING_SETS = """
+SELECT coalesce(c_mktsegment, '(all)') AS segment,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       CAST(GROUPING(c_mktsegment, o_orderpriority) AS INTEGER) AS gid,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
+ORDER BY gid, segment, priority
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP aggregation over the region/nation hierarchy."""
     nation = F.broadcast(load(spark, sf, "nation"))
@@ -1378,6 +1428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "order_percentiles": q_order_percentiles,
         "order_deciles": q_order_deciles,
+        "vocab_coverage": q_vocab_coverage,
+        "revenue_grouping_sets": q_revenue_grouping_sets,
         # fixed this round — need fresh driver confirmation
         "sequence_pack": q_sequence_pack,
         "search_ranked": q_search_ranked,
@@ -1472,6 +1524,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "order_percentiles": SQL_ORDER_PERCENTILES,
         "order_deciles": SQL_ORDER_DECILES,
+        "vocab_coverage": C.sql_vocab_coverage(),
+        "revenue_grouping_sets": SQL_REVENUE_GROUPING_SETS,
         "set_ops": SQL_SET_OPS,
         "row_cap": SQL_ROW_CAP,
         "retention_candidates": SQL_RETENTION,

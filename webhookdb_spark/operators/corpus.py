@@ -337,3 +337,86 @@ def sql_search_ranked(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 200,
+    train_pred: str = "doc_id % 5 != 0",
+    score_pred: str = "doc_id % 5 = 0",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer/vocabulary fitness check for a training pipeline:
+    build the top-``vocab_size`` word vocabulary from the train split,
+    then measure each held-out document's out-of-vocabulary rate —
+    (doc_id, n_tokens, n_oov, oov_rate).
+
+    Distributed shape: the vocabulary is a groupBy-count over train
+    tokens cut to a deterministic top-K (count desc, token asc — ties
+    at the boundary cannot flip membership between engines), which is
+    metadata-sized by construction and BROADCAST into the held-out
+    token stream; the per-doc OOV tally is then one map-side-combinable
+    aggregate. The corpus is never shuffled — only its exploded token
+    stream groups by token (train) and doc_id (held-out), both narrow
+    integer/short-string keys. ``oov_rate`` is quantized midpoint-free
+    (floor(x*1e6)/1e6) so the double division can't round differently
+    across engines."""
+    toks = F.split(F.trim(F.col(text_col)), WS)
+    train = df.where(train_pred)
+    vocab = (
+        bind(scale_out(train.select(text_col)), "_t", toks)
+        .select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_inv"))
+    )
+    held = (
+        bind(scale_out(df.where(score_pred).select("doc_id", text_col)), "_t", toks)
+        .select("doc_id", F.explode("_t").alias("tok"))
+        .join(F.broadcast(vocab), on="tok", how="left")
+    )
+    agg = held.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    rate = F.floor(
+        F.col("n_oov") / F.col("n_tokens") * F.lit(1e6)
+    ) / F.lit(1e6)
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        rate.alias("oov_rate"),
+    )
+
+
+def sql_vocab_coverage(
+    table: str = "documents",
+    vocab_size: int = 200,
+    train_pred: str = "doc_id % 5 != 0",
+    score_pred: str = "doc_id % 5 = 0",
+) -> str:
+    """DuckDB twin of :func:`vocab_coverage` (same tokenization, same
+    deterministic top-K cut, same floor-quantized rate)."""
+    t = SQL_TOKENS.format(c="text")
+    return f"""
+    WITH tr AS (
+      SELECT unnest({t}) AS tok FROM {table} WHERE {train_pred}
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM tr GROUP BY tok
+        ORDER BY c DESC, tok ASC LIMIT {vocab_size}
+      )
+    ), held AS (
+      SELECT doc_id, unnest({t}) AS tok FROM {table} WHERE {score_pred}
+    )
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           floor(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(count(*) AS BIGINT) * 1e6) / 1e6 AS oov_rate
+    FROM held h LEFT JOIN vocab v ON h.tok = v.tok
+    GROUP BY h.doc_id
+    """
