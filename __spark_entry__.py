@@ -692,13 +692,22 @@ ORDER BY o_orderpriority
 def q_order_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """NTILE(10) decile profile of order values: deterministic bucket
     assignment via a total order (o_totalprice, o_orderkey), then
-    per-decile count / min / max / exact-decimal sum. The global sort
-    is one range-partitioned exchange (Spark samples split points), so
-    it scales as a sort, not a single-task window."""
+    per-decile count / min / max / exact-decimal sum. A naive
+    `ntile(10) OVER (ORDER BY ...)` collapses to ONE partition (Spark
+    warns and ships every row to a single task), so the bucket comes
+    from the distributed two-phase global rank (`sampling.global_rank`:
+    range-partitioned parallel windows + metadata-sized offsets) and
+    the exact integer NTILE remainder rule (`sampling.ntile_assign`) —
+    output identical to the window, scalable like a sort."""
     orders = load(spark, sf, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    d = orders.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    ranked = SA.global_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+    )
+    total = F.broadcast(ranked.agg(F.count("*").alias("_n")))
+    d = ranked.crossJoin(total).select(
+        "o_totalprice",
+        SA.ntile_assign(F.col("rank"), F.col("_n"), 10).alias("decile"),
     )
     return (
         d.groupBy("decile")

@@ -335,3 +335,60 @@ def sql_sequence_pack(
            CAST((gs + n_tokens - 1) // {L} - gs // {L} + 1 AS INTEGER) AS n_packs
     FROM c
     """
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    bucket_partitions: int = 64,
+) -> DataFrame:
+    """1-based rank of every row in the total order ``order_cols``
+    (which must be a TOTAL order — include a unique tie-break column),
+    without a single-partition global window.
+
+    Shape: repartitionByRange splits the total order into
+    ``bucket_partitions`` contiguous ranges (Spark samples split
+    points; partition id order == key order), per-range row_numbers
+    run in parallel windows, and per-range counts (metadata-sized)
+    get running offsets that broadcast-join back — the same two-phase
+    prefix sum as :func:`sequence_pack`. Output ranks are invariant to
+    where the sampled split points land, so the result is
+    deterministic even though the partitioning isn't."""
+    cols = [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(bucket_partitions, *cols).withColumn(
+        "_grb", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_grb").orderBy(*cols)
+    local = d.withColumn("_grl", F.row_number().over(w))
+    wo = Window.orderBy("_grb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        local.groupBy("_grb")
+        .agg(F.count("*").alias("_grc"))
+        .select("_grb", (F.sum("_grc").over(wo) - F.col("_grc")).alias("_gro"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_grb")
+        .withColumn(rank_col, (F.col("_gro") + F.col("_grl")).cast("long"))
+        .drop("_grb", "_grl", "_gro")
+    )
+
+
+def ntile_assign(rank: Column, total: Column, n: int) -> Column:
+    """SQL NTILE(n) bucket (1-based) from a 1-based global rank and the
+    total row count, in exact integer arithmetic: the first
+    ``total % n`` buckets hold ``total div n + 1`` rows, the rest
+    ``total div n`` — the ANSI remainder rule, computed without any
+    window at all."""
+    r0 = rank - 1
+    q = F.floor(total / n).cast("long")
+    rem = (total % n).cast("long")
+    big = rem * (q + 1)
+    return (
+        F.when(r0 < big, F.floor(r0 / (q + 1)))
+        .otherwise(rem + F.floor((r0 - big) / F.greatest(q, F.lit(1))))
+        .cast("int")
+        + 1
+    )
