@@ -545,6 +545,66 @@ def bloom_bitmap(
     return out
 
 
+def _bloom_probe_kernel(words: list[int], n_bits: int, k: int):
+    """Arrow-batched Bloom probe: per doc, md5-hash each distinct gram
+    k times (C hashlib) and test the bitmap bits in numpy.
+
+    JUSTIFIED UDF (same argument as text._winnow_kernel): the
+    expression probe is a filter(forall(sequence)) of k md5 calls per
+    gram — interpreted HOFs outside whole-stage codegen, each paying a
+    fresh JVM MessageDigest; measured 5.5× the exact-join
+    decontaminate at sf0.1. Hash parity is exact: the kernel takes the
+    first 4 digest bytes big-endian == the md5-prefix-8-hex-chars
+    integer `_bloom_pos` computes, and probes the same 32-bit words."""
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        w = np.asarray(words, dtype=np.uint64)
+        pre = [f"{i}:".encode() for i in range(k)]
+
+        # grams repeat heavily across documents (natural-language token
+        # n-grams are Zipfian), so probe each distinct gram once per
+        # worker and reuse the verdict — the cache is bounded by the
+        # distinct-gram count of the partitions this worker sees
+        cache: dict = {}
+
+        def hit(g: bytes) -> bool:
+            v = cache.get(g)
+            if v is None:
+                v = True
+                for p0 in pre:
+                    p = int.from_bytes(md5(p0 + g).digest()[:4], "big") % n_bits
+                    if not (int(w[p >> 5]) >> (p & 31)) & 1:
+                        v = False
+                        break
+                cache[g] = v
+            return v
+
+        for pdf in batches:
+            ids, nf, ng = [], [], []
+            for doc_id, sh in zip(pdf["doc_id"].values, pdf["_sh"].values):
+                grams = [] if sh is None else list(sh)
+                n_hit = sum(1 for g in grams if hit(str(g).encode("utf-8")))
+                ids.append(doc_id)
+                nf.append(n_hit)
+                ng.append(len(grams))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "n_flagged_ngrams": np.asarray(nf, dtype=np.int32),
+                    "n_ngrams": np.asarray(ng, dtype=np.int32),
+                    "flagged": np.asarray(nf, dtype=np.int64) > 0,
+                }
+            )
+
+    return gen
+
+
 def bloom_decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -553,6 +613,7 @@ def bloom_decontaminate(
     ngram_n: int = 5,
     n_bits: int = 1 << 16,
     k: int = 3,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Decontamination at the scale where even the benchmark gram set
     outgrows a broadcast join: compress the eval set to an ``n_bits``
@@ -570,8 +631,21 @@ def bloom_decontaminate(
     subset, never the full corpus.
 
     Output: ``(doc_id, n_flagged_ngrams, n_ngrams, flagged)``.
+
+    ``use_kernel=True`` (default) runs the probe in an Arrow-batched
+    kernel (:func:`_bloom_probe_kernel`) — still a narrow zero-join
+    map, hash-identical to the expression path, which remains
+    available (``use_kernel=False``) for pure-expression environments.
     """
     words = bloom_bitmap(eval_df, text_col, ngram_n, n_bits, k)
+    if use_kernel:
+        tg = shingle_sets(train, text_col, ngram_n).select(
+            F.col(id_col).alias("doc_id"), "_sh"
+        )
+        return tg.mapInPandas(
+            _bloom_probe_kernel(words, n_bits, k),
+            "doc_id long, n_flagged_ngrams int, n_ngrams int, flagged boolean",
+        )
     words_lit = F.array(*[F.lit(w).cast("long") for w in words])
 
     def bit_set(p: Column) -> Column:
