@@ -737,6 +737,12 @@ ORDER BY decile
 """
 
 
+def q_cluster_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF cluster profile of the embeddings corpus: per-cell size,
+    fixed-point mean cosine tightness, dominant label + share."""
+    return S.embedding_cluster_profile(load(spark, sf, "embeddings"))
+
+
 def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary OOV-rate profile of the held-out split against a
     top-200 vocabulary fit on the train split (corpus.py)."""
@@ -1439,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_deciles": q_order_deciles,
         "vocab_coverage": q_vocab_coverage,
         "revenue_grouping_sets": q_revenue_grouping_sets,
+        "cluster_profile": q_cluster_profile,
         # fixed this round — need fresh driver confirmation
         "sequence_pack": q_sequence_pack,
         "search_ranked": q_search_ranked,
@@ -1535,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         "order_deciles": SQL_ORDER_DECILES,
         "vocab_coverage": C.sql_vocab_coverage(),
         "revenue_grouping_sets": SQL_REVENUE_GROUPING_SETS,
+        "cluster_profile": S.sql_cluster_profile(),
         "set_ops": SQL_SET_OPS,
         "row_cap": SQL_ROW_CAP,
         "retention_candidates": SQL_RETENTION,

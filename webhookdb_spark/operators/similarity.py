@@ -1507,3 +1507,148 @@ def sql_ann_topk_ivfpq(
       FROM approx
     ) WHERE rank <= {k}
     """
+
+
+def embedding_cluster_profile(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster profile of the embedding corpus under the deterministic
+    IVF coarse quantizer: per cell — member count, fixed-point mean
+    cosine to the centroid (cluster tightness), and the dominant label
+    with its share (cluster purity). The topic/quality triage a
+    training pipeline runs after clustering a corpus.
+
+    Shapes: assignment is the same zero-join narrow map as
+    :func:`ivf_assign`; the tightness aggregate is map-side combined on
+    ``cent_id`` (C cells of state); purity needs one (cent_id, label)
+    count plus a C×labels-sized window — all metadata-scale after the
+    first aggregate. The mean is exact int64 over floor(cos*1e6) so no
+    double sum-order can split the engines.
+    """
+    import math
+
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    for _ in range(n_refine):
+        cents = ivf_refine(corpus, cents, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    norms_lit = F.array(*[F.lit(math.sqrt(sum(x * x for x in c))) for c in cents])
+    cvec = F.element_at(cents_lit, F.col("cent_id") + 1)
+    cnrm = F.element_at(norms_lit, F.col("cent_id") + 1)
+    vn = _norm(F.col("c_vec"))
+    score = F.round(
+        F.when(vn * cnrm == 0.0, F.lit(0.0)).otherwise(
+            _dot(F.col("c_vec"), cvec) / (vn * cnrm)
+        ),
+        6,
+    )
+    scored = assigned.select(
+        "vec_id", "cent_id", F.floor(score * F.lit(1e6)).cast("long").alias("_s6")
+    ).join(corpus.select(F.col(id_col).alias("vec_id"), label_col), "vec_id")
+
+    tight = scored.groupBy("cent_id").agg(
+        F.count("*").alias("n_vectors"),
+        (F.floor(F.sum("_s6") / F.count("*")) / F.lit(1e6)).alias("mean_sim"),
+    )
+    lab = scored.groupBy("cent_id", label_col).agg(F.count("*").alias("_lc"))
+    w = Window.partitionBy("cent_id").orderBy(
+        F.col("_lc").desc(), F.col(label_col).asc()
+    )
+    dom = (
+        lab.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cent_id",
+            F.col(label_col).alias("dominant_label"),
+            F.col("_lc").alias("_dn"),
+        )
+    )
+    return (
+        tight.join(dom, "cent_id")
+        .select(
+            "cent_id",
+            "n_vectors",
+            "mean_sim",
+            "dominant_label",
+            (F.floor(F.col("_dn") / F.col("n_vectors") * F.lit(1e6)) / F.lit(1e6)
+             ).alias("label_share"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+def sql_cluster_profile(
+    table: str = "embeddings",
+    n_centroids: int = 8,
+    n_refine: int = 1,
+) -> str:
+    """DuckDB twin of :func:`embedding_cluster_profile` — the IVF
+    twin's centroid layers, then the same fixed-point tightness and
+    purity aggregates."""
+    cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
+    layers = [f"""
+    cent0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id,
+             list_transform(embedding, x -> x::DOUBLE) AS cvec
+      FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {n_centroids})
+    )"""]
+    for i in range(n_refine):
+        layers.append(f"""
+    assign{i} AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ac} DESC, c.cent_id ASC) AS rn
+        FROM {table} e CROSS JOIN cent{i} c
+      ) WHERE rn = 1
+    ),
+    means{i} AS (
+      SELECT cent_id, u.i AS pos,
+             floor(sum(CAST(floor(a.embedding[u.i]::DOUBLE * {_FIX_SCALE}) AS BIGINT))
+                   / count(*)) / {_FIX_SCALE} AS mval
+      FROM assign{i} a, unnest(range(1, len(a.embedding) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    cent{i + 1} AS (
+      SELECT c.cent_id, coalesce(m.cvec, c.cvec) AS cvec
+      FROM cent{i} c LEFT JOIN (
+        SELECT cent_id, list(mval ORDER BY pos) AS cvec FROM means{i} GROUP BY 1
+      ) m ON c.cent_id = m.cent_id
+    )""")
+    cf = f"cent{n_refine}"
+    return f"""
+    WITH {",".join(layers)},
+    cell_of AS (
+      SELECT vec_id, label, cent_id,
+             CAST(floor(score * 1e6) AS BIGINT) AS s6
+      FROM (
+        SELECT e.vec_id, e.label, c.cent_id, {cos_ac} AS score,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ac} DESC, c.cent_id ASC) AS rn
+        FROM {table} e CROSS JOIN {cf} c
+      ) WHERE rn = 1
+    ),
+    tight AS (
+      SELECT cent_id, count(*) AS n_vectors,
+             floor(CAST(sum(s6) AS BIGINT) / count(*)) / 1e6 AS mean_sim
+      FROM cell_of GROUP BY cent_id
+    ),
+    dom AS (
+      SELECT cent_id, label AS dominant_label, lc AS dn FROM (
+        SELECT cent_id, label, count(*) AS lc,
+               row_number() OVER (PARTITION BY cent_id
+                                  ORDER BY count(*) DESC, label ASC) AS rn
+        FROM cell_of GROUP BY cent_id, label
+      ) WHERE rn = 1
+    )
+    SELECT t.cent_id, t.n_vectors, t.mean_sim, d.dominant_label,
+           floor(d.dn / t.n_vectors * 1e6) / 1e6 AS label_share
+    FROM tight t JOIN dom d ON t.cent_id = d.cent_id
+    ORDER BY t.cent_id
+    """
