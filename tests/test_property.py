@@ -634,3 +634,66 @@ def test_pq_and_ivfpq_cross_engine(spark, vecs):
         ).fetchall()
     )
     assert s_ip == o_ip
+
+
+# -- round-5 vocab-coverage and cluster-profile twins ------------------------
+
+@given(st.lists(_text, min_size=2, max_size=16))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_vocab_coverage_cross_engine(spark, texts):
+    """OOV-rate twins under arbitrary unicode corpora — the top-K
+    vocabulary boundary tie-break and the floor-quantized rate must
+    agree between engines."""
+    from webhookdb_spark.operators.corpus import sql_vocab_coverage, vocab_coverage
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+
+    # tiny vocab so the top-K boundary actually cuts
+    s = sorted(tuple(r) for r in vocab_coverage(df, vocab_size=3).collect())
+    o = sorted(
+        tuple(r) for r in con.execute(sql_vocab_coverage(vocab_size=3)).fetchall()
+    )
+    assert s == o
+
+
+_vec4 = st.lists(
+    st.integers(min_value=-8, max_value=8).map(lambda i: i / 4.0),
+    min_size=4, max_size=4,
+)
+
+
+@given(st.lists(_vec4, min_size=3, max_size=10))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cluster_profile_cross_engine(spark, vecs):
+    """Cluster-profile twins (IVF seed + fixed-point Lloyd + fixed-point
+    tightness/purity) on arbitrary small corpora — the newest
+    hand-rolled numeric twin pair."""
+    from webhookdb_spark.operators.similarity import (
+        embedding_cluster_profile, sql_cluster_profile,
+    )
+
+    rows = [(i, v, f"lab{i % 3}") for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[], label VARCHAR)"
+    )
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+
+    n_c = min(3, len(vecs))
+    s = sorted(
+        tuple(r) for r in embedding_cluster_profile(df, n_centroids=n_c).collect()
+    )
+    o = sorted(
+        tuple(r)
+        for r in con.execute(sql_cluster_profile(n_centroids=n_c)).fetchall()
+    )
+    assert s == o
