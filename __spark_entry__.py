@@ -1103,6 +1103,35 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of: each purchase picks up the user's NEXT click
+    (earliest click at-or-after) — the mirrored union-merge window."""
+    ev = load(spark, sf, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click")
+    return J.asof_join(
+        left, right, key="user_id", ts="ts",
+        right_cols=("event_id", "value"), direction="forward",
+    )
+
+
+def q_asof_join_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest as-of: the closer of the prior/next click, ties going
+    backward (pandas merge_asof's rule) — both single-shuffle passes
+    plus a per-row pick."""
+    ev = load(spark, sf, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click")
+    return J.asof_join(
+        left, right, key="user_id", ts="ts",
+        right_cols=("event_id", "value"), direction="nearest",
+    )
+
+
 def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval join (clicks inside 30-minute error windows)
     via grid-cell bucketing: equi-join on (user, cell) + exact residual
@@ -1446,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "revenue_grouping_sets": q_revenue_grouping_sets,
         "cluster_profile": q_cluster_profile,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
         # fixed this round — need fresh driver confirmation
         "sequence_pack": q_sequence_pack,
         "search_ranked": q_search_ranked,
@@ -1543,6 +1574,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": C.sql_vocab_coverage(),
         "revenue_grouping_sets": SQL_REVENUE_GROUPING_SETS,
         "cluster_profile": S.sql_cluster_profile(),
+        "asof_join_forward": J.sql_asof_forward_events(),
+        "asof_join_nearest": J.sql_asof_nearest_events(),
         "set_ops": SQL_SET_OPS,
         "row_cap": SQL_ROW_CAP,
         "retention_candidates": SQL_RETENTION,

@@ -125,3 +125,74 @@ def test_range_join_rejects_interval_wider_than_grid(spark):
             points, intervals, key="user_id", grid_seconds=300,
             interval_cols=("iid",),
         ).collect()
+
+
+def test_asof_forward_picks_earliest_next_and_nulls_when_none(spark):
+    left = _left(spark, [(1, 7, ts(100)), (2, 7, ts(300)), (3, 8, ts(50))])
+    right = _right(
+        spark,
+        [(90, 7, ts(120), 1.0), (91, 7, ts(200), 2.0), (92, 9, ts(999), 9.0)],
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, key="user_id", ts="ts",
+            right_cols=("event_id", "value"), direction="forward",
+        ).collect()
+    }
+    assert out[1].event_id_r == 90 and out[1].value_r == 1.0  # earliest >= 100
+    assert out[2].event_id_r is None  # nothing >= 300
+    assert out[3].event_id_r is None  # user 8 has no right rows
+
+
+def test_asof_forward_equal_timestamp_is_a_match(spark):
+    left = _left(spark, [(1, 7, ts(100))])
+    right = _right(spark, [(90, 7, ts(100), 1.0)])
+    out = asof_join(
+        left, right, key="user_id", ts="ts",
+        right_cols=("event_id",), direction="forward",
+    ).collect()[0]
+    assert out.event_id_r == 90
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """Cross-check every direction against pandas merge_asof on a
+    randomized-but-fixed corpus — the reference implementation of the
+    nearest/tie rules."""
+    import pandas as pd
+
+    lrows = [(i, 7 + (i % 3), ts(i * 17 % 400)) for i in range(24)]
+    rrows = [
+        (100 + i, 7 + (i % 3), ts(i * 23 % 400), float(i)) for i in range(18)
+    ]
+    left, right = _left(spark, lrows), _right(spark, rrows)
+    lpd = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"])
+    rpd = pd.DataFrame(rrows, columns=["event_id_r", "user_id", "ts_r", "value_r"])
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.event_id: (r.ts_r, r.value_r)
+            for r in asof_join(
+                left, right, key="user_id", ts="ts",
+                right_cols=("event_id", "value"), direction=direction,
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpd.sort_values("ts"),
+            rpd.sort_values("ts_r"),
+            left_on="ts", right_on="ts_r",
+            by="user_id", direction=direction,
+        )
+        for _, row in want_df.iterrows():
+            w_ts = None if pd.isna(row.ts_r) else row.ts_r.to_pydatetime()
+            w_val = None if pd.isna(row.value_r) else row.value_r
+            assert got[row.event_id] == (w_ts, w_val), (direction, row.event_id)
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    left = _left(spark, [(1, 7, ts(100))])
+    right = _right(spark, [(90, 7, ts(90), 1.0), (91, 7, ts(110), 2.0)])
+    out = asof_join(
+        left, right, key="user_id", ts="ts",
+        right_cols=("event_id", "value"), direction="nearest",
+    ).collect()[0]
+    assert out.event_id_r == 90  # equidistant -> backward, pandas's rule

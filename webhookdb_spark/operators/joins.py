@@ -40,9 +40,13 @@ def asof_join(
     right_cols: tuple[str, ...] = (),
     suffix: str = "_r",
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every left row gains the latest right row
-    with ``right.ts <= left.ts`` on the same key (NULLs when none).
+    """As-of join in pandas ``merge_asof``'s three directions:
+    ``backward`` (default — latest right row with ``right.ts <=
+    left.ts``), ``forward`` (earliest right row with ``right.ts >=
+    left.ts``), and ``nearest`` (the closer of the two; ties go
+    backward, pandas's rule). NULLs when no match on the key.
 
     Plan shape: tag both sides, union, one window partitioned by
     ``key`` ordered by (ts, side, right-row): at equal timestamps the
@@ -58,7 +62,39 @@ def asof_join(
     field (per-column ``last(ignorenulls)`` would mix rows, diverging
     from DuckDB ASOF / pandas merge_asof when right columns contain
     NULLs).
+
+    ``forward`` is the mirrored traversal (ts desc; right rows still
+    visible at the equal instant; struct order flipped so equal-ts
+    ties deterministically pick the LOWEST right struct, matching an
+    ``ORDER BY ts_r, tie_cols`` oracle). ``nearest`` runs both
+    single-shuffle passes and picks per row — two shuffles total,
+    still no per-key cross product.
     """
+    if direction == "nearest":
+        b = asof_join(left, right, key, ts, right_cols, suffix,
+                      tolerance_seconds, "backward")
+        bwd = {c: f"_b_{c}" for c in [f"{ts}{suffix}"]
+               + [f"{c}{suffix}" for c in right_cols]}
+        for old, new in bwd.items():
+            b = b.withColumnRenamed(old, new)
+        f = asof_join(b, right, key, ts, right_cols, suffix,
+                      tolerance_seconds, "forward")
+        ts_l = F.col(ts).cast("timestamp").cast("long")
+        d_b = ts_l - F.col(f"_b_{ts}{suffix}").cast("timestamp").cast("long")
+        d_f = F.col(f"{ts}{suffix}").cast("timestamp").cast("long") - ts_l
+        take_b = F.col(f"{ts}{suffix}").isNull() | (
+            F.col(f"_b_{ts}{suffix}").isNotNull() & (d_b <= d_f)
+        )
+        out_cols = [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
+        return f.select(
+            *left.columns,
+            *[
+                F.when(take_b, F.col(f"_b_{c}")).otherwise(F.col(c)).alias(c)
+                for c in out_cols
+            ],
+        )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction {direction!r}")
     from pyspark.sql.types import StructField, StructType
 
     rts = f"{ts}{suffix}"
@@ -87,10 +123,16 @@ def asof_join(
     )
     u = l_tag.unionByName(r_tag)
     # struct comparison is lexicographic by field, so ties between
-    # right rows at the same instant resolve deterministically
+    # right rows at the same instant resolve deterministically:
+    # backward keeps the HIGHEST struct (last traversed ascending),
+    # forward the LOWEST (last traversed in the mirrored order)
+    if direction == "backward":
+        order = [F.col(ts).asc(), F.col("_side").asc(), F.col("_rrow").asc()]
+    else:
+        order = [F.col(ts).desc(), F.col("_side").asc(), F.col("_rrow").desc()]
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_rrow").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.select(
@@ -99,11 +141,10 @@ def asof_join(
         F.last("_rrow", ignorenulls=True).over(w).alias("_m"),
     ).where(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        horizon = (
-            F.col(ts).cast("timestamp").cast("long")
-            - F.col("_m")[rts].cast("timestamp").cast("long")
-            <= F.lit(int(tolerance_seconds))
-        )
+        ts_l = F.col(ts).cast("timestamp").cast("long")
+        ts_r = F.col("_m")[rts].cast("timestamp").cast("long")
+        gap = ts_l - ts_r if direction == "backward" else ts_r - ts_l
+        horizon = gap <= F.lit(int(tolerance_seconds))
         return matched.select(
             *lcols,
             *[F.when(horizon, F.col("_m")[c]).alias(c) for c in carried],
@@ -202,4 +243,55 @@ def sql_range_join_events(
     JOIN (SELECT * FROM {table} WHERE event_type = '{interval_type}') i
       ON p.user_id = i.user_id
      AND i.ts <= p.ts AND p.ts < i.ts + INTERVAL {window_seconds} SECOND
+    """
+
+
+def sql_asof_forward_events(
+    table: str = "events",
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> str:
+    """DuckDB twin of the forward as-of query — native ``ASOF LEFT
+    JOIN`` with the mirrored inequality."""
+    return f"""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS ts_r, r.event_id AS event_id_r, r.value AS value_r
+    FROM (SELECT * FROM {table} WHERE event_type = '{left_type}') l
+    ASOF LEFT JOIN (SELECT * FROM {table} WHERE event_type = '{right_type}') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """
+
+
+def sql_asof_nearest_events(
+    table: str = "events",
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> str:
+    """DuckDB twin of the nearest as-of query: both native ASOF
+    directions, then the pandas pick rule (closer wins, ties go
+    backward, NULLs yield to the other side)."""
+    return f"""
+    WITH l AS (SELECT * FROM {table} WHERE event_type = '{left_type}'),
+    r AS (SELECT * FROM {table} WHERE event_type = '{right_type}'),
+    b AS (
+      SELECT l.event_id, l.user_id, l.ts,
+             r.ts AS b_ts, r.event_id AS b_eid, r.value AS b_val
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ),
+    f AS (
+      SELECT l.event_id, l.user_id, l.ts,
+             r.ts AS f_ts, r.event_id AS f_eid, r.value AS f_val
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN take_b THEN b_ts ELSE f_ts END AS ts_r,
+           CASE WHEN take_b THEN b_eid ELSE f_eid END AS event_id_r,
+           CASE WHEN take_b THEN b_val ELSE f_val END AS value_r
+    FROM (
+      SELECT b.*, f.f_ts, f.f_eid, f.f_val,
+             (f.f_ts IS NULL OR (b.b_ts IS NOT NULL AND
+              epoch(b.ts) - epoch(b.b_ts) <= epoch(f.f_ts) - epoch(b.ts)))
+               AS take_b
+      FROM b JOIN f ON b.event_id = f.event_id
+    ) b
     """
