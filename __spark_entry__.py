@@ -1132,6 +1132,27 @@ def q_asof_join_nearest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval×interval overlap join (15-min error windows against
+    15-min signup windows per user) via grid-cell bucketing on both
+    sides — equi-join + residual filter, no per-key cross product."""
+    ev = load(spark, sf, "events")
+    w = 900
+
+    def win(t: str) -> DataFrame:
+        return ev.where(F.col("event_type") == t).select(
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {w} SECONDS")).alias("end_ts"),
+            "event_id",
+        )
+
+    return J.interval_overlap_join(
+        win("error"), win("signup"), key="user_id",
+        grid_seconds=w, a_cols=("event_id",), b_cols=("event_id",),
+    )
+
+
 def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval join (clicks inside 30-minute error windows)
     via grid-cell bucketing: equi-join on (user, cell) + exact residual
@@ -1477,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_profile": q_cluster_profile,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_nearest": q_asof_join_nearest,
+        "interval_overlap": q_interval_overlap,
         # fixed this round — need fresh driver confirmation
         "sequence_pack": q_sequence_pack,
         "search_ranked": q_search_ranked,
@@ -1576,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_profile": S.sql_cluster_profile(),
         "asof_join_forward": J.sql_asof_forward_events(),
         "asof_join_nearest": J.sql_asof_nearest_events(),
+        "interval_overlap": J.sql_interval_overlap_events(),
         "set_ops": SQL_SET_OPS,
         "row_cap": SQL_ROW_CAP,
         "retention_candidates": SQL_RETENTION,

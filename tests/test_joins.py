@@ -196,3 +196,33 @@ def test_asof_nearest_tie_goes_backward(spark):
         right_cols=("event_id", "value"), direction="nearest",
     ).collect()[0]
     assert out.event_id_r == 90  # equidistant -> backward, pandas's rule
+
+
+def test_interval_overlap_boundaries_and_rejection(spark):
+    from webhookdb_spark.operators.joins import interval_overlap_join
+
+    def iv(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, start_ts timestamp, end_ts timestamp, iid long"
+        )
+
+    a = iv([(7, ts(0), ts(100), 1), (7, ts(500), ts(600), 2)])
+    b = iv([
+        (7, ts(99), ts(150), 10),   # overlaps iid 1 by one second
+        (7, ts(100), ts(200), 11),  # touches iid 1 exactly at end: no overlap
+        (7, ts(550), ts(560), 12),  # inside iid 2
+        (8, ts(0), ts(100), 13),    # other key
+    ])
+    out = interval_overlap_join(
+        a, b, key="user_id", grid_seconds=300,
+        a_cols=("iid",), b_cols=("iid",),
+    ).collect()
+    pairs = sorted((r.iid_a, r.iid_b) for r in out)
+    assert pairs == [(1, 10), (2, 12)]
+
+    import pytest as _pt
+    wide = iv([(7, ts(0), ts(2000), 9)])
+    with _pt.raises(Exception, match="wider than grid"):
+        interval_overlap_join(
+            wide, b, key="user_id", grid_seconds=300, a_cols=("iid",)
+        ).collect()

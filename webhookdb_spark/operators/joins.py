@@ -295,3 +295,98 @@ def sql_asof_nearest_events(
       FROM b JOIN f ON b.event_id = f.event_id
     ) b
     """
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    grid_seconds: int = 300,
+    a_cols: tuple[str, ...] = (),
+    b_cols: tuple[str, ...] = (),
+    suffix_a: str = "_a",
+    suffix_b: str = "_b",
+) -> DataFrame:
+    """Interval×interval overlap join: every (a, b) pair on the same
+    key whose half-open spans intersect (``a.start < b.end AND
+    b.start < a.end``) — the third temporal-join shape after as-of and
+    point-in-interval, and the same scale argument: the naive double
+    inequality is a per-key cross product, grid-bucketing both sides
+    turns it into an equi-join on (key, cell) + exact residual filter.
+    Intervals wider than ``grid_seconds`` raise (the 2-cells bound);
+    two intervals overlap iff they co-occupy at least one grid cell,
+    so no pair is missed. Cross-cell double-hits dedup via distinct.
+    """
+    def cells(side: DataFrame, s: str, e: str, keep: list) -> DataFrame:
+        out = side.select(*keep).withColumn(
+            "_cells",
+            F.sequence(
+                F.floor(F.col(s).cast("timestamp").cast("long") / grid_seconds),
+                F.floor(
+                    (F.col(e).cast("timestamp").cast("long") - 1) / grid_seconds
+                ),
+            ),
+        ).withColumn("_ncells", F.size("_cells"))
+        return out.withColumn(
+            "_cell",
+            F.explode(
+                F.when(F.col("_ncells") <= 2, F.col("_cells")).otherwise(
+                    F.raise_error(
+                        F.lit("interval_overlap_join: interval wider than grid")
+                    )
+                )
+            ),
+        ).drop("_cells", "_ncells")
+
+    sa, ea = f"{start_col}{suffix_a}", f"{end_col}{suffix_a}"
+    sb, eb = f"{start_col}{suffix_b}", f"{end_col}{suffix_b}"
+    da = a.select(
+        F.col(key),
+        F.col(start_col).alias(sa),
+        F.col(end_col).alias(ea),
+        *[F.col(c).alias(f"{c}{suffix_a}") for c in a_cols],
+    )
+    db = b.select(
+        F.col(key),
+        F.col(start_col).alias(sb),
+        F.col(end_col).alias(eb),
+        *[F.col(c).alias(f"{c}{suffix_b}") for c in b_cols],
+    )
+    ja = cells(da, sa, ea, da.columns)
+    jb = cells(db, sb, eb, db.columns)
+    out = ja.join(jb, [key, "_cell"]).where(
+        (F.col(sa) < F.col(eb)) & (F.col(sb) < F.col(ea))
+    )
+    return out.drop("_cell").distinct()
+
+
+def sql_interval_overlap_events(
+    table: str = "events",
+    a_type: str = "error",
+    b_type: str = "signup",
+    width_seconds: int = 900,
+) -> str:
+    """DuckDB twin of the error-window × signup-window overlap query —
+    the plain double-inequality join the grid construction must
+    reproduce."""
+    w = width_seconds
+    return f"""
+    WITH a AS (
+      SELECT user_id, ts AS start_ts, ts + INTERVAL {w} SECOND AS end_ts,
+             event_id
+      FROM {table} WHERE event_type = '{a_type}'
+    ), b AS (
+      SELECT user_id, ts AS start_ts, ts + INTERVAL {w} SECOND AS end_ts,
+             event_id
+      FROM {table} WHERE event_type = '{b_type}'
+    )
+    SELECT DISTINCT a.user_id,
+           a.start_ts AS start_ts_a, a.end_ts AS end_ts_a,
+           a.event_id AS event_id_a,
+           b.start_ts AS start_ts_b, b.end_ts AS end_ts_b,
+           b.event_id AS event_id_b
+    FROM a JOIN b ON a.user_id = b.user_id
+     AND a.start_ts < b.end_ts AND b.start_ts < a.end_ts
+    """
