@@ -28,6 +28,7 @@ from webhookdb_spark.operators import dedup as D  # noqa: E402
 from webhookdb_spark.operators import multimodal as M  # noqa: E402
 from webhookdb_spark.operators import sampling as SA  # noqa: E402
 from webhookdb_spark.operators import similarity as S  # noqa: E402
+from webhookdb_spark.operators import profile as PR  # noqa: E402
 from webhookdb_spark.operators import text as X  # noqa: E402
 
 TABLES = (
@@ -735,6 +736,18 @@ FROM d
 GROUP BY decile
 ORDER BY decile
 """
+
+
+def q_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-column profile of the orders table (null rate,
+    cardinality, range, mode) via the single-explode unpivot."""
+    return PR.profile_columns(load(spark, sf, "orders"))
+
+
+SQL_PROFILE_ORDERS_KINDS = {
+    "o_orderkey": "num", "o_custkey": "num", "o_orderstatus": "raw",
+    "o_totalprice": "num", "o_orderdate": "raw", "o_orderpriority": "raw",
+}
 
 
 def q_cluster_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -1499,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": q_asof_join_forward,
         "asof_join_nearest": q_asof_join_nearest,
         "interval_overlap": q_interval_overlap,
+        "profile_orders": q_profile_orders,
         # fixed this round — need fresh driver confirmation
         "sequence_pack": q_sequence_pack,
         "search_ranked": q_search_ranked,
@@ -1599,6 +1613,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_forward": J.sql_asof_forward_events(),
         "asof_join_nearest": J.sql_asof_nearest_events(),
         "interval_overlap": J.sql_interval_overlap_events(),
+        "profile_orders": PR.sql_profile_columns(
+            "orders", SQL_PROFILE_ORDERS_KINDS
+        ),
         "set_ops": SQL_SET_OPS,
         "row_cap": SQL_ROW_CAP,
         "retention_candidates": SQL_RETENTION,

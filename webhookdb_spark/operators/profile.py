@@ -1,0 +1,115 @@
+"""Column profiling — the data-quality pass a pipeline runs before
+trusting a new table (null rates, cardinalities, ranges, modes).
+
+The reference exposes per-table stats through its admin surface
+(organization stats / table row counts); this generalizes that to a
+per-column profile computed in two aggregate passes, and is equally
+the first step of a training-data audit (how many null texts, how
+skewed is `source`, what is the dominant label).
+
+Distributed shape: every column's values are canonicalized to strings
+with ENGINE-PORTABLE casts (numerics via DECIMAL(18,4) — raw
+double→string formatting diverges between engines on exponent-range
+values; timestamps/strings cast directly, verified byte-identical),
+then unpivoted into a narrow (col_name, v) stream with ONE explode —
+no per-column job. Null/distinct/min/max ride one groupBy on
+col_name; the mode takes a (col_name, v) count plus a
+C-partition window. Both shuffles carry narrow keys; map-side combine
+applies to each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_NUM_TYPES = ("int", "bigint", "double", "float", "decimal", "smallint", "tinyint")
+
+
+def _canon(df: DataFrame, c: str):
+    dt = dict(df.dtypes)[c]
+    if any(dt.startswith(t) for t in _NUM_TYPES):
+        return F.col(c).cast("decimal(18,4)").cast("string")
+    return F.col(c).cast("string")
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """(col_name, n_rows, n_null, n_distinct, min_v, max_v, top_value,
+    top_count): exact per-column profile. ``top_value`` is the mode
+    over non-null values, ties to the lexicographically lowest value;
+    an all-null column profiles with a NULL mode and top_count 0."""
+    cols = columns or df.columns
+    stream = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"), _canon(df, c).alias("v")
+                )
+                for c in cols
+            ])
+        ).alias("_e")
+    ).select("_e.col_name", "_e.v")
+    base = stream.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    counts = (
+        stream.where(F.col("v").isNotNull())
+        .groupBy("col_name", "v")
+        .agg(F.count("*").alias("_c"))
+    )
+    w = Window.partitionBy("col_name").orderBy(F.col("_c").desc(), F.col("v").asc())
+    mode = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("col_name", F.col("v").alias("top_value"), F.col("_c").alias("top_count"))
+    )
+    return (
+        base.join(mode, "col_name", "left")
+        .select(
+            "col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v",
+            "top_value",
+            F.coalesce("top_count", F.lit(0)).cast("long").alias("top_count"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def sql_profile_columns(table: str, col_kinds: dict[str, str]) -> str:
+    """DuckDB twin of :func:`profile_columns`. ``col_kinds`` maps each
+    column to 'num' (decimal canon) or 'raw' (direct VARCHAR cast) —
+    the same canonicalization the Spark side derives from dtypes."""
+    parts = []
+    for c, kind in col_kinds.items():
+        canon = (
+            f"CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)"
+            if kind == "num" else f"CAST({c} AS VARCHAR)"
+        )
+        parts.append(f"SELECT '{c}' AS col_name, {canon} AS v FROM {table}")
+    stream = " UNION ALL ".join(parts)
+    return f"""
+    WITH s AS ({stream}),
+    base AS (
+      SELECT col_name, count(*) AS n_rows,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             count(DISTINCT v) AS n_distinct,
+             min(v) AS min_v, max(v) AS max_v
+      FROM s GROUP BY col_name
+    ),
+    mode AS (
+      SELECT col_name, v AS top_value, c AS top_count FROM (
+        SELECT col_name, v, count(*) AS c,
+               row_number() OVER (PARTITION BY col_name
+                                  ORDER BY count(*) DESC, v ASC) AS rn
+        FROM s WHERE v IS NOT NULL GROUP BY col_name, v
+      ) WHERE rn = 1
+    )
+    SELECT b.col_name, b.n_rows, b.n_null, b.n_distinct, b.min_v, b.max_v,
+           m.top_value, CAST(coalesce(m.top_count, 0) AS BIGINT) AS top_count
+    FROM base b LEFT JOIN mode m ON b.col_name = m.col_name
+    ORDER BY b.col_name
+    """
