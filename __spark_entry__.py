@@ -28,6 +28,7 @@ from webhookdb_spark.operators import dedup as D  # noqa: E402
 from webhookdb_spark.operators import multimodal as M  # noqa: E402
 from webhookdb_spark.operators import sampling as SA  # noqa: E402
 from webhookdb_spark.operators import similarity as S  # noqa: E402
+from webhookdb_spark.operators import layout as LA  # noqa: E402
 from webhookdb_spark.operators import profile as PR  # noqa: E402
 from webhookdb_spark.operators import text as X  # noqa: E402
 
@@ -748,6 +749,17 @@ SQL_PROFILE_ORDERS_KINDS = {
     "o_orderkey": "num", "o_custkey": "num", "o_orderstatus": "raw",
     "o_totalprice": "num", "o_orderdate": "raw", "o_orderpriority": "raw",
 }
+
+
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout report over events (user_id × event-time):
+    Morton-key range buckets with both dimensions' min/max spans —
+    the file-statistics a Z-ordered writer would persist for
+    two-dimensional min/max pruning."""
+    ev = load(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("epoch_s")
+    )
+    return LA.zorder_layout(ev, "user_id", "epoch_s", bucket_bits=36)
 
 
 def q_cluster_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -1513,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": q_asof_join_nearest,
         "interval_overlap": q_interval_overlap,
         "profile_orders": q_profile_orders,
+        "zorder_layout": q_zorder_layout,
         # fixed this round — need fresh driver confirmation
         "sequence_pack": q_sequence_pack,
         "search_ranked": q_search_ranked,
@@ -1615,6 +1628,13 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap": J.sql_interval_overlap_events(),
         "profile_orders": PR.sql_profile_columns(
             "orders", SQL_PROFILE_ORDERS_KINDS
+        ),
+        # floor(epoch()) — DuckDB's epoch() is a fractional DOUBLE and a
+        # bare BIGINT cast ROUNDS, where Spark's timestamp→long truncates
+        "zorder_layout": LA.sql_zorder_layout(
+            "(SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s"
+            " FROM events)",
+            "user_id", "epoch_s", bucket_bits=36,
         ),
         "set_ops": SQL_SET_OPS,
         "row_cap": SQL_ROW_CAP,

@@ -53,3 +53,38 @@ def test_ntile_assign_matches_window_ntile(spark):
             for r in df.withColumn("t", F.ntile(10).over(w)).collect()
         }
         assert got == want, n_rows
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from webhookdb_spark.operators.layout import sql_zorder_expr, zorder_key
+    import duckdb
+
+    def py_z(a, b):
+        z = 0
+        for i in range(31):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [(0, 0), (1, 0), (0, 1), (2**31 - 1, 2**31 - 1),
+            (12345, 67890), (1704067798, 1499)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for a, b in vals:
+        want = py_z(a, b)
+        assert got[(a, b)] == want, (a, b)
+        (dz,) = con.execute(
+            f"SELECT {sql_zorder_expr(str(a), str(b))}"
+        ).fetchone()
+        assert dz == want, (a, b)
+
+    import pytest as _pt
+    bad = spark.createDataFrame([(2**31, 0)], "a long, b long")
+    with _pt.raises(Exception, match="outside"):
+        bad.select(zorder_key(F.col("a"), F.col("b"))).collect()

@@ -1,0 +1,108 @@
+"""Multi-dimensional data layout: Z-order (Morton) keys.
+
+Writing a 100 TB table sorted by ONE column gives min/max file-skipping
+on that column only; interleaving the bits of two columns into a
+Z-order key and range-partitioning by it gives useful skipping on BOTH
+(the technique behind Delta's OPTIMIZE ZORDER BY and Iceberg's sort
+orders). The key itself is pure integer bit arithmetic — exact,
+engine-portable, and cheap enough to compute in the write path's
+narrow map.
+
+`zorder_key` is the composable Column expression; `zorder_layout`
+(the query-surface form) range-buckets a table by the key and reports
+per-bucket spans — the measurable claim being that both dimensions'
+spans per bucket are narrow, which is exactly what makes min/max
+pruning effective for either predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPREAD = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits(c: Column) -> Column:
+    """Spread a non-negative < 2^31 int64 onto the even bit positions
+    (the standard magic-mask interleave ladder)."""
+    x = c.cast("long")
+    for shift, mask in _SPREAD:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(a: Column, b: Column) -> Column:
+    """64-bit Morton key of two non-negative < 2^31 integer columns:
+    bits of ``a`` on even positions, ``b`` on odd. Raises at runtime
+    on out-of-range inputs instead of silently wrapping — a wrapped
+    key would scatter a hot range across the keyspace and quietly
+    destroy the locality the layout exists to provide."""
+    guard = (
+        (a >= 0) & (a < F.lit(1 << 31)) & (b >= 0) & (b < F.lit(1 << 31))
+    )
+    z = _spread_bits(a).bitwiseOR(F.shiftleft(_spread_bits(b), 1))
+    return F.when(guard, z).otherwise(
+        F.raise_error(F.lit("zorder_key: input outside [0, 2^31)"))
+    )
+
+
+def sql_zorder_expr(a: str, b: str) -> str:
+    """DuckDB twin of :func:`zorder_key` (same ladder, same masks)."""
+
+    def spread(x: str) -> str:
+        e = f"CAST({x} AS BIGINT)"
+        for shift, mask in _SPREAD:
+            e = f"(({e} | ({e} << {shift})) & {mask})"
+        return e
+
+    return f"({spread(a)} | ({spread(b)} << 1))"
+
+
+def zorder_layout(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    bucket_bits: int = 52,
+) -> DataFrame:
+    """Per-bucket layout report after Z-ordering by (a, b): bucket =
+    zkey >> ``bucket_bits`` (a contiguous Z-range ≈ one target file),
+    with row count and BOTH dimensions' min/max spans — the numbers a
+    writer would persist as file-level statistics for pruning."""
+    z = zorder_key(F.col(a_col), F.col(b_col))
+    return (
+        df.select(F.col(a_col), F.col(b_col), z.alias("_z"))
+        .groupBy(F.shiftrightunsigned("_z", bucket_bits).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(a_col).alias("min_a"),
+            F.max(a_col).alias("max_a"),
+            F.min(b_col).alias("min_b"),
+            F.max(b_col).alias("max_b"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def sql_zorder_layout(
+    table_expr: str,
+    a_col: str,
+    b_col: str,
+    bucket_bits: int = 52,
+) -> str:
+    """DuckDB twin of :func:`zorder_layout`."""
+    z = sql_zorder_expr(a_col, b_col)
+    return f"""
+    SELECT ({z} >> {bucket_bits}) AS bucket,
+           count(*) AS n_rows,
+           min({a_col}) AS min_a, max({a_col}) AS max_a,
+           min({b_col}) AS min_b, max({b_col}) AS max_b
+    FROM {table_expr}
+    GROUP BY 1 ORDER BY 1
+    """
