@@ -228,3 +228,63 @@ def test_dedup_deliveries_batch_degrades_to_exact(spark):
     )
     out = dedup_deliveries_stream(df)
     assert out.count() == 2
+
+
+# -- transformWithState quota processor (streaming/quota.py) -----------------
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttl=None):
+        self.states[name] = _FakeValueState()
+        return self.states[name]
+
+
+def test_quota_processor_cumulative_and_throttle_accounting():
+    """The transformWithState processor's quota math, driven directly
+    (the streaming form needs protobuf workers, absent in this
+    sandbox — the operator gates on that with a clear error)."""
+    import pandas as pd
+
+    from webhookdb_spark.streaming.quota import _QuotaProcessor
+
+    p = _QuotaProcessor(quota=4, state_ttl_ms=None)
+    p.init(_FakeHandle())
+
+    def feed(n):
+        out = list(p.handleInputRows(("a",), iter([pd.DataFrame({"org": ["a"] * n})]), None))
+        assert len(out) == 1
+        r = out[0].iloc[0]
+        return (int(r.batch_n), int(r.total_n), int(r.throttled_n))
+
+    assert feed(3) == (3, 3, 0)      # under quota
+    assert feed(2) == (2, 5, 1)      # crosses: only the overflow row throttles
+    assert feed(2) == (2, 7, 2)      # already over: whole batch throttles
+    assert feed(0) == (0, 7, 0)      # empty batch reports, throttles nothing
+
+
+def test_quota_stream_gates_without_protobuf(spark):
+    import pytest as _pt
+
+    from webhookdb_spark.streaming.quota import org_quota_stream
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        _pt.skip("protobuf present; gate not applicable")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([("a",)], "org string")
+    with _pt.raises(ImportError, match="protobuf"):
+        org_quota_stream(df, quota=4)
