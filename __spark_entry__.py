@@ -768,6 +768,58 @@ def q_cluster_profile(spark: SparkSession, sf: str) -> DataFrame:
     return S.embedding_cluster_profile(load(spark, sf, "embeddings"))
 
 
+def q_pipeline_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """The training pipeline END-TO-END under one value-hash oracle:
+    C4-style filter cascade → exact-dedup canonical keep (lowest
+    doc_id per normalized fingerprint) → deterministic train split →
+    GPT-style sequence packing. One lazy dataflow, schemas lining up
+    at every hop; the oracle nests each stage's existing DuckDB twin
+    as a CTE, so the COMPOSITION is verified, not just the parts."""
+    from webhookdb_spark.operators.text import WS, ascii_lower
+
+    docs = load(spark, sf, "documents")
+    kept = docs.join(
+        C.corpus_filter(docs).where("keep").select("doc_id"), "doc_id"
+    )
+    fp = F.md5(ascii_lower(F.regexp_replace(F.trim(F.col("text")), WS, " ")))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    canon = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    train = SA.corpus_split(canon).where("split = 'train'")
+    return SA.sequence_pack(train, context_len=128)
+
+
+def sql_pipeline_pack() -> str:
+    fp = (
+        "md5(translate(regexp_replace(trim(text, ' '),"
+        " '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'),"
+        " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))"
+    )
+    return f"""
+    WITH kept AS (
+      SELECT d.* FROM documents d
+      JOIN ({C.sql_corpus_filter()}) v USING (doc_id)
+      WHERE v.keep
+    ),
+    canon AS (
+      SELECT * FROM (
+        SELECT k.*, row_number() OVER (PARTITION BY {fp}
+                                       ORDER BY doc_id) AS rn
+        FROM kept k
+      ) WHERE rn = 1
+    ),
+    train_t AS (
+      SELECT c.* FROM canon c
+      JOIN ({SA.sql_corpus_split(table="canon")}) s USING (doc_id)
+      WHERE s.split = 'train'
+    )
+    SELECT * FROM ({SA.sql_sequence_pack(table="train_t", context_len=128)})
+    """
+
+
 def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary OOV-rate profile of the held-out split against a
     top-200 vocabulary fit on the train split (corpus.py)."""
@@ -1526,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "profile_orders": q_profile_orders,
         "zorder_layout": q_zorder_layout,
+        "pipeline_pack": q_pipeline_pack,
         # fixed this round — need fresh driver confirmation
         "sequence_pack": q_sequence_pack,
         "search_ranked": q_search_ranked,
@@ -1631,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # floor(epoch()) — DuckDB's epoch() is a fractional DOUBLE and a
         # bare BIGINT cast ROUNDS, where Spark's timestamp→long truncates
+        "pipeline_pack": sql_pipeline_pack(),
         "zorder_layout": LA.sql_zorder_layout(
             "(SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s"
             " FROM events)",
