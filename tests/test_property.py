@@ -697,3 +697,36 @@ def test_cluster_profile_cross_engine(spark, vecs):
         for r in con.execute(sql_cluster_profile(n_centroids=n_c)).fetchall()
     )
     assert s == o
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), _text),
+            st.one_of(st.none(), st.integers(-10**6, 10**6)),
+        ),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_profile_columns_cross_engine(spark, rows):
+    """Profiler twins under adversarial unicode + NULLs: the string
+    canonicalization, null accounting, and deterministic mode
+    tie-break must agree between engines."""
+    from webhookdb_spark.operators.profile import profile_columns, sql_profile_columns
+
+    data = [(i, s, n) for i, (s, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, s string, n long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, s VARCHAR, n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", data)
+
+    got = sorted(tuple(r) for r in profile_columns(df).collect())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_profile_columns("t", {"id": "num", "s": "raw", "n": "num"})
+        ).fetchall()
+    )
+    assert got == want
