@@ -592,6 +592,159 @@ ORDER BY c_nationkey
 """
 
 
+def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose revenue exceeds
+    1/1800th of the global total (the classic 0.1% cut is above every
+    part share in this uniform fixture). Both sides stay exact
+    DECIMAL (part_total * 1800 > global_total — no division, no
+    doubles), the global total rides a 1-row broadcast."""
+    lineitem = load(spark, sf, "lineitem")
+    val = _dec("l_extendedprice") * _dec("l_quantity", 2)
+    per_part = lineitem.groupBy("l_partkey").agg(F.sum(val).alias("_v"))
+    total = F.broadcast(per_part.agg(F.sum("_v").alias("_tot")))
+    return (
+        per_part.crossJoin(total)
+        .where(F.col("_v") * 1800 > F.col("_tot"))
+        .select(
+            "l_partkey",
+            F.round(F.col("_v").cast("double"), 6).alias("part_value"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH pp AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS v
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(v) AS t FROM pp)
+SELECT l_partkey, round(CAST(v AS DOUBLE), 6) AS part_value
+FROM pp, tot
+WHERE v * 1800 > t
+ORDER BY l_partkey
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    revenue in a quarter. The max-over-aggregate is an exact DECIMAL
+    equality against a 1-row broadcast max — no window, and no
+    double-compare ambiguity deciding the winner."""
+    lineitem = load(spark, sf, "lineitem")
+    supplier = F.broadcast(load(spark, sf, "supplier"))
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+            ).alias("_r")
+        )
+    )
+    mx = F.broadcast(rev.agg(F.max("_r").alias("_mx")))
+    return (
+        rev.crossJoin(mx)
+        .where(F.col("_r") == F.col("_mx"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("_r").cast("double"), 6).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(r) AS m FROM rev)
+SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 6) AS total_revenue
+FROM rev, mx
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = m
+ORDER BY s_suppkey
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on
+    multi-supplier orders, the supplier who shipped late (> order
+    date + 90d) while every other supplier shipped on time — the
+    EXISTS/NOT-EXISTS pair becomes one (order, supplier) aggregate
+    plus one order-level aggregate broadcast back; no correlated
+    re-scans of lineitem."""
+    lineitem = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    li = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .alias("_late"),
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("_late").cast("int")).alias("_supp_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_supp"),
+        F.sum("_supp_late").alias("_n_late"),
+    )
+    guilty = (
+        per_os.join(per_o, "l_orderkey")
+        .where(
+            (F.col("_supp_late") == 1)
+            & (F.col("_n_late") == 1)
+            & (F.col("_n_supp") >= 2)
+        )
+    )
+    return (
+        guilty.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("l_suppkey").asc())
+        .limit(20)
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_os AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+  FROM li GROUP BY l_orderkey, l_suppkey
+),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp,
+         CAST(sum(supp_late) AS BIGINT) AS n_late
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT l_suppkey, count(*) AS numwait
+FROM per_os JOIN per_o USING (l_orderkey)
+WHERE supp_late = 1 AND n_late = 1 AND n_supp >= 2
+GROUP BY l_suppkey
+ORDER BY numwait DESC, l_suppkey ASC
+LIMIT 20
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     """Per-mktsegment event volume through the salted hot-key join
     (`operators/skew.py`): events (big, potentially hot user_ids) join
@@ -1579,6 +1732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "zorder_layout": q_zorder_layout,
         "pipeline_pack": q_pipeline_pack,
+        "important_parts": q_important_parts,
+        "top_supplier": q_top_supplier,
+        "waiting_suppliers": q_waiting_suppliers,
         # fixed this round — need fresh driver confirmation
         "sequence_pack": q_sequence_pack,
         "search_ranked": q_search_ranked,
@@ -1685,6 +1841,9 @@ def oracle_sql() -> dict[str, str]:
         # floor(epoch()) — DuckDB's epoch() is a fractional DOUBLE and a
         # bare BIGINT cast ROUNDS, where Spark's timestamp→long truncates
         "pipeline_pack": sql_pipeline_pack(),
+        "important_parts": SQL_IMPORTANT_PARTS,
+        "top_supplier": SQL_TOP_SUPPLIER,
+        "waiting_suppliers": SQL_WAITING_SUPPLIERS,
         "zorder_layout": LA.sql_zorder_layout(
             "(SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s"
             " FROM events)",
