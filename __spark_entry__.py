@@ -700,17 +700,19 @@ def q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.col("_late").cast("int")).alias("_supp_late")
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count("*").alias("_n_supp"),
-        F.sum("_supp_late").alias("_n_late"),
-    )
-    guilty = (
-        per_os.join(per_o, "l_orderkey")
-        .where(
-            (F.col("_supp_late") == 1)
-            & (F.col("_n_late") == 1)
-            & (F.col("_n_supp") >= 2)
-        )
+    # order-level totals as a window over the SAME (order, supplier)
+    # aggregate — a self-join here would recompute the lineitem⋈orders
+    # subtree (Catalyst plans the two aggregate levels independently);
+    # the window reuses the groupBy's partitioning, one pass total
+    wo = Window.partitionBy("l_orderkey")
+    guilty = per_os.select(
+        "l_orderkey", "l_suppkey", "_supp_late",
+        F.count("*").over(wo).alias("_n_supp"),
+        F.sum("_supp_late").over(wo).alias("_n_late"),
+    ).where(
+        (F.col("_supp_late") == 1)
+        & (F.col("_n_late") == 1)
+        & (F.col("_n_supp") >= 2)
     )
     return (
         guilty.groupBy("l_suppkey")
