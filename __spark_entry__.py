@@ -592,6 +592,53 @@ ORDER BY c_nationkey
 """
 
 
+def q_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT surface: order counts and exact-decimal revenue per
+    market segment, one column pair per order status. The status list
+    is explicit — with it, Spark skips the extra distinct-values job
+    and the output schema is deterministic (required for the oracle
+    and for any production pivot at scale)."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    j = orders.join(customer, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_mktsegment", "o_orderstatus", _dec("o_totalprice").alias("_p")
+    )
+    piv = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("_p").cast("double"), 6).alias("rev"),
+        )
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce("F_n", F.lit(0)).alias("f_n"),
+        F.coalesce("F_rev", F.lit(0.0)).alias("f_rev"),
+        F.coalesce("O_n", F.lit(0)).alias("o_n"),
+        F.coalesce("O_rev", F.lit(0.0)).alias("o_rev"),
+        F.coalesce("P_n", F.lit(0)).alias("p_n"),
+        F.coalesce("P_rev", F.lit(0.0)).alias("p_rev"),
+    ).orderBy("c_mktsegment")
+
+
+SQL_PIVOT_STATUS = """
+SELECT c_mktsegment,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+       coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+           FILTER (o_orderstatus = 'F') AS DOUBLE), 6), 0.0) AS f_rev,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+       coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+           FILTER (o_orderstatus = 'O') AS DOUBLE), 6), 0.0) AS o_rev,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
+       coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+           FILTER (o_orderstatus = 'P') AS DOUBLE), 6), 0.0) AS p_rev
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q11 shape (important stock): parts whose revenue exceeds
     1/1800th of the global total (the classic 0.1% cut is above every
@@ -1737,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "pipeline_pack": q_pipeline_pack,
         "important_parts": q_important_parts,
+        "pivot_status": q_pivot_status,
         "top_supplier": q_top_supplier,
         "waiting_suppliers": q_waiting_suppliers,
         # fixed this round — need fresh driver confirmation
@@ -1846,6 +1894,7 @@ def oracle_sql() -> dict[str, str]:
         # bare BIGINT cast ROUNDS, where Spark's timestamp→long truncates
         "pipeline_pack": sql_pipeline_pack(),
         "important_parts": SQL_IMPORTANT_PARTS,
+        "pivot_status": SQL_PIVOT_STATUS,
         "top_supplier": SQL_TOP_SUPPLIER,
         "waiting_suppliers": SQL_WAITING_SUPPLIERS,
         "zorder_layout": LA.sql_zorder_layout(
