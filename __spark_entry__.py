@@ -1756,78 +1756,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the correctness driver checks roughly the
-    # first 50 entries per round (CORRECTNESS_r04 covered exactly the
-    # first 50 of the then-64 declared), so queries with the fewest
-    # prior driver rows come FIRST — the round-5 additions, then the
-    # round-4 representation fixes, then the media/ANN block the r4
-    # pass never reached — and the queries green in every round since
-    # r1 sit at the tail. Every entry still runs in
-    # tools/check_oracle.py regardless of position (85/85 green in the
-    # round-5 closing sweep).
+    # first 50 entries per round (CORRECTNESS_r05 covered exactly the
+    # first 50 of the then-86 declared), so queries with the fewest
+    # prior driver rows come FIRST — the 36 rows absent from
+    # CORRECTNESS_r05.json (decontaminate_bloom leading: zero driver
+    # rows ever) plus the round-6 additions — and the 50 rows green in
+    # r5 sit at the tail. Every entry still runs in
+    # tools/check_oracle.py regardless of position (the full declared
+    # set was green in the round-6 closing sweep; see PROGRESS.jsonl).
     return {
-        # new round 5 — never driver-checked
-        "order_priority_check": q_order_priority_check,
-        "promo_revenue": q_promo_revenue,
-        "small_qty_revenue": q_small_qty_revenue,
-        "global_sales_opportunity": q_global_sales_opportunity,
-        "skew_salted_join": q_skew_salted_join,
-        "event_transitions": q_event_transitions,
-        "order_percentiles": q_order_percentiles,
-        "order_deciles": q_order_deciles,
-        "vocab_coverage": q_vocab_coverage,
-        "revenue_grouping_sets": q_revenue_grouping_sets,
-        "cluster_profile": q_cluster_profile,
-        "asof_join_forward": q_asof_join_forward,
-        "asof_join_nearest": q_asof_join_nearest,
-        "interval_overlap": q_interval_overlap,
-        "profile_orders": q_profile_orders,
-        "zorder_layout": q_zorder_layout,
-        "pipeline_pack": q_pipeline_pack,
-        "important_parts": q_important_parts,
-        "pivot_status": q_pivot_status,
-        "top_supplier": q_top_supplier,
-        "waiting_suppliers": q_waiting_suppliers,
-        # fixed this round — need fresh driver confirmation
-        "sequence_pack": q_sequence_pack,
-        "search_ranked": q_search_ranked,
-        "inverted_index": q_inverted_index,
-        # never driver-checked (r4 cap) or never checked at all
-        "media_features": q_media_features,  # pandas-UDF — rows-only check
-        "media_decode": q_media_decode,
-        "media_jpeg_decode": q_media_jpeg_decode,
-        "media_wav_decode": q_media_wav_decode,
-        "media_audio_features": q_media_audio_features,
-        "media_pixel_features": q_media_pixel_features,
-        "media_avi_frames": q_media_avi_frames,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_lsh_recall": q_ann_lsh_recall,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "embed_near_dup": q_embed_near_dup,
-        # one green driver round (r4)
-        "media_summary": q_media_summary,
-        "shipping_priority": q_shipping_priority,
-        "big_spenders": q_big_spenders,
-        "search_terms": q_search_terms,
-        "corpus_filter": q_corpus_filter,
-        "length_stats": q_length_stats,
-        "kmv_distinct": q_kmv_distinct,
-        "asof_join_events": q_asof_join,
-        "range_join_events": q_range_join,
-        "dedup_segments": q_dedup_segments,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_clusters": q_dedup_clusters,
+        # --- driver-unchecked in r5 (must land in the first ~50 slots) ---
+        # decontaminate_bloom first: zero driver rows ever (new in r5)
+        "decontaminate_bloom": q_decontaminate_bloom,
         "decontaminate": q_decontaminate,
-        "decontaminate_bloom": q_decontaminate_bloom,  # new r5
         "text_repetition": q_text_repetition,
         "text_token_count_bpe": q_text_token_count_bpe,
         "text_token_count_bpe2": q_text_token_count_bpe2,
         "text_scrub_pii": q_text_scrub_pii,
         "text_winnow": q_text_winnow,
-        "text_lm_score": q_text_lm_score,
-        # multiple green driver rounds
+        "text_lm_score": q_text_lm_score,  # multiple green driver rounds
         "upsert_merge": q_upsert_merge,
         "sessionized": q_sessionized,
         "windowed_counts": q_windowed_counts,
@@ -1856,6 +1803,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
+        # --- driver-green in CORRECTNESS_r05.json (tail) ---
+        "order_priority_check": q_order_priority_check,
+        "promo_revenue": q_promo_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "global_sales_opportunity": q_global_sales_opportunity,
+        "skew_salted_join": q_skew_salted_join,
+        "event_transitions": q_event_transitions,
+        "order_percentiles": q_order_percentiles,
+        "order_deciles": q_order_deciles,
+        "vocab_coverage": q_vocab_coverage,
+        "revenue_grouping_sets": q_revenue_grouping_sets,
+        "cluster_profile": q_cluster_profile,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        "interval_overlap": q_interval_overlap,
+        "profile_orders": q_profile_orders,
+        "zorder_layout": q_zorder_layout,
+        "pipeline_pack": q_pipeline_pack,
+        "important_parts": q_important_parts,
+        "pivot_status": q_pivot_status,
+        "top_supplier": q_top_supplier,
+        "waiting_suppliers": q_waiting_suppliers,  # fixed this round — need fresh driver confirmation
+        "sequence_pack": q_sequence_pack,
+        "search_ranked": q_search_ranked,
+        "inverted_index": q_inverted_index,  # never driver-checked (r4 cap) or never checked at all
+        "media_features": q_media_features,  # pandas-UDF — rows-only check
+        "media_decode": q_media_decode,
+        "media_jpeg_decode": q_media_jpeg_decode,
+        "media_wav_decode": q_media_wav_decode,
+        "media_audio_features": q_media_audio_features,
+        "media_pixel_features": q_media_pixel_features,
+        "media_avi_frames": q_media_avi_frames,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "embed_near_dup": q_embed_near_dup,  # one green driver round (r4)
+        "media_summary": q_media_summary,
+        "shipping_priority": q_shipping_priority,
+        "big_spenders": q_big_spenders,
+        "search_terms": q_search_terms,
+        "corpus_filter": q_corpus_filter,
+        "length_stats": q_length_stats,
+        "kmv_distinct": q_kmv_distinct,
+        "asof_join_events": q_asof_join,
+        "range_join_events": q_range_join,
+        "dedup_segments": q_dedup_segments,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
