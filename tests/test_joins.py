@@ -226,3 +226,64 @@ def test_interval_overlap_boundaries_and_rejection(spark):
         interval_overlap_join(
             wide, b, key="user_id", grid_seconds=300, a_cols=("iid",)
         ).collect()
+
+
+def test_interval_overlap_rejects_empty_and_inverted_intervals(spark):
+    """An empty half-open span [t, t) overlaps nothing; before the
+    guard, sequence(start, stop) with stop < start produced a
+    DESCENDING 2-cell array that slipped the width bound and the
+    residual filter reported the empty interval as overlapping any
+    interval containing t."""
+    from webhookdb_spark.operators.joins import interval_overlap_join
+    import pytest as _pt
+
+    def iv(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, start_ts timestamp, end_ts timestamp, iid long"
+        )
+
+    b = iv([(7, ts(0), ts(200), 10)])
+    for bad in ([(7, ts(50), ts(50), 1)], [(7, ts(60), ts(40), 2)]):
+        with _pt.raises(Exception, match="empty or inverted"):
+            interval_overlap_join(
+                iv(bad), b, key="user_id", grid_seconds=300,
+                a_cols=("iid",), b_cols=("iid",),
+            ).collect()
+
+
+def test_asof_nearest_subsecond_distances(spark):
+    """Nearest must compare in microseconds: prior at t-0.4s vs next at
+    t+0.6s picks the prior; whole-second truncation would see 0 vs 0
+    (or 0 vs 1 depending on alignment) and could flip the pick."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 10)
+    us = datetime.timedelta(microseconds=1)
+    left = _left(spark, [(1, 7, base)])
+    right = _right(
+        spark,
+        [
+            (90, 7, base - 400_000 * us, 1.0),   # 0.4 s before
+            (91, 7, base + 600_000 * us, 2.0),   # 0.6 s after
+        ],
+    )
+    out = asof_join(
+        left, right, key="user_id", ts="ts",
+        right_cols=("event_id", "value"), direction="nearest",
+    ).collect()[0]
+    assert out.event_id_r == 90
+
+    # mirrored: prior 0.9 s away, next 0.2 s away -> next wins, though
+    # second-truncated distances are 0 for both (tie would go backward)
+    right2 = _right(
+        spark,
+        [
+            (92, 7, base - 900_000 * us, 1.0),
+            (93, 7, base + 200_000 * us, 2.0),
+        ],
+    )
+    out2 = asof_join(
+        left, right2, key="user_id", ts="ts",
+        right_cols=("event_id", "value"), direction="nearest",
+    ).collect()[0]
+    assert out2.event_id_r == 93

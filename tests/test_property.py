@@ -703,7 +703,7 @@ def test_cluster_profile_cross_engine(spark, vecs):
     st.lists(
         st.tuples(
             st.one_of(st.none(), _text),
-            st.one_of(st.none(), st.integers(-10**6, 10**6)),
+            st.one_of(st.none(), st.integers(-10**18, 10**18)),
         ),
         min_size=1, max_size=20,
     )
@@ -730,3 +730,36 @@ def test_profile_columns_cross_engine(spark, rows):
         ).fetchall()
     )
     assert got == want
+
+
+def test_profile_columns_wide_numerics(spark):
+    """Magnitudes beyond decimal(18,4) (the old canon) must still
+    profile: 18-digit BIGINTs and doubles up to 1e30 canonicalize on
+    both engines; past 32 integer digits BOTH engines null (try_cast),
+    never one nulling while the other raises."""
+    from webhookdb_spark.operators.profile import profile_columns, sql_profile_columns
+
+    data = [
+        (0, 999_999_999_999_999_999, 1e30),
+        (1, -999_999_999_999_999_999, -1e30),
+        (2, 7, 1e35),          # > decimal(38,6) -> NULL, consistently
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(data, "id long, big long, d double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, big BIGINT, d DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", data)
+    got = sorted(tuple(r) for r in profile_columns(df).collect())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_profile_columns("t", {"id": "num", "big": "num", "d": "num"})
+        ).fetchall()
+    )
+    assert got == want
+    by_col = {r[0]: r for r in got}
+    assert by_col["big"][2] == 1          # only the genuine NULL row
+    assert by_col["d"][2] == 2            # 1e35 nulled + the real NULL
+    # the 18-digit bigints canonicalized (would have overflowed (18,4))
+    assert by_col["big"][4] == "-999999999999999999.000000"
+    assert by_col["big"][5] == "999999999999999999.000000"

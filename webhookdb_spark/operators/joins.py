@@ -79,9 +79,13 @@ def asof_join(
             b = b.withColumnRenamed(old, new)
         f = asof_join(b, right, key, ts, right_cols, suffix,
                       tolerance_seconds, "forward")
-        ts_l = F.col(ts).cast("timestamp").cast("long")
-        d_b = ts_l - F.col(f"_b_{ts}{suffix}").cast("timestamp").cast("long")
-        d_f = F.col(f"{ts}{suffix}").cast("timestamp").cast("long") - ts_l
+        # distances in MICROSECONDS, not truncated seconds: the DuckDB
+        # twin compares fractional epoch() (µs-exact), so on sub-second
+        # data a whole-second cast could flip the pick for candidates
+        # within ~2s of equidistant
+        ts_l = F.unix_micros(F.col(ts).cast("timestamp"))
+        d_b = ts_l - F.unix_micros(F.col(f"_b_{ts}{suffix}").cast("timestamp"))
+        d_f = F.unix_micros(F.col(f"{ts}{suffix}").cast("timestamp")) - ts_l
         take_b = F.col(f"{ts}{suffix}").isNull() | (
             F.col(f"_b_{ts}{suffix}").isNotNull() & (d_b <= d_f)
         )
@@ -318,15 +322,33 @@ def interval_overlap_join(
     Intervals wider than ``grid_seconds`` raise (the 2-cells bound);
     two intervals overlap iff they co-occupy at least one grid cell,
     so no pair is missed. Cross-cell double-hits dedup via distinct.
+    Degenerate intervals (``end <= start``) raise too: an empty
+    half-open span [t, t) overlaps nothing, but ``F.sequence`` with
+    stop < start yields a DESCENDING 2-cell array that would slip the
+    cells bound and the residual filter would then report the empty
+    interval as overlapping any interval containing t.
     """
     def cells(side: DataFrame, s: str, e: str, keep: list) -> DataFrame:
         out = side.select(*keep).withColumn(
             "_cells",
-            F.sequence(
-                F.floor(F.col(s).cast("timestamp").cast("long") / grid_seconds),
-                F.floor(
-                    (F.col(e).cast("timestamp").cast("long") - 1) / grid_seconds
+            F.when(
+                F.col(e).cast("timestamp") > F.col(s).cast("timestamp"),
+                F.sequence(
+                    F.floor(
+                        F.col(s).cast("timestamp").cast("long") / grid_seconds
+                    ),
+                    F.floor(
+                        (F.col(e).cast("timestamp").cast("long") - 1)
+                        / grid_seconds
+                    ),
                 ),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "interval_overlap_join: empty or inverted interval"
+                        " (end_col must be > start_col)"
+                    )
+                )
             ),
         ).withColumn("_ncells", F.size("_cells"))
         return out.withColumn(

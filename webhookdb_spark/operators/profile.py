@@ -8,9 +8,12 @@ the first step of a training-data audit (how many null texts, how
 skewed is `source`, what is the dominant label).
 
 Distributed shape: every column's values are canonicalized to strings
-with ENGINE-PORTABLE casts (numerics via DECIMAL(18,4) — raw
-double→string formatting diverges between engines on exponent-range
-values; timestamps/strings cast directly, verified byte-identical),
+with ENGINE-PORTABLE casts (numerics via TRY_CAST to DECIMAL(38,6) —
+raw double→string formatting diverges between engines on
+exponent-range values; magnitudes beyond 32 integer digits
+canonicalize to NULL on BOTH engines, a documented bound, instead of
+one engine nulling and the other raising;
+timestamps/strings cast directly, verified byte-identical),
 then unpivoted into a narrow (col_name, v) stream with ONE explode —
 no per-column job. Null/distinct/min/max ride one groupBy on
 col_name; the mode takes a (col_name, v) count plus a
@@ -30,7 +33,15 @@ _NUM_TYPES = ("int", "bigint", "double", "float", "decimal", "smallint", "tinyin
 def _canon(df: DataFrame, c: str):
     dt = dict(df.dtypes)[c]
     if any(dt.startswith(t) for t in _NUM_TYPES):
-        return F.col(c).cast("decimal(18,4)").cast("string")
+        # route through the string repr BEFORE the decimal cast: for
+        # doubles beyond 2^53 Spark decimalizes the shortest round-trip
+        # repr (1e30 -> 1e30 exactly) while DuckDB decimalizes the exact
+        # binary value (1e30 -> ...042420637374017.961984); both engines'
+        # double->string is the shortest repr, so parsing THAT into
+        # decimal(38,6) agrees everywhere
+        return (
+            F.col(c).cast("string").try_cast("decimal(38,6)").cast("string")
+        )
     return F.col(c).cast("string")
 
 
@@ -86,7 +97,7 @@ def sql_profile_columns(table: str, col_kinds: dict[str, str]) -> str:
     parts = []
     for c, kind in col_kinds.items():
         canon = (
-            f"CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)"
+            f"CAST(TRY_CAST(CAST({c} AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR)"
             if kind == "num" else f"CAST({c} AS VARCHAR)"
         )
         parts.append(f"SELECT '{c}' AS col_name, {canon} AS v FROM {table}")

@@ -354,11 +354,21 @@ def global_rank(
     get running offsets that broadcast-join back — the same two-phase
     prefix sum as :func:`sequence_pack`. Output ranks are invariant to
     where the sampled split points land, so the result is
-    deterministic even though the partitioning isn't."""
+    deterministic even though the partitioning isn't.
+
+    The bucketed frame is localCheckpoint'ed (lazily) before the
+    ``local``/``offsets`` branches fork: both must see the SAME
+    sampled range boundaries, and without materialization that
+    correctness hangs on Catalyst deduplicating the identical exchange
+    subtrees (ReuseExchange) — disabled reuse or divergent re-planning
+    would silently corrupt every rank. The checkpoint makes the
+    single-computation guarantee structural, and costs nothing extra
+    in principle: a two-phase rank reads the bucketed data twice
+    either way."""
     cols = [F.col(c) for c in order_cols]
     d = df.repartitionByRange(bucket_partitions, *cols).withColumn(
         "_grb", F.spark_partition_id()
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("_grb").orderBy(*cols)
     local = d.withColumn("_grl", F.row_number().over(w))
     wo = Window.orderBy("_grb").rowsBetween(
