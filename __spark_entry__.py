@@ -1456,6 +1456,13 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     return C.inverted_index(load(spark, sf, "documents"))
 
 
+def q_inverted_index_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB posting store: document-partitioned shards, hard
+    per-row postings cap — no row ever holds a whole token's postings
+    (the scale gap the flat index documents)."""
+    return C.inverted_index_bucketed(load(spark, sf, "documents"))
+
+
 def q_search_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Conjunctive boolean retrieval by count-matching: docs containing
     every query term, no driver-side posting intersection."""
@@ -1768,6 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver-unchecked in r5 (must land in the first ~50 slots) ---
         # decontaminate_bloom first: zero driver rows ever (new in r5)
         "decontaminate_bloom": q_decontaminate_bloom,
+        # round-6 additions — never driver-checked
+        "inverted_index_bucketed": q_inverted_index_bucketed,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "text_token_count_bpe": q_text_token_count_bpe,
@@ -1926,6 +1935,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": SA.sql_sequence_pack(),
         "corpus_filter": C.sql_corpus_filter(),
         "inverted_index": C.sql_inverted_index(),
+        "inverted_index_bucketed": C.sql_inverted_index_bucketed(),
         "search_terms": C.sql_search_all_terms(),
         "search_ranked": C.sql_search_ranked(),
         "asof_join_events": J.sql_asof_join_events(),

@@ -216,3 +216,45 @@ def test_search_all_terms_requires_every_term(spark):
     # duplicate terms in the query must not double-count
     out2 = {r.doc_id for r in search_all_terms(df, ("a", "a", "c")).collect()}
     assert out2 == {1, 3}
+
+
+def test_bucketed_index_caps_rows_on_stopword_corpus(spark):
+    """A token present in EVERY document (the stop-word skew case) must
+    chunk into rows of at most postings_per_row ids, spread over
+    n_shards, while the narrow-column df aggregate still recovers the
+    exact document frequency and the chunks reassemble losslessly."""
+    from webhookdb_spark.operators.corpus import (
+        inverted_index_bucketed,
+        token_df_from_index,
+    )
+
+    n_docs, cap, shards = 500, 16, 4
+    df = spark.createDataFrame(
+        [(i, f"the uniq{i}") for i in range(n_docs)], "doc_id long, text string"
+    )
+    idx = inverted_index_bucketed(
+        df, n_shards=shards, postings_per_row=cap
+    ).cache()
+    the_rows = idx.where("token = 'the'").collect()
+    assert max(r.n_postings for r in the_rows) <= cap
+    assert all(len(r.postings.split(",")) == r.n_postings for r in the_rows)
+    # chunk ids are dense per shard: 0..ceil(shard_size/cap)-1
+    by_shard = {}
+    for r in the_rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(range(shards))
+    for rows in by_shard.values():
+        chunks = sorted(r.chunk for r in rows)
+        assert chunks == list(range(len(rows)))
+        full = sorted(r for r in rows if r.n_postings == cap)
+        assert sum(r.n_postings for r in rows) > 0
+    # exact df from the narrow columns only
+    dfc = {r.token: r.df_count for r in token_df_from_index(idx).collect()}
+    assert dfc["the"] == n_docs
+    assert dfc[f"uniq{7}"] == 1
+    # lossless reassembly of the hot token's postings
+    got = sorted(
+        int(d) for r in the_rows for d in r.postings.split(",")
+    )
+    assert got == list(range(n_docs))
+    idx.unpersist()

@@ -353,3 +353,13 @@ def test_search_ranked_topk_never_global_sorts(spark):
     p = plan_of(entry.queries()["search_ranked"](spark, SF))
     assert "TakeOrderedAndProject" in p, p
     assert "rangepartitioning" not in p, p
+
+
+def test_bucketed_index_window_is_sharded_never_per_token(spark):
+    """The posting-store chunking window must partition on
+    (token, shard): partitioned on token alone, a stop-word token
+    serializes through one task; global, the whole corpus does."""
+    p = plan_of(entry.queries()["inverted_index_bucketed"](spark, SF))
+    assert re.search(r"hashpartitioning\(token[^)]*shard", p), p
+    assert "Exchange SinglePartition" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p

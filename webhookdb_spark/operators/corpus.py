@@ -164,13 +164,12 @@ def inverted_index(
     postings kept sorted and emitted as a ','-joined string so the
     result is flat-scalar (hashable by any downstream canonicalizer
     that sorts rows, e.g. a pandas comparator). At 100 TB the
-    postings column for a stop-word-grade token is the skew case: store
-    the index bucketed by token and leave `postings` unmaterialized
-    (drop the collect_list) for tokens above a df threshold — the
-    `df_count` aggregate itself is map-side combined and cheap. This
-    operator materializes postings because the testdata vocabulary is
-    bounded; the query path (:func:`search_all_terms`) never reads
-    them."""
+    postings column for a stop-word-grade token is the skew case — use
+    :func:`inverted_index_bucketed` there: document-partitioned shards
+    with a hard per-row postings cap, df recovered from narrow columns.
+    This flat form materializes whole-token postings and is only for
+    bounded vocabularies; the query path (:func:`search_all_terms`)
+    never reads them either way."""
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), WS))
     posting = (
         bind(scale_out(df.select("doc_id", text_col)), "_t", toks)
@@ -186,6 +185,104 @@ def inverted_index(
             ",",
         ).alias("postings"),
     )
+
+
+def inverted_index_bucketed(
+    df: DataFrame,
+    text_col: str = "text",
+    n_shards: int = 8,
+    postings_per_row: int = 64,
+) -> DataFrame:
+    """(token, shard, chunk, n_postings, postings): the posting store
+    the :func:`inverted_index` docstring promises for 100 TB — no row
+    ever materializes a whole token's postings.
+
+    Document-partitioned sharding (how distributed inverted files are
+    actually laid out): ``shard`` is a portable hash of the doc id mod
+    ``n_shards``, so a stop-word-grade token's postings split across
+    ``n_shards`` independent tasks BEFORE any per-token work; within a
+    (token, shard) the postings chunk into rows of at most
+    ``postings_per_row`` doc ids — a HARD cap enforced by row_number
+    arithmetic, not an expected-size hash bound. The chunking window
+    partitions on (token, shard), never on token alone and never
+    globally, so the hot token costs |postings| / n_shards per task; at
+    100 TB pick n_shards ~ the document partition count and the window
+    is per-input-split work.
+
+    The query path never reads ``postings``: per-token document
+    frequency is ``sum(n_postings)`` over the narrow columns (see
+    :func:`token_df_from_index`), and term lookups touch only the
+    (token, shard, chunk) rows for the queried tokens.
+    """
+    from webhookdb_spark.operators.sampling import _bucket28
+
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), WS))
+    posting = (
+        bind(scale_out(df.select("doc_id", text_col)), "_t", toks)
+        .select("doc_id", F.explode("_t").alias("token"))
+        .withColumn(
+            "shard",
+            (_bucket28(F.col("doc_id"), "ii:") % n_shards).cast("int"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("token", "shard").orderBy("doc_id")
+    chunked = posting.withColumn(
+        "chunk",
+        F.floor((F.row_number().over(w) - 1) / postings_per_row).cast("int"),
+    )
+    return chunked.groupBy("token", "shard", "chunk").agg(
+        F.count("*").cast("int").alias("n_postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def token_df_from_index(index: DataFrame) -> DataFrame:
+    """(token, df_count) from a bucketed posting store — reads only the
+    narrow ``n_postings`` column, never a postings string; this is the
+    aggregate a query planner consults before deciding which chunks to
+    fetch."""
+    return index.groupBy("token").agg(
+        F.sum("n_postings").cast("int").alias("df_count")
+    )
+
+
+def sql_inverted_index_bucketed(
+    table: str = "documents",
+    n_shards: int = 8,
+    postings_per_row: int = 64,
+) -> str:
+    """DuckDB twin of :func:`inverted_index_bucketed` — same portable
+    doc-id hash, same row_number chunk arithmetic."""
+    from webhookdb_spark.operators.sampling import _sql_bucket28
+
+    t = SQL_TOKENS.format(c="text")
+    h = _sql_bucket28("doc_id", "ii:")
+    return f"""
+    WITH p AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct({t})) AS token FROM {table}
+    ), s AS (
+      SELECT token, doc_id, CAST(({h}) % {n_shards} AS INTEGER) AS shard
+      FROM p
+    ), c AS (
+      SELECT token, shard, doc_id,
+             CAST(floor((row_number() OVER (
+               PARTITION BY token, shard ORDER BY doc_id) - 1)
+               / {postings_per_row}) AS INTEGER) AS chunk
+      FROM s
+    )
+    SELECT token, shard, chunk,
+           CAST(count(*) AS INTEGER) AS n_postings,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM c GROUP BY token, shard, chunk
+    """
 
 
 def search_all_terms(
