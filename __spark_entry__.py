@@ -794,6 +794,150 @@ LIMIT 20
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for each SMALL-type part,
+    the EUROPE supplier offering it at the minimum price — the classic
+    correlated scalar-MIN subquery. Decorrelated the Spark-first way:
+    per-(part, supplier) offers aggregate ONCE, the per-part minimum
+    derives from that SAME aggregate, and the "cost = min cost" filter
+    is an exact-DECIMAL equi-join on (partkey, cost) — no per-part
+    rescan of lineitem, ever. Dims (region→nation→supplier, part)
+    broadcast. Without a partsupp table, the offer price is the
+    supplier's minimum extended price for the part over its lineitems.
+    Ties keep every minimal supplier, as in real Q2."""
+    lineitem = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    supplier = load(spark, sf, "supplier")
+    euro_supp = F.broadcast(
+        supplier.join(
+            nation.join(
+                region.where(F.col("r_name") == "EUROPE"),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        lineitem.join(
+            euro_supp, F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("_cost"))
+    )
+    # per-part minimum as a window over the SAME aggregate (the Q21
+    # trick): a groupBy+self-join would plan the lineitem⋈supplier
+    # subtree twice; the window reuses the groupBy's partitioning
+    wp = Window.partitionBy("l_partkey")
+    small_parts = F.broadcast(
+        part.where((F.col("p_type") == "SMALL") & (F.col("p_size") < 25))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        offers.withColumn("_min_cost", F.min("_cost").over(wp))
+        .where(F.col("_cost") == F.col("_min_cost"))
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(euro_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round(F.col("_cost").cast("double"), 6).alias("min_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+# the oracle states Q2 in its textbook CORRELATED form — DuckDB
+# decorrelates it internally; matching it proves the manual Spark
+# decorrelation preserves the scalar-subquery semantics (incl. ties)
+SQL_MIN_COST_SUPPLIER = """
+WITH euro_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+  FROM lineitem JOIN euro_supp ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(CAST(o.cost AS DOUBLE), 6) AS min_cost
+FROM part
+JOIN offers o ON o.l_partkey = p_partkey
+JOIN euro_supp ON o.l_suppkey = s_suppkey
+WHERE p_type = 'SMALL' AND p_size < 25
+  AND o.cost = (
+    SELECT min(o2.cost) FROM offers o2 WHERE o2.l_partkey = p_partkey
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (excess shippers): suppliers who shipped more
+    than 40 units of some 'small…' part during 1996 — the classic
+    nested IN-with-aggregate (supplier IN (… GROUP BY … HAVING
+    sum(qty) > T) with an inner part-name IN). Spark-first: the inner
+    IN is a broadcast semi-join onto lineitem, the HAVING is one
+    (suppkey, partkey) aggregate, and the outer IN is a left-semi join
+    from supplier — no correlated re-evaluation per supplier."""
+    lineitem = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    supplier = load(spark, sf, "supplier")
+    small_parts = F.broadcast(
+        part.where(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    heavy = (
+        lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(
+            small_parts,
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity", 2)).alias("_qty"))
+        .where(F.col("_qty") > 40)
+    )
+    return (
+        supplier.join(
+            heavy.select("l_suppkey").distinct(),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_EXCESS_SHIPPERS = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+  )
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 40
+)
+ORDER BY s_suppkey
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     """Per-mktsegment event volume through the salted hot-key join
     (`operators/skew.py`): events (big, potentially hot user_ids) join
@@ -1777,6 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         # round-6 additions — never driver-checked
         "inverted_index_bucketed": q_inverted_index_bucketed,
+        "min_cost_supplier": q_min_cost_supplier,
+        "excess_shippers": q_excess_shippers,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "text_token_count_bpe": q_text_token_count_bpe,
@@ -1936,6 +2082,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": C.sql_corpus_filter(),
         "inverted_index": C.sql_inverted_index(),
         "inverted_index_bucketed": C.sql_inverted_index_bucketed(),
+        "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+        "excess_shippers": SQL_EXCESS_SHIPPERS,
         "search_terms": C.sql_search_all_terms(),
         "search_ranked": C.sql_search_ranked(),
         "asof_join_events": J.sql_asof_join_events(),

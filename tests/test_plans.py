@@ -363,3 +363,25 @@ def test_bucketed_index_window_is_sharded_never_per_token(spark):
     assert re.search(r"hashpartitioning\(token[^)]*shard", p), p
     assert "Exchange SinglePartition" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_min_cost_supplier_decorrelates_to_one_lineitem_scan(spark):
+    """Q2's correlated scalar-MIN subquery must decorrelate: the plan
+    reads lineitem ONCE (per-part min is a window over the shared
+    offers aggregate, not a second aggregate over a re-scanned join)
+    and every dimension joins as a broadcast."""
+    p = plan_of(entry.queries()["min_cost_supplier"](spark, SF))
+    # the FACT table is scanned once; the tiny supplier/nation/region
+    # broadcast subtree legitimately appears in both of its join sites
+    assert p.count("lineitem.parquet") == 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_excess_shippers_nested_in_is_semi_joins(spark):
+    """Q20's nested IN-with-aggregate must plan as semi-joins over one
+    lineitem scan — no correlated re-evaluation per supplier."""
+    p = plan_of(entry.queries()["excess_shippers"](spark, SF))
+    assert len(re.findall(r"\+\- Scan parquet", p)) == 3, p
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
