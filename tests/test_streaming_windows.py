@@ -275,7 +275,10 @@ def test_quota_processor_cumulative_and_throttle_accounting():
     assert feed(0) == (0, 7, 0)      # empty batch reports, throttles nothing
 
 
-def test_quota_stream_gates_without_protobuf(spark):
+def test_quota_stream_tws_gates_without_protobuf(spark):
+    """Explicitly requesting the transformWithState backend without
+    protobuf fails fast with the real reason; auto falls back to
+    applyInPandasWithState instead (exercised end-to-end below)."""
     import pytest as _pt
 
     from webhookdb_spark.streaming.quota import org_quota_stream
@@ -287,4 +290,57 @@ def test_quota_stream_gates_without_protobuf(spark):
         pass
     df = spark.createDataFrame([("a",)], "org string")
     with _pt.raises(ImportError, match="protobuf"):
-        org_quota_stream(df, quota=4)
+        org_quota_stream(df, quota=4, impl="tws")
+
+
+def test_quota_stream_end_to_end_two_microbatches(spark):
+    """Drive org_quota_stream over two file-source micro-batches in
+    THIS environment (apws backend): batch 1 stays under org a's
+    quota, batch 2 pushes a over (partial throttle) and b fully over —
+    the cumulative counter must survive the batch boundary."""
+    import json
+    from webhookdb_spark.streaming.quota import org_quota_stream
+
+    src = Path(tempfile.mkdtemp(prefix="whdb_quota_src_"))
+    ckpt = Path(tempfile.mkdtemp(prefix="whdb_quota_ckpt_"))
+    try:
+        b1 = [{"org": "a"}] * 3 + [{"org": "b"}] * 4
+        (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in b1))
+        stream = spark.readStream.schema("org string").json(str(src))
+        q = (
+            org_quota_stream(stream, quota=4)
+            .writeStream.format("memory")
+            .queryName("quota_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+        def snapshot():
+            return {
+                (r.org, int(r.batch_n), int(r.total_n), int(r.throttled_n))
+                for r in spark.sql("SELECT * FROM quota_t").collect()
+            }
+
+        def wait_for(n, timeout=90):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if len(snapshot()) >= n:
+                    return snapshot()
+                time.sleep(0.5)
+            raise AssertionError(f"timeout; last snapshot: {snapshot()}")
+
+        first = wait_for(2)
+        assert ("a", 3, 3, 0) in first      # under quota
+        assert ("b", 4, 4, 0) in first      # exactly at quota
+
+        b2 = [{"org": "a"}] * 3 + [{"org": "b"}] * 2
+        (src / "batch2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        second = wait_for(4)
+        q.stop()
+        assert ("a", 3, 6, 2) in second     # crossed: overflow of 2
+        assert ("b", 2, 6, 2) in second     # already at cap: all throttle
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -1,8 +1,8 @@
-"""Per-org intake quota as a ``transformWithStateInPandas`` operator —
-the arbitrary-state successor API to ``applyInPandasWithState`` (typed
-state handles, optional per-state TTL, timers), shown here alongside
-the older operator in windows.py so both stateful surfaces are
-covered.
+"""Per-org intake quota as a stateful-streaming operator, with two
+backends: ``transformWithStateInPandas`` (the arbitrary-state
+successor API — typed state handles, per-state TTL, timers) and an
+``applyInPandasWithState`` fallback with identical output, used where
+the successor API's protobuf dependency is unavailable.
 
 Reference semantics: the engine already bounds intake with a per-org
 semaphore and per-trigger caps (`streaming/ingest.py:36-196`); this
@@ -65,39 +65,98 @@ class _QuotaProcessor(StatefulProcessor):
         pass
 
 
+def _quota_fn(quota: int, state_ttl_ms: int | None):
+    """The same counter logic as :class:`_QuotaProcessor`, shaped for
+    ``applyInPandasWithState``: GroupState instead of a ValueState
+    handle, TTL via ProcessingTimeTimeout (a timed-out invocation
+    arrives with no rows and clears the idle org's counter)."""
+
+    def fn(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch_n = sum(len(pdf) for pdf in pdfs)
+        prior = int(state.get[0]) if state.exists else 0
+        total = prior + batch_n
+        throttled = max(0, total - max(quota, prior))
+        state.update((total,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(int(state_ttl_ms))
+        yield pd.DataFrame(
+            {
+                "org": [key[0]],
+                "batch_n": [batch_n],
+                "total_n": [total],
+                "throttled_n": [throttled],
+            }
+        )
+
+    return fn
+
+
+def _have_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover - environment-specific
+        return False
+
+
 def org_quota_stream(
     envelopes: DataFrame,
     quota: int,
     org_col: str = "org",
     state_ttl_ms: int | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """One (org, batch_n, total_n, throttled_n) row per org per
-    micro-batch, with the cumulative counter in typed ValueState.
+    micro-batch, with the cumulative counter in the state store.
     ``state_ttl_ms`` expires idle orgs' counters (quota windows);
     None keeps them for the stream's lifetime.
 
-    SANDBOX GATE: the transformWithState Python worker speaks
-    protobuf to the JVM state server; environments without
-    ``google.protobuf`` (this container — installs prohibited) cannot
-    run the streaming form, so the guard fails fast with the real
-    reason instead of a worker crash mid-query. The processor logic
-    itself is pure pandas and unit-tested directly
-    (tests/test_streaming_windows.py); on any cluster with protobuf
-    present the operator runs as written."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-specific
-        raise ImportError(
-            "transformWithStateInPandas requires google.protobuf in the "
-            "Python workers; not available in this environment"
-        ) from e
-    return (
-        envelopes.select(F.col(org_col).alias("org"))
-        .groupBy("org")
-        .transformWithStateInPandas(
+    Two interchangeable stateful backends, same output and state
+    shape:
+
+    - ``transformWithStateInPandas`` (``impl="tws"``): typed ValueState
+      + native TTL. Its Python worker speaks protobuf to the JVM state
+      server, so it needs ``google.protobuf`` on the workers.
+    - ``applyInPandasWithState`` (``impl="apws"``): GroupState tuple +
+      ProcessingTimeTimeout standing in for TTL. No protobuf
+      dependency — runs anywhere the older API does.
+
+    ``impl="auto"`` picks tws when protobuf is importable, else apws —
+    so the operator is runnable in protobuf-less sandboxes and still
+    uses the successor API on full clusters."""
+    if impl not in ("auto", "tws", "apws"):
+        raise ValueError(f"org_quota_stream impl {impl!r}")
+    grouped = envelopes.select(F.col(org_col).alias("org")).groupBy("org")
+    if impl == "tws" or (impl == "auto" and _have_protobuf()):
+        if not _have_protobuf():
+            raise ImportError(
+                "transformWithStateInPandas requires google.protobuf in "
+                "the Python workers; not available in this environment — "
+                "use impl='apws' (or 'auto')"
+            )
+        return grouped.transformWithStateInPandas(
             _QuotaProcessor(quota, state_ttl_ms),
             outputStructType=_OUT_SCHEMA,
             outputMode="append",
             timeMode="none",
         )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return grouped.applyInPandasWithState(
+        _quota_fn(quota, state_ttl_ms),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=timeout,
     )
