@@ -763,3 +763,31 @@ def test_profile_columns_wide_numerics(spark):
     # the 18-digit bigints canonicalized (would have overflowed (18,4))
     assert by_col["big"][4] == "-999999999999999999.000000"
     assert by_col["big"][5] == "999999999999999999.000000"
+
+
+def test_profile_columns_approx_within_kmv_bounds(spark):
+    """approx=True must keep every exact statistic byte-identical and
+    estimate n_distinct within KMV error bounds (rel err ~1/sqrt(k-2);
+    assert 5 sigma) — exact below k distincts."""
+    from webhookdb_spark.operators.profile import profile_columns
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    k = 256
+    exact = {r.col_name: r for r in profile_columns(orders).collect()}
+    approx = {
+        r.col_name: r
+        for r in profile_columns(orders, approx=True, kmv_k=k).collect()
+    }
+    assert set(exact) == set(approx)
+    tol = 5.0 / (k - 2) ** 0.5
+    for c, e in exact.items():
+        a = approx[c]
+        # everything but n_distinct is the same exact computation
+        assert (a.n_rows, a.n_null, a.min_v, a.max_v, a.top_value,
+                a.top_count) == (e.n_rows, e.n_null, e.min_v, e.max_v,
+                                 e.top_value, e.top_count), c
+        if e.n_distinct < k:
+            assert a.n_distinct == e.n_distinct, c  # sketch saw everything
+        else:
+            rel = abs(a.n_distinct - e.n_distinct) / e.n_distinct
+            assert rel <= tol, (c, a.n_distinct, e.n_distinct, rel)

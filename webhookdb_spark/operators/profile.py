@@ -45,11 +45,24 @@ def _canon(df: DataFrame, c: str):
     return F.col(c).cast("string")
 
 
-def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+    kmv_k: int = 256,
+) -> DataFrame:
     """(col_name, n_rows, n_null, n_distinct, min_v, max_v, top_value,
-    top_count): exact per-column profile. ``top_value`` is the mode
-    over non-null values, ties to the lexicographically lowest value;
-    an all-null column profiles with a NULL mode and top_count 0."""
+    top_count): per-column profile. ``top_value`` is the mode over
+    non-null values, ties to the lexicographically lowest value; an
+    all-null column profiles with a NULL mode and top_count 0.
+
+    ``approx=True`` swaps the one heavy aggregate — exact
+    ``countDistinct`` keeps every distinct value as shuffle state,
+    which for a near-unique column at 100 TB IS the column — for the
+    KMV sketch (:func:`webhookdb_spark.operators.sketches.kmv_distinct`,
+    ~1/sqrt(k-2) relative error, exact below ``kmv_k`` distincts).
+    Same output schema; every other statistic stays exact. The exact
+    mode remains the oracle twin."""
     cols = columns or df.columns
     stream = df.select(
         F.explode(
@@ -64,10 +77,21 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     base = stream.groupBy("col_name").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
-        F.countDistinct("v").alias("n_distinct"),
+        *([] if approx else [F.countDistinct("v").alias("n_distinct")]),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+    if approx:
+        from webhookdb_spark.operators.sketches import kmv_distinct
+
+        est = kmv_distinct(
+            stream.where(F.col("v").isNotNull()), "col_name", "v", k=kmv_k
+        ).select(
+            "col_name", F.col("est_distinct").alias("_est")
+        )
+        base = base.join(est, "col_name", "left").withColumn(
+            "n_distinct", F.coalesce(F.col("_est"), F.lit(0)).cast("long")
+        ).drop("_est")
     counts = (
         stream.where(F.col("v").isNotNull())
         .groupBy("col_name", "v")
