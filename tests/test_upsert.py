@@ -268,3 +268,79 @@ def test_capture_changes_off_skips_cdc_write(spark, tmp_warehouse):
     )
     upsert_envelopes(t, env2, FAKE_V1)
     assert any((tmp_warehouse / "org" / "fake_v1" / "_changes").iterdir())
+
+
+def test_zorder_write_narrows_file_stats_on_both_dimensions(spark, tmp_path):
+    """A table created with zorder=(x, y) must produce parquet files
+    whose min/max stats are narrow on BOTH columns, so a predicate on
+    either dimension skips most files — vs the unsorted layout, where
+    every file spans essentially the full range of both."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from webhookdb_spark.storage import PART_COL, ManagedTable, bucket_expr
+
+    n = 64  # 64x64 grid, 4096 rows
+    rows = [(f"k{i}", i % n, i // n) for i in range(n * n)]
+    df = spark.createDataFrame(rows, "id string, x long, y long")
+    schema = df.schema
+
+    def write(zorder):
+        t = ManagedTable(spark, tmp_path / ("z" if zorder else "plain"))
+        t.create(schema, key="id", n_buckets=2, zorder=zorder)
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "128")
+        try:
+            t.overwrite_all(df.withColumn(PART_COL, bucket_expr("id", 2)))
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        return t
+
+    def file_spans(t):
+        spans = []
+        for f in Path(t.path).rglob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins = {"x": None, "y": None}
+            maxs = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in mins:
+                        st = col.statistics
+                        mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                        maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+            spans.append((maxs["x"] - mins["x"], maxs["y"] - mins["y"],
+                          mins["x"], maxs["x"], mins["y"], maxs["y"]))
+        return spans
+
+    zt, pt = write(("x", "y")), write(None)
+    zs, ps = file_spans(zt), file_spans(pt)
+    assert len(zs) >= 8  # maxRecordsPerFile split each bucket
+    # Z-order: most files' spans are a fraction of the 0..63 range on
+    # BOTH dims (files straddling a major quadrant seam are legitimately
+    # wide — inherent to Morton order); unsorted: every file spans
+    # (nearly) everything on both
+    narrow = [s for s in zs if s[0] <= n // 2 and s[1] <= n // 2]
+    assert len(narrow) >= (3 * len(zs)) // 4, zs
+    # the unsorted write lands in row-major generation order — i.e. a
+    # single-dimension sort on y: narrow y spans, but every file spans
+    # the FULL x range, the exact limitation Z-order removes
+    wide = [s for s in ps if s[0] > n // 2]
+    assert len(wide) >= (3 * len(ps)) // 4, ps  # small remainder files excepted
+
+    # file skipping for a predicate on either single dimension: the
+    # fraction of files whose [min,max] admits the slice
+    def admitted(spans, dim_lo, dim_hi, dim):
+        lo_i, hi_i = (2, 3) if dim == "x" else (4, 5)
+        return sum(1 for s in spans if not (s[hi_i] < dim_lo or s[lo_i] > dim_hi))
+
+    assert admitted(zs, 0, 7, "x") <= len(zs) // 2
+    assert admitted(zs, 0, 7, "y") <= len(zs) // 2
+    # y-sorted plain layout skips on y but admits EVERY file for an
+    # x-slice; Z-order skips on either
+    assert admitted(ps, 0, 7, "x") >= len(ps) - 1  # remainder file excepted
+
+    # the layout is a pure sort: contents identical either way
+    assert sorted(map(tuple, zt.read().collect())) == sorted(rows)

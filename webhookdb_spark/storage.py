@@ -54,6 +54,9 @@ class Manifest:
     txn: int
     buckets: dict[str, str]  # bucket id -> relative data dir
     schema_json: str
+    # optional (a, b) integer columns to Z-order within each bucket on
+    # write — default None keeps pre-existing manifests loading as-is
+    zorder: list[str] | None = None
 
     @classmethod
     def load(cls, path: Path) -> "Manifest":
@@ -77,7 +80,17 @@ class ManagedTable:
     def exists(self) -> bool:
         return (self.path / "_manifest.json").exists()
 
-    def create(self, schema: T.StructType, key: str, n_buckets: int = 16) -> None:
+    def create(
+        self,
+        schema: T.StructType,
+        key: str,
+        n_buckets: int = 16,
+        zorder: tuple[str, str] | None = None,
+    ) -> None:
+        """``zorder=(a, b)`` declares two integer columns to Morton-sort
+        within every bucket on each write (see ``overwrite_buckets``);
+        parquet min/max stats per file then stay narrow on BOTH
+        columns, so predicate reads on either dimension skip files."""
         self.path.mkdir(parents=True, exist_ok=True)
         Manifest(
             key=key,
@@ -85,6 +98,7 @@ class ManagedTable:
             txn=0,
             buckets={},
             schema_json=schema.json(),
+            zorder=list(zorder) if zorder else None,
         ).save(self.path)
 
     def drop(self) -> None:
@@ -136,10 +150,24 @@ class ManagedTable:
         m = self.manifest
         txn = m.txn + 1
         staging = self.path / f"_staging_{txn}_{uuid.uuid4().hex[:8]}"
+        out = df.select(
+            *[f.name for f in self.schema().fields], *(extra_cols or []), PART_COL
+        ).repartition(max(len(buckets), 1), F.col(PART_COL))
+        if m.zorder:
+            # Morton-sort within each bucket task: with a rolling
+            # maxRecordsPerFile (or parquet's own row groups) every
+            # produced file covers one contiguous Z range, so its
+            # min/max stats are narrow on BOTH zorder columns and scans
+            # filtering on either one skip it. Sort keys are
+            # expressions — nothing extra lands in the files.
+            from webhookdb_spark.operators.layout import zorder_key
+
+            a, b = m.zorder
+            out = out.sortWithinPartitions(
+                F.col(PART_COL), zorder_key(F.col(a), F.col(b))
+            )
         (
-            df.select(*[f.name for f in self.schema().fields], *(extra_cols or []), PART_COL)
-            .repartition(max(len(buckets), 1), F.col(PART_COL))
-            .write.partitionBy(PART_COL)
+            out.write.partitionBy(PART_COL)
             .mode("overwrite")
             .parquet(str(staging))
         )
