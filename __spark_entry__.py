@@ -938,6 +938,506 @@ ORDER BY s_suppkey
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter+aggregate
+    over the fact table — the query every column-pruning and
+    predicate-pushdown gate exists for. Bounds compare in DECIMAL on
+    both engines (the stored doubles round to 4 digits first, so the
+    edge rows agree)."""
+    lineitem = load(spark, sf, "lineitem")
+    d = _dec("l_discount")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (d >= F.lit("0.05").cast("decimal(18,4)"))
+            & (d <= F.lit("0.07").cast("decimal(18,4)"))
+            & (_dec("l_quantity", 2) < 24)
+        )
+        .agg(
+            _sum_d(_dec("l_extendedprice") * d, "revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 6)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,4)) >= CAST('0.05' AS DECIMAL(18,4))
+  AND CAST(l_discount AS DECIMAL(18,4)) <= CAST('0.07' AS DECIMAL(18,4))
+  AND CAST(l_quantity AS DECIMAL(18,2)) < 24
+"""
+
+
+def _rev():
+    return _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    )
+
+
+_SQL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+
+def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue where customer
+    and supplier share a nation, per ASIA nation for one year. The
+    c_nationkey = s_nationkey condition rides the join, dims broadcast,
+    one shuffle per fact-side aggregation key."""
+    lineitem = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    supplier = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    asia_nations = F.broadcast(
+        nation.join(
+            region.where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        lineitem.join(
+            orders.where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(asia_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_sum_d(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       round(CAST(sum({_SQL_REV}) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between nations): revenue
+    flowing either direction between two named nations, by supplier
+    nation / customer nation / ship year — the symmetric two-nation
+    disjunction resolved at the dim level before it ever touches the
+    fact table."""
+    lineitem = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    supplier = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    n1, n2 = "NATION_1", "NATION_2"
+    nat = nation.select("n_nationkey", "n_name")
+    supp = F.broadcast(
+        supplier.join(
+            nat.where(F.col("n_name").isin(n1, n2)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        customer.join(
+            nat.where(F.col("n_name").isin(n1, n2)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(_sum_d(_rev(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_NATION_TRADE_VOLUME = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(CAST(sum({_SQL_REV}) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_6's share of
+    AMERICA's ECONOMY-part order volume per year. Numerator and
+    denominator sum in exact DECIMAL; the single final division is one
+    IEEE double op on identical inputs in both engines, so the rounded
+    share is bit-stable."""
+    lineitem = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    supplier = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    part = load(spark, sf, "part")
+    eco_parts = F.broadcast(
+        part.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    )
+    america_cust = F.broadcast(
+        customer.join(
+            nation.join(
+                region.where(F.col("r_name") == "AMERICA"),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nat = F.broadcast(
+        supplier.join(
+            nation.select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("_snk"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    vol = (
+        lineitem.join(eco_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(america_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    agg = vol.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_6", _rev()).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        ).alias("_num"),
+        F.sum(_rev()).alias("_den"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("_num").cast("double") / F.col("_den").cast("double"), 6)
+        .alias("mkt_share"),
+        F.round(F.col("_den").cast("double"), 6).alias("total_volume"),
+    ).orderBy("o_year")
+
+
+SQL_MARKET_SHARE = f"""
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         {_SQL_REV} AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+       round(CAST(sum(rev) AS DOUBLE), 6) AS total_volume
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year) with
+    the part's retail price standing in for ps_supplycost (no partsupp
+    table in this corpus): profit = revenue - retailprice*qty over
+    'red…' parts, grouped by supplier nation and order year."""
+    lineitem = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    supplier = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    part = load(spark, sf, "part")
+    red_parts = F.broadcast(
+        part.where(F.col("p_name").startswith("red")).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    supp_nat = F.broadcast(
+        supplier.join(
+            nation.select("n_nationkey", "n_name"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "n_name")
+    )
+    amount = _rev() - _dec("p_retailprice") * _dec("l_quantity", 2)
+    return (
+        lineitem.join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_sum_d(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(sum({_SQL_REV}
+                - CAST(p_retailprice AS DECIMAL(18,4))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q_returned_item_losses(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item losses): the 20 customers whose
+    returned lineitems cost the most revenue in a quarter. Top-20 via
+    orderBy+limit -> TakeOrderedAndProject (deterministic c_custkey
+    tie-break), never a global sort."""
+    lineitem = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    cust = F.broadcast(
+        customer.join(
+            nation.select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01")
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_sum_d(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEM_LOSSES = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(CAST(sum({_SQL_REV}) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    customers to their non-urgent orders, count per customer (zeroes
+    kept — the outer join is the point), then the histogram of those
+    counts. Two aggregations, each on a narrow key; no window."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_parts_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship count): distinct
+    suppliers per (p_brand, p_size) over observed lineitem pairs,
+    excluding PROMO parts and negative-balance suppliers (the
+    complaints stand-in). The NOT-IN over suppliers is a broadcast
+    anti-join; the distinct count rides the (brand, size) shuffle."""
+    lineitem = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    supplier = load(spark, sf, "supplier")
+    bad_supp = F.broadcast(
+        supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    parts = F.broadcast(
+        part.where(
+            (F.col("p_type") != "PROMO") & F.col("p_size").isin(5, 15, 25, 35)
+        ).select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_size")
+        )
+    )
+
+
+SQL_PARTS_SUPPLIER_COUNT = """
+SELECT p_brand, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (5, 15, 25, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def q_discounted_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate revenue): an OR of three
+    (brand, size-range, quantity-range) conjunct groups. Expressed as
+    ONE join + one disjunctive filter so Catalyst can push the common
+    p_partkey equi-join and evaluate the OR post-join — never three
+    unioned scans."""
+    lineitem = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    q = _dec("l_quantity", 2)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & q.between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 25)
+            & q.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(15, 40)
+            & q.between(20, 50)
+        )
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(branch)
+        .agg(
+            _sum_d(_rev(), "revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+SQL_DISCOUNTED_BRAND_REVENUE = f"""
+SELECT round(CAST(sum({_SQL_REV}) AS DOUBLE), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
+       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 50)
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     """Per-mktsegment event volume through the salted hot-key join
     (`operators/skew.py`): events (big, potentially hot user_ids) join
@@ -1923,6 +2423,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_bucketed": q_inverted_index_bucketed,
         "min_cost_supplier": q_min_cost_supplier,
         "excess_shippers": q_excess_shippers,
+        "forecast_revenue": q_forecast_revenue,
+        "local_supplier_volume": q_local_supplier_volume,
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "returned_item_losses": q_returned_item_losses,
+        "customer_order_distribution": q_customer_order_distribution,
+        "parts_supplier_count": q_parts_supplier_count,
+        "discounted_brand_revenue": q_discounted_brand_revenue,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "text_token_count_bpe": q_text_token_count_bpe,
@@ -2084,6 +2593,15 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_bucketed": C.sql_inverted_index_bucketed(),
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "excess_shippers": SQL_EXCESS_SHIPPERS,
+        "forecast_revenue": SQL_FORECAST_REVENUE,
+        "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+        "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+        "market_share": SQL_MARKET_SHARE,
+        "product_profit": SQL_PRODUCT_PROFIT,
+        "returned_item_losses": SQL_RETURNED_ITEM_LOSSES,
+        "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
+        "parts_supplier_count": SQL_PARTS_SUPPLIER_COUNT,
+        "discounted_brand_revenue": SQL_DISCOUNTED_BRAND_REVENUE,
         "search_terms": C.sql_search_all_terms(),
         "search_ranked": C.sql_search_ranked(),
         "asof_join_events": J.sql_asof_join_events(),

@@ -385,3 +385,30 @@ def test_excess_shippers_nested_in_is_semi_joins(spark):
     assert len(re.findall(r"\+\- Scan parquet", p)) == 3, p
     assert "LeftSemi" in p, p
     assert "CartesianProduct" not in p, p
+
+
+@pytest.mark.parametrize("name", [
+    "local_supplier_volume", "nation_trade_volume", "market_share",
+    "product_profit", "returned_item_losses", "parts_supplier_count",
+    "discounted_brand_revenue",
+])
+def test_tpch_join_shapes_scan_fact_once_and_broadcast_dims(spark, name):
+    """The round-6 TPC-H join family: one lineitem scan, dimensions
+    broadcast, no cartesian products, no Python in the path."""
+    p = plan_of(entry.queries()[name](spark, SF))
+    assert p.count("lineitem.parquet") == 1, (name, p)
+    assert "BroadcastHashJoin" in p, (name, p)
+    assert "CartesianProduct" not in p, (name, p)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    """Q6 is the pushdown benchmark: the shipdate bounds must reach the
+    parquet scan as PushedFilters and the scan must read only the four
+    referenced columns."""
+    p = plan_of(entry.queries()["forecast_revenue"](spark, SF))
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:300], p
+    rs = p.split("ReadSchema")[1][:200]
+    for c in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert c in rs, (c, rs)
+    assert "l_orderkey" not in rs, rs
