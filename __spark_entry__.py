@@ -30,6 +30,7 @@ from webhookdb_spark.operators import sampling as SA  # noqa: E402
 from webhookdb_spark.operators import similarity as S  # noqa: E402
 from webhookdb_spark.operators import layout as LA  # noqa: E402
 from webhookdb_spark.operators import profile as PR  # noqa: E402
+from webhookdb_spark.operators import text as TX  # noqa: E402
 from webhookdb_spark.operators import text as X  # noqa: E402
 
 TABLES = (
@@ -1597,6 +1598,14 @@ SQL_PROFILE_ORDERS_KINDS = {
 }
 
 
+def q_profile_orders_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV-sketched profile of orders: same schema as profile_orders,
+    n_distinct estimated by the portable k-minimum-values sketch — the
+    estimator is deterministic integer arithmetic, so even the
+    APPROXIMATE output carries a full value-hash oracle."""
+    return PR.profile_columns(load(spark, sf, "orders"), approx=True)
+
+
 def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order layout report over events (user_id × event-time):
     Morton-key range buckets with both dimensions' min/max spans —
@@ -2012,6 +2021,20 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return SK.kmv_distinct(load(spark, sf, "documents"), "lang", "text", k=64)
 
 
+def q_token_countmin(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min frequency sketch of the document token stream: a
+    fixed depth*width counter table (the distributed heavy-hitter
+    state) — deterministic multiset arithmetic, so the sketch itself
+    hash-matches the DuckDB twin cell for cell."""
+    from webhookdb_spark.operators.text import WS
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), WS)).alias("token")
+    )
+    return SK.countmin_sketch(toks, "token", depth=4, width=512)
+
+
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """Attribution as-of join: each purchase picks up the user's latest
     prior click via the union-merge window construction (one shuffle,
@@ -2423,6 +2446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_bucketed": q_inverted_index_bucketed,
         "min_cost_supplier": q_min_cost_supplier,
         "excess_shippers": q_excess_shippers,
+        "profile_orders_approx": q_profile_orders_approx,
+        "token_countmin": q_token_countmin,
         "forecast_revenue": q_forecast_revenue,
         "local_supplier_volume": q_local_supplier_volume,
         "nation_trade_volume": q_nation_trade_volume,
@@ -2593,6 +2618,14 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_bucketed": C.sql_inverted_index_bucketed(),
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "excess_shippers": SQL_EXCESS_SHIPPERS,
+        "token_countmin": SK.sql_countmin_sketch(
+            "(SELECT unnest(" + TX.SQL_TOKENS.format(c="text")
+            + ") AS token FROM documents)",
+            "token", depth=4, width=512,
+        ),
+        "profile_orders_approx": PR.sql_profile_columns_approx(
+            "orders", SQL_PROFILE_ORDERS_KINDS
+        ),
         "forecast_revenue": SQL_FORECAST_REVENUE,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "nation_trade_volume": SQL_NATION_TRADE_VOLUME,

@@ -258,3 +258,51 @@ def test_bucketed_index_caps_rows_on_stopword_corpus(spark):
     )
     assert got == list(range(n_docs))
     idx.unpersist()
+
+
+def test_countmin_estimates_upper_bound_and_merge(spark):
+    """Count-min guarantees est >= exact always, and est <= exact +
+    eps*n w.h.p.; the sketch must also merge by cell-wise addition
+    (sketch(A ++ B) == sketch(A) cell+ sketch(B)) — the property that
+    makes it a distributed/streaming accumulator."""
+    from webhookdb_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    vals = (
+        [("hot",)] * 400
+        + [("warm",)] * 60
+        + [(f"cold{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(vals, "v string")
+    depth, width = 4, 256
+    sk = countmin_sketch(df, "v", depth=depth, width=width).cache()
+    exact = {"hot": 400, "warm": 60, "cold7": 1, "absent": 0}
+    est = {
+        r.value: r.est
+        for r in countmin_estimate(
+            sk, list(exact), depth=depth, width=width
+        ).collect()
+    }
+    n = len(vals)
+    for v, x in exact.items():
+        assert est[v] >= x, (v, est[v], x)
+        assert est[v] <= x + (4 * n) // width, (v, est[v], x)
+
+    # mergeability: cell-wise sum of two half sketches == whole sketch
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(vals[:300], "v string")
+    b = spark.createDataFrame(vals[300:], "v string")
+    sa = countmin_sketch(a, "v", depth=depth, width=width)
+    sb = countmin_sketch(b, "v", depth=depth, width=width)
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = {(r.row, r.bucket): r.cnt for r in sk.collect()}
+    got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
+    sk.unpersist()

@@ -114,6 +114,66 @@ def profile_columns(
     )
 
 
+def sql_profile_columns_approx(
+    table: str, col_kinds: dict[str, str], kmv_k: int = 256
+) -> str:
+    """DuckDB twin of ``profile_columns(approx=True)`` — the KMV
+    estimator is the same integer arithmetic over the same md5-prefix
+    hash as :func:`webhookdb_spark.operators.sketches.kmv_distinct`,
+    so even the APPROXIMATE profile hash-matches across engines."""
+    m = 1 << 28
+    parts = []
+    for c, kind in col_kinds.items():
+        canon = (
+            f"CAST(TRY_CAST(CAST({c} AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR)"
+            if kind == "num" else f"CAST({c} AS VARCHAR)"
+        )
+        parts.append(f"SELECT '{c}' AS col_name, {canon} AS v FROM {table}")
+    stream = " UNION ALL ".join(parts)
+    return f"""
+    WITH s AS ({stream}),
+    base AS (
+      SELECT col_name, count(*) AS n_rows,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             min(v) AS min_v, max(v) AS max_v
+      FROM s GROUP BY col_name
+    ),
+    h AS (
+      SELECT DISTINCT col_name,
+             CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 7) AS BIGINT) AS hv
+      FROM s WHERE v IS NOT NULL
+    ),
+    topk AS (
+      SELECT col_name, hv,
+             row_number() OVER (PARTITION BY col_name ORDER BY hv ASC) AS rn
+      FROM h
+    ),
+    est AS (
+      SELECT col_name,
+             CAST(CASE WHEN count(*) < {kmv_k} THEN count(*)
+                       ELSE CAST({kmv_k} - 1 AS BIGINT) * {m} // max(hv)
+                  END AS BIGINT) AS n_distinct
+      FROM topk WHERE rn <= {kmv_k} GROUP BY col_name
+    ),
+    mode AS (
+      SELECT col_name, v AS top_value, c AS top_count FROM (
+        SELECT col_name, v, count(*) AS c,
+               row_number() OVER (PARTITION BY col_name
+                                  ORDER BY count(*) DESC, v ASC) AS rn
+        FROM s WHERE v IS NOT NULL GROUP BY col_name, v
+      ) WHERE rn = 1
+    )
+    SELECT b.col_name, b.n_rows, b.n_null,
+           CAST(coalesce(e.n_distinct, 0) AS BIGINT) AS n_distinct,
+           b.min_v, b.max_v,
+           m.top_value, CAST(coalesce(m.top_count, 0) AS BIGINT) AS top_count
+    FROM base b
+    LEFT JOIN est e ON b.col_name = e.col_name
+    LEFT JOIN mode m ON b.col_name = m.col_name
+    ORDER BY b.col_name
+    """
+
+
 def sql_profile_columns(table: str, col_kinds: dict[str, str]) -> str:
     """DuckDB twin of :func:`profile_columns`. ``col_kinds`` maps each
     column to 'num' (decimal canon) or 'raw' (direct VARCHAR cast) —

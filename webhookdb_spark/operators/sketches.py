@@ -89,3 +89,113 @@ def sql_kmv_distinct(
     FROM topk WHERE rn <= {k}
     GROUP BY {group_col}
     """
+
+
+def countmin_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(row, bucket, cnt): count-min sketch of the value stream —
+    ``depth`` independent hash rows of ``width`` counters; a value's
+    frequency estimate is the MIN over rows of its counter, an upper
+    bound that overshoots by at most ~n/width w.h.p. (Cormode &
+    Muthukrishnan). Unlike Misra-Gries, the sketch is a pure MULTISET
+    function of the input — counter sums commute — so it is
+    deterministic, mergeable across partitions/batches by cell-wise
+    addition, and (with the fixed md5-prefix hash) bit-identical across
+    engines: a frequency sketch with a value-hash oracle.
+
+    One scan: each input row explodes into ``depth`` (row, bucket)
+    entries, then ONE narrow groupBy; sketch size is depth*width cells
+    regardless of input size — the 100 TB heavy-hitter pass ships
+    KB-sized partials, never token counts."""
+    entries = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"cm{j}:"),
+                                        F.col(value_col).cast("string"),
+                                    )
+                                ),
+                                1, 7,
+                            ),
+                            16, 10,
+                        ).cast("long") % width
+                    ).cast("int").alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("_e")
+    ).select("_e.row", "_e.bucket")
+    return entries.groupBy("row", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    values: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(value, est): frequency upper-bound per candidate value = min
+    over the sketch's rows of the value's counter. The candidate list
+    is literal-sized; its (row, bucket) probes broadcast-join the
+    sketch (depth*width rows — always the small side)."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame(
+        [(v,) for v in values], "value string"
+    ).select(
+        "value",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"cm{j}:"), F.col("value"))),
+                                1, 7,
+                            ),
+                            16, 10,
+                        ).cast("long") % width
+                    ).cast("int").alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("_p"),
+    ).select("value", "_p.row", "_p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def sql_countmin_sketch(
+    table_expr: str,
+    value_expr: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`countmin_sketch` — same salted md5-prefix
+    hash per row, same modulo."""
+    unions = " UNION ALL ".join(
+        f"""SELECT {j} AS row,
+           CAST(CAST('0x' || substr(md5('cm{j}:' || CAST({value_expr} AS VARCHAR)), 1, 7)
+                AS BIGINT) % {width} AS INTEGER) AS bucket
+        FROM {table_expr}"""
+        for j in range(depth)
+    )
+    return f"""
+    SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({unions}) GROUP BY row, bucket
+    """
