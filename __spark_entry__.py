@@ -2437,7 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows ever) plus the round-6 additions — and the 50 rows green in
     # r5 sit at the tail. Every entry still runs in
     # tools/check_oracle.py regardless of position (the full declared
-    # set was green in the round-6 closing sweep; see PROGRESS.jsonl).
+    # set was green in the round-6 closing sweep; see SWEEP_r06.txt).
     return {
         # --- driver-unchecked in r5 (must land in the first ~50 slots) ---
         # decontaminate_bloom first: zero driver rows ever (new in r5)

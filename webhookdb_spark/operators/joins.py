@@ -145,10 +145,13 @@ def asof_join(
         F.last("_rrow", ignorenulls=True).over(w).alias("_m"),
     ).where(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        ts_l = F.col(ts).cast("timestamp").cast("long")
-        ts_r = F.col("_m")[rts].cast("timestamp").cast("long")
+        # microseconds, matching the nearest-direction comparison: a
+        # whole-second truncation would admit matches up to 1s past
+        # the horizon on sub-second data
+        ts_l = F.unix_micros(F.col(ts).cast("timestamp"))
+        ts_r = F.unix_micros(F.col("_m")[rts].cast("timestamp"))
         gap = ts_l - ts_r if direction == "backward" else ts_r - ts_l
-        horizon = gap <= F.lit(int(tolerance_seconds))
+        horizon = gap <= F.lit(int(tolerance_seconds * 1_000_000))
         return matched.select(
             *lcols,
             *[F.when(horizon, F.col("_m")[c]).alias(c) for c in carried],
