@@ -344,3 +344,64 @@ def test_quota_stream_end_to_end_two_microbatches(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_countmin_sketch_runs_unchanged_on_a_stream(spark):
+    """The count-min sketch is a pure multiset aggregate, so the SAME
+    operator runs on a readStream with outputMode=complete — after two
+    micro-batches the streaming state must equal the batch sketch of
+    the union (the mergeability property, now held by Spark's agg
+    state instead of a manual cell-wise sum)."""
+    import json
+
+    from webhookdb_spark.operators.sketches import countmin_sketch
+
+    src = Path(tempfile.mkdtemp(prefix="whdb_cm_src_"))
+    ckpt = Path(tempfile.mkdtemp(prefix="whdb_cm_ckpt_"))
+    try:
+        b1 = [{"v": "hot"}] * 30 + [{"v": f"c{i}"} for i in range(20)]
+        b2 = [{"v": "hot"}] * 25 + [{"v": f"d{i}"} for i in range(10)]
+        (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+        stream = spark.readStream.schema("v string").json(str(src))
+        q = (
+            countmin_sketch(stream, "v", depth=4, width=64)
+            .writeStream.format("memory")
+            .queryName("cm_t")
+            .outputMode("complete")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+        def snapshot():
+            return {
+                (r.row, r.bucket): r.cnt
+                for r in spark.sql("SELECT * FROM cm_t").collect()
+            }
+
+        def wait_until(pred, timeout=90):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                s = snapshot()
+                if pred(s):
+                    return s
+                time.sleep(0.5)
+            raise AssertionError(f"timeout; last: {snapshot()}")
+
+        def total(s):
+            return sum(s.values())
+
+        wait_until(lambda s: total(s) == 4 * len(b1))
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        final = wait_until(lambda s: total(s) == 4 * (len(b1) + len(b2)))
+        q.stop()
+
+        both = spark.createDataFrame([(r["v"],) for r in b1 + b2], "v string")
+        want = {
+            (r.row, r.bucket): r.cnt
+            for r in countmin_sketch(both, "v", depth=4, width=64).collect()
+        }
+        assert final == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
