@@ -412,3 +412,31 @@ def test_forecast_revenue_pushes_all_predicates(spark):
     for c in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
         assert c in rs, (c, rs)
     assert "l_orderkey" not in rs, rs
+
+
+def test_multi_key_routed_read_opens_only_owning_buckets(spark, tmp_path):
+    """read_for_keys prunes to the union of the keys' buckets by path
+    selection, pushes the isin residually, and returns exactly the
+    requested rows; an empty key list reads nothing."""
+    import pyspark.sql.functions as F
+
+    from webhookdb_spark.functions.converters import str2inthash_py
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.storage import Warehouse
+
+    t = Warehouse(spark, tmp_path / "wh").table("org", "fake_v1")
+    env = spark.createDataFrame(
+        [(f'{{"my_id": "id{i}", "at": "2024-06-01T00:00:00Z"}}',) for i in range(40)],
+        "body string",
+    ).withColumn("received_at", F.lit("2024-06-01 00:00:00").cast("timestamp"))
+    upsert_envelopes(t, env, FAKE_V1)
+    keys = ["id3", "id17", "id28"]
+    routed = t.read_for_keys(keys)
+    owned = {str2inthash_py(k) % t.manifest.n_buckets for k in keys}
+    opened = {
+        int(f.split("/buckets/")[1].split("/")[0]) for f in routed.inputFiles()
+    }
+    assert opened == owned, (opened, owned)
+    assert {r.my_id for r in routed.collect()} == set(keys)
+    assert t.read_for_keys([]).count() == 0

@@ -135,6 +135,21 @@ class ManagedTable:
         b = str2inthash_py(str(key_value)) % m.n_buckets
         return self.read(buckets=[b]).where(F.col(m.key) == F.lit(key_value))
 
+    def read_for_keys(self, key_values: list[str]) -> DataFrame:
+        """IN-list key routing: prune to the union of the buckets
+        owning any of the keys — a 1000-key lookup against a
+        4096-bucket table opens at most 1000 bucket dirs, not the
+        table — then the residual isin filter pushes into those
+        scans."""
+        from webhookdb_spark.functions.converters import str2inthash_py
+
+        m = self.manifest
+        vals = [str(v) for v in key_values]
+        if not vals:
+            return self.read(buckets=[])
+        bs = sorted({str2inthash_py(v) % m.n_buckets for v in vals})
+        return self.read(buckets=bs).where(F.col(m.key).isin(vals))
+
     # -- write -------------------------------------------------------------
     def overwrite_buckets(
         self, df: DataFrame, buckets: list[int], extra_cols: list[str] | None = None
