@@ -31,6 +31,7 @@ from webhookdb_spark.operators import similarity as S  # noqa: E402
 from webhookdb_spark.operators import layout as LA  # noqa: E402
 from webhookdb_spark.operators import profile as PR  # noqa: E402
 from webhookdb_spark.operators import text as TX  # noqa: E402
+from webhookdb_spark.operators import digest as DG  # noqa: E402
 from webhookdb_spark.operators import text as X  # noqa: E402
 
 TABLES = (
@@ -1598,6 +1599,15 @@ SQL_PROFILE_ORDERS_KINDS = {
 }
 
 
+def q_orders_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Commutative per-bucket checksum of orders — the anti-entropy
+    primitive a sync target uses to verify a replica without moving
+    rows; one narrow map + one map-side-combined SUM onto 32 keys."""
+    return DG.table_digest(
+        load(spark, sf, "orders"), key_col="o_orderkey", n_buckets=32
+    )
+
+
 def q_profile_orders_approx(spark: SparkSession, sf: str) -> DataFrame:
     """KMV-sketched profile of orders: same schema as profile_orders,
     n_distinct estimated by the portable k-minimum-values sketch — the
@@ -2448,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_shippers": q_excess_shippers,
         "profile_orders_approx": q_profile_orders_approx,
         "token_countmin": q_token_countmin,
+        "orders_digest": q_orders_digest,
         "forecast_revenue": q_forecast_revenue,
         "local_supplier_volume": q_local_supplier_volume,
         "nation_trade_volume": q_nation_trade_volume,
@@ -2618,6 +2629,10 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_bucketed": C.sql_inverted_index_bucketed(),
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "excess_shippers": SQL_EXCESS_SHIPPERS,
+        "orders_digest": DG.sql_table_digest(
+            "orders", SQL_PROFILE_ORDERS_KINDS,
+            key_col="o_orderkey", n_buckets=32,
+        ),
         "token_countmin": SK.sql_countmin_sketch(
             "(SELECT unnest(" + TX.SQL_TOKENS.format(c="text")
             + ") AS token FROM documents)",

@@ -306,3 +306,44 @@ def test_countmin_estimates_upper_bound_and_merge(spark):
     got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
     assert got == whole
     sk.unpersist()
+
+
+def test_table_digest_detects_any_single_row_drift(spark):
+    """The anti-entropy contract: identical tables digest identically;
+    a changed, missing, or extra row flips exactly the owning bucket
+    (and digest_diff returns just that bucket); NULL position matters."""
+    from webhookdb_spark.operators.digest import digest_diff, table_digest
+
+    rows = [(i, f"v{i}" if i % 7 else None, float(i) * 1.5) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, s string, x double")
+    base = table_digest(df, key_col="id", n_buckets=8)
+    again = table_digest(
+        spark.createDataFrame(list(reversed(rows)), "id long, s string, x double"),
+        key_col="id", n_buckets=8,
+    )
+    assert digest_diff(base, again).count() == 0  # order-insensitive
+
+    changed = [(i, s, x if i != 42 else x + 1) for i, s, x in rows]
+    d2 = table_digest(
+        spark.createDataFrame(changed, "id long, s string, x double"),
+        key_col="id", n_buckets=8,
+    )
+    diff = digest_diff(base, d2).collect()
+    assert len(diff) == 1 and diff[0].n_rows_a == diff[0].n_rows_b
+
+    missing = [r for r in rows if r[0] != 42]
+    d3 = table_digest(
+        spark.createDataFrame(missing, "id long, s string, x double"),
+        key_col="id", n_buckets=8,
+    )
+    diff3 = digest_diff(base, d3).collect()
+    assert len(diff3) == 1 and diff3[0].n_rows_a == diff3[0].n_rows_b + 1
+
+    # NULL in a different column is a different row
+    swapped = [(1000, None, 5.0)]
+    swapped2 = [(1000, "5.000000", None)]
+    da = table_digest(spark.createDataFrame(swapped, "id long, s string, x double"),
+                      key_col="id", n_buckets=8)
+    db = table_digest(spark.createDataFrame(swapped2, "id long, s string, x double"),
+                      key_col="id", n_buckets=8)
+    assert digest_diff(da, db).count() == 1

@@ -1,0 +1,133 @@
+"""Order-insensitive table digests for replica verification.
+
+A sync pipeline (Postgres staging-merge, Snowflake stage-MERGE, org DB
+migration — `sinks/sync_target.py`, `sinks/migration.py`) needs a
+cheap way to answer "does the replica hold the same rows?" without
+shipping either side's data. The standard trick: a COMMUTATIVE digest —
+hash every row to an integer and SUM per key-range — so the check is
+one aggregate on each side and a tiny diff of (bucket, digest) pairs;
+mismatched buckets are re-synced individually (anti-entropy).
+
+Everything is the repo's portable 28-bit md5 arithmetic, so the digest
+computed by Spark equals the one DuckDB (or any engine with md5 +
+integer sums) computes on the same rows — which also makes it
+oracle-checkable. Canonicalization reuses the profiler's rules:
+numerics route through the string repr into DECIMAL(38,6) (exact
+cross-engine, see operators/profile.py), everything else casts to
+string; NULL encodes as a sentinel so (NULL, "x") differs from
+("x", NULL). Per-row 28 bits is plenty for drift DETECTION over many
+rows (a missing/extra/changed row shifts the bucket sum with
+probability 1 - 2^-28); it is not a cryptographic commitment.
+
+100 TB shape: one narrow map (concat + md5 + parse) and one map-side
+combined SUM onto n_buckets keys — no shuffle wider than the bucket
+count, no row movement at all beyond partial-agg merges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUM_TYPES = ("int", "bigint", "double", "float", "decimal", "smallint", "tinyint")
+_NULL_SENTINEL = "\x1enull"
+_SEP = "\x1f"
+
+
+def _canon(df: DataFrame, c: str):
+    dt = dict(df.dtypes)[c]
+    if any(dt.startswith(t) for t in _NUM_TYPES):
+        v = F.col(c).cast("string").try_cast("decimal(38,6)").cast("string")
+    else:
+        v = F.col(c).cast("string")
+    return F.coalesce(v, F.lit(_NULL_SENTINEL))
+
+
+def table_digest(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    key_col: str | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(bucket, n_rows, digest): commutative per-bucket checksum.
+
+    ``bucket`` is the portable hash of ``key_col`` (default: the first
+    column) mod ``n_buckets`` — align it with the replica's routing so
+    a mismatch localizes the re-sync. ``digest`` is the BIGINT sum of
+    each row's 28-bit md5 over the canonicalized, sentinel-NULL,
+    unit-separated column string."""
+    use = cols or df.columns
+    key = key_col or use[0]
+    row_str = F.concat_ws(_SEP, *[_canon(df, c) for c in use])
+    row_h = F.conv(F.substring(F.md5(row_str), 1, 7), 16, 10).cast("long")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 7), 16, 10
+        ).cast("long")
+        % n_buckets
+    ).cast("int")
+    return (
+        df.select(bucket.alias("bucket"), row_h.alias("_h"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("_h").cast("long").alias("digest"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def digest_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Buckets where two digests disagree — the re-sync worklist.
+    Outer-joins the (tiny) digest tables; a bucket missing on one side
+    counts as a mismatch."""
+    aa = a.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("digest").alias("digest_a"),
+    )
+    bb = b.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("digest").alias("digest_b"),
+    )
+    return (
+        aa.join(bb, "bucket", "full_outer")
+        .where(
+            ~(
+                F.col("digest_a").eqNullSafe(F.col("digest_b"))
+                & F.col("n_rows_a").eqNullSafe(F.col("n_rows_b"))
+            )
+        )
+        .orderBy("bucket")
+    )
+
+
+def sql_table_digest(
+    table: str,
+    col_kinds: dict[str, str],
+    key_col: str | None = None,
+    n_buckets: int = 32,
+) -> str:
+    """DuckDB twin of :func:`table_digest`. ``col_kinds`` maps columns
+    to 'num'/'raw' as in the profiler twins."""
+    key = key_col or next(iter(col_kinds))
+    parts = []
+    for c, kind in col_kinds.items():
+        canon = (
+            f"CAST(TRY_CAST(CAST({c} AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR)"
+            if kind == "num" else f"CAST({c} AS VARCHAR)"
+        )
+        parts.append(f"coalesce({canon}, chr(30) || 'null')")
+    row_str = f"concat_ws(chr(31), {', '.join(parts)})"
+    return f"""
+    WITH r AS (
+      SELECT CAST(CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 7)
+               AS BIGINT) % {n_buckets} AS INTEGER) AS bucket,
+             CAST('0x' || substr(md5({row_str}), 1, 7) AS BIGINT) AS h
+      FROM {table}
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS digest
+    FROM r GROUP BY bucket ORDER BY bucket
+    """
