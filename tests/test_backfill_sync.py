@@ -363,3 +363,47 @@ def test_snowflake_sync_stage_put_merge(spark, tmp_warehouse):
     executed.clear()
     assert tgt.run_sync(df, "2024-01-03 00:00:00", tmp_warehouse) == 0
     assert not [s for s in executed if s.startswith("MERGE")]
+
+
+def test_database_sync_verify_digest_roundtrip(spark, tmp_warehouse):
+    """After a staging-merge sync the digest verify returns no
+    mismatched buckets; corrupting one replica row localizes the
+    mismatch to exactly that key's bucket — the anti-entropy loop a
+    100 TB sync runs instead of comparing rows."""
+    from webhookdb_spark.sinks.sync_target import DatabaseSyncTarget
+
+    df = (
+        spark.createDataFrame(
+            [(f"id{i}", f"2024-01-01 00:00:{i % 60:02d}", i * 1.5) for i in range(30)],
+            "my_id string, ts_s string, amount double",
+        )
+        .withColumn("updated", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    tgt = DatabaseSyncTarget(
+        state=SyncState(tmp_warehouse / "db.json"),
+        ts_col="updated",
+        key_col="my_id",
+        dest_path=tmp_warehouse / "replica",
+    )
+    assert tgt.run_sync(df, "2024-01-02 00:00:00") == 30
+    assert tgt.verify(df).count() == 0
+
+    # corrupt one replica row out-of-band
+    replica = spark.read.parquet(str(tmp_warehouse / "replica"))
+    broken = replica.withColumn(
+        "amount",
+        F.when(F.col("my_id") == "id7", F.col("amount") + 1).otherwise(
+            F.col("amount")
+        ),
+    )
+    broken.write.mode("overwrite").parquet(str(tmp_warehouse / "replica2"))
+    tgt2 = DatabaseSyncTarget(
+        state=SyncState(tmp_warehouse / "db.json"),
+        ts_col="updated",
+        key_col="my_id",
+        dest_path=tmp_warehouse / "replica2",
+    )
+    diff = tgt2.verify(df).collect()
+    assert len(diff) == 1
+    assert diff[0].n_rows_a == diff[0].n_rows_b  # same counts, drifted content
