@@ -347,3 +347,51 @@ def test_table_digest_detects_any_single_row_drift(spark):
     db = table_digest(spark.createDataFrame(swapped2, "id long, s string, x double"),
                       key_col="id", n_buckets=8)
     assert digest_diff(da, db).count() == 1
+
+
+def test_zorder_key4_is_exact_4d_morton(spark):
+    """zorder_key4 must equal the definitional 4-way bit interleave
+    (cycle a,b,c,d), reject out-of-range inputs, and match its DuckDB
+    twin."""
+    import duckdb as _dd
+
+    from webhookdb_spark.operators.layout import (
+        sql_zorder_expr4,
+        zorder_key4,
+    )
+    from pyspark.sql import functions as F
+
+    def morton4(a, b, c, d):
+        z = 0
+        for i in range(15):
+            z |= ((a >> i) & 1) << (4 * i)
+            z |= ((b >> i) & 1) << (4 * i + 1)
+            z |= ((c >> i) & 1) << (4 * i + 2)
+            z |= ((d >> i) & 1) << (4 * i + 3)
+        return z
+
+    rows = [(i, (i * 7) % 32768, (i * 131) % 32768, (i * 29) % 32768,
+             (i * 997) % 32768) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long, d long")
+    got = {
+        r.id: r.z
+        for r in df.select(
+            "id",
+            zorder_key4(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("z"),
+        ).collect()
+    }
+    for i, a, b, c, d in rows:
+        assert got[i] == morton4(a, b, c, d), (i, a, b, c, d)
+
+    con = _dd.connect()
+    con.execute("CREATE TABLE t (id BIGINT, a BIGINT, b BIGINT, c BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    want = dict(con.execute(
+        f"SELECT id, {sql_zorder_expr4('a','b','c','d')} FROM t"
+    ).fetchall())
+    assert got == want
+
+    import pytest as _pt
+    bad = spark.createDataFrame([(1 << 15, 0, 0, 0)], "a long, b long, c long, d long")
+    with _pt.raises(Exception, match="outside"):
+        bad.select(zorder_key4(F.col("a"), F.col("b"), F.col("c"), F.col("d"))).collect()

@@ -106,3 +106,31 @@ def sql_zorder_layout(
     FROM {table_expr}
     GROUP BY 1 ORDER BY 1
     """
+
+
+def zorder_key4(a: Column, b: Column, c: Column, d: Column) -> Column:
+    """True 4-D Morton key by pairwise composition:
+    ``interleave2(interleave2(a, c), interleave2(b, d))`` cycles bits
+    a0,b0,c0,d0,a1,b1,… — exactly the 4-way interleave — because the
+    outer interleave alternates the two inner keys, each of which
+    alternates its own pair. Each dimension must be < 2^15 (the inner
+    keys then stay < 2^30, inside :func:`zorder_key`'s domain); for 3
+    dimensions pass a zero column as ``d`` (its bit positions idle but
+    the order restricted to (a, b, c) is still Morton). Same guard
+    discipline: out-of-range raises rather than wrapping."""
+    lim = F.lit(1 << 15)
+    guard = (
+        (a >= 0) & (a < lim) & (b >= 0) & (b < lim)
+        & (c >= 0) & (c < lim) & (d >= 0) & (d < lim)
+    )
+    z = zorder_key(zorder_key(a, c), zorder_key(b, d))
+    return F.when(guard, z).otherwise(
+        F.raise_error(F.lit("zorder_key4: input outside [0, 2^15)"))
+    )
+
+
+def sql_zorder_expr4(a: str, b: str, c: str, d: str) -> str:
+    """DuckDB twin of :func:`zorder_key4` (same composition)."""
+    return sql_zorder_expr(
+        sql_zorder_expr(a, c), sql_zorder_expr(b, d)
+    )
