@@ -2045,6 +2045,23 @@ def q_token_countmin(spark: SparkSession, sf: str) -> DataFrame:
     return SK.countmin_sketch(toks, "token", depth=4, width=512)
 
 
+def q_token_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequency upper-bounds for a fixed candidate-token list, probed
+    from the count-min sketch — the full sketch->estimate path under
+    one value-hash oracle."""
+    from webhookdb_spark.operators.text import WS
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), WS)).alias("token")
+    )
+    sk = SK.countmin_sketch(toks, "token", depth=4, width=512)
+    return SK.countmin_estimate(sk, _HH_CANDIDATES, depth=4, width=512)
+
+
+_HH_CANDIDATES = ["spark", "merge", "window", "the", "dup", "zzz_absent"]
+
+
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """Attribution as-of join: each purchase picks up the user's latest
     prior click via the union-merge window construction (one shuffle,
@@ -2459,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_approx": q_profile_orders_approx,
         "token_countmin": q_token_countmin,
         "orders_digest": q_orders_digest,
+        "token_heavy_hitters": q_token_heavy_hitters,
         "forecast_revenue": q_forecast_revenue,
         "local_supplier_volume": q_local_supplier_volume,
         "nation_trade_volume": q_nation_trade_volume,
@@ -2629,6 +2647,11 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_bucketed": C.sql_inverted_index_bucketed(),
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "excess_shippers": SQL_EXCESS_SHIPPERS,
+        "token_heavy_hitters": SK.sql_countmin_estimate(
+            "(SELECT unnest(" + TX.SQL_TOKENS.format(c="text")
+            + ") AS token FROM documents)",
+            "token", _HH_CANDIDATES, depth=4, width=512,
+        ),
         "orders_digest": DG.sql_table_digest(
             "orders", SQL_PROFILE_ORDERS_KINDS,
             key_col="o_orderkey", n_buckets=32,

@@ -192,3 +192,34 @@ def sql_countmin_sketch(
     SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
     FROM ({unions}) GROUP BY row, bucket
     """
+
+
+def sql_countmin_estimate(
+    table_expr: str,
+    value_expr: str,
+    values: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`countmin_sketch` + :func:`countmin_estimate`
+    composed: build the sketch, probe it with the literal candidate
+    list, min over rows."""
+    from webhookdb_spark.operators.util import sql_str_lit
+
+    sketch = sql_countmin_sketch(table_expr, value_expr, depth, width)
+    vals = ", ".join(f"({sql_str_lit(v)})" for v in values)
+    probe_unions = " UNION ALL ".join(
+        f"""SELECT value, {j} AS row,
+           CAST(CAST('0x' || substr(md5('cm:' || value), {1 + 7 * j}, 7)
+                AS BIGINT) % {width} AS INTEGER) AS bucket
+        FROM probes"""
+        for j in range(depth)
+    )
+    return f"""
+    WITH sk AS ({sketch}),
+    probes(value) AS (VALUES {vals}),
+    p AS ({probe_unions})
+    SELECT p.value, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+    FROM p LEFT JOIN sk ON p.row = sk.row AND p.bucket = sk.bucket
+    GROUP BY p.value
+    """
