@@ -440,3 +440,17 @@ def test_multi_key_routed_read_opens_only_owning_buckets(spark, tmp_path):
     assert opened == owned, (opened, owned)
     assert {r.my_id for r in routed.collect()} == set(keys)
     assert t.read_for_keys([]).count() == 0
+
+
+def test_table_digest_is_one_narrow_aggregation(spark):
+    """The anti-entropy digest must cost one map + one map-side
+    combined SUM onto the bucket keys: exactly one keyed exchange
+    (carrying only (bucket, count, sum) partials), no Python, no
+    wide rows moving."""
+    p = plan_of(entry.queries()["orders_digest"](spark, SF))
+    keyed = re.findall(r"hashpartitioning\(bucket[^\n]*", p)
+    assert len(keyed) == 1, p
+    # the only other exchange is the range partition ordering the
+    # 32-row digest result — post-aggregate, metadata-sized
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
