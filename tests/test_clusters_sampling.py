@@ -395,3 +395,35 @@ def test_zorder_key4_is_exact_4d_morton(spark):
     bad = spark.createDataFrame([(1 << 15, 0, 0, 0)], "a long, b long, c long, d long")
     with _pt.raises(Exception, match="outside"):
         bad.select(zorder_key4(F.col("a"), F.col("b"), F.col("c"), F.col("d"))).collect()
+
+
+def test_corpus_filter_joined_matches_literal_form(spark):
+    """The DataFrame-blocklist filter must agree row-for-row with the
+    literal isin cascade on the same rule sets — same reasons, same
+    keeps — including docs failing multiple rules (cascade order)."""
+    from webhookdb_spark.operators.corpus import (
+        DEFAULT_BADWORDS,
+        DEFAULT_BLOCKED_SOURCES,
+        DEFAULT_LANGS,
+        corpus_filter,
+        corpus_filter_joined,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lit_out = {
+        r.doc_id: (r.n_tokens, r.keep, r.reason)
+        for r in corpus_filter(docs).collect()
+    }
+    joined_out = {
+        r.doc_id: (r.n_tokens, r.keep, r.reason)
+        for r in corpus_filter_joined(
+            docs,
+            langs_df=spark.createDataFrame([(x,) for x in DEFAULT_LANGS], "lang string"),
+            blocked_sources_df=spark.createDataFrame(
+                [(x,) for x in DEFAULT_BLOCKED_SOURCES], "source string"),
+            badwords_df=spark.createDataFrame(
+                [(x,) for x in DEFAULT_BADWORDS], "word string"),
+        ).collect()
+    }
+    assert lit_out == joined_out
+    assert any(v[2] != "kept" for v in lit_out.values())  # rules fired

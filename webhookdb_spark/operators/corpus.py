@@ -70,6 +70,72 @@ def corpus_filter(
     )
 
 
+def corpus_filter_joined(
+    df: DataFrame,
+    langs_df: DataFrame,
+    blocked_sources_df: DataFrame,
+    badwords_df: DataFrame,
+    min_tokens: int = 12,
+    max_tokens: int = 90,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`corpus_filter` with DataFrame rule tables instead of
+    literal tuples — the form the module docstring promises for when a
+    blocklist outgrows a broadcast literal (a production badword or
+    domain blocklist is a maintained table of 10^5-10^7 entries, far
+    past ``isin`` codegen limits). Identical cascade semantics and
+    output.
+
+    Shape: allow/block membership becomes broadcast semi-join FLAGS
+    (the rule tables broadcast; the corpus never shuffles); the
+    badword test explodes the doc's DISTINCT tokens, broadcast-joins
+    the badword table, and aggregates a per-doc hit bit — at most one
+    row per (doc, matched badword) moves, and only for docs containing
+    some badword. Expected columns: ``langs_df(lang)``,
+    ``blocked_sources_df(source)``, ``badwords_df(word)``."""
+    b = bind(
+        scale_out(df.select("doc_id", "lang", "source", text_col)),
+        "_t",
+        F.split(F.trim(F.col(text_col)), WS),
+    )
+    lang_ok = F.broadcast(langs_df.select(F.col("lang").alias("_lv"))
+                          .distinct())
+    src_bad = F.broadcast(
+        blocked_sources_df.select(F.col("source").alias("_sv")).distinct()
+    )
+    words = F.broadcast(badwords_df.select(F.col("word").alias("_w"))
+                        .distinct())
+    flagged = (
+        b.join(lang_ok, F.col("lang") == F.col("_lv"), "left")
+        .join(src_bad, F.col("source") == F.col("_sv"), "left")
+        .withColumn("_lang_ok", F.col("_lv").isNotNull())
+        .withColumn("_src_blocked", F.col("_sv").isNotNull())
+        .drop("_lv", "_sv")
+    )
+    hits = (
+        b.select("doc_id", F.explode(F.array_distinct("_t")).alias("_tok"))
+        .join(words, F.col("_tok") == F.col("_w"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("_has_badword", F.lit(True))
+    )
+    n_tok = F.size("_t")
+    out = flagged.join(hits, "doc_id", "left")
+    reason = (
+        F.when(~F.col("_lang_ok"), F.lit("lang"))
+        .when(F.col("_src_blocked"), F.lit("source"))
+        .when(n_tok < min_tokens, F.lit("too_short"))
+        .when(n_tok > max_tokens, F.lit("too_long"))
+        .when(F.coalesce("_has_badword", F.lit(False)), F.lit("badword"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        (reason == "kept").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 def sql_corpus_filter(
     table: str = "documents",
     langs: tuple[str, ...] = DEFAULT_LANGS,
