@@ -562,3 +562,63 @@ def test_bloom_decontaminate_superset_of_exact_and_joinless(spark):
 
     p = plan_of(out)
     assert "Join" not in p and "Exchange" not in p.split("AdaptiveSparkPlan")[0], p
+
+
+def test_persisted_lsh_index_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """write_lsh_index + query_lsh_index must return exactly the
+    inline ann_topk_lsh results (same knobs, same corpus) and the
+    query's scan must list ONLY probed bucket directories — the
+    build-once / partition-pruned-query operating mode."""
+    from webhookdb_spark.operators.similarity import (
+        ann_topk_lsh,
+        query_lsh_index,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 3")
+    inline = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine_sim, 9))
+        for r in ann_topk_lsh(
+            emb, queries, k=5, n_planes=6, n_tables=4
+        ).collect()
+    }
+    idx_path = str(tmp_path / "lsh_idx")
+    write_lsh_index(emb, idx_path, n_planes=6, n_tables=4)
+    from_index_df = query_lsh_index(spark, idx_path, queries, k=5)
+    from_index = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine_sim, 9))
+        for r in from_index_df.collect()
+    }
+    assert from_index == inline
+
+    # partition pruning: with multiprobe off a single query probes
+    # exactly 4 (tbl, sig) buckets — the scan must list only those
+    # directories, a strict subset of the index
+    one = query_lsh_index(
+        spark, idx_path, queries.where("vec_id = 0"), k=5, multiprobe=False
+    )
+    plan = one._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the scan must carry the 4 literal (tbl, sig) partition predicates
+    # (planning-time directory pruning), with sig compared as a STRING —
+    # inference would silently strip the leading zeros
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "tbl" in pf[0] and "sig" in pf[0], plan
+    assert pf[0].count("AND (sig") == 4, pf[0]
+    import json as _json
+    from pathlib import Path as _P
+
+    from pyspark.sql import types as _T
+
+    meta = _json.loads((_P(idx_path) / "_lsh_meta.json").read_text())
+    schema = _T.StructType.fromJson(_json.loads(meta["schema"]))
+    sig_vals = {
+        r.sig
+        for r in spark.read.schema(schema).parquet(idx_path)
+        .select("sig").distinct().collect()
+    }
+    assert all(len(s) == 6 for s in sig_vals)  # string sigs, zeros kept

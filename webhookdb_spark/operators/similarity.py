@@ -1652,3 +1652,152 @@ def sql_cluster_profile(
     FROM tight t JOIN dom d ON t.cent_id = d.cent_id
     ORDER BY t.cent_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH index — the "written n_tables× bucketed by (tbl, sig)"
+# operating mode the ann_topk_lsh docstring describes: build once, query
+# many times with partition-pruned reads.
+# ---------------------------------------------------------------------------
+
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_dims: int | None = None,
+) -> None:
+    """Materialize the LSH index on disk: the corpus written
+    ``n_tables``× (the standard LSH space trade), parquet-partitioned
+    by (tbl, sig) so each of a query's ``n_tables × (1 + n_planes)``
+    probes is a PARTITION-PRUNED read of exactly one bucket directory —
+    at 100 TB a query batch touches probe-count buckets, never the
+    corpus. Plane geometry is deterministic (:func:`hyperplanes`), so
+    only the knobs go in the sidecar; :func:`query_lsh_index` rebuilds
+    identical planes and signatures are reproducible across sessions
+    and engines."""
+    import json
+    from pathlib import Path
+
+    if n_dims is None:
+        n_dims = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes * n_tables, n_dims)
+    sig_kernel = sign_signature_udf(planes)
+    tbl = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
+    tsig = F.col("_sig").substr(F.col("tbl") * n_planes + 1, F.lit(n_planes))
+    rows = (
+        bind(
+            corpus.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("vec")),
+            "_sig",
+            sig_kernel(F.col("vec")),
+        )
+        .select("vec_id", "vec", "_sig", tbl)
+        .select("vec_id", "vec", "tbl", tsig.alias("sig"))
+    )
+    rows.write.mode("overwrite").partitionBy("tbl", "sig").parquet(path)
+    # record the exact read schema: without it Spark type-INFERS the
+    # sig partition value and "010101" silently becomes the int 10101
+    read_schema = (
+        rows.drop("tbl", "sig")
+        .withColumn("tbl", F.lit(0).cast("int"))
+        .withColumn("sig", F.lit("").cast("string"))
+        .schema
+    )
+    meta = {
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "n_dims": n_dims,
+        "schema": read_schema.json(),
+    }
+    (Path(path) / "_lsh_meta.json").write_text(json.dumps(meta))
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a :func:`write_lsh_index` directory with the same
+    candidate semantics as :func:`ann_topk_lsh` (multi-table OR,
+    hamming-1 multiprobe, exact cosine re-rank, deterministic ranks).
+
+    The query batch's probe sigs collect to the driver (bounded by
+    |queries| × n_tables × (1 + n_planes) — a query batch is
+    metadata-sized next to the corpus) and become LITERAL partition
+    predicates: ``(tbl = t AND sig IN (...)) OR ...``, which Spark
+    prunes at planning time — the scan lists only the probed bucket
+    directories."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(path) / "_lsh_meta.json").read_text())
+    n_planes, n_tables = meta["n_planes"], meta["n_tables"]
+    planes = hyperplanes(n_planes * n_tables, meta["n_dims"])
+    sig_kernel = sign_signature_udf(planes)
+    tbl = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
+    tsig = F.col("_sig").substr(F.col("tbl") * n_planes + 1, F.lit(n_planes))
+    last_probe = n_planes if multiprobe else 0
+    probe_pos = F.explode(F.sequence(F.lit(0), F.lit(last_probe))).alias("p")
+    flipped = F.concat(
+        tsig.substr(F.lit(1), F.col("p") - 1),
+        F.when(tsig.substr(F.col("p"), F.lit(1)) == "1", F.lit("0"))
+        .otherwise(F.lit("1")),
+        tsig.substr(F.col("p") + 1, F.lit(n_planes)),
+    )
+    q_probes = (
+        bind(
+            queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("q_vec")),
+            "_sig",
+            sig_kernel(F.col("q_vec")),
+        )
+        .select("query_id", "q_vec", "_sig", tbl)
+        .select("query_id", "q_vec", "tbl", "_sig", probe_pos)
+        .select(
+            "query_id", "q_vec", "tbl",
+            F.when(F.col("p") == 0, tsig).otherwise(flipped).alias("sig"),
+        )
+    ).cache()
+    probe_keys: dict[int, set] = {}
+    for r in q_probes.select("tbl", "sig").distinct().collect():
+        probe_keys.setdefault(r.tbl, set()).add(r.sig)
+    if not probe_keys:
+        q_probes.unpersist()
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine_sim double, rank int"
+        )
+    pred = None
+    for t, sigs in sorted(probe_keys.items()):
+        clause = (F.col("tbl") == t) & F.col("sig").isin(*sorted(sigs))
+        pred = clause if pred is None else (pred | clause)
+    from pyspark.sql import types as _T
+
+    read_schema = _T.StructType.fromJson(json.loads(meta["schema"]))
+    index = spark.read.schema(read_schema).parquet(path).where(pred)
+    cand = (
+        index.join(F.broadcast(q_probes), on=["tbl", "sig"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.first("q_vec").alias("q_vec"), F.first("vec").alias("c_vec"))
+    )
+    scored = cand.select(
+        "query_id", "vec_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim",
+                F.col("rank").cast("int").alias("rank"))
+    )
+    return out
