@@ -622,3 +622,39 @@ def test_persisted_lsh_index_matches_inline_and_prunes_partitions(spark, tmp_pat
         .select("sig").distinct().collect()
     }
     assert all(len(s) == 6 for s in sig_vals)  # string sigs, zeros kept
+
+
+def test_persisted_ivf_index_matches_inline_and_prunes_cells(spark, tmp_path):
+    """write_ivf_index + query_ivf_index equal inline ann_topk_ivf
+    (same knobs — the sidecar centroids are the trained quantizer) and
+    the query scan carries literal cent_id partition predicates."""
+    from webhookdb_spark.operators.similarity import (
+        ann_topk_ivf,
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 3")
+    inline = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine_sim, 9))
+        for r in ann_topk_ivf(
+            emb, queries, k=5, n_centroids=8, nprobe=2, n_refine=1
+        ).collect()
+    }
+    p = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, p, n_centroids=8, n_refine=1)
+    got_df = query_ivf_index(spark, p, queries, k=5, nprobe=2)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine_sim, 9))
+        for r in got_df.collect()
+    }
+    assert got == inline
+
+    plan = got_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cent_id" in pf[0], plan

@@ -1801,3 +1801,97 @@ def query_lsh_index(
                 F.col("rank").cast("int").alias("rank"))
     )
     return out
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    n_refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: corpus assigned to its coarse cell
+    and written parquet-partitioned by ``cent_id`` — the layout
+    :func:`ivf_assign`'s docstring prescribes for 100 TB, where probing
+    ``nprobe`` of ``C`` cells reads ``nprobe/C`` of the data by
+    directory pruning alone. Centroids (and the exact read schema —
+    see :func:`write_lsh_index` on partition-type inference) go in the
+    sidecar, so queries reuse the trained quantizer instead of
+    re-running Lloyd."""
+    import json
+    from pathlib import Path
+
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    for _ in range(n_refine):
+        cents = ivf_refine(corpus, cents, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    read_schema = (
+        assigned.drop("cent_id").withColumn("cent_id", F.lit(0).cast("int")).schema
+    )
+    meta = {"centroids": cents, "schema": read_schema.json()}
+    (Path(path) / "_ivf_meta.json").write_text(json.dumps(meta))
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a :func:`write_ivf_index` directory — identical
+    semantics to :func:`ann_topk_ivf` with the same knobs (the sidecar
+    centroids ARE the trained quantizer), but the corpus-side work is
+    a partition-pruned read of the probed cells only."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import types as _T
+
+    meta = json.loads((Path(path) / "_ivf_meta.json").read_text())
+    cents = meta["centroids"]
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cent_id int, cent_vec array<double>",
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.withColumn("prank", F.row_number().over(pw))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "q_vec", "cent_id")
+    ).cache()
+    cells = sorted({r.cent_id for r in probes.select("cent_id").distinct().collect()})
+    read_schema = _T.StructType.fromJson(json.loads(meta["schema"]))
+    index = (
+        spark.read.schema(read_schema).parquet(path)
+        .where(F.col("cent_id").isin(cells))
+    )
+    paired = index.join(F.broadcast(probes), on="cent_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = paired.select(
+        "query_id", "vec_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim",
+                F.col("rank").cast("int").alias("rank"))
+    )
