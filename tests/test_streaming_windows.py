@@ -405,3 +405,49 @@ def test_countmin_sketch_runs_unchanged_on_a_stream(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class _FakeTtlState(_FakeState):
+    def __init__(self, value=None, timed_out=False):
+        super().__init__(value)
+        self.timed_out = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def hasTimedOut(self):
+        return self.timed_out
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_quota_fn_ttl_expiry_clears_idle_org():
+    """The apws quota fallback's TTL path: every active batch re-arms
+    the ProcessingTimeTimeout; a timed-out invocation (no rows) removes
+    the idle org's counter and emits nothing — after which the org
+    starts a fresh quota window."""
+    import pandas as pd
+
+    from webhookdb_spark.streaming.quota import _quota_fn
+
+    fn = _quota_fn(quota=4, state_ttl_ms=60_000)
+    st = _FakeTtlState()
+    out = list(fn(("a",), iter([pd.DataFrame({"org": ["a"] * 3})]), st))
+    assert len(out) == 1 and int(out[0].iloc[0].total_n) == 3
+    assert st.timeout_set == 60_000            # armed
+    assert st.get == (3,)
+
+    # idle expiry: harness calls with hasTimedOut and no rows
+    st.timed_out = True
+    assert list(fn(("a",), iter([]), st)) == []
+    assert st.removed and not st.exists
+
+    # fresh window after expiry
+    st2 = _FakeTtlState()
+    out2 = list(fn(("a",), iter([pd.DataFrame({"org": ["a"] * 2})]), st2))
+    assert int(out2[0].iloc[0].total_n) == 2   # counter restarted
