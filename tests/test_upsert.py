@@ -344,3 +344,52 @@ def test_zorder_write_narrows_file_stats_on_both_dimensions(spark, tmp_path):
 
     # the layout is a pure sort: contents identical either way
     assert sorted(map(tuple, zt.read().collect())) == sorted(rows)
+
+
+def test_zorder_survives_subsequent_writes_and_conflicts_detected(spark, tmp_path):
+    """Two regressions pinned: (1) the manifest re-save must CARRY the
+    zorder spec — dropping it silently stops Z-sorting after the first
+    write; (2) a concurrent writer committing mid-write must raise
+    ConcurrentWriteError, not silently clobber the other txn."""
+    import json
+
+    from webhookdb_spark.storage import (
+        PART_COL,
+        ConcurrentWriteError,
+        ManagedTable,
+        Manifest,
+        bucket_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", i % 8, i // 8) for i in range(64)],
+        "id string, x long, y long",
+    )
+    t = ManagedTable(spark, tmp_path / "z2")
+    t.create(df.schema, key="id", n_buckets=2, zorder=("x", "y"))
+    part = df.withColumn(PART_COL, bucket_expr("id", 2))
+    t.overwrite_all(part)
+    assert t.manifest.zorder == ["x", "y"]          # carried through save
+    t.overwrite_all(part)
+    assert t.manifest.zorder == ["x", "y"]          # and again
+
+    # conflict: bump the manifest txn out-of-band mid-"write" by
+    # simulating what a concurrent committer does
+    m = t.manifest
+    Manifest(
+        key=m.key, n_buckets=m.n_buckets, txn=m.txn + 1,
+        buckets=m.buckets, schema_json=m.schema_json, zorder=m.zorder,
+    ).save(t.path)
+    import pytest as _pt
+
+    class _Racy(ManagedTable):
+        @property
+        def manifest(self):
+            return m  # stale view captured before the other commit
+
+    racy = _Racy(spark, t.path)
+    with _pt.raises(ConcurrentWriteError, match="reload and retry"):
+        racy.overwrite_buckets(part, [0, 1])
+    # the losing writer cleaned up its staged version dirs
+    staged = [p for p in (t.path / "buckets" / "0").iterdir()]
+    assert all("v%d" % (m.txn + 1) != p.name for p in staged)

@@ -41,6 +41,11 @@ from webhookdb_spark.functions.converters import CONV_STR2HASH
 PART_COL = "_part"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent writer committed a manifest txn while this write
+    was staging; the caller must reload the table state and retry."""
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """pmod(str2inthash(key), n) — reference partition routing
     (partitionable_mixin.rb:49-54)."""
@@ -200,12 +205,28 @@ class ManagedTable:
             if str(b) in new_buckets:
                 old_dirs.append(new_buckets[str(b)])
             new_buckets[str(b)] = rel
+        # optimistic concurrency: the swap is only valid against the
+        # manifest version this write planned from — a concurrent
+        # writer's committed txn would otherwise be silently clobbered
+        # (its bucket versions orphaned, its rows lost)
+        current = Manifest.load(self.path)
+        if current.txn != m.txn:
+            shutil.rmtree(staging, ignore_errors=True)
+            for b in buckets:
+                shutil.rmtree(self.path / f"buckets/{b}/v{txn}",
+                              ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"manifest advanced txn {m.txn} -> {current.txn} during "
+                "write; reload and retry"
+            )
         Manifest(
             key=m.key,
             n_buckets=m.n_buckets,
             txn=txn,
             buckets=new_buckets,
             schema_json=m.schema_json,
+            zorder=m.zorder,  # carried — dropping it would silently
+            # stop Z-sorting on every write after the first
         ).save(self.path)
         shutil.rmtree(staging, ignore_errors=True)
         for rel in old_dirs:  # GC superseded versions
