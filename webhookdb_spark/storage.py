@@ -335,7 +335,7 @@ class ManagedTable:
         m = self.manifest
         Manifest(
             key=m.key, n_buckets=m.n_buckets, txn=m.txn, buckets=m.buckets,
-            schema_json=new_schema.json(),
+            schema_json=new_schema.json(), zorder=m.zorder,
         ).save(self.path)
         self.overwrite_all(df.select(*new_order, PART_COL))
 
