@@ -451,3 +451,65 @@ def test_quota_fn_ttl_expiry_clears_idle_org():
     st2 = _FakeTtlState()
     out2 = list(fn(("a",), iter([pd.DataFrame({"org": ["a"] * 2})]), st2))
     assert int(out2[0].iloc[0].total_n) == 2   # counter restarted
+
+
+def test_attribution_stream_joins_within_window_across_batches(spark):
+    """Stream-stream join over two file sources: a purchase matches
+    clicks within the 30-min window on the same user — including a
+    click from the PREVIOUS micro-batch (buffered state) — and not
+    clicks outside the window or other users."""
+    import json
+
+    from webhookdb_spark.streaming.windows import attribution_stream
+
+    csrc = Path(tempfile.mkdtemp(prefix="whdb_att_c_"))
+    psrc = Path(tempfile.mkdtemp(prefix="whdb_att_p_"))
+    ckpt = Path(tempfile.mkdtemp(prefix="whdb_att_ck_"))
+    try:
+        t = "2026-01-01T10:{m:02d}:00"
+        clicks1 = [
+            {"user_id": 1, "event_id": 100, "ts": t.format(m=0)},
+            {"user_id": 1, "event_id": 101, "ts": t.format(m=5)},
+            {"user_id": 2, "event_id": 102, "ts": t.format(m=5)},
+        ]
+        (csrc / "b1.json").write_text("\n".join(json.dumps(r) for r in clicks1))
+
+        schema = "user_id long, event_id long, ts timestamp"
+        cs = spark.readStream.schema(schema).json(str(csrc))
+        ps = spark.readStream.schema(schema).json(str(psrc))
+        q = (
+            attribution_stream(cs, ps, window_seconds=1800)
+            .writeStream.format("memory")
+            .queryName("attr_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+        def snapshot():
+            return {
+                (r.user_id, r.purchase_id, r.click_id)
+                for r in spark.sql("SELECT * FROM attr_t").collect()
+            }
+
+        def wait_for(n, timeout=90):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if len(snapshot()) >= n:
+                    return snapshot()
+                time.sleep(0.5)
+            raise AssertionError(f"timeout; last: {snapshot()}")
+
+        # batch 2: user 1 purchases at 10:20 — clicks at 10:00 (1200s)
+        # and 10:05 (900s) both inside the 1800s window; user 2's click
+        # must not attach; a 9:40 click for user 1 (2400s) is outside
+        purchases1 = [{"user_id": 1, "event_id": 200, "ts": t.format(m=20)}]
+        (psrc / "b1.json").write_text("\n".join(json.dumps(r) for r in purchases1))
+        got = wait_for(2)
+        q.stop()
+        assert got == {(1, 200, 100), (1, 200, 101)}
+    finally:
+        shutil.rmtree(csrc, ignore_errors=True)
+        shutil.rmtree(psrc, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -180,3 +180,49 @@ def dedup_deliveries_stream(
             [id_col]
         )
     return envelopes.dropDuplicates([id_col])
+
+
+def attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream attribution join: every (purchase, click) pair on
+    the same user where the click precedes the purchase by at most
+    ``window_seconds`` — the streaming sibling of the batch
+    as-of/interval joins (operators/joins.py), built on Spark's
+    watermarked stream-stream inner join.
+
+    Both sides carry the SAME watermark and the join condition bounds
+    the event-time gap, which is what lets the state store evict: a
+    buffered click older than (watermark + window) can never match a
+    future purchase and is dropped; without the time bound the click
+    state would grow forever. At 100 TB events/day this state bound —
+    not the join algorithm — is the thing that keeps the job alive.
+    Output columns: user_id, purchase_id, purchase_ts, click_id,
+    click_ts."""
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ).withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
