@@ -658,3 +658,51 @@ def test_persisted_ivf_index_matches_inline_and_prunes_cells(spark, tmp_path):
     )
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "cent_id" in pf[0], plan
+
+
+def test_index_append_equals_single_shot_build(spark, tmp_path):
+    """Appending to a persisted index must be indistinguishable from
+    building it in one shot (LSH: deterministic planes; IVF: the
+    sidecar quantizer is reused, never retrained on append)."""
+    from webhookdb_spark.operators.similarity import (
+        append_to_ivf_index,
+        append_to_lsh_index,
+        query_ivf_index,
+        query_lsh_index,
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half1, half2 = emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1")
+    queries = emb.where("vec_id < 3")
+
+    def res(df):
+        return {
+            (r.query_id, r.rank): (r.vec_id, round(r.cosine_sim, 9))
+            for r in df.collect()
+        }
+
+    # LSH
+    grown = str(tmp_path / "lsh_grown")
+    write_lsh_index(half1, grown, n_planes=6, n_tables=4)
+    append_to_lsh_index(half2, grown)
+    oneshot = str(tmp_path / "lsh_oneshot")
+    write_lsh_index(emb, oneshot, n_planes=6, n_tables=4)
+    assert res(query_lsh_index(spark, grown, queries, k=5)) == res(
+        query_lsh_index(spark, oneshot, queries, k=5)
+    )
+
+    # IVF: the one-shot comparison uses the SAME half1-trained quantizer
+    grown_i = str(tmp_path / "ivf_grown")
+    write_ivf_index(half1, grown_i, n_centroids=8, n_refine=1)
+    import json
+    from pathlib import Path
+
+    cents = json.loads((Path(grown_i) / "_ivf_meta.json").read_text())["centroids"]
+    append_to_ivf_index(half2, grown_i)
+    oneshot_i = str(tmp_path / "ivf_oneshot")
+    write_ivf_index(emb, oneshot_i, centroids=cents)
+    assert res(query_ivf_index(spark, grown_i, queries, k=5, nprobe=2)) == res(
+        query_ivf_index(spark, oneshot_i, queries, k=5, nprobe=2)
+    )

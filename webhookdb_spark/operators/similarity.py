@@ -1810,6 +1810,7 @@ def write_ivf_index(
     n_refine: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Materialize the IVF index: corpus assigned to its coarse cell
     and written parquet-partitioned by ``cent_id`` — the layout
@@ -1822,9 +1823,12 @@ def write_ivf_index(
     import json
     from pathlib import Path
 
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    for _ in range(n_refine):
-        cents = ivf_refine(corpus, cents, id_col, vec_col)
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+    else:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        for _ in range(n_refine):
+            cents = ivf_refine(corpus, cents, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
     read_schema = (
@@ -1895,3 +1899,58 @@ def query_ivf_index(
         .select("query_id", "vec_id", "cosine_sim",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def append_to_lsh_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a :func:`write_lsh_index` directory without rebuilding it:
+    new vectors are signed with the SIDECAR's knobs (the deterministic
+    planes reconstruct exactly) and appended into the same (tbl, sig)
+    partition layout — the daily-ingest flow, mirroring the
+    incremental-dedup contract that the existing corpus is never
+    rescanned. Queries over the grown index are indistinguishable from
+    one built in a single shot."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(path) / "_lsh_meta.json").read_text())
+    n_planes, n_tables = meta["n_planes"], meta["n_tables"]
+    planes = hyperplanes(n_planes * n_tables, meta["n_dims"])
+    sig_kernel = sign_signature_udf(planes)
+    tbl = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
+    tsig = F.col("_sig").substr(F.col("tbl") * n_planes + 1, F.lit(n_planes))
+    rows = (
+        bind(
+            new_vectors.select(F.col(id_col).alias("vec_id"),
+                               F.col(vec_col).alias("vec")),
+            "_sig",
+            sig_kernel(F.col("vec")),
+        )
+        .select("vec_id", "vec", "_sig", tbl)
+        .select("vec_id", "vec", "tbl", tsig.alias("sig"))
+    )
+    rows.write.mode("append").partitionBy("tbl", "sig").parquet(path)
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a :func:`write_ivf_index` directory: new vectors are
+    assigned with the SIDECAR centroids — the quantizer is NOT
+    retrained (retraining would move cell boundaries and strand the
+    already-written corpus in stale cells; production IVF stores
+    retrain offline and rebuild, they never retrain on append)."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(path) / "_ivf_meta.json").read_text())
+    cents = [[float(x) for x in c] for c in meta["centroids"]]
+    assigned = ivf_assign(new_vectors, cents, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cent_id").parquet(path)
