@@ -1764,12 +1764,14 @@ def query_lsh_index(
             "query_id", "q_vec", "tbl",
             F.when(F.col("p") == 0, tsig).otherwise(flipped).alias("sig"),
         )
-    ).cache()
+    )
+    # probe keys come from their own tiny collect (a query batch's sig
+    # kernel re-runs in milliseconds) instead of caching q_probes —
+    # a cache pinned under a lazily-returned result never unpersists
     probe_keys: dict[int, set] = {}
     for r in q_probes.select("tbl", "sig").distinct().collect():
         probe_keys.setdefault(r.tbl, set()).add(r.sig)
     if not probe_keys:
-        q_probes.unpersist()
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine_sim double, rank int"
         )
@@ -1876,7 +1878,7 @@ def query_ivf_index(
         q.withColumn("prank", F.row_number().over(pw))
         .where(F.col("prank") <= nprobe)
         .select("query_id", "q_vec", "cent_id")
-    ).cache()
+    )
     cells = sorted({r.cent_id for r in probes.select("cent_id").distinct().collect()})
     read_schema = _T.StructType.fromJson(json.loads(meta["schema"]))
     index = (
