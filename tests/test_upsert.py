@@ -393,3 +393,57 @@ def test_zorder_survives_subsequent_writes_and_conflicts_detected(spark, tmp_pat
     # the losing writer cleaned up its staged version dirs
     staged = [p for p in (t.path / "buckets" / "0").iterdir()]
     assert all("v%d" % (m.txn + 1) != p.name for p in staged)
+
+
+def test_variant_shape_engine_matches_default(spark):
+    """shape(engine="variant") — one try_parse_json bound for the whole
+    projection — must produce row-identical output to the default
+    per-column get_json_object path across the dig/converter surface:
+    nested walks, array indexes, bracket-quoted keys, typed arrays,
+    converters, defaulters, missing keys, NULLs, unicode."""
+    import datetime as dt
+    import json
+
+    from webhookdb_spark.functions.converters import CONV_TO_I, CONV_UNIX_TS
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.types import ColumnType
+
+    spec = ReplicatorSpec(
+        name="variant_probe",
+        table="variant_probe",
+        remote_key=Col("my_id", ColumnType.TEXT, data_key="id"),
+        denorm_cols=(
+            Col("amount", ColumnType.INTEGER, converter=CONV_TO_I),
+            Col("created", ColumnType.TIMESTAMP, converter=CONV_UNIX_TS),
+            Col("nested", ColumnType.TEXT, data_key=["a", "b", "c"]),
+            Col("first_email", ColumnType.TEXT, data_key=["to", 0, "email"]),
+            Col("weird", ColumnType.TEXT, data_key="georss:point"),
+            Col("tags", ColumnType.TEXT_ARRAY),
+            Col("missing", ColumnType.TEXT, optional=True),
+            Col("flag", ColumnType.BOOLEAN, defaulter="tofalse"),
+        ),
+        timestamp_col="created",
+    )
+    payloads = [
+        {"id": "x1", "amount": 7, "created": 1700000000,
+         "a": {"b": {"c": "deep"}}, "to": [{"email": "a@b.c"}],
+         "georss:point": "1 2", "tags": ["p", "q"], "flag": True},
+        {"id": "x2", "amount": "12", "created": 1700000100,
+         "a": {"b": {}}, "to": [], "tags": [], "flag": None},
+        {"id": "ü3", "amount": None, "created": 1700000200,
+         "tags": None, "extra": {"unused": 1}},
+    ]
+    env = spark.createDataFrame(
+        [(json.dumps(p, ensure_ascii=False), dt.datetime(2026, 1, 1)) for p in payloads],
+        "body string, received_at timestamp",
+    )
+    base = sorted(map(tuple, spec.shape(env).drop("received_at").collect()))
+    var = sorted(
+        map(tuple, spec.shape(env, engine="variant").drop("received_at").collect())
+    )
+    assert base == var
+    # sanity: the probe actually extracted things
+    by_id = {r[0]: r for r in base}
+    assert by_id["x1"][3] == "deep" and by_id["x1"][4] == "a@b.c"
+    assert by_id["x1"][6] == ["p", "q"]
+    assert by_id["ü3"][1] is None
