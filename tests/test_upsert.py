@@ -447,3 +447,52 @@ def test_variant_shape_engine_matches_default(spark):
     assert by_id["x1"][3] == "deep" and by_id["x1"][4] == "a@b.c"
     assert by_id["x1"][6] == ["p", "q"]
     assert by_id["ü3"][1] is None
+
+
+def test_three_column_zorder_write_narrows_all_three(spark, tmp_path):
+    """zorder=(x, y, z) Morton-sorts on three dimensions: most files'
+    min/max spans are narrow on ALL THREE columns (the row-major
+    baseline covered by the 2-D test would be full-width on two)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from webhookdb_spark.storage import PART_COL, ManagedTable, bucket_expr
+
+    n = 16  # 16^3 = 4096 rows
+    rows = [
+        (f"k{i}", i % n, (i // n) % n, i // (n * n)) for i in range(n ** 3)
+    ]
+    df = spark.createDataFrame(rows, "id string, x long, y long, z long")
+    t = ManagedTable(spark, tmp_path / "z3")
+    t.create(df.schema, key="id", n_buckets=2, zorder=("x", "y", "z"))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "128")
+    try:
+        t.overwrite_all(df.withColumn(PART_COL, bucket_expr("id", 2)))
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+    spans = []
+    for f in Path(t.path).rglob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mm = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema in ("x", "y", "z"):
+                    st = col.statistics
+                    lo, hi = mm.get(col.path_in_schema, (st.min, st.max))
+                    mm[col.path_in_schema] = (min(lo, st.min), max(hi, st.max))
+        spans.append(tuple(mm[c][1] - mm[c][0] for c in ("x", "y", "z")))
+    assert len(spans) >= 8
+    # boundary files straddling a major Morton plane legitimately span
+    # wider on one dim; the layout claim is that MOST files are well
+    # inside the 0..15 range on ALL THREE dims and the average span is
+    # far below full width (a row-major write is full-width on two)
+    narrow = [s for s in spans if all(d <= (3 * n) // 4 for d in s)]
+    assert len(narrow) >= (3 * len(spans)) // 4, spans
+    for dim in range(3):
+        mean = sum(s[dim] for s in spans) / len(spans)
+        # full-width (row-major on the other dims) would average n-1
+        assert mean <= (3 * n) // 4, (dim, mean, spans)
+    assert sorted(map(tuple, t.read().collect())) == sorted(rows)

@@ -90,12 +90,16 @@ class ManagedTable:
         schema: T.StructType,
         key: str,
         n_buckets: int = 16,
-        zorder: tuple[str, str] | None = None,
+        zorder: tuple[str, ...] | None = None,
     ) -> None:
-        """``zorder=(a, b)`` declares two integer columns to Morton-sort
-        within every bucket on each write (see ``overwrite_buckets``);
-        parquet min/max stats per file then stay narrow on BOTH
-        columns, so predicate reads on either dimension skip files."""
+        """``zorder=(a, b[, c[, d]])`` declares 2-4 integer columns to
+        Morton-sort within every bucket on each write (see
+        ``overwrite_buckets``); parquet min/max stats per file then
+        stay narrow on EVERY listed column, so predicate reads on any
+        of the dimensions skip files. 2 columns allow values < 2^31;
+        3-4 columns < 2^15 (zorder_key4's slice bound)."""
+        if zorder is not None and not 2 <= len(zorder) <= 4:
+            raise ValueError("zorder takes 2-4 columns")
         self.path.mkdir(parents=True, exist_ok=True)
         Manifest(
             key=key,
@@ -180,12 +184,23 @@ class ManagedTable:
             # min/max stats are narrow on BOTH zorder columns and scans
             # filtering on either one skip it. Sort keys are
             # expressions — nothing extra lands in the files.
-            from webhookdb_spark.operators.layout import zorder_key
-
-            a, b = m.zorder
-            out = out.sortWithinPartitions(
-                F.col(PART_COL), zorder_key(F.col(a), F.col(b))
+            from webhookdb_spark.operators.layout import (
+                zorder_key,
+                zorder_key4,
             )
+
+            zcols = list(m.zorder)
+            if len(zcols) == 2:
+                zkey = zorder_key(F.col(zcols[0]), F.col(zcols[1]))
+            else:
+                # 3 or 4 dims: pad to 4 with a zero column (bits idle,
+                # order restricted to the real dims is still Morton);
+                # zorder_key4 bounds each dim to 2^15
+                padded = [F.col(c) for c in zcols] + [
+                    F.lit(0).cast("long")
+                ] * (4 - len(zcols))
+                zkey = zorder_key4(*padded)
+            out = out.sortWithinPartitions(F.col(PART_COL), zkey)
         (
             out.write.partitionBy(PART_COL)
             .mode("overwrite")
