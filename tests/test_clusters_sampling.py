@@ -410,10 +410,21 @@ def test_corpus_filter_joined_matches_literal_form(spark):
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # NULL-lang doc: corpus_filter's ~isin(...) is NULL there, so the
+    # lang branch is SKIPPED and the doc falls through to later rules —
+    # the joined form must reproduce that, not reject with 'lang'
+    # (the ADVICE corpus.py finding)
+    null_lang = docs.limit(1).select(
+        F.lit(-1).alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        *[c for c in docs.columns if c not in ("doc_id", "lang")],
+    )
+    docs = docs.unionByName(null_lang.select(docs.columns))
     lit_out = {
         r.doc_id: (r.n_tokens, r.keep, r.reason)
         for r in corpus_filter(docs).collect()
     }
+    assert lit_out[-1][2] != "lang"  # NULL lang fell through
     joined_out = {
         r.doc_id: (r.n_tokens, r.keep, r.reason)
         for r in corpus_filter_joined(

@@ -706,3 +706,32 @@ def test_index_append_equals_single_shot_build(spark, tmp_path):
     assert res(query_ivf_index(spark, grown_i, queries, k=5, nprobe=2)) == res(
         query_ivf_index(spark, oneshot_i, queries, k=5, nprobe=2)
     )
+
+
+def test_persisted_lsh_empty_probe_schema_matches_nonempty(spark, tmp_path):
+    """query_lsh_index's empty-query early return must carry the SAME
+    schema as the non-empty path — ids inherited from the queries /
+    sidecar, not hardcoded long — so unions of per-batch results never
+    break on a batch with zero queries (the ADVICE similarity.py
+    finding, pinned with string ids)."""
+    from webhookdb_spark.operators.similarity import (
+        query_lsh_index,
+        write_lsh_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where("vec_id < 50")
+        .select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+            "embedding",
+        )
+    )
+    idx_path = str(tmp_path / "lsh_idx_str")
+    write_lsh_index(emb, idx_path, n_planes=4, n_tables=2)
+    nonempty = query_lsh_index(spark, idx_path, emb.where("vec_id = 'doc-0'"), k=3)
+    empty = query_lsh_index(spark, idx_path, emb.where("vec_id = 'no-such'"), k=3)
+    assert empty.schema == nonempty.schema, (empty.schema, nonempty.schema)
+    assert empty.count() == 0
+    # and the union a batched caller would build is legal
+    assert nonempty.unionByName(empty).count() == nonempty.count()

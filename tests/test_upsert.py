@@ -496,3 +496,64 @@ def test_three_column_zorder_write_narrows_all_three(spark, tmp_path):
         # full-width (row-major on the other dims) would average n-1
         assert mean <= (3 * n) // 4, (dim, mean, spans)
     assert sorted(map(tuple, t.read().collect())) == sorted(rows)
+
+
+def test_concurrent_writers_cas_exactly_one_wins(spark, tmp_path):
+    """Two real writers racing on the same table (the ADVICE storage.py
+    scenario): version dirs are writer-unique and the manifest commit is
+    a locked compare-and-swap, so per txn exactly one writer commits,
+    losers raise ConcurrentWriteError and roll back ONLY their own dirs,
+    and the table stays readable with every manifest-referenced dir
+    present throughout."""
+    import threading
+
+    from webhookdb_spark.storage import (
+        PART_COL,
+        ConcurrentWriteError,
+        ManagedTable,
+        bucket_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(64)], "id string, v long"
+    )
+    t = ManagedTable(spark, tmp_path / "race")
+    t.create(df.schema, key="id", n_buckets=2)
+    part = df.withColumn(PART_COL, bucket_expr("id", 2)).localCheckpoint()
+
+    commits = []
+    conflicts = []
+    errors = []
+
+    def writer(n_writes: int) -> None:
+        w = ManagedTable(spark, t.path)
+        for _ in range(n_writes):
+            while True:
+                try:
+                    w.overwrite_all(part)
+                    commits.append(1)
+                    break
+                except ConcurrentWriteError:
+                    conflicts.append(1)
+                except Exception as e:  # pragma: no cover - diagnostic
+                    errors.append(e)
+                    return
+
+    threads = [threading.Thread(target=writer, args=(3,)) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errors, errors
+    m = t.manifest
+    # every successful overwrite bumped the txn exactly once
+    assert m.txn == len(commits) == 6
+    # every referenced bucket dir survived the losers' rollbacks
+    for rel in m.buckets.values():
+        assert (t.path / rel).exists(), rel
+    assert sorted(r.id for r in t.read().collect()) == sorted(
+        f"k{i}" for i in range(64)
+    )
+    # the lock is released (no writer crashed holding it)
+    assert not (t.path / "_manifest.lock").exists()

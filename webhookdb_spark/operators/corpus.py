@@ -121,7 +121,11 @@ def corpus_filter_joined(
     n_tok = F.size("_t")
     out = flagged.join(hits, "doc_id", "left")
     reason = (
-        F.when(~F.col("_lang_ok"), F.lit("lang"))
+        # NULL-lang parity with corpus_filter: there ``~isin(...)`` is
+        # NULL for a NULL lang, so the branch is skipped and the doc
+        # falls through to the later rules — the semi-join flag alone
+        # would instead reject it with reason 'lang'.
+        F.when(F.col("lang").isNotNull() & ~F.col("_lang_ok"), F.lit("lang"))
         .when(F.col("_src_blocked"), F.lit("source"))
         .when(n_tok < min_tokens, F.lit("too_short"))
         .when(n_tok > max_tokens, F.lit("too_long"))

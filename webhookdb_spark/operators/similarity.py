@@ -1771,17 +1771,28 @@ def query_lsh_index(
     probe_keys: dict[int, set] = {}
     for r in q_probes.select("tbl", "sig").distinct().collect():
         probe_keys.setdefault(r.tbl, set()).add(r.sig)
+    from pyspark.sql import types as _T
+
+    read_schema = _T.StructType.fromJson(json.loads(meta["schema"]))
     if not probe_keys:
+        # Empty-probe schema must match the non-empty path's exactly:
+        # query_id inherits the queries' id type and vec_id the
+        # sidecar's stored type — hardcoding long would diverge for
+        # string/int ids and break downstream unions.
         return spark.createDataFrame(
-            [], "query_id long, vec_id long, cosine_sim double, rank int"
+            [],
+            _T.StructType([
+                _T.StructField("query_id", queries.schema[id_col].dataType),
+                _T.StructField("vec_id", read_schema["vec_id"].dataType),
+                _T.StructField("cosine_sim", _T.DoubleType()),
+                # row_number() is non-nullable on the non-empty path
+                _T.StructField("rank", _T.IntegerType(), False),
+            ]),
         )
     pred = None
     for t, sigs in sorted(probe_keys.items()):
         clause = (F.col("tbl") == t) & F.col("sig").isin(*sorted(sigs))
         pred = clause if pred is None else (pred | clause)
-    from pyspark.sql import types as _T
-
-    read_schema = _T.StructType.fromJson(json.loads(meta["schema"]))
     index = spark.read.schema(read_schema).parquet(path).where(pred)
     cand = (
         index.join(F.broadcast(q_probes), on=["tbl", "sig"])

@@ -46,6 +46,55 @@ class ConcurrentWriteError(RuntimeError):
     was staging; the caller must reload the table state and retry."""
 
 
+class _ManifestLock:
+    """O_EXCL lock file serializing the manifest verify→save window.
+
+    The commit decision (``current.txn == planned.txn`` then save) must
+    be atomic: without the lock, two writers that both planned from txn
+    N can both pass the check and both save (last save silently orphans
+    the first writer's bucket dirs). The lock is held only for the
+    microseconds of one JSON read + one JSON write, so contention is
+    resolved by a short spin; a crashed holder is detected by lock age
+    and the stale lock is broken.
+    """
+
+    def __init__(self, table_path: Path, timeout: float = 10.0,
+                 stale_after: float = 60.0):
+        self.lock_path = table_path / "_manifest.lock"
+        self.timeout = timeout
+        self.stale_after = stale_after
+
+    def __enter__(self) -> "_ManifestLock":
+        import time
+
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(
+                    self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:  # break locks abandoned by a crashed writer
+                    age = time.time() - self.lock_path.stat().st_mtime
+                    if age > self.stale_after:
+                        self.lock_path.unlink(missing_ok=True)
+                        continue
+                except OSError:
+                    continue  # holder released between exists and stat
+                if time.monotonic() > deadline:
+                    raise ConcurrentWriteError(
+                        f"manifest lock {self.lock_path} held past "
+                        f"{self.timeout}s; reload and retry"
+                    ) from None
+                time.sleep(0.01)
+
+    def __exit__(self, *exc) -> None:
+        self.lock_path.unlink(missing_ok=True)
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """pmod(str2inthash(key), n) — reference partition routing
     (partitionable_mixin.rb:49-54)."""
@@ -165,15 +214,27 @@ class ManagedTable:
     ) -> None:
         """Swap in new data for the given buckets; df must carry PART_COL.
 
-        Writes the new bucket files under a fresh txn directory, then
-        atomically replaces the manifest — readers of the old snapshot
-        keep their file list. ``extra_cols`` are written into the files
-        beyond the declared schema (reads with an explicit schema prune
-        them; MERGE uses this to persist its action tag in one pass).
+        Writes the new bucket files under a fresh writer-unique version
+        directory, then atomically replaces the manifest — readers of
+        the old snapshot keep their file list. ``extra_cols`` are
+        written into the files beyond the declared schema (reads with
+        an explicit schema prune them; MERGE uses this to persist its
+        action tag in one pass).
+
+        Concurrency: optimistic, with a safe loser. Version dirs are
+        ``buckets/<b>/v<txn>_<writer-uuid>`` so two writers planning
+        from the same txn never share a path — the loser can only ever
+        delete its own dirs, never the winner's committed data. The
+        manifest txn is verified BEFORE staged dirs are promoted (early
+        abort) and again INSIDE an O_EXCL lock-file critical section
+        around the verify→save pair, which makes the commit a true
+        compare-and-swap. Losers raise :class:`ConcurrentWriteError`
+        after removing only their own staging/version dirs.
         """
         m = self.manifest
         txn = m.txn + 1
-        staging = self.path / f"_staging_{txn}_{uuid.uuid4().hex[:8]}"
+        wtoken = uuid.uuid4().hex[:8]
+        staging = self.path / f"_staging_{txn}_{wtoken}"
         out = df.select(
             *[f.name for f in self.schema().fields], *(extra_cols or []), PART_COL
         ).repartition(max(len(buckets), 1), F.col(PART_COL))
@@ -206,11 +267,30 @@ class ManagedTable:
             .mode("overwrite")
             .parquet(str(staging))
         )
+        def _abort(reason: str) -> None:
+            # Loser cleanup touches ONLY this writer's paths: staging
+            # plus v{txn}_{wtoken} dirs (writer-unique, so a winner's
+            # committed v{txn}_{other} data is never at risk).
+            shutil.rmtree(staging, ignore_errors=True)
+            for bb in buckets:
+                shutil.rmtree(self.path / f"buckets/{bb}/v{txn}_{wtoken}",
+                              ignore_errors=True)
+            raise ConcurrentWriteError(reason)
+
+        # Early verify BEFORE promoting staged dirs: a concurrent commit
+        # means this write planned from a superseded snapshot — abort
+        # without ever touching buckets/.
+        current = Manifest.load(self.path)
+        if current.txn != m.txn:
+            _abort(
+                f"manifest advanced txn {m.txn} -> {current.txn} before "
+                "promote; reload and retry"
+            )
         new_buckets = dict(m.buckets)
         old_dirs: list[str] = []
         for b in buckets:
             src = staging / f"{PART_COL}={b}"
-            rel = f"buckets/{b}/v{txn}"
+            rel = f"buckets/{b}/v{txn}_{wtoken}"
             dst = self.path / rel
             dst.parent.mkdir(parents=True, exist_ok=True)
             if src.exists():
@@ -220,29 +300,26 @@ class ManagedTable:
             if str(b) in new_buckets:
                 old_dirs.append(new_buckets[str(b)])
             new_buckets[str(b)] = rel
-        # optimistic concurrency: the swap is only valid against the
-        # manifest version this write planned from — a concurrent
-        # writer's committed txn would otherwise be silently clobbered
-        # (its bucket versions orphaned, its rows lost)
-        current = Manifest.load(self.path)
-        if current.txn != m.txn:
-            shutil.rmtree(staging, ignore_errors=True)
-            for b in buckets:
-                shutil.rmtree(self.path / f"buckets/{b}/v{txn}",
-                              ignore_errors=True)
-            raise ConcurrentWriteError(
-                f"manifest advanced txn {m.txn} -> {current.txn} during "
-                "write; reload and retry"
-            )
-        Manifest(
-            key=m.key,
-            n_buckets=m.n_buckets,
-            txn=txn,
-            buckets=new_buckets,
-            schema_json=m.schema_json,
-            zorder=m.zorder,  # carried — dropping it would silently
-            # stop Z-sorting on every write after the first
-        ).save(self.path)
+        # Commit = compare-and-swap under the manifest lock: re-verify
+        # the planned txn and save atomically, so of two racing writers
+        # exactly one commits and the loser rolls back only its own
+        # writer-unique dirs.
+        with _ManifestLock(self.path):
+            current = Manifest.load(self.path)
+            if current.txn != m.txn:
+                _abort(
+                    f"manifest advanced txn {m.txn} -> {current.txn} "
+                    "during write; reload and retry"
+                )
+            Manifest(
+                key=m.key,
+                n_buckets=m.n_buckets,
+                txn=txn,
+                buckets=new_buckets,
+                schema_json=m.schema_json,
+                zorder=m.zorder,  # carried — dropping it would silently
+                # stop Z-sorting on every write after the first
+            ).save(self.path)
         shutil.rmtree(staging, ignore_errors=True)
         for rel in old_dirs:  # GC superseded versions
             shutil.rmtree(self.path / rel, ignore_errors=True)
