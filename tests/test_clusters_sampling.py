@@ -438,3 +438,96 @@ def test_corpus_filter_joined_matches_literal_form(spark):
     }
     assert lit_out == joined_out
     assert any(v[2] != "kept" for v in lit_out.values())  # rules fired
+
+
+def test_persisted_inverted_index_append_and_compact(spark, tmp_path):
+    """The persisted segment store must (a) answer searches and df
+    counts identically whether built one-shot or grown by append —
+    BEFORE any compaction, the always-true query contract — and (b)
+    after compact_inverted_index, be ROW-IDENTICAL to the one-shot
+    build (chunk ids, n_postings, postings strings), the exact
+    grown == one-shot contract the persisted LSH/IVF indexes carry."""
+    from webhookdb_spark.operators.corpus import (
+        append_inverted_index,
+        compact_inverted_index,
+        inverted_index_bucketed,
+        read_inverted_index,
+        search_all_terms,
+        search_terms_from_index,
+        token_df_from_persisted,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half1 = docs.where("doc_id % 2 = 0")
+    half2 = docs.where("doc_id % 2 = 1")
+    grown = str(tmp_path / "ii_grown")
+    write_inverted_index(half1, grown, n_shards=4, postings_per_row=16)
+    append_inverted_index(half2, grown)
+
+    terms = ("spark", "merge", "window")
+    direct = sorted(
+        (r.doc_id, r.n_terms_matched)
+        for r in search_all_terms(docs, terms).collect()
+    )
+    from_idx = sorted(
+        (r.doc_id, r.n_terms_matched)
+        for r in search_terms_from_index(spark, grown, terms).collect()
+    )
+    assert from_idx == direct and direct  # non-trivial result
+
+    # df counts across segments == one aggregate over the full corpus
+    oneshot_idx = inverted_index_bucketed(
+        docs, n_shards=4, postings_per_row=16
+    )
+    want_df = sorted(
+        (r.token, int(r.df_count))
+        for r in oneshot_idx.groupBy("token")
+        .agg(F.sum("n_postings").cast("int").alias("df_count"))
+        .collect()
+    )
+    got_df = sorted(
+        (r.token, int(r.df_count))
+        for r in token_df_from_persisted(spark, grown).collect()
+    )
+    assert got_df == want_df
+
+    # (b) physical contract after compaction
+    compact_inverted_index(spark, grown)
+    rows = lambda df: sorted(map(tuple, df.select(
+        "token", "shard", "chunk", "n_postings", "postings").collect()))
+    assert rows(read_inverted_index(spark, grown)) == rows(oneshot_idx)
+
+    # and the logical view pre/post compaction already agreed: re-grow
+    # and check the renumbered view equals the one-shot rows too
+    grown2 = str(tmp_path / "ii_grown2")
+    write_inverted_index(half1, grown2, n_shards=4, postings_per_row=16)
+    append_inverted_index(half2, grown2)
+    # chunk ids renumber by segment order; contents may pack differently
+    # at the segment boundary, so compare the query surface, not rows
+    assert sorted(
+        (r.doc_id, r.n_terms_matched)
+        for r in search_terms_from_index(spark, grown2, terms).collect()
+    ) == direct
+
+
+def test_persisted_inverted_index_query_prunes_scan(spark, tmp_path):
+    """A term lookup against the persisted store must push the token
+    isin predicate into the parquet scan (PushedFilters) and read only
+    the narrow columns its stage needs — never a full-index scan."""
+    from webhookdb_spark.operators.corpus import (
+        search_terms_from_index,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "ii_plan")
+    write_inverted_index(docs, p, n_shards=4, postings_per_row=16)
+    out = search_terms_from_index(spark, p, ("spark", "merge"))
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "In(token" in pushed[0], plan

@@ -587,3 +587,228 @@ def sql_vocab_coverage(
     FROM held h LEFT JOIN vocab v ON h.tok = v.tok
     GROUP BY h.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index — the on-disk, appendable form of
+# inverted_index_bucketed (the retrieval analog of similarity.py's
+# persisted LSH/IVF indexes). Reference surface: the read-only SQL
+# retrieval the reference gives users over replicated tables
+# (lib/webhookdb/organization.rb:146-164); the layout itself is the
+# standard segmented inverted file (Lucene's model): every append is an
+# immutable segment — O(batch) work, existing data untouched — queries
+# read all segments, and compaction restores the exact one-shot layout.
+# ---------------------------------------------------------------------------
+
+_II_META = "_ii_meta.json"
+
+
+def _ii_write_segment(idx: DataFrame, seg_dir) -> None:
+    # One dir per shard; rows sorted by (token, chunk) within the shard
+    # so every parquet file's token min/max stats are narrow and a term
+    # lookup's pushed-down isin skips non-matching files outright.
+    (
+        idx.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "token", "chunk")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(str(seg_dir))
+    )
+
+
+def write_inverted_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n_shards: int = 8,
+    postings_per_row: int = 64,
+) -> None:
+    """Materialize :func:`inverted_index_bucketed` on disk as segment 0.
+
+    Layout: ``<path>/seg_0/shard=<s>/*.parquet`` + a ``_ii_meta.json``
+    sidecar recording the knobs, the exact read schema (partition-type
+    inference would turn shard into whatever it guesses — see
+    write_lsh_index), the doc-id type (postings store doc ids as
+    strings; queries cast back), and the live segment list. At 100 TB
+    each (token, shard) row is hard-capped at ``postings_per_row`` doc
+    ids and a hot token's rows spread over ``n_shards`` dirs, so no
+    task or row ever materializes a whole stop-word posting list."""
+    import json as _json
+    from pathlib import Path as _P
+
+    root = _P(path)
+    idx = inverted_index_bucketed(df, text_col, n_shards, postings_per_row)
+    _ii_write_segment(idx, root / "seg_0")
+    read_schema = (
+        idx.drop("shard").withColumn("shard", F.lit(0).cast("int")).schema
+    )
+    meta = {
+        "n_shards": n_shards,
+        "postings_per_row": postings_per_row,
+        "schema": read_schema.json(),
+        "doc_id_type": df.schema["doc_id"].dataType.json(),
+        "text_col": text_col,
+        "segments": ["seg_0"],
+    }
+    (root / _II_META).write_text(_json.dumps(meta))
+
+
+def append_inverted_index(df_new: DataFrame, path: str) -> None:
+    """Add a batch of NEW documents to a persisted index as its own
+    immutable segment (the Lucene/ES segment model): cost is O(batch) —
+    tokenize, shard, chunk the new docs with the sidecar's knobs and
+    write one more segment dir; existing segments are never read or
+    rewritten, which is the operating mode a daily-ingest pipeline
+    needs. Chunk ids are per-segment; :func:`read_inverted_index`
+    renumbers them into one logical sequence and
+    :func:`compact_inverted_index` restores the exact one-shot layout.
+    Contract: a doc id appears in at most one segment (appends carry
+    new docs, the same partitioning every segmented store requires).
+    Single-writer, like ManagedTable's manifest."""
+    import json as _json
+    from pathlib import Path as _P
+
+    root = _P(path)
+    meta = _json.loads((root / _II_META).read_text())
+    idx = inverted_index_bucketed(
+        df_new, meta["text_col"], meta["n_shards"], meta["postings_per_row"]
+    )
+    seg = f"seg_{len(meta['segments'])}"
+    _ii_write_segment(idx, root / seg)
+    meta["segments"] = meta["segments"] + [seg]
+    (root / _II_META).write_text(_json.dumps(meta))
+
+
+def _ii_read_segments(
+    spark, path, tokens: tuple[str, ...] | None = None
+) -> tuple[DataFrame, dict]:
+    import json as _json
+    from pathlib import Path as _P
+
+    from pyspark.sql import types as _T
+
+    root = _P(path)
+    meta = _json.loads((root / _II_META).read_text())
+    schema = _T.StructType.fromJson(_json.loads(meta["schema"]))
+    parts = []
+    for i, seg in enumerate(meta["segments"]):
+        seg_df = spark.read.schema(schema).parquet(str(root / seg))
+        if tokens is not None:
+            # literal pushdown: the per-file (token) sort from the
+            # segment write makes this skip whole files by stats
+            seg_df = seg_df.where(F.col("token").isin(*tokens))
+        parts.append(seg_df.withColumn("_seg", F.lit(i)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, meta
+
+
+def read_inverted_index(
+    spark, path: str, tokens: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Logical view of a persisted index: segments unioned with
+    ``chunk`` renumbered per (token, shard) in (segment, chunk) order,
+    so the row surface looks like one index regardless of how many
+    appends built it. The renumber window runs on the NARROW columns
+    of at most |postings|/postings_per_row rows per (token, shard) —
+    never on exploded postings — and collapses to the queried tokens'
+    rows when ``tokens`` is given."""
+    from pyspark.sql.window import Window
+
+    seg, _ = _ii_read_segments(spark, path, tokens)
+    w = Window.partitionBy("token", "shard").orderBy("_seg", "chunk")
+    return seg.withColumn(
+        "chunk", (F.row_number().over(w) - 1).cast("int")
+    ).drop("_seg")
+
+
+def token_df_from_persisted(spark, path: str) -> DataFrame:
+    """(token, df_count) from the persisted store — narrow columns
+    only, summed across segments (chunk renumbering is irrelevant to
+    the aggregate, so this skips the window entirely)."""
+    seg, _ = _ii_read_segments(spark, path)
+    return seg.groupBy("token").agg(
+        F.sum("n_postings").cast("int").alias("df_count")
+    )
+
+
+def search_terms_from_index(
+    spark, path: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """Conjunctive search answered FROM the persisted store — same
+    result surface as :func:`search_all_terms` (doc_id,
+    n_terms_matched) but the scan touches only the queried tokens'
+    chunk rows (pushed-down isin + per-file token sort), then explodes
+    just those postings back to doc ids. countDistinct guards the
+    doc-in-one-segment contract rather than assuming it."""
+    import json as _json
+
+    from pyspark.sql import types as _T
+
+    term_list = tuple(sorted(set(terms)))
+    seg, meta = _ii_read_segments(spark, path, term_list)
+    doc_t = _T._parse_datatype_json_string(meta["doc_id_type"])
+    hits = seg.select(
+        "token", F.explode(F.split("postings", ",")).alias("_doc")
+    ).select("token", F.col("_doc").cast(doc_t).alias("doc_id"))
+    n = len(term_list)
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count_distinct("token").cast("int").alias("n_terms_matched"))
+        .where(F.col("n_terms_matched") == n)
+    )
+
+
+def compact_inverted_index(spark, path: str) -> None:
+    """Merge all segments into one whose rows are IDENTICAL to a
+    one-shot :func:`write_inverted_index` over the union of every
+    batch (proven by test): explode each chunk's postings back to
+    (token, shard, doc_id), re-chunk by global doc order with the same
+    row_number arithmetic, re-aggregate, write as a fresh segment and
+    swap the sidecar's segment list to it alone. The shuffle is
+    (token, shard)-keyed — the hot token is already sharded — and each
+    group re-chunks |postings|/n_shards ids, the same bound as the
+    original build. Single-writer, like ManagedTable's manifest."""
+    import json as _json
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    from pyspark.sql.window import Window
+
+    root = _P(path)
+    seg, meta = _ii_read_segments(spark, path)
+    posting = seg.select(
+        "token", "shard",
+        F.explode(F.split("postings", ",")).alias("_doc"),
+    )
+    cap = meta["postings_per_row"]
+    # numeric doc ids must re-chunk in NUMERIC order (the build sorts
+    # typed doc_id, not its string form)
+    import json as _j
+
+    from pyspark.sql import types as _T
+
+    doc_t = _T._parse_datatype_json_string(meta["doc_id_type"])
+    typed = posting.withColumn("_docv", F.col("_doc").cast(doc_t))
+    w = Window.partitionBy("token", "shard").orderBy("_docv")
+    chunked = typed.withColumn(
+        "chunk", F.floor((F.row_number().over(w) - 1) / cap).cast("int")
+    )
+    merged = chunked.groupBy("token", "shard", "chunk").agg(
+        F.count("*").cast("int").alias("n_postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("_docv")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    new_seg = f"seg_c{len(meta['segments'])}"
+    _ii_write_segment(merged, root / new_seg)
+    old = meta["segments"]
+    meta["segments"] = [new_seg]
+    (root / _II_META).write_text(_json.dumps(meta))
+    for s in old:
+        _sh.rmtree(root / s, ignore_errors=True)
