@@ -557,3 +557,83 @@ def test_concurrent_writers_cas_exactly_one_wins(spark, tmp_path):
     )
     # the lock is released (no writer crashed holding it)
     assert not (t.path / "_manifest.lock").exists()
+
+
+def test_variant_engine_event_key_parity_and_single_event_parse(spark):
+    """Event-wrapped payloads under the variant engine: event_key digs
+    must be row-identical to the json_path engine — event value wins,
+    resource fallback when the event lacks the key, nested event
+    paths, typed arrays with event precedence, NULLs, non-event rows —
+    and the plan must bind try_parse_json over the EVENT exactly once
+    (per-column re-parses of the event JSON were the remaining
+    parse-O(columns) path after the r6 resource-side fix)."""
+    import datetime as dt
+    import json
+
+    from webhookdb_spark.functions.converters import CONV_UNIX_TS
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.types import ColumnType
+
+    def _rae(body):
+        is_event = F.get_json_object(body, "$.object") == F.lit("event")
+        resource = F.when(
+            is_event, F.get_json_object(body, "$.data.object")
+        ).otherwise(body)
+        return resource, F.when(is_event, body)
+
+    spec = ReplicatorSpec(
+        name="variant_event_probe",
+        table="variant_event_probe",
+        remote_key=Col("my_id", ColumnType.TEXT, data_key="id"),
+        denorm_cols=(
+            # event wins over resource (column.rb:321-326 precedence)
+            Col("updated", ColumnType.TIMESTAMP, data_key="created",
+                event_key="created", converter=CONV_UNIX_TS),
+            # nested event path with resource fallback
+            Col("req_id", ColumnType.TEXT, data_key="fallback_req",
+                event_key=["request", "id"], optional=True),
+            # typed array with event precedence
+            Col("tags", ColumnType.TEXT_ARRAY, event_key="evt_tags"),
+            Col("amount", ColumnType.INTEGER),
+        ),
+        timestamp_col="updated",
+        resource_and_event=_rae,
+    )
+    charge = {"id": "c1", "amount": 5, "created": 100,
+              "fallback_req": "from_rsrc", "tags": ["r1", "r2"]}
+    payloads = [
+        # event envelope: created/request.id/evt_tags come from it
+        {"object": "event", "created": 999, "request": {"id": "req_7"},
+         "evt_tags": ["e1"], "data": {"object": charge}},
+        # event envelope missing request/evt_tags: resource fallback
+        {"object": "event", "created": 888,
+         "data": {"object": {"id": "c2", "amount": 6, "created": 200,
+                             "tags": ["x"]}}},
+        # bare resource (no event): every event_key falls back
+        {"id": "c3", "amount": 7, "created": 300, "tags": ["y", "z"],
+         "fallback_req": "bare"},
+    ]
+    env = spark.createDataFrame(
+        [(json.dumps(p), dt.datetime(2026, 1, 1)) for p in payloads],
+        "body string, received_at timestamp",
+    )
+    base = sorted(map(tuple, spec.shape(env, engine="json_path")
+                      .drop("received_at").collect()))
+    var = sorted(map(tuple, spec.shape(env, engine="variant")
+                     .drop("received_at").collect()))
+    assert base == var
+    by_id = {r[0]: r for r in var}
+    assert by_id["c1"][1] == dt.datetime(1970, 1, 1, 0, 16, 39)  # evt 999
+    assert by_id["c1"][2] == "req_7" and by_id["c1"][3] == ["e1"]
+    assert by_id["c2"][1] == dt.datetime(1970, 1, 1, 0, 14, 48)  # evt 888
+    assert by_id["c2"][2] is None and by_id["c2"][3] == ["x"]
+    assert by_id["c3"][1] == dt.datetime(1970, 1, 1, 0, 5)       # rsrc 300
+    assert by_id["c3"][2] == "bare" and by_id["c3"][3] == ["y", "z"]
+
+    # plan gate: exactly ONE try_parse_json of the event (and one of
+    # the resource) — no per-column event re-parse
+    plan = spec.shape(env, engine="variant")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # try_parse_json renders as VariantExpressionEvalUtils.parseJson
+    # in the optimized plan
+    assert plan.count("parseJson") == 2, plan

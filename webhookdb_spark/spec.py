@@ -136,6 +136,7 @@ class Col:
         event_body: Column | None = None,
         enrichment: Column | None = None,
         body_variant: Column | None = None,
+        event_variant: Column | None = None,
     ) -> Column:
         """Compile to a Column over the raw JSON body (to_sql_expr parity,
         column.rb:421-455): dig → converter → cast, then defaulter.
@@ -145,12 +146,15 @@ class Col:
         ``try_variant_get`` over the SHARED parsed value instead of a
         per-column ``get_json_object`` re-parse of the body string —
         measured 2.3× faster on a 12-field body at sf0.1 (ABBENCH_r06
-        §4). String-cast parity caveat: a variant round-trips numbers
-        through their typed value, so a number written in scientific
-        notation ("1E2") digs as "100.0" where get_json_object keeps
-        the raw text — no API in the replicator registry emits that,
-        and the cross-engine parity tests pin the registry's real
-        payload shapes."""
+        §4). ``event_variant`` is the same parse-once binding for the
+        EVENT envelope (stripe-style wrappers,
+        stripe_charge_v1.rb:48-55): event_key digs share it instead of
+        re-parsing the event JSON per column. String-cast parity
+        caveat: a variant round-trips numbers through their typed
+        value, so a number written in scientific notation ("1E2") digs
+        as "100.0" where get_json_object keeps the raw text — no API
+        in the replicator registry emits that, and the cross-engine
+        parity tests pin the registry's real payload shapes."""
         path = _json_path(self.data_key or self.name)
         if self.from_enrichment:
             if enrichment is None:
@@ -164,9 +168,12 @@ class Col:
         else:
             resource_raw = F.get_json_object(body, path)
         if self.event_key is not None and event_body is not None:
-            raw = F.coalesce(
-                F.get_json_object(event_body, _json_path(self.event_key)), resource_raw
-            )
+            epath = _json_path(self.event_key)
+            if event_variant is not None:
+                event_raw = F.try_variant_get(event_variant, epath, "string")
+            else:
+                event_raw = F.get_json_object(event_body, epath)
+            raw = F.coalesce(event_raw, resource_raw)
         else:
             raw = resource_raw
         out = self.converter.spark(raw) if self.converter else raw
@@ -181,6 +188,24 @@ class Col:
                 # text from_json expects; dig the typed array directly
                 out = F.try_variant_get(
                     body_variant, path, target.simpleString()
+                )
+            elif (
+                body_variant is not None
+                and event_variant is not None
+                and not self.from_enrichment
+                and self.event_key is not None
+            ):
+                # same typed dig with the event-over-resource
+                # precedence (column.rb:321-326)
+                out = F.coalesce(
+                    F.try_variant_get(
+                        event_variant,
+                        _json_path(self.event_key),
+                        target.simpleString(),
+                    ),
+                    F.try_variant_get(
+                        body_variant, path, target.simpleString()
+                    ),
                 )
             else:
                 # JSON arrays come back from get_json_object as JSON
@@ -385,6 +410,7 @@ class ReplicatorSpec:
                 resource = F.coalesce(enrichment, resource)
 
         body_variant = None
+        event_variant = None
         if engine == "variant":
             from webhookdb_spark.operators.util import bind
 
@@ -395,8 +421,22 @@ class ReplicatorSpec:
             )
             resource = F.col("_rsrc")
             body_variant = F.col("_rv")
+            if event is not None:
+                # parse the EVENT envelope once too: event_key digs on
+                # wrapped payloads (stripe event envelopes) otherwise
+                # re-parse the event JSON per column — the exact
+                # pattern the resource-side A/B measured at 1.7-2.3×
+                envelopes = bind(
+                    envelopes.withColumn("_evt", event),
+                    "_evv",
+                    F.try_parse_json(F.col("_evt")),
+                )
+                event = F.col("_evt")
+                event_variant = F.col("_evv")
         cols = [
-            c.extraction_expr(resource, event, enrichment, body_variant)
+            c.extraction_expr(
+                resource, event, enrichment, body_variant, event_variant
+            )
             for c in self.all_cols
         ]
         if self.store_enrichment_body:
