@@ -2453,6 +2453,30 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.ann_topk_ivfpq(emb, emb.where(F.col("vec_id") < 3), k=5)
 
 
+def q_ann_ivfpq_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """The persisted IVF-PQ store end-to-end: quantizer trained
+    offline on the full corpus (centroids + subspace codebooks, the
+    production flow), index built by writing HALF the vectors and
+    APPENDING the other half with the frozen quantizer, then queried —
+    results must match the full-corpus SQL twin exactly, so this one
+    driver row checks write + append + query with the oracle. Storage
+    lives in a fresh temp dir per invocation."""
+    import tempfile
+
+    emb = load(spark, sf, "embeddings")
+    cents = S.ivf_centroids(emb, 8)
+    cents = S.ivf_refine(emb, cents)
+    cbs = S.pq_codebooks(emb, 8, 8, 1)
+    path = tempfile.mkdtemp(prefix="whdb_ivfpq_")
+    S.write_ivfpq_index(
+        emb.where("vec_id % 2 = 0"), path, centroids=cents, codebooks=cbs
+    )
+    S.append_to_ivfpq_index(emb.where("vec_id % 2 = 1"), path)
+    return S.query_ivfpq_index(
+        spark, path, emb.where(F.col("vec_id") < 3), k=5, nprobe=2
+    )
+
+
 def q_embed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dedup. The synthetic embeddings are random
     (no natural cos ≥ 0.95 pairs), so the query corpus plants exact
@@ -2479,21 +2503,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checks roughly the first 50 entries per round, so entries are
     # ordered never-driver-checked first (new this round), then by
     # oldest last driver check (r4 before r5 before r6). As of the
-    # round-7 reorder: 0 never-checked (new r7 queries are inserted
-    # at the TOP as they land), 2 rows whose last green row is
-    # CORRECTNESS_r04.json (row_cap, retention_candidates — they
-    # missed the r6 rotation by one slot), 50 rows last green in
-    # CORRECTNESS_r05.json, then the 50 green in CORRECTNESS_r06.
-    # With new r7 queries ahead of them, the LAST entries of the r5
-    # block miss the ~50-row cap — deliberately the four rows with
-    # the most prior green rounds (ann_lsh_topk and ann_cosine_topk
-    # green r1/r2/r3/r5, media_features r1/r2/r3/r5, media_summary
-    # r1-r5), so the weakest-evidenced rows all get fresh rows.
+    # round-7 reorder: 2 never-checked r7 additions at the top
+    # (inverted_index_persisted, ann_ivfpq_persisted), then 2 rows
+    # whose last green row is CORRECTNESS_r04.json (row_cap,
+    # retention_candidates — they missed the r6 rotation by one slot),
+    # then 50 rows last green in CORRECTNESS_r05.json, then the 50
+    # green in CORRECTNESS_r06. With the 2 new queries ahead of them,
+    # the last ~4 entries of the r5 block miss the ~50-row cap —
+    # deliberately the four rows with the most prior green rounds
+    # (ann_lsh_topk and ann_cosine_topk green r1/r2/r3/r5,
+    # media_features r1/r2/r3/r5, media_summary r1-r5), so the
+    # weakest-evidenced rows all get fresh rows.
     # Every entry still runs in tools/check_oracle.py regardless of
     # position.
     return {
         # --- new in r7: never driver-checked (insert new queries here) ---
         "inverted_index_persisted": q_inverted_index_persisted,
+        "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -2735,6 +2761,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": S.sql_ann_topk_ivf(),
         "ann_pq_topk": S.sql_ann_topk_pq(),
         "ann_ivfpq_topk": S.sql_ann_topk_ivfpq(),
+        # persisted store (write half + append half, frozen full-corpus
+        # quantizer) must answer exactly like the inline full build
+        "ann_ivfpq_persisted": S.sql_ann_topk_ivfpq(),
         "embed_near_dup": S.sql_embedding_near_dup(
             table="(SELECT vec_id, embedding FROM embeddings"
             " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding"

@@ -735,3 +735,100 @@ def test_persisted_lsh_empty_probe_schema_matches_nonempty(spark, tmp_path):
     assert empty.count() == 0
     # and the union a batched caller would build is legal
     assert nonempty.unionByName(empty).count() == nonempty.count()
+
+
+def test_persisted_pq_and_ivfpq_match_inline_and_append(spark, tmp_path):
+    """Completing the persisted-index family: the PQ and IVF-PQ stores
+    must (a) answer queries identically to the inline operators with
+    the same knobs, and (b) grow by append (frozen sidecar
+    centroids/codebooks, never retrained) into exactly the index a
+    one-shot build with the same quantizer produces."""
+    from webhookdb_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        ann_topk_pq,
+        append_to_ivfpq_index,
+        append_to_pq_index,
+        query_ivfpq_index,
+        query_pq_index,
+        write_ivfpq_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half1, half2 = emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1")
+    queries = emb.where("vec_id < 3")
+
+    def res(df):
+        return {
+            (r.query_id, r.rank): (r.vec_id, round(r.approx_ip, 9))
+            for r in df.collect()
+        }
+
+    # (a) persisted == inline, same knobs, full corpus
+    pq_full = str(tmp_path / "pq_full")
+    write_pq_index(emb, pq_full, m=8, ksub=8, n_refine=1)
+    assert res(query_pq_index(spark, pq_full, queries, k=5)) == res(
+        ann_topk_pq(emb, queries, k=5, m=8, ksub=8, n_refine=1)
+    )
+    ivfpq_full = str(tmp_path / "ivfpq_full")
+    write_ivfpq_index(emb, ivfpq_full, n_centroids=8, m=8, ksub=8, n_refine=1)
+    assert res(query_ivfpq_index(spark, ivfpq_full, queries, k=5, nprobe=2)) == res(
+        ann_topk_ivfpq(emb, queries, k=5, n_centroids=8, nprobe=2,
+                       m=8, ksub=8, n_refine=1)
+    )
+
+    # (b) grown == one-shot with the SAME (half1-trained) quantizer
+    import json
+    from pathlib import Path
+
+    pq_grown = str(tmp_path / "pq_grown")
+    write_pq_index(half1, pq_grown, m=8, ksub=8, n_refine=1)
+    cbs = json.loads((Path(pq_grown) / "_pq_meta.json").read_text())["codebooks"]
+    append_to_pq_index(half2, pq_grown)
+    pq_one = str(tmp_path / "pq_one")
+    write_pq_index(emb, pq_one, codebooks=cbs)
+    assert res(query_pq_index(spark, pq_grown, queries, k=5)) == res(
+        query_pq_index(spark, pq_one, queries, k=5)
+    )
+
+    ivfpq_grown = str(tmp_path / "ivfpq_grown")
+    write_ivfpq_index(half1, ivfpq_grown, n_centroids=8, m=8, ksub=8,
+                      n_refine=1)
+    meta = json.loads((Path(ivfpq_grown) / "_ivfpq_meta.json").read_text())
+    append_to_ivfpq_index(half2, ivfpq_grown)
+    ivfpq_one = str(tmp_path / "ivfpq_one")
+    write_ivfpq_index(emb, ivfpq_one, centroids=meta["centroids"],
+                      codebooks=meta["codebooks"])
+    assert res(query_ivfpq_index(spark, ivfpq_grown, queries, k=5, nprobe=2)) == res(
+        query_ivfpq_index(spark, ivfpq_one, queries, k=5, nprobe=2)
+    )
+
+
+def test_persisted_ivfpq_query_prunes_cells_and_reads_only_codes(spark, tmp_path):
+    """The 100 TB IVF-PQ property, on the PERSISTED form: probed cells
+    become planning-time partition filters (directory pruning) and the
+    index scan's ReadSchema carries ONLY the codes — never a float
+    embedding column — so the scan cost is nprobe/C of a ~32x
+    compressed store (the plan gate matching
+    test_pq_adc_scan_reads_only_codes)."""
+    import re
+
+    from webhookdb_spark.operators.similarity import (
+        query_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = str(tmp_path / "ivfpq_plan")
+    write_ivfpq_index(emb, p, n_centroids=8, m=8, ksub=8, n_refine=1)
+    out = query_ivfpq_index(spark, p, emb.where("vec_id < 2"), k=5, nprobe=2)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cent_id" in pf[0], plan
+    scans = re.findall(r"ReadSchema: (\S+)", plan)
+    codes_scan = [s for s in scans if "codes" in s]
+    assert codes_scan and all("embedding" not in s for s in codes_scan), scans

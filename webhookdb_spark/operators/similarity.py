@@ -1967,3 +1967,241 @@ def append_to_ivf_index(
     cents = [[float(x) for x in c] for c in meta["centroids"]]
     assigned = ivf_assign(new_vectors, cents, id_col, vec_col)
     assigned.write.mode("append").partitionBy("cent_id").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ / IVF-PQ indexes — the encode-once/query-many operating
+# mode completing the index family (LSH + IVF landed in r6). IVF-PQ is
+# the form that actually ships at 100 TB (FAISS's billion-scale
+# default): m-byte codes on disk partitioned by coarse cell, ADC at
+# query time against sidecar codebooks, appends assigned with FROZEN
+# centroids/codebooks (retraining on append would strand the stored
+# codes in a stale geometry — production stores retrain offline and
+# rebuild).
+# ---------------------------------------------------------------------------
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    ksub: int = 8,
+    n_refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Materialize the flat PQ index: corpus encoded to ``m``-code rows
+    and written as parquet holding ONLY (vec_id, codes) — the scan
+    every later query pays is m bytes per vector, never the float
+    column (plan-gated like adc_topk,
+    test_pq_adc_scan_reads_only_codes). Codebooks (and the exact read
+    schema) go in the sidecar so queries and appends reuse the trained
+    quantizer."""
+    import json
+    from pathlib import Path
+
+    cbs = codebooks or pq_codebooks(corpus, m, ksub, n_refine, id_col, vec_col)
+    codes = pq_encode(corpus, cbs, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(path)
+    meta = {"codebooks": cbs, "schema": codes.schema.json()}
+    (Path(path) / "_pq_meta.json").write_text(json.dumps(meta))
+
+
+def query_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a :func:`write_pq_index` directory — identical
+    semantics to :func:`ann_topk_pq` with the sidecar codebooks as the
+    trained quantizer; the corpus side reads only the stored codes."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import types as _T
+
+    meta = json.loads((Path(path) / "_pq_meta.json").read_text())
+    cbs = [[list(map(float, cw)) for cw in cb] for cb in meta["codebooks"]]
+    schema = _T.StructType.fromJson(json.loads(meta["schema"]))
+    codes = spark.read.schema(schema).parquet(path)
+    return adc_topk(codes, cbs, queries, k, id_col, vec_col)
+
+
+def append_to_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a :func:`write_pq_index` directory: new vectors are encoded
+    with the SIDECAR codebooks — never retrained — and appended, so a
+    grown index is indistinguishable from a one-shot build over the
+    union (the codes of pre-existing vectors cannot change)."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(path) / "_pq_meta.json").read_text())
+    cbs = [[list(map(float, cw)) for cw in cb] for cb in meta["codebooks"]]
+    pq_encode(new_vectors, cbs, id_col, vec_col).write.mode("append").parquet(path)
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    ksub: int = 8,
+    n_refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Materialize the IVF-PQ index: (vec_id, codes) rows written
+    parquet-partitioned by ``cent_id``, so a query's probe reads
+    ``nprobe/C`` of an already ~32x-compressed store — both reduction
+    factors multiply at the scan. Coarse centroids AND subspace
+    codebooks go in the sidecar; both are frozen for queries and
+    appends (pass ``centroids``/``codebooks`` to build with an
+    existing quantizer instead of training)."""
+    import json
+    from pathlib import Path
+
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+    else:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        for _ in range(n_refine):
+            cents = ivf_refine(corpus, cents, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    cbs = codebooks or pq_codebooks(corpus, m, ksub, n_refine, id_col, vec_col)
+    codes = pq_encode(corpus, cbs, id_col, vec_col)
+    cells = codes.join(assigned.select("vec_id", "cent_id"), "vec_id")
+    cells.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    read_schema = (
+        cells.drop("cent_id").withColumn("cent_id", F.lit(0).cast("int")).schema
+    )
+    meta = {
+        "centroids": cents,
+        "codebooks": cbs,
+        "schema": read_schema.json(),
+    }
+    (Path(path) / "_ivfpq_meta.json").write_text(json.dumps(meta))
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k against a :func:`write_ivfpq_index` directory —
+    identical semantics to :func:`ann_topk_ivfpq` with the same knobs.
+    Probed cells become literal partition predicates (directory
+    pruning); the ADC scan reads ONLY (vec_id, codes) of those cells,
+    never a float column; the query LUT rides the broadcast side."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import types as _T
+
+    meta = json.loads((Path(path) / "_ivfpq_meta.json").read_text())
+    cents = [[float(x) for x in c] for c in meta["centroids"]]
+    cbs = [[list(map(float, cw)) for cw in cb] for cb in meta["codebooks"]]
+    m, d = len(cbs), len(cbs[0][0])
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cent_id int, cent_vec array<double>",
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.withColumn("prank", F.row_number().over(pw))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "q_vec", "cent_id")
+    )
+    cb_lit = _pq_cb_lit(cbs)
+    q_subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.element_at(F.col("q_vec"), s * d + i).cast("double"),
+        ),
+    )
+    lut = F.zip_with(
+        q_subs, cb_lit,
+        lambda qs, cb: F.transform(cb, lambda cw: _dot_pre(qs, cw)),
+    )
+    probes_lut = bind(probes, "_lut", lut).select("query_id", "cent_id", "_lut")
+    # probe cells collect driver-side (|queries| x nprobe ints) and
+    # become literal partition predicates — planning-time pruning
+    cells = sorted(
+        {r.cent_id for r in probes.select("cent_id").distinct().collect()}
+    )
+    schema = _T.StructType.fromJson(json.loads(meta["schema"]))
+    index = (
+        spark.read.schema(schema).parquet(path)
+        .where(F.col("cent_id").isin(cells))
+    )
+    paired = index.join(F.broadcast(probes_lut), on="cent_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    approx = _floor6(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(F.col("_lut"), s + 1),
+                F.element_at(F.col("codes"), s + 1) + 1,
+            ),
+        )
+    )
+    scored = paired.select("query_id", "vec_id", approx.alias("approx_ip"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_ip").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "approx_ip",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a :func:`write_ivfpq_index` directory: new vectors are
+    assigned with the SIDECAR centroids and encoded with the SIDECAR
+    codebooks — neither is ever retrained on append — and appended into
+    the same cent_id partition layout, so grown == one-shot exactly."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(path) / "_ivfpq_meta.json").read_text())
+    cents = [[float(x) for x in c] for c in meta["centroids"]]
+    cbs = [[list(map(float, cw)) for cw in cb] for cb in meta["codebooks"]]
+    assigned = ivf_assign(new_vectors, cents, id_col, vec_col)
+    codes = pq_encode(new_vectors, cbs, id_col, vec_col)
+    cells = codes.join(assigned.select("vec_id", "cent_id"), "vec_id")
+    cells.write.mode("append").partitionBy("cent_id").parquet(path)
