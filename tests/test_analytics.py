@@ -1,0 +1,120 @@
+"""Semantics of the event/column analytics operators: funnel ordering,
+cohort arithmetic, histogram binning, correlation determinism."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from webhookdb_spark.operators.analytics import (
+    cohort_retention,
+    column_histogram,
+    funnel,
+    numeric_correlations,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, dt.datetime(2024, 1, d, h)) for (u, t, d, h) in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_requires_order_and_first_touch(spark):
+    # u1: signup -> purchase -> refund (full funnel)
+    # u2: purchase BEFORE signup, none after -> stops at signup
+    # u3: signup only
+    # u4: purchase only (never signed up) -> counts nowhere
+    ev = _ev(spark, [
+        (1, "signup", 1, 1), (1, "purchase", 2, 1), (1, "refund", 3, 1),
+        (2, "purchase", 1, 1), (2, "signup", 2, 1),
+        (3, "signup", 1, 1),
+        (4, "purchase", 1, 1),
+    ])
+    got = {r.step: r.n_users for r in funnel(
+        ev, ("signup", "purchase", "refund"),
+    ).collect()}
+    assert got == {"signup": 3, "purchase": 1, "refund": 1}
+
+
+def test_funnel_first_touch_blocks_later_valid_path(spark):
+    # first-touch: u1's FIRST signup (day 1) anchors the funnel; the
+    # purchase on day 2 matches even though a second signup came later
+    ev = _ev(spark, [
+        (1, "signup", 1, 1), (1, "signup", 5, 1), (1, "purchase", 2, 1),
+    ])
+    got = {r.step: r.n_users for r in funnel(ev, ("signup", "purchase")).collect()}
+    assert got == {"signup": 1, "purchase": 1}
+
+
+def test_funnel_within_horizon(spark):
+    # purchase 40 days after signup falls outside a 30-day horizon
+    ev = _ev(spark, [
+        (1, "signup", 1, 1), (1, "purchase", 28, 1),   # 27 days: inside
+        (2, "signup", 1, 1),
+    ]).unionByName(_ev(spark, [(2, "purchase", 11, 1)]).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")))  # day 41: outside
+    got = {r.step: r.n_users for r in funnel(
+        ev, ("signup", "purchase"), within_seconds=86400 * 30
+    ).collect()}
+    assert got == {"signup": 2, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    # u1 first active week W, active again W+1; u2 only W
+    ev = _ev(spark, [
+        (1, "view", 1, 1), (1, "view", 10, 1),   # Jan 1 and Jan 10: 1 week apart
+        (2, "view", 2, 1),
+    ])
+    rows = {(r.cohort_week, r.period): r.n_users
+            for r in cohort_retention(ev).collect()}
+    base_week = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days // 7
+    assert rows[(base_week, 0)] == 2
+    assert rows[(base_week, 1)] == 1
+
+
+def test_histogram_bins_cover_and_clamp(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    out = {r.bin: (r.lo, r.hi, r.n) for r in column_histogram(df, "x", 10).collect()}
+    assert sum(v[2] for v in out.values()) == 101
+    # the max value clamps into the LAST bin, not bin 10
+    assert set(out) == set(range(10))
+    assert out[9][2] == 11  # 90..100 inclusive
+    assert out[0] == (0.0, 10.0, 10)
+
+
+def test_histogram_constant_column_single_bin(spark):
+    df = spark.createDataFrame([(5.0,)] * 7, "x double")
+    out = column_histogram(df, "x", 10).collect()
+    assert len(out) == 1 and out[0].bin == 0 and out[0].n == 7
+
+
+def test_correlations_exact_and_deterministic(spark):
+    # y = 2x (corr 1), z = -x (corr -1 with x), w uncorrelated-ish
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i, -float(i), float((i * 37) % 11)) for i in range(200)],
+        "x double, y double, z double, w double",
+    )
+    out = {(r.col_a, r.col_b): r.corr for r in
+           numeric_correlations(df, ["x", "y", "z", "w"]).collect()}
+    assert out[("x", "y")] == 1.0 - 1e-6 or out[("x", "y")] == 1.0
+    assert out[("x", "z")] in (-1.0, -1.0 - 1e-6)
+    assert abs(out[("x", "w")]) < 0.2
+    # repartition must not change a single floor-quantized value
+    out2 = {(r.col_a, r.col_b): r.corr for r in
+            numeric_correlations(df.repartition(13), ["x", "y", "z", "w"]).collect()}
+    assert out == out2
+
+
+def test_correlations_pairwise_null_handling(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, None), (2.0, 4.0, 1.0), (3.0, 6.0, 2.0), (None, 1.0, 3.0)],
+        "a double, b double, c double",
+    )
+    rows = {(r.col_a, r.col_b): (r.n, r.corr) for r in
+            numeric_correlations(df, ["a", "b", "c"]).collect()}
+    assert rows[("a", "b")][0] == 3     # row with NULL a excluded
+    assert rows[("a", "c")][0] == 2     # both NULLs excluded
+    assert rows[("b", "c")][0] == 3

@@ -1,0 +1,338 @@
+"""Event-stream and column analytics: funnel conversion, cohort
+retention, equi-width histograms, pairwise correlations.
+
+The reference's users run exactly these shapes as raw SQL against
+their replicated event tables (the read-only SQL surface,
+lib/webhookdb/organization.rb:146-164 — funnel/cohort queries over
+webhook event streams are the canonical WebhookDB use case); here they
+are first-class scale-safe operators with DuckDB oracle twins.
+
+Distributed shapes:
+
+- ``funnel``: k-step conversion is a chain of k user-keyed joins —
+  each step's candidate set joins the previous step's per-user
+  first-completion time and keeps strictly-later events. Every join
+  and aggregate is keyed on user_id, so all stages share one hash
+  partitioning (AQE reuses the exchange); no window ever sees more
+  than one user's events. The alternative (collect each user's full
+  event array and scan it) is unbounded per row; the join chain is
+  bounded and co-partitioned.
+- ``cohort_retention``: two aggregates keyed on user_id /
+  (cohort_week, period). Weeks are integer epoch-day arithmetic
+  (floor(days/7)) — engine-portable, no date_trunc('week') whose week
+  start differs across engines.
+- ``column_histogram``: two narrow passes — a 1-row min/max aggregate
+  broadcast to the scan, then a groupBy on the bin id. Bin assignment
+  uses one fixed expression shape so both engines run the identical
+  IEEE double sequence.
+- ``numeric_correlations``: ONE aggregate pass computing all pairwise
+  (n, Sx, Sy, Sxy, Sxx, Syy) moment sums in EXACT decimal arithmetic
+  (values quantized to decimal(18,6); products decimal(38,12)) —
+  decimal sums are order-independent, so Spark's partial aggregation
+  and DuckDB's sequential sum agree bit-for-bit, where double sums
+  would drift. The final Pearson division happens once per pair in
+  doubles from the exact sums. Magnitudes beyond decimal(18,6) (|x| >=
+  1e12) would need a wider quantization — documented bound, same
+  trade as profile.py's decimal(38,6) canon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webhookdb_spark.operators.util import sql_str_lit
+
+_EPOCH = "1970-01-01"
+
+
+def _day(col):
+    return F.datediff(col.cast("date"), F.lit(_EPOCH).cast("date"))
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """(step_idx, step, n_users): how many users completed each funnel
+    prefix IN ORDER — step i counts users with an event of type
+    ``steps[i]`` strictly after their first completion of step i-1
+    (first-touch semantics: each step matches at its earliest valid
+    time, the standard funnel definition). ``within_seconds`` bounds
+    the whole funnel to a horizon after step 1's first touch.
+    """
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).alias("ts"),
+    )
+    cur = (
+        base.where(F.col("etype") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+        .withColumn("t0", F.col("t"))
+    )
+    out = None
+    for i, step in enumerate(steps):
+        if i:
+            nxt = (
+                base.where(F.col("etype") == step)
+                .join(cur.select("user_id", "t", "t0"), "user_id")
+                .where(F.col("ts") > F.col("t"))
+            )
+            if within_seconds is not None:
+                # the cast lifts TIMESTAMP_NTZ inputs (session TZ is
+                # UTC, so the epoch agrees with DuckDB's epoch_us on
+                # the same naive values)
+                us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+                nxt = nxt.where(
+                    us(F.col("ts"))
+                    <= us(F.col("t0")) + within_seconds * 1_000_000
+                )
+            cur = nxt.groupBy("user_id").agg(
+                F.min("ts").alias("t"), F.min("t0").alias("t0")
+            )
+        row = cur.agg(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def sql_funnel(
+    steps: tuple[str, ...],
+    table: str = "events",
+    within_seconds: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`funnel` — the same join chain as CTEs."""
+    ctes = [
+        f"s0 AS (SELECT user_id, min(ts) AS t, min(ts) AS t0 FROM {table}"
+        f" WHERE event_type = {sql_str_lit(steps[0])} GROUP BY user_id)"
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        horizon = (
+            f" AND epoch_us(e.ts) <= epoch_us(p.t0) + {within_seconds}000000"
+            if within_seconds is not None
+            else ""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t, min(p.t0) AS t0"
+            f" FROM {table} e JOIN s{i-1} p USING (user_id)"
+            f" WHERE e.event_type = {sql_str_lit(step)} AND e.ts > p.t"
+            f"{horizon} GROUP BY e.user_id)"
+        )
+    selects = [
+        f"SELECT CAST({i} AS INTEGER) AS step_idx,"
+        f" {sql_str_lit(s)} AS step,"
+        f" CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_periods: int = 52,
+) -> DataFrame:
+    """(cohort_week, period, n_users): classic retention matrix —
+    users grouped by the epoch-week of their FIRST event, counted
+    distinct in each later week-offset they were active.
+    ``cohort_week`` is integer weeks since 1970-01-01 (engine-portable;
+    multiply by 7 for the date). Two user-keyed aggregates; the
+    distinct count is per (cohort, period) — narrow keys, map-side
+    combinable after the first shuffle."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.floor(_day(F.col(ts_col)) / 7).cast("int").alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .withColumn("period", (F.col("wk") - F.col("cohort_week")).cast("int"))
+        .where(F.col("period") <= max_periods)
+        .groupBy("cohort_week", "period")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def sql_cohort_retention(table: str = "events", max_periods: int = 52) -> str:
+    """DuckDB twin of :func:`cohort_retention` — same epoch-week
+    integer arithmetic."""
+    day = f"datediff('day', DATE '{_EPOCH}', CAST(ts AS DATE))"
+    return f"""
+    WITH ev AS (
+      SELECT user_id, CAST(floor(({day}) / 7) AS INTEGER) AS wk FROM {table}
+    ), first AS (
+      SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id
+    )
+    SELECT f.cohort_week, CAST(e.wk - f.cohort_week AS INTEGER) AS period,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM ev e JOIN first f USING (user_id)
+    WHERE e.wk - f.cohort_week <= {max_periods}
+    GROUP BY f.cohort_week, period
+    """
+
+
+def column_histogram(
+    df: DataFrame, col: str, n_bins: int = 20
+) -> DataFrame:
+    """(bin, lo, hi, n): equi-width histogram over a numeric column —
+    the range-profile pass of a data audit. Pass 1 is a 1-row min/max
+    aggregate that broadcasts onto the scan; pass 2 groups by the bin
+    id (at most ``n_bins`` keys). Only non-empty bins are returned.
+    ``lo``/``hi`` are floor-quantized to 1e-6 for cross-engine hash
+    stability; the bin assignment keeps ONE expression shape —
+    ``floor(((x - min) * n) / (max - min))`` clamped to n-1 — so both
+    engines execute the identical IEEE double sequence."""
+    x = F.col(col).cast("double")
+    mm = df.agg(
+        F.min(x).alias("_mn"), F.max(x).alias("_mx")
+    )
+    width = F.col("_mx") - F.col("_mn")
+    raw_bin = F.floor(((x - F.col("_mn")) * F.lit(n_bins)) / width)
+    bin_id = (
+        F.when(width == 0, F.lit(0))
+        .otherwise(F.least(raw_bin, F.lit(n_bins - 1)))
+        .cast("int")
+    )
+    lo = F.col("_mn") + (F.col("bin").cast("double") * width) / F.lit(n_bins)
+    hi = F.col("_mn") + ((F.col("bin") + 1).cast("double") * width) / F.lit(n_bins)
+    q = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(mm))
+        .select(bin_id.alias("bin"), "_mn", "_mx")
+        .groupBy("bin", "_mn", "_mx")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "bin", q(lo).alias("lo"), q(hi).alias("hi"), "n"
+        )
+    )
+
+
+def sql_column_histogram(
+    col: str, table: str, n_bins: int = 20
+) -> str:
+    """DuckDB twin of :func:`column_histogram` — identical expression
+    shapes."""
+    x = f"CAST({col} AS DOUBLE)"
+    return f"""
+    WITH mm AS (
+      SELECT min({x}) AS mn, max({x}) AS mx FROM {table}
+    ), binned AS (
+      SELECT CAST(CASE WHEN mm.mx - mm.mn = 0 THEN 0
+                  ELSE least(floor((({x} - mm.mn) * {n_bins}) / (mm.mx - mm.mn)),
+                             {n_bins} - 1) END AS INTEGER) AS bin,
+             mm.mn, mm.mx
+      FROM {table} CROSS JOIN mm WHERE {x} IS NOT NULL
+    )
+    SELECT bin,
+           floor((mn + (CAST(bin AS DOUBLE) * (mx - mn)) / {n_bins}) * 1e6) / 1e6 AS lo,
+           floor((mn + (CAST(bin + 1 AS DOUBLE) * (mx - mn)) / {n_bins}) * 1e6) / 1e6 AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin, mn, mx
+    """
+
+
+def numeric_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_a, col_b, n, corr): pairwise Pearson correlation over the
+    given numeric columns, pairwise-complete (rows where either side
+    is NULL are excluded for that pair), corr floor-quantized to 1e-6.
+
+    ONE aggregate pass computes every pair's moment sums in EXACT
+    decimal arithmetic — quantize each value to decimal(18,6), sum
+    products as decimal(38,12) — so the result is independent of
+    partial-aggregation order (double sums would make corr
+    nondeterministic at the 1e-15 level and break the value-hash
+    oracle). Bound: |x| must fit decimal(18,6) (< 1e12); wider data
+    needs a wider quantization."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+
+    def dec(c):
+        return F.col(c).cast("string").try_cast("decimal(18,6)")
+
+    aggs = []
+    for a, b in pairs:
+        ok = dec(a).isNotNull() & dec(b).isNotNull()
+        x = F.when(ok, dec(a))
+        y = F.when(ok, dec(b))
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(x).alias(f"n_{tag}"),
+            F.sum(x).alias(f"sx_{tag}"),
+            F.sum(y).alias(f"sy_{tag}"),
+            F.sum((x * y).cast("decimal(38,12)")).alias(f"sxy_{tag}"),
+            F.sum((x * x).cast("decimal(38,12)")).alias(f"sxx_{tag}"),
+            F.sum((y * y).cast("decimal(38,12)")).alias(f"syy_{tag}"),
+        ]
+    moments = df.agg(*aggs)
+    rows = None
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        n = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        # greatest(.., 0): the moment sums are exact but the final
+        # double products can land 1 ulp below zero on a
+        # zero-variance column; sqrt(NaN) semantics then differ
+        # between engines, a clamped 0 does not
+        denom = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+            F.greatest(n * syy - sy * sy, F.lit(0.0))
+        )
+        corr = F.when(
+            denom != 0, F.floor(((n * sxy - sx * sy) / denom) * 1e6) / 1e6
+        )
+        row = moments.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"n_{tag}").cast("long").alias("n"),
+            corr.alias("corr"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def sql_numeric_correlations(cols: list[str], table: str) -> str:
+    """DuckDB twin of :func:`numeric_correlations` — same exact-decimal
+    moment sums, same final double arithmetic."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    parts = []
+    for a, b in pairs:
+        da = f"TRY_CAST(CAST({a} AS VARCHAR) AS DECIMAL(18,6))"
+        db = f"TRY_CAST(CAST({b} AS VARCHAR) AS DECIMAL(18,6))"
+        ok = f"({da} IS NOT NULL AND {db} IS NOT NULL)"
+        # operand width 19: DuckDB multiplies at the INPUT width (a
+        # (18,6)x(18,6) product overflows before widening); 19+19=38
+        # puts the exact product in DECIMAL(38,12) like Spark's
+        # (18,6)x(18,6)->(37,12)
+        x = f"CAST(CASE WHEN {ok} THEN {da} END AS DECIMAL(19,6))"
+        y = f"CAST(CASE WHEN {ok} THEN {db} END AS DECIMAL(19,6))"
+        nn = f"CAST(count({x}) AS DOUBLE)"
+        sx = f"CAST(sum({x}) AS DOUBLE)"
+        sy = f"CAST(sum({y}) AS DOUBLE)"
+        sxy = f"CAST(sum(CAST(({x}) * ({y}) AS DECIMAL(38,12))) AS DOUBLE)"
+        sxx = f"CAST(sum(CAST(({x}) * ({x}) AS DECIMAL(38,12))) AS DOUBLE)"
+        syy = f"CAST(sum(CAST(({y}) * ({y}) AS DECIMAL(38,12))) AS DOUBLE)"
+        denom = (
+            f"(sqrt(greatest({nn} * {sxx} - {sx} * {sx}, 0.0))"
+            f" * sqrt(greatest({nn} * {syy} - {sy} * {sy}, 0.0)))"
+        )
+        parts.append(f"""
+        SELECT {sql_str_lit(a)} AS col_a, {sql_str_lit(b)} AS col_b,
+               CAST(count({x}) AS BIGINT) AS n,
+               CASE WHEN {denom} != 0
+               THEN floor((({nn} * {sxy} - {sx} * {sy}) / {denom}) * 1e6) / 1e6
+               END AS corr
+        FROM {table}""")
+    return " UNION ALL ".join(parts)
