@@ -407,3 +407,114 @@ def test_database_sync_verify_digest_roundtrip(spark, tmp_warehouse):
     diff = tgt2.verify(df).collect()
     assert len(diff) == 1
     assert diff[0].n_rows_a == diff[0].n_rows_b  # same counts, drifted content
+
+
+def _cdc_env(spark, items):
+    import json
+
+    return spark.createDataFrame(
+        [("fake_v1", json.dumps(it), None) for it in items],
+        "opaque_id string, body string, received_at timestamp",
+    )
+
+
+def test_change_feed_consumer_and_trim(spark, tmp_warehouse):
+    """The CDC read side: changes_since returns exactly the per-txn
+    post-images past a watermark, latest_change_per_key compacts to the
+    highest-txn row, trim_changes removes delivered dirs."""
+    from webhookdb_spark.operators.upsert import (
+        change_txns,
+        changes_since,
+        latest_change_per_key,
+        trim_changes,
+        upsert_envelopes,
+    )
+
+    t = Warehouse(spark, tmp_warehouse / "wh").table("org", "fake_v1")
+    upsert_envelopes(t, _cdc_env(spark, [
+        {"my_id": "k1", "at": "2024-01-01T00:00:00Z"},
+        {"my_id": "k2", "at": "2024-01-01T00:00:00Z"},
+    ]), FAKE_V1)
+    upsert_envelopes(t, _cdc_env(spark, [
+        {"my_id": "k1", "at": "2024-01-02T00:00:00Z"},   # fresh update
+        {"my_id": "k3", "at": "2024-01-01T00:00:00Z"},   # insert
+        {"my_id": "k2", "at": "2023-12-01T00:00:00Z"},   # STALE: no change row
+    ]), FAKE_V1)
+    txns = change_txns(t)
+    assert len(txns) == 2
+    t1, t2 = txns
+
+    win = changes_since(t, 0)
+    got = {(r.my_id, r._txn): r._action for r in win.collect()}
+    assert got == {
+        ("k1", t1): "insert", ("k2", t1): "insert",
+        ("k1", t2): "update", ("k3", t2): "insert",
+    }
+    # watermark filter: only txn2's rows
+    assert {r.my_id for r in changes_since(t, t1).collect()} == {"k1", "k3"}
+    # compaction: one row per key, k1 at its LATEST txn
+    comp = {r.my_id: r._txn for r in
+            latest_change_per_key(win, "my_id").collect()}
+    assert comp == {"k1": t2, "k2": t1, "k3": t2}
+    # trim delivered history
+    assert trim_changes(t, t1) == 1
+    assert change_txns(t) == [t2]
+
+
+def test_sync_from_change_feed_watermark_and_resume(spark, tmp_warehouse):
+    """run_sync_changes exports ONLY the change feed (never rescans the
+    table), advances the txn watermark only past fully-delivered
+    transactions, resumes after a crash by re-sending the incomplete
+    txn (at-least-once for an idempotent MERGE consumer), and trims
+    delivered dirs."""
+    from webhookdb_spark.operators.upsert import change_txns, upsert_envelopes
+
+    t = Warehouse(spark, tmp_warehouse / "wh2").table("org", "fake_v1")
+    # txn1: 12 inserts; txn2: 5 updates; txn3: 3 inserts
+    upsert_envelopes(t, _cdc_env(spark, [
+        {"my_id": f"a{i}", "at": "2024-01-01T00:00:00Z"} for i in range(12)
+    ]), FAKE_V1)
+    upsert_envelopes(t, _cdc_env(spark, [
+        {"my_id": f"a{i}", "at": "2024-01-02T00:00:00Z"} for i in range(5)
+    ]), FAKE_V1)
+    upsert_envelopes(t, _cdc_env(spark, [
+        {"my_id": f"b{i}", "at": "2024-01-01T00:00:00Z"} for i in range(3)
+    ]), FAKE_V1)
+    t1, t2, t3 = change_txns(t)
+
+    calls = {"n": 0}
+    delivered = []
+
+    def flaky(rows, now):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise ConnectionError("boom")
+        delivered.append([r["my_id"] for r in rows])
+
+    state = SyncState(tmp_warehouse / "cdc_st.json")
+    tgt = HttpSyncTarget(state=state, ts_col="at", post=flaky, page_size=10)
+    with pytest.raises(ConnectionError):
+        tgt.run_sync_changes(t, "2024-01-03 00:00:00", trim=False)
+    # the compacted window is 15 rows (a0-a4 appear ONCE, at txn2):
+    # txn1 contributes its 7 un-superseded keys, all inside page 1 —
+    # so the crash in page 2 leaves the watermark exactly at txn1
+    assert int(state.load().get("last_synced_txn", 0)) == t1
+    assert change_txns(t) == [t1, t2, t3]  # nothing trimmed on failure
+
+    ok: list[list[str]] = []
+    tgt2 = HttpSyncTarget(
+        state=state, ts_col="at",
+        post=lambda rows, now: ok.append([r["my_id"] for r in rows]),
+        page_size=10,
+    )
+    sent = tgt2.run_sync_changes(t, "2024-01-03 00:00:00")
+    # resumes past txn1: txn2's 5 updates + txn3's 3 inserts
+    assert sent == 8
+    flat = [k for page in ok for k in page]
+    assert sorted(flat) == sorted([f"a{i}" for i in range(5)]
+                                  + [f"b{i}" for i in range(3)])
+    assert int(state.load()["last_synced_txn"]) == t3
+    assert change_txns(t) == []  # every txn <= the watermark trimmed
+
+    # steady state: nothing new
+    assert tgt2.run_sync_changes(t, "2024-01-04 00:00:00") == 0

@@ -363,3 +363,87 @@ def upsert_envelopes(
     return merge_upsert(
         table, shaped, spec, buckets=buckets, capture_changes=capture_changes
     )
+
+
+# ---------------------------------------------------------------------------
+# Change-feed consumer — the read side of the per-transaction CDC dirs
+# merge_upsert writes (_changes/txn_N, the Delta CDF analog). Producers
+# existed since r5; this is the consumer contract a downstream
+# incremental pipeline needs: read exactly the post-images of txns
+# (since, end], compact to one row per key, trim delivered history.
+# ---------------------------------------------------------------------------
+
+def change_txns(table: ManagedTable) -> list[int]:
+    """Transaction ids with a captured change set, ascending."""
+    root = table.path / "_changes"
+    if not root.exists():
+        return []
+    out = []
+    for p in root.iterdir():
+        if p.name.startswith("txn_"):
+            try:
+                out.append(int(p.name[4:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def changes_since(
+    table: ManagedTable,
+    since_txn: int = 0,
+    end_txn: int | None = None,
+) -> DataFrame:
+    """Post-image change rows for every captured transaction in
+    ``(since_txn, end_txn]``, with ``_action`` ('insert'/'update') and
+    ``_txn`` columns — the incremental-consumer read that replaces
+    rescanning the table by timestamp: at 100 TB a day's changes are a
+    few txn dirs, not a predicate over the whole store. Rows for a key
+    touched in several txns appear once PER txn (the full history;
+    see :func:`latest_change_per_key` for the compacted view)."""
+    schema = table.schema().add(ACTION_COL, "string")
+    txns = [
+        t for t in change_txns(table)
+        if t > since_txn and (end_txn is None or t <= end_txn)
+    ]
+    spark = table.spark
+    if not txns:
+        return spark.createDataFrame([], schema.add("_txn", "long"))
+    parts = [
+        spark.read.schema(schema)
+        .parquet(str(table.path / "_changes" / f"txn_{t}"))
+        .withColumn("_txn", F.lit(t).cast("long"))
+        for t in txns
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def latest_change_per_key(changes: DataFrame, key: str) -> DataFrame:
+    """Compact a :func:`changes_since` window to one row per key (the
+    highest-txn post-image) — what a warehouse MERGE consumer wants.
+    The window partitions on the key: per-key work, never global."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.col("_txn").desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def trim_changes(table: ManagedTable, delivered_txn: int) -> int:
+    """Delete change dirs for txns <= ``delivered_txn`` (the retention
+    trim a consumer runs after committing its watermark — the
+    logged-webhook trim analog, logged_webhook.rb:40-90). Returns the
+    number of dirs removed."""
+    import shutil as _sh
+
+    n = 0
+    for t in change_txns(table):
+        if t <= delivered_txn:
+            _sh.rmtree(table.path / "_changes" / f"txn_{t}", ignore_errors=True)
+            n += 1
+    return n

@@ -154,6 +154,66 @@ class HttpSyncTarget:
         self.state.save(st)
         return sent
 
+    def run_sync_changes(self, table, now: str, trim: bool = True) -> int:
+        """Incremental export driven by the table's CHANGE FEED instead
+        of a timestamp rescan: read only the ``_changes/txn_N`` dirs
+        past the committed txn watermark, compact to one post-image per
+        key, deliver in (txn, key) order, and advance the watermark
+        only to FULLY-delivered transactions (a crash mid-txn re-sends
+        that txn — at-least-once, the idempotent-MERGE consumer
+        contract). At 100 TB this reads a day's txn dirs, not a
+        predicate over the whole store; ``dataset_to_sync`` remains for
+        targets without a change feed. ``trim=True`` deletes delivered
+        change dirs after the final commit."""
+        from webhookdb_spark.operators.upsert import (
+            changes_since,
+            latest_change_per_key,
+            trim_changes,
+        )
+
+        st = self.state.load()
+        last_txn = int(st.get("last_synced_txn", 0))
+        window = changes_since(table, last_txn)
+        compacted = latest_change_per_key(window, table.manifest.key).drop(
+            "_action"
+        )
+        pending = compacted.orderBy("_txn", table.manifest.key)
+        page: list[dict] = []
+        sent = 0
+        done_txn = last_txn  # highest txn with every row delivered
+        cur_txn: int | None = None
+
+        def flush() -> None:
+            nonlocal page, sent
+            if not page:
+                return
+            self.post(page, now)
+            sent += len(page)
+            # the page ended strictly inside cur_txn or at its edge:
+            # everything BEFORE cur_txn is fully delivered
+            st["last_synced_txn"] = done_txn
+            self.state.save(st)
+            page = []
+
+        for row in pending.toLocalIterator():
+            d = dict(zip(pending.columns, row))
+            t = int(d.pop("_txn"))
+            if cur_txn is not None and t != cur_txn:
+                done_txn = cur_txn  # crossed a txn boundary
+            cur_txn = t
+            page.append(d)
+            if len(page) >= self.page_size:
+                flush()
+        if cur_txn is not None:
+            done_txn = cur_txn
+        flush()
+        st["last_synced_txn"] = done_txn
+        st.setdefault("stats", []).append({"synced": sent, "at": now})
+        self.state.save(st)
+        if trim:
+            trim_changes(table, done_txn)
+        return sent
+
     def run_sync_parallel(self, df: DataFrame, now: str, parallelism: int = 2) -> int:
         """Parallel export with the reference's ordered watermark commit
         (sync_target.rb:555-598 ParallelizedPool): pages POST
