@@ -2482,6 +2482,21 @@ FUNNEL_STEPS = ("signup", "purchase", "refund")
 CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
+def q_embed_rp_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64d -> 16d with
+    deterministic md5 planes: one array-literal transform per row, no
+    shuffle, no UDF — and exactly reproducible in SQL, so a learned-
+    reduction-shaped operator carries a full value-hash oracle."""
+    return S.rp_project(load(spark, sf, "embeddings"), 16)
+
+
+def q_ann_rp_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute cosine top-k in the projected space — the JL reduction's
+    quality floor, composed from rp_project + cosine_topk."""
+    emb = load(spark, sf, "embeddings")
+    return S.ann_topk_rp(emb, emb.where(F.col("vec_id") < 3), k=5, out_dims=16)
+
+
 def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel over the event stream (first-touch semantics,
     30-day horizon): k user-keyed joins sharing one hash partitioning
@@ -2558,6 +2573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "price_histogram": q_price_histogram,
         "lineitem_correlations": q_lineitem_correlations,
+        "embed_rp_project": q_embed_rp_project,
+        "ann_rp_topk": q_ann_rp_topk,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -2814,6 +2831,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lineitem_correlations": AN.sql_numeric_correlations(
             CORR_COLS, "lineitem"
+        ),
+        "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
+        "ann_rp_topk": S.sql_cosine_topk(
+            "(" + S.sql_rp_project("embeddings", 16, 64) + ")",
+            "vec_id < 3", 5,
         ),
         "embed_near_dup": S.sql_embedding_near_dup(
             table="(SELECT vec_id, embedding FROM embeddings"

@@ -832,3 +832,53 @@ def test_persisted_ivfpq_query_prunes_cells_and_reads_only_codes(spark, tmp_path
     scans = re.findall(r"ReadSchema: (\S+)", plan)
     codes_scan = [s for s in scans if "codes" in s]
     assert codes_scan and all("embedding" not in s for s in codes_scan), scans
+
+
+def test_rp_project_jl_distortion_and_determinism(spark):
+    """The JL contract: random projection to k dims preserves pairwise
+    L2 distances within the JL distortion band on average (the
+    guarantee is about DISTANCES — top-k rank order on isotropic
+    random data is NOT preserved and is not claimed). Also: the
+    projection is deterministic across runs/partitionings, plane
+    family "rp" is independent of the LSH "plane" family, and the
+    plan stays expression-only (no UDF, no shuffle before the scan)."""
+    import math
+
+    from webhookdb_spark.operators.similarity import (
+        hyperplanes,
+        rp_project,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where("vec_id < 60")
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    proj = {r.vec_id: r.embedding for r in rp_project(emb, 16).collect()}
+    ids = sorted(orig)
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = []
+    for i in range(0, 40, 2):
+        a, b = ids[i], ids[i + 1]
+        d0, d1 = l2(orig[a], orig[b]), l2(proj[a], proj[b])
+        assert d0 > 0
+        ratios.append(d1 / d0)
+    mean = sum(ratios) / len(ratios)
+    # k=16 gives eps ~ sqrt(8 ln n / k) — loose; assert the mean ratio
+    # is near 1 and no pair collapses to zero or explodes
+    assert 0.7 < mean < 1.3, (mean, ratios)
+    assert all(0.25 < r < 2.5 for r in ratios), ratios
+
+    # determinism under repartitioning
+    again = {r.vec_id: r.embedding
+             for r in rp_project(emb.repartition(7), 16).collect()}
+    assert again == proj
+
+    # independent plane families
+    assert hyperplanes(2, 4, tag="rp") != hyperplanes(2, 4, tag="plane")
+
+    # expression-only plan
+    plan = rp_project(emb, 16)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan

@@ -122,18 +122,23 @@ def sql_cosine_topk(
 
 # -- LSH (random hyperplane) ANN -------------------------------------------
 
-def _plane_component(plane: int, dim: int) -> float:
+def _plane_component(plane: int, dim: int, tag: str = "plane") -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1),
-    derived from md5 — reproducible across engines and runs."""
+    derived from md5 — reproducible across engines and runs. ``tag``
+    namespaces independent plane families (LSH signatures vs
+    random-projection bases must not share geometry)."""
     import hashlib
 
-    h = hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()
+    h = hashlib.md5(f"{tag}:{plane}:{dim}".encode()).hexdigest()
     return (int(h[:8], 16) / 0x80000000) - 1.0
 
 
-def hyperplanes(n_planes: int, n_dims: int) -> list[list[float]]:
+def hyperplanes(
+    n_planes: int, n_dims: int, tag: str = "plane"
+) -> list[list[float]]:
     return [
-        [_plane_component(p, d) for d in range(n_dims)] for p in range(n_planes)
+        [_plane_component(p, d, tag) for d in range(n_dims)]
+        for p in range(n_planes)
     ]
 
 
@@ -2205,3 +2210,100 @@ def append_to_ivfpq_index(
     codes = pq_encode(new_vectors, cbs, id_col, vec_col)
     cells = codes.join(assigned.select("vec_id", "cent_id"), "vec_id")
     cells.write.mode("append").partitionBy("cent_id").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss) — deterministic
+# dimensionality reduction for embedding columns: project d -> k with
+# the md5-derived plane family (its own "rp" namespace, independent of
+# the LSH signature planes), scaled by 1/sqrt(k) so expected pairwise
+# distances are preserved. Entirely expression-level (one array
+# literal + one transform per row, no shuffle, no UDF) and exactly
+# reproducible in SQL — so unlike learned reductions (PCA) it carries
+# a full value-hash oracle. At 100 TB this is the cheap pre-step that
+# shrinks ANN index storage and LUT widths by d/k before any
+# training-based method is even considered.
+# ---------------------------------------------------------------------------
+
+def rp_project(
+    corpus: DataFrame,
+    out_dims: int = 16,
+    n_dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding): each vector projected to ``out_dims``
+    components, each ``floor6(vec · plane_j / sqrt(out_dims))``. The
+    planes ride as ONE array-of-arrays literal walked by a generic
+    lambda (the constant-size-expression-tree discipline of
+    :func:`plane_dots`); floor (not round) quantization keeps the
+    engines' half-way behavior identical. Scale sqrt(3/k): plane
+    entries are uniform[-1,1) with E[c^2] = 1/3, so sqrt(3/k) makes
+    E[|Pv|^2] = |v|^2 — the JL isometry-in-expectation."""
+    if n_dims is None:
+        n_dims = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(out_dims, n_dims, tag="rp")
+    scale = (3.0 / out_dims) ** 0.5
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    proj = F.transform(
+        planes_lit,
+        lambda p: _floor6(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), p,
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale)
+        ),
+    )
+    return scale_out(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("vec_id"), proj.alias("embedding")
+    )
+
+
+def sql_rp_project(
+    table: str = "embeddings",
+    out_dims: int = 16,
+    n_dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`rp_project` — identical plane literals,
+    identical sequential double summation, identical floor
+    quantization."""
+    planes = hyperplanes(out_dims, n_dims, tag="rp")
+    scale = (3.0 / out_dims) ** 0.5
+    plane_rows = ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+    )
+    dot = (
+        f"floor(list_sum(list_transform(range(1, {n_dims} + 1),"
+        " i -> e.embedding[i]::DOUBLE * p.plane[i]))"
+        f" * {scale!r} * 1e6) / 1e6"
+    )
+    return f"""
+    WITH planes AS (
+      SELECT * FROM (VALUES {", ".join(f"({i}, {('[' + ', '.join(repr(x) for x in p) + ']')})" for i, p in enumerate(planes))}) AS t(j, plane)
+    )
+    SELECT e.vec_id, list({dot} ORDER BY p.j) AS embedding
+    FROM {table} e CROSS JOIN planes p
+    GROUP BY e.vec_id
+    """
+
+
+def ann_topk_rp(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    out_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k in the PROJECTED space: the quality
+    floor of the JL reduction, and the cheap first-cut ANN when the
+    reduced corpus fits broadcast budgets that the full vectors
+    don't."""
+    pc = rp_project(corpus, out_dims, id_col=id_col, vec_col=vec_col)
+    pq = rp_project(queries, out_dims, id_col=id_col, vec_col=vec_col)
+    return cosine_topk(pc, pq, k=k)
