@@ -454,3 +454,39 @@ def test_table_digest_is_one_narrow_aggregation(spark):
     # 32-row digest result — post-aggregate, metadata-sized
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_funnel_joins_are_keyed_never_cartesian(spark):
+    """Every funnel stage joins on user_id — equi-joins only. A
+    BroadcastNestedLoopJoin/CartesianProduct here would pair the whole
+    event stream against itself at 100 TB."""
+    p = plan_of(entry.queries()["funnel_conversion"](spark, SF))
+    assert "CartesianProduct" not in p, p
+    # the only permissible nested-loop joins are against 1-row
+    # aggregates (there are none in the funnel plan)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "EvalPython" not in p, p
+
+
+def test_correlations_single_scan_single_aggregate(spark):
+    """All 36 moment sums ride ONE scan and ONE two-phase aggregate:
+    exactly one exchange (the partial->final merge of a 1-row
+    aggregate), one parquet scan, and the scan reads only the 4
+    numeric columns."""
+    p = plan_of(entry.queries()["lineitem_correlations"](spark, SF))
+    # one scan of lineitem feeding every pair (count the detail
+    # entries — the tree line would double-count)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}, cols
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_histogram_min_max_broadcasts_onto_scan(spark):
+    """The 1-row min/max aggregate must BROADCAST onto the binning
+    scan (a shuffle join keyed on nothing would move the fact table);
+    the binned aggregate lands on at most n_bins keys."""
+    p = plan_of(entry.queries()["price_histogram"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p

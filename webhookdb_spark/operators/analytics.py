@@ -274,7 +274,11 @@ def numeric_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
             F.sum((y * y).cast("decimal(38,12)")).alias(f"syy_{tag}"),
         ]
     moments = df.agg(*aggs)
-    rows = None
+    # All pair rows come from the ONE moments row via a single explode
+    # — a per-pair union would re-execute the aggregate (and rescan the
+    # table) once per pair, which the plan gate
+    # test_correlations_single_scan_single_aggregate pins against.
+    structs = []
     for a, b in pairs:
         tag = f"{a}__{b}"
         n = F.col(f"n_{tag}").cast("double")
@@ -293,14 +297,17 @@ def numeric_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
         corr = F.when(
             denom != 0, F.floor(((n * sxy - sx * sy) / denom) * 1e6) / 1e6
         )
-        row = moments.select(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
-            F.col(f"n_{tag}").cast("long").alias("n"),
-            corr.alias("corr"),
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"n_{tag}").cast("long").alias("n"),
+                corr.alias("corr"),
+            )
         )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    return moments.select(
+        F.explode(F.array(*structs)).alias("_r")
+    ).select("_r.*")
 
 
 def sql_numeric_correlations(cols: list[str], table: str) -> str:
