@@ -2497,6 +2497,19 @@ def q_ann_rp_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.ann_topk_rp(emb, emb.where(F.col("vec_id") < 3), k=5, out_dims=16)
 
 
+def q_embed_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-rotation counterpart of embed_rp_project: train PCA
+    (per-partition Arrow partial sums -> driver eigh, collect is
+    metadata-sized) and project 64d -> 8d with the frozen model as one
+    array-literal expression. NO oracle_sql entry: eigendecomposition
+    is not SQL-expressible — the driver records the rows-only check;
+    the algebraic contract is property-pinned in
+    test_pca_recovers_planted_structure_and_freezes."""
+    emb = load(spark, sf, "embeddings")
+    model = S.pca_train(emb, k=8)
+    return S.pca_project(emb, model)
+
+
 def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel over the event stream (first-touch semantics,
     30-day horizon): k user-keyed joins sharing one hash partitioning
@@ -2575,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_correlations": q_lineitem_correlations,
         "embed_rp_project": q_embed_rp_project,
         "ann_rp_topk": q_ann_rp_topk,
+        "embed_pca_project": q_embed_pca_project,  # rows-only (no SQL eigh)
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,

@@ -882,3 +882,67 @@ def test_rp_project_jl_distortion_and_determinism(spark):
     # expression-only plan
     plan = rp_project(emb, 16)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_pca_recovers_planted_structure_and_freezes(spark, tmp_path):
+    """PCA contract (property-pinned; eigendecomposition has no SQL
+    oracle): components are orthonormal with descending explained
+    variance; variance planted in 2 known directions is recovered by
+    the top-2 components; the persisted model projects appended
+    vectors under the FROZEN rotation identically to train-time
+    projection; the projection plan is expression-only."""
+    import math
+
+    from webhookdb_spark.operators.similarity import (
+        load_pca_model,
+        pca_project,
+        pca_train,
+        write_pca_model,
+    )
+
+    # plant: dims 3 and 11 carry variance 100/25; all others noise ~1
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(400):
+        v = [rnd.gauss(0, 1) for _ in range(16)]
+        v[3] += rnd.gauss(0, 10)
+        v[11] += rnd.gauss(0, 5)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    model = pca_train(df, k=4)
+    comps, expl = model["components"], model["explained"]
+    # descending explained variance
+    assert expl == sorted(expl, reverse=True)
+    # orthonormal rows
+    for i in range(4):
+        assert abs(sum(x * x for x in comps[i]) - 1) < 1e-9
+        for j in range(i + 1, 4):
+            assert abs(sum(a * b for a, b in zip(comps[i], comps[j]))) < 1e-9
+    # top component is dominated by planted dim 3, second by dim 11
+    assert max(range(16), key=lambda d: abs(comps[0][d])) == 3
+    assert max(range(16), key=lambda d: abs(comps[1][d])) == 11
+    assert expl[0] > expl[1] > 5 * expl[2]
+
+    # frozen-model stability: persist, reload, project an "appended"
+    # batch — identical to projecting it with the in-memory model
+    write_pca_model(model, str(tmp_path / "pca"))
+    frozen = load_pca_model(str(tmp_path / "pca"))
+    appended = df.where("vec_id >= 300")
+    a = sorted((r.vec_id, tuple(r.embedding))
+               for r in pca_project(appended, frozen).collect())
+    b = sorted((r.vec_id, tuple(r.embedding))
+               for r in pca_project(appended, model).collect())
+    assert a == b
+
+    # projection variance along component 0 ~ explained[0]
+    proj = [r.embedding[0] for r in pca_project(df, model).collect()]
+    mu = sum(proj) / len(proj)
+    var = sum((x - mu) ** 2 for x in proj) / len(proj)
+    assert abs(var - expl[0]) / expl[0] < 0.05
+
+    # expression-only projection plan
+    plan = pca_project(df, model)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan

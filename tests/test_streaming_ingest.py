@@ -411,3 +411,63 @@ def test_batch_delivery_dedup_preserves_audit_parity(spark, tmp_warehouse):
     # ... but the audit archive holds all 4 raw deliveries
     audit = spark.read.parquet(str(tmp_warehouse / "audit"))
     assert audit.count() == 4
+
+
+def test_stream_changes_delivers_each_txn_exactly_once(spark, tmp_path):
+    """The change feed as a streaming source: a checkpointed
+    availableNow consumer sees each committed MERGE's post-images
+    exactly once — txn1 in the first run, only txn2 in the second —
+    with _action/_txn attached."""
+    import json
+
+    from webhookdb_spark.operators.upsert import stream_changes, upsert_envelopes
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.storage import Warehouse
+
+    def env(items):
+        return spark.createDataFrame(
+            [("fake_v1", json.dumps(it), None) for it in items],
+            "opaque_id string, body string, received_at timestamp",
+        )
+
+    t = Warehouse(spark, tmp_path / "wh").table("org", "fake_v1")
+    upsert_envelopes(t, env([
+        {"my_id": "k1", "at": "2024-01-01T00:00:00Z"},
+        {"my_id": "k2", "at": "2024-01-01T00:00:00Z"},
+    ]), FAKE_V1)
+
+    seen: list[tuple] = []
+
+    def consume(batch, _bid):
+        seen.extend(
+            (r.my_id, r._action, r._txn) for r in batch.collect()
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            stream_changes(t)
+            .writeStream.foreachBatch(consume)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = sorted(seen)
+    assert [x[0] for x in first] == ["k1", "k2"]
+    assert all(a == "insert" for _, a, _t in first)
+    t1 = first[0][2]
+
+    upsert_envelopes(t, env([
+        {"my_id": "k1", "at": "2024-01-02T00:00:00Z"},   # update
+        {"my_id": "k3", "at": "2024-01-01T00:00:00Z"},   # insert
+    ]), FAKE_V1)
+    seen.clear()
+    run_once()
+    second = sorted(seen)
+    # ONLY txn2's rows — txn1 is behind the checkpoint
+    assert [(m, a) for m, a, _ in second] == [("k1", "update"), ("k3", "insert")]
+    assert all(tx == t1 + 1 for _, _, tx in second)

@@ -2307,3 +2307,129 @@ def ann_topk_rp(
     pc = rp_project(corpus, out_dims, id_col=id_col, vec_col=vec_col)
     pq = rp_project(queries, out_dims, id_col=id_col, vec_col=vec_col)
     return cosine_topk(pc, pq, k=k)
+
+
+# ---------------------------------------------------------------------------
+# PCA — the learned counterpart of rp_project: train a rotation on the
+# corpus (mean + top-k eigenvectors of the covariance), persist it as a
+# sidecar, project with a frozen model. Training is a partial-aggregate
+# shape: each partition emits ONE (n, sum, outer-product) row via an
+# Arrow batch kernel (d=64 → 4 KB per partition), the driver combines
+# and eigendecomposes — no shuffle of the corpus, collect is
+# metadata-sized. No SQL oracle (eigendecomposition is not
+# SQL-expressible); the contract is property-pinned instead:
+# orthonormal components, descending explained variance, known planted
+# structure recovered, frozen-model projection stable under append.
+# ---------------------------------------------------------------------------
+
+def pca_train(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train a PCA rotation: returns ``{"mean", "components" (k×d,
+    rows orthonormal), "explained" (k variances, descending)}``.
+
+    Distributed shape: ``mapInPandas`` reduces each Arrow batch to one
+    (count, Σx, Σxxᵀ) row — numpy einsum per batch, so the executor
+    work is vectorized and the driver receives partitions×(1+d+d²)
+    doubles, metadata-sized at any corpus scale. The driver assembles
+    the covariance and runs ``numpy.linalg.eigh`` (d×d — tiny)."""
+    import numpy as np
+
+    d = len(corpus.select(vec_col).first()[0])
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                "n": [float(len(m))],
+                "s": [m.sum(axis=0).tolist()],
+                "o": [np.einsum("ni,nj->ij", m, m).reshape(-1).tolist()],
+            })
+
+    rows = (
+        corpus.select(vec_col)
+        .mapInPandas(partials, "n double, s array<double>, o array<double>")
+        .collect()
+    )
+    n = sum(r.n for r in rows)
+    s = np.zeros(d)
+    o = np.zeros((d, d))
+    for r in rows:
+        s += np.array(r.s)
+        o += np.array(r.o).reshape(d, d)
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    idx = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, idx].T  # k×d
+    # sign convention: first nonzero component of each row positive, so
+    # the rotation is unique and reproducible
+    for i in range(comps.shape[0]):
+        nz = np.nonzero(np.abs(comps[i]) > 1e-12)[0]
+        if len(nz) and comps[i, nz[0]] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained": [float(vals[j]) for j in idx],
+    }
+
+
+def pca_project(
+    corpus: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding): center by the model mean and rotate onto
+    the k components — entirely expression-level (the same
+    array-literal transform shape as :func:`rp_project`; no UDF, no
+    shuffle), so projecting appended vectors under a FROZEN model is
+    exactly the same arithmetic as projecting them at training time."""
+    mean_lit = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    comps_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in model["components"]]
+    )
+    centered = F.zip_with(
+        F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m
+    )
+    proj = F.transform(
+        comps_lit,
+        lambda c: _floor6(
+            F.aggregate(
+                F.zip_with(centered, c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    return scale_out(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("vec_id"), proj.alias("embedding")
+    )
+
+
+def write_pca_model(model: dict, path: str) -> None:
+    """Persist a :func:`pca_train` rotation (the sidecar pattern of
+    every persisted index here: train once offline, project every
+    ingest batch with the frozen model — retraining on append would
+    rotate new vectors into a different basis than the stored ones)."""
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    (p / "_pca_model.json").write_text(json.dumps(model))
+
+
+def load_pca_model(path: str) -> dict:
+    import json
+    from pathlib import Path
+
+    return json.loads((Path(path) / "_pca_model.json").read_text())

@@ -447,3 +447,24 @@ def trim_changes(table: ManagedTable, delivered_txn: int) -> int:
             _sh.rmtree(table.path / "_changes" / f"txn_{t}", ignore_errors=True)
             n += 1
     return n
+
+
+def stream_changes(
+    table: ManagedTable, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Structured-Streaming source over the change feed: a
+    ``readStream`` of the ``_changes/txn_*`` dirs with the table's
+    schema (+ ``_action``/``_txn``), so every committed MERGE's
+    post-images arrive as exactly-once streaming input for downstream
+    consumers — dependent tables, fan-out, warehouse sync — with
+    offsets carried by the consumer's own checkpoint instead of the
+    txn-watermark bookkeeping :func:`changes_since` does for batch.
+    ``_txn`` derives from the file path. ``max_files_per_trigger`` is
+    the standard file-source backpressure cap (SURVEY §2.9)."""
+    schema = table.schema().add(ACTION_COL, "string")
+    reader = table.spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(str(table.path / "_changes" / "txn_*"))
+    txn = F.regexp_extract(F.input_file_name(), r"txn_(\d+)", 1).cast("long")
+    return df.withColumn("_txn", txn)
