@@ -32,6 +32,7 @@ from webhookdb_spark.operators import layout as LA  # noqa: E402
 from webhookdb_spark.operators import profile as PR  # noqa: E402
 from webhookdb_spark.operators import text as TX  # noqa: E402
 from webhookdb_spark.operators import analytics as AN  # noqa: E402
+from webhookdb_spark.operators import graph as GR  # noqa: E402
 from webhookdb_spark.operators import digest as DG  # noqa: E402
 from webhookdb_spark.operators import text as X  # noqa: E402
 
@@ -2497,6 +2498,32 @@ def q_ann_rp_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.ann_topk_rp(emb, emb.where(F.col("vec_id") < 3), k=5, out_dims=16)
 
 
+def q_trade_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer fixed-point PageRank (3 rounds) over the symmetrized
+    customer-supplier trade graph — the link-graph quality signal a
+    corpus pipeline computes before sampling. Exact BIGINT arithmetic
+    per round, so a 5-way iterative distributed algorithm still
+    carries a full value-hash oracle (the SQL twin unrolls identical
+    rounds as CTEs)."""
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    ed = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+    edges = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return GR.pagerank(edges, iters=3)
+
+
+TRADE_EDGES_SQL = (
+    "(WITH ed AS (SELECT o_custkey AS src, l_suppkey + 1000000 AS dst"
+    " FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"
+    " SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)"
+)
+
+
 def q_embed_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     """Learned-rotation counterpart of embed_rp_project: train PCA
     (per-partition Arrow partial sums -> driver eigh, collect is
@@ -2589,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_rp_project": q_embed_rp_project,
         "ann_rp_topk": q_ann_rp_topk,
         "embed_pca_project": q_embed_pca_project,  # rows-only (no SQL eigh)
+        "trade_pagerank": q_trade_pagerank,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -2846,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_correlations": AN.sql_numeric_correlations(
             CORR_COLS, "lineitem"
         ),
+        "trade_pagerank": GR.sql_pagerank(TRADE_EDGES_SQL, iters=3),
         "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
         "ann_rp_topk": S.sql_cosine_topk(
             "(" + S.sql_rp_project("embeddings", 16, 64) + ")",
