@@ -2524,6 +2524,25 @@ TRADE_EDGES_SQL = (
 )
 
 
+def q_pareto_lineitems(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D Pareto front (skyline) over lineitem maximizing price AND
+    quantity — the multi-objective selection primitive. Runs the
+    distributed suffix-max decomposition (per-bucket windows + an
+    n_buckets-row carry); the oracle runs the O(n^2) NOT-EXISTS
+    dominance definition the distributed form exists to avoid."""
+    li = load(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("doc_id"),
+        "l_extendedprice", "l_quantity",
+    )
+    return AN.pareto_front(li, "l_extendedprice", "l_quantity")
+
+
+PARETO_LI_SQL = (
+    "(SELECT l_orderkey * 10 + l_linenumber AS doc_id,"
+    " l_extendedprice, l_quantity FROM lineitem)"
+)
+
+
 def q_embed_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     """Learned-rotation counterpart of embed_rp_project: train PCA
     (per-partition Arrow partial sums -> driver eigh, collect is
@@ -2617,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rp_topk": q_ann_rp_topk,
         "embed_pca_project": q_embed_pca_project,  # rows-only (no SQL eigh)
         "trade_pagerank": q_trade_pagerank,
+        "pareto_lineitems": q_pareto_lineitems,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -2875,6 +2895,9 @@ def oracle_sql() -> dict[str, str]:
             CORR_COLS, "lineitem"
         ),
         "trade_pagerank": GR.sql_pagerank(TRADE_EDGES_SQL, iters=3),
+        "pareto_lineitems": AN.sql_pareto_front(
+            "l_extendedprice", "l_quantity", PARETO_LI_SQL
+        ),
         "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
         "ann_rp_topk": S.sql_cosine_topk(
             "(" + S.sql_rp_project("embeddings", 16, 64) + ")",

@@ -343,3 +343,102 @@ def sql_numeric_correlations(cols: list[str], table: str) -> str:
                END AS corr
         FROM {table}""")
     return " UNION ALL ".join(parts)
+
+
+def pareto_front(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """(id, x, y): the 2-D Pareto front (skyline) maximizing both
+    columns — the multi-objective data-selection primitive ("keep
+    documents no other document beats on BOTH quality and length").
+    Dominance: r is dropped iff some r' has x' >= x, y' >= y and beats
+    it strictly in at least one. Equal (x, y) pairs do not dominate
+    each other — duplicates of a front point are all kept.
+
+    Distributed shape (never the O(n²) dominance join the SQL oracle
+    runs): decompose the test as  keep r ⇔ y = max(y) over r's exact-x
+    group AND y > max(y) over all strictly-greater x. The second term
+    is a SUFFIX MAX over the x-GROUP table, computed with the
+    distributed prefix-scan pattern (sequence packing's trick):
+    equi-width buckets on x, a per-bucket running max window
+    (partitioned — never a global single-partition window), and an
+    n_buckets-row offset join for the cross-bucket carry. Everything
+    shuffles on x or bucket keys; the only driver data is the 1-row
+    min/max."""
+    from pyspark.sql.window import Window
+
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    # per-exact-x groups: the front keeps only each group's max-y rows
+    groups = s.groupBy("x").agg(F.max("y").alias("gy"))
+    mm = groups.agg(F.min("x").alias("_mn"), F.max("x").alias("_mx"))
+    width = F.col("_mx") - F.col("_mn")
+    bucket = (
+        F.when(width == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(((F.col("x") - F.col("_mn")) * n_buckets) / width),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+    )
+    gb = groups.crossJoin(F.broadcast(mm)).select("x", "gy", bucket.alias("b"))
+    # within-bucket suffix max of gy over strictly-greater x
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gb = gb.withColumn("in_suffix", F.max("gy").over(w_in))
+    # cross-bucket carry: max gy of every HIGHER bucket (n_buckets rows)
+    bmax = gb.groupBy("b").agg(F.max("gy").alias("bm"))
+    w_b = (
+        Window.orderBy(F.col("b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bmax.withColumn("carry", F.max("bm").over(w_b)).select("b", "carry")
+    suffix = (
+        gb.join(F.broadcast(carry), "b")
+        .select(
+            "x", "gy",
+            F.greatest(
+                F.coalesce("in_suffix", F.lit(float("-inf"))),
+                F.coalesce("carry", F.lit(float("-inf"))),
+            ).alias("suffix_max"),
+        )
+    )
+    front_groups = suffix.where(
+        (F.col("suffix_max") == float("-inf")) | (F.col("gy") > F.col("suffix_max"))
+    )
+    return (
+        s.join(front_groups.select("x", "gy"), "x")
+        .where(F.col("y") == F.col("gy"))
+        .select("id", "x", "y")
+    )
+
+
+def sql_pareto_front(
+    x_col: str, y_col: str, table: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`pareto_front` — the direct O(n²)
+    NOT-EXISTS dominance definition (correct by construction; the
+    Spark side exists precisely because this shape cannot scale)."""
+    return f"""
+    SELECT r.{id_col} AS id, CAST(r.{x_col} AS DOUBLE) AS x,
+           CAST(r.{y_col} AS DOUBLE) AS y
+    FROM {table} r
+    WHERE r.{x_col} IS NOT NULL AND r.{y_col} IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM {table} s
+        WHERE s.{x_col} >= r.{x_col} AND s.{y_col} >= r.{y_col}
+          AND (s.{x_col} > r.{x_col} OR s.{y_col} > r.{y_col})
+      )
+    """
