@@ -518,3 +518,40 @@ def test_sync_from_change_feed_watermark_and_resume(spark, tmp_warehouse):
 
     # steady state: nothing new
     assert tgt2.run_sync_changes(t, "2024-01-04 00:00:00") == 0
+
+
+def test_db_sync_from_change_feed_merges_and_verifies(spark, tmp_warehouse):
+    """DatabaseSyncTarget.run_sync_changes: the staging merge consumes
+    the change feed's compacted post-images (no timestamp rescan),
+    replicates updates by key, commits the txn watermark, and the
+    digest verify sees a clean replica afterwards."""
+    from webhookdb_spark.operators.upsert import change_txns, upsert_envelopes
+    from webhookdb_spark.sinks.sync_target import DatabaseSyncTarget
+
+    t = Warehouse(spark, tmp_warehouse / "wh3").table("org", "fake_v1")
+    upsert_envelopes(t, _cdc_env(spark, [
+        {"my_id": f"k{i}", "at": "2024-01-01T00:00:00Z"} for i in range(8)
+    ]), FAKE_V1)
+    tgt = DatabaseSyncTarget(
+        state=SyncState(tmp_warehouse / "db_st.json"),
+        ts_col="at", key_col="my_id",
+        dest_path=tmp_warehouse / "replica",
+    )
+    assert tgt.run_sync_changes(t, "2024-01-02 00:00:00") == 8
+    # update 3 keys + add 1 in a second txn
+    upsert_envelopes(t, _cdc_env(spark, [
+        {"my_id": "k0", "at": "2024-01-03T00:00:00Z"},
+        {"my_id": "k1", "at": "2024-01-03T00:00:00Z"},
+        {"my_id": "k2", "at": "2024-01-03T00:00:00Z"},
+        {"my_id": "k8", "at": "2024-01-01T00:00:00Z"},
+    ]), FAKE_V1)
+    assert tgt.run_sync_changes(t, "2024-01-04 00:00:00") == 4
+    replica = spark.read.parquet(str(tmp_warehouse / "replica"))
+    assert replica.count() == 9
+    upd = {r.my_id: r.at.isoformat() for r in replica.collect()}
+    assert upd["k0"].startswith("2024-01-03") and upd["k7"].startswith("2024-01-01")
+    # anti-entropy digest: replica matches the table exactly
+    assert tgt.verify(t.read().select(*replica.columns)).count() == 0
+    # feed trimmed, steady state syncs nothing
+    assert change_txns(t) == []
+    assert tgt.run_sync_changes(t, "2024-01-05 00:00:00") == 0

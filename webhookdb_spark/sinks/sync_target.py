@@ -332,6 +332,54 @@ class DatabaseSyncTarget:
         self.state.save(st)
         return n
 
+    def run_sync_changes(self, table, now: str, trim: bool = True) -> int:
+        """Change-feed-driven staging merge: the warehouse MERGE
+        consumes :func:`changes_since`'s compacted post-images instead
+        of a timestamp rescan — at 100 TB the source read is a day's
+        txn dirs and the merge's anti-join touches only changed keys.
+        The txn watermark commits AFTER the merge lands (a crash
+        re-merges the same post-images — idempotent by key).
+        ``trim=True`` deletes delivered dirs afterwards."""
+        from webhookdb_spark.operators.upsert import (
+            changes_since,
+            latest_change_per_key,
+            trim_changes,
+        )
+
+        st = self.state.load()
+        last_txn = int(st.get("last_synced_txn", 0))
+        window = changes_since(table, last_txn)
+        max_txn = window.agg(F.max("_txn").alias("m")).first().m
+        if max_txn is None:
+            st.setdefault("stats", []).append({"synced": 0, "at": now})
+            self.state.save(st)
+            return 0
+        pending = latest_change_per_key(window, table.manifest.key).drop(
+            "_action", "_txn"
+        )
+        n = pending.count()
+        spark = pending.sparkSession
+        dest = str(self.dest_path)
+        if Path(dest).exists():
+            existing = spark.read.parquet(dest)
+            merged = existing.join(
+                pending.select(self.key_col), on=self.key_col, how="left_anti"
+            ).unionByName(pending)
+            tmp = dest + ".staging"
+            merged.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(dest)
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            pending.write.parquet(dest)
+        st["last_synced_txn"] = int(max_txn)
+        st.setdefault("stats", []).append({"synced": n, "at": now})
+        self.state.save(st)
+        if trim:
+            trim_changes(table, int(max_txn))
+        return n
+
     def verify(self, df: DataFrame, n_buckets: int = 32) -> DataFrame:
         """Anti-entropy check after a sync cycle: digest the source
         and the replica with the same bucketing and return the
