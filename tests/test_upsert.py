@@ -637,3 +637,71 @@ def test_variant_engine_event_key_parity_and_single_event_parse(spark):
     # try_parse_json renders as VariantExpressionEvalUtils.parseJson
     # in the optimized plan
     assert plan.count("parseJson") == 2, plan
+
+
+def test_time_travel_retention_and_gc(spark, tmp_path):
+    """keep_versions=2: reads at retained txns return those snapshots
+    exactly; snapshots beyond the window are GC'd (dirs deleted,
+    at_txn raises); dirs shared between retained snapshots survive the
+    GC; keep_versions=0 keeps the immediate-GC behavior."""
+    import pytest as _pt
+
+    from webhookdb_spark.storage import PART_COL, ManagedTable, bucket_expr
+
+    def df_of(vals):
+        return spark.createDataFrame(
+            [(f"k{i}", v) for i, v in vals], "id string, v long"
+        ).withColumn(PART_COL, bucket_expr("id", 2))
+
+    t = ManagedTable(spark, tmp_path / "tt")
+    t.create(
+        spark.createDataFrame([], "id string, v long").schema,
+        key="id", n_buckets=2, keep_versions=2,
+    )
+    t.overwrite_all(df_of([(i, 1) for i in range(8)]))      # txn1: v=1
+    t.overwrite_all(df_of([(i, 2) for i in range(8)]))      # txn2: v=2
+    t.overwrite_all(df_of([(i, 3) for i in range(8)]))      # txn3: v=3
+    t.overwrite_all(df_of([(i, 4) for i in range(8)]))      # txn4: v=4
+
+    assert {r.v for r in t.read().collect()} == {4}
+    assert {r.v for r in t.read(at_txn=3).collect()} == {3}
+    assert {r.v for r in t.read(at_txn=2).collect()} == {2}
+    # txn1 fell out of the 2-deep window: dirs gone, read raises
+    with _pt.raises(ValueError, match="not a retained snapshot"):
+        t.read(at_txn=1)
+    m = t.manifest
+    assert [s["txn"] for s in m.history] == [3, 2]
+    # only retained dirs remain on disk
+    import os
+
+    live = set()
+    for b in ("0", "1"):
+        live |= {f"buckets/{b}/{d}" for d in os.listdir(t.path / "buckets" / b)}
+    referenced = set(m.buckets.values())
+    for s in m.history:
+        referenced |= set(s["buckets"].values())
+    assert live == referenced, (live, referenced)
+
+    # a partial write (one bucket replaced) shares the untouched
+    # bucket's dir across snapshots — GC must not delete it while
+    # retained, and the at_txn=4 snapshot stays fully intact
+    part = df_of([(0, 5)])
+    b0 = int(part.select(PART_COL).first()[0])
+    t.overwrite_buckets(part, [b0])  # txn5: bucket b0 now holds ONLY k0
+    assert {r.v for r in t.read(at_txn=4).collect()} == {4}
+    assert t.read(at_txn=4).count() == 8
+    got5 = {r.id: r.v for r in t.read().collect()}
+    assert got5["k0"] == 5
+    # the untouched bucket's keys survive at v=4
+    assert all(v == 4 for k, v in got5.items() if k != "k0")
+
+    # keep_versions=0 table: superseded dirs deleted immediately
+    t0 = ManagedTable(spark, tmp_path / "nott")
+    t0.create(
+        spark.createDataFrame([], "id string, v long").schema,
+        key="id", n_buckets=2,
+    )
+    t0.overwrite_all(df_of([(i, 1) for i in range(4)]))
+    t0.overwrite_all(df_of([(i, 2) for i in range(4)]))
+    for b in ("0", "1"):
+        assert len(os.listdir(t0.path / "buckets" / b)) == 1

@@ -111,6 +111,12 @@ class Manifest:
     # optional (a, b) integer columns to Z-order within each bucket on
     # write — default None keeps pre-existing manifests loading as-is
     zorder: list[str] | None = None
+    # time travel: how many superseded snapshots to retain (0 = GC
+    # immediately, the pre-r7 behavior) and the retained snapshots
+    # themselves, newest first, each {"txn": N, "buckets": {...}}.
+    # Defaults keep pre-existing manifests loading unchanged.
+    keep_versions: int = 0
+    history: list[dict] | None = None
 
     @classmethod
     def load(cls, path: Path) -> "Manifest":
@@ -140,6 +146,7 @@ class ManagedTable:
         key: str,
         n_buckets: int = 16,
         zorder: tuple[str, ...] | None = None,
+        keep_versions: int = 0,
     ) -> None:
         """``zorder=(a, b[, c[, d]])`` declares 2-4 integer columns to
         Morton-sort within every bucket on each write (see
@@ -157,6 +164,8 @@ class ManagedTable:
             buckets={},
             schema_json=schema.json(),
             zorder=list(zorder) if zorder else None,
+            keep_versions=keep_versions,
+            history=[] if keep_versions else None,
         ).save(self.path)
 
     def drop(self) -> None:
@@ -171,10 +180,30 @@ class ManagedTable:
         return T.StructType.fromJson(json.loads(self.manifest.schema_json))
 
     # -- read --------------------------------------------------------------
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self, buckets: list[int] | None = None, at_txn: int | None = None
+    ) -> DataFrame:
         """Current snapshot; ``buckets`` restricts to those hash buckets
-        (path-level pruning — the scan never opens other buckets)."""
+        (path-level pruning — the scan never opens other buckets).
+        ``at_txn`` time-travels to a RETAINED snapshot (the table must
+        have been created with ``keep_versions`` > 0 and the snapshot
+        still within the retention window); reads use the current
+        schema — evolution is additive-only, so older files surface
+        NULLs for later columns."""
         m = self.manifest
+        if at_txn is not None and at_txn != m.txn:
+            for snap in m.history or []:
+                if snap["txn"] == at_txn:
+                    m = Manifest(
+                        key=m.key, n_buckets=m.n_buckets, txn=at_txn,
+                        buckets=snap["buckets"], schema_json=m.schema_json,
+                    )
+                    break
+            else:
+                raise ValueError(
+                    f"txn {at_txn} is not a retained snapshot (retained: "
+                    f"{[s['txn'] for s in m.history or []]} + {m.txn})"
+                )
         sel = m.buckets if buckets is None else {
             str(b): m.buckets[str(b)] for b in buckets if str(b) in m.buckets
         }
@@ -300,6 +329,19 @@ class ManagedTable:
             if str(b) in new_buckets:
                 old_dirs.append(new_buckets[str(b)])
             new_buckets[str(b)] = rel
+        # Retention: the superseded snapshot joins the history, the
+        # oldest entries beyond keep_versions drop out, and GC deletes
+        # only dirs no retained snapshot (nor the new manifest)
+        # references — keep_versions=0 degenerates to immediate GC.
+        keep = getattr(m, "keep_versions", 0) or 0
+        prior = [{"txn": m.txn, "buckets": dict(m.buckets)}] + list(
+            m.history or []
+        )
+        new_history = prior[:keep] if keep else []
+        dropped = prior[keep:] if keep else prior
+        referenced = set(new_buckets.values())
+        for snap in new_history:
+            referenced.update(snap["buckets"].values())
         # Commit = compare-and-swap under the manifest lock: re-verify
         # the planned txn and save atomically, so of two racing writers
         # exactly one commits and the loser rolls back only its own
@@ -319,10 +361,14 @@ class ManagedTable:
                 schema_json=m.schema_json,
                 zorder=m.zorder,  # carried — dropping it would silently
                 # stop Z-sorting on every write after the first
+                keep_versions=keep,
+                history=new_history if keep else m.history,
             ).save(self.path)
         shutil.rmtree(staging, ignore_errors=True)
-        for rel in old_dirs:  # GC superseded versions
-            shutil.rmtree(self.path / rel, ignore_errors=True)
+        for snap in dropped:  # GC dirs beyond the retention window
+            for rel in snap["buckets"].values():
+                if rel not in referenced:
+                    shutil.rmtree(self.path / rel, ignore_errors=True)
 
     def overwrite_all(self, df: DataFrame) -> None:
         m = self.manifest
@@ -428,6 +474,7 @@ class ManagedTable:
         Manifest(
             key=m.key, n_buckets=m.n_buckets, txn=m.txn, buckets=m.buckets,
             schema_json=new_schema.json(), zorder=m.zorder,
+            keep_versions=m.keep_versions, history=m.history,
         ).save(self.path)
         self.overwrite_all(df.select(*new_order, PART_COL))
 
