@@ -2524,6 +2524,16 @@ TRADE_EDGES_SQL = (
 )
 
 
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window document chunking (32 tokens, overlap 8) — the
+    splitter between cleaning and packing in a pretraining/RAG
+    pipeline; map-only, no shuffle, integer boundary arithmetic
+    identical across engines."""
+    return C.chunk_documents(
+        load(spark, sf, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 def q_pareto_lineitems(spark: SparkSession, sf: str) -> DataFrame:
     """2-D Pareto front (skyline) over lineitem maximizing price AND
     quantity — the multi-objective selection primitive. Runs the
@@ -2637,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca_project": q_embed_pca_project,  # rows-only (no SQL eigh)
         "trade_pagerank": q_trade_pagerank,
         "pareto_lineitems": q_pareto_lineitems,
+        "chunk_documents": q_chunk_documents,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -2897,6 +2908,9 @@ def oracle_sql() -> dict[str, str]:
         "trade_pagerank": GR.sql_pagerank(TRADE_EDGES_SQL, iters=3),
         "pareto_lineitems": AN.sql_pareto_front(
             "l_extendedprice", "l_quantity", PARETO_LI_SQL
+        ),
+        "chunk_documents": C.sql_chunk_documents(
+            "documents", chunk_tokens=32, overlap=8
         ),
         "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
         "ann_rp_topk": S.sql_cosine_topk(

@@ -531,3 +531,47 @@ def test_persisted_inverted_index_query_prunes_scan(spark, tmp_path):
     )
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "In(token" in pushed[0], plan
+
+
+def test_persisted_index_empty_term_set(spark, tmp_path):
+    """Zero query terms is an empty result, not an isin() crash."""
+    from webhookdb_spark.operators.corpus import (
+        search_terms_from_index,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "ii_empty")
+    write_inverted_index(docs.limit(50), p, n_shards=2, postings_per_row=16)
+    assert search_terms_from_index(spark, p, ()).count() == 0
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk arithmetic pinned by hand: stride = chunk - overlap, last
+    window clamps (shorter, never empty), short docs yield exactly one
+    chunk, and consecutive chunks share `overlap` tokens."""
+    import pytest as _pt
+
+    from webhookdb_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),   # 10 toks
+            (2, " ".join(f"w{i}" for i in range(4))),    # 4 toks -> 1 chunk
+            (3, "only"),                                  # 1 tok
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk)
+           for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()}
+    # doc1: stride 3 -> ceil((10-1)/3) = 3 chunks: [0:4], [3:7], [6:10]
+    assert out[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert out[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert out[(1, 2)] == (4, "w6 w7 w8 w9")
+    assert (1, 3) not in out
+    assert out[(2, 0)] == (4, "w0 w1 w2 w3")
+    assert out[(3, 0)] == (1, "only")
+    # overlap row: chunk i ends with the token chunk i+1 starts with
+    assert out[(1, 0)][1].split()[-1] == out[(1, 1)][1].split()[0]
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

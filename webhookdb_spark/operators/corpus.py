@@ -695,8 +695,12 @@ def _ii_read_segments(
         seg_df = spark.read.schema(schema).parquet(str(root / seg))
         if tokens is not None:
             # literal pushdown: the per-file (token) sort from the
-            # segment write makes this skip whole files by stats
-            seg_df = seg_df.where(F.col("token").isin(*tokens))
+            # segment write makes this skip whole files by stats.
+            # (isin() with zero args raises — an empty term set means
+            # an empty result, expressed as a foldable false.)
+            seg_df = seg_df.where(
+                F.col("token").isin(*tokens) if tokens else F.lit(False)
+            )
         parts.append(seg_df.withColumn("_seg", F.lit(i)))
     out = parts[0]
     for p in parts[1:]:
@@ -742,8 +746,6 @@ def search_terms_from_index(
     chunk rows (pushed-down isin + per-file token sort), then explodes
     just those postings back to doc ids. countDistinct guards the
     doc-in-one-segment contract rather than assuming it."""
-    import json as _json
-
     from pyspark.sql import types as _T
 
     term_list = tuple(sorted(set(terms)))
@@ -785,8 +787,6 @@ def compact_inverted_index(spark, path: str) -> None:
     cap = meta["postings_per_row"]
     # numeric doc ids must re-chunk in NUMERIC order (the build sorts
     # typed doc_id, not its string form)
-    import json as _j
-
     from pyspark.sql import types as _T
 
     doc_t = _T._parse_datatype_json_string(meta["doc_id_type"])
@@ -812,3 +812,81 @@ def compact_inverted_index(spark, path: str) -> None:
     (root / _II_META).write_text(_json.dumps(meta))
     for s in old:
         _sh.rmtree(root / s, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — the splitter every pretraining / RAG pipeline
+# runs between cleaning and packing: long documents become fixed-size
+# token windows with overlap, short ones pass through whole.
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk): sliding windows of
+    ``chunk_tokens`` whitespace tokens advancing by ``chunk_tokens -
+    overlap``; the final window clamps at the document end (so it may
+    be shorter, never empty), and a doc of <= chunk_tokens tokens
+    yields exactly one chunk. n_chunks = max(1, ceil((n - overlap) /
+    stride)) in INTEGER arithmetic (the floor((a+b-1)/b) form), so
+    both engines cut identical boundaries.
+
+    Shape: one bind of the token array, one explode of n_chunks ints,
+    one slice per chunk — per-row work, no shuffle; at 100 TB this is
+    a map-only pass whose output feeds :func:`sequence packing
+    <webhookdb_spark.operators.sampling.sequence_pack>`."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    b = bind(
+        scale_out(df.select("doc_id", text_col)),
+        "_t",
+        F.split(F.trim(F.col(text_col)), WS),
+    )
+    n = F.size("_t")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap) + F.lit(stride) - 1) / F.lit(stride)),
+    ).cast("int")
+    b = b.select(
+        "doc_id", "_t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("_t"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return b.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+
+
+def sql_chunk_documents(
+    table: str = "documents",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` — same integer boundary
+    arithmetic, same clamped list slice."""
+    stride = chunk_tokens - overlap
+    t = SQL_TOKENS.format(c="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {t} AS tk FROM {table}
+    ), nc AS (
+      SELECT doc_id, tk,
+             greatest(1, CAST(floor((len(tk) - {overlap} + {stride} - 1)
+                              / {stride}) AS INTEGER)) AS n_chunks
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, tk, CAST(unnest(range(n_chunks)) AS INTEGER) AS chunk_id
+      FROM nc
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(tk[(chunk_id * {stride} + 1):(chunk_id * {stride} + {chunk_tokens})]) AS INTEGER) AS n_tokens,
+           array_to_string(tk[(chunk_id * {stride} + 1):(chunk_id * {stride} + {chunk_tokens})], ' ') AS chunk
+    FROM ex
+    """
