@@ -2524,6 +2524,14 @@ TRADE_EDGES_SQL = (
 )
 
 
+def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic text canonicalization (defined accent table +
+    ASCII lowercase + punctuation/whitespace collapse) — the pass that
+    makes exact dedup catch case/punctuation variants. One projection,
+    no UDF, byte-reproducible across engines."""
+    return X.normalize_text(load(spark, sf, "documents"))
+
+
 def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding-window document chunking (32 tokens, overlap 8) — the
     splitter between cleaning and packing in a pretraining/RAG
@@ -2648,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_pagerank": q_trade_pagerank,
         "pareto_lineitems": q_pareto_lineitems,
         "chunk_documents": q_chunk_documents,
+        "normalize_text": q_normalize_text,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -2912,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": C.sql_chunk_documents(
             "documents", chunk_tokens=32, overlap=8
         ),
+        "normalize_text": X.sql_normalize_text(),
         "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
         "ann_rp_topk": S.sql_cosine_topk(
             "(" + S.sql_rp_project("embeddings", 16, 64) + ")",

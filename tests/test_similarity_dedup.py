@@ -946,3 +946,35 @@ def test_pca_recovers_planted_structure_and_freezes(spark, tmp_path):
     # expression-only projection plan
     plan = pca_project(df, model)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_normalize_then_dedup_catches_variants(spark):
+    """Normalization makes exact dedup catch case/accent/punctuation
+    variants that raw exact dedup misses — the composition it exists
+    for — and agrees byte-for-byte with the DuckDB twin."""
+    import duckdb
+
+    from webhookdb_spark.operators.text import (
+        normalize_text,
+        sql_normalize_text,
+    )
+
+    rows = [
+        (1, "The quick—brown FOX!"),
+        (2, "  the QUICK  brown fox "),
+        (3, "Thé qüick brown fôx"),
+        (4, "an entirely different document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = normalize_text(df)
+    groups = norm.groupBy("norm").count().collect()
+    by_n = {r.norm: r["count"] for r in groups}
+    assert by_n["the quick brown fox"] == 3
+    assert by_n["an entirely different document"] == 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(con.execute(
+        "SELECT doc_id, norm FROM (" + sql_normalize_text("t") + ")").fetchall())
+    got = sorted((r.doc_id, r.norm) for r in norm.collect())
+    assert got == want

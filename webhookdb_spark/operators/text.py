@@ -806,3 +806,39 @@ def sql_lm_familiarity(
     FROM scored
     GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the canonicalization pass before exact/near
+# dedup: two raw texts that differ only in case, accents (a defined
+# Latin-1 table), punctuation spacing, or whitespace runs normalize to
+# the same bytes, so exact dedup after normalize catches what raw
+# exact dedup misses. Defined as an explicit character table + regex
+# pipeline (NOT locale/unicode-library dependent), which is what makes
+# it byte-reproducible across engines and releases.
+# ---------------------------------------------------------------------------
+
+_ACCENTS_SRC = "ÀÁÂÃÄÅàáâãäåÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÕÖòóôõöÙÚÛÜùúûüÇçÑñÝýÿ"
+_ACCENTS_DST = "AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOoooooUUUUuuuuCcNnYyy"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, norm): lowercase (ASCII), strip the defined Latin-1
+    accent table, replace every non-alphanumeric run with one space,
+    trim. One projection — no UDF, no shuffle; composes with
+    dedup_exact so case/punctuation variants collapse."""
+    c = F.col(text_col)
+    c = F.translate(c, _ACCENTS_SRC, _ACCENTS_DST)
+    c = ascii_lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    c = F.trim(c)
+    return df.select("doc_id", c.alias("norm"))
+
+
+def sql_normalize_text(table: str = "documents") -> str:
+    """DuckDB twin of :func:`normalize_text` — same table, same regex,
+    same order of operations."""
+    c = f"translate(text, '{_ACCENTS_SRC}', '{_ACCENTS_DST}')"
+    c = SQL_ASCII_LOWER.format(c=c)
+    c = f"trim(regexp_replace({c}, '[^a-z0-9]+', ' ', 'g'))"
+    return f"SELECT doc_id, {c} AS norm FROM {table}"
