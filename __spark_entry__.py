@@ -2524,6 +2524,19 @@ TRADE_EDGES_SQL = (
 )
 
 
+def q_fuzzy_link_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy record linkage (entity resolution): customer-name
+    pairs within edit distance 1, candidates from a (suffix, length
+    band) blocking join — the distance runs only inside blocks, never
+    over the cross product. levenshtein is integer-exact in both
+    engines, so the oracle is a full value-hash match including the
+    blocking's documented recall contract."""
+    cust = load(spark, sf, "customer")
+    return J.fuzzy_link(
+        cust, cust, "c_custkey", "c_custkey", "c_name", "c_name", max_dist=1
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic text canonicalization (defined accent table +
     ASCII lowercase + punctuation/whitespace collapse) — the pass that
@@ -2657,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_lineitems": q_pareto_lineitems,
         "chunk_documents": q_chunk_documents,
         "normalize_text": q_normalize_text,
+        "fuzzy_link_customers": q_fuzzy_link_customers,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -2922,6 +2936,10 @@ def oracle_sql() -> dict[str, str]:
             "documents", chunk_tokens=32, overlap=8
         ),
         "normalize_text": X.sql_normalize_text(),
+        "fuzzy_link_customers": J.sql_fuzzy_link(
+            "customer", "customer", "c_custkey", "c_custkey",
+            "c_name", "c_name", 1,
+        ),
         "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
         "ann_rp_topk": S.sql_cosine_topk(
             "(" + S.sql_rp_project("embeddings", 16, 64) + ")",

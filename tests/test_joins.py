@@ -287,3 +287,36 @@ def test_asof_nearest_subsecond_distances(spark):
         right_cols=("event_id", "value"), direction="nearest",
     ).collect()[0]
     assert out2.event_id_r == 93
+
+
+def test_fuzzy_link_blocking_semantics(spark):
+    """Blocked edit-distance linkage: matches within the threshold that
+    share a block are found; matches whose edits touch the block
+    suffix are missed (the documented recall contract); short strings
+    block on their whole text; the plan is an equi-join, never a
+    cross product."""
+    from webhookdb_spark.operators.joins import fuzzy_link
+
+    left = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "ab"), (3, "acme corp ltd")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "jonathon smith"),   # 1 edit, mid-string -> found
+            (11, "jonathan smitX"),   # 1 edit IN the suffix -> missed
+            (12, "ab"),               # exact short-string match
+            (13, "acme corpX ltd"),   # 1 edit, suffix shared -> found
+            (14, "zzzzzzzzzzzzzz"),
+        ],
+        "id long, name string",
+    )
+    got = {(r.left_id, r.right_id): r.dist for r in fuzzy_link(
+        left, right, "id", "id", "name", "name", max_dist=1
+    ).collect()}
+    assert got == {(1, 10): 1, (2, 12): 0, (3, 13): 1}
+
+    plan = fuzzy_link(
+        left, right, "id", "id", "name", "name", max_dist=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -415,3 +415,124 @@ def sql_interval_overlap_events(
     FROM a JOIN b ON a.user_id = b.user_id
      AND a.start_ts < b.end_ts AND b.start_ts < a.end_ts
     """
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage — blocked edit-distance matching (entity
+# resolution): find cross-table (or self) pairs whose key strings are
+# within an edit-distance threshold, WITHOUT the all-pairs cross join.
+# Reference surface: the reference's users hand-write fuzzy matching
+# in SQL over replicated tables (organization.rb:146-164); Spark and
+# DuckDB both ship exact integer levenshtein, which is what makes the
+# operator value-hash oracle-able.
+# ---------------------------------------------------------------------------
+
+def fuzzy_link(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    text_col_left: str,
+    text_col_right: str,
+    max_dist: int = 1,
+    block_chars: int = 3,
+):
+    """(left_id, right_id, dist): pairs whose strings match within
+    ``max_dist`` edits, candidates generated by BLOCKING — an
+    equi-join on (suffix of ``block_chars`` chars, length band) — so
+    the expensive distance runs only inside blocks, never over the
+    cross product. Recall contract (documented, inherent to suffix
+    blocking): pairs whose edit difference touches the block suffix
+    are missed; production linkage runs several blocking passes
+    (prefix, suffix, sorted-ngram) and unions them — each pass is this
+    same operator with a different ``_block`` expression. Self-links
+    (same id) are excluded; for self-joins pass the same DF twice and
+    dedupe (a < b) downstream.
+
+    At 100 TB: the join shuffles on the block key; hot blocks are
+    bounded by suffix cardinality x length band — salt the block key
+    like operators/skew.py if a suffix degenerates."""
+    from pyspark.sql import functions as F
+
+    def keyed(df, idc, tc, side):
+        c = F.col(tc)
+        # suffix block, whole string when shorter than the block (the
+        # positive-index form — negative substring starts behave
+        # differently for short strings across engines)
+        blk = F.when(
+            F.length(c) >= block_chars,
+            F.substring(c, -block_chars, block_chars),
+        ).otherwise(c)
+        return df.select(
+            F.col(idc).alias(f"{side}_id"),
+            c.alias(f"{side}_text"),
+            blk.alias("_blk"),
+            # length band: |len(a) - len(b)| <= max_dist is necessary
+            # for dist <= max_dist, so band id = len div (max_dist+1)
+            # puts every admissible pair in same-or-adjacent bands;
+            # the left side explodes its band +-1 to cover both
+            F.length(c).alias("_len"),
+        )
+
+    lt = keyed(left, left_key, text_col_left, "left")
+    rt = keyed(right, right_key, text_col_right, "right")
+    band = max_dist + 1
+    lt = lt.select(
+        "*", F.explode(F.array(
+            (F.col("_len") / band).cast("int"),
+            (F.col("_len") / band).cast("int") + 1,
+            (F.col("_len") / band).cast("int") - 1,
+        )).alias("_band"),
+    )
+    rt = rt.withColumn("_band", (F.col("_len") / band).cast("int"))
+    pairs = (
+        lt.join(rt, ["_blk", "_band"])
+        .where(F.col("left_id") != F.col("right_id"))
+        .select(
+            "left_id", "right_id",
+            F.levenshtein(F.col("left_text"), F.col("right_text")).alias("dist"),
+        )
+        # dist <= max_dist implies the length-band admissibility, so no
+        # separate length filter is needed for the RESULT; the bands
+        # only bound which candidates are scored
+        .where(F.col("dist") <= max_dist)
+        .distinct()
+    )
+    return pairs
+
+
+def sql_fuzzy_link(
+    left_sql: str,
+    right_sql: str,
+    left_key: str,
+    right_key: str,
+    text_col_left: str,
+    text_col_right: str,
+    max_dist: int = 1,
+    block_chars: int = 3,
+) -> str:
+    """DuckDB twin of :func:`fuzzy_link` — the same blocking join and
+    the same exact integer levenshtein (NOT the brute cross join: the
+    oracle must reproduce the operator's recall contract exactly,
+    misses included)."""
+    return f"""
+    WITH lt AS (
+      SELECT {left_key} AS left_id, {text_col_left} AS left_text,
+             CASE WHEN len({text_col_left}) >= {block_chars}
+                  THEN substring({text_col_left}, len({text_col_left}) - {block_chars} + 1, {block_chars})
+                  ELSE {text_col_left} END AS _blk
+      FROM {left_sql}
+    ), rt AS (
+      SELECT {right_key} AS right_id, {text_col_right} AS right_text,
+             CASE WHEN len({text_col_right}) >= {block_chars}
+                  THEN substring({text_col_right}, len({text_col_right}) - {block_chars} + 1, {block_chars})
+                  ELSE {text_col_right} END AS _blk
+      FROM {right_sql}
+    )
+    SELECT DISTINCT left_id, right_id,
+           CAST(levenshtein(left_text, right_text) AS INTEGER) AS dist
+    FROM lt JOIN rt USING (_blk)
+    WHERE left_id != right_id
+      AND abs(len(left_text) - len(right_text)) <= {max_dist}
+      AND levenshtein(left_text, right_text) <= {max_dist}
+    """
