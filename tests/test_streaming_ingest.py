@@ -471,3 +471,84 @@ def test_stream_changes_delivers_each_txn_exactly_once(spark, tmp_path):
     # ONLY txn2's rows — txn1 is behind the checkpoint
     assert [(m, a) for m, a, _ in second] == [("k1", "update"), ("k3", "insert")]
     assert all(tx == t1 + 1 for _, _, tx in second)
+
+
+def test_dependent_table_maintained_from_change_stream(spark, tmp_path):
+    """The streaming dependency DAG (service_integration.rb:75-77 /
+    base.rb:814-818 re-expressed Spark-first): a CHILD table is
+    maintained by a checkpointed streaming consumer of the parent's
+    change feed — each micro-batch MERGEs the parent's post-images
+    into the child (here a projection), so child state converges to
+    the parent across arbitrary batch boundaries and restarts, with
+    no rescans of the parent table."""
+    import json
+
+    from webhookdb_spark.operators.upsert import (
+        merge_upsert,
+        stream_changes,
+        upsert_envelopes,
+    )
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.storage import Warehouse
+    from webhookdb_spark.types import ColumnType
+
+    def env(items):
+        return spark.createDataFrame(
+            [("fake_v1", json.dumps(it), None) for it in items],
+            "opaque_id string, body string, received_at timestamp",
+        )
+
+    wh = Warehouse(spark, tmp_path / "wh")
+    parent = wh.table("org", "fake_v1")
+    child = wh.table("org", "fake_child")
+    child_spec = ReplicatorSpec(
+        name="fake_child", table="fake_child",
+        remote_key=Col("my_id", ColumnType.TEXT),
+        denorm_cols=(Col("at", ColumnType.TIMESTAMP),),
+        timestamp_col="at",
+        update_where=lambda s, t: t("at") < s("at"),
+        n_buckets=4,
+    )
+    child.create(child_spec.schema(), key="my_id", n_buckets=4)
+
+    def maintain(batch, _bid):
+        from pyspark.sql import functions as F
+
+        shaped = batch.select(
+            "my_id", "at", F.col("data"),
+            F.current_timestamp().alias("_received_at"),
+        )
+        merge_upsert(child, shaped, child_spec, capture_changes=False)
+
+    ckpt = str(tmp_path / "child_ckpt")
+
+    def run_once():
+        q = (
+            stream_changes(parent)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    upsert_envelopes(parent, env([
+        {"my_id": f"k{i}", "at": "2024-01-01T00:00:00Z"} for i in range(6)
+    ]), FAKE_V1)
+    run_once()
+    assert sorted(r.my_id for r in child.read().collect()) == [
+        f"k{i}" for i in range(6)
+    ]
+
+    # parent updates + a stale write; child converges, stale ignored
+    upsert_envelopes(parent, env([
+        {"my_id": "k0", "at": "2024-01-05T00:00:00Z"},
+        {"my_id": "k6", "at": "2024-01-01T00:00:00Z"},
+    ]), FAKE_V1)
+    run_once()
+    got = {r.my_id: str(r.at) for r in child.read().collect()}
+    assert len(got) == 7 and got["k0"].startswith("2024-01-05")
+    # replaying the stream (same checkpoint) is a no-op
+    run_once()
+    assert child.read().count() == 7
