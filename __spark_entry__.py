@@ -2524,6 +2524,17 @@ TRADE_EDGES_SQL = (
 )
 
 
+PHRASE = ("key", "agg")
+
+
+def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional phrase retrieval: docs containing the exact adjacent
+    token sequence, via k-1 doc-keyed adjacency joins over the
+    isin-pre-shrunk (doc, token, pos) stream — what conjunctive
+    count-matching can't express."""
+    return C.phrase_search(load(spark, sf, "documents"), PHRASE)
+
+
 def q_fuzzy_link_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked fuzzy record linkage (entity resolution): customer-name
     pairs within edit distance 1, candidates from a (suffix, length
@@ -2671,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "normalize_text": q_normalize_text,
         "fuzzy_link_customers": q_fuzzy_link_customers,
+        "phrase_search": q_phrase_search,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -2940,6 +2952,7 @@ def oracle_sql() -> dict[str, str]:
             "customer", "customer", "c_custkey", "c_custkey",
             "c_name", "c_name", 1,
         ),
+        "phrase_search": C.sql_phrase_search(PHRASE),
         "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
         "ann_rp_topk": S.sql_cosine_topk(
             "(" + S.sql_rp_project("embeddings", 16, 64) + ")",

@@ -575,3 +575,41 @@ def test_chunk_documents_boundaries(spark):
     assert out[(1, 0)][1].split()[-1] == out[(1, 1)][1].split()[0]
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_phrase_search_adjacency_and_repeats(spark):
+    """Phrase semantics pinned by hand: terms must be ADJACENT and in
+    order; overlapping occurrences each count; repeated-term phrases
+    match self-overlapping runs; conjunctive-but-not-adjacent docs
+    are excluded."""
+    import duckdb
+
+    from webhookdb_spark.operators.corpus import (
+        phrase_search,
+        sql_phrase_search,
+    )
+
+    rows = [
+        (1, "big data pipeline big data lake"),   # "big data" x2
+        (2, "data big pipeline"),                 # both terms, wrong order
+        (3, "big shiny data"),                    # not adjacent
+        (4, "la la la land"),                     # repeated-term phrase
+        (5, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_occurrences
+           for r in phrase_search(df, ("big", "data")).collect()}
+    assert got == {1: 2}
+    rep = {r.doc_id: r.n_occurrences
+           for r in phrase_search(df, ("la", "la")).collect()}
+    assert rep == {4: 2}  # positions (0,1) and (1,2)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for ph in (("big", "data"), ("la", "la"), ("la", "la", "la")):
+        want = sorted(con.execute(
+            "SELECT doc_id, n_occurrences FROM ("
+            + sql_phrase_search(ph, "t") + ")").fetchall())
+        have = sorted((r.doc_id, r.n_occurrences)
+                      for r in phrase_search(df, ph).collect())
+        assert have == want, ph

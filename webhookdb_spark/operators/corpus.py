@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from webhookdb_spark.operators.text import SQL_TOKENS, WS
-from webhookdb_spark.operators.util import bind, scale_out, sql_str_list
+from webhookdb_spark.operators.util import bind, scale_out, sql_str_list, sql_str_lit
 
 DEFAULT_LANGS = ("en", "de", "fr", "es")
 DEFAULT_BLOCKED_SOURCES = ("src13", "src17")
@@ -889,4 +889,75 @@ def sql_chunk_documents(
            CAST(len(tk[(chunk_id * {stride} + 1):(chunk_id * {stride} + {chunk_tokens})]) AS INTEGER) AS n_tokens,
            array_to_string(tk[(chunk_id * {stride} + 1):(chunk_id * {stride} + {chunk_tokens})], ' ') AS chunk
     FROM ex
+    """
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: tuple[str, ...],
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_occurrences): documents containing the EXACT token
+    phrase (terms adjacent, in order) — what conjunctive count-matching
+    (:func:`search_all_terms`) cannot express. Distributed shape: the
+    (doc, token, pos) stream is pre-shrunk by the literal ``isin`` to
+    the phrase's terms ONLY (map-side; at most |phrase| rows per doc
+    position), then each consecutive term pair joins on (doc_id,
+    position+1) — k-1 co-partitioned equi-joins on doc-keyed keys,
+    never a per-doc array rebuild."""
+    terms = list(phrase)
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    toks = F.split(F.trim(F.col(text_col)), WS)
+    hits = (
+        bind(scale_out(df.select("doc_id", text_col)), "_t", toks)
+        .select("doc_id", F.posexplode("_t").alias("pos", "token"))
+        .where(F.col("token").isin(*sorted(set(terms))))
+    )
+    cur = (
+        hits.where(F.col("token") == terms[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = hits.where(F.col("token") == term).select(
+            "doc_id", (F.col("pos") - i).alias(f"_m{i}")
+        )
+        cur = cur.join(
+            nxt,
+            (cur.doc_id == nxt.doc_id) & (F.col("p0") == F.col(f"_m{i}")),
+        ).select(cur.doc_id, "p0")
+    return cur.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_occurrences")
+    )
+
+
+def sql_phrase_search(
+    phrase: tuple[str, ...],
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`phrase_search` — same positional
+    adjacency joins."""
+    terms = list(phrase)
+    t = SQL_TOKENS.format(c="text")
+    term_set = sql_str_list(sorted(set(terms)))
+    joins = []
+    for i, term in enumerate(terms[1:], start=1):
+        joins.append(
+            f"JOIN hits h{i} ON h{i}.doc_id = h0.doc_id"
+            f" AND h{i}.token = {sql_str_lit(terms[i])}"
+            f" AND h{i}.pos = h0.pos + {i}"
+        )
+    return f"""
+    WITH p AS (
+      SELECT doc_id, unnest({t}) AS token,
+             generate_subscripts({t}, 1) - 1 AS pos
+      FROM {table}
+    ), hits AS (
+      SELECT * FROM p WHERE token IN ({term_set})
+    )
+    SELECT h0.doc_id, CAST(count(*) AS INTEGER) AS n_occurrences
+    FROM (SELECT doc_id, pos FROM hits
+          WHERE token = {sql_str_lit(terms[0])}) h0
+    {" ".join(joins)}
+    GROUP BY h0.doc_id
     """
