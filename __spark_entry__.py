@@ -2524,6 +2524,21 @@ TRADE_EDGES_SQL = (
 )
 
 
+def q_kmv_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable KMV cardinality: sketch state built from THREE
+    separate batches and folded with kmv_merge, then estimated — must
+    equal the one-shot sketch exactly (k smallest of a union is the k
+    smallest of the parts' k-smallest sets), so the incremental path
+    shares the one-shot SQL oracle."""
+    docs = load(spark, sf, "documents")
+    k = 64
+    st = None
+    for m in range(3):
+        b = SK.kmv_state(docs.where(f"doc_id % 3 = {m}"), "lang", "text", k)
+        st = b if st is None else SK.kmv_merge(st, b, k)
+    return SK.kmv_estimate_from_state(st, k)
+
+
 PHRASE = ("key", "agg")
 
 
@@ -2683,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "fuzzy_link_customers": q_fuzzy_link_customers,
         "phrase_search": q_phrase_search,
+        "kmv_incremental": q_kmv_incremental,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -2953,6 +2969,8 @@ def oracle_sql() -> dict[str, str]:
             "c_name", "c_name", 1,
         ),
         "phrase_search": C.sql_phrase_search(PHRASE),
+        # incremental == one-shot, so the one-shot twin IS the oracle
+        "kmv_incremental": SK.sql_kmv_distinct(),
         "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
         "ann_rp_topk": S.sql_cosine_topk(
             "(" + S.sql_rp_project("embeddings", 16, 64) + ")",

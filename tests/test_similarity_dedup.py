@@ -978,3 +978,45 @@ def test_normalize_then_dedup_catches_variants(spark):
         "SELECT doc_id, norm FROM (" + sql_normalize_text("t") + ")").fetchall())
     got = sorted((r.doc_id, r.norm) for r in norm.collect())
     assert got == want
+
+
+def test_kmv_incremental_merge_equals_one_shot(spark):
+    """Mergeable KMV: state built from N batches and folded with
+    kmv_merge must EQUAL the one-shot sketch over the union — arrays
+    identical, estimates identical (k smallest of a union is the k
+    smallest of the parts' k-smallest sets) — including groups present
+    in only one batch."""
+    from webhookdb_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_estimate_from_state,
+        kmv_merge,
+        kmv_state,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.where("doc_id % 3 = 0")
+    b2 = docs.where("doc_id % 3 = 1")
+    b3 = docs.where("doc_id % 3 = 2")
+    k = 32
+    grown = kmv_merge(
+        kmv_merge(kmv_state(b1, "lang", "text", k),
+                  kmv_state(b2, "lang", "text", k), k),
+        kmv_state(b3, "lang", "text", k), k,
+    )
+    oneshot = kmv_state(docs, "lang", "text", k)
+    g = {r.lang: list(r.hs) for r in grown.collect()}
+    o = {r.lang: list(r.hs) for r in oneshot.collect()}
+    assert g == o
+    est_g = sorted(map(tuple, kmv_estimate_from_state(grown, k).collect()))
+    est_d = sorted(map(tuple, kmv_distinct(docs, "lang", "text", k).collect()))
+    assert est_g == est_d
+
+    # a batch introducing a brand-new group folds in via the outer join
+    extra = spark.createDataFrame(
+        [(9001, "zz", "unique text")], "doc_id long, lang string, text string"
+    )
+    folded = kmv_merge(grown, kmv_state(extra, "lang", "text", k), k)
+    got = {r.lang: (r.est_distinct, r.exact_k)
+           for r in kmv_estimate_from_state(folded, k).collect()}
+    assert got["zz"] == (1, True)
+    assert set(g) < set(got)

@@ -223,3 +223,74 @@ def sql_countmin_estimate(
     FROM p LEFT JOIN sk ON p.row = sk.row AND p.bucket = sk.bucket
     GROUP BY p.value
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental KMV — the sketch as MERGEABLE STATE: persist per-group
+# k-minimum hash arrays, fold new batches in without rescanning old
+# data, estimate at any point. merge(union) == one-shot build EXACTLY
+# (k smallest of a union = k smallest of the two k-smallest sets), so
+# the incremental path carries the same value-hash oracle as the
+# one-shot sketch.
+# ---------------------------------------------------------------------------
+
+def kmv_state(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """(group, hs): per-group sorted array of the k smallest distinct
+    value hashes — the sketch state (<= k longs per group, the bounded
+    footprint that makes a 100 TB cardinality audit shippable)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    hashes = df.select(F.col(group_col), h.alias("_h")).distinct()
+    w = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(group_col)
+        .agg(F.sort_array(F.collect_list("_h")).alias("hs"))
+    )
+
+
+def kmv_merge(state_a: DataFrame, state_b: DataFrame, k: int = 64) -> DataFrame:
+    """Fold two sketch states: per group, the k smallest of the union
+    of hash sets — pure array arithmetic on <= 2k elements per group,
+    one co-partitioned outer join, no raw data touched."""
+    group = [c for c in state_a.columns if c != "hs"][0]
+    a = state_a.select(group, F.col("hs").alias("_a"))
+    b = state_b.select(group, F.col("hs").alias("_b"))
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce(F.col("_a"), F.array()),
+                    F.coalesce(F.col("_b"), F.array()),
+                )
+            )
+        ),
+        1, k,
+    )
+    return a.join(b, group, "full_outer").select(
+        group, merged.alias("hs")
+    )
+
+
+def kmv_estimate_from_state(state: DataFrame, k: int = 64) -> DataFrame:
+    """(group, est_distinct, exact_k) from sketch state — identical
+    estimator (and therefore identical oracle) to :func:`kmv_distinct`."""
+    group = [c for c in state.columns if c != "hs"][0]
+    n = F.size("hs")
+    return state.select(
+        F.col(group),
+        F.when(n < k, n.cast("long"))
+        .otherwise(
+            F.expr(f"({k} - 1) * {_M}L div element_at(hs, -1)")
+        )
+        .cast("long")
+        .alias("est_distinct"),
+        (n < k).alias("exact_k"),
+    )
