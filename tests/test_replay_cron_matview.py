@@ -200,3 +200,41 @@ def test_retrieval_reachable_from_readonly_sql_surface(spark):
         run_readonly_sql(spark, "DROP VIEW docs_search")
     with pytest.raises(QueryNotAllowed):
         create_retrieval_view(spark, "bad;name", "docs_rv", terms=("x",))
+
+
+def test_plan_cost_guardrail_blocks_cartesian(spark):
+    """The multi-tenant liveness guard: predicate-less table pairings
+    are rejected at PLAN time (CartesianProduct or a Cross-typed
+    broadcast pairing); keyed joins, non-equi joins with predicates,
+    and ordinary selects pass."""
+    import pytest as _pt
+
+    from webhookdb_spark.plans.query_surface import (
+        QueryTooExpensive,
+        validate_plan_cost,
+    )
+
+    a = spark.range(100000).selectExpr("id AS a_id", "id % 7 AS a_k")
+    b = spark.range(100000).selectExpr("id AS b_id", "id % 7 AS b_k")
+    a.createOrReplaceTempView("guard_a")
+    b.createOrReplaceTempView("guard_b")
+
+    with _pt.raises(QueryTooExpensive):
+        validate_plan_cost(spark, "SELECT * FROM guard_a, guard_b")
+    with _pt.raises(QueryTooExpensive):
+        validate_plan_cost(
+            spark, "SELECT * FROM guard_a CROSS JOIN guard_b"
+        )
+    # fine: keyed join, plain select, non-equi join WITH a predicate
+    validate_plan_cost(
+        spark, "SELECT * FROM guard_a JOIN guard_b ON a_k = b_k"
+    )
+    validate_plan_cost(spark, "SELECT count(*) FROM guard_a")
+    validate_plan_cost(
+        spark,
+        "SELECT * FROM guard_a JOIN guard_b ON a_id < b_k",
+    )
+    # escape hatch for admin surfaces
+    validate_plan_cost(
+        spark, "SELECT * FROM guard_a, guard_b", allow_cartesian=True
+    )

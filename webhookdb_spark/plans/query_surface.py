@@ -230,3 +230,47 @@ class MaterializedViews:
 
     def names(self) -> list[str]:
         return sorted(self._sql)
+
+
+# -- plan guardrails --------------------------------------------------------
+
+class QueryTooExpensive(QueryNotAllowed):
+    """The validated SQL compiled to a plan that multi-tenant surfaces
+    must not run (unbounded cartesian pairing)."""
+
+
+def validate_plan_cost(
+    spark: SparkSession, sql: str, allow_cartesian: bool = False
+) -> None:
+    """Reject user SQL whose OPTIMIZED plan contains an unbounded
+    cartesian pairing (CartesianProduct, or a BroadcastNestedLoopJoin
+    with a non-equi/absent condition). Read-only validation keeps the
+    surface safe; this keeps it LIVE — on a shared cluster one
+    accidental `FROM a, b` without a join predicate pairs two fact
+    tables and starves every tenant. Runs at plan time (no execution);
+    broadcast NLJ against sub-threshold dims survives AQE only when
+    Catalyst already proved one side tiny, so genuine small-dim
+    queries still pass once written with predicates."""
+    validate_readonly(sql)
+    with _no_sql_on_files(spark):
+        df = spark.sql(sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if allow_cartesian:
+        return
+    if "CartesianProduct" in plan:
+        raise QueryTooExpensive(
+            "query compiles to a CartesianProduct; add a join predicate"
+        )
+    for line in plan.splitlines():
+        # a predicate-less `FROM a, b` that Catalyst broadcast-paired
+        # renders as "BroadcastNestedLoopJoin BuildX, Inner|Cross" with
+        # NO trailing condition; genuine non-equi joins carry one
+        # ("..., Inner, (a < b)") and pass
+        if re.search(
+            r"BroadcastNestedLoopJoin Build(Left|Right), (Inner|Cross)\s*$",
+            line,
+        ):
+            raise QueryTooExpensive(
+                "query compiles to an unconditioned cross pairing; "
+                "add a join predicate"
+            )
