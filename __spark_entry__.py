@@ -2524,6 +2524,17 @@ TRADE_EDGES_SQL = (
 )
 
 
+def q_parts_bought_together(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket affinity: top-20 part pairs co-occurring in
+    orders, with integer-exact confidence. The pair stream is a
+    basket-keyed self-join (co-partitioned; never all-pairs), counting
+    is map-side-combinable, supports broadcast back."""
+    return AN.co_occurrence(
+        load(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+        k=20, min_support=2,
+    )
+
+
 def q_kmv_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable KMV cardinality: sketch state built from THREE
     separate batches and folded with kmv_merge, then estimated — must
@@ -2699,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_link_customers": q_fuzzy_link_customers,
         "phrase_search": q_phrase_search,
         "kmv_incremental": q_kmv_incremental,
+        "parts_bought_together": q_parts_bought_together,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -2971,6 +2983,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": C.sql_phrase_search(PHRASE),
         # incremental == one-shot, so the one-shot twin IS the oracle
         "kmv_incremental": SK.sql_kmv_distinct(),
+        "parts_bought_together": AN.sql_co_occurrence(
+            "l_orderkey", "l_partkey", "lineitem", 20, 2
+        ),
         "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
         "ann_rp_topk": S.sql_cosine_topk(
             "(" + S.sql_rp_project("embeddings", 16, 64) + ")",

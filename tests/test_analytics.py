@@ -195,3 +195,27 @@ def test_pareto_front_plan_has_no_global_window_or_cartesian(spark):
         sql_pareto_front("x", "y", "t")).fetchall())
     got = sorted(r.id for r in out.collect())
     assert got == want
+
+
+def test_co_occurrence_pairs_and_confidence(spark):
+    """Hand case: pair counting over baskets, duplicate items within a
+    basket count once, confidence is exact integer ppm, top-k
+    tie-break deterministic."""
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "b"),   # duplicate b collapses
+        (4, "c"), (4, "d"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    from webhookdb_spark.operators.analytics import co_occurrence
+
+    got = {(r.item_a, r.item_b): (r.n_baskets, r.confidence_ppm)
+           for r in co_occurrence(df, "basket", "item",
+                                  k=10, min_support=1).collect()}
+    # (a,b) in baskets 1,2,3; support(a)=3 -> confidence 1.0
+    assert got[("a", "b")] == (3, 1_000_000)
+    # (a,c) only basket 1; support(a)=3 -> 333333 (floor)
+    assert got[("a", "c")] == (1, 333_333)
+    assert got[("c", "d")] == (1, 500_000)
+    assert ("b", "a") not in got  # ordered pairs only

@@ -442,3 +442,80 @@ def sql_pareto_front(
           AND (s.{x_col} > r.{x_col} OR s.{y_col} > r.{y_col})
       )
     """
+
+
+def co_occurrence(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 20,
+    min_support: int = 2,
+) -> DataFrame:
+    """(item_a, item_b, n_baskets, confidence_ppm): top-k most frequent
+    item PAIRS across baskets (market-basket affinity), with
+    ``confidence_ppm = support(a,b) * 1e6 div support(a)`` in integer
+    arithmetic (exact, oracle-hashable — float ratios would drift).
+
+    Distributed shape: the pair stream is a SELF-JOIN ON THE BASKET
+    KEY (co-partitioned — one shuffle each side, never an all-pairs
+    cross); ``item_a < item_b`` halves the stream; pair counting is a
+    map-side-combinable aggregate on (a, b); per-item supports join
+    back broadcast (distinct items are dimension-sized next to the
+    pair stream). A basket with B items emits B(B-1)/2 pairs — bound B
+    upstream for degenerate baskets (carts, not crawls)."""
+    s = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    a = s.select("basket", F.col("item").alias("item_a"))
+    b = s.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_support)
+    )
+    support = s.groupBy("item").agg(F.count("*").cast("long").alias("sup"))
+    out = (
+        pairs.join(
+            F.broadcast(support.withColumnRenamed("item", "item_a")), "item_a"
+        )
+        .select(
+            "item_a", "item_b", "n_baskets",
+            F.expr("n_baskets * 1000000L div sup").alias("confidence_ppm"),
+        )
+    )
+    top = out.orderBy(
+        F.col("n_baskets").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(k)
+    return top
+
+
+def sql_co_occurrence(
+    basket_col: str,
+    item_col: str,
+    table: str,
+    k: int = 20,
+    min_support: int = 2,
+) -> str:
+    """DuckDB twin of :func:`co_occurrence` — same integer confidence,
+    same deterministic top-k tie-break."""
+    return f"""
+    WITH s AS (
+      SELECT DISTINCT {basket_col} AS basket, {item_col} AS item FROM {table}
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_baskets
+      FROM s a JOIN s b USING (basket)
+      WHERE a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING count(*) >= {min_support}
+    ), sup AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS sup FROM s GROUP BY item
+    )
+    SELECT item_a, item_b, n_baskets,
+           CAST(n_baskets * 1000000 // sup AS BIGINT) AS confidence_ppm
+    FROM pairs JOIN sup ON pairs.item_a = sup.item
+    ORDER BY n_baskets DESC, item_a ASC, item_b ASC
+    LIMIT {k}
+    """
