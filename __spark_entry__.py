@@ -2524,6 +2524,25 @@ TRADE_EDGES_SQL = (
 )
 
 
+EXPECTATION_RULES = [
+    ("not_null", "o_custkey"),
+    ("unique", "o_orderkey"),
+    ("in_set", "o_orderstatus", ("O", "F", "P")),
+    ("between", "o_totalprice", 0, 1000000),
+    ("non_negative", "o_custkey"),
+    ("regex", "o_orderpriority", "[1-5]-[A-Z]+"),
+]
+
+
+def q_orders_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality contract over orders (dbt-test/Deequ
+    shape): six rules — including one that genuinely FAILS on the
+    synthetic data, exercising the violation path — all compiled into
+    ONE aggregate pass (one scan regardless of rule count; rule rows
+    come from the single aggregate row via explode)."""
+    return PR.check_expectations(load(spark, sf, "orders"), EXPECTATION_RULES)
+
+
 def q_parts_bought_together(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket affinity: top-20 part pairs co-occurring in
     orders, with integer-exact confidence. The pair stream is a
@@ -2711,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "kmv_incremental": q_kmv_incremental,
         "parts_bought_together": q_parts_bought_together,
+        "orders_expectations": q_orders_expectations,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -2985,6 +3005,9 @@ def oracle_sql() -> dict[str, str]:
         "kmv_incremental": SK.sql_kmv_distinct(),
         "parts_bought_together": AN.sql_co_occurrence(
             "l_orderkey", "l_partkey", "lineitem", 20, 2
+        ),
+        "orders_expectations": PR.sql_check_expectations(
+            EXPECTATION_RULES, "orders"
         ),
         "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
         "ann_rp_topk": S.sql_cosine_topk(

@@ -219,3 +219,49 @@ def test_co_occurrence_pairs_and_confidence(spark):
     assert got[("a", "c")] == (1, 333_333)
     assert got[("c", "d")] == (1, 500_000)
     assert ("b", "a") not in got  # ordered pairs only
+
+
+def test_expectations_violations_and_single_pass(spark):
+    """Planted violations are counted per rule (NULL-tolerant rules let
+    NULLs pass; not_null catches them), the whole contract runs as ONE
+    scan + ONE aggregate, and a clean table passes everything."""
+    import re as _re
+
+    from webhookdb_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "ok"),
+            (2, "F", -5.0, "ok"),        # between + non_negative viol
+            (2, "X", 20.0, None),        # dup key + bad status; NULL regex passes
+            (None, "O", 30.0, "bad!"),   # null key; regex viol
+        ],
+        "k long, status string, amount double, tag string",
+    )
+    rules = [
+        ("not_null", "k"),
+        ("unique", "k"),
+        ("in_set", "status", ("O", "F")),
+        ("between", "amount", 0, 100),
+        ("non_negative", "amount"),
+        ("regex", "tag", "[a-z]+"),
+    ]
+    got = {r.rule: (r.n_violations, r.passed)
+           for r in check_expectations(df, rules).collect()}
+    assert got["not_null(k)"] == (1, False)
+    assert got["unique(k)"] == (1, False)
+    assert got["in_set(status)"] == (1, False)
+    assert got["between(amount,0,100)"] == (1, False)
+    assert got["non_negative(amount)"] == (1, False)
+    assert got["regex(tag)"] == (1, False)
+
+    clean = spark.createDataFrame(
+        [(1, "O", 1.0, "a"), (2, "F", 2.0, "b")],
+        "k long, status string, amount double, tag string",
+    )
+    assert all(r.passed for r in check_expectations(clean, rules).collect())
+
+    plan = check_expectations(df, rules)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    assert len(_re.findall(r"\(\d+\) Scan", plan)) <= 1, plan

@@ -208,3 +208,119 @@ def sql_profile_columns(table: str, col_kinds: dict[str, str]) -> str:
     FROM base b LEFT JOIN mode m ON b.col_name = m.col_name
     ORDER BY b.col_name
     """
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations — declarative table contracts (the
+# dbt-test / Deequ shape): every rule compiles into ONE aggregate pass
+# over the table, so a 100 TB contract check costs one scan no matter
+# how many rules it carries. Distinct from profiling: the profiler
+# DESCRIBES a table, expectations ASSERT it and report violations.
+# ---------------------------------------------------------------------------
+
+def check_expectations(df, rules) -> "DataFrame":
+    """(rule, n_violations, passed): evaluate declarative rules in one
+    aggregate. ``rules`` is a list of tuples:
+
+    - ``("not_null", col)``
+    - ``("unique", col)`` — duplicate rows counted as n - n_distinct
+      (NULLs don't count toward either)
+    - ``("in_set", col, (v1, v2, ...))`` — NULL passes (compose with
+      not_null to forbid it)
+    - ``("between", col, lo, hi)`` — inclusive; NULL passes
+    - ``("regex", col, pattern)`` — full-match; NULL passes
+    - ``("non_negative", col)``
+
+    All violation counters are conditional counts inside one
+    two-phase aggregate; ``unique`` adds a count_distinct to the same
+    pass. The result rows come from the single aggregate row via one
+    explode (never a per-rule union — the lesson the correlations
+    plan gate taught)."""
+    aggs = []
+    names = []
+    for rule in rules:
+        kind, col = rule[0], rule[1]
+        name = f"{kind}({col})"
+        c = F.col(col)
+        if kind == "not_null":
+            viol = F.count(F.when(c.isNull(), 1))
+        elif kind == "unique":
+            viol = (
+                F.count(c) - F.count_distinct(c)
+            )
+        elif kind == "in_set":
+            vals = list(rule[2])
+            name = f"in_set({col})"
+            viol = F.count(F.when(c.isNotNull() & ~c.isin(*vals), 1))
+        elif kind == "between":
+            lo, hi = rule[2], rule[3]
+            name = f"between({col},{lo},{hi})"
+            viol = F.count(
+                F.when(c.isNotNull() & ((c < lo) | (c > hi)), 1)
+            )
+        elif kind == "regex":
+            pat = rule[2]
+            viol = F.count(
+                F.when(c.isNotNull() & ~c.cast("string").rlike(f"^(?:{pat})$"), 1)
+            )
+        elif kind == "non_negative":
+            viol = F.count(F.when(c.isNotNull() & (c < 0), 1))
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+        aggs.append(viol.cast("long").alias(f"v{len(names)}"))
+        names.append(name)
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(n).alias("rule"),
+            F.col(f"v{i}").alias("n_violations"),
+            (F.col(f"v{i}") == 0).alias("passed"),
+        )
+        for i, n in enumerate(names)
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("_r")).select("_r.*")
+
+
+def sql_check_expectations(rules, table: str) -> str:
+    """DuckDB twin of :func:`check_expectations` — identical rule
+    names, identical counters."""
+    from webhookdb_spark.operators.util import sql_str_lit, sql_str_list
+
+    parts = []
+    for rule in rules:
+        kind, col = rule[0], rule[1]
+        name = f"{kind}({col})"
+        if kind == "not_null":
+            viol = f"count(CASE WHEN {col} IS NULL THEN 1 END)"
+        elif kind == "unique":
+            viol = f"count({col}) - count(DISTINCT {col})"
+        elif kind == "in_set":
+            vals = sql_str_list(rule[2])
+            viol = (
+                f"count(CASE WHEN {col} IS NOT NULL AND"
+                f" {col} NOT IN ({vals}) THEN 1 END)"
+            )
+        elif kind == "between":
+            lo, hi = rule[2], rule[3]
+            name = f"between({col},{lo},{hi})"
+            viol = (
+                f"count(CASE WHEN {col} IS NOT NULL AND"
+                f" ({col} < {lo} OR {col} > {hi}) THEN 1 END)"
+            )
+        elif kind == "regex":
+            pat = rule[2]
+            viol = (
+                f"count(CASE WHEN {col} IS NOT NULL AND NOT"
+                f" regexp_full_match(CAST({col} AS VARCHAR), {sql_str_lit(pat)})"
+                " THEN 1 END)"
+            )
+        elif kind == "non_negative":
+            viol = f"count(CASE WHEN {col} IS NOT NULL AND {col} < 0 THEN 1 END)"
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+        parts.append(
+            f"SELECT {sql_str_lit(name)} AS rule,"
+            f" CAST({viol} AS BIGINT) AS n_violations,"
+            f" {viol} = 0 AS passed FROM {table}"
+        )
+    return " UNION ALL ".join(parts)
