@@ -2524,6 +2524,14 @@ TRADE_EDGES_SQL = (
 )
 
 
+def q_value_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey-fence (IQR) numeric outlier audit over event values: one
+    1-row exact-quartile aggregate broadcast onto the scan, then the
+    fence filter — one profile + one scan at any size. Rational fence
+    factor keeps the double arithmetic engine-identical."""
+    return AN.outliers_iqr(load(spark, sf, "events"), "value", "event_id")
+
+
 EXPECTATION_RULES = [
     ("not_null", "o_custkey"),
     ("unique", "o_orderkey"),
@@ -2731,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_incremental": q_kmv_incremental,
         "parts_bought_together": q_parts_bought_together,
         "orders_expectations": q_orders_expectations,
+        "value_outliers": q_value_outliers,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -3009,6 +3018,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_expectations": PR.sql_check_expectations(
             EXPECTATION_RULES, "orders"
         ),
+        "value_outliers": AN.sql_outliers_iqr("value", "event_id", "events"),
         "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
         "ann_rp_topk": S.sql_cosine_topk(
             "(" + S.sql_rp_project("embeddings", 16, 64) + ")",

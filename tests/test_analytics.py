@@ -265,3 +265,21 @@ def test_expectations_violations_and_single_pass(spark):
         .explainString(spark._jvm.org.apache.spark.sql.execution
                        .ExplainMode.fromString("formatted"))
     assert len(_re.findall(r"\(\d+\) Scan", plan)) <= 1, plan
+
+
+def test_outliers_iqr_fences(spark):
+    """Hand case: symmetric bulk + planted extremes; only the extremes
+    flag, with the right side labels and fence values."""
+    from webhookdb_spark.operators.analytics import outliers_iqr
+
+    vals = [float(v) for v in range(1, 12)]  # 1..11: q1=3.5, q3=8.5, iqr=5
+    rows = [(i, v) for i, v in enumerate(vals)] + [
+        (100, 100.0), (101, -50.0), (102, None),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    got = {r.id: (r.side, r.lo_fence, r.hi_fence)
+           for r in outliers_iqr(df, "value", "event_id").collect()}
+    # quartiles include the planted extremes (13 non-null values,
+    # sorted -50,1..11,100): q1 = rank 3 -> 3, q3 = rank 9 -> 9,
+    # IQR = 6 -> fences 3 - 9 = -6 and 9 + 9 = 18
+    assert got == {100: ("high", -6.0, 18.0), 101: ("low", -6.0, 18.0)}

@@ -519,3 +519,66 @@ def sql_co_occurrence(
     ORDER BY n_baskets DESC, item_a ASC, item_b ASC
     LIMIT {k}
     """
+
+
+def outliers_iqr(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    factor_tenths: int = 15,
+) -> DataFrame:
+    """(id, value, lo_fence, hi_fence, side): rows outside the Tukey
+    fences [q1 - f*IQR, q3 + f*IQR] — the standard numeric-outlier
+    audit. ``factor_tenths`` keeps the fence factor rational (15 =
+    1.5), so fence arithmetic is the identical double sequence in both
+    engines; q1/q3 are exact interpolated percentiles (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` both interpolate at
+    rank p*(n-1)). Two passes: a 1-row quartile aggregate broadcast
+    onto the scan, then the fence filter — the filter is the only
+    per-row work, so at 100 TB this costs one profile + one scan.
+    Fences are floor-quantized to 1e-6 for hash stability."""
+    x = F.col(col).cast("double")
+    q = df.agg(
+        F.percentile(x, F.lit(0.25)).alias("_q1"),
+        F.percentile(x, F.lit(0.75)).alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    lo = F.col("_q1") - (iqr * factor_tenths) / 10
+    hi = F.col("_q3") + (iqr * factor_tenths) / 10
+    qq = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(q))
+        .where((x < lo) | (x > hi))
+        .select(
+            F.col(id_col).alias("id"),
+            x.alias("value"),
+            qq(lo).alias("lo_fence"),
+            qq(hi).alias("hi_fence"),
+            F.when(x < lo, F.lit("low")).otherwise(F.lit("high")).alias("side"),
+        )
+    )
+
+
+def sql_outliers_iqr(
+    col: str, id_col: str, table: str, factor_tenths: int = 15
+) -> str:
+    """DuckDB twin of :func:`outliers_iqr` — same quantile
+    interpolation, same fence arithmetic."""
+    x = f"CAST({col} AS DOUBLE)"
+    return f"""
+    WITH q AS (
+      SELECT quantile_cont({x}, 0.25) AS q1,
+             quantile_cont({x}, 0.75) AS q3
+      FROM {table}
+    )
+    SELECT {id_col} AS id, {x} AS value,
+           floor((q.q1 - ((q.q3 - q.q1) * {factor_tenths}) / 10) * 1e6) / 1e6 AS lo_fence,
+           floor((q.q3 + ((q.q3 - q.q1) * {factor_tenths}) / 10) * 1e6) / 1e6 AS hi_fence,
+           CASE WHEN {x} < q.q1 - ((q.q3 - q.q1) * {factor_tenths}) / 10
+                THEN 'low' ELSE 'high' END AS side
+    FROM {table} CROSS JOIN q
+    WHERE {x} IS NOT NULL
+      AND ({x} < q.q1 - ((q.q3 - q.q1) * {factor_tenths}) / 10
+           OR {x} > q.q3 + ((q.q3 - q.q1) * {factor_tenths}) / 10)
+    """
