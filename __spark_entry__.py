@@ -2524,6 +2524,13 @@ TRADE_EDGES_SQL = (
 )
 
 
+def q_activity_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user silences >= 6h in the event stream ("did this
+    integration stop sending?"): one user-keyed LAG window + filter,
+    integer epoch-second gap lengths."""
+    return AN.activity_gaps(load(spark, sf, "events"), 6 * 3600)
+
+
 def q_value_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Tukey-fence (IQR) numeric outlier audit over event values: one
     1-row exact-quartile aggregate broadcast onto the scan, then the
@@ -2740,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_bought_together": q_parts_bought_together,
         "orders_expectations": q_orders_expectations,
         "value_outliers": q_value_outliers,
+        "activity_gaps": q_activity_gaps,
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
@@ -3019,6 +3027,7 @@ def oracle_sql() -> dict[str, str]:
             EXPECTATION_RULES, "orders"
         ),
         "value_outliers": AN.sql_outliers_iqr("value", "event_id", "events"),
+        "activity_gaps": AN.sql_activity_gaps("events", 6 * 3600),
         "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
         "ann_rp_topk": S.sql_cosine_topk(
             "(" + S.sql_rp_project("embeddings", 16, 64) + ")",

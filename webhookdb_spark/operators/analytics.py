@@ -582,3 +582,57 @@ def sql_outliers_iqr(
       AND ({x} < q.q1 - ((q.q3 - q.q1) * {factor_tenths}) / 10
            OR {x} > q.q3 + ((q.q3 - q.q1) * {factor_tenths}) / 10)
     """
+
+
+def activity_gaps(
+    events: DataFrame,
+    min_gap_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, gap_start, gap_end, gap_seconds): silences longer than
+    ``min_gap_seconds`` inside each user's event stream — the
+    monitoring primitive behind "did this integration stop sending?".
+    One user-keyed window (LAG over the per-user ts order) and a
+    filter; gap lengths in integer epoch seconds (floor), so the twin
+    hashes exactly."""
+    from pyspark.sql.window import Window
+
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    lagged = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("_ts"),
+        F.lag(ts_col).over(
+            Window.partitionBy(user_col).orderBy(ts_col)
+        ).alias("_prev"),
+    )
+    gap_s = F.floor((us(F.col("_ts")) - us(F.col("_prev"))) / 1_000_000)
+    return (
+        lagged.where(F.col("_prev").isNotNull())
+        .where(gap_s >= min_gap_seconds)
+        .select(
+            "user_id",
+            F.col("_prev").alias("gap_start"),
+            F.col("_ts").alias("gap_end"),
+            gap_s.cast("long").alias("gap_seconds"),
+        )
+    )
+
+
+def sql_activity_gaps(
+    table: str = "events", min_gap_seconds: int = 3600
+) -> str:
+    """DuckDB twin of :func:`activity_gaps` — same LAG, same integer
+    epoch arithmetic."""
+    return f"""
+    WITH lagged AS (
+      SELECT user_id, ts AS gap_end,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap_start
+      FROM {table}
+    )
+    SELECT user_id, gap_start, gap_end,
+           CAST(floor((epoch_us(gap_end) - epoch_us(gap_start)) / 1000000) AS BIGINT) AS gap_seconds
+    FROM lagged
+    WHERE gap_start IS NOT NULL
+      AND floor((epoch_us(gap_end) - epoch_us(gap_start)) / 1000000) >= {min_gap_seconds}
+    """
