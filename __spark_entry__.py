@@ -2709,25 +2709,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: STRICT staleness. The correctness driver
-    # checks roughly the first 50 entries per round, so entries are
-    # ordered never-driver-checked first (new this round), then by
-    # oldest last driver check (r4 before r5 before r6). As of the
-    # round-7 reorder: 6 never-checked r7 additions at the top
-    # (inverted_index_persisted, ann_ivfpq_persisted,
-    # funnel_conversion, cohort_retention, price_histogram,
-    # lineitem_correlations), then 2 rows whose last green row is
-    # CORRECTNESS_r04.json (row_cap, retention_candidates — they
-    # missed the r6 rotation by one slot), then 50 rows last green in
-    # CORRECTNESS_r05.json, then the 50 green in CORRECTNESS_r06.
-    # With the 6 new queries ahead of them, the last ~8 entries of
-    # the r5 block miss the ~50-row cap — deliberately the rows with
-    # the MOST prior green rounds (each annotated in place below), so
-    # the weakest-evidenced rows all get fresh driver rows.
-    # Every entry still runs in tools/check_oracle.py regardless of
-    # position.
+    # Ordering contract: STRICT staleness — never-driver-checked first,
+    # then oldest last check (r4 before r5 before r6); the driver checks
+    # roughly the first 50 entries per round. Round-7 final state:
+    # 20 never-checked r7 additions lead, then the 2 rows whose
+    # last green row is CORRECTNESS_r04.json (row_cap,
+    # retention_candidates), then the 50 rows last green in
+    # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
+    # (weakest evidence first; each row's green rounds annotated), then
+    # the 50 green in CORRECTNESS_r06.json. With 20 new entries
+    # ahead, roughly the last 22 r5 rows miss the ~50-row cap —
+    # by construction the MOST-corroborated ones. Every entry runs in
+    # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
-        # --- new in r7: never driver-checked (insert new queries here) ---
+        # --- never driver-checked (new in r7) ---
         "inverted_index_persisted": q_inverted_index_persisted,
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         "funnel_conversion": q_funnel_conversion,
@@ -2736,7 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_correlations": q_lineitem_correlations,
         "embed_rp_project": q_embed_rp_project,
         "ann_rp_topk": q_ann_rp_topk,
-        "embed_pca_project": q_embed_pca_project,  # rows-only (no SQL eigh)
+        "embed_pca_project": q_embed_pca_project,
         "trade_pagerank": q_trade_pagerank,
         "pareto_lineitems": q_pareto_lineitems,
         "chunk_documents": q_chunk_documents,
@@ -2751,60 +2746,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- last driver row r4 (CORRECTNESS_r04.json) ---
         "row_cap": q_row_cap,
         "retention_candidates": q_retention_candidates,
-        # --- last driver row r5 (CORRECTNESS_r05.json) ---
-        "order_priority_check": q_order_priority_check,
-        "promo_revenue": q_promo_revenue,
-        "small_qty_revenue": q_small_qty_revenue,
-        "global_sales_opportunity": q_global_sales_opportunity,
-        "skew_salted_join": q_skew_salted_join,
-        "event_transitions": q_event_transitions,
-        "order_percentiles": q_order_percentiles,
-        "order_deciles": q_order_deciles,
-        "vocab_coverage": q_vocab_coverage,
-        "revenue_grouping_sets": q_revenue_grouping_sets,
-        "cluster_profile": q_cluster_profile,
-        "asof_join_forward": q_asof_join_forward,
-        "asof_join_nearest": q_asof_join_nearest,
-        "interval_overlap": q_interval_overlap,
-        "profile_orders": q_profile_orders,
-        "zorder_layout": q_zorder_layout,
-        "pipeline_pack": q_pipeline_pack,
-        "important_parts": q_important_parts,
-        "pivot_status": q_pivot_status,
-        "top_supplier": q_top_supplier,
-        "waiting_suppliers": q_waiting_suppliers,
-        "sequence_pack": q_sequence_pack,
-        "search_ranked": q_search_ranked,
-        "inverted_index": q_inverted_index,
-        "media_decode": q_media_decode,
-        "media_jpeg_decode": q_media_jpeg_decode,
-        "media_wav_decode": q_media_wav_decode,
-        "media_audio_features": q_media_audio_features,
-        "media_pixel_features": q_media_pixel_features,
-        "media_avi_frames": q_media_avi_frames,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "shipping_priority": q_shipping_priority,
-        "big_spenders": q_big_spenders,
-        "search_terms": q_search_terms,
-        "corpus_filter": q_corpus_filter,
-        "length_stats": q_length_stats,
-        "kmv_distinct": q_kmv_distinct,
-        "asof_join_events": q_asof_join,
-        "range_join_events": q_range_join,
-        "dedup_segments": q_dedup_segments,
-        "dedup_incremental": q_dedup_incremental,
-        # cap casualties start here: with 6 new r7 queries ahead, the
-        # last ~8 r5 rows miss the ~50-row cap — deliberately the
-        # most-corroborated rows (green driver rounds listed)
-        "ann_lsh_recall": q_ann_lsh_recall,      # r2/r3/r5
-        "dedup_clusters": q_dedup_clusters,      # r2/r3/r4/r5
-        "embed_near_dup": q_embed_near_dup,      # r1/r2/r3/r5
-        "ann_ivf_topk": q_ann_ivf_topk,          # r1/r2/r3/r5
-        "ann_lsh_topk": q_ann_lsh_topk,          # r1/r2/r3/r5
-        "ann_cosine_topk": q_ann_cosine_topk,    # r1/r2/r3/r5
-        "media_features": q_media_features,      # r1/r2/r3/r5; rows-only check
-        "media_summary": q_media_summary,        # r1-r5
+        # --- last driver row r5, weakest-corroborated first ---
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,  # green r5
+        "ann_pq_topk": q_ann_pq_topk,  # green r5
+        "asof_join_forward": q_asof_join_forward,  # green r5
+        "asof_join_nearest": q_asof_join_nearest,  # green r5
+        "cluster_profile": q_cluster_profile,  # green r5
+        "event_transitions": q_event_transitions,  # green r5
+        "global_sales_opportunity": q_global_sales_opportunity,  # green r5
+        "important_parts": q_important_parts,  # green r5
+        "interval_overlap": q_interval_overlap,  # green r5
+        "media_audio_features": q_media_audio_features,  # green r5
+        "media_jpeg_decode": q_media_jpeg_decode,  # green r5
+        "media_pixel_features": q_media_pixel_features,  # green r5
+        "order_deciles": q_order_deciles,  # green r5
+        "order_percentiles": q_order_percentiles,  # green r5
+        "order_priority_check": q_order_priority_check,  # green r5
+        "pipeline_pack": q_pipeline_pack,  # green r5
+        "pivot_status": q_pivot_status,  # green r5
+        "profile_orders": q_profile_orders,  # green r5
+        "promo_revenue": q_promo_revenue,  # green r5
+        "revenue_grouping_sets": q_revenue_grouping_sets,  # green r5
+        "skew_salted_join": q_skew_salted_join,  # green r5
+        "small_qty_revenue": q_small_qty_revenue,  # green r5
+        "top_supplier": q_top_supplier,  # green r5
+        "vocab_coverage": q_vocab_coverage,  # green r5
+        "waiting_suppliers": q_waiting_suppliers,  # green r5
+        "zorder_layout": q_zorder_layout,  # green r5
+        "asof_join_events": q_asof_join,  # green r4/r5
+        "big_spenders": q_big_spenders,  # green r4/r5
+        "corpus_filter": q_corpus_filter,  # green r4/r5
+        "dedup_incremental": q_dedup_incremental,  # green r4/r5
+        "dedup_segments": q_dedup_segments,  # green r4/r5
+        "inverted_index": q_inverted_index,  # green r4/r5
+        "kmv_distinct": q_kmv_distinct,  # green r4/r5
+        "length_stats": q_length_stats,  # green r4/r5
+        "media_avi_frames": q_media_avi_frames,  # green r3/r5
+        "media_decode": q_media_decode,  # green r3/r5
+        "media_wav_decode": q_media_wav_decode,  # green r3/r5
+        "range_join_events": q_range_join,  # green r4/r5
+        "search_ranked": q_search_ranked,  # green r4/r5
+        "search_terms": q_search_terms,  # green r4/r5
+        "sequence_pack": q_sequence_pack,  # green r4/r5
+        "shipping_priority": q_shipping_priority,  # green r4/r5
+        "ann_lsh_recall": q_ann_lsh_recall,  # green r2/r3/r5
+        "ann_cosine_topk": q_ann_cosine_topk,  # green r1/r2/r3/r5
+        "ann_ivf_topk": q_ann_ivf_topk,  # green r1/r2/r3/r5
+        "ann_lsh_topk": q_ann_lsh_topk,  # green r1/r2/r3/r5
+        "dedup_clusters": q_dedup_clusters,  # green r2/r3/r4/r5
+        "embed_near_dup": q_embed_near_dup,  # green r1/r2/r3/r5
+        "media_features": q_media_features,  # green r1/r2/r3/r5
+        "media_summary": q_media_summary,  # green r1/r2/r3/r4/r5
         # --- green in CORRECTNESS_r06.json (freshest; tail) ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
