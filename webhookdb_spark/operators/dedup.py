@@ -1148,3 +1148,161 @@ def sql_incremental_minhash_dedup(
                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
           >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT set-similarity join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_num: int = 95,
+    threshold_den: int = 100,
+) -> DataFrame:
+    """Exact token-Jaccard similarity join at threshold
+    ``threshold_num/threshold_den`` via prefix filtering — the
+    deterministic alternative to MinHash: no probabilistic misses,
+    still never all-pairs.
+
+    Candidate generation (the PPJoin idea, Xiao et al., WWW'08 —
+    public literature): order every document's distinct tokens by a
+    GLOBAL total order (ascending document frequency, token string as
+    tie-break), and join only on each document's first
+    ``n - ceil(t*n) + 1`` tokens. If two docs have Jaccard >= t their
+    prefixes must share a token, so the hash-join on prefix tokens
+    finds every qualifying pair; because prefixes are the RAREST
+    tokens, candidate fan-out stays near the true-pair count instead
+    of the stop-word blow-up a full token join would hit.
+
+    All threshold arithmetic is integer-exact: the prefix bound uses
+    ``ceil(num*n/den) = (num*n + den - 1) div den`` and the final test
+    is the cross-multiplication ``inter * den >= num * union`` — no
+    float ever decides membership, so the DuckDB all-pairs twin
+    (:func:`sql_prefix_jaccard_join`, which shares none of the prefix
+    machinery) hashes identically. The reported ``jaccard`` column is
+    the display double, rounded to 6 places.
+
+    Distributed shape: one token explode, one vocabulary-keyed
+    aggregate for document frequency, a doc-keyed rank window (bounded
+    by the longest document), a prefix-token hash join, and one
+    verification join against the per-doc sorted token arrays. Every
+    stage is keyed (token / doc_id / pair) — nothing quadratic,
+    nothing single-partition.
+    """
+    num, den = threshold_num, threshold_den
+    toks = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+                )
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    token_df = toks.groupBy("token").agg(F.count("*").alias("_tdf"))
+
+    w_rank = Window.partitionBy("doc_id").orderBy("_tdf", "token")
+    w_n = Window.partitionBy("doc_id")
+    ranked = (
+        toks.join(token_df, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.row_number().over(w_rank).alias("_rnk"),
+            F.count(F.lit(1)).over(w_n).alias("_n"),
+        )
+    )
+    # integer-exact prefix length: n - ceil(num*n/den) + 1
+    alpha = F.floor((num * F.col("_n") + den - 1) / den)
+    prefix = ranked.where(F.col("_rnk") <= F.col("_n") - alpha + 1).select(
+        "doc_id", "token"
+    )
+
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    sets_ = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("token")).alias("_set")
+    )
+    paired = (
+        cands.join(
+            sets_.select(
+                F.col("doc_id").alias("doc_a"), F.col("_set").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("doc_b"), F.col("_set").alias("_sb")
+            ),
+            "doc_b",
+        )
+    )
+    paired = bind(
+        paired,
+        "_inter",
+        F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("long"),
+    )
+    paired = bind(
+        paired,
+        "_union",
+        F.size(F.col("_sa")) + F.size(F.col("_sb")) - F.col("_inter"),
+    )
+    return (
+        paired.where(F.col("_inter") * den >= num * F.col("_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_inter").cast("double") / F.col("_union").cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def sql_prefix_jaccard_join(
+    table: str = "documents",
+    text_col: str = "text",
+    threshold_num: int = 95,
+    threshold_den: int = 100,
+) -> str:
+    """DuckDB twin of :func:`prefix_jaccard_join` — the brute-force
+    EXACT all-pairs token join, deliberately sharing none of the
+    prefix-filter machinery so a green row proves the filter loses no
+    pairs. Same integer cross-multiplied threshold."""
+    num, den = threshold_num, threshold_den
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t AS token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower({text_col}), '[^a-z0-9]+')) AS t
+        FROM {table})
+      WHERE t <> ''
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter * {den} >= {num} * (sa.n + sb.n - inter)
+    """

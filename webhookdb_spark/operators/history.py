@@ -1,0 +1,133 @@
+"""Slowly-changing-dimension (SCD Type-2) history builds over change
+streams.
+
+The reference keeps exactly one current row per resource key (the
+conditional upsert, lib/webhookdb/replicator/base.rb upsert path) and
+discards prior versions. Analytics over a webhook stream routinely
+needs the opposite: the full version history of each key — "what was
+this subscription's status on March 3rd?". ``scd2_history`` derives
+that table from the raw event stream itself: one row per (key,
+attribute-state) run, with ``valid_from`` / ``valid_to`` interval
+bounds and an ``is_current`` flag.
+
+Distributed shape: both windows (the change-detection LAG and the
+interval LEAD / version ROW_NUMBER) are partitioned on the key column,
+so the whole build is ONE shuffle on the key followed by two local
+sorts — Catalyst reuses the exchange between them. No window ever
+sees more than one key's rows; state per task is bounded by the
+largest single key's history, not the table. At 100 TB this is the
+same plan, just more partitions.
+
+Determinism: rows are ordered by (ts, seq) where ``seq_col`` breaks
+exact-timestamp ties (event_id in the test stream), so the collapse of
+no-op updates and the version numbering are reproducible and the
+DuckDB twin hashes identically. Attribute comparison is null-safe
+(``IS DISTINCT FROM`` semantics) so NULL -> 'x' and 'x' -> NULL both
+open a new version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+    open_end_ts: str | None = None,
+) -> DataFrame:
+    """Build the SCD Type-2 version table of ``attr_cols`` per
+    ``key_col`` from an append-only change stream.
+
+    Returns one row per attribute-state RUN: consecutive events whose
+    attributes are unchanged collapse into the earliest one, and each
+    surviving row carries ``valid_from`` (its own ts), ``valid_to``
+    (the next version's ts; for the open interval, NULL — or the
+    ``open_end_ts`` sentinel, e.g. '9999-12-31 00:00:00', the
+    conventional SCD2 high date), ``version`` (1-based per key) and
+    ``is_current``.
+    """
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+
+    lagged = df.select(
+        key_col, ts_col, *([seq_col] if seq_col else []), *attr_cols
+    ).select(
+        "*",
+        *[
+            F.lag(c).over(w).alias(f"_prev_{c}")
+            for c in attr_cols
+        ],
+        F.row_number().over(w).alias("_rn"),
+    )
+    # Null-safe "any attribute changed" (first row of a key always
+    # changes). eqNullSafe == IS NOT DISTINCT FROM; negate for change.
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_prev_{c}"))
+    kept = lagged.where((F.col("_rn") == 1) | changed)
+
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    lead_ts = F.lead(ts_col).over(w2)
+    valid_to = (
+        F.coalesce(lead_ts, F.lit(open_end_ts).cast("timestamp"))
+        if open_end_ts
+        else lead_ts
+    )
+    out = kept.select(
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        lead_ts.isNull().alias("is_current"),
+    )
+    return out
+
+
+def sql_scd2_history(
+    table: str,
+    key_col: str,
+    attr_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+    open_end_ts: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`scd2_history` — same windows, same
+    null-safe change detection (IS DISTINCT FROM), same tie-break."""
+    vt = f"lead({ts_col}) OVER w2"
+    if open_end_ts:
+        vt = f"COALESCE({vt}, TIMESTAMP '{open_end_ts}')"
+    order = f"{ts_col}" + (f", {seq_col}" if seq_col else "")
+    seq_sel = f", {seq_col}" if seq_col else ""
+    attrs = ", ".join(attr_cols)
+    prevs = ",\n             ".join(
+        f"lag({c}) OVER w AS _prev_{c}" for c in attr_cols
+    )
+    change = " OR ".join(
+        f"{c} IS DISTINCT FROM _prev_{c}" for c in attr_cols
+    )
+    return f"""
+    WITH lagged AS (
+      SELECT {key_col}, {ts_col}{seq_sel}, {attrs},
+             {prevs},
+             row_number() OVER w AS _rn
+      FROM {table}
+      WINDOW w AS (PARTITION BY {key_col} ORDER BY {order})
+    ),
+    kept AS (
+      SELECT * FROM lagged WHERE _rn = 1 OR {change}
+    )
+    SELECT {key_col}, {attrs},
+           {ts_col} AS valid_from,
+           {vt} AS valid_to,
+           CAST(row_number() OVER w2 AS INTEGER) AS version,
+           (lead({ts_col}) OVER w2 IS NULL) AS is_current
+    FROM kept
+    WINDOW w2 AS (PARTITION BY {key_col} ORDER BY {order})
+    """
