@@ -490,3 +490,45 @@ def test_histogram_min_max_broadcasts_onto_scan(spark):
     p = plan_of(entry.queries()["price_histogram"](spark, SF))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_scd2_reuses_one_key_exchange_across_windows(spark):
+    """Both SCD2 windows (change-detect LAG, interval LEAD/version)
+    partition on the key, so the build must shuffle ONCE on user_id —
+    the second window reuses the first's exchange — and never falls to
+    a single partition."""
+    p = plan_of(entry.queries()["scd2_user_state"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert re.search(r"hashpartitioning\(user_id", p), p
+    assert "Exchange SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_gapfill_spine_join_is_keyed_never_cartesian(spark):
+    """The calendar spine joins back on (user_id, day_num) — a keyed
+    equi-join, never a cartesian against a global calendar — and the
+    forward-fill window partitions per user."""
+    p = plan_of(entry.queries()["gapfill_user_daily"](spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "Exchange SinglePartition" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_rolling_range_frame_no_single_partition(spark):
+    """The trailing-window RANGE frame runs per user — a global-order
+    window would serialize the table through one task."""
+    p = plan_of(entry.queries()["rolling_user_weekly"](spark, SF))
+    assert "Exchange SinglePartition" not in p, p
+    assert re.search(r"specifiedwindowframe\(RangeFrame", p,
+                     re.IGNORECASE) or "RANGE BETWEEN" in p, p
+
+
+def test_prefix_jaccard_joins_are_keyed_never_cartesian(spark):
+    """Candidate generation must be the prefix-token hash join, the
+    verification a pair-keyed join — nothing quadratic, no python
+    eval in the path, no single-partition window (doc-keyed ranks
+    only)."""
+    p = plan_of(entry.queries()["jaccard_prefix_pairs"](spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "Exchange SinglePartition" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
