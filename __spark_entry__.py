@@ -2598,6 +2598,17 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.prefix_jaccard_join(load(spark, sf, "documents"), "text", 95, 100)
 
 
+def q_weighted_sample_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the 64
+    orders drawn with probability proportional to o_totalprice via
+    Efraimidis-Spirakis order keys on the salted md5-uniform — the
+    data-mix primitive for importance-weighted corpus subsetting.
+    Top-k only (TakeOrderedAndProject), never a global sort."""
+    return SA.weighted_sample_k(
+        load(spark, sf, "orders"), 64, "o_totalprice", "o_orderkey"
+    ).select("o_orderkey", "o_totalprice")
+
+
 def q_parts_bought_together(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket affinity: top-20 part pairs co-occurring in
     orders, with integer-exact confidence. The pair stream is a
@@ -2763,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
         # --- never driver-checked (new in r7) ---
+        "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "gapfill_user_daily": q_gapfill_user_daily,
         "rolling_user_weekly": q_rolling_user_weekly,
@@ -2896,6 +2908,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "weighted_sample_orders": SA.sql_weighted_sample_k(
+            "orders", 64, "o_totalprice", "o_orderkey",
+            cols="o_orderkey, o_totalprice",
+        ),
         "scd2_user_state": H.sql_scd2_history(
             "events", "user_id", ("event_type",), "ts", "event_id",
             open_end_ts="9999-12-31 00:00:00",

@@ -613,3 +613,35 @@ def test_phrase_search_adjacency_and_repeats(spark):
         have = sorted((r.doc_id, r.n_occurrences)
                       for r in phrase_search(df, ph).collect())
         assert have == want, ph
+
+
+def test_weighted_sample_k_determinism_bias_and_plan(spark):
+    """Efraimidis-Spirakis hash sampling: same rows every run, heavy
+    weights overrepresented, non-positive weights never drawn, and the
+    plan is a top-k (TakeOrderedAndProject) — no global sort node, no
+    full-table shuffle."""
+    from webhookdb_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(1000)] + [
+        (2000, 0.0), (2001, -5.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    s1 = sorted(r.doc_id for r in weighted_sample_k(df, 50, "w").collect())
+    s2 = sorted(r.doc_id for r in weighted_sample_k(df, 50, "w").collect())
+    assert s1 == s2 and len(s1) == 50
+    assert 2000 not in s1 and 2001 not in s1
+    # 100 rows hold ~92% of the mass; they must dominate the draw
+    heavy = sum(1 for d in s1 if d < 100)
+    assert heavy >= 35, heavy
+    # a different salt draws a genuinely different sample
+    s3 = sorted(
+        r.doc_id for r in weighted_sample_k(df, 50, "w", salt="other:").collect()
+    )
+    assert s3 != s1
+
+    plan = weighted_sample_k(df, 50, "w")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan, plan

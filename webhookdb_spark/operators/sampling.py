@@ -402,3 +402,56 @@ def ntile_assign(rank: Column, total: Column, n: int) -> Column:
         .cast("int")
         + 1
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the k rows
+    with the largest Efraimidis-Spirakis order keys u^(1/w) (public
+    IPL 2006 result) — inclusion probability proportional to weight,
+    no two draws of the same row, and the SAME k rows on every engine
+    and every run because u comes from the salted 28-bit md5 hash of
+    the id, not a PRNG.
+
+    Numerics: u = (bucket + 0.5) / 2^28 is an exact dyadic double in
+    (0, 1); keys compare as ln(u)/w (monotone in u^(1/w)), ties broken
+    by id. Everything after the per-row key is a top-k —
+    TakeOrderedAndProject, per-partition heads then one k-row merge on
+    the driver side of the exchange; no global sort, no window, no
+    shuffle of the full table. Rows with non-positive weight can never
+    be drawn and are filtered.
+    """
+    u = (_bucket28(F.col(id_col), salt) + F.lit(0.5)) / F.lit(float(1 << 28))
+    es = F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_es", es)
+        .orderBy(F.desc("_es"), F.col(id_col))
+        .limit(k)
+        .drop("_es")
+    )
+
+
+def sql_weighted_sample_k(
+    table: str,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    cols: str = "*",
+    salt: str = "wsample:",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_k` — identical hash, u,
+    key, and tie-break."""
+    b = _sql_bucket28(id_col, salt)
+    return f"""
+    SELECT {cols} FROM (
+      SELECT *, ln(({b} + 0.5) / 268435456.0) / {weight_col} AS _es
+      FROM {table} WHERE {weight_col} > 0
+      ORDER BY _es DESC, {id_col} LIMIT {k}
+    )
+    """
