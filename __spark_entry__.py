@@ -2573,6 +2573,30 @@ def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scd2_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SCD2 maintenance: history built from events before
+    Jan 15, then TWO change batches (Jan 15-22, Jan 23+) folded in
+    with scd2_apply — per-batch work is proportional to the batch and
+    touched keys' current rows, never to history. The oracle is the
+    FULL-build SQL over all events: a green row proves incremental ==
+    rebuild exactly."""
+    ev = load(spark, sf, "events")
+    splits = ("2024-01-15", "2024-01-23")
+    hist = H.scd2_history(
+        ev.where(F.col("ts") < splits[0]),
+        "user_id", ("event_type",), "ts", "event_id",
+        open_end_ts="9999-12-31 00:00:00",
+    )
+    b1 = ev.where((F.col("ts") >= splits[0]) & (F.col("ts") < splits[1]))
+    b2 = ev.where(F.col("ts") >= splits[1])
+    for b in (b1, b2):
+        hist = H.scd2_apply(
+            hist, b, "user_id", ("event_type",), "ts", "event_id",
+            open_end_ts="9999-12-31 00:00:00",
+        )
+    return hist
+
+
 def q_gapfill_user_daily(spark: SparkSession, sf: str) -> DataFrame:
     """Dense per-user daily calendar between first and last active
     day: zero-filled counts, exact-decimal day sums, forward-filled
@@ -2776,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked (new in r7) ---
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
+        "scd2_incremental": q_scd2_incremental,
         "gapfill_user_daily": q_gapfill_user_daily,
         "rolling_user_weekly": q_rolling_user_weekly,
         "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
@@ -2913,6 +2938,10 @@ def oracle_sql() -> dict[str, str]:
             cols="o_orderkey, o_totalprice",
         ),
         "scd2_user_state": H.sql_scd2_history(
+            "events", "user_id", ("event_type",), "ts", "event_id",
+            open_end_ts="9999-12-31 00:00:00",
+        ),
+        "scd2_incremental": H.sql_scd2_history(
             "events", "user_id", ("event_type",), "ts", "event_id",
             open_end_ts="9999-12-31 00:00:00",
         ),

@@ -168,3 +168,160 @@ def test_prefix_filter_prunes_candidates(spark):
     # single rarest token (rare_i, df=1) -> zero candidate pairs, while
     # a naive token join would build 3 * C(20,2) pairs.
     assert prefix_jaccard_join(df, "text", 95, 100).count() == 0
+
+
+def _hist_key(r):
+    return (r.user_id, r.version, r.state, r.valid_from, r.valid_to,
+            r.is_current)
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    """Folding in-order batches must reproduce the full build EXACTLY —
+    across batch boundaries inside runs, no-op batches, new keys
+    appearing mid-stream, and the sentinel form."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in range(1, 13):
+        t = datetime(2024, 1, 1)
+        for _ in range(rng.randint(1, 30)):
+            t = datetime(2024, 1, 1 + rng.randint(0, 27), rng.randint(0, 23))
+            rows.append((u, t, eid, rng.choice(["a", "b", "c", None])))
+            eid += 1
+    # late-starting key only in the final batch
+    rows.append((99, datetime(2024, 1, 28), eid, "z"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, state string"
+    )
+    from webhookdb_spark.operators.history import scd2_apply
+
+    # 4 batches, history materialized between applies (localCheckpoint
+    # — the persisted-table reality a change-feed consumer has; it also
+    # keeps the nested-union lineage from ballooning analysis time).
+    full = scd2_history(df, "user_id", ("state",), "ts", "event_id")
+    cuts = ("2024-01-08", "2024-01-15", "2024-01-15", "2024-01-22")
+    inc = scd2_history(
+        df.where(F.col("ts") < cuts[0]),
+        "user_id", ("state",), "ts", "event_id",
+    )
+    for lo, hi in zip(cuts, cuts[1:] + (None,)):
+        b = df.where(F.col("ts") >= lo)
+        if hi:
+            b = b.where(F.col("ts") < hi)
+        inc = scd2_apply(
+            inc.localCheckpoint(), b, "user_id", ("state",), "ts", "event_id"
+        )
+    got = sorted(_hist_key(r) for r in inc.collect())
+    want = sorted(_hist_key(r) for r in full.collect())
+    assert got == want, (got[:3], want[:3])
+    # an empty batch is a no-op
+    empty = df.where(F.lit(False))
+    again = scd2_apply(inc, empty, "user_id", ("state",), "ts", "event_id")
+    assert sorted(_hist_key(r) for r in again.collect()) == want
+
+    # sentinel form, 2 batches chained WITHOUT materialization (the
+    # lineage shape the oracle query runs)
+    sentinel = "9999-12-31 00:00:00"
+    full_s = scd2_history(
+        df, "user_id", ("state",), "ts", "event_id", open_end_ts=sentinel
+    )
+    inc_s = scd2_history(
+        df.where(F.col("ts") < "2024-01-15"),
+        "user_id", ("state",), "ts", "event_id", open_end_ts=sentinel,
+    )
+    inc_s = scd2_apply(
+        inc_s, df.where(F.col("ts") >= "2024-01-15"),
+        "user_id", ("state",), "ts", "event_id", open_end_ts=sentinel,
+    )
+    assert sorted(_hist_key(r) for r in inc_s.collect()) == sorted(
+        _hist_key(r) for r in full_s.collect()
+    )
+
+
+def test_streaming_scd2_maintenance_over_change_feed(spark, tmp_path):
+    """SCD2 history maintained INCREMENTALLY by a change-feed
+    consumer: stream_changes -> foreachBatch(scd2_apply) with the
+    history persisted between micro-batches. Versions accumulate
+    across arbitrary batch boundaries and checkpoint restarts; replay
+    is a no-op."""
+    import json
+
+    from webhookdb_spark.operators.history import scd2_apply, scd2_history
+    from webhookdb_spark.operators.upsert import stream_changes, upsert_envelopes
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.storage import Warehouse
+
+    def env(items):
+        return spark.createDataFrame(
+            [("fake_v1", json.dumps(it), None) for it in items],
+            "opaque_id string, body string, received_at timestamp",
+        )
+
+    wh = Warehouse(spark, tmp_path / "wh")
+    parent = wh.table("org", "fake_v1")
+    hist_dir = str(tmp_path / "scd2_history")
+
+    def maintain(batch, _bid):
+        from pyspark.sql import functions as F
+        import os
+
+        ev = batch.select(
+            "my_id", F.col("at").alias("ts"), F.col("_txn"),
+            F.col("data").cast("string").alias("state"),
+        )
+        if os.path.exists(hist_dir):
+            hist = batch.sparkSession.read.parquet(hist_dir)
+            new = scd2_apply(hist, ev, "my_id", ("state",), "ts", "_txn")
+        else:
+            new = scd2_history(ev, "my_id", ("state",), "ts", "_txn")
+        # stage-then-replace keeps the read (old) and write (new) apart
+        staged = hist_dir + ".staged"
+        new.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(hist_dir, ignore_errors=True)
+        os.replace(staged, hist_dir)
+
+    ckpt = str(tmp_path / "scd2_ckpt")
+
+    def run_once():
+        q = (
+            stream_changes(parent)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    upsert_envelopes(parent, env([
+        {"my_id": "a", "at": "2024-01-01T00:00:00Z", "v": 1},
+        {"my_id": "b", "at": "2024-01-01T00:00:00Z", "v": 1},
+    ]), FAKE_V1)
+    run_once()
+    upsert_envelopes(parent, env([
+        {"my_id": "a", "at": "2024-01-02T00:00:00Z", "v": 2},  # change
+    ]), FAKE_V1)
+    upsert_envelopes(parent, env([
+        {"my_id": "a", "at": "2024-01-03T00:00:00Z", "v": 3},  # change
+        {"my_id": "c", "at": "2024-01-03T00:00:00Z", "v": 1},  # new key
+    ]), FAKE_V1)
+    run_once()
+
+    hist = spark.read.parquet(hist_dir)
+    got = {
+        (r.my_id, r.version): (json.loads(r.state)["v"], r.is_current)
+        for r in hist.collect()
+    }
+    assert got[("a", 1)] == (1, False)
+    assert got[("a", 2)] == (2, False)
+    assert got[("a", 3)] == (3, True)
+    assert got[("b", 1)] == (1, True)
+    assert got[("c", 1)] == (1, True)
+    assert len(got) == 5
+
+    # checkpoint replay: no new versions
+    run_once()
+    assert spark.read.parquet(hist_dir).count() == 5
