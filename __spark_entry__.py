@@ -2597,6 +2597,61 @@ def q_scd2_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return hist
 
 
+def q_scd2_pit_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 table: for every 17th
+    event, the user's state version that was active THREE DAYS BEFORE
+    the event — a key-equi join with an interval post-filter (never a
+    range/cartesian join); probes predating the user's first version
+    drop out."""
+    ev = load(spark, sf, "events")
+    hist = H.scd2_history(
+        ev, "user_id", ("event_type",), "ts", "event_id"
+    )
+    probes = ev.where(F.col("event_id") % 17 == 0).select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 3 DAYS")).alias("ts"),
+    )
+    return H.scd2_lookup(hist, probes, "user_id", "ts").select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("state_type"),
+        "version",
+        "valid_from",
+    )
+
+
+SQL_SCD2_PIT = """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS _prev,
+             row_number() OVER w AS _rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    kept AS (
+      SELECT * FROM lagged WHERE _rn = 1 OR event_type IS DISTINCT FROM _prev
+    ),
+    hist AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to,
+             CAST(row_number() OVER w2 AS INTEGER) AS version
+      FROM kept
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    probes AS (
+      SELECT event_id, user_id, ts - INTERVAL 3 DAY AS ts
+      FROM events WHERE event_id % 17 = 0
+    )
+    SELECT p.event_id, p.user_id, h.event_type AS state_type,
+           h.version, h.valid_from
+    FROM probes p JOIN hist h
+      ON p.user_id = h.user_id
+     AND p.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+"""
+
+
 def q_gapfill_user_daily(spark: SparkSession, sf: str) -> DataFrame:
     """Dense per-user daily calendar between first and last active
     day: zero-filled counts, exact-decimal day sums, forward-filled
@@ -2787,13 +2842,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 24 never-checked r7 additions lead, then the 2 rows whose
+    # 27 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 24 new entries
-    # ahead, roughly the last 26 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 27 new entries
+    # ahead, roughly the last 29 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -2801,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
+        "scd2_pit_lookup": q_scd2_pit_lookup,
         "gapfill_user_daily": q_gapfill_user_daily,
         "rolling_user_weekly": q_rolling_user_weekly,
         "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
@@ -2945,6 +3001,7 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", ("event_type",), "ts", "event_id",
             open_end_ts="9999-12-31 00:00:00",
         ),
+        "scd2_pit_lookup": SQL_SCD2_PIT,
         "gapfill_user_daily": AN.sql_gapfill_daily("events"),
         "rolling_user_weekly": AN.sql_rolling_daily_sum("events", 7),
         "jaccard_prefix_pairs": D.sql_prefix_jaccard_join(

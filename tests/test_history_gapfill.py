@@ -325,3 +325,36 @@ def test_streaming_scd2_maintenance_over_change_feed(spark, tmp_path):
     # checkpoint replay: no new versions
     run_once()
     assert spark.read.parquet(hist_dir).count() == 5
+
+
+def test_scd2_lookup_interval_containment(spark):
+    from webhookdb_spark.operators.history import scd2_lookup
+
+    hist = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01T00:00:00"), _ts("2024-01-03T00:00:00"), 1, False),
+            (1, "b", _ts("2024-01-03T00:00:00"), None, 2, True),
+        ],
+        "user_id long, state string, valid_from timestamp, "
+        "valid_to timestamp, version int, is_current boolean",
+    )
+    probes = spark.createDataFrame(
+        [
+            (10, 1, _ts("2023-12-31T00:00:00")),  # before v1 -> drops
+            (11, 1, _ts("2024-01-01T00:00:00")),  # v1 inclusive start
+            (12, 1, _ts("2024-01-03T00:00:00")),  # v1 end exclusive -> v2
+            (13, 1, _ts("2030-01-01T00:00:00")),  # open interval -> v2
+            (14, 2, _ts("2024-01-02T00:00:00")),  # unknown key -> drops
+        ],
+        "probe_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.probe_id: r.version
+        for r in scd2_lookup(hist, probes, "user_id").collect()
+    }
+    assert got == {11: 1, 12: 2, 13: 2}
+
+    plan = scd2_lookup(hist, probes, "user_id")._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    assert "CartesianProduct" not in plan, plan

@@ -278,3 +278,42 @@ def scd2_apply(
         .unionByName(cur_updated.select(*cols))
         .unionByName(new_versions.select(*cols))
     )
+
+
+def scd2_lookup(
+    history: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Point-in-time join: for each probe (key, ts) return the SCD2
+    version whose [valid_from, valid_to) interval contains ts — "what
+    was this key's state when the event happened". Probes before a
+    key's first version (or for unknown keys) drop out (inner join).
+
+    Distributed shape: an equi-join on the KEY carries the whole
+    lookup — the interval test is a post-join filter, so this is a
+    plain hash/broadcast join keyed on ``key_col``, never a range or
+    cartesian join. A key's probe joins against only that key's
+    versions (per-key history is short — runs, not raw events), so
+    fan-out per probe is the key's version count, pruned to 1 by the
+    filter. An open interval (NULL valid_to or the high-date sentinel)
+    matches everything from valid_from on.
+    """
+    h = history.select(
+        F.col(key_col).alias("_hk"),
+        *[
+            F.col(c)
+            for c in history.columns
+            if c != key_col
+        ],
+    )
+    cond = (
+        (F.col("_hk") == probes[key_col])
+        & (probes[ts_col] >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (probes[ts_col] < F.col("valid_to"))
+        )
+    )
+    return probes.join(h, cond, "inner").drop("_hk")
