@@ -2677,6 +2677,16 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.prefix_jaccard_join(load(spark, sf, "documents"), "text", 95, 100)
 
 
+def q_order_status_priority_mi(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical dependence audit: mutual information + entropies
+    (nats) between order status and priority — one (a,b) groupBy, all
+    further work on the vocabulary-sized cell table; per-cell terms
+    long-scaled so the distributed sum is integer-exact."""
+    return AN.categorical_dependence(
+        load(spark, sf, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
 def q_weighted_sample_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic weighted sampling without replacement: the 64
     orders drawn with probability proportional to o_totalprice via
@@ -2842,17 +2852,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 27 never-checked r7 additions lead, then the 2 rows whose
+    # 28 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 27 new entries
-    # ahead, roughly the last 29 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 28 new entries
+    # ahead, roughly the last 30 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
         # --- never driver-checked (new in r7) ---
+        "order_status_priority_mi": q_order_status_priority_mi,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -2989,6 +3000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "order_status_priority_mi": AN.sql_categorical_dependence(
+            "orders", "o_orderstatus", "o_orderpriority"
+        ),
         "weighted_sample_orders": SA.sql_weighted_sample_k(
             "orders", 64, "o_totalprice", "o_orderkey",
             cols="o_orderkey, o_totalprice",

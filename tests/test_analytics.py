@@ -283,3 +283,31 @@ def test_outliers_iqr_fences(spark):
     # sorted -50,1..11,100): q1 = rank 3 -> 3, q3 = rank 9 -> 9,
     # IQR = 6 -> fences 3 - 9 = -6 and 9 + 9 = 18
     assert got == {100: ("high", -6.0, 18.0), 101: ("low", -6.0, 18.0)}
+
+
+def test_categorical_dependence_hand_cases(spark):
+    """Perfectly dependent columns: MI == H(a) == H(b), nmi == 1.
+    Independent columns: MI ~ 0. Exact long-scaled sums keep both
+    engine-reproducible."""
+    import math
+
+    from webhookdb_spark.operators.analytics import categorical_dependence
+
+    # perfect dependence: b = f(a), uniform over 4 values
+    rows = [(i, str(i % 4), f"v{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    r = categorical_dependence(df, "a", "b").collect()[0]
+    assert r.n == 400
+    want_h = math.log(4)
+    assert abs(r.mi - want_h) < 1e-5 and abs(r.h_a - want_h) < 1e-5
+    assert abs(r.nmi - 1.0) < 1e-5
+
+    # independence: (i % 4) and (i // 4) % 4 over a full 16-cycle
+    rows = [(i, str(i % 4), f"v{(i // 4) % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    r = categorical_dependence(df, "a", "b").collect()[0]
+    assert abs(r.mi) < 1e-5 and r.nmi < 1e-5
+    # NULLs excluded
+    rows += [(1000, None, "v0"), (1001, "0", None)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    assert categorical_dependence(df, "a", "b").collect()[0].n == 400

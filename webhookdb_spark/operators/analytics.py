@@ -824,3 +824,129 @@ def sql_rolling_daily_sum(
     WINDOW w AS (PARTITION BY user_id ORDER BY day_num
                  RANGE BETWEEN {prec} PRECEDING AND CURRENT ROW)
     """
+
+
+def categorical_dependence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """One row (col_a, col_b, n, mi, h_a, h_b, nmi): mutual
+    information and marginal entropies (nats) between two categorical
+    columns — the feature-dependence / drift audit a data pipeline
+    runs before keeping a redundant label. Rows where either side is
+    NULL are excluded.
+
+    Distributed shape: ONE groupBy on the (a, b) pair, then every
+    further aggregate runs over the CELL table (|V_a|x|V_b| rows, not
+    data rows): vocabulary-keyed marginal joins (broadcast) and a
+    1-row total broadcast onto the cells. Determinism: each cell's
+    p*ln-ratio term is computed in doubles from exact long counts,
+    scaled by 1e12 and floored to a LONG, so the cross-cell sum is
+    integer-exact and independent of partial-aggregation order (a
+    double sum would drift at the 1e-15 level and break the value-hash
+    oracle); mi/h land floor-quantized to 1e-6, and nmi derives from
+    the already-quantized values.
+    """
+    pairs = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    joint = pairs.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_nab"))
+    ma = joint.groupBy("_a").agg(F.sum("_nab").alias("_na"))
+    mb = joint.groupBy("_b").agg(F.sum("_nab").alias("_nb"))
+    tot = joint.agg(F.sum("_nab").alias("_n"))
+
+    cells = (
+        joint.join(F.broadcast(ma), "_a")
+        .join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    nab = F.col("_nab").cast("double")
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    n = F.col("_n").cast("double")
+    mi_term = (nab / n) * F.log((nab * n) / (na * nb))
+    scaled = F.floor(mi_term * F.lit(1e12)).cast("long")
+    mi_sum = cells.agg(
+        F.sum(scaled).alias("_mi12"), F.max("_n").alias("_n")
+    )
+
+    def h_of(marg, cnt_col):
+        m = marg.crossJoin(F.broadcast(tot))
+        p = F.col(cnt_col).cast("double") / F.col("_n").cast("double")
+        t = F.floor((-p * F.log(p)) * F.lit(1e12)).cast("long")
+        return m.agg(F.sum(t).alias("_h12"))
+
+    ha = h_of(ma, "_na")
+    hb = h_of(mb, "_nb")
+
+    q6 = lambda c: F.floor(c / F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    out = (
+        mi_sum.crossJoin(ha.select(F.col("_h12").alias("_ha12")))
+        .crossJoin(hb.select(F.col("_h12").alias("_hb12")))
+        .select(
+            F.lit(col_a).alias("col_a"),
+            F.lit(col_b).alias("col_b"),
+            F.col("_n").cast("long").alias("n"),
+            q6(F.col("_mi12")).alias("mi"),
+            q6(F.col("_ha12")).alias("h_a"),
+            q6(F.col("_hb12")).alias("h_b"),
+        )
+    )
+    nmi = F.when(
+        (F.col("h_a") > 0) & (F.col("h_b") > 0),
+        F.floor(
+            F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")) * 1e6
+        )
+        / 1e6,
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("nmi", nmi)
+
+
+def sql_categorical_dependence(table: str, col_a: str, col_b: str) -> str:
+    """DuckDB twin of :func:`categorical_dependence` — identical
+    long-scaled term sums and quantization."""
+    return f"""
+    WITH pairs AS (
+      SELECT {col_a} AS _a, {col_b} AS _b FROM {table}
+      WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+    ),
+    joint AS (SELECT _a, _b, count(*) AS _nab FROM pairs GROUP BY 1, 2),
+    ma AS (SELECT _a, sum(_nab) AS _na FROM joint GROUP BY 1),
+    mb AS (SELECT _b, sum(_nab) AS _nb FROM joint GROUP BY 1),
+    tot AS (SELECT sum(_nab) AS _n FROM joint),
+    mi AS (
+      SELECT sum(CAST(floor(
+               ((CAST(_nab AS DOUBLE) / CAST(_n AS DOUBLE))
+                * ln((CAST(_nab AS DOUBLE) * CAST(_n AS DOUBLE))
+                     / (CAST(_na AS DOUBLE) * CAST(_nb AS DOUBLE)))) * 1e12
+             ) AS BIGINT)) AS _mi12,
+             max(_n) AS _n
+      FROM joint JOIN ma USING (_a) JOIN mb USING (_b) CROSS JOIN tot
+    ),
+    ha AS (
+      SELECT sum(CAST(floor(
+               (-(CAST(_na AS DOUBLE) / CAST(_n AS DOUBLE))
+                * ln(CAST(_na AS DOUBLE) / CAST(_n AS DOUBLE))) * 1e12
+             ) AS BIGINT)) AS _ha12
+      FROM ma CROSS JOIN tot
+    ),
+    hb AS (
+      SELECT sum(CAST(floor(
+               (-(CAST(_nb AS DOUBLE) / CAST(_n AS DOUBLE))
+                * ln(CAST(_nb AS DOUBLE) / CAST(_n AS DOUBLE))) * 1e12
+             ) AS BIGINT)) AS _hb12
+      FROM mb CROSS JOIN tot
+    ),
+    q AS (
+      SELECT '{col_a}' AS col_a, '{col_b}' AS col_b,
+             CAST(_n AS BIGINT) AS n,
+             floor(_mi12 / 1e6) / 1e6 AS mi,
+             floor(_ha12 / 1e6) / 1e6 AS h_a,
+             floor(_hb12 / 1e6) / 1e6 AS h_b
+      FROM mi CROSS JOIN ha CROSS JOIN hb
+    )
+    SELECT *,
+           CASE WHEN h_a > 0 AND h_b > 0
+                THEN floor(mi / sqrt(h_a * h_b) * 1e6) / 1e6
+                ELSE 0.0 END AS nmi
+    FROM q
+    """
