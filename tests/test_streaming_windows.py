@@ -513,3 +513,68 @@ def test_attribution_stream_joins_within_window_across_batches(spark):
         shutil.rmtree(csrc, ignore_errors=True)
         shutil.rmtree(psrc, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_silence_alerts_fire_on_watermark_and_rearm(spark):
+    """Two micro-batches: batch 1's keys go quiet; batch 2 advances
+    the watermark past key a's last_seen + silence -> exactly one
+    alert for a (b stays active via a fresh event and does not fire).
+    Event-time semantics: the data, not the wall clock, proves the
+    silence."""
+    import json
+
+    from webhookdb_spark.streaming.windows import silence_alerts_stream
+
+    src = Path(tempfile.mkdtemp(prefix="whdb_silence_src_"))
+    ckpt = Path(tempfile.mkdtemp(prefix="whdb_silence_ckpt_"))
+    try:
+        b1 = [
+            {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+            {"user_id": 1, "ts": "2024-01-01T00:00:30"},
+            {"user_id": 2, "ts": "2024-01-01T00:00:40"},
+        ]
+        (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+        stream = spark.readStream.schema("user_id long, ts timestamp").json(
+            str(src)
+        )
+        q = (
+            silence_alerts_stream(stream, silence_seconds=60, watermark="5 seconds")
+            .writeStream.format("memory")
+            .queryName("silence_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+        def alerts():
+            return {
+                (r.key, str(r.last_seen), int(r.silence_seconds))
+                for r in spark.sql("SELECT * FROM silence_t").collect()
+            }
+
+        def wait_for(n, timeout=90):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if len(alerts()) >= n:
+                    return alerts()
+                time.sleep(0.5)
+            raise AssertionError(f"timeout; alerts: {alerts()}")
+
+        # batch 2: key 2 stays active late enough that the watermark
+        # (max_ts - 5s) passes key 1's deadline (00:00:30 + 60s)
+        b2 = [{"user_id": 2, "ts": "2024-01-01T00:02:00"}]
+        time.sleep(2)
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        # a third batch advances the watermark again so the timer fires
+        b3 = [{"user_id": 3, "ts": "2024-01-01T00:02:10"}]
+        time.sleep(2)
+        (src / "b3.json").write_text("\n".join(json.dumps(r) for r in b3))
+
+        got = wait_for(1)
+        q.stop()
+        assert (1, "2024-01-01 00:00:30", 60) in got
+        assert all(k != 2 for k, *_ in got), got
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

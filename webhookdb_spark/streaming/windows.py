@@ -226,3 +226,81 @@ def attribution_stream(
         ),
         "inner",
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+def silence_alerts_stream(
+    events: DataFrame,
+    silence_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming silence detection — the monitoring primitive behind
+    "did this integration stop sending?" (the batch counterpart is
+    operators/analytics.py:activity_gaps; the reference's users watch
+    for this by polling their replicated tables). Emits one alert row
+    (key, last_seen, silence_seconds) when the EVENT-TIME watermark
+    passes a key's last event + ``silence_seconds`` — i.e. the stream
+    itself proves the silence, no wall-clock polling — then clears the
+    key's state (re-arming on its next event).
+
+    State per key is one timestamp + one armed timeout; keys are
+    hash-distributed by the groupBy, so state and timer volume scale
+    with ACTIVE keys, never event volume. EventTimeTimeout (not
+    processing time) keeps alerts deterministic under replay: a
+    restarted stream re-derives the same alerts from the same data.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            (last_us,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "last_seen": [pd.Timestamp(last_us, unit="us")],
+                    "silence_seconds": [silence_seconds],
+                }
+            )
+            return
+        mx = None
+        for pdf in pdfs:
+            m = pdf["_ts"].max()
+            mx = m if mx is None else max(mx, m)
+        last_us = int(pd.Timestamp(mx).value // 1_000)
+        if state.exists:
+            (prior,) = state.get
+            last_us = max(last_us, int(prior))
+        state.update((last_us,))
+        # fire when the watermark passes last_seen + silence
+        state.setTimeoutTimestamp(
+            last_us // 1_000 + silence_seconds * 1_000
+        )
+        return
+        yield  # pragma: no cover - generator shape
+
+    from pyspark.sql import types as _T
+
+    # derive the key's output type from the input schema (a hardcoded
+    # type would silently mismatch string/int keys downstream)
+    key_type = events.schema[key_col].dataType
+    out_schema = _T.StructType(
+        [
+            _T.StructField("key", key_type),
+            _T.StructField("last_seen", _T.TimestampType()),
+            _T.StructField("silence_seconds", _T.LongType()),
+        ]
+    )
+    src = events.select(
+        F.col(key_col).alias("key"), F.col(ts_col).cast("timestamp").alias("_ts")
+    ).withWatermark("_ts", watermark)
+    return src.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
