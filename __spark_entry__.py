@@ -2677,6 +2677,16 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.prefix_jaccard_join(load(spark, sf, "documents"), "text", 95, 100)
 
 
+def q_weighted_sample_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language weighted document sampling without replacement
+    (importance = n_chars): 8 docs per language via per-group
+    Efraimidis-Spirakis rank windows — per-source corpus quotas with
+    quality weighting, never a global sort."""
+    return SA.weighted_sample_k_per_group(
+        load(spark, sf, "documents"), 8, "n_chars", "lang", "doc_id"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_order_status_priority_mi(spark: SparkSession, sf: str) -> DataFrame:
     """Categorical dependence audit: mutual information + entropies
     (nats) between order status and priority — one (a,b) groupBy, all
@@ -2852,18 +2862,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 28 never-checked r7 additions lead, then the 2 rows whose
+    # 29 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 28 new entries
-    # ahead, roughly the last 30 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 29 new entries
+    # ahead, roughly the last 31 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
         # --- never driver-checked (new in r7) ---
         "order_status_priority_mi": q_order_status_priority_mi,
+        "weighted_sample_by_lang": q_weighted_sample_by_lang,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3002,6 +3013,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "order_status_priority_mi": AN.sql_categorical_dependence(
             "orders", "o_orderstatus", "o_orderpriority"
+        ),
+        "weighted_sample_by_lang": SA.sql_weighted_sample_k_per_group(
+            "documents", 8, "n_chars", "lang", "doc_id",
+            cols="doc_id, lang, n_chars",
         ),
         "weighted_sample_orders": SA.sql_weighted_sample_k(
             "orders", 64, "o_totalprice", "o_orderkey",

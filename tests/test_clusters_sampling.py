@@ -645,3 +645,27 @@ def test_weighted_sample_k_determinism_bias_and_plan(spark):
         )
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_k_per_group_quota_and_bias(spark):
+    """Each group keeps at most k positive-weight rows; heavy rows
+    dominate within their group; short groups keep everything."""
+    from webhookdb_spark.operators.sampling import weighted_sample_k_per_group
+
+    rows = (
+        [(i, "big", 100.0 if i < 50 else 1.0) for i in range(500)]
+        + [(1000 + i, "small", 1.0) for i in range(3)]
+        + [(2000, "small", -1.0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = weighted_sample_k_per_group(df, 20, "w", "g").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.doc_id)
+    assert len(by_g["big"]) == 20
+    assert sorted(by_g["small"]) == [1000, 1001, 1002]  # < k, no negatives
+    heavy = sum(1 for d in by_g["big"] if d < 50)
+    assert heavy >= 14, heavy  # 50 rows hold ~92% of group mass
+    # deterministic
+    out2 = weighted_sample_k_per_group(df, 20, "w", "g").collect()
+    assert sorted(r.doc_id for r in out2) == sorted(r.doc_id for r in out)

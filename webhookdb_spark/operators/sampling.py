@@ -455,3 +455,59 @@ def sql_weighted_sample_k(
       ORDER BY _es DESC, {id_col} LIMIT {k}
     )
     """
+
+
+def weighted_sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Per-group deterministic weighted sampling without replacement:
+    within each ``group_col`` value, the k rows with the largest
+    Efraimidis-Spirakis keys — per-source corpus quotas where rows
+    should win in proportion to a quality/importance weight.
+
+    Same hash-derived uniforms as :func:`weighted_sample_k`; selection
+    is a rank window PARTITIONED on the group (per-group work, never a
+    global sort). Groups with fewer than k positive-weight rows keep
+    them all.
+    """
+    from pyspark.sql.window import Window
+
+    u = (_bucket28(F.col(id_col), salt) + F.lit(0.5)) / F.lit(float(1 << 28))
+    es = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_es"), F.col(id_col)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_es", es)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_es", "_rk")
+    )
+
+
+def sql_weighted_sample_k_per_group(
+    table: str,
+    k: int,
+    weight_col: str,
+    group_col: str,
+    id_col: str,
+    cols: str = "*",
+    salt: str = "wsample:",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_k_per_group`."""
+    b = _sql_bucket28(id_col, salt)
+    return f"""
+    SELECT {cols} FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {group_col}
+        ORDER BY ln(({b} + 0.5) / 268435456.0) / {weight_col} DESC, {id_col}
+      ) AS _rk
+      FROM {table} WHERE {weight_col} > 0
+    ) WHERE _rk <= {k}
+    """
