@@ -358,3 +358,39 @@ def test_scd2_lookup_interval_containment(spark):
         .explainString(spark._jvm.org.apache.spark.sql.execution
                        .ExplainMode.fromString("formatted"))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_prefix_jaccard_ngram_mode_matches_brute(spark):
+    """Word-3-gram shingle mode: equals brute-force shingle Jaccard,
+    and short docs (< ngram words) contribute no tokens."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "entirely different content with other words here"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def sh(txt):
+        w = [t for t in txt.lower().split() if t]
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    def brute(num, den):
+        toks = {d: sh(t) for d, t in docs if len(t.split()) >= 3}
+        out = set()
+        ids = sorted(toks)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(toks[a] & toks[b])
+                union = len(toks[a] | toks[b])
+                if union and inter * den >= num * union:
+                    out.add((a, b))
+        return out
+
+    for num, den in ((4, 5), (1, 2), (1, 4)):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in prefix_jaccard_join(df, "text", num, den, ngram=3).collect()
+        }
+        assert got == brute(num, den), (num, den, got)

@@ -1155,11 +1155,55 @@ def sql_incremental_minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _word_ngram_stream(
+    df: DataFrame, text_col: str, ngram: int
+) -> DataFrame:
+    """(doc_id, token) stream of distinct word-level tokens
+    (``ngram=1``) or word n-gram shingles of the lowercased alnum word
+    sequence. Shingling is what makes prefix filtering effective on
+    SMALL-vocabulary corpora: with few distinct words, every word is
+    frequent and nothing discriminates, but n-gram shingles span a
+    combinatorial space where near-duplicates share tokens and
+    unrelated docs don't.
+
+    The word array is BOUND in its own projection before the shingle
+    transform: lambda bodies get no common-subexpression elimination,
+    so referencing the split expression directly would re-tokenize the
+    document once per element_at — measured 12x slower on the r7
+    corpus (the same no-CSE-in-array-constructors pitfall
+    ABBENCH_r06 §2 documented for the count-min probes)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    base = df.select("doc_id", words.alias("_w"))
+    if ngram == 1:
+        toks = F.array_distinct(F.col("_w"))
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_w")) - (ngram - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("_w"), (i + j).cast("int"))
+                    for j in range(ngram)
+                ],
+            ),
+        )
+        toks = F.when(
+            F.size(F.col("_w")) >= ngram, F.array_distinct(grams)
+        ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "doc_id", F.explode(toks).alias("token")
+    ).where(F.col("token") != "")
+
+
 def prefix_jaccard_join(
     df: DataFrame,
     text_col: str = "text",
     threshold_num: int = 95,
     threshold_den: int = 100,
+    ngram: int = 1,
 ) -> DataFrame:
     """Exact token-Jaccard similarity join at threshold
     ``threshold_num/threshold_den`` via prefix filtering — the
@@ -1192,17 +1236,7 @@ def prefix_jaccard_join(
     nothing single-partition.
     """
     num, den = threshold_num, threshold_den
-    toks = (
-        df.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
-                )
-            ).alias("token"),
-        )
-        .where(F.col("token") != "")
-    )
+    toks = _word_ngram_stream(df, text_col, ngram)
     token_df = toks.groupBy("token").agg(F.count("*").alias("_tdf"))
 
     w_rank = Window.partitionBy("doc_id").orderBy("_tdf", "token")
@@ -1278,20 +1312,38 @@ def sql_prefix_jaccard_join(
     text_col: str = "text",
     threshold_num: int = 95,
     threshold_den: int = 100,
+    ngram: int = 1,
 ) -> str:
     """DuckDB twin of :func:`prefix_jaccard_join` — the brute-force
     EXACT all-pairs token join, deliberately sharing none of the
     prefix-filter machinery so a green row proves the filter loses no
-    pairs. Same integer cross-multiplied threshold."""
+    pairs. Same integer cross-multiplied threshold, same word-ngram
+    tokenization."""
     num, den = threshold_num, threshold_den
-    return f"""
-    WITH toks AS (
+    words = (
+        f"list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    )
+    if ngram == 1:
+        toks_cte = f"""
+    toks AS (
+      SELECT DISTINCT doc_id, t AS token FROM (
+        SELECT doc_id, unnest({words}) AS t FROM {table})
+      WHERE t <> ''
+    )"""
+    else:
+        gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(ngram))
+        toks_cte = f"""
+    toks AS (
       SELECT DISTINCT doc_id, t AS token FROM (
         SELECT doc_id,
-               unnest(string_split_regex(lower({text_col}), '[^a-z0-9]+')) AS t
-        FROM {table})
-      WHERE t <> ''
-    ),
+               unnest(list_transform(generate_series(1, len(w) - {ngram - 1}),
+                                     i -> {gram})) AS t
+        FROM (SELECT doc_id, {words} AS w FROM {table})
+        WHERE len(w) >= {ngram})
+    )"""
+    return f"""
+    WITH {toks_cte},
     sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
