@@ -2683,6 +2683,18 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_type_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift between the first and second half of the
+    event month: per-event-type proportions, Jensen-Shannon term, and
+    absolute shift — "did the mix change between crawls". One
+    conditional-count groupBy; js terms long-scaled for order-safe
+    downstream sums."""
+    return AN.distribution_drift(
+        load(spark, sf, "events"), "event_type",
+        F.col("ts") < "2024-01-16",
+    )
+
+
 def q_weighted_sample_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language weighted document sampling without replacement
     (importance = n_chars): 8 docs per language via per-group
@@ -2868,19 +2880,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 29 never-checked r7 additions lead, then the 2 rows whose
+    # 30 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 29 new entries
-    # ahead, roughly the last 31 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 30 new entries
+    # ahead, roughly the last 32 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
         # --- never driver-checked (new in r7) ---
         "order_status_priority_mi": q_order_status_priority_mi,
         "weighted_sample_by_lang": q_weighted_sample_by_lang,
+        "event_type_drift": q_event_type_drift,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3019,6 +3032,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "order_status_priority_mi": AN.sql_categorical_dependence(
             "orders", "o_orderstatus", "o_orderpriority"
+        ),
+        "event_type_drift": AN.sql_distribution_drift(
+            "events", "event_type", "ts < TIMESTAMP '2024-01-16'"
         ),
         "weighted_sample_by_lang": SA.sql_weighted_sample_k_per_group(
             "documents", 8, "n_chars", "lang", "doc_id",

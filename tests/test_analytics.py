@@ -311,3 +311,29 @@ def test_categorical_dependence_hand_cases(spark):
     rows += [(1000, None, "v0"), (1001, "0", None)]
     df = spark.createDataFrame(rows, "id long, a string, b string")
     assert categorical_dependence(df, "a", "b").collect()[0].n == 400
+
+
+def test_distribution_drift_hand_case(spark):
+    """Identical snapshots -> zero JS everywhere; a planted shift
+    shows up in the shifted category's term; one-sided categories are
+    finite (JS, not KL)."""
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.operators.analytics import distribution_drift
+
+    rows = (
+        [(i, "x", 0) for i in range(50)] + [(i, "y", 0) for i in range(50, 100)]
+        + [(i, "x", 1) for i in range(100, 150)]
+        + [(i, "y", 1) for i in range(150, 200)]
+    )
+    df = spark.createDataFrame(rows, "id long, cat string, half int")
+    same = distribution_drift(df, "cat", F.col("half") == 0).collect()
+    assert all(abs(r.js_term) < 1e-9 and r.abs_diff == 0.0 for r in same)
+
+    rows2 = rows + [(i, "z", 1) for i in range(200, 300)]  # z only in Q
+    df2 = spark.createDataFrame(rows2, "id long, cat string, half int")
+    got = {r.category: r for r in
+           distribution_drift(df2, "cat", F.col("half") == 0).collect()}
+    assert got["z"].n_p == 0 and got["z"].n_q == 100
+    assert 0 < got["z"].js_term < 0.35  # finite, bounded by ln2/2
+    assert got["x"].js_term > 0  # x's share shrank in Q

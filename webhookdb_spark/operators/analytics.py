@@ -950,3 +950,89 @@ def sql_categorical_dependence(table: str, col_a: str, col_b: str) -> str:
                 ELSE 0.0 END AS nmi
     FROM q
     """
+
+
+def distribution_drift(
+    df: DataFrame,
+    cat_col: str,
+    split_predicate: Column,
+) -> DataFrame:
+    """Per-category drift audit between two snapshots of the SAME
+    stream (rows matching ``split_predicate`` = snapshot P, the rest =
+    snapshot Q): one row per category with both proportions and its
+    Jensen-Shannon divergence contribution, plus the category's
+    absolute-difference share — "which categories shifted between
+    crawls/weeks". The total JS divergence is the sum of the js_term
+    column (bounded by ln 2; symmetric; defined even where one side is
+    zero, unlike KL).
+
+    Shape: ONE groupBy on the category computing both snapshots'
+    counts via conditional sums, then per-category arithmetic against
+    broadcast 1-row totals — a second scan or a self-join would double
+    the read for no reason. Determinism: per-category js terms are
+    long-scaled (1e12) before any cross-category consumer sums them,
+    same discipline as categorical_dependence; emitted values are
+    floor-quantized to 1e-6.
+    """
+    counts = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(
+            F.sum(F.when(split_predicate, 1).otherwise(0)).alias("_np"),
+            F.sum(F.when(split_predicate, 0).otherwise(1)).alias("_nq"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("_np").alias("_tp"), F.sum("_nq").alias("_tq")
+    )
+    cells = counts.crossJoin(F.broadcast(tot))
+    p = F.col("_np").cast("double") / F.col("_tp").cast("double")
+    q = F.col("_nq").cast("double") / F.col("_tq").cast("double")
+    m = (p + q) / F.lit(2.0)
+    kl_p = F.when(F.col("_np") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(F.col("_nq") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    js_term = (kl_p + kl_q) / F.lit(2.0)
+    q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
+    return cells.select(
+        "category",
+        F.col("_np").cast("long").alias("n_p"),
+        F.col("_nq").cast("long").alias("n_q"),
+        q6(p).alias("p"),
+        q6(q).alias("q"),
+        (F.floor(js_term * F.lit(1e12)) / F.lit(1e12)).alias("js_term"),
+        q6(F.abs(p - q)).alias("abs_diff"),
+    )
+
+
+def sql_distribution_drift(
+    table: str, cat_col: str, split_predicate_sql: str
+) -> str:
+    """DuckDB twin of :func:`distribution_drift` — same conditional
+    one-pass counts, same JS-term arithmetic and quantization."""
+    return f"""
+    WITH counts AS (
+      SELECT {cat_col} AS category,
+             sum(CASE WHEN {split_predicate_sql} THEN 1 ELSE 0 END) AS _np,
+             sum(CASE WHEN {split_predicate_sql} THEN 0 ELSE 1 END) AS _nq
+      FROM {table}
+      WHERE {cat_col} IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(_np) AS _tp, sum(_nq) AS _tq FROM counts),
+    cells AS (
+      SELECT category, _np, _nq,
+             CAST(_np AS DOUBLE) / CAST(_tp AS DOUBLE) AS p,
+             CAST(_nq AS DOUBLE) / CAST(_tq AS DOUBLE) AS q
+      FROM counts CROSS JOIN tot
+    )
+    SELECT category,
+           CAST(_np AS BIGINT) AS n_p,
+           CAST(_nq AS BIGINT) AS n_q,
+           floor(p * 1e6) / 1e6 AS p,
+           floor(q * 1e6) / 1e6 AS q,
+           floor(((CASE WHEN _np > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+                   + CASE WHEN _nq > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+                  / 2.0) * 1e12) / 1e12 AS js_term,
+           floor(abs(p - q) * 1e6) / 1e6 AS abs_diff
+    FROM cells
+    """
