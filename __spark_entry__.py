@@ -2683,6 +2683,24 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_price_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass mergeable quantile sketch (DDSketch-style log buckets,
+    1% relative error): p50/p90/p99 of order value from a
+    sketch built as TWO half-states folded with log_histogram_merge —
+    exact integer bucket counts make the state and the estimates fully
+    hash-matchable, and merged == one-shot by construction. The 100 TB
+    quantile path where exact percentile's per-group sort won't fly."""
+    orders = load(spark, sf, "orders")
+    a = SK.log_histogram_state(
+        orders.where("o_orderkey % 2 = 0"), "o_totalprice"
+    )
+    b = SK.log_histogram_state(
+        orders.where("o_orderkey % 2 = 1"), "o_totalprice"
+    )
+    st = SK.log_histogram_merge(a, b)
+    return SK.log_histogram_quantiles(st, [0.5, 0.9, 0.99])
+
+
 def q_event_type_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution drift between the first and second half of the
     event month: per-event-type proportions, Jensen-Shannon term, and
@@ -2880,13 +2898,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 30 never-checked r7 additions lead, then the 2 rows whose
+    # 31 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 30 new entries
-    # ahead, roughly the last 32 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 31 new entries
+    # ahead, roughly the last 33 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -2894,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_status_priority_mi": q_order_status_priority_mi,
         "weighted_sample_by_lang": q_weighted_sample_by_lang,
         "event_type_drift": q_event_type_drift,
+        "price_quantile_sketch": q_price_quantile_sketch,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3032,6 +3051,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "order_status_priority_mi": AN.sql_categorical_dependence(
             "orders", "o_orderstatus", "o_orderpriority"
+        ),
+        "price_quantile_sketch": SK.sql_log_histogram_quantiles(
+            "orders", "o_totalprice", [0.5, 0.9, 0.99]
         ),
         "event_type_drift": AN.sql_distribution_drift(
             "events", "event_type", "ts < TIMESTAMP '2024-01-16'"

@@ -337,3 +337,41 @@ def test_distribution_drift_hand_case(spark):
     assert got["z"].n_p == 0 and got["z"].n_q == 100
     assert 0 < got["z"].js_term < 0.35  # finite, bounded by ln2/2
     assert got["x"].js_term > 0  # x's share shrank in Q
+
+
+def test_log_histogram_quantiles_error_bound_and_merge(spark):
+    """Sketch estimates land within the eps relative-error bound of
+    the exact percentiles; merged half-states equal the one-shot
+    sketch exactly (integer bucket counts); non-positive values are
+    counted out of quantiles."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.operators.sketches import (
+        log_histogram_merge,
+        log_histogram_quantiles,
+        log_histogram_state,
+    )
+
+    rng = random.Random(3)
+    vals = [rng.lognormvariate(5, 2) for _ in range(4000)] + [0.0, -7.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, x double")
+    pcts = [0.5, 0.9, 0.99]
+    one = log_histogram_state(df, "x")
+    est = {r.p: r.est for r in log_histogram_quantiles(one, pcts).collect()}
+    pos = sorted(v for v in vals if v > 0)
+    for p in pcts:
+        exact = pos[int(__import__("math").ceil(p * len(pos))) - 1]
+        assert abs(est[p] - exact) / exact < 0.011, (p, est[p], exact)
+
+    a = log_histogram_state(df.where("id % 2 = 0"), "x")
+    b = log_histogram_state(df.where("id % 2 = 1"), "x")
+    merged = log_histogram_merge(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, one.collect())
+    )
+    # sentinel bucket holds exactly the two non-positive values
+    sent = one.where(F.col("bucket") == -(1 << 31)).collect()
+    assert len(sent) == 1 and sent[0].n == 2

@@ -294,3 +294,131 @@ def kmv_estimate_from_state(state: DataFrame, k: int = 64) -> DataFrame:
         .alias("est_distinct"),
         (n < k).alias("exact_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-bucketed histogram quantile sketch (mergeable, one pass)
+# ---------------------------------------------------------------------------
+#
+# Exact percentiles sort per group; at 100 TB the one-pass path is a
+# bounded-memory mergeable sketch. This one log-buckets positive
+# values at (1+eps) resolution: bucket counts are EXACT integers, so
+# the sketch state — unlike t-digest — is deterministic,
+# engine-reproducible (full value-hash oracle on both the state and
+# the quantile estimates), and merges by plain addition. Relative
+# error is bounded by eps by construction (every value in bucket b
+# lies within [(1+eps)^b, (1+eps)^(b+1))). The same idea underlies
+# DDSketch (Masson et al., VLDB'19 — public literature).
+
+
+def log_histogram_state(
+    df: DataFrame, value_col: str, eps_bp: int = 100
+) -> DataFrame:
+    """(bucket, n) exact counts of positive values log-bucketed at
+    (1 + eps_bp/10000) resolution, plus sentinel bucket -2^31 for
+    non-positive values (counted, excluded from quantiles). One
+    map-side bucket expression + one narrow groupBy; state size is
+    O(log(range)/eps), independent of row count. Merge = unionByName +
+    re-groupBy sum (:func:`log_histogram_merge`)."""
+    gamma = 1.0 + eps_bp / 10000.0
+    x = F.col(value_col).cast("double")
+    bucket = F.when(
+        x > 0, F.floor(F.log(x) / F.lit(float(__import__("math").log(gamma))))
+    ).otherwise(F.lit(-(1 << 31))).cast("int")
+    return (
+        df.where(x.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def log_histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two sketch states: bucket-wise count addition."""
+    return (
+        a.unionByName(b).groupBy("bucket").agg(F.sum("n").alias("n"))
+    )
+
+
+def log_histogram_quantiles(
+    state: DataFrame, pcts: list[float], eps_bp: int = 100
+) -> DataFrame:
+    """(p, est, n_total): quantile estimates from the sketch state —
+    for each p, the geometric midpoint of the first bucket whose
+    cumulative count reaches ceil(p * n). The cumulative window runs
+    over the STATE table (O(log(range)/eps) rows — sketch-sized, not
+    data-sized), so the single-partition sort is over ~thousands of
+    buckets at any data scale. Estimates floor-quantized to 1e-6."""
+    import math
+
+    gamma = 1.0 + eps_bp / 10000.0
+    pos = state.where(F.col("bucket") != -(1 << 31))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pos.select(
+        "bucket", "n", F.sum("n").over(w).alias("_cum")
+    ).crossJoin(
+        F.broadcast(pos.agg(F.sum("n").alias("_tot")))
+    )
+    out = None
+    lg = math.log(gamma)
+    for p in pcts:
+        rank = F.ceil(F.lit(p) * F.col("_tot"))
+        hit = (
+            cum.where(F.col("_cum") >= rank)
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(p).alias("p"),
+                (
+                    F.floor(
+                        F.exp((F.col("bucket") + F.lit(0.5)) * F.lit(lg))
+                        * F.lit(1e6)
+                    )
+                    / F.lit(1e6)
+                ).alias("est"),
+                F.col("_tot").cast("long").alias("n_total"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def sql_log_histogram_quantiles(
+    table: str, value_expr: str, pcts: list[float], eps_bp: int = 100
+) -> str:
+    """DuckDB twin of state+quantiles — identical bucketing, rank
+    rule, and midpoint arithmetic."""
+    import math
+
+    gamma = 1.0 + eps_bp / 10000.0
+    lg = repr(math.log(gamma))
+    selects = []
+    for p in pcts:
+        selects.append(f"""
+        SELECT CAST({p} AS DOUBLE) AS p,
+               (SELECT floor(exp((bucket + 0.5) * {lg}) * 1e6) / 1e6
+                FROM cum CROSS JOIN tot
+                WHERE _cum >= ceil({p} * _tot)
+                ORDER BY bucket LIMIT 1) AS est,
+               (SELECT CAST(_tot AS BIGINT) FROM tot) AS n_total""")
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH state AS (
+      SELECT CAST(floor(ln(x) / {lg}) AS INTEGER) AS bucket,
+             count(*) AS n
+      FROM (SELECT CAST({value_expr} AS DOUBLE) AS x FROM {table})
+      WHERE x > 0
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, n,
+             sum(n) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS _cum
+      FROM state
+    ),
+    tot AS (SELECT sum(n) AS _tot FROM state)
+    {body}
+    """
