@@ -34,6 +34,7 @@ from webhookdb_spark.operators import text as TX  # noqa: E402
 from webhookdb_spark.operators import analytics as AN  # noqa: E402
 from webhookdb_spark.operators import graph as GR  # noqa: E402
 from webhookdb_spark.operators import history as H  # noqa: E402
+from webhookdb_spark.operators import skew as SKW  # noqa: E402
 from webhookdb_spark.operators import digest as DG  # noqa: E402
 from webhookdb_spark.operators import text as X  # noqa: E402
 
@@ -2683,6 +2684,15 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_user_key_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew pre-flight: the 10 heaviest user_id keys in the
+    event stream with exact share-of-table and multiple-of-mean — the
+    audit that decides between salting (skew_salted_join) and AQE
+    skew-split before a 100 TB join. groupBy + top-k, no global
+    sort."""
+    return SKW.join_key_skew_audit(load(spark, sf, "events"), "user_id", 10)
+
+
 def q_price_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass mergeable quantile sketch (DDSketch-style log buckets,
     1% relative error): p50/p90/p99 of order value from a
@@ -2898,13 +2908,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 31 never-checked r7 additions lead, then the 2 rows whose
+    # 33 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 31 new entries
-    # ahead, roughly the last 33 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 33 new entries
+    # ahead, roughly the last 35 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -2913,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_by_lang": q_weighted_sample_by_lang,
         "event_type_drift": q_event_type_drift,
         "price_quantile_sketch": q_price_quantile_sketch,
+        "user_key_skew_audit": q_user_key_skew_audit,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3051,6 +3062,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "order_status_priority_mi": AN.sql_categorical_dependence(
             "orders", "o_orderstatus", "o_orderpriority"
+        ),
+        "user_key_skew_audit": SKW.sql_join_key_skew_audit(
+            "events", "user_id", 10
         ),
         "price_quantile_sketch": SK.sql_log_histogram_quantiles(
             "orders", "o_totalprice", [0.5, 0.9, 0.99]

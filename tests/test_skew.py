@@ -37,3 +37,23 @@ def test_salted_join_rejects_unsupported_how(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(ValueError):
         salted_join(df, df, on="k", how="full_outer")
+
+
+def test_join_key_skew_audit_finds_planted_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.operators.skew import join_key_skew_audit
+
+    rows = [(1,)] * 900 + [(k,) for k in range(2, 102)]
+    df = spark.createDataFrame(rows, "k long")
+    out = join_key_skew_audit(df, "k", 3).collect()
+    assert out[0].key not in (None,)
+    by = {r.key: r for r in out}
+    hot = by[1]
+    assert hot.n == 900 and hot.total_rows == 1000 and hot.total_keys == 101
+    assert hot.share_ppm == 900000
+    assert abs(hot.x_mean - 90.9) < 0.01  # 900 * 101 / 1000
+    plan = join_key_skew_audit(df, "k", 3)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -57,3 +57,62 @@ def salted_join(
     )
     out = b.join(s, on=[on, "_salt"], how=how).drop("_salt")
     return out
+
+
+def join_key_skew_audit(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Top-``top_k`` heaviest join keys with their share of the table
+    and their multiple of the mean group size — the pre-flight a
+    100 TB join runs to decide whether to salt
+    (:func:`salted_skew_join`) or let AQE's skew split handle it. One
+    key-keyed groupBy, a top-k (TakeOrderedAndProject, no global
+    sort), and a broadcast 1-row total.
+
+    share_ppm = floor(n / total_rows * 1e6); x_mean = floor(n *
+    total_keys / total_rows * 1e6) / 1e6 — both from exact longs, so
+    the audit hash-matches its SQL twin.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("_rows"), F.count(F.lit(1)).alias("_keys")
+    )
+    top = counts.orderBy(F.desc("n"), F.col("key")).limit(top_k)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.floor(
+            F.col("n") * F.lit(1_000_000) / F.col("_rows")
+        ).cast("long").alias("share_ppm"),
+        (
+            F.floor(
+                F.col("n").cast("double")
+                * F.col("_keys").cast("double")
+                / F.col("_rows").cast("double")
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("x_mean"),
+        F.col("_rows").cast("long").alias("total_rows"),
+        F.col("_keys").cast("long").alias("total_keys"),
+    )
+
+
+def sql_join_key_skew_audit(table: str, key_col: str, top_k: int = 10) -> str:
+    """DuckDB twin of :func:`join_key_skew_audit`."""
+    return f"""
+    WITH counts AS (
+      SELECT {key_col} AS key, count(*) AS n FROM {table} GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS _rows, count(*) AS _keys FROM counts),
+    top AS (SELECT * FROM counts ORDER BY n DESC, key LIMIT {top_k})
+    SELECT key, CAST(n AS BIGINT) AS n,
+           CAST(floor(n * 1000000 / _rows) AS BIGINT) AS share_ppm,
+           floor(CAST(n AS DOUBLE) * CAST(_keys AS DOUBLE)
+                 / CAST(_rows AS DOUBLE) * 1e6) / 1e6 AS x_mean,
+           CAST(_rows AS BIGINT) AS total_rows,
+           CAST(_keys AS BIGINT) AS total_keys
+    FROM top CROSS JOIN tot
+    """
