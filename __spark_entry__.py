@@ -2684,6 +2684,18 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_value_quantiles_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type p50/p90/p99 from the GROUPED log-bucketed
+    quantile sketch — per-key latency-style percentiles at 100 TB: one
+    (group, bucket) groupBy, cumulative windows partitioned per group,
+    sketch-sized state, no sort of the data and no single-partition
+    stage anywhere."""
+    st = SK.log_histogram_state_by(
+        load(spark, sf, "events"), "event_type", "value"
+    )
+    return SK.log_histogram_quantiles_by(st, [0.5, 0.9, 0.99])
+
+
 def q_user_key_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Join-key skew pre-flight: the 10 heaviest user_id keys in the
     event stream with exact share-of-table and multiple-of-mean — the
@@ -2908,13 +2920,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 33 never-checked r7 additions lead, then the 2 rows whose
+    # 34 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 33 new entries
-    # ahead, roughly the last 35 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 34 new entries
+    # ahead, roughly the last 36 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -2924,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_drift": q_event_type_drift,
         "price_quantile_sketch": q_price_quantile_sketch,
         "user_key_skew_audit": q_user_key_skew_audit,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3065,6 +3078,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "user_key_skew_audit": SKW.sql_join_key_skew_audit(
             "events", "user_id", 10
+        ),
+        "value_quantiles_by_type": SK.sql_log_histogram_quantiles_by(
+            "events", "event_type", "value", [0.5, 0.9, 0.99]
         ),
         "price_quantile_sketch": SK.sql_log_histogram_quantiles(
             "orders", "o_totalprice", [0.5, 0.9, 0.99]

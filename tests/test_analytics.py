@@ -375,3 +375,47 @@ def test_log_histogram_quantiles_error_bound_and_merge(spark):
     # sentinel bucket holds exactly the two non-positive values
     sent = one.where(F.col("bucket") == -(1 << 31)).collect()
     assert len(sent) == 1 and sent[0].n == 2
+
+
+def test_log_histogram_grouped_matches_global_per_group(spark):
+    """Grouped sketch quantiles == running the global sketch on each
+    group's slice; the plan has no single-partition exchange."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.operators.sketches import (
+        log_histogram_quantiles,
+        log_histogram_quantiles_by,
+        log_histogram_state,
+        log_histogram_state_by,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, "g" + str(i % 3), rng.lognormvariate(3, 1))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, g string, x double")
+    pcts = [0.5, 0.99]
+    got = {
+        (r.group, r.p): (r.est, r.n_total)
+        for r in log_histogram_quantiles_by(
+            log_histogram_state_by(df, "g", "x"), pcts
+        ).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        sl = df.where(F.col("g") == g)
+        want = {
+            r.p: (r.est, r.n_total)
+            for r in log_histogram_quantiles(
+                log_histogram_state(sl, "x"), pcts
+            ).collect()
+        }
+        for p in pcts:
+            assert got[(g, p)] == want[p], (g, p)
+
+    plan = log_histogram_quantiles_by(
+        log_histogram_state_by(df, "g", "x"), pcts
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "Exchange SinglePartition" not in plan, plan

@@ -422,3 +422,118 @@ def sql_log_histogram_quantiles(
     tot AS (SELECT sum(n) AS _tot FROM state)
     {body}
     """
+
+
+def log_histogram_state_by(
+    df: DataFrame, group_col: str, value_col: str, eps_bp: int = 100
+) -> DataFrame:
+    """(group, bucket, n): the grouped form of
+    :func:`log_histogram_state` — one narrow (group, bucket) groupBy;
+    per-group state stays O(log(range)/eps). Merge across batches =
+    unionByName + re-groupBy sum on the same keys."""
+    gamma = 1.0 + eps_bp / 10000.0
+    import math
+
+    x = F.col(value_col).cast("double")
+    bucket = F.when(
+        x > 0, F.floor(F.log(x) / F.lit(float(math.log(gamma))))
+    ).otherwise(F.lit(-(1 << 31))).cast("int")
+    return (
+        df.where(x.isNotNull())
+        .select(F.col(group_col).alias("group"), bucket.alias("bucket"))
+        .groupBy("group", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def log_histogram_quantiles_by(
+    state: DataFrame, pcts: list[float], eps_bp: int = 100
+) -> DataFrame:
+    """(group, p, est, n_total): per-group quantile estimates from a
+    grouped sketch state. The cumulative window PARTITIONS on the
+    group — per-group work over sketch-sized rows, so this scales to
+    any number of groups with no single-partition stage at all."""
+    import math
+
+    gamma = 1.0 + eps_bp / 10000.0
+    lg = math.log(gamma)
+    pos = state.where(F.col("bucket") != -(1 << 31))
+    w = (
+        Window.partitionBy("group")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("group")
+    cum = pos.select(
+        "group",
+        "bucket",
+        F.sum("n").over(w).alias("_cum"),
+        F.sum("n").over(wt).alias("_tot"),
+    )
+    out = None
+    for p in pcts:
+        rank = F.ceil(F.lit(p) * F.col("_tot"))
+        hit = (
+            cum.where(F.col("_cum") >= rank)
+            .groupBy("group")
+            .agg(
+                F.min("bucket").alias("_b"),
+                F.max("_tot").alias("_tot"),
+            )
+            .select(
+                "group",
+                F.lit(p).alias("p"),
+                (
+                    F.floor(
+                        F.exp((F.col("_b") + F.lit(0.5)) * F.lit(lg))
+                        * F.lit(1e6)
+                    )
+                    / F.lit(1e6)
+                ).alias("est"),
+                F.col("_tot").cast("long").alias("n_total"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def sql_log_histogram_quantiles_by(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    pcts: list[float],
+    eps_bp: int = 100,
+) -> str:
+    """DuckDB twin of the grouped sketch quantiles."""
+    import math
+
+    gamma = 1.0 + eps_bp / 10000.0
+    lg = repr(math.log(gamma))
+    selects = []
+    for p in pcts:
+        selects.append(f"""
+        SELECT "group", CAST({p} AS DOUBLE) AS p,
+               floor(exp((min(bucket) + 0.5) * {lg}) * 1e6) / 1e6 AS est,
+               CAST(max(_tot) AS BIGINT) AS n_total
+        FROM cum WHERE _cum >= ceil({p} * _tot) GROUP BY "group" """)
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH state AS (
+      SELECT g AS "group",
+             CAST(floor(ln(x) / {lg}) AS INTEGER) AS bucket,
+             count(*) AS n
+      FROM (SELECT {group_col} AS g, CAST({value_expr} AS DOUBLE) AS x
+            FROM {table})
+      WHERE x > 0
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT "group", bucket, n,
+             sum(n) OVER (PARTITION BY "group" ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS _cum,
+             sum(n) OVER (PARTITION BY "group") AS _tot
+      FROM state
+    )
+    {body}
+    """
