@@ -2684,6 +2684,18 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus overlap audit from sketches alone: per-language
+    distinct-text overlap between the even- and odd-id halves of the
+    corpus, estimated from two KMV states (union via sketch merge,
+    intersection by inclusion-exclusion) — "how much does crawl B
+    repeat crawl A" without ever joining the raw corpora."""
+    docs = load(spark, sf, "documents")
+    a = SK.kmv_state(docs.where("doc_id % 2 = 0"), "lang", "text")
+    b = SK.kmv_state(docs.where("doc_id % 2 = 1"), "lang", "text")
+    return SK.kmv_overlap(a, b)
+
+
 def q_value_quantiles_by_type(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type p50/p90/p99 from the GROUPED log-bucketed
     quantile sketch — per-key latency-style percentiles at 100 TB: one
@@ -2920,13 +2932,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 34 never-checked r7 additions lead, then the 2 rows whose
+    # 36 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 34 new entries
-    # ahead, roughly the last 36 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 36 new entries
+    # ahead, roughly the last 38 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -2937,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantile_sketch": q_price_quantile_sketch,
         "user_key_skew_audit": q_user_key_skew_audit,
         "value_quantiles_by_type": q_value_quantiles_by_type,
+        "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3081,6 +3094,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "value_quantiles_by_type": SK.sql_log_histogram_quantiles_by(
             "events", "event_type", "value", [0.5, 0.9, 0.99]
+        ),
+        "corpus_overlap_kmv": SK.sql_kmv_overlap(
+            "documents", "lang", "text",
+            "doc_id % 2 = 0", "doc_id % 2 = 1",
         ),
         "price_quantile_sketch": SK.sql_log_histogram_quantiles(
             "orders", "o_totalprice", [0.5, 0.9, 0.99]

@@ -419,3 +419,31 @@ def test_log_histogram_grouped_matches_global_per_group(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"))
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_kmv_overlap_sanity(spark):
+    """Identical halves -> intersection ~ both sides; disjoint halves
+    -> intersection ~ 0. k=512 on ~300 distinct values makes the
+    sketch exact, so the bounds are tight."""
+    from webhookdb_spark.operators.sketches import kmv_overlap, kmv_state
+
+    rows = [(i, "g", f"v{i % 300}") for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, g string, v string")
+    a = kmv_state(df.where("id < 450"), "g", "v", k=512)
+    b = kmv_state(df.where("id >= 450"), "g", "v", k=512)
+    r = kmv_overlap(a, b, k=512).collect()[0]
+    # both halves cover all 300 residues (450 consecutive ids wrap the
+    # 300-cycle fully)
+    assert r.est_a == 300 and r.est_b == 300
+    assert r.est_union == 300 and r.est_intersection == 300
+    assert r.jaccard_est == 1.0
+
+    rows = [(i, "g", f"a{i}") for i in range(200)] + [
+        (1000 + i, "g", f"b{i}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v string")
+    a = kmv_state(df.where("id < 1000"), "g", "v", k=512)
+    b = kmv_state(df.where("id >= 1000"), "g", "v", k=512)
+    r = kmv_overlap(a, b, k=512).collect()[0]
+    assert r.est_union == 400 and r.est_intersection == 0
+    assert r.jaccard_est == 0.0

@@ -537,3 +537,118 @@ def sql_log_histogram_quantiles_by(
     )
     {body}
     """
+
+
+def kmv_overlap(
+    state_a: DataFrame, state_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Per-group set-overlap estimate from two KMV states — "how much
+    does crawl B overlap crawl A" WITHOUT joining the raw corpora:
+    est_union from the merged sketch, est_intersection by
+    inclusion-exclusion (|A| + |B| - |A∪B|, floored at 0), and the
+    Jaccard estimate from the two. All arithmetic runs on the integer
+    KMV estimates, so the result hash-matches an oracle that computes
+    the same estimators in SQL; sketch error carries through
+    inclusion-exclusion (worst when the true overlap is small relative
+    to either set — the standard KMV trade).
+
+    Everything is per-group array arithmetic on <= k longs: the only
+    joins are the group-keyed state joins.
+    """
+    group = [c for c in state_a.columns if c != "hs"][0]
+    ea = kmv_estimate_from_state(state_a, k).select(
+        F.col(group), F.col("est_distinct").alias("est_a")
+    )
+    eb = kmv_estimate_from_state(state_b, k).select(
+        F.col(group), F.col("est_distinct").alias("est_b")
+    )
+    # the merged sketch covers every group present on either side, so
+    # it drives the join — plain left joins, no full-outer chaining
+    eu = kmv_estimate_from_state(
+        kmv_merge(state_a, state_b, k), k
+    ).select(F.col(group), F.col("est_distinct").alias("est_union"))
+    out = eu.join(ea, group, "left").join(eb, group, "left").select(
+        F.col(group),
+        F.coalesce("est_a", F.lit(0)).alias("est_a"),
+        F.coalesce("est_b", F.lit(0)).alias("est_b"),
+        F.col("est_union"),
+    )
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+    )
+    return out.select(
+        group,
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.cast("long").alias("est_intersection"),
+        F.when(
+            F.col("est_union") > 0,
+            F.floor(
+                inter.cast("double") / F.col("est_union").cast("double") * 1e6
+            )
+            / 1e6,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard_est"),
+    )
+
+
+def sql_kmv_overlap(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    pred_a: str,
+    pred_b: str,
+    k: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmv_overlap` over two predicates of the
+    same table — identical per-side and merged KMV estimators."""
+
+    def side(pred, alias):
+        return f"""
+    {alias}_h AS (
+      SELECT DISTINCT {group_col} AS g,
+             CAST('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 7) AS BIGINT) AS hv
+      FROM {table} WHERE {pred}
+    ),
+    {alias}_top AS (
+      SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+      FROM {alias}_h
+    ),
+    {alias}_e AS (
+      SELECT g, CAST(CASE WHEN count(*) < {k} THEN count(*)
+                 ELSE CAST({k} - 1 AS BIGINT) * {_M} // max(hv) END AS BIGINT) AS est
+      FROM {alias}_top WHERE rn <= {k} GROUP BY g
+    )"""
+
+    union_side = f"""
+    u_h AS (
+      SELECT g, hv FROM a_h UNION SELECT g, hv FROM b_h
+    ),
+    u_top AS (
+      SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+      FROM u_h
+    ),
+    u_e AS (
+      SELECT g, CAST(CASE WHEN count(*) < {k} THEN count(*)
+                 ELSE CAST({k} - 1 AS BIGINT) * {_M} // max(hv) END AS BIGINT) AS est
+      FROM u_top WHERE rn <= {k} GROUP BY g
+    )"""
+    return f"""
+    WITH {side(pred_a, 'a')},
+    {side(pred_b, 'b')},
+    {union_side}
+    SELECT u.g AS {group_col},
+           COALESCE(a.est, 0) AS est_a,
+           COALESCE(b.est, 0) AS est_b,
+           u.est AS est_union,
+           CAST(greatest(COALESCE(a.est, 0) + COALESCE(b.est, 0)
+                         - u.est, 0) AS BIGINT) AS est_intersection,
+           CASE WHEN u.est > 0
+                THEN floor(CAST(greatest(COALESCE(a.est, 0) + COALESCE(b.est, 0)
+                                         - u.est, 0) AS DOUBLE)
+                           / CAST(u.est AS DOUBLE) * 1e6) / 1e6
+                ELSE 0.0 END AS jaccard_est
+    FROM u_e u LEFT JOIN a_e a ON a.g = u.g LEFT JOIN b_e b ON b.g = u.g
+    """
