@@ -2591,8 +2591,13 @@ def q_scd2_incremental(spark: SparkSession, sf: str) -> DataFrame:
     b1 = ev.where((F.col("ts") >= splits[0]) & (F.col("ts") < splits[1]))
     b2 = ev.where(F.col("ts") >= splits[1])
     for b in (b1, b2):
+        # materialize history between applies — what a change-feed
+        # consumer does anyway (state lives in a table between
+        # micro-batches), and it stops the nested-union lineage from
+        # quadrupling per batch: 4.2-9.7 s -> 1.9-2.3 s at sf0.1
         hist = H.scd2_apply(
-            hist, b, "user_id", ("event_type",), "ts", "event_id",
+            hist.localCheckpoint(eager=False), b,
+            "user_id", ("event_type",), "ts", "event_id",
             open_end_ts="9999-12-31 00:00:00",
         )
     return hist
