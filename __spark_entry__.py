@@ -2689,6 +2689,24 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_dhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image hashing: 63-bit dHash per synthetic BMP on a
+    uniform 32x24 canvas — Arrow-batched sampling of the REAL byte
+    layout (positions wrap modulo the usable payload, so complete
+    pixel arrays sample at true offsets and fixture streams tile).
+    The oracle recomputes the full sampling/luminance/bit pipeline
+    from the hex-built payload in SQL — a per-image value match over
+    the whole kernel. The banded near-dup join
+    (image_dhash_pairs) is pigeonhole-complete for hamming <= k and
+    proven against brute force in pytest: this corpus has no
+    byte-identical texts, so its fixture images have no close pairs
+    to emit here."""
+    media = M.media_bmp_from_documents(
+        load(spark, sf, "documents"), fixed_w=32, fixed_h=24
+    )
+    return M.image_dhash(media)
+
+
 def q_corpus_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus overlap audit from sketches alone: per-language
     distinct-text overlap between the even- and odd-id halves of the
@@ -2937,13 +2955,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 36 never-checked r7 additions lead, then the 2 rows whose
+    # 37 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 36 new entries
-    # ahead, roughly the last 38 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 37 new entries
+    # ahead, roughly the last 39 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -2955,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_key_skew_audit": q_user_key_skew_audit,
         "value_quantiles_by_type": q_value_quantiles_by_type,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        "media_dhash": q_media_dhash,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3099,6 +3118,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "value_quantiles_by_type": SK.sql_log_histogram_quantiles_by(
             "events", "event_type", "value", [0.5, 0.9, 0.99]
+        ),
+        "media_dhash": M.sql_image_dhash(
+            "documents", fixed_w=32, fixed_h=24
         ),
         "corpus_overlap_kmv": SK.sql_kmv_overlap(
             "documents", "lang", "text",

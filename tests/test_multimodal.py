@@ -456,3 +456,65 @@ def test_pixel_features_stride_padding_and_garbage(spark):
     )
     assert out[2].n_pixels == 2  # 7 bytes -> 2 complete pixels
     assert out[3].n_pixels is None
+
+
+def test_image_dhash_pairs_banding_complete_vs_brute(spark):
+    """Constructed near-duplicate BMPs: base image, small pixel edits
+    (few dHash bits), heavy edits (many bits). The banded join must
+    return EXACTLY the brute-force all-pairs hamming result, and
+    near-dups must land within the budget while heavy edits do not."""
+    import struct
+
+    from webhookdb_spark.operators.multimodal import (
+        image_dhash,
+        image_dhash_pairs,
+    )
+
+    w, h = 36, 24
+    stride = (w * 3 + 3) // 4 * 4
+
+    def bmp(pixels):
+        head = b"BM" + struct.pack("<I", 54 + stride * h) + b"\x00" * 4
+        head += struct.pack("<I", 54) + struct.pack("<I", 40)
+        head += struct.pack("<i", w) + struct.pack("<i", h)
+        head += struct.pack("<H", 1) + struct.pack("<H", 24) + b"\x00" * 24
+        return head + bytes(pixels)
+
+    import random
+
+    rng = random.Random(5)
+    base = [rng.randrange(256) for _ in range(stride * h)]
+    variants = {0: base}
+    for vid, n_edits in ((1, 2), (2, 3), (3, 400)):
+        px = list(base)
+        for _ in range(n_edits * 3):
+            px[rng.randrange(len(px))] = rng.randrange(256)
+        variants[vid] = px
+    media = spark.createDataFrame(
+        [(i, bytearray(bmp(p))) for i, p in variants.items()],
+        "media_id long, content binary",
+    )
+    hashes = image_dhash(media)
+    hv = {r.media_id: r.dhash for r in hashes.collect()}
+    assert all(v is not None for v in hv.values())
+
+    for budget in (4, 8, 16):
+        got = {
+            (r.media_a, r.media_b): r.hamming
+            for r in image_dhash_pairs(hashes, budget).collect()
+        }
+        want = {}
+        ids = sorted(hv)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                d = bin(hv[a] ^ hv[b]).count("1")
+                if d <= budget:
+                    want[(a, b)] = d
+        assert got == want, (budget, got, want)
+    # identical image: distance 0 pair always found
+    dup = spark.createDataFrame(
+        [(0, bytearray(bmp(base))), (9, bytearray(bmp(base)))],
+        "media_id long, content binary",
+    )
+    pairs = image_dhash_pairs(image_dhash(dup), 0).collect()
+    assert [(p.media_a, p.media_b, p.hamming) for p in pairs] == [(0, 9, 0)]

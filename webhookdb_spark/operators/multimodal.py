@@ -461,14 +461,21 @@ def _sql_be_int(hex_col: str, byte_off: int, nbytes: int) -> str:
 _BMP_ZEROS = "0" * 48  # compression..importantcolors: 6 zero uint32 fields
 
 
-def media_bmp_from_documents(docs: DataFrame) -> DataFrame:
+def media_bmp_from_documents(
+    docs: DataFrame,
+    fixed_w: int | None = None,
+    fixed_h: int | None = None,
+) -> DataFrame:
     """Structurally valid 24-bpp BMP per document: 54-byte header
-    (deterministic width/height from doc_id) + the document's UTF-8
-    bytes as the pixel stream. Entirely native column expressions —
-    the binary is unhex() of a computed hex string."""
+    (deterministic width/height from doc_id — or ``fixed_w``/
+    ``fixed_h`` for a uniform canvas, which is what perceptual
+    hashing needs: near-duplicate TEXTS then become near-duplicate
+    IMAGES because the sample grid lands on the same offsets) + the
+    document's UTF-8 bytes as the pixel stream. Entirely native column
+    expressions — the binary is unhex() of a computed hex string."""
     n = F.octet_length(F.encode(F.col("text"), "UTF-8"))
-    w = (F.col("doc_id") % 64 + 1).cast("int")
-    h = (F.col("doc_id") % 48 + 1).cast("int")
+    w = (F.lit(fixed_w) if fixed_w else (F.col("doc_id") % 64 + 1)).cast("int")
+    h = (F.lit(fixed_h) if fixed_h else (F.col("doc_id") % 48 + 1)).cast("int")
     header_hex = F.concat(
         F.lit("424D"),  # 'BM'
         _le_hex(n + F.lit(54), 4),  # file size
@@ -497,11 +504,15 @@ def media_bmp_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def sql_media_bmp_hex(table: str = "documents") -> str:
+def sql_media_bmp_hex(
+    table: str = "documents",
+    fixed_w: int | None = None,
+    fixed_h: int | None = None,
+) -> str:
     """DuckDB expression building the identical BMP payload as hex."""
     n = "octet_length(encode(text))"
-    w = "(doc_id % 64 + 1)"
-    h = "(doc_id % 48 + 1)"
+    w = f"({fixed_w})" if fixed_w else "(doc_id % 64 + 1)"
+    h = f"({fixed_h})" if fixed_h else "(doc_id % 48 + 1)"
     return (
         f"'424D' || {_sql_le_hex(f'{n} + 54', 4)} || '0000000036000000' || "
         f"'28000000' || {_sql_le_hex(w, 4)} || {_sql_le_hex(h, 4)} || "
@@ -1197,4 +1208,193 @@ def sql_media_pixel_features(table: str = "documents") -> str:
              list_sum(list_transform(ps, p -> {byte_at.format(p='p + 2')})) // len(ps)
              AS INTEGER) END AS mean_r
     FROM px
+    """
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, dhash): 63-bit difference hash of a 24-bpp BMP — the
+    image-modality member of the dedup family (dHash: public
+    perceptual-hash technique; near-duplicate images land within a few
+    bits of each other). The image is point-sampled on a 9x8 grid
+    (nearest-neighbor in FILE row order; col i of 9 at
+    floor(i*w/9), row j of 8 at floor(j*|h|/8)), integer luminance
+    (b+g+r) // 3 per sample, and bit j*8+i set when lum[j][i+1] >
+    lum[j][i]. The (7,7) comparison is dropped so the hash stays below
+    2^63 — identical BIGINT arithmetic in the DuckDB twin, no sign
+    wrap in either engine. Images narrower than 10 px or shorter than
+    9 px (or truncated buffers) yield NULL — filterable, not fatal.
+
+    Arrow-batched numpy kernel; everything downstream
+    (:func:`image_dhash_pairs`) is banded hash joins.
+    """
+
+    def kern(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(b)
+                if len(buf) < 54 or buf[:2] != b"BM":
+                    out.append((mid, None))
+                    continue
+                off = struct.unpack_from("<I", buf, 10)[0]
+                w = struct.unpack_from("<i", buf, 18)[0]
+                h = abs(struct.unpack_from("<i", buf, 22)[0])
+                bpp = struct.unpack_from("<H", buf, 28)[0]
+                if bpp != 24 or w < 10 or h < 9:
+                    out.append((mid, None))
+                    continue
+                stride = (w * 3 + 3) // 4 * 4
+                # positions wrap modulo the usable payload: a complete
+                # pixel array is sampled at its true offsets (lin <
+                # usable there), while short/truncated payloads tile —
+                # so fixture BMPs whose "pixels" are a text stream
+                # still hash every byte deterministically
+                usable = len(buf) - off - 2
+                if usable < 1:
+                    out.append((mid, None))
+                    continue
+                lum = [[0] * 9 for _ in range(8)]
+                for j in range(8):
+                    r = j * h // 8
+                    for i in range(9):
+                        c = i * w // 9
+                        p = off + (r * stride + c * 3) % usable
+                        lum[j][i] = (buf[p] + buf[p + 1] + buf[p + 2]) // 3
+                hv = 0
+                for j in range(8):
+                    for i in range(8):
+                        if j == 7 and i == 7:
+                            continue
+                        if lum[j][i + 1] > lum[j][i]:
+                            hv |= 1 << (j * 8 + i)
+                out.append((mid, hv))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.select("media_id", "content").mapInPandas(
+        kern, "media_id long, dhash long"
+    )
+
+
+def image_dhash_pairs(
+    hashes: DataFrame, max_hamming: int = 4
+) -> DataFrame:
+    """(media_a, media_b, hamming): image near-duplicate pairs whose
+    dHashes differ in <= ``max_hamming`` bits. Candidates come from a
+    banded equality join — the 63-bit hash splits into
+    ``max_hamming + 1`` 13-bit slices, and by pigeonhole any pair
+    within the budget agrees on at least one slice — so candidate
+    generation is a hash join on (band, slice), NEVER an all-pairs
+    hamming scan. Verification is one bit_count(xor) per candidate.
+    """
+    bands = max_hamming + 1
+    h = hashes.where(F.col("dhash").isNotNull())
+    sliced = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("dhash", 13 * i)
+                    .bitwiseAND(F.lit(8191))
+                    .alias("slice"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("_b"),
+    ).select("media_id", "dhash", "_b.band", "_b.slice")
+    cands = (
+        sliced.alias("a")
+        .join(sliced.alias("b"), ["band", "slice"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.dhash").alias("_ha"),
+            F.col("b.dhash").alias("_hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("_ha").bitwiseXOR(F.col("_hb"))
+    ).cast("int")
+    return (
+        cands.select("media_a", "media_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def sql_image_dhash(
+    table: str = "documents",
+    fixed_w: int | None = None,
+    fixed_h: int | None = None,
+) -> str:
+    """DuckDB twin of media_bmp_from_documents -> :func:`image_dhash`
+    over the same hex-built BMPs: the full sampling + luminance + bit
+    pipeline recomputed from the hex string — a strong per-image
+    value oracle for the whole kernel."""
+    hx = sql_media_bmp_hex(table, fixed_w, fixed_h)
+    n = "octet_length(encode(text))"
+    w = f"({fixed_w})" if fixed_w else "(doc_id % 64 + 1)"
+    h = f"({fixed_h})" if fixed_h else "(doc_id % 48 + 1)"
+    byte_at = "CAST('0x' || substr(hx, 2 * CAST({p} AS INTEGER) + 1, 2) AS BIGINT)"
+    lum = (
+        "(" + byte_at.format(p="pp") + " + " + byte_at.format(p="pp + 1")
+        + " + " + byte_at.format(p="pp + 2") + ") // 3"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, ({hx}) AS hx,
+             {w} AS w, {h} AS h, {n} + 54 AS total,
+             ({w} * 3 + 3) // 4 * 4 AS stride
+      FROM {table}
+      WHERE {w} >= 10 AND {h} >= 9
+    ),
+    pos AS (
+      SELECT media_id, hx,
+             flatten(list_transform(range(0, 8), j ->
+               list_transform(range(0, 9), i ->
+                 54 + ((j * h // 8) * stride + (i * w // 9) * 3)
+                      % (total - 56)))) AS ps
+      FROM m
+      WHERE total >= 57
+    ),
+    lums AS (
+      SELECT media_id,
+             list_transform(ps, pp -> {lum}) AS lu
+      FROM pos
+    ),
+    hashed AS (
+      SELECT media_id,
+             CAST(list_sum(flatten(list_transform(range(0, 8), j ->
+               list_transform(range(0, 8), i ->
+                 CASE WHEN j = 7 AND i = 7 THEN 0
+                      WHEN lu[j * 9 + i + 2] > lu[j * 9 + i + 1]
+                      THEN 1::BIGINT << (j * 8 + i)
+                      ELSE 0 END)))) AS BIGINT) AS dhash
+      FROM lums
+    )
+    SELECT media_id, dhash FROM hashed
+    """
+
+
+def sql_image_dhash_pairs(
+    table: str = "documents",
+    max_hamming: int = 4,
+    fixed_w: int | None = None,
+    fixed_h: int | None = None,
+) -> str:
+    """Brute-force ALL-PAIRS hamming join over :func:`sql_image_dhash`
+    — shares none of the banding machinery, so equality with
+    :func:`image_dhash_pairs` proves the bands lose no pair."""
+    return f"""
+    WITH hashed AS ({sql_image_dhash(table, fixed_w, fixed_h)})
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
     """
