@@ -2707,6 +2707,17 @@ def q_media_dhash(spark: SparkSession, sf: str) -> DataFrame:
     return M.image_dhash(media)
 
 
+def q_media_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-modality dedup primitive: 31-bit energy-envelope
+    fingerprint per synthetic WAV (32 equal PCM frames, exact integer
+    mean-square energies, delta bits) — same delta-hash family as the
+    image dHash, same banded near-dup join downstream. Oracle
+    recomputes the whole framing/energy/bit pipeline from the
+    hex-built WAV."""
+    media = M.media_wav_from_documents(load(spark, sf, "documents"))
+    return M.audio_fingerprint(media).where(F.col("dhash").isNotNull())
+
+
 def q_corpus_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus overlap audit from sketches alone: per-language
     distinct-text overlap between the even- and odd-id halves of the
@@ -2955,13 +2966,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 37 never-checked r7 additions lead, then the 2 rows whose
+    # 38 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 37 new entries
-    # ahead, roughly the last 39 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 38 new entries
+    # ahead, roughly the last 40 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -2974,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles_by_type": q_value_quantiles_by_type,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "media_dhash": q_media_dhash,
+        "media_audio_fingerprint": q_media_audio_fingerprint,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3122,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dhash": M.sql_image_dhash(
             "documents", fixed_w=32, fixed_h=24
         ),
+        "media_audio_fingerprint": M.sql_audio_fingerprint("documents"),
         "corpus_overlap_kmv": SK.sql_kmv_overlap(
             "documents", "lang", "text",
             "doc_id % 2 = 0", "doc_id % 2 = 1",

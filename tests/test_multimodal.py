@@ -518,3 +518,57 @@ def test_image_dhash_pairs_banding_complete_vs_brute(spark):
     )
     pairs = image_dhash_pairs(image_dhash(dup), 0).collect()
     assert [(p.media_a, p.media_b, p.hamming) for p in pairs] == [(0, 9, 0)]
+
+
+def test_audio_fingerprint_and_banded_pairs(spark):
+    """Hand WAVs: identical streams fingerprint identically; a small
+    amplitude perturbation in a few frames moves few bits; the banded
+    join (n_bits=31) equals brute force and never degenerates via
+    zero-width high bands."""
+    import struct
+
+    from webhookdb_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_dhash_pairs,
+    )
+
+    def wav(samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        hdr += struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        return hdr + b"data" + struct.pack("<I", len(data)) + data
+
+    import random
+
+    rng = random.Random(9)
+    base = [rng.randrange(-3000, 3000) * ((i // 40) % 7 + 1)
+            for i in range(1280)]
+    tweak = list(base)
+    for i in range(40):  # perturb one frame's worth
+        tweak[320 + i] = tweak[320 + i] * 3
+    noise = [rng.randrange(-30000, 30000) for _ in range(1280)]
+    media = spark.createDataFrame(
+        [(0, bytearray(wav(base))), (1, bytearray(wav(base))),
+         (2, bytearray(wav(tweak))), (3, bytearray(wav(noise))),
+         (4, bytearray(wav([5] * 10)))],  # < 32 samples -> NULL
+        "media_id long, content binary",
+    )
+    fps = audio_fingerprint(media)
+    hv = {r.media_id: r.dhash for r in fps.collect()}
+    assert hv[0] == hv[1] and hv[4] is None
+    d02 = bin(hv[0] ^ hv[2]).count("1")
+    assert 1 <= d02 <= 4, d02  # localized perturbation moves few bits
+
+    for budget in (0, d02, 8):
+        got = {
+            (r.media_a, r.media_b): r.hamming
+            for r in image_dhash_pairs(fps, budget, n_bits=31).collect()
+        }
+        ids = [k for k, v in hv.items() if v is not None]
+        want = {}
+        for i, a in enumerate(sorted(ids)):
+            for b in sorted(ids)[i + 1:]:
+                d = bin(hv[a] ^ hv[b]).count("1")
+                if d <= budget:
+                    want[(a, b)] = d
+        assert got == want, (budget, got, want)

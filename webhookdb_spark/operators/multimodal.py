@@ -1280,17 +1280,23 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
 
 def image_dhash_pairs(
-    hashes: DataFrame, max_hamming: int = 4
+    hashes: DataFrame, max_hamming: int = 4, n_bits: int = 63
 ) -> DataFrame:
-    """(media_a, media_b, hamming): image near-duplicate pairs whose
-    dHashes differ in <= ``max_hamming`` bits. Candidates come from a
-    banded equality join — the 63-bit hash splits into
-    ``max_hamming + 1`` 13-bit slices, and by pigeonhole any pair
+    """(media_a, media_b, hamming): near-duplicate pairs whose hashes
+    differ in <= ``max_hamming`` bits. Candidates come from a banded
+    equality join — the ``n_bits``-wide hash splits into
+    ``max_hamming + 1`` contiguous slices, and by pigeonhole any pair
     within the budget agrees on at least one slice — so candidate
     generation is a hash join on (band, slice), NEVER an all-pairs
     hamming scan. Verification is one bit_count(xor) per candidate.
+    ``n_bits`` must cover the hash's real width: slicing a narrower
+    hash with a wider layout would leave always-zero bands that match
+    EVERY pair (works for any fingerprint column named ``dhash`` —
+    the audio fingerprint reuses this with its own width).
     """
     bands = max_hamming + 1
+    width = -(-n_bits // bands)  # ceil
+    mask = (1 << width) - 1
     h = hashes.where(F.col("dhash").isNotNull())
     sliced = h.select(
         "media_id",
@@ -1299,8 +1305,8 @@ def image_dhash_pairs(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftright("dhash", 13 * i)
-                    .bitwiseAND(F.lit(8191))
+                    F.shiftright("dhash", width * i)
+                    .bitwiseAND(F.lit(mask))
                     .alias("slice"),
                 )
                 for i in range(bands)
@@ -1397,4 +1403,94 @@ def sql_image_dhash_pairs(
            CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
     FROM hashed a JOIN hashed b ON a.media_id < b.media_id
     WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+    """
+
+
+def audio_fingerprint(media: DataFrame, n_frames: int = 32) -> DataFrame:
+    """(media_id, dhash): 31-bit energy-envelope fingerprint of a WAV
+    payload — the audio-modality dedup primitive, same delta-hash idea
+    as :func:`image_dhash`: split the decoded int16 PCM into
+    ``n_frames`` equal frames, compute each frame's exact integer
+    mean-square energy (sum(s^2) // len), and set bit k when frame
+    k+1's energy exceeds frame k's. Streams shorter than ``n_frames``
+    samples (or non-WAV payloads) yield NULL. The column is named
+    ``dhash`` so :func:`image_dhash_pairs` (with ``n_bits=31``) runs
+    the banded near-dup join unchanged.
+    """
+
+    def kern(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                data = _parse_wav_pcm(bytes(b))
+                if data is None or len(data) // 2 < n_frames:
+                    out.append((mid, None))
+                    continue
+                s = np.frombuffer(
+                    data[: len(data) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                n = len(s)
+                en = []
+                for k in range(n_frames):
+                    a, z = k * n // n_frames, (k + 1) * n // n_frames
+                    seg = s[a:z]
+                    en.append(int((seg * seg).sum()) // max(len(seg), 1))
+                hv = 0
+                for k in range(n_frames - 1):
+                    if en[k + 1] > en[k]:
+                        hv |= 1 << k
+                out.append((mid, hv))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.select("media_id", "content").mapInPandas(
+        kern, "media_id long, dhash long"
+    )
+
+
+def sql_audio_fingerprint(
+    table: str = "documents", n_frames: int = 32
+) -> str:
+    """DuckDB twin of media_wav_from_documents ->
+    :func:`audio_fingerprint` — same framing, same exact integer
+    energies, same bit rule, recomputed from the hex-built WAV."""
+    n = "octet_length(encode(text))"
+    ch = "(doc_id % 2 + 1)"
+    rate = "(8000 + (doc_id % 5) * 4000)"
+    hx = (
+        f"'52494646' || {_sql_le_hex(f'{n} + 36', 4)} || '57415645666D7420"
+        f"10000000' || '0100' || {_sql_le_hex(ch, 2)} || {_sql_le_hex(rate, 4)} || "
+        f"{_sql_le_hex(f'{rate} * {ch} * 2', 4)} || {_sql_le_hex(f'{ch} * 2', 2)} || "
+        f"'1000' || '64617461' || {_sql_le_hex(n, 4)} || hex(encode(text))"
+    )
+    raw = ("(CAST('0x' || substr(hx, 91 + 4 * CAST(i AS INTEGER), 2) AS INTEGER) * 256"
+           " + CAST('0x' || substr(hx, 89 + 4 * CAST(i AS INTEGER), 2) AS INTEGER))")
+    nf = n_frames
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, {hx} AS hx, {n} // 2 AS np FROM {table}
+    ), sig AS (
+      SELECT media_id, np,
+             list_transform(range(0, np),
+               i -> {raw} - CASE WHEN {raw} >= 32768 THEN 65536 ELSE 0 END) AS s
+      FROM m
+      WHERE np >= {nf}
+    ), en AS (
+      SELECT media_id,
+             list_transform(range(0, {nf}), k ->
+               list_sum(list_transform(
+                 range(k * np // {nf}, (k + 1) * np // {nf}),
+                 i -> CAST(s[CAST(i AS INTEGER) + 1] AS BIGINT)
+                      * s[CAST(i AS INTEGER) + 1]))
+               // greatest((k + 1) * np // {nf} - k * np // {nf}, 1)) AS e
+      FROM sig
+    )
+    SELECT media_id,
+           CAST(list_sum(list_transform(range(0, {nf - 1}), k ->
+             CASE WHEN e[CAST(k AS INTEGER) + 2] > e[CAST(k AS INTEGER) + 1]
+                  THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0 END))
+             AS BIGINT) AS dhash
+    FROM en
     """
