@@ -2718,6 +2718,15 @@ def q_media_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return M.audio_fingerprint(media).where(F.col("dhash").isNotNull())
 
 
+def q_media_video_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Video near-duplicate detection: exact Jaccard >= 0.8 over each
+    video's distinct frame-checksum set (frames from the REAL RIFF/AVI
+    demuxer) — the video member of the dedup family. Candidates come
+    from the content-addressed checksum join, never all-pairs."""
+    media = M.media_avi_from_documents(load(spark, sf, "documents"))
+    return M.frame_set_similarity(M.demux_avi_frames(media), 4, 5)
+
+
 def q_corpus_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus overlap audit from sketches alone: per-language
     distinct-text overlap between the even- and odd-id halves of the
@@ -2966,13 +2975,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 38 never-checked r7 additions lead, then the 2 rows whose
+    # 39 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 38 new entries
-    # ahead, roughly the last 40 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 39 new entries
+    # ahead, roughly the last 41 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -2986,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "media_dhash": q_media_dhash,
         "media_audio_fingerprint": q_media_audio_fingerprint,
+        "media_video_near_dup": q_media_video_near_dup,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3135,6 +3145,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", fixed_w=32, fixed_h=24
         ),
         "media_audio_fingerprint": M.sql_audio_fingerprint("documents"),
+        "media_video_near_dup": M.sql_frame_set_similarity(
+            "documents", 4, 5
+        ),
         "corpus_overlap_kmv": SK.sql_kmv_overlap(
             "documents", "lang", "text",
             "doc_id % 2 = 0", "doc_id % 2 = 1",

@@ -572,3 +572,28 @@ def test_audio_fingerprint_and_banded_pairs(spark):
                 if d <= budget:
                     want[(a, b)] = d
         assert got == want, (budget, got, want)
+
+
+def test_frame_set_similarity_hand_case(spark):
+    """Constructed frame sets: identical -> 1.0, half-overlap -> 1/3,
+    disjoint -> absent; duplicate frame rows within one video don't
+    inflate the intersection (distinct first)."""
+    from webhookdb_spark.operators.multimodal import frame_set_similarity
+
+    rows = (
+        [(1, f"h{i}") for i in range(4)]
+        + [(2, f"h{i}") for i in range(4)]          # == video 1
+        + [(3, f"h{i}") for i in range(2, 6)]       # 2 shared of 6
+        + [(4, "x1"), (4, "x2")]                    # disjoint
+        + [(5, "h0"), (5, "h0"), (5, "h1")]         # dup rows, 2 distinct
+    )
+    df = spark.createDataFrame(rows, "media_id long, checksum string")
+    got = {
+        (r.media_a, r.media_b): r.jaccard
+        for r in frame_set_similarity(df, 1, 3).collect()  # t = 1/3
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == round(2 / 6, 6)
+    assert (1, 4) not in got and (3, 4) not in got
+    # video 5 = {h0, h1}: inter with 1 is 2, union 4 -> 0.5
+    assert got[(1, 5)] == 0.5

@@ -1494,3 +1494,86 @@ def sql_audio_fingerprint(
              AS BIGINT) AS dhash
     FROM en
     """
+
+
+def frame_set_similarity(
+    frames: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """(media_a, media_b, jaccard): video near-duplicate pairs by
+    EXACT Jaccard over their distinct frame-checksum sets — the video
+    member of the dedup family, fed by :func:`demux_avi_frames` (or
+    any (media_id, checksum) frame stream, e.g. per-frame
+    :func:`image_dhash` values rendered to hex for decoded codecs).
+
+    Shape: candidates come from the checksum equi-join (videos
+    sharing at least one identical frame) — content-addressed, so
+    fan-out tracks genuinely repeated frames, not catalog size;
+    intersection counts aggregate per pair and the threshold is the
+    integer cross-multiplication. A pathologically repeated frame
+    (e.g. an all-black intro card shared by every video) is the skew
+    key to pre-filter, exactly like a stop-word in a token join.
+    """
+    num, den = threshold_num, threshold_den
+    u = frames.select("media_id", "checksum").distinct()
+    sz = u.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        u.alias("a")
+        .join(u.alias("b"), "checksum")
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        inter.join(
+            sz.select(F.col("media_id").alias("media_a"),
+                      F.col("_n").alias("_na")), "media_a")
+        .join(
+            sz.select(F.col("media_id").alias("media_b"),
+                      F.col("_n").alias("_nb")), "media_b")
+    )
+    union_ = F.col("_na") + F.col("_nb") - F.col("_inter")
+    return (
+        out.where(F.col("_inter") * den >= num * union_)
+        .select(
+            "media_a",
+            "media_b",
+            F.round(
+                F.col("_inter").cast("double") / union_.cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def sql_frame_set_similarity(
+    table: str = "documents",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> str:
+    """DuckDB twin of media_avi_from_documents -> demux_avi_frames ->
+    :func:`frame_set_similarity` — same frames, same integer
+    cross-multiplied threshold."""
+    num, den = threshold_num, threshold_den
+    return f"""
+    WITH fr AS ({sql_media_avi_frames(table)}),
+    u AS (SELECT DISTINCT media_id, checksum FROM fr),
+    sz AS (SELECT media_id, count(*) AS n FROM u GROUP BY 1),
+    p AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             count(*) AS inter
+      FROM u a JOIN u b ON a.checksum = b.checksum
+                       AND a.media_id < b.media_id
+      GROUP BY 1, 2
+    )
+    SELECT media_a, media_b,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+    FROM p
+    JOIN sz sa ON sa.media_id = media_a
+    JOIN sz sb ON sb.media_id = media_b
+    WHERE inter * {den} >= {num} * (sa.n + sb.n - inter)
+    """
