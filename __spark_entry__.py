@@ -2718,6 +2718,18 @@ def q_media_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return M.audio_fingerprint(media).where(F.col("dhash").isNotNull())
 
 
+def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1=1.2, b=0.75): log-idf and
+    length normalization in doubles from exact integer tf/df/N/|d|,
+    per-term scores long-scaled (1e9) so the per-doc sum is
+    order-independent and the full ranking hash-matches the twin.
+    Complements search_ranked's log-free integer proxy with the
+    industry-standard scoring."""
+    return C.search_bm25(
+        load(spark, sf, "documents"), ("spark", "merge", "window")
+    )
+
+
 def q_media_video_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Video near-duplicate detection: exact Jaccard >= 0.8 over each
     video's distinct frame-checksum set (frames from the REAL RIFF/AVI
@@ -2975,13 +2987,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 39 never-checked r7 additions lead, then the 2 rows whose
+    # 40 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 39 new entries
-    # ahead, roughly the last 41 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 40 new entries
+    # ahead, roughly the last 42 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -2996,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash": q_media_dhash,
         "media_audio_fingerprint": q_media_audio_fingerprint,
         "media_video_near_dup": q_media_video_near_dup,
+        "search_bm25": q_search_bm25,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3147,6 +3160,9 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_fingerprint": M.sql_audio_fingerprint("documents"),
         "media_video_near_dup": M.sql_frame_set_similarity(
             "documents", 4, 5
+        ),
+        "search_bm25": C.sql_search_bm25(
+            ("spark", "merge", "window"), "documents"
         ),
         "corpus_overlap_kmv": SK.sql_kmv_overlap(
             "documents", "lang", "text",

@@ -64,3 +64,30 @@ def test_full_training_pipeline_composes(spark):
         assert r.global_offset == total
         total += r.n_tokens
     assert rows[-1].pack_id == (rows[-1].global_offset // 128)
+
+
+def test_search_bm25_ranking_properties(spark):
+    """BM25 sanity on a constructed corpus: a doc with more matched
+    distinct terms outranks fewer; rare terms outweigh common ones;
+    longer docs are length-penalized at equal tf."""
+    from webhookdb_spark.operators.corpus import search_bm25
+
+    docs = [
+        (1, "apple banana cherry filler filler"),
+        (2, "apple filler filler filler filler"),
+        (3, "banana filler filler filler filler"),
+        (4, "apple apple apple filler filler"),
+        (5, "apple " + "filler " * 40),
+        (6, "common common common common common"),
+    ] + [(10 + i, "common filler pad pad pad") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.score, r.rank)
+           for r in search_bm25(df, ("apple", "banana", "common"), k=30).collect()}
+    # doc 1 matches two rare terms -> top rank
+    assert out[1][1] == 1
+    # rare 'apple' beats ubiquitous 'common' at same tf shape
+    assert out[2][0] > out[6][0]
+    # length normalization: same single 'apple', longer doc scores less
+    assert out[2][0] > out[5][0]
+    # tf saturation: 3x apple > 1x apple, but less than 3x the score
+    assert out[4][0] > out[2][0] and out[4][0] < 3 * out[2][0]

@@ -961,3 +961,142 @@ def sql_phrase_search(
     {" ".join(joins)}
     GROUP BY h0.doc_id
     """
+
+
+def search_bm25(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    k: int = 10,
+    k1_tenths: int = 12,
+    b_hundredths: int = 75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval — the real-world ranking function
+    (Robertson et al., public literature), on top of the same
+    isin-pre-shrunk (doc, term) stream as :func:`search_ranked`.
+    search_ranked deliberately keeps its idf proxy in pure BIGINTs;
+    BM25's log-idf and length normalization need doubles, so this
+    operator applies the repo's long-scaling discipline instead: every
+    per-term score term is computed in doubles FROM exact integer
+    inputs (tf, df, N, |d|, avgdl as an exact-decimal mean), scaled by
+    1e9 and floored to a LONG, so the per-doc sum is order-independent
+    and the whole ranking hash-matches the DuckDB twin. k1/b arrive as
+    rational tenths/hundredths (defaults 1.2 / 0.75).
+
+    Shape: tf/df/length aggregates over the shrunk stream, avgdl and N
+    as broadcast 1-row scalars, top-k via TakeOrderedAndProject.
+    """
+    term_list = sorted(set(terms))
+    k1 = k1_tenths / 10.0
+    b = b_hundredths / 100.0
+    toks = F.split(F.trim(F.col(text_col)), WS)
+    base = bind(scale_out(df.select("doc_id", text_col)), "_t", toks)
+    doclen = base.select(
+        "doc_id", F.size("_t").cast("long").alias("dl")
+    )
+    hits = base.select(
+        "doc_id", F.explode("_t").alias("token")
+    ).where(F.col("token").isin(*term_list))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("dl").cast("string").try_cast("decimal(18,6)"))
+        .cast("double")
+        .alias("avgdl"),
+    )
+    dfreq = (
+        hits.select("doc_id", "token").distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    tf = hits.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    joined = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("n").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    idf = F.log((nd - dfd + 0.5) / (dfd + 0.5) + 1.0)
+    denom = tfd + k1 * (1.0 - b + b * dld / F.col("avgdl"))
+    term_score = idf * tfd * (k1 + 1.0) / denom
+    scaled = F.floor(term_score * F.lit(1e9)).cast("long")
+    from pyspark.sql.window import Window
+
+    scored = joined.groupBy("doc_id").agg(
+        F.sum(scaled).alias("_s9"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+    )
+    score6 = (F.floor(F.col("_s9") / F.lit(1e3)) / F.lit(1e6)).alias("score")
+    top = (
+        scored.select("doc_id", score6, "n_terms_matched")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "score", "n_terms_matched",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def sql_search_bm25(
+    terms: tuple[str, ...],
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = 10,
+    k1_tenths: int = 12,
+    b_hundredths: int = 75,
+) -> str:
+    """DuckDB twin of :func:`search_bm25` — identical exact-integer
+    inputs, double term arithmetic, 1e9 long scaling, and tie-break."""
+    k1 = k1_tenths / 10.0
+    b = b_hundredths / 100.0
+    terms_sql = sql_str_list(sorted(set(terms)))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {SQL_TOKENS.format(c=text_col)} AS t FROM {table}
+    ),
+    doclen AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+    stats AS (
+      SELECT count(*) AS n,
+             CAST(avg(TRY_CAST(CAST(dl AS VARCHAR) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS avgdl
+      FROM doclen
+    ),
+    hits AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(t) AS tok FROM base)
+      WHERE tok IN ({terms_sql})
+    ),
+    dfreq AS (
+      SELECT tok, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, tok FROM hits) GROUP BY tok
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY 1, 2),
+    scored AS (
+      SELECT doc_id,
+             sum(CAST(floor(
+               ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * CAST(tf AS DOUBLE) * ({k1} + 1.0)
+               / (CAST(tf AS DOUBLE)
+                  + {k1} * (1.0 - {b} + {b} * CAST(dl AS DOUBLE) / avgdl))
+               * 1e9) AS BIGINT)) AS _s9,
+             CAST(count(*) AS INTEGER) AS n_terms_matched
+      FROM tf JOIN dfreq USING (tok) JOIN doclen USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    top AS (
+      SELECT doc_id, floor(_s9 / 1e3) / 1e6 AS score, n_terms_matched
+      FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+    )
+    SELECT doc_id, score, n_terms_matched,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS INTEGER) AS rank
+    FROM top
+    """
