@@ -791,3 +791,51 @@ def test_profile_columns_approx_within_kmv_bounds(spark):
         else:
             rel = abs(a.n_distinct - e.n_distinct) / e.n_distinct
             assert rel <= tol, (c, a.n_distinct, e.n_distinct, rel)
+
+
+_event_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),            # key
+        st.integers(min_value=0, max_value=50),           # ts offset (days)
+        st.sampled_from(["a", "b", "c", None]),           # state
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_event_stream, st.integers(min_value=1, max_value=49))
+@_settings
+def test_scd2_apply_equals_rebuild_on_arbitrary_streams(spark, evs, cut):
+    """For ANY event stream and ANY time cut, folding the tail batch
+    into the head's SCD2 table equals the full rebuild — the
+    incremental-maintenance contract under hypothesis's adversarial
+    generation (exact-ts ties, NULL states, keys only in one side,
+    empty batches)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.operators.history import scd2_apply, scd2_history
+
+    rows = [
+        (k, datetime(2024, 1, 1) + timedelta(days=d), i, s)
+        for i, (k, d, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, state string"
+    )
+    cut_ts = datetime(2024, 1, 1) + timedelta(days=cut)
+    full = scd2_history(df, "user_id", ("state",), "ts", "event_id")
+    inc = scd2_apply(
+        scd2_history(
+            df.where(F.col("ts") < F.lit(cut_ts)),
+            "user_id", ("state",), "ts", "event_id",
+        ),
+        df.where(F.col("ts") >= F.lit(cut_ts)),
+        "user_id", ("state",), "ts", "event_id",
+    )
+    key = lambda r: (  # noqa: E731
+        r.user_id, r.version, r.state, r.valid_from, r.valid_to, r.is_current
+    )
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
