@@ -2718,6 +2718,26 @@ def q_media_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return M.audio_fingerprint(media).where(F.col("dhash").isNotNull())
 
 
+def q_fk_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for the
+    three core FK edges (orders->customer, lineitem->part,
+    lineitem->supplier) — one anti-join + two 1-row counts per edge,
+    parent side shipping only its key column."""
+    o = PR.fk_orphans(
+        load(spark, sf, "orders"), load(spark, sf, "customer"),
+        "o_custkey", "c_custkey",
+    )
+    lp = PR.fk_orphans(
+        load(spark, sf, "lineitem"), load(spark, sf, "part"),
+        "l_partkey", "p_partkey",
+    )
+    ls = PR.fk_orphans(
+        load(spark, sf, "lineitem"), load(spark, sf, "supplier"),
+        "l_suppkey", "s_suppkey",
+    )
+    return o.unionByName(lp).unionByName(ls)
+
+
 def q_search_bm25(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 ranked retrieval (k1=1.2, b=0.75): log-idf and
     length normalization in doubles from exact integer tf/df/N/|d|,
@@ -2987,13 +3007,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 40 never-checked r7 additions lead, then the 2 rows whose
+    # 41 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 40 new entries
-    # ahead, roughly the last 42 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 41 new entries
+    # ahead, roughly the last 43 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -3009,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_fingerprint": q_media_audio_fingerprint,
         "media_video_near_dup": q_media_video_near_dup,
         "search_bm25": q_search_bm25,
+        "fk_integrity": q_fk_integrity,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3163,6 +3184,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_bm25": C.sql_search_bm25(
             ("spark", "merge", "window"), "documents"
+        ),
+        "fk_integrity": " UNION ALL ".join(
+            f"SELECT * FROM ({q})" for q in [
+                PR.sql_fk_orphans(
+                    "orders", "customer", "o_custkey", "c_custkey"
+                ),
+                PR.sql_fk_orphans(
+                    "lineitem", "part", "l_partkey", "p_partkey"
+                ),
+                PR.sql_fk_orphans(
+                    "lineitem", "supplier", "l_suppkey", "s_suppkey"
+                ),
+            ]
         ),
         "corpus_overlap_kmv": SK.sql_kmv_overlap(
             "documents", "lang", "text",

@@ -447,3 +447,19 @@ def test_kmv_overlap_sanity(spark):
     r = kmv_overlap(a, b, k=512).collect()[0]
     assert r.est_union == 400 and r.est_intersection == 0
     assert r.jaccard_est == 0.0
+
+
+def test_fk_orphans_counts_and_null_semantics(spark):
+    from webhookdb_spark.operators.profile import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = fk_orphans(child, parent, "fk", "pk").collect()[0]
+    # NULL fk is not an orphan and not counted in n_child
+    assert (r.n_child, r.n_orphans, r.passed) == (3, 1, False)
+    clean = fk_orphans(
+        child.where("fk = 10"), parent, "fk", "pk"
+    ).collect()[0]
+    assert clean.passed and clean.n_orphans == 0

@@ -324,3 +324,62 @@ def sql_check_expectations(rules, table: str) -> str:
             f" {viol} = 0 AS passed FROM {table}"
         )
     return " UNION ALL ".join(parts)
+
+
+def fk_orphans(
+    child: "DataFrame",
+    parent: "DataFrame",
+    child_key: str,
+    parent_key: str,
+) -> "DataFrame":
+    """One row (child_key, parent_key, n_child, n_orphans, passed):
+    referential-integrity audit — how many child rows reference a key
+    absent from the parent. The cross-table member of the
+    data-quality family (:func:`check_expectations` covers
+    single-table rules). NULL child keys are not orphans (SQL FK
+    semantics: NULL references nothing).
+
+    Shape: one anti-join on the key (the parent side ships only its
+    key column; broadcast when dimension-sized, shuffle otherwise —
+    Catalyst's call) + two 1-row counts. At 100 TB this is the
+    cheapest possible audit for the question asked.
+    """
+    from pyspark.sql import functions as F
+
+    nn = child.where(F.col(child_key).isNotNull())
+    orphans = nn.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "anti",
+    )
+    tot = nn.agg(F.count(F.lit(1)).alias("_n"))
+    orf = orphans.agg(F.count(F.lit(1)).alias("_o"))
+    return tot.crossJoin(orf).select(
+        F.lit(child_key).alias("child_key"),
+        F.lit(parent_key).alias("parent_key"),
+        F.col("_n").cast("long").alias("n_child"),
+        F.col("_o").cast("long").alias("n_orphans"),
+        (F.col("_o") == 0).alias("passed"),
+    )
+
+
+def sql_fk_orphans(
+    child_table: str, parent_table: str, child_key: str, parent_key: str
+) -> str:
+    """DuckDB twin of :func:`fk_orphans`."""
+    return f"""
+    WITH nn AS (
+      SELECT {child_key} AS k FROM {child_table}
+      WHERE {child_key} IS NOT NULL
+    ),
+    o AS (
+      SELECT count(*) AS _o FROM nn
+      WHERE k NOT IN (SELECT DISTINCT {parent_key} FROM {parent_table}
+                      WHERE {parent_key} IS NOT NULL)
+    )
+    SELECT '{child_key}' AS child_key, '{parent_key}' AS parent_key,
+           (SELECT CAST(count(*) AS BIGINT) FROM nn) AS n_child,
+           CAST(_o AS BIGINT) AS n_orphans,
+           _o = 0 AS passed
+    FROM o
+    """
