@@ -2718,6 +2718,54 @@ def q_media_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return M.audio_fingerprint(media).where(F.col("dhash").isNotNull())
 
 
+def q_pipeline_curate(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation pipeline composing the round-7 operators:
+    EXACT shingle-Jaccard near-dup removal (prefix-filtered join,
+    keep-min per pair — cliques collapse to their smallest id), the
+    C4-style quality cascade, per-language weighted sampling without
+    replacement (importance = n_chars, 16 per language), and the
+    leak-free hash split assignment. Every stage is the already-green
+    operator; the oracle chains the four SQL twins as CTEs — one
+    composed value-hash over the whole pipeline."""
+    docs = load(spark, sf, "documents")
+    pairs = D.prefix_jaccard_join(docs, "text", 4, 5, ngram=3)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    deduped = docs.join(dropped, "doc_id", "anti")
+    verdict = C.corpus_filter(deduped)
+    kept = deduped.join(
+        verdict.where("keep").select("doc_id"), "doc_id", "semi"
+    )
+    sampled = SA.weighted_sample_k_per_group(
+        kept, 16, "n_chars", "lang", "doc_id"
+    )
+    return SA.corpus_split(sampled).select("doc_id", "lang", "split")
+
+
+def _sql_pipeline_curate() -> str:
+    pairs = D.sql_prefix_jaccard_join("documents", "text", 4, 5, ngram=3)
+    filt = C.sql_corpus_filter("dedup")
+    samp = SA.sql_weighted_sample_k_per_group(
+        "kept", 16, "n_chars", "lang", "doc_id",
+        cols="doc_id, lang, n_chars",
+    )
+    split = SA.sql_corpus_split("sampled", cols="doc_id, lang")
+    return f"""
+    WITH pairs AS ({pairs}),
+    dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    dedup AS (
+      SELECT * FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    verdict AS ({filt}),
+    kept AS (
+      SELECT d.* FROM dedup d
+      JOIN verdict v USING (doc_id) WHERE v.keep
+    ),
+    sampled AS ({samp})
+    {split}
+    """
+
+
 def q_fk_integrity(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-table referential-integrity audit: orphan counts for the
     three core FK edges (orders->customer, lineitem->part,
@@ -3007,13 +3055,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 41 never-checked r7 additions lead, then the 2 rows whose
+    # 42 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 41 new entries
-    # ahead, roughly the last 43 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 42 new entries
+    # ahead, roughly the last 44 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -3030,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_near_dup": q_media_video_near_dup,
         "search_bm25": q_search_bm25,
         "fk_integrity": q_fk_integrity,
+        "pipeline_curate": q_pipeline_curate,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3185,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": C.sql_search_bm25(
             ("spark", "merge", "window"), "documents"
         ),
+        "pipeline_curate": _sql_pipeline_curate(),
         "fk_integrity": " UNION ALL ".join(
             f"SELECT * FROM ({q})" for q in [
                 PR.sql_fk_orphans(
