@@ -578,3 +578,63 @@ def test_silence_alerts_fire_on_watermark_and_rearm(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_log_histogram_sketch_runs_unchanged_on_a_stream(spark):
+    """The log-bucketed quantile sketch state is a pure multiset
+    aggregate (exact bucket counts), so the SAME operator runs on a
+    readStream with outputMode=complete — after two micro-batches the
+    streaming state must equal the batch sketch of the union, and the
+    quantiles extracted from it match the batch pipeline."""
+    import json
+
+    from webhookdb_spark.operators.sketches import (
+        log_histogram_quantiles,
+        log_histogram_state,
+    )
+
+    src = Path(tempfile.mkdtemp(prefix="whdb_lh_src_"))
+    ckpt = Path(tempfile.mkdtemp(prefix="whdb_lh_ckpt_"))
+    try:
+        b1 = [{"x": float(1 + i % 40)} for i in range(60)]
+        b2 = [{"x": float(100 + i)} for i in range(40)]
+        (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+        stream = spark.readStream.schema("x double").json(str(src))
+        q = (
+            log_histogram_state(stream, "x")
+            .writeStream.format("memory")
+            .queryName("lh_t")
+            .outputMode("complete")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.bucket): r.n for r in spark.sql("SELECT * FROM lh_t").collect()
+        }
+        batch = spark.createDataFrame(
+            [(r["x"],) for r in b1 + b2], "x double"
+        )
+        want = {
+            r.bucket: r.n
+            for r in log_histogram_state(batch, "x").collect()
+        }
+        assert got == want
+        est = {
+            r.p: r.est
+            for r in log_histogram_quantiles(
+                spark.sql("SELECT * FROM lh_t"), [0.5, 0.9]
+            ).collect()
+        }
+        want_est = {
+            r.p: r.est
+            for r in log_histogram_quantiles(
+                log_histogram_state(batch, "x"), [0.5, 0.9]
+            ).collect()
+        }
+        assert est == want_est
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
