@@ -2718,6 +2718,59 @@ def q_media_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return M.audio_fingerprint(media).where(F.col("dhash").isNotNull())
 
 
+def q_customer_entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution end-to-end: blocked fuzzy linkage pairs
+    (edit distance <= 1) -> contraction connected-components ->
+    (custkey, entity_id) with singletons as their own entity — the
+    cluster table a dedupe/merge job consumes. The oracle re-derives
+    components with a recursive min-label CTE over the identical pair
+    set."""
+    cust = load(spark, sf, "customer")
+    pairs = J.fuzzy_link(
+        cust, cust, "c_custkey", "c_custkey", "c_name", "c_name", max_dist=1
+    )
+    edges = pairs.where(F.col("left_id") < F.col("right_id")).select(
+        F.col("left_id").alias("doc_a"), F.col("right_id").alias("doc_b")
+    )
+    cc = D.connected_components(edges).select(
+        F.col("v").alias("c_custkey"), F.col("label").alias("_ent")
+    )
+    return (
+        cust.select("c_custkey")
+        .join(cc, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("_ent"), F.col("c_custkey"))
+            .cast("long")
+            .alias("entity_id"),
+        )
+    )
+
+
+def _sql_customer_entity_clusters() -> str:
+    pairs = J.sql_fuzzy_link(
+        "customer", "customer", "c_custkey", "c_custkey",
+        "c_name", "c_name", 1,
+    )
+    return f"""
+    WITH RECURSIVE pairs_ AS ({pairs}),
+    edges AS (
+      SELECT left_id AS src, right_id AS dst FROM pairs_
+      UNION
+      SELECT right_id AS src, left_id AS dst FROM pairs_
+    ),
+    walk(v, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.v
+    ),
+    cc AS (SELECT v, min(label) AS label FROM walk GROUP BY v)
+    SELECT c.c_custkey,
+           CAST(COALESCE(cc.label, c.c_custkey) AS BIGINT) AS entity_id
+    FROM customer c LEFT JOIN cc ON cc.v = c.c_custkey
+    """
+
+
 def q_pipeline_curate(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end curation pipeline composing the round-7 operators:
     EXACT shingle-Jaccard near-dup removal (prefix-filtered join,
@@ -3055,13 +3108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — never-driver-checked first,
     # then oldest last check (r4 before r5 before r6); the driver checks
     # roughly the first 50 entries per round. Round-7 final state:
-    # 42 never-checked r7 additions lead, then the 2 rows whose
+    # 44 never-checked r7 additions lead, then the 2 rows whose
     # last green row is CORRECTNESS_r04.json (row_cap,
     # retention_candidates), then the 50 rows last green in
     # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
     # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 42 new entries
-    # ahead, roughly the last 44 r5 rows miss the ~50-row cap —
+    # the 50 green in CORRECTNESS_r06.json. With 44 new entries
+    # ahead, roughly the last 46 r5 rows miss the ~50-row cap —
     # by construction the MOST-corroborated ones. Every entry runs in
     # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
     return {
@@ -3079,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "fk_integrity": q_fk_integrity,
         "pipeline_curate": q_pipeline_curate,
+        "customer_entity_clusters": q_customer_entity_clusters,
         "weighted_sample_orders": q_weighted_sample_orders,
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
@@ -3235,6 +3289,7 @@ def oracle_sql() -> dict[str, str]:
             ("spark", "merge", "window"), "documents"
         ),
         "pipeline_curate": _sql_pipeline_curate(),
+        "customer_entity_clusters": _sql_customer_entity_clusters(),
         "fk_integrity": " UNION ALL ".join(
             f"SELECT * FROM ({q})" for q in [
                 PR.sql_fk_orphans(
