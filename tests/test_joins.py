@@ -320,3 +320,52 @@ def test_fuzzy_link_blocking_semantics(spark):
         left, right, "id", "id", "name", "name", max_dist=1
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_fuzzy_link_deletions_exact_recall(spark):
+    """Deletion-neighborhood blocking must find EVERY pair within edit
+    distance 1 — equality, substitution (incl. inside any suffix,
+    where fixed-suffix blocking misses), insertion, deletion — and
+    nothing at distance >= 2."""
+    import itertools
+
+    from webhookdb_spark.operators.joins import fuzzy_link_deletions
+
+    names = [
+        (1, "martha"), (2, "marsha"),    # substitution mid-string
+        (3, "marthas"),                  # insertion at end
+        (4, "artha"),                    # deletion at start
+        (5, "martha"),                   # exact duplicate
+        (6, "marthX"),                   # substitution in the SUFFIX
+        (7, "zzzzzz"),                   # far away
+        (8, "m"),                        # short string edge
+        (9, ""),                         # empty string edge
+        (10, "a"),                       # dist 1 from "" and "m"
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r.left_id, r.right_id)
+        for r in fuzzy_link_deletions(
+            df, df, "id", "id", "name", "name"
+        ).collect()
+        if r.left_id < r.right_id
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b)
+        for (a, na), (b, nb) in itertools.combinations(names, 2)
+        if lev(na, nb) <= 1
+    }
+    assert got == want

@@ -536,3 +536,112 @@ def sql_fuzzy_link(
       AND abs(len(left_text) - len(right_text)) <= {max_dist}
       AND levenshtein(left_text, right_text) <= {max_dist}
     """
+
+
+def fuzzy_link_deletions(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    text_col_left: str,
+    text_col_right: str,
+) -> DataFrame:
+    """(left_id, right_id, dist): pairs within edit distance 1 via
+    DELETION-NEIGHBORHOOD blocking (the FastSS idea — public
+    literature): each string emits itself plus every single-character
+    deletion as candidate keys; two strings with levenshtein <= 1
+    ALWAYS share a key (equality shares the string itself, a
+    substitution shares the deletion at the edited position, an
+    insertion/deletion makes one string a deletion variant of the
+    other), so recall is EXACT — no blocking miss contract to carry.
+
+    Scale shape: candidate volume tracks each string's true
+    neighborhood (strings per deletion key), not bucket size — unlike
+    suffix blocking, whose fixed-alphabet buckets grow linearly with
+    cardinality and whose in-bucket pair count grows QUADRATICALLY
+    (measured 22.5M candidate pairs at 150k customers for 3-char
+    suffixes vs 225k at 15k: the 49x sf1 blow-up this operator
+    replaces). Cost is (len+1) keys per row; the verification
+    levenshtein runs once per distinct candidate pair.
+    """
+
+    def variants(df, key, text, side):
+        t = F.col("_t")
+        # bind the text once: lambda bodies get no CSE, so referencing
+        # the raw column would re-evaluate it per deletion position
+        base = df.select(
+            F.col(key).alias(f"{side}_id"),
+            F.col(text).alias("_t"),
+        )
+        dels = F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.concat(
+                F.substring(t, F.lit(1), (i - 1).cast("int")),
+                F.col("_t").substr((i + 1).cast("int"), F.length(t)),
+            ),
+        )
+        keys = F.array_union(F.array(t), dels)
+        return base.select(
+            f"{side}_id",
+            F.col("_t").alias(f"{side}_text"),
+            F.explode(keys).alias("_k"),
+        )
+
+    lt = variants(left, left_key, text_col_left, "left")
+    rt = variants(right, right_key, text_col_right, "right")
+    cands = (
+        lt.join(rt, "_k")
+        .where(F.col("left_id") != F.col("right_id"))
+        .select("left_id", "left_text", "right_id", "right_text")
+        .distinct()
+    )
+    return (
+        cands.select(
+            "left_id",
+            "right_id",
+            F.levenshtein("left_text", "right_text").cast("int").alias(
+                "dist"
+            ),
+        )
+        .where(F.col("dist") <= 1)
+    )
+
+
+def sql_fuzzy_link_deletions(
+    left_sql: str,
+    right_sql: str,
+    left_key: str,
+    right_key: str,
+    text_col_left: str,
+    text_col_right: str,
+) -> str:
+    """DuckDB twin of :func:`fuzzy_link_deletions` — same deletion
+    keys, same verification."""
+
+    def side(sql, key, text, alias):
+        return f"""
+    {alias} AS (
+      SELECT {key} AS {alias[0]}id, {text} AS {alias[0]}text,
+             unnest(list_distinct(list_append(
+               list_transform(range(1, len({text}) + 1),
+                 i -> substring({text}, 1, CAST(i - 1 AS INTEGER))
+                      || substring({text}, CAST(i + 1 AS INTEGER),
+                                   len({text}))),
+               {text}))) AS _k
+      FROM {sql}
+    )"""
+
+    return f"""
+    WITH {side(left_sql, left_key, text_col_left, 'lt')},
+    {side(right_sql, right_key, text_col_right, 'rt')},
+    cands AS (
+      SELECT DISTINCT lid AS left_id, ltext AS left_text,
+                      rid AS right_id, rtext AS right_text
+      FROM lt JOIN rt USING (_k)
+      WHERE lid != rid
+    )
+    SELECT left_id, right_id,
+           CAST(levenshtein(left_text, right_text) AS INTEGER) AS dist
+    FROM cands
+    WHERE levenshtein(left_text, right_text) <= 1
+    """
