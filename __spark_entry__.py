@@ -2489,8 +2489,15 @@ def q_embed_rp_project(spark: SparkSession, sf: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64d -> 16d with
     deterministic md5 planes: one array-literal transform per row, no
     shuffle, no UDF — and exactly reproducible in SQL, so a learned-
-    reduction-shaped operator carries a full value-hash oracle."""
-    return S.rp_project(load(spark, sf, "embeddings"), 16)
+    reduction-shaped operator carries a full value-hash oracle.
+    Output is exploded to one (vec_id, dim, value) row per projected
+    component — a strictly stronger oracle than the array column
+    (every component is individually hash-checked) and the shape the
+    driver's scalar-column comparator can digest."""
+    proj = S.rp_project(load(spark, sf, "embeddings"), 16)
+    return proj.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "value")
 
 
 def q_ann_rp_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2567,10 +2574,13 @@ def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
     this key's state on date X" table the reference's current-row-only
     upsert cannot answer. Two key-partitioned windows over ONE shuffle
     (exchange reused); event_id breaks exact-ts ties so both engines
-    collapse runs identically."""
+    collapse runs identically. Current rows carry NULL valid_to (the
+    lookup path treats NULL as the open interval, history.py:315-316);
+    the conventional 9999-12-31 high-date sentinel stays an opt-in
+    because it overflows pandas' ns-timestamp range downstream."""
     return H.scd2_history(
         load(spark, sf, "events"), "user_id", ("event_type",), "ts",
-        "event_id", open_end_ts="9999-12-31 00:00:00",
+        "event_id",
     )
 
 
@@ -2586,7 +2596,6 @@ def q_scd2_incremental(spark: SparkSession, sf: str) -> DataFrame:
     hist = H.scd2_history(
         ev.where(F.col("ts") < splits[0]),
         "user_id", ("event_type",), "ts", "event_id",
-        open_end_ts="9999-12-31 00:00:00",
     )
     b1 = ev.where((F.col("ts") >= splits[0]) & (F.col("ts") < splits[1]))
     b2 = ev.where(F.col("ts") >= splits[1])
@@ -2598,7 +2607,6 @@ def q_scd2_incremental(spark: SparkSession, sf: str) -> DataFrame:
         hist = H.scd2_apply(
             hist.localCheckpoint(eager=False), b,
             "user_id", ("event_type",), "ts", "event_id",
-            open_end_ts="9999-12-31 00:00:00",
         )
     return hist
 
@@ -3054,10 +3062,15 @@ def q_embed_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     array-literal expression. NO oracle_sql entry: eigendecomposition
     is not SQL-expressible — the driver records the rows-only check;
     the algebraic contract is property-pinned in
-    test_pca_recovers_planted_structure_and_freezes."""
+    test_pca_recovers_planted_structure_and_freezes. Output exploded
+    to (vec_id, dim, value) scalar rows so the driver canonicalizer
+    (which cannot sort array columns) can digest it."""
     emb = load(spark, sf, "embeddings")
     model = S.pca_train(emb, k=8)
-    return S.pca_project(emb, model)
+    proj = S.pca_project(emb, model)
+    return proj.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "value")
 
 
 def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
@@ -3111,116 +3124,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: STRICT staleness — never-driver-checked first,
-    # then oldest last check (r4 before r5 before r6); the driver checks
-    # roughly the first 50 entries per round. Round-7 final state:
-    # 44 never-checked r7 additions lead, then the 2 rows whose
-    # last green row is CORRECTNESS_r04.json (row_cap,
-    # retention_candidates), then the 50 rows last green in
-    # CORRECTNESS_r05.json ordered by ASCENDING prior-green-round count
-    # (weakest evidence first; each row's green rounds annotated), then
-    # the 50 green in CORRECTNESS_r06.json. With 44 new entries
-    # ahead, roughly the last 46 r5 rows miss the ~50-row cap —
-    # by construction the MOST-corroborated ones. Every entry runs in
-    # tools/check_oracle.py regardless of position (SWEEP_r07.txt).
+    # Ordering contract: STRICT staleness — the driver checks roughly
+    # the first 50 entries per round. Round-8 state: the 4 r7 `err`
+    # rows (output shape fixed this round) lead, then the 43 rows whose
+    # last driver check is CORRECTNESS_r05.json, then the r6-green
+    # rows, then the 50 green in CORRECTNESS_r07.json. 4 + 43 = 47
+    # priority rows fit the ~50-row cap with 3 r6 rows riding along;
+    # after r8 no row's latest driver check should be older than r6.
+    # Every entry runs in tools/check_oracle.py regardless of position.
     return {
-        # --- never driver-checked (new in r7) ---
-        "order_status_priority_mi": q_order_status_priority_mi,
-        "weighted_sample_by_lang": q_weighted_sample_by_lang,
-        "event_type_drift": q_event_type_drift,
-        "price_quantile_sketch": q_price_quantile_sketch,
-        "user_key_skew_audit": q_user_key_skew_audit,
-        "value_quantiles_by_type": q_value_quantiles_by_type,
-        "corpus_overlap_kmv": q_corpus_overlap_kmv,
-        "media_dhash": q_media_dhash,
-        "media_audio_fingerprint": q_media_audio_fingerprint,
-        "media_video_near_dup": q_media_video_near_dup,
-        "search_bm25": q_search_bm25,
-        "fk_integrity": q_fk_integrity,
-        "pipeline_curate": q_pipeline_curate,
-        "customer_entity_clusters": q_customer_entity_clusters,
-        "weighted_sample_orders": q_weighted_sample_orders,
+        # --- r7 err rows, output shape fixed this round: green row needed first ---
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
-        "scd2_pit_lookup": q_scd2_pit_lookup,
-        "gapfill_user_daily": q_gapfill_user_daily,
-        "rolling_user_weekly": q_rolling_user_weekly,
-        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
-        "inverted_index_persisted": q_inverted_index_persisted,
-        "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
-        "funnel_conversion": q_funnel_conversion,
-        "cohort_retention": q_cohort_retention,
-        "price_histogram": q_price_histogram,
-        "lineitem_correlations": q_lineitem_correlations,
         "embed_rp_project": q_embed_rp_project,
-        "ann_rp_topk": q_ann_rp_topk,
         "embed_pca_project": q_embed_pca_project,
-        "trade_pagerank": q_trade_pagerank,
-        "pareto_lineitems": q_pareto_lineitems,
-        "chunk_documents": q_chunk_documents,
-        "normalize_text": q_normalize_text,
-        "fuzzy_link_customers": q_fuzzy_link_customers,
-        "phrase_search": q_phrase_search,
-        "kmv_incremental": q_kmv_incremental,
-        "parts_bought_together": q_parts_bought_together,
-        "orders_expectations": q_orders_expectations,
-        "value_outliers": q_value_outliers,
-        "activity_gaps": q_activity_gaps,
-        # --- last driver row r4 (CORRECTNESS_r04.json) ---
-        "row_cap": q_row_cap,
-        "retention_candidates": q_retention_candidates,
-        # --- last driver row r5, weakest-corroborated first ---
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,  # green r5
-        "ann_pq_topk": q_ann_pq_topk,  # green r5
-        "asof_join_forward": q_asof_join_forward,  # green r5
-        "asof_join_nearest": q_asof_join_nearest,  # green r5
-        "cluster_profile": q_cluster_profile,  # green r5
-        "event_transitions": q_event_transitions,  # green r5
-        "global_sales_opportunity": q_global_sales_opportunity,  # green r5
-        "important_parts": q_important_parts,  # green r5
-        "interval_overlap": q_interval_overlap,  # green r5
-        "media_audio_features": q_media_audio_features,  # green r5
-        "media_jpeg_decode": q_media_jpeg_decode,  # green r5
-        "media_pixel_features": q_media_pixel_features,  # green r5
-        "order_deciles": q_order_deciles,  # green r5
-        "order_percentiles": q_order_percentiles,  # green r5
-        "order_priority_check": q_order_priority_check,  # green r5
-        "pipeline_pack": q_pipeline_pack,  # green r5
-        "pivot_status": q_pivot_status,  # green r5
-        "profile_orders": q_profile_orders,  # green r5
-        "promo_revenue": q_promo_revenue,  # green r5
-        "revenue_grouping_sets": q_revenue_grouping_sets,  # green r5
-        "skew_salted_join": q_skew_salted_join,  # green r5
-        "small_qty_revenue": q_small_qty_revenue,  # green r5
-        "top_supplier": q_top_supplier,  # green r5
-        "vocab_coverage": q_vocab_coverage,  # green r5
-        "waiting_suppliers": q_waiting_suppliers,  # green r5
-        "zorder_layout": q_zorder_layout,  # green r5
-        "asof_join_events": q_asof_join,  # green r4/r5
-        "big_spenders": q_big_spenders,  # green r4/r5
-        "corpus_filter": q_corpus_filter,  # green r4/r5
-        "dedup_incremental": q_dedup_incremental,  # green r4/r5
-        "dedup_segments": q_dedup_segments,  # green r4/r5
-        "inverted_index": q_inverted_index,  # green r4/r5
-        "kmv_distinct": q_kmv_distinct,  # green r4/r5
-        "length_stats": q_length_stats,  # green r4/r5
-        "media_avi_frames": q_media_avi_frames,  # green r3/r5
-        "media_decode": q_media_decode,  # green r3/r5
-        "media_wav_decode": q_media_wav_decode,  # green r3/r5
-        "range_join_events": q_range_join,  # green r4/r5
-        "search_ranked": q_search_ranked,  # green r4/r5
-        "search_terms": q_search_terms,  # green r4/r5
-        "sequence_pack": q_sequence_pack,  # green r4/r5
-        "shipping_priority": q_shipping_priority,  # green r4/r5
-        "ann_lsh_recall": q_ann_lsh_recall,  # green r2/r3/r5
-        "ann_cosine_topk": q_ann_cosine_topk,  # green r1/r2/r3/r5
-        "ann_ivf_topk": q_ann_ivf_topk,  # green r1/r2/r3/r5
-        "ann_lsh_topk": q_ann_lsh_topk,  # green r1/r2/r3/r5
-        "dedup_clusters": q_dedup_clusters,  # green r2/r3/r4/r5
-        "embed_near_dup": q_embed_near_dup,  # green r1/r2/r3/r5
-        "media_features": q_media_features,  # green r1/r2/r3/r5
-        "media_summary": q_media_summary,  # green r1/r2/r3/r4/r5
-        # --- green in CORRECTNESS_r06.json (freshest; tail) ---
+        # --- last driver row r5 (CORRECTNESS_r05.json): oldest evidence ---
+        "important_parts": q_important_parts,
+        "interval_overlap": q_interval_overlap,
+        "media_audio_features": q_media_audio_features,
+        "media_jpeg_decode": q_media_jpeg_decode,
+        "media_pixel_features": q_media_pixel_features,
+        "order_deciles": q_order_deciles,
+        "order_percentiles": q_order_percentiles,
+        "order_priority_check": q_order_priority_check,
+        "pipeline_pack": q_pipeline_pack,
+        "pivot_status": q_pivot_status,
+        "profile_orders": q_profile_orders,
+        "promo_revenue": q_promo_revenue,
+        "revenue_grouping_sets": q_revenue_grouping_sets,
+        "skew_salted_join": q_skew_salted_join,
+        "small_qty_revenue": q_small_qty_revenue,
+        "top_supplier": q_top_supplier,
+        "vocab_coverage": q_vocab_coverage,
+        "waiting_suppliers": q_waiting_suppliers,
+        "zorder_layout": q_zorder_layout,
+        "asof_join_events": q_asof_join,
+        "big_spenders": q_big_spenders,
+        "corpus_filter": q_corpus_filter,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_segments": q_dedup_segments,
+        "inverted_index": q_inverted_index,
+        "kmv_distinct": q_kmv_distinct,
+        "length_stats": q_length_stats,
+        "media_avi_frames": q_media_avi_frames,
+        "media_decode": q_media_decode,
+        "media_wav_decode": q_media_wav_decode,
+        "range_join_events": q_range_join,
+        "search_ranked": q_search_ranked,
+        "search_terms": q_search_terms,
+        "sequence_pack": q_sequence_pack,
+        "shipping_priority": q_shipping_priority,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "embed_near_dup": q_embed_near_dup,
+        "media_features": q_media_features,
+        "media_summary": q_media_summary,
+        # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
         "min_cost_supplier": q_min_cost_supplier,
@@ -3271,6 +3233,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extraction": q_json_extraction,
         "rollup_revenue": q_rollup_revenue,
         "set_ops": q_set_ops,
+        # --- green in CORRECTNESS_r07.json (freshest; tail) ---
+        "order_status_priority_mi": q_order_status_priority_mi,
+        "weighted_sample_by_lang": q_weighted_sample_by_lang,
+        "event_type_drift": q_event_type_drift,
+        "price_quantile_sketch": q_price_quantile_sketch,
+        "user_key_skew_audit": q_user_key_skew_audit,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
+        "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        "media_dhash": q_media_dhash,
+        "media_audio_fingerprint": q_media_audio_fingerprint,
+        "media_video_near_dup": q_media_video_near_dup,
+        "search_bm25": q_search_bm25,
+        "fk_integrity": q_fk_integrity,
+        "pipeline_curate": q_pipeline_curate,
+        "customer_entity_clusters": q_customer_entity_clusters,
+        "weighted_sample_orders": q_weighted_sample_orders,
+        "scd2_pit_lookup": q_scd2_pit_lookup,
+        "gapfill_user_daily": q_gapfill_user_daily,
+        "rolling_user_weekly": q_rolling_user_weekly,
+        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
+        "inverted_index_persisted": q_inverted_index_persisted,
+        "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
+        "funnel_conversion": q_funnel_conversion,
+        "cohort_retention": q_cohort_retention,
+        "price_histogram": q_price_histogram,
+        "lineitem_correlations": q_lineitem_correlations,
+        "ann_rp_topk": q_ann_rp_topk,
+        "trade_pagerank": q_trade_pagerank,
+        "pareto_lineitems": q_pareto_lineitems,
+        "chunk_documents": q_chunk_documents,
+        "normalize_text": q_normalize_text,
+        "fuzzy_link_customers": q_fuzzy_link_customers,
+        "phrase_search": q_phrase_search,
+        "kmv_incremental": q_kmv_incremental,
+        "parts_bought_together": q_parts_bought_together,
+        "orders_expectations": q_orders_expectations,
+        "value_outliers": q_value_outliers,
+        "activity_gaps": q_activity_gaps,
+        "row_cap": q_row_cap,
+        "retention_candidates": q_retention_candidates,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        "cluster_profile": q_cluster_profile,
+        "event_transitions": q_event_transitions,
+        "global_sales_opportunity": q_global_sales_opportunity,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -3329,11 +3338,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scd2_user_state": H.sql_scd2_history(
             "events", "user_id", ("event_type",), "ts", "event_id",
-            open_end_ts="9999-12-31 00:00:00",
         ),
         "scd2_incremental": H.sql_scd2_history(
             "events", "user_id", ("event_type",), "ts", "event_id",
-            open_end_ts="9999-12-31 00:00:00",
         ),
         "scd2_pit_lookup": SQL_SCD2_PIT,
         "gapfill_user_daily": AN.sql_gapfill_daily("events"),
@@ -3509,7 +3516,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "value_outliers": AN.sql_outliers_iqr("value", "event_id", "events"),
         "activity_gaps": AN.sql_activity_gaps("events", 6 * 3600),
-        "embed_rp_project": S.sql_rp_project("embeddings", 16, 64),
+        "embed_rp_project": S.sql_rp_project(
+            "embeddings", 16, 64, exploded=True
+        ),
         "ann_rp_topk": S.sql_cosine_topk(
             "(" + S.sql_rp_project("embeddings", 16, 64) + ")",
             "vec_id < 3", 5,

@@ -100,6 +100,7 @@ def main() -> None:
             timings[name] = round(min([timings[name], *extra]), 3)
 
     total = round(sum(timings.values()), 3)
+    # Full per-query record first (local logs capture it) ...
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -108,6 +109,30 @@ def main() -> None:
         "reran": reran,
         "sf": sf,
     }))
+    # ... then a compact summary as the FINAL line, sized to fit the
+    # driver's 2,000-char stdout tail: the full line above is ~4 KB at
+    # 143 queries, so a tail-truncated capture loses the EARLIEST
+    # (most expensive) queries. The compact line keeps the total, the
+    # query count, and as many of the SLOWEST queries as fit a
+    # 1,700-char budget — the rows that matter are always inside the
+    # tail.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact = None
+    for n in range(len(slowest), 0, -1):
+        doc = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": dict(slowest[:n]),
+            "query_count": len(timings),
+            "slowest_only": n < len(timings),
+            "reran": reran,
+            "sf": sf,
+        }
+        compact = json.dumps(doc)
+        if len(compact) <= 1700:
+            break
+    print(compact)
     spark.stop()
 
 

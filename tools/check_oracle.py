@@ -58,6 +58,28 @@ def main() -> int:
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
             failures += 1
             continue
+        # Emulate the DRIVER's pandas canonicalization (the r7 err
+        # class: 9999-12-31 overflows pandas ns-timestamps; array
+        # columns are unhashable in the pandas sort). A query that
+        # passes the tuple-canon below but dies here will still err on
+        # the official record, so it fails here too.
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame(srows, columns=scols)
+            for c in pdf.columns:
+                if pdf[c].dtype == object and len(pdf) and isinstance(
+                    pdf[c].iloc[0], __import__("datetime").datetime
+                ):
+                    pdf[c] = pd.to_datetime(pdf[c])
+            pdf.sort_values(by=sorted(scols), inplace=True)
+        except Exception as e:
+            print(
+                f"FAIL {name}: driver-canon error "
+                f"{type(e).__name__}: {str(e)[:200]}"
+            )
+            failures += 1
+            continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
             continue

@@ -2268,24 +2268,31 @@ def sql_rp_project(
     table: str = "embeddings",
     out_dims: int = 16,
     n_dims: int = 64,
+    exploded: bool = False,
 ) -> str:
     """DuckDB twin of :func:`rp_project` — identical plane literals,
     identical sequential double summation, identical floor
-    quantization."""
+    quantization. ``exploded=True`` returns one (vec_id, dim, value)
+    row per projected component instead of an array column — the
+    hash-checkable shape (every component value lands in a scalar
+    column the comparator can sort and digest)."""
     planes = hyperplanes(out_dims, n_dims, tag="rp")
     scale = (3.0 / out_dims) ** 0.5
-    plane_rows = ", ".join(
-        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
-    )
     dot = (
         f"floor(list_sum(list_transform(range(1, {n_dims} + 1),"
         " i -> e.embedding[i]::DOUBLE * p.plane[i]))"
         f" * {scale!r} * 1e6) / 1e6"
     )
-    return f"""
+    planes_cte = f"""
     WITH planes AS (
       SELECT * FROM (VALUES {", ".join(f"({i}, {('[' + ', '.join(repr(x) for x in p) + ']')})" for i, p in enumerate(planes))}) AS t(j, plane)
-    )
+    )"""
+    if exploded:
+        return f"""{planes_cte}
+    SELECT e.vec_id, CAST(p.j AS INTEGER) AS dim, {dot} AS value
+    FROM {table} e CROSS JOIN planes p
+    """
+    return f"""{planes_cte}
     SELECT e.vec_id, list({dot} ORDER BY p.j) AS embedding
     FROM {table} e CROSS JOIN planes p
     GROUP BY e.vec_id
