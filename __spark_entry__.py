@@ -2732,16 +2732,19 @@ def q_customer_entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
     (custkey, entity_id) with singletons as their own entity — the
     cluster table a dedupe/merge job consumes. The oracle re-derives
     components with a recursive min-label CTE over the identical pair
-    set. block_chars=5: suffix buckets on a fixed alphabet grow
-    linearly with cardinality (in-bucket pairs quadratically — 22.5M
-    candidates at sf1 with 3-char blocks vs 1.5M with 5), so the block
-    length is a scale knob; the COMPLETE alternative
-    (fuzzy_link_deletions) degenerates on this synthetic name corpus
-    where every name has ~27 distance-1 neighbors."""
+    set. Blocking is cardinality-ADAPTIVE (split_threshold=64): base
+    3-char suffix buckets that exceed 64 rows re-key to 6-char
+    suffixes, so in-bucket pair growth is bounded by the data instead
+    of a hand-tuned block length (the fixed 3-char form measured 22.5M
+    candidates at sf1 vs 225k at sf0.1 — quadratic; the fixed 5-char
+    form fixed sf1 but would degenerate identically at 100x). The
+    COMPLETE alternative (fuzzy_link_deletions) degenerates on this
+    synthetic name corpus where every name has ~27 distance-1
+    neighbors."""
     cust = load(spark, sf, "customer")
     pairs = J.fuzzy_link(
         cust, cust, "c_custkey", "c_custkey", "c_name", "c_name",
-        max_dist=1, block_chars=5,
+        max_dist=1, block_chars=3, split_threshold=64,
     )
     edges = pairs.where(F.col("left_id") < F.col("right_id")).select(
         F.col("left_id").alias("doc_a"), F.col("right_id").alias("doc_b")
@@ -2764,7 +2767,7 @@ def q_customer_entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
 def _sql_customer_entity_clusters() -> str:
     pairs = J.sql_fuzzy_link(
         "customer", "customer", "c_custkey", "c_custkey",
-        "c_name", "c_name", 1, block_chars=5,
+        "c_name", "c_name", 1, block_chars=3, split_threshold=64,
     )
     return f"""
     WITH RECURSIVE pairs_ AS ({pairs}),

@@ -322,6 +322,50 @@ def test_fuzzy_link_blocking_semantics(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+def test_fuzzy_link_adaptive_split_bounds_candidates(spark):
+    """Cardinality-adaptive blocking (split_threshold): a hot suffix
+    shared by the whole corpus would make fixed-length blocking score
+    O(n^2) candidate pairs; the split pass re-keys oversize buckets to
+    a longer suffix and must (a) cut candidate volume by orders of
+    magnitude, (b) still find pairs that share the longer suffix, and
+    (c) stay an equi-join. This is the permanent gate for the r7 scale
+    finding (22.5M candidates at sf1 from 3-char suffix buckets)."""
+    from webhookdb_spark.operators.joins import (
+        fuzzy_link,
+        fuzzy_link_candidates,
+    )
+
+    # 2,000 names, ALL ending "son" -> one 3-char bucket. The 6-char
+    # suffix spreads them ~2 per bucket. Two planted distance-1 pairs
+    # share their 6-char suffix, so the split must keep finding them.
+    rows = [(i, f"name{i:04d}son") for i in range(1000)]
+    rows += [(10_000 + i, f"nbme{i:04d}son") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    args = (df, df, "id", "id", "name", "name", 1, 3)
+    n_fixed = fuzzy_link_candidates(*args).count()
+    n_split = fuzzy_link_candidates(*args, 64).count()
+    # fixed: ~4M in-bucket pairs (x3 band explode); split: each
+    # "NNNson" 6-char bucket holds exactly 2 rows
+    assert n_fixed > 1_000_000
+    assert n_split < 50_000
+    # recall inside the longer suffix survives the split: every
+    # nameNNNNson <-> nbmeNNNNson pair is distance 1 and shares its
+    # 6-char suffix
+    linked = fuzzy_link(*args, split_threshold=64)
+    found = {
+        (r.left_id, r.right_id)
+        for r in linked.where("left_id < right_id").collect()
+    }
+    assert found == {(i, 10_000 + i) for i in range(1000)}
+
+    plan = (
+        fuzzy_link_candidates(*args, 64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_fuzzy_link_deletions_exact_recall(spark):
     """Deletion-neighborhood blocking must find EVERY pair within edit
     distance 1 — equality, substitution (incl. inside any suffix,

@@ -427,6 +427,107 @@ def sql_interval_overlap_events(
 # operator value-hash oracle-able.
 # ---------------------------------------------------------------------------
 
+def fuzzy_link_candidates(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    text_col_left: str,
+    text_col_right: str,
+    max_dist: int = 1,
+    block_chars: int = 3,
+    split_threshold: int | None = None,
+    split_extra: int = 3,
+):
+    """Candidate pairs of :func:`fuzzy_link` BEFORE the distance
+    filter: (left_id, left_text, right_id, right_text) from the
+    blocking equi-join. Factored out so the candidate VOLUME — the
+    scale cost of the whole operator — is directly measurable and
+    plan-gateable (tests/test_plans.py bounds it on a hot-suffix
+    corpus)."""
+    from pyspark.sql import functions as F
+
+    def suffix_key(c, n):
+        # suffix block, whole string when shorter than the block (the
+        # positive-index form — negative substring starts behave
+        # differently for short strings across engines)
+        return F.when(
+            F.length(c) >= n, F.substring(c, -n, n)
+        ).otherwise(c)
+
+    def keyed(df, idc, tc, side):
+        c = F.col(tc)
+        return df.select(
+            F.col(idc).alias(f"{side}_id"),
+            c.alias(f"{side}_text"),
+            suffix_key(c, block_chars).alias("_blk"),
+            # length band: |len(a) - len(b)| <= max_dist is necessary
+            # for dist <= max_dist, so band id = len div (max_dist+1)
+            # puts every admissible pair in same-or-adjacent bands;
+            # the left side explodes its band +-1 to cover both
+            F.length(c).alias("_len"),
+        )
+
+    lt = keyed(left, left_key, text_col_left, "left")
+    rt = keyed(right, right_key, text_col_right, "right")
+
+    if split_threshold is not None:
+        # Cardinality-adaptive second blocking pass: buckets whose
+        # total (left+right) row count exceeds ``split_threshold``
+        # re-key to a LONGER suffix (block_chars + split_extra), so
+        # in-bucket pair counts stop growing quadratically with corpus
+        # cardinality — the fixed-length knob a 100x corpus would
+        # otherwise have to hand-retune. The bucket-count aggregate is
+        # one groupBy over the block keys (output is bounded by
+        # distinct-suffix cardinality, tiny next to the data); the
+        # oversize set has <= total_rows/threshold entries, an
+        # equi-join both engines plan as a hash join (AQE broadcasts
+        # it when small — no hint, so a billion-row corpus with
+        # millions of hot buckets degrades to a shuffle join instead
+        # of an OOM broadcast). Recall contract mirrors the base pass:
+        # pairs inside an oversize bucket must share the longer
+        # suffix; the SQL twin reproduces the split exactly so the
+        # value-hash oracle holds, misses included.
+        ext = block_chars + split_extra
+        big = (
+            lt.select("_blk").unionAll(rt.select("_blk"))
+            .groupBy("_blk")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > split_threshold)
+            .select("_blk", F.lit(True).alias("_big"))
+        )
+
+        def rekey(df, side):
+            c = F.col(f"{side}_text")
+            return (
+                df.join(big, "_blk", "left")
+                .withColumn(
+                    "_blk",
+                    F.when(
+                        F.col("_big").isNotNull(), suffix_key(c, ext)
+                    ).otherwise(F.col("_blk")),
+                )
+                .drop("_big")
+            )
+
+        lt, rt = rekey(lt, "left"), rekey(rt, "right")
+
+    band = max_dist + 1
+    lt = lt.select(
+        "*", F.explode(F.array(
+            (F.col("_len") / band).cast("int"),
+            (F.col("_len") / band).cast("int") + 1,
+            (F.col("_len") / band).cast("int") - 1,
+        )).alias("_band"),
+    )
+    rt = rt.withColumn("_band", (F.col("_len") / band).cast("int"))
+    return (
+        lt.join(rt, ["_blk", "_band"])
+        .where(F.col("left_id") != F.col("right_id"))
+        .select("left_id", "left_text", "right_id", "right_text")
+    )
+
+
 def fuzzy_link(
     left,
     right,
@@ -436,6 +537,8 @@ def fuzzy_link(
     text_col_right: str,
     max_dist: int = 1,
     block_chars: int = 3,
+    split_threshold: int | None = None,
+    split_extra: int = 3,
 ):
     """(left_id, right_id, dist): pairs whose strings match within
     ``max_dist`` edits, candidates generated by BLOCKING — an
@@ -449,48 +552,26 @@ def fuzzy_link(
     (same id) are excluded; for self-joins pass the same DF twice and
     dedupe (a < b) downstream.
 
-    At 100 TB: the join shuffles on the block key; hot blocks are
-    bounded by suffix cardinality x length band — salt the block key
-    like operators/skew.py if a suffix degenerates."""
+    ``split_threshold`` enables cardinality-ADAPTIVE blocking: buckets
+    larger than the threshold re-key to a suffix ``split_extra`` chars
+    longer, bounding in-bucket quadratic growth without retuning
+    ``block_chars`` per corpus size (see
+    :func:`fuzzy_link_candidates`). At 100 TB: the join shuffles on
+    the block key; with the split pass, hot blocks are capped by the
+    longer suffix's cardinality instead of degenerating."""
     from pyspark.sql import functions as F
 
-    def keyed(df, idc, tc, side):
-        c = F.col(tc)
-        # suffix block, whole string when shorter than the block (the
-        # positive-index form — negative substring starts behave
-        # differently for short strings across engines)
-        blk = F.when(
-            F.length(c) >= block_chars,
-            F.substring(c, -block_chars, block_chars),
-        ).otherwise(c)
-        return df.select(
-            F.col(idc).alias(f"{side}_id"),
-            c.alias(f"{side}_text"),
-            blk.alias("_blk"),
-            # length band: |len(a) - len(b)| <= max_dist is necessary
-            # for dist <= max_dist, so band id = len div (max_dist+1)
-            # puts every admissible pair in same-or-adjacent bands;
-            # the left side explodes its band +-1 to cover both
-            F.length(c).alias("_len"),
+    return (
+        fuzzy_link_candidates(
+            left, right, left_key, right_key,
+            text_col_left, text_col_right,
+            max_dist, block_chars, split_threshold, split_extra,
         )
-
-    lt = keyed(left, left_key, text_col_left, "left")
-    rt = keyed(right, right_key, text_col_right, "right")
-    band = max_dist + 1
-    lt = lt.select(
-        "*", F.explode(F.array(
-            (F.col("_len") / band).cast("int"),
-            (F.col("_len") / band).cast("int") + 1,
-            (F.col("_len") / band).cast("int") - 1,
-        )).alias("_band"),
-    )
-    rt = rt.withColumn("_band", (F.col("_len") / band).cast("int"))
-    pairs = (
-        lt.join(rt, ["_blk", "_band"])
-        .where(F.col("left_id") != F.col("right_id"))
         .select(
             "left_id", "right_id",
-            F.levenshtein(F.col("left_text"), F.col("right_text")).alias("dist"),
+            F.levenshtein(
+                F.col("left_text"), F.col("right_text")
+            ).alias("dist"),
         )
         # dist <= max_dist implies the length-band admissibility, so no
         # separate length filter is needed for the RESULT; the bands
@@ -498,7 +579,6 @@ def fuzzy_link(
         .where(F.col("dist") <= max_dist)
         .distinct()
     )
-    return pairs
 
 
 def sql_fuzzy_link(
@@ -510,25 +590,59 @@ def sql_fuzzy_link(
     text_col_right: str,
     max_dist: int = 1,
     block_chars: int = 3,
+    split_threshold: int | None = None,
+    split_extra: int = 3,
 ) -> str:
-    """DuckDB twin of :func:`fuzzy_link` — the same blocking join and
-    the same exact integer levenshtein (NOT the brute cross join: the
-    oracle must reproduce the operator's recall contract exactly,
-    misses included)."""
-    return f"""
-    WITH lt AS (
+    """DuckDB twin of :func:`fuzzy_link` — the same blocking join
+    (including the adaptive oversize-bucket split when
+    ``split_threshold`` is set) and the same exact integer levenshtein
+    (NOT the brute cross join: the oracle must reproduce the
+    operator's recall contract exactly, misses included)."""
+
+    def suffix(text, n):
+        return (
+            f"CASE WHEN len({text}) >= {n}"
+            f" THEN substring({text}, len({text}) - {n} + 1, {n})"
+            f" ELSE {text} END"
+        )
+
+    base = f"""
+    WITH lt0 AS (
       SELECT {left_key} AS left_id, {text_col_left} AS left_text,
-             CASE WHEN len({text_col_left}) >= {block_chars}
-                  THEN substring({text_col_left}, len({text_col_left}) - {block_chars} + 1, {block_chars})
-                  ELSE {text_col_left} END AS _blk
+             {suffix(text_col_left, block_chars)} AS _blk
       FROM {left_sql}
-    ), rt AS (
+    ), rt0 AS (
       SELECT {right_key} AS right_id, {text_col_right} AS right_text,
-             CASE WHEN len({text_col_right}) >= {block_chars}
-                  THEN substring({text_col_right}, len({text_col_right}) - {block_chars} + 1, {block_chars})
-                  ELSE {text_col_right} END AS _blk
+             {suffix(text_col_right, block_chars)} AS _blk
       FROM {right_sql}
-    )
+    )"""
+    if split_threshold is None:
+        body = ", lt AS (SELECT * FROM lt0), rt AS (SELECT * FROM rt0)"
+    else:
+        ext = block_chars + split_extra
+        body = f""",
+    _big AS (
+      SELECT _blk FROM (
+        SELECT _blk, count(*) AS _c FROM (
+          SELECT _blk FROM lt0 UNION ALL SELECT _blk FROM rt0
+        ) GROUP BY _blk
+      ) WHERE _c > {split_threshold}
+    ),
+    lt AS (
+      SELECT left_id, left_text,
+             CASE WHEN _blk IN (SELECT _blk FROM _big)
+                  THEN {suffix('left_text', ext)}
+                  ELSE _blk END AS _blk
+      FROM lt0
+    ),
+    rt AS (
+      SELECT right_id, right_text,
+             CASE WHEN _blk IN (SELECT _blk FROM _big)
+                  THEN {suffix('right_text', ext)}
+                  ELSE _blk END AS _blk
+      FROM rt0
+    )"""
+    return f"""{base}{body}
     SELECT DISTINCT left_id, right_id,
            CAST(levenshtein(left_text, right_text) AS INTEGER) AS dist
     FROM lt JOIN rt USING (_blk)
