@@ -2611,6 +2611,97 @@ def q_scd2_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return hist
 
 
+def q_scd2_feed_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history maintained BY INGESTION: events land in a managed
+    table through the real envelope->shape->MERGE path in three
+    batches (capture_changes on), and a durable Scd2Maintainer folds
+    each committed transaction's post-images from the _changes feed —
+    the warehouse pattern where a dimension's version history is a
+    change-feed consumer, not a rebuild job. The timestamp rides as
+    epoch-micros BIGINT so the JSON envelope round-trip is lossless.
+    The oracle recomputes what the feed provably carries: per (user,
+    batch) the MERGE's last-wins winner (argmax ts — the intra-batch
+    dedupe), then the SCD2 run-collapse over those winners; a green
+    row proves envelope ingest + MERGE change capture + feed-driven
+    apply compose to exactly the declarative history."""
+    import shutil
+    import tempfile
+
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.storage import Warehouse
+    from webhookdb_spark.types import ColumnType
+
+    spec = ReplicatorSpec(
+        name="user_state_v1",
+        table="user_state_v1",
+        remote_key=Col("user_id", ColumnType.BIGINT),
+        denorm_cols=(
+            Col("event_type", ColumnType.TEXT),
+            Col("ts_us", ColumnType.BIGINT),
+        ),
+        timestamp_col="ts_us",
+        update_where=lambda s, t: s("ts_us") > t("ts_us"),
+        n_buckets=4,
+    )
+    ev = load(spark, sf, "events")
+    root = tempfile.mkdtemp(prefix="whdb_scd2feed_")
+    try:
+        table = Warehouse(spark, f"{root}/wh").table("org", "user_state_v1")
+        mt = H.Scd2Maintainer(
+            spark, f"{root}/scd2", "user_id", ("event_type",), "ts_us"
+        )
+        splits = ("2024-01-15", "2024-01-23")
+        windows = [
+            ev.where(F.col("ts") < splits[0]),
+            ev.where((F.col("ts") >= splits[0]) & (F.col("ts") < splits[1])),
+            ev.where(F.col("ts") >= splits[1]),
+        ]
+        for w in windows:
+            env = w.select(
+                F.col("event_id").cast("string").alias("opaque_id"),
+                F.to_json(
+                    F.struct(
+                        "user_id",
+                        "event_type",
+                        # ts may load as TIMESTAMP_NTZ; session TZ is
+                        # UTC so the cast is value-identity
+                        F.unix_micros(
+                            F.col("ts").cast("timestamp")
+                        ).alias("ts_us"),
+                    )
+                ).alias("body"),
+                F.col("ts").alias("received_at"),
+                F.col("event_id").alias("_seq"),
+            )
+            upsert_envelopes(table, env, spec)
+            mt.run(table)
+        return mt.history().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _sql_scd2_feed_maintained() -> str:
+    winners = """
+    SELECT user_id, event_type, ts_us FROM (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             row_number() OVER (
+               PARTITION BY user_id, b ORDER BY ts DESC
+             ) AS rn
+      FROM (
+        SELECT user_id, event_type, ts,
+               CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1
+                    WHEN ts < TIMESTAMP '2024-01-23' THEN 2
+                    ELSE 3 END AS b
+        FROM events
+      )
+    ) WHERE rn = 1
+    """
+    return H.sql_scd2_history(
+        f"({winners})", "user_id", ("event_type",), "ts_us"
+    )
+
+
 def q_scd2_pit_lookup(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time lookup against the SCD2 table: for every 17th
     event, the user's state version that was active THREE DAYS BEFORE
@@ -3141,6 +3232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_incremental": q_scd2_incremental,
         "embed_rp_project": q_embed_rp_project,
         "embed_pca_project": q_embed_pca_project,
+        # --- never driver-checked (new in r8) ---
+        "scd2_feed_maintained": q_scd2_feed_maintained,
         # --- last driver row r5 (CORRECTNESS_r05.json): oldest evidence ---
         "important_parts": q_important_parts,
         "interval_overlap": q_interval_overlap,
@@ -3345,6 +3438,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_incremental": H.sql_scd2_history(
             "events", "user_id", ("event_type",), "ts", "event_id",
         ),
+        "scd2_feed_maintained": _sql_scd2_feed_maintained(),
         "scd2_pit_lookup": SQL_SCD2_PIT,
         "gapfill_user_daily": AN.sql_gapfill_daily("events"),
         "rolling_user_weekly": AN.sql_rolling_daily_sum("events", 7),

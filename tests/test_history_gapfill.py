@@ -327,6 +327,67 @@ def test_streaming_scd2_maintenance_over_change_feed(spark, tmp_path):
     assert spark.read.parquet(hist_dir).count() == 5
 
 
+def test_scd2_maintainer_feed_driven_equals_rebuild(spark, tmp_path):
+    """Batch change-feed consumer (Scd2Maintainer): history maintained
+    txn-by-txn from the managed table's MERGE feed must equal a full
+    scd2_history rebuild over the concatenated feed post-images; the
+    watermark makes re-runs no-ops; a single run folds several queued
+    txns in order."""
+    import json
+
+    from webhookdb_spark.operators.history import Scd2Maintainer, scd2_history
+    from webhookdb_spark.operators.upsert import changes_since, upsert_envelopes
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.storage import Warehouse
+
+    def env(items):
+        return spark.createDataFrame(
+            [("fake_v1", json.dumps(it), None) for it in items],
+            "opaque_id string, body string, received_at timestamp",
+        )
+
+    wh = Warehouse(spark, tmp_path / "wh")
+    parent = wh.table("org", "fake_v1")
+    # FAKE_V1's change rows carry (my_id, at, data); the projection
+    # hook derives the SCD2 (key, ts, attrs) columns from them.
+    shape = lambda b: b.select(  # noqa: E731
+        "my_id",
+        F.col("at").alias("ts"),
+        F.col("data").cast("string").alias("state"),
+    )
+    mt = Scd2Maintainer(
+        spark, str(tmp_path / "scd2"), "my_id", ("state",), "ts",
+        project=shape,
+    )
+
+    upsert_envelopes(parent, env([
+        {"my_id": "a", "at": "2024-01-01T00:00:00Z", "v": 1},
+        {"my_id": "b", "at": "2024-01-01T00:00:00Z", "v": 1},
+    ]), FAKE_V1)
+    assert mt.run(parent) == 1
+    assert mt.run(parent) == 0  # watermark: nothing new
+
+    # two txns queued, folded by ONE run in order
+    upsert_envelopes(parent, env([
+        {"my_id": "a", "at": "2024-01-02T00:00:00Z", "v": 2},
+    ]), FAKE_V1)
+    upsert_envelopes(parent, env([
+        {"my_id": "a", "at": "2024-01-03T00:00:00Z", "v": 3},
+        {"my_id": "c", "at": "2024-01-03T00:00:00Z", "v": 1},
+    ]), FAKE_V1)
+    assert mt.run(parent) == 2
+
+    rebuild = scd2_history(
+        shape(changes_since(parent, 0)), "my_id", ("state",), "ts"
+    )
+    key = lambda r: (r.my_id, r.version)  # noqa: E731
+    got = {key(r): (r.state, r.valid_from, r.valid_to, r.is_current)
+           for r in mt.history().collect()}
+    want = {key(r): (r.state, r.valid_from, r.valid_to, r.is_current)
+            for r in rebuild.collect()}
+    assert got == want and len(got) == 5
+
+
 def test_scd2_lookup_interval_containment(spark):
     from webhookdb_spark.operators.history import scd2_lookup
 

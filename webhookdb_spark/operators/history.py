@@ -280,6 +280,140 @@ def scd2_apply(
     )
 
 
+def scd2_from_feed(
+    table,
+    key_col: str,
+    attr_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    history: DataFrame | None = None,
+    since_txn: int = 0,
+    project=None,
+) -> tuple[DataFrame | None, int]:
+    """Fold every captured change transaction in ``(since_txn, latest]``
+    of a managed table's MERGE feed (operators/upsert.py
+    ``_changes/txn_*``) into an SCD2 ``history``, one
+    :func:`scd2_apply` per transaction in txn order. Returns
+    ``(new_history, new_watermark)`` — history is ``None`` only when
+    there was nothing to fold and none was passed.
+
+    This is the consumer that keeps an SCD2 table maintained BY
+    ingestion: each committed MERGE's post-images are exactly the
+    per-key state observations scd2_apply's in-order contract wants
+    (the upsert guard rejects out-of-order updates upstream, and a txn
+    carries at most one row per key). Per-txn work is proportional to
+    the txn's rows and touched keys' current versions — never to
+    history size or the raw stream.
+
+    ``project``: optional ``DataFrame -> DataFrame`` applied to each
+    txn's post-images before the apply — rename/derive the (key, ts,
+    attrs) columns from the table's own schema (e.g. ``at -> ts``,
+    ``data -> state``).
+    """
+    from webhookdb_spark.operators.upsert import change_txns, changes_since
+
+    txns = [t for t in change_txns(table) if t > since_txn]
+    watermark = since_txn
+    for t in sorted(txns):
+        batch = changes_since(table, t - 1, t)
+        if project is not None:
+            batch = project(batch)
+        batch = batch.select(key_col, ts_col, *attr_cols)
+        if history is None:
+            history = scd2_history(batch, key_col, attr_cols, ts_col)
+        else:
+            history = scd2_apply(
+                # bound lineage growth across applies, as the
+                # incremental query does (one consumer run may fold
+                # many queued txns)
+                history.localCheckpoint(eager=False),
+                batch, key_col, attr_cols, ts_col,
+            )
+        watermark = t
+    return history, watermark
+
+
+class Scd2Maintainer:
+    """Durable feed-driven SCD2 maintenance: persists the history table
+    and the delivered-txn watermark under ``path``, so each ``run``
+    folds only new transactions — the warehouse pattern where a
+    dimension's version history is maintained by the ingest feed, with
+    restart safety.
+
+    Layout: ``path/v_<txn>/`` (parquet history as of txn) +
+    ``path/meta.json`` ({"watermark": txn, "current": "v_<txn>"}).
+    The new version is fully written before meta.json flips to it
+    (the manifest-pointer pattern of storage.py), and the previous
+    version is kept for one generation so a reader holding the old
+    meta never sees missing files.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        key_col: str,
+        attr_cols: tuple[str, ...],
+        ts_col: str = "ts",
+        project=None,
+    ) -> None:
+        import pathlib
+
+        self.spark = spark
+        self.path = pathlib.Path(path)
+        self.key_col = key_col
+        self.attr_cols = tuple(attr_cols)
+        self.ts_col = ts_col
+        self.project = project
+
+    def _meta(self) -> dict:
+        import json as _json
+
+        f = self.path / "meta.json"
+        if not f.exists():
+            return {"watermark": 0, "current": None}
+        return _json.loads(f.read_text())
+
+    @property
+    def watermark(self) -> int:
+        return int(self._meta()["watermark"])
+
+    def history(self) -> DataFrame | None:
+        """The persisted history table, or None before the first run."""
+        m = self._meta()
+        if not m["current"]:
+            return None
+        return self.spark.read.parquet(str(self.path / m["current"]))
+
+    def run(self, table) -> int:
+        """Fold new feed transactions; returns how many were applied."""
+        import json as _json
+        import shutil as _sh
+
+        m = self._meta()
+        hist, new_wm = scd2_from_feed(
+            table, self.key_col, self.attr_cols, self.ts_col,
+            history=self.history(), since_txn=int(m["watermark"]),
+            project=self.project,
+        )
+        applied = new_wm - int(m["watermark"])
+        if applied <= 0 or hist is None:
+            return 0
+        new_dir = f"v_{new_wm}"
+        hist.write.mode("overwrite").parquet(str(self.path / new_dir))
+        self.path.mkdir(parents=True, exist_ok=True)
+        tmp = self.path / "meta.json.tmp"
+        tmp.write_text(
+            _json.dumps({"watermark": new_wm, "current": new_dir})
+        )
+        tmp.replace(self.path / "meta.json")
+        # trim all but the just-replaced generation
+        keep = {new_dir, m["current"]}
+        for p in self.path.iterdir():
+            if p.name.startswith("v_") and p.name not in keep:
+                _sh.rmtree(p, ignore_errors=True)
+        return applied
+
+
 def scd2_lookup(
     history: DataFrame,
     probes: DataFrame,
