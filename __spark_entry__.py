@@ -1976,22 +1976,37 @@ FROM grouped GROUP BY user_id, grp
 
 
 def q_text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace-token and character counts per document — the basic
+    length accounting every corpus budget starts from; pure built-in
+    expressions, one narrow scan."""
     return X.token_count(load(spark, sf, "documents"))
 
 
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality score per document (length, punctuation
+    density, stopword ratio, uppercase share — the C4/Gopher-style
+    signals) computed as one expression tree over a single scan."""
     return X.quality_score(load(spark, sf, "documents"))
 
 
 def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-profile language ID per document: scores each text
+    against small per-language marker-word lists with built-in
+    expressions (no UDF), argmax with a deterministic tie-break."""
     return X.langid(load(spark, sf, "documents"))
 
 
 def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalized-text md5 fingerprint per document (case-fold +
+    whitespace collapse) — the join key for exact dedup and the
+    decontamination blocklists."""
     return X.fingerprint(load(spark, sf, "documents"))
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicate groups: normalized-fingerprint groupBy with
+    map-side partial aggregation, HAVING count > 1 — the O(n) first
+    pass of every dedup cascade."""
     return D.exact_duplicates(load(spark, sf, "documents")).select(
         "fingerprint", "n_docs"
     )
@@ -2005,10 +2020,16 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: shingle -> 32 md5 minhashes
+    -> banded bucket equi-join (candidates only from shared bands,
+    never all-pairs) -> exact Jaccard verification."""
     return D.minhash_dedup_pairs(load(spark, sf, "documents"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash per document: sign-aggregated token-hash bits
+    in pure integer expressions — the constant-size signature whose
+    hamming distance approximates cosine token similarity."""
     return D.simhash(load(spark, sf, "documents"))
 
 
@@ -2416,6 +2437,10 @@ def q_media_avi_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline every
+    approximate variant is measured against): broadcast the query
+    block, expression-level dot products, per-query rank window with
+    deterministic tie-breaks."""
     emb = load(spark, sf, "embeddings")
     return S.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
 
@@ -2435,6 +2460,10 @@ def q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: deterministic Lloyd centroids (metadata-sized driver
+    training) partition the corpus into cells; queries scan only their
+    nprobe nearest cells via a broadcast cell-route join — the
+    scan-fraction scale path for large corpora."""
     emb = load(spark, sf, "embeddings")
     return S.ann_topk_ivf(emb, emb.where(F.col("vec_id") < 3), k=5)
 

@@ -377,6 +377,58 @@ def test_log_histogram_quantiles_error_bound_and_merge(spark):
     assert len(sent) == 1 and sent[0].n == 2
 
 
+def test_log_histogram_persisted_state_grows_to_one_shot(spark, tmp_path):
+    """Restart contract of the quantile sketch (the persisted-index
+    family's grown == one-shot rule, like KMV's kmv_incremental):
+    state saved to parquet, reloaded in a fresh lineage, merged with
+    two later batches and re-persisted must equal the one-shot sketch
+    bucket-for-bucket — and so must its quantiles. Proves a streaming
+    or scheduled consumer can checkpoint sketch state across restarts
+    with zero drift."""
+    import random
+
+    from webhookdb_spark.operators.sketches import (
+        log_histogram_merge,
+        log_histogram_quantiles,
+        log_histogram_state,
+    )
+
+    rng = random.Random(29)
+    vals = [rng.lognormvariate(4, 1.5) for _ in range(3000)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, x double"
+    )
+    path = str(tmp_path / "sketch_state")
+
+    # three batches, persisted+reloaded between each fold (a restart
+    # boundary per batch)
+    for m in range(3):
+        batch = log_histogram_state(df.where(f"id % 3 = {m}"), "x")
+        if m == 0:
+            merged = batch
+        else:
+            merged = log_histogram_merge(
+                spark.read.parquet(path), batch
+            )
+        merged.write.mode("overwrite").parquet(path + ".staged")
+        import os
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(path + ".staged", path)
+
+    grown = spark.read.parquet(path)
+    one = log_histogram_state(df, "x")
+    assert sorted(map(tuple, grown.collect())) == sorted(
+        map(tuple, one.collect())
+    )
+    pcts = [0.5, 0.9, 0.99]
+    assert (
+        sorted(map(tuple, log_histogram_quantiles(grown, pcts).collect()))
+        == sorted(map(tuple, log_histogram_quantiles(one, pcts).collect()))
+    )
+
+
 def test_log_histogram_grouped_matches_global_per_group(spark):
     """Grouped sketch quantiles == running the global sketch on each
     group's slice; the plan has no single-partition exchange."""

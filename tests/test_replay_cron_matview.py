@@ -234,6 +234,12 @@ def test_plan_cost_guardrail_blocks_cartesian(spark):
         spark,
         "SELECT * FROM guard_a JOIN guard_b ON a_id < b_k",
     )
+    # predicate-less OUTER pairings are full products too (ON true
+    # folds away, leaving a condition-less LeftOuter BNLJ)
+    with _pt.raises(QueryTooExpensive):
+        validate_plan_cost(
+            spark, "SELECT * FROM guard_a LEFT JOIN guard_b ON true"
+        )
     # escape hatch for admin surfaces
     validate_plan_cost(
         spark, "SELECT * FROM guard_a, guard_b", allow_cartesian=True

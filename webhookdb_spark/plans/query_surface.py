@@ -250,7 +250,16 @@ def validate_plan_cost(
     tables and starves every tenant. Runs at plan time (no execution);
     broadcast NLJ against sub-threshold dims survives AQE only when
     Catalyst already proved one side tiny, so genuine small-dim
-    queries still pass once written with predicates."""
+    queries still pass once written with predicates.
+
+    BEST-EFFORT: the guard pattern-matches the plan text. A nested-loop
+    pairing whose condition Catalyst cannot fold away (a tautology over
+    columns like ``ON a.x = a.x OR a.x IS NULL``) still scans the full
+    product but carries a trailing condition and passes — bounding by
+    estimated row counts would need CBO stats the surface's ad-hoc
+    views don't have. What IS caught: predicate-less inner/cross
+    pairings, and (outer/semi/anti/existence) BNLJ variants with no
+    condition at all."""
     validate_readonly(sql)
     with _no_sql_on_files(spark):
         df = spark.sql(sql)
@@ -262,12 +271,17 @@ def validate_plan_cost(
             "query compiles to a CartesianProduct; add a join predicate"
         )
     for line in plan.splitlines():
-        # a predicate-less `FROM a, b` that Catalyst broadcast-paired
-        # renders as "BroadcastNestedLoopJoin BuildX, Inner|Cross" with
-        # NO trailing condition; genuine non-equi joins carry one
+        # a predicate-less pairing that Catalyst broadcast-paired
+        # renders as "BroadcastNestedLoopJoin BuildX, <joinType>" with
+        # NO trailing condition (or the literal `true` an `ON true`
+        # leaves behind) — for ANY join type (Inner, Cross, LeftOuter,
+        # RightOuter, FullOuter, LeftSemi, LeftAnti, ExistenceJoin);
+        # genuine non-equi joins carry a real condition
         # ("..., Inner, (a < b)") and pass
         if re.search(
-            r"BroadcastNestedLoopJoin Build(Left|Right), (Inner|Cross)\s*$",
+            r"BroadcastNestedLoopJoin Build(Left|Right),\s*"
+            r"(Inner|Cross|LeftOuter|RightOuter|FullOuter|LeftSemi"
+            r"|LeftAnti|ExistenceJoin[^,]*)(,\s*true)?\s*$",
             line,
         ):
             raise QueryTooExpensive(

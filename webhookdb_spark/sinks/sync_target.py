@@ -346,6 +346,15 @@ class DatabaseSyncTarget:
             trim_changes,
         )
 
+        # The feed compaction keys on the table's manifest key and the
+        # replica anti-join on self.key_col — if they diverge the merge
+        # silently duplicates or drops replica rows, so fail loudly.
+        if self.key_col != table.manifest.key:
+            raise ValueError(
+                f"sync target key_col {self.key_col!r} != table key "
+                f"{table.manifest.key!r}; change-feed sync requires the "
+                "replica to be keyed like the source"
+            )
         st = self.state.load()
         last_txn = int(st.get("last_synced_txn", 0))
         window = changes_since(table, last_txn)

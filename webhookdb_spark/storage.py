@@ -80,10 +80,27 @@ class _ManifestLock:
                 try:  # break locks abandoned by a crashed writer
                     age = time.time() - self.lock_path.stat().st_mtime
                     if age > self.stale_after:
-                        self.lock_path.unlink(missing_ok=True)
+                        # Atomic steal: rename the stale lock to a
+                        # unique name first, then unlink the renamed
+                        # file. A bare unlink races — between the age
+                        # check and the unlink the old holder can
+                        # release and a NEW writer acquire, and the
+                        # unlink would silently destroy the new
+                        # holder's fresh lock (two writers in the
+                        # critical section). rename fails for every
+                        # stealer but one, and only the winner removes
+                        # anything.
+                        steal = self.lock_path.with_suffix(
+                            f".steal.{os.getpid()}.{time.monotonic_ns()}"
+                        )
+                        try:
+                            self.lock_path.rename(steal)
+                            steal.unlink(missing_ok=True)
+                        except OSError:
+                            pass  # lost the steal race; retry acquire
                         continue
                 except OSError:
-                    continue  # holder released between exists and stat
+                    pass  # holder released between exists and stat
                 if time.monotonic() > deadline:
                     raise ConcurrentWriteError(
                         f"manifest lock {self.lock_path} held past "
