@@ -2931,6 +2931,100 @@ def q_pipeline_curate(spark: SparkSession, sf: str) -> DataFrame:
     return SA.corpus_split(sampled).select("doc_id", "lang", "split")
 
 
+def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff over the managed store's time travel: events land
+    via the real envelope->MERGE path in two batches into a table
+    retaining version history, then snapshot_diff(txn1, txn2) answers
+    "which keys did the second batch add or change" — with
+    manifest-level bucket pruning (immutable version dirs) so only the
+    buckets the second MERGE rewrote are ever read. The oracle
+    re-derives the per-user outcome from raw events: present in both
+    windows = changed (the winner's ts always advances), first seen in
+    window 2 = added."""
+    import shutil
+    import tempfile
+
+    from webhookdb_spark.operators.digest import snapshot_diff
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.storage import Warehouse
+    from webhookdb_spark.types import ColumnType
+
+    spec = ReplicatorSpec(
+        name="user_state_v1",
+        table="user_state_v1",
+        remote_key=Col("user_id", ColumnType.BIGINT),
+        denorm_cols=(
+            Col("event_type", ColumnType.TEXT),
+            Col("ts_us", ColumnType.BIGINT),
+        ),
+        timestamp_col="ts_us",
+        update_where=lambda s, t: s("ts_us") > t("ts_us"),
+        n_buckets=4,
+    )
+    ev = load(spark, sf, "events")
+    split = "2024-01-15"
+    root = tempfile.mkdtemp(prefix="whdb_tdiff_")
+    try:
+        table = Warehouse(spark, f"{root}/wh").table("org", "user_state_v1")
+        table.create(
+            spec.schema(), key="user_id", n_buckets=4, keep_versions=2
+        )
+        txns = []
+        for w in (
+            ev.where(F.col("ts") < split),
+            ev.where(F.col("ts") >= split),
+        ):
+            env = w.select(
+                F.col("event_id").cast("string").alias("opaque_id"),
+                F.to_json(
+                    F.struct(
+                        "user_id",
+                        "event_type",
+                        F.unix_micros(
+                            F.col("ts").cast("timestamp")
+                        ).alias("ts_us"),
+                    )
+                ).alias("body"),
+                F.col("ts").alias("received_at"),
+                F.col("event_id").alias("_seq"),
+            )
+            upsert_envelopes(table, env, spec)
+            txns.append(table.manifest.txn)
+        return snapshot_diff(table, txns[0], txns[1]).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_TABLE_DIFF = """
+SELECT user_id,
+       CASE WHEN min_ts >= TIMESTAMP '2024-01-15' THEN 'added'
+            ELSE 'changed' END AS change
+FROM (
+  SELECT user_id, min(ts) AS min_ts, max(ts) AS max_ts
+  FROM events GROUP BY user_id
+)
+WHERE max_ts >= TIMESTAMP '2024-01-15'
+"""
+
+
+def q_corpus_cap_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language quality cap (the corpus-mixing quota rule "at most
+    12 documents per language, highest quality first"): quality_score
+    joined back onto the doc spine, then cap_per_group — a rank-limit
+    window whose predicate compiles to WindowGroupLimit, so every task
+    prunes to its local top-12 per language BEFORE the one group-keyed
+    shuffle."""
+    docs = load(spark, sf, "documents")
+    scored = X.quality_score(docs).select("doc_id", "quality_score")
+    joined = docs.select("doc_id", "lang").join(scored, "doc_id")
+    return SA.cap_per_group(joined, "lang", 12, "quality_score").select(
+        "doc_id", "lang", "quality_score"
+    )
+
+
 def _sql_pipeline_curate() -> str:
     pairs = D.sql_prefix_jaccard_join("documents", "text", 4, 5, ngram=3)
     filt = C.sql_corpus_filter("dedup")
@@ -3263,6 +3357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca_project": q_embed_pca_project,
         # --- never driver-checked (new in r8) ---
         "scd2_feed_maintained": q_scd2_feed_maintained,
+        "corpus_cap_quality": q_corpus_cap_quality,
+        "table_diff": q_table_diff,
         # --- last driver row r5 (CORRECTNESS_r05.json): oldest evidence ---
         "important_parts": q_important_parts,
         "interval_overlap": q_interval_overlap,
@@ -3468,6 +3564,15 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", ("event_type",), "ts", "event_id",
         ),
         "scd2_feed_maintained": _sql_scd2_feed_maintained(),
+        "table_diff": SQL_TABLE_DIFF,
+        "corpus_cap_quality": SA.sql_cap_per_group(
+            "(SELECT d.doc_id, d.lang, q.quality_score"
+            " FROM documents d JOIN ("
+            + X.sql_quality_score("documents")
+            + ") q USING (doc_id))",
+            "lang", 12, "quality_score",
+            cols="doc_id, lang, quality_score",
+        ),
         "scd2_pit_lookup": SQL_SCD2_PIT,
         "gapfill_user_daily": AN.sql_gapfill_daily("events"),
         "rolling_user_weekly": AN.sql_rolling_daily_sum("events", 7),

@@ -324,6 +324,16 @@ def test_kmv_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in p, p
 
 
+def test_cap_per_group_uses_window_group_limit(spark):
+    """The per-group quality cap must compile to WindowGroupLimit so
+    each task prunes to its local top-n per group before the single
+    group-keyed shuffle — the property that keeps a per-domain cap
+    linear at corpus scale."""
+    p = plan_of(entry.queries()["corpus_cap_quality"](spark, SF))
+    assert "WindowGroupLimit" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_ivfpq_joins_broadcast_never_cartesian(spark):
     """The IVF-PQ composition must route every join through a
     broadcast: the probe join and the code lookup are

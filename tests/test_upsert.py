@@ -705,3 +705,59 @@ def test_time_travel_retention_and_gc(spark, tmp_path):
     t0.overwrite_all(df_of([(i, 2) for i in range(4)]))
     for b in ("0", "1"):
         assert len(os.listdir(t0.path / "buckets" / b)) == 1
+
+
+def test_snapshot_diff_added_removed_changed_with_bucket_pruning(
+    spark, tmp_path
+):
+    """snapshot_diff over retained snapshots classifies added / removed
+    / changed keys exactly; untouched keys never appear; the
+    manifest-level pruning (changed_buckets) lists ONLY buckets whose
+    version dir moved — a one-bucket write diffs by reading one
+    bucket; diffing a snapshot against itself is empty with zero
+    buckets read."""
+    from webhookdb_spark.operators.digest import (
+        changed_buckets,
+        snapshot_diff,
+    )
+    from webhookdb_spark.storage import PART_COL, ManagedTable, bucket_expr
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "id string, v long"
+        ).withColumn(PART_COL, bucket_expr("id", 4))
+
+    t = ManagedTable(spark, tmp_path / "sd")
+    t.create(
+        spark.createDataFrame([], "id string, v long").schema,
+        key="id", n_buckets=4, keep_versions=3,
+    )
+    base = [(f"k{i}", 1) for i in range(12)]
+    t.overwrite_all(df_of(base))                      # txn1
+    # txn2: k0 changed, k12 added, k5 removed, everything else intact
+    nxt = {k: v for k, v in base}
+    nxt["k0"] = 99
+    del nxt["k5"]
+    nxt["k12"] = 1
+    t.overwrite_all(df_of(sorted(nxt.items())))       # txn2
+
+    got = {
+        (r.id, r.change) for r in snapshot_diff(t, 1, 2).collect()
+    }
+    assert got == {("k0", "changed"), ("k5", "removed"), ("k12", "added")}
+
+    # self-diff: no changed buckets, empty result, right schema
+    assert changed_buckets(t, 2, 2) == []
+    empty = snapshot_diff(t, 2, 2)
+    assert empty.count() == 0 and empty.columns == ["id", "change"]
+
+    # single-bucket write: pruning must name exactly that bucket
+    one = df_of([("k0", 123)])
+    b0 = int(one.select(PART_COL).first()[0])
+    t.overwrite_buckets(one, [b0])                    # txn3
+    assert changed_buckets(t, 2, 3) == [b0]
+    d = {(r.id, r.change) for r in snapshot_diff(t, 2, 3).collect()}
+    # bucket b0 held other keys before the one-row overwrite replaced
+    # its contents: k0 changed, the rest of b0's keys removed
+    assert ("k0", "changed") in d
+    assert all(c in ("removed", "changed") for _, c in d)

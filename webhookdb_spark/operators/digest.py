@@ -103,6 +103,87 @@ def digest_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def changed_buckets(table, from_txn: int, to_txn: int) -> list[int]:
+    """Bucket ids whose data differs between two retained snapshots of
+    a managed table — derived from the MANIFESTS alone, zero I/O:
+    bucket version dirs (``buckets/<b>/v<txn>_<writer>``) are immutable
+    once written, so a bucket with the same relative dir in both
+    snapshots is byte-identical by construction. This is the pruning
+    step that makes :func:`snapshot_diff` read only touched buckets:
+    after an incremental MERGE, a 100 TB table diffs by reading the
+    handful of buckets that transaction rewrote."""
+    m = table.manifest
+
+    def bucket_map(txn: int) -> dict:
+        if txn == m.txn:
+            return m.buckets
+        for snap in m.history or []:
+            if snap["txn"] == txn:
+                return snap["buckets"]
+        raise ValueError(
+            f"txn {txn} is not a retained snapshot (retained: "
+            f"{[s['txn'] for s in m.history or []]} + {m.txn})"
+        )
+
+    old_b, new_b = bucket_map(from_txn), bucket_map(to_txn)
+    return sorted(
+        int(b)
+        for b in set(old_b) | set(new_b)
+        if old_b.get(b) != new_b.get(b)
+    )
+
+
+def snapshot_diff(
+    table, from_txn: int, to_txn: int | None = None
+) -> DataFrame:
+    """Row-level diff between two retained snapshots of a managed
+    table: one ``(key, change)`` row per key whose stored row differs,
+    with ``change`` in 'added' / 'removed' / 'changed' — the "what did
+    this table gain since yesterday's snapshot" question time travel
+    alone doesn't answer.
+
+    Distributed shape: manifest-level bucket pruning first
+    (:func:`changed_buckets` — immutable version dirs make it exact),
+    then ONE key-equi full-outer join over only the changed buckets of
+    the two snapshots, comparing a canonicalized full-row hash (the
+    digest family's portable md5 arithmetic). Unchanged buckets are
+    never opened; both sides of the join are bucket-aligned reads of
+    the same keyspace partitioning."""
+    m = table.manifest
+    if to_txn is None:
+        to_txn = m.txn
+    key = m.key
+    touched = changed_buckets(table, from_txn, to_txn)
+    if not touched:
+        return table.spark.createDataFrame(
+            [], f"{key} {dict(table.read().dtypes)[key]}, change string"
+        )
+    old = table.read(buckets=touched, at_txn=from_txn)
+    new = table.read(buckets=touched, at_txn=to_txn)
+
+    def hashed(df, side):
+        row_str = F.concat_ws(_SEP, *[_canon(df, c) for c in df.columns])
+        h = F.conv(F.substring(F.md5(row_str), 1, 7), 16, 10).cast("long")
+        return df.select(
+            F.col(key).alias(f"_k_{side}"), h.alias(f"_h_{side}")
+        )
+
+    o, n = hashed(old, "o"), hashed(new, "n")
+    joined = o.join(n, o["_k_o"] == n["_k_n"], "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("_k_o"), F.col("_k_n")).alias(key),
+            F.when(F.col("_k_o").isNull(), F.lit("added"))
+            .when(F.col("_k_n").isNull(), F.lit("removed"))
+            .when(
+                F.col("_h_o") != F.col("_h_n"), F.lit("changed")
+            )
+            .alias("change"),
+        )
+        .where(F.col("change").isNotNull())
+    )
+
+
 def sql_table_digest(
     table: str,
     col_kinds: dict[str, str],

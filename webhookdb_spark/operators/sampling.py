@@ -511,3 +511,57 @@ def sql_weighted_sample_k_per_group(
       FROM {table} WHERE {weight_col} > 0
     ) WHERE _rk <= {k}
     """
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the BEST ``n`` rows per group by ``order_col`` — the
+    per-domain/per-language quality cap of a corpus mixing recipe
+    ("at most N documents per source, highest quality first"), as
+    opposed to :func:`stratified_sample_n`'s hash-random quota.
+    Deterministic tie-break on ``id_col``.
+
+    100 TB shape: the rank-limit predicate compiles to
+    WindowGroupLimit, so each task prunes to its local top-n per group
+    BEFORE the single group-keyed shuffle — the shuffle carries at
+    most n rows per (task, group), not the corpus."""
+    from pyspark.sql.window import Window
+
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def sql_cap_per_group(
+    table: str,
+    group_col: str,
+    n: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    cols: str = "*",
+    descending: bool = True,
+) -> str:
+    """DuckDB twin of :func:`cap_per_group` — same window, same
+    tie-break."""
+    d = "DESC" if descending else "ASC"
+    return f"""
+    SELECT {cols} FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {group_col} ORDER BY {order_col} {d}, {id_col} ASC
+      ) AS _rn
+      FROM {table}
+    ) WHERE _rn <= {n}
+    """
