@@ -542,3 +542,46 @@ def test_prefix_jaccard_joins_are_keyed_never_cartesian(spark):
     assert "CartesianProduct" not in p, p
     assert "Exchange SinglePartition" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_bucketed_colocated_join_has_no_exchange(spark, tmp_path):
+    """Storage-level co-location: two tables written bucketBy(8, key)
+    + sortBy(key) must SortMergeJoin with ZERO Exchange in the
+    executed plan (broadcast disabled so the property is actually
+    exercised), and a groupBy on the bucket key must aggregate without
+    an exchange — the layout that lets a repeated 100 TB join run
+    without moving either side. Mismatched bucket counts lose the
+    optimization (exchange reappears) but stay correct."""
+    from webhookdb_spark.operators.layout import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    a = spark.range(10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(10_000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bk_a", "k", 8, ("k",), path=str(tmp_path / "a"))
+    write_bucketed(b, "bk_b", "k", 8, ("k",), path=str(tmp_path / "b"))
+    write_bucketed(b, "bk_c", "k", 4, ("k",), path=str(tmp_path / "c"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "bk_a", "bk_b", "k")
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        assert j.count() == 10_000
+
+        agg = spark.table("bk_a").groupBy("k").count()
+        pa = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in pa, pa
+
+        # mismatched bucket counts: still correct, exchange is back
+        jm = colocated_join(spark, "bk_a", "bk_c", "k")
+        assert jm.count() == 10_000
+        assert (
+            "Exchange"
+            in jm._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("bk_a", "bk_b", "bk_c"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

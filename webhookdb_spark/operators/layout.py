@@ -134,3 +134,60 @@ def sql_zorder_expr4(a: str, b: str, c: str, d: str) -> str:
     return sql_zorder_expr(
         sql_zorder_expr(a, c), sql_zorder_expr(b, d)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (hive-style) table layout — the co-located-join technique.
+#
+# A 100 TB fact table joined repeatedly on the same key should not pay
+# the join's shuffle every query: persisting BOTH sides bucketed (and
+# sorted) on the key lets Spark plan a SortMergeJoin with NO Exchange
+# (and no per-query sort when sortBy matches), because the bucket
+# layout already satisfies the join's required distribution. Same for
+# aggregations keyed on the bucket column. This is the storage-level
+# complement of operators/skew.py's runtime salting: lay the data out
+# once, join shuffle-free forever after.
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int,
+    sort_cols: tuple[str, ...] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed catalog table: ``bucketBy(n, key)``
+    (+ ``sortBy`` when given) via ``saveAsTable`` — the layout that
+    makes every later equi-join or aggregation on ``key`` against a
+    same-bucket-count table exchange-free. ``path`` places the data
+    outside the default warehouse dir (tests / multi-tenant roots).
+
+    Both join sides MUST use the same ``n_buckets``; mismatched counts
+    fall back to a shuffled join (Spark refuses to coalesce unaligned
+    bucket layouts silently into wrong results — it just loses the
+    optimization)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(name)
+
+
+def colocated_join(
+    spark,
+    left_name: str,
+    right_name: str,
+    key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed catalog tables on their shared bucket key.
+    With matching bucket counts the executed plan contains NO Exchange
+    on either side (gated in tests/test_plans.py) — each task merges
+    bucket i with bucket i, which is what survives a 1000-executor
+    100 TB join without moving either table."""
+    return spark.table(left_name).join(
+        spark.table(right_name), key, how
+    )
