@@ -3331,6 +3331,22 @@ def q_embed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb.unionByName(planted), n_dims=64)
 
 
+def q_embed_near_dup_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-celled near-dedup — the density-adaptive counterpart of the
+    LSH-bucketed embed_near_dup: candidates are pairs sharing their
+    argmax coarse cell (deterministic Lloyd), so exact duplicates are
+    recovered with EXACT recall (identical vectors share the cell by
+    construction). Same planted corpus: every 20th vector re-appears
+    under vec_id+1000000."""
+    emb = load(spark, sf, "embeddings")
+    planted = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    return S.embedding_near_dup_ivf(
+        emb.unionByName(planted), n_centroids=32
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -3359,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_feed_maintained": q_scd2_feed_maintained,
         "corpus_cap_quality": q_corpus_cap_quality,
         "table_diff": q_table_diff,
+        "embed_near_dup_ivf": q_embed_near_dup_ivf,
         # --- last driver row r5 (CORRECTNESS_r05.json): oldest evidence ---
         "important_parts": q_important_parts,
         "interval_overlap": q_interval_overlap,
@@ -3758,5 +3775,11 @@ def oracle_sql() -> dict[str, str]:
             table="(SELECT vec_id, embedding FROM embeddings"
             " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding"
             " FROM embeddings WHERE vec_id % 20 = 0)"
+        ),
+        "embed_near_dup_ivf": S.sql_embedding_near_dup_ivf(
+            table="(SELECT vec_id, embedding FROM embeddings"
+            " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding"
+            " FROM embeddings WHERE vec_id % 20 = 0)",
+            n_centroids=32,
         ),
     }

@@ -683,23 +683,15 @@ _SQL_COS = (
 )
 
 
-def sql_ann_topk_ivf(
-    table: str = "embeddings",
-    query_pred: str = "vec_id < 3",
-    k: int = 5,
-    n_centroids: int = 8,
-    nprobe: int = 2,
-    n_refine: int = 1,
-) -> str:
-    """DuckDB twin of :func:`ann_topk_ivf` (same seed rule, the same
-    ``n_refine`` unrolled fixed-point Lloyd iterations, same rounded
-    scores, same tie-breaks)."""
+def _sql_ivf_layers(
+    table: str, n_centroids: int, n_refine: int
+) -> tuple[list[str], str]:
+    """The unrolled deterministic-Lloyd CTE layers shared by every
+    IVF-family oracle: returns (layers, final_cent_table). cent0 =
+    seed (lowest-id vectors); each refinement layer re-assigns against
+    cent{i} and takes exact fixed-point per-dimension means (empty
+    cells keep their centroid via the left-join coalesce)."""
     cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
-    cos_qc = _SQL_COS.format(a="q.embedding", b="c.cvec")
-    cos_qv = _SQL_COS.format(a="p.q_vec", b="a.embedding")
-    # cent0 = seed; each refinement layer re-assigns against cent{i} and
-    # takes exact fixed-point per-dimension means (empty cells keep
-    # their centroid via the left-join coalesce).
     layers = [f"""
     cent0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id,
@@ -730,7 +722,24 @@ def sql_ann_topk_ivf(
         SELECT cent_id, list(m ORDER BY pos) AS cvec FROM means{i} GROUP BY 1
       ) m ON c.cent_id = m.cent_id
     )""")
-    cent_final = f"cent{n_refine}"
+    return layers, f"cent{n_refine}"
+
+
+def sql_ann_topk_ivf(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_refine: int = 1,
+) -> str:
+    """DuckDB twin of :func:`ann_topk_ivf` (same seed rule, the same
+    ``n_refine`` unrolled fixed-point Lloyd iterations, same rounded
+    scores, same tie-breaks)."""
+    cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _SQL_COS.format(a="q.embedding", b="c.cvec")
+    cos_qv = _SQL_COS.format(a="p.q_vec", b="a.embedding")
+    layers, cent_final = _sql_ivf_layers(table, n_centroids, n_refine)
     return f"""
     WITH {",".join(layers)},
     assigned AS (
@@ -760,6 +769,79 @@ def sql_ann_topk_ivf(
                                      ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
       FROM pairs
     ) WHERE rank <= {k}
+    """
+
+
+def embedding_near_dup_ivf(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine_sim): near-duplicate pairs via IVF-CELL
+    blocking — candidates are pairs assigned to the same coarse cell
+    (deterministic seed + one fixed-point Lloyd refine), verified with
+    exact rounded cosine. The cell-bucketed counterpart of the
+    sign-LSH :func:`embedding_near_dup_pairs`: LSH buckets are
+    data-independent (recall falls with threshold), IVF cells adapt to
+    the corpus's density (near-identical vectors share the argmax
+    cell by construction — EXACT recall for exact duplicates).
+
+    Scale: candidates per cell are |cell|²/2, so ``n_centroids`` must
+    grow with the corpus (C ∝ n keeps expected in-cell pairs flat, the
+    same rule as every blocking operator here); assignment itself is a
+    shuffle-free literal-centroid map and the candidate join is a
+    cent_id hash join."""
+    cents = ivf_refine(corpus, ivf_centroids(corpus, n_centroids,
+                                             id_col, vec_col),
+                       id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    a = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("c_vec").alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("c_vec").alias("_vb"),
+    )
+    from webhookdb_spark.operators.util import bind
+
+    paired = a.join(b, "cent_id").where(F.col("vec_a") < F.col("vec_b"))
+    return (
+        bind(paired, "cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
+def sql_embedding_near_dup_ivf(
+    table: str = "embeddings",
+    threshold: float = 0.95,
+    n_centroids: int = 32,
+    n_refine: int = 1,
+) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_ivf` — identical seed,
+    unrolled Lloyd, assignment tie-breaks, and rounded cosine."""
+    cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
+    cos_ab = _SQL_COS.format(a="a.embedding", b="b.embedding")
+    layers, cent_final = _sql_ivf_layers(table, n_centroids, n_refine)
+    return f"""
+    WITH {",".join(layers)},
+    assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ac} DESC, c.cent_id ASC) AS rn
+        FROM {table} e CROSS JOIN {cent_final} c
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos_ab} AS cosine_sim
+    FROM assigned a JOIN assigned b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE {cos_ab} >= {threshold}
     """
 
 
