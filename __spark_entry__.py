@@ -3010,6 +3010,91 @@ WHERE max_ts >= TIMESTAMP '2024-01-15'
 """
 
 
+def q_matview_event_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized aggregate (IVM): per-event-type key
+    count and exact BIGINT value sum over a managed table's CURRENT
+    rows, maintained purely from the MERGE change feed in three
+    batches — per-batch work proportional to the batch via the
+    per-key contribution state (retract old, apply new; keys moving
+    between event types emit two-sided deltas), never a table rescan.
+    The oracle recomputes from scratch: last event per user over all
+    events, grouped by its event_type."""
+    import shutil
+    import tempfile
+
+    from webhookdb_spark.operators.matview import IncrementalAggMaintainer
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.storage import Warehouse
+    from webhookdb_spark.types import ColumnType
+
+    spec = ReplicatorSpec(
+        name="user_state_v1",
+        table="user_state_v1",
+        remote_key=Col("user_id", ColumnType.BIGINT),
+        denorm_cols=(
+            Col("event_type", ColumnType.TEXT),
+            Col("ts_us", ColumnType.BIGINT),
+            Col("value_cents", ColumnType.BIGINT),
+        ),
+        timestamp_col="ts_us",
+        update_where=lambda s, t: s("ts_us") > t("ts_us"),
+        n_buckets=4,
+    )
+    ev = load(spark, sf, "events")
+    splits = ("2024-01-15", "2024-01-23")
+    windows = [
+        ev.where(F.col("ts") < splits[0]),
+        ev.where((F.col("ts") >= splits[0]) & (F.col("ts") < splits[1])),
+        ev.where(F.col("ts") >= splits[1]),
+    ]
+    root = tempfile.mkdtemp(prefix="whdb_ivm_")
+    try:
+        table = Warehouse(spark, f"{root}/wh").table("org", "user_state_v1")
+        mt = IncrementalAggMaintainer(
+            spark, f"{root}/ivm", "user_id", "event_type", "value_cents"
+        )
+        for w in windows:
+            env = w.select(
+                F.col("event_id").cast("string").alias("opaque_id"),
+                F.to_json(
+                    F.struct(
+                        "user_id",
+                        "event_type",
+                        F.unix_micros(
+                            F.col("ts").cast("timestamp")
+                        ).alias("ts_us"),
+                        F.floor(F.col("value") * 100)
+                        .cast("long")
+                        .alias("value_cents"),
+                    )
+                ).alias("body"),
+                F.col("ts").alias("received_at"),
+                F.col("event_id").alias("_seq"),
+            )
+            upsert_envelopes(table, env, spec)
+            mt.run(table)
+        return mt.aggregate().select(
+            F.col("group").alias("event_type"), "n_keys", "total"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_MATVIEW_TOTALS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(value_cents) AS BIGINT) AS total
+FROM (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events
+) WHERE rn = 1
+GROUP BY event_type
+"""
+
+
 def q_corpus_cap_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language quality cap (the corpus-mixing quota rule "at most
     12 documents per language, highest quality first"): quality_score
@@ -3376,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cap_quality": q_corpus_cap_quality,
         "table_diff": q_table_diff,
         "embed_near_dup_ivf": q_embed_near_dup_ivf,
+        "matview_event_totals": q_matview_event_totals,
         # --- last driver row r5 (CORRECTNESS_r05.json): oldest evidence ---
         "important_parts": q_important_parts,
         "interval_overlap": q_interval_overlap,
@@ -3582,6 +3668,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scd2_feed_maintained": _sql_scd2_feed_maintained(),
         "table_diff": SQL_TABLE_DIFF,
+        "matview_event_totals": SQL_MATVIEW_TOTALS,
         "corpus_cap_quality": SA.sql_cap_per_group(
             "(SELECT d.doc_id, d.lang, q.quality_score"
             " FROM documents d JOIN ("

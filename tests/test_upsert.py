@@ -761,3 +761,92 @@ def test_snapshot_diff_added_removed_changed_with_bucket_pruning(
     # its contents: k0 changed, the rest of b0's keys removed
     assert ("k0", "changed") in d
     assert all(c in ("removed", "changed") for _, c in d)
+
+
+def test_incremental_agg_maintainer_feed_equals_recompute(spark, tmp_path):
+    """IVM from the MERGE feed: the maintained (group, n_keys, total)
+    must equal a from-scratch groupBy of the table's current rows
+    after every run — including keys MOVING between groups (two-sided
+    deltas) and a run folding several queued txns; re-runs are
+    watermark no-ops."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.operators.matview import IncrementalAggMaintainer
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.storage import Warehouse
+
+    def env(items):
+        return spark.createDataFrame(
+            [("fake_v1", json.dumps(it), None) for it in items],
+            "opaque_id string, body string, received_at timestamp",
+        )
+
+    wh = Warehouse(spark, tmp_path / "wh")
+    t = wh.table("org", "fake_v1")
+    shape = lambda b: b.select(  # noqa: E731
+        "my_id",
+        F.get_json_object(F.col("data").cast("string"), "$.g").alias("g"),
+        F.get_json_object(F.col("data").cast("string"), "$.v")
+        .cast("long")
+        .alias("v"),
+    )
+    mt = IncrementalAggMaintainer(
+        spark, str(tmp_path / "ivm"), "my_id", "g", "v", project=shape
+    )
+
+    def recompute():
+        cur = t.read().select(
+            F.get_json_object(F.col("data").cast("string"), "$.g").alias(
+                "group"
+            ),
+            F.get_json_object(F.col("data").cast("string"), "$.v")
+            .cast("long")
+            .alias("v"),
+        )
+        return {
+            (r.group, r.n_keys, r.total)
+            for r in cur.groupBy("group")
+            .agg(
+                F.count("*").cast("long").alias("n_keys"),
+                F.sum("v").cast("long").alias("total"),
+            )
+            .collect()
+        }
+
+    def maintained():
+        return {
+            (r.group, r.n_keys, r.total) for r in mt.aggregate().collect()
+        }
+
+    upsert_envelopes(t, env([
+        {"my_id": "a", "at": "2024-01-01T00:00:00Z", "g": "x", "v": 10},
+        {"my_id": "b", "at": "2024-01-01T00:00:00Z", "g": "x", "v": 5},
+        {"my_id": "c", "at": "2024-01-01T00:00:00Z", "g": "y", "v": 7},
+    ]), FAKE_V1)
+    assert mt.run(t) == 1
+    assert maintained() == recompute() == {("x", 2, 15), ("y", 1, 7)}
+    assert mt.run(t) == 0  # watermark no-op
+
+    # two queued txns folded in ONE run; "a" moves group x -> y, "b"
+    # changes value in place, "d" is new
+    upsert_envelopes(t, env([
+        {"my_id": "a", "at": "2024-01-02T00:00:00Z", "g": "y", "v": 20},
+    ]), FAKE_V1)
+    upsert_envelopes(t, env([
+        {"my_id": "b", "at": "2024-01-03T00:00:00Z", "g": "x", "v": 6},
+        {"my_id": "d", "at": "2024-01-03T00:00:00Z", "g": "z", "v": 1},
+    ]), FAKE_V1)
+    assert mt.run(t) == 2
+    assert maintained() == recompute() == {
+        ("x", 1, 6), ("y", 2, 27), ("z", 1, 1),
+    }
+
+    # a group emptying out disappears from the aggregate
+    upsert_envelopes(t, env([
+        {"my_id": "d", "at": "2024-01-04T00:00:00Z", "g": "x", "v": 2},
+    ]), FAKE_V1)
+    assert mt.run(t) == 1
+    assert maintained() == recompute() == {("x", 2, 8), ("y", 2, 27)}
