@@ -3010,6 +3010,15 @@ WHERE max_ts >= TIMESTAMP '2024-01-15'
 """
 
 
+def q_text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (nats) —
+    the cheap gibberish / degenerate-repetition gate of a quality
+    cascade: near-zero = one repeated character, ~ln(alphabet) =
+    uniform noise. Expression-only with a sorted fold order so the
+    double summation value-hashes across engines."""
+    return X.char_entropy(load(spark, sf, "documents"))
+
+
 def q_matview_event_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental materialized aggregate (IVM): per-event-type key
     count and exact BIGINT value sum over a managed table's CURRENT
@@ -3462,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "embed_near_dup_ivf": q_embed_near_dup_ivf,
         "matview_event_totals": q_matview_event_totals,
+        "text_entropy": q_text_entropy,
         # --- last driver row r5 (CORRECTNESS_r05.json): oldest evidence ---
         "important_parts": q_important_parts,
         "interval_overlap": q_interval_overlap,
@@ -3669,6 +3679,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_feed_maintained": _sql_scd2_feed_maintained(),
         "table_diff": SQL_TABLE_DIFF,
         "matview_event_totals": SQL_MATVIEW_TOTALS,
+        "text_entropy": X.sql_char_entropy("documents"),
         "corpus_cap_quality": SA.sql_cap_per_group(
             "(SELECT d.doc_id, d.lang, q.quality_score"
             " FROM documents d JOIN ("

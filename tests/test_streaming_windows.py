@@ -638,3 +638,68 @@ def test_log_histogram_sketch_runs_unchanged_on_a_stream(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_incremental_agg_maintenance(spark, tmp_path):
+    """The IVM maintainer runs as a change-feed STREAM consumer:
+    stream_changes -> foreachBatch(maintainer.run) keeps the grouped
+    aggregate equal to a from-scratch recompute across micro-batches
+    and checkpoint replays (the maintainer's own txn watermark makes
+    replayed batches no-ops)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.operators.matview import IncrementalAggMaintainer
+    from webhookdb_spark.operators.upsert import (
+        stream_changes,
+        upsert_envelopes,
+    )
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.storage import Warehouse
+
+    def env(items):
+        return spark.createDataFrame(
+            [("fake_v1", json.dumps(it), None) for it in items],
+            "opaque_id string, body string, received_at timestamp",
+        )
+
+    t = Warehouse(spark, tmp_path / "wh").table("org", "fake_v1")
+    shape = lambda b: b.select(  # noqa: E731
+        "my_id",
+        F.get_json_object(F.col("data").cast("string"), "$.g").alias("g"),
+        F.get_json_object(F.col("data").cast("string"), "$.v")
+        .cast("long")
+        .alias("v"),
+    )
+    mt = IncrementalAggMaintainer(
+        spark, str(tmp_path / "ivm"), "my_id", "g", "v", project=shape
+    )
+    ckpt = str(tmp_path / "ivm_ckpt")
+
+    def run_once():
+        q = (
+            stream_changes(t)
+            .writeStream.foreachBatch(lambda _b, _i: mt.run(t))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    upsert_envelopes(t, env([
+        {"my_id": "a", "at": "2024-01-01T00:00:00Z", "g": "x", "v": 3},
+        {"my_id": "b", "at": "2024-01-01T00:00:00Z", "g": "y", "v": 4},
+    ]), FAKE_V1)
+    run_once()
+    upsert_envelopes(t, env([
+        {"my_id": "a", "at": "2024-01-02T00:00:00Z", "g": "y", "v": 8},
+    ]), FAKE_V1)
+    run_once()
+
+    got = {(r.group, r.n_keys, r.total) for r in mt.aggregate().collect()}
+    assert got == {("y", 2, 12)}
+
+    run_once()  # checkpoint replay: still exact
+    got = {(r.group, r.n_keys, r.total) for r in mt.aggregate().collect()}
+    assert got == {("y", 2, 12)}

@@ -171,6 +171,79 @@ def sql_langid(table: str = "documents") -> str:
     """
 
 
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, entropy): Shannon entropy in
+    nats of each document's character distribution — the cheap
+    gibberish/degenerate-repetition gate (near-zero entropy = one
+    repeated character; ~ln(alphabet) = uniform noise) the Gopher-era
+    quality cascades run before anything tokenizes.
+
+    Expression-only, no shuffle: distinct characters come from a
+    length-sequence transform, per-character counts from
+    ``len(text) - len(replace(text, c, ''))``, and the entropy fold
+    runs over the SORTED distinct set so the double summation order —
+    hence the rounded value — is identical in any engine. Cost is
+    O(len × distinct_chars) per document; a corpus of multi-megabyte
+    documents would swap in an Arrow bincount kernel, but the
+    expression path keeps the whole scan in codegen for typical web
+    documents."""
+    from webhookdb_spark.operators.util import bind, scale_out
+
+    t = F.col(text_col)
+    chars = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.substring(t, i.cast("int"), 1),
+            )
+        )
+    )
+    b = bind(scale_out(df.select("doc_id", text_col)), "_cs", chars)
+    n = F.length(t).cast("double")
+    cnt = lambda c: (  # noqa: E731
+        F.length(t) - F.length(F.replace(t, c, F.lit("")))
+    ).cast("double")
+    s = F.aggregate(
+        F.col("_cs"),
+        F.lit(0.0),
+        lambda acc, c: acc + cnt(c) * F.log(cnt(c)),
+    )
+    ent = F.when(
+        F.length(t) > 0, F.round(F.log(n) - s / n, 6)
+    ).otherwise(F.lit(0.0))
+    return b.select(
+        "doc_id",
+        F.length(t).cast("int").alias("n_chars"),
+        F.size("_cs").cast("int").alias("n_distinct_chars"),
+        ent.alias("entropy"),
+    )
+
+
+def sql_char_entropy(table: str = "documents") -> str:
+    """DuckDB twin of :func:`char_entropy` — same sorted fold order,
+    same count arithmetic, same rounding."""
+    return f"""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_sort(list_distinct(list_transform(
+               range(1, length(text) + 1),
+               i -> substring(text, CAST(i AS INTEGER), 1)
+             ))) AS cs
+      FROM {table}
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_chars,
+           CAST(len(cs) AS INTEGER) AS n_distinct_chars,
+           CASE WHEN n > 0 THEN round(
+             ln(n::DOUBLE) - list_aggregate(list_transform(cs,
+               c -> (n - length(replace(text, c, '')))::DOUBLE
+                    * ln((n - length(replace(text, c, '')))::DOUBLE)),
+               'sum') / n::DOUBLE, 6)
+           ELSE 0.0 END AS entropy
+    FROM b
+    """
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", seg_tokens: int = 5
 ) -> DataFrame:
