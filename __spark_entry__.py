@@ -3431,13 +3431,18 @@ def q_embed_near_dup_ivf(spark: SparkSession, sf: str) -> DataFrame:
     argmax coarse cell (deterministic Lloyd), so exact duplicates are
     recovered with EXACT recall (identical vectors share the cell by
     construction). Same planted corpus: every 20th vector re-appears
-    under vec_id+1000000."""
+    under vec_id+1000000. split_threshold is the cardinality-adaptive
+    knob: cells over 64 rows sub-key by an 8-bit sign-LSH signature
+    (exact duplicates share every bit, so planted-pair recall
+    survives), bounding in-cell candidate growth without retuning the
+    cell count per corpus size."""
     emb = load(spark, sf, "embeddings")
     planted = emb.where(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
     )
     return S.embedding_near_dup_ivf(
-        emb.unionByName(planted), n_centroids=32
+        emb.unionByName(planted), n_centroids=32, split_threshold=64,
+        n_dims=64,
     )
 
 
@@ -3878,6 +3883,6 @@ def oracle_sql() -> dict[str, str]:
             table="(SELECT vec_id, embedding FROM embeddings"
             " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding"
             " FROM embeddings WHERE vec_id % 20 = 0)",
-            n_centroids=32,
+            n_centroids=32, split_threshold=64,
         ),
     }

@@ -1020,3 +1020,57 @@ def test_kmv_incremental_merge_equals_one_shot(spark):
            for r in kmv_estimate_from_state(folded, k).collect()}
     assert got["zz"] == (1, True)
     assert set(g) < set(got)
+
+
+def test_ivf_near_dup_split_bounds_hot_cells(spark):
+    """Cardinality-adaptive IVF blocking: a DIVERSE corpus over too few
+    coarse cells (the corpus-grew-but-C-didn't case) makes every cell
+    hot — quadratic candidates under plain cell blocking. With
+    split_threshold the hot cells sub-key by sign-LSH bits: max
+    (cell, sub) bucket must shrink by an order of magnitude, and
+    planted EXACT duplicates must still be found (identical vectors
+    share every sign bit). (A tight CLUSTER is not this case: there
+    the output itself is quadratic and no blocking scheme can or
+    should split it.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.operators.similarity import (
+        embedding_near_dup_ivf,
+        ivf_block_assignments,
+    )
+
+    rng = random.Random(17)
+    d = 16
+
+    def vec():
+        return [round(rng.uniform(-1.0, 1.0), 4) for _ in range(d)]
+
+    rows = [(i, vec()) for i in range(1500)]
+    rows += [(10_000 + i, v) for i, v in rows[:50]]  # planted exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    plain = ivf_block_assignments(df, 4, split_threshold=None)
+    split = ivf_block_assignments(df, 4, split_threshold=64, n_dims=d)
+
+    def max_bucket(a):
+        return (
+            a.groupBy("cent_id", "_sub")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    mp, ms = max_bucket(plain), max_bucket(split)
+    assert mp > 300, mp        # hot cells really are hot
+    assert ms < mp / 5, (mp, ms)
+
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_ivf(
+            df, threshold=0.999, n_centroids=4,
+            split_threshold=64, n_dims=d,
+        ).collect()
+    }
+    assert {(i, 10_000 + i) for i in range(50)} <= found

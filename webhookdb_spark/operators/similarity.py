@@ -772,12 +772,57 @@ def sql_ann_topk_ivf(
     """
 
 
+def ivf_block_assignments(
+    corpus: DataFrame,
+    n_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    split_threshold: int | None = None,
+    n_planes: int = 8,
+    n_dims: int | None = None,
+) -> DataFrame:
+    """(vec_id, c_vec, cent_id, _sub): the blocking key assignment of
+    :func:`embedding_near_dup_ivf` — argmax IVF cell plus, for cells
+    whose row count exceeds ``split_threshold``, an n_planes-bit
+    sign-LSH sub-key ('' elsewhere). Factored out so candidate volume
+    per (cent_id, _sub) bucket is directly measurable and gateable."""
+    cents = ivf_refine(corpus, ivf_centroids(corpus, n_centroids,
+                                             id_col, vec_col),
+                       id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    if split_threshold is None:
+        return assigned.withColumn("_sub", F.lit(""))
+    if n_dims is None:
+        n_dims = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, n_dims)
+    # JUSTIFIED COLLECT: <= n_centroids (cent_id, count) rows.
+    big = {
+        r.cent_id
+        for r in assigned.groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > split_threshold)
+        .collect()
+    }
+    sub = (
+        F.when(
+            F.col("cent_id").isin(*big),
+            sign_signature(F.col("c_vec"), planes),
+        ).otherwise(F.lit(""))
+        if big
+        else F.lit("")
+    )
+    return assigned.withColumn("_sub", sub)
+
+
 def embedding_near_dup_ivf(
     corpus: DataFrame,
     threshold: float = 0.95,
     n_centroids: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    split_threshold: int | None = None,
+    n_planes: int = 8,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine_sim): near-duplicate pairs via IVF-CELL
     blocking — candidates are pairs assigned to the same coarse cell
@@ -788,28 +833,38 @@ def embedding_near_dup_ivf(
     the corpus's density (near-identical vectors share the argmax
     cell by construction — EXACT recall for exact duplicates).
 
-    Scale: candidates per cell are |cell|²/2, so ``n_centroids`` must
-    grow with the corpus (C ∝ n keeps expected in-cell pairs flat, the
-    same rule as every blocking operator here); assignment itself is a
-    shuffle-free literal-centroid map and the candidate join is a
-    cent_id hash join."""
-    cents = ivf_refine(corpus, ivf_centroids(corpus, n_centroids,
-                                             id_col, vec_col),
-                       id_col, vec_col)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    Scale: candidates per cell are |cell|²/2 and the literal-centroid
+    assignment bounds how far ``n_centroids`` itself can grow, so the
+    cardinality-adaptive form is ``split_threshold`` (the same
+    oversize-bucket rule as fuzzy_link): cells whose row count exceeds
+    it sub-key their members by an ``n_planes``-bit sign-LSH signature
+    — expression-level, no extra shuffle — splitting each hot cell
+    into up to 2^n_planes sub-buckets. Exact duplicates share every
+    sign bit, so exact-dup recall survives the split; near-dups inside
+    an oversize cell must share the full signature (the documented
+    recall contract, mirrored exactly by the SQL twin). The oversize
+    set is at most ``n_centroids`` rows — a metadata-sized collect."""
+    assigned = ivf_block_assignments(
+        corpus, n_centroids, id_col, vec_col,
+        split_threshold, n_planes, n_dims,
+    )
     a = assigned.select(
         F.col("cent_id"),
+        F.col("_sub"),
         F.col("vec_id").alias("vec_a"),
         F.col("c_vec").alias("_va"),
     )
     b = assigned.select(
         F.col("cent_id"),
+        F.col("_sub"),
         F.col("vec_id").alias("vec_b"),
         F.col("c_vec").alias("_vb"),
     )
     from webhookdb_spark.operators.util import bind
 
-    paired = a.join(b, "cent_id").where(F.col("vec_a") < F.col("vec_b"))
+    paired = a.join(b, ["cent_id", "_sub"]).where(
+        F.col("vec_a") < F.col("vec_b")
+    )
     return (
         bind(paired, "cosine_sim", cosine(F.col("_va"), F.col("_vb")))
         .where(F.col("cosine_sim") >= threshold)
@@ -822,12 +877,48 @@ def sql_embedding_near_dup_ivf(
     threshold: float = 0.95,
     n_centroids: int = 32,
     n_refine: int = 1,
+    split_threshold: int | None = None,
+    n_planes: int = 8,
+    n_dims: int = 64,
 ) -> str:
     """DuckDB twin of :func:`embedding_near_dup_ivf` — identical seed,
-    unrolled Lloyd, assignment tie-breaks, and rounded cosine."""
+    unrolled Lloyd, assignment tie-breaks, oversize-cell sign-LSH
+    split, and rounded cosine."""
     cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
     cos_ab = _SQL_COS.format(a="a.embedding", b="b.embedding")
     layers, cent_final = _sql_ivf_layers(table, n_centroids, n_refine)
+    if split_threshold is None:
+        sub_ctes = ",\n    subbed AS (SELECT *, '' AS sub FROM assigned)"
+    else:
+        planes = hyperplanes(n_planes, n_dims)
+        values = ",\n      ".join(
+            f"({p}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+            for p, plane in enumerate(planes)
+        )
+        sub_ctes = f""",
+    planes(plane_id, pvec) AS (VALUES
+      {values}
+    ),
+    big AS (
+      SELECT cent_id FROM (
+        SELECT cent_id, count(*) AS c FROM assigned GROUP BY 1
+      ) WHERE c > {split_threshold}
+    ),
+    sigs AS (
+      SELECT s.vec_id,
+             string_agg(CASE WHEN round(list_sum(list_transform(
+                 range(1, {n_dims} + 1),
+                 i -> s.embedding[i]::DOUBLE * p.pvec[i])), 6) > 0
+               THEN '1' ELSE '0' END, '' ORDER BY p.plane_id) AS sig
+      FROM (SELECT * FROM assigned
+            WHERE cent_id IN (SELECT cent_id FROM big)) s
+      CROSS JOIN planes p
+      GROUP BY s.vec_id
+    ),
+    subbed AS (
+      SELECT a.*, coalesce(g.sig, '') AS sub
+      FROM assigned a LEFT JOIN sigs g ON a.vec_id = g.vec_id
+    )"""
     return f"""
     WITH {",".join(layers)},
     assigned AS (
@@ -837,10 +928,10 @@ def sql_embedding_near_dup_ivf(
                                   ORDER BY {cos_ac} DESC, c.cent_id ASC) AS rn
         FROM {table} e CROSS JOIN {cent_final} c
       ) WHERE rn = 1
-    )
+    ){sub_ctes}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos_ab} AS cosine_sim
-    FROM assigned a JOIN assigned b
-      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    FROM subbed a JOIN subbed b
+      ON a.cent_id = b.cent_id AND a.sub = b.sub AND a.vec_id < b.vec_id
     WHERE {cos_ab} >= {threshold}
     """
 
