@@ -3459,24 +3459,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: STRICT staleness — the driver checks roughly
     # the first 50 entries per round. Round-8 state: the 4 r7 `err`
     # rows (output shape fixed this round) lead, then the 43 rows whose
-    # last driver check is CORRECTNESS_r05.json, then the r6-green
-    # rows, then the 50 green in CORRECTNESS_r07.json. 4 + 43 = 47
-    # priority rows fit the ~50-row cap with 3 r6 rows riding along;
-    # after r8 no row's latest driver check should be older than r6.
-    # Every entry runs in tools/check_oracle.py regardless of position.
+    # last driver check is CORRECTNESS_r05.json (4 + 43 = 47 fills the
+    # ~50-row cap — after r8 no row's latest driver check should be
+    # older than r6), then the 6 never-checked r8 additions (local
+    # sweep green; they lead r9's window), then r6-green, then the 50
+    # green in CORRECTNESS_r07.json. Every entry runs in
+    # tools/check_oracle.py regardless of position.
     return {
         # --- r7 err rows, output shape fixed this round: green row needed first ---
         "scd2_user_state": q_scd2_user_state,
         "scd2_incremental": q_scd2_incremental,
         "embed_rp_project": q_embed_rp_project,
         "embed_pca_project": q_embed_pca_project,
-        # --- never driver-checked (new in r8) ---
-        "scd2_feed_maintained": q_scd2_feed_maintained,
-        "corpus_cap_quality": q_corpus_cap_quality,
-        "table_diff": q_table_diff,
-        "embed_near_dup_ivf": q_embed_near_dup_ivf,
-        "matview_event_totals": q_matview_event_totals,
-        "text_entropy": q_text_entropy,
         # --- last driver row r5 (CORRECTNESS_r05.json): oldest evidence ---
         "important_parts": q_important_parts,
         "interval_overlap": q_interval_overlap,
@@ -3521,6 +3515,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "media_features": q_media_features,
         "media_summary": q_media_summary,
+        # --- never driver-checked (new in r8) ---
+        "scd2_feed_maintained": q_scd2_feed_maintained,
+        "corpus_cap_quality": q_corpus_cap_quality,
+        "table_diff": q_table_diff,
+        "embed_near_dup_ivf": q_embed_near_dup_ivf,
+        "matview_event_totals": q_matview_event_totals,
+        "text_entropy": q_text_entropy,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
