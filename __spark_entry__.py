@@ -3446,6 +3446,50 @@ def q_embed_near_dup_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_span_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document span novelty over every overlapping 8-token
+    window: how much of a doc is verbatim-unique in the corpus
+    (self-repeats count as dups, the Lee-et-al posture). The sliding
+    audit complement of dedup_segments' aligned rewrite — one shuffle
+    keyed by window hash, integer-ppm score."""
+    return D.span_novelty(load(spark, sf, "documents"))
+
+
+def q_source_span_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Verbatim-leakage matrix between corpus sources: distinct
+    8-token windows shared by each source pair — the independence
+    audit run before declaring train/eval subsets disjoint. Per-hash
+    source sets stay bounded by source cardinality, never corpus
+    size."""
+    return D.source_span_leakage(load(spark, sf, "documents"))
+
+
+def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance reweighting (Xie et al. 2023): hashed
+    unigram+bigram bucket counts score every doc by log p_target -
+    log p_raw toward the 'en' slice; bucket-level micro quantization
+    makes each doc's score a pure integer sum (order-independent
+    across engines). Feeds weighted_sample for the resampling step."""
+    return C.dsir_logweights(load(spark, sf, "documents"))
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each of 3 query vectors,
+    the 5 nearest corpus embeddings with a DIFFERENT label — exact
+    broadcast nested-loop form, the recall oracle for an IVF
+    over-fetch variant at scale."""
+    emb = load(spark, sf, "embeddings")
+    return S.hard_negatives(emb, emb.where(F.col("vec_id") < 3))
+
+
+def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled pretraining mixture plan (w_s ∝ n_s^0.7):
+    per-source token mass, micro-quantized sampling weight, and the
+    expected epoch count to fill a 10M-token budget — epochs over 1e6
+    micro flag sources that would repeat."""
+    return SA.mixture_plan(load(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -3522,6 +3566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup_ivf": q_embed_near_dup_ivf,
         "matview_event_totals": q_matview_event_totals,
         "text_entropy": q_text_entropy,
+        "span_novelty": q_span_novelty,
+        "source_span_leakage": q_source_span_leakage,
+        "dsir_importance": q_dsir_importance,
+        "ann_hard_negatives": q_ann_hard_negatives,
+        "mixture_plan": q_mixture_plan,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -3686,6 +3735,11 @@ def oracle_sql() -> dict[str, str]:
         "table_diff": SQL_TABLE_DIFF,
         "matview_event_totals": SQL_MATVIEW_TOTALS,
         "text_entropy": X.sql_char_entropy("documents"),
+        "span_novelty": D.sql_span_novelty(),
+        "source_span_leakage": D.sql_source_span_leakage(),
+        "dsir_importance": C.sql_dsir_logweights(),
+        "ann_hard_negatives": S.sql_hard_negatives(),
+        "mixture_plan": SA.sql_mixture_plan(),
         "corpus_cap_quality": SA.sql_cap_per_group(
             "(SELECT d.doc_id, d.lang, q.quality_score"
             " FROM documents d JOIN ("

@@ -669,3 +669,49 @@ def test_weighted_sample_k_per_group_quota_and_bias(spark):
     # deterministic
     out2 = weighted_sample_k_per_group(df, 20, "w", "g").collect()
     assert sorted(r.doc_id for r in out2) == sorted(r.doc_id for r in out)
+
+
+def test_dsir_logweights_orders_target_like_docs_first(spark):
+    """Docs written in the target slice's vocabulary score higher than
+    docs from a disjoint vocabulary; weights are pure-integer micro
+    sums (exactly reproducible); every doc gets exactly one row."""
+    from webhookdb_spark.operators.corpus import dsir_logweights
+
+    en = "the cat sat on the mat and the dog ran"
+    de = "der hund lief durch den wald und die katze schlief"
+    rows = (
+        [(i, en, "en") for i in range(10)]
+        + [(100 + i, de, "de") for i in range(10)]
+        + [(200, en, "xx"), (201, de, "xx")]  # unlabeled docs to score
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.logw_micro for r in dsir_logweights(df, "en").collect()}
+    assert len(out) == 22
+    # the en-vocabulary doc must be scored far more target-like
+    assert out[200] > out[201]
+    # deterministic: a second run is bit-identical
+    out2 = {r.doc_id: r.logw_micro for r in dsir_logweights(df, "en").collect()}
+    assert out == out2
+
+
+def test_mixture_plan_temperature_upsamples_small_sources(spark):
+    """alpha<1 gives the small source a larger mix share than its raw
+    token share; alpha=1 recovers raw proportions; epochs_micro over
+    1e6 flags a source the budget would repeat."""
+    from webhookdb_spark.operators.sampling import mixture_plan
+
+    rows = [(i, "w " * 99 + "w", "big") for i in range(90)] + [
+        (1000 + i, "w " * 99 + "w", "small") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in
+           mixture_plan(df, alpha=0.5, budget_tokens=20000).collect()}
+    big, small = out["big"], out["small"]
+    assert big.n_tokens == 9000 and small.n_tokens == 1000
+    raw_share_small = small.n_tokens / (big.n_tokens + small.n_tokens)
+    assert small.mix_weight_micro / 1e6 > raw_share_small
+    flat = {r.source: r for r in
+            mixture_plan(df, alpha=1.0, budget_tokens=20000).collect()}
+    assert abs(flat["small"].mix_weight_micro - 100000) <= 1
+    # 20k budget * ~25% share / 1k tokens ≈ 5 epochs for the small source
+    assert out["small"].epochs_micro > 1_000_000

@@ -1074,3 +1074,76 @@ def test_ivf_near_dup_split_bounds_hot_cells(spark):
         ).collect()
     }
     assert {(i, 10_000 + i) for i in range(50)} <= found
+
+
+def test_span_novelty_semantics(spark):
+    """A doc sharing an 8-token run with another scores below 1e6
+    ppm; a fully unique doc scores exactly 1e6; a doc repeating its
+    own 8-token span counts the self-repeat as duplication; docs
+    shorter than the window yield no row."""
+    from webhookdb_spark.operators.dedup import span_novelty
+
+    shared = "a b c d e f g h"
+    rows = [
+        (1, shared + " unique1 tail1 x1 y1 z1 w1 v1 u1"),
+        (2, shared + " other2 tail2 x2 y2 z2 w2 v2 u2"),
+        (3, "q r s t u v w x y z aa bb cc dd ee ff"),
+        (4, shared + " " + shared),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_novelty(df, k=8).collect()}
+    assert 5 not in out
+    assert out[3].dup_windows == 0 and out[3].novelty_ppm == 1000000
+    # docs 1 and 2: exactly the one shared leading window collides
+    assert out[1].dup_windows >= 1 and out[1].novelty_ppm < 1000000
+    assert out[2].dup_windows >= 1
+    # doc 4 repeats the span internally AND shares it with 1/2
+    assert out[4].dup_windows >= 2
+    for r in out.values():
+        assert r.novelty_ppm == (r.n_windows - r.dup_windows) * 1000000 // r.n_windows
+
+
+def test_source_span_leakage_pairs_and_counts(spark):
+    """Only source pairs that truly share a distinct window appear;
+    counts are DISTINCT shared hashes (a window repeated many times in
+    one source still counts once per pair); pair keys are ordered."""
+    from webhookdb_spark.operators.dedup import source_span_leakage
+
+    leak = "l1 l2 l3 l4 l5 l6 l7 l8"
+    rows = [
+        (1, "a", leak + " fill1 f2 f3 f4 f5 f6 f7"),
+        (2, "b", leak + " other o2 o3 o4 o5 o6 o7"),
+        (3, "b", leak + " again g2 g3 g4 g5 g6 g7"),
+        (4, "c", "nothing shared here at all n1 n2 n3 n4 n5 n6 n7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.src_a, r.src_b): r.shared_spans
+           for r in source_span_leakage(df, k=8).collect()}
+    assert ("a", "b") in got and got[("a", "b")] == 1
+    assert all(a < b for a, b in got)
+    assert not any("c" in p for p in got)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every mined negative has a label different from its query's,
+    ranks are dense per query, and the top negative is the true
+    nearest different-label vector (checked against a driver-side
+    exact computation)."""
+    import math
+
+    from webhookdb_spark.operators.similarity import hard_negatives
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # same label as 0 — must be excluded
+        (2, [0.8, 0.2, 0.0], 1),   # nearest different-label to 0
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.9, 0.1], 2),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(df, df.where("vec_id = 0"), k=2).collect()
+    assert all(r.neg_label != r.query_label for r in out)
+    assert sorted(r.rank for r in out) == [1, 2]
+    top = next(r for r in out if r.rank == 1)
+    assert top.vec_id == 2

@@ -1100,3 +1100,138 @@ def sql_search_bm25(
                 AS INTEGER) AS rank
     FROM top
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance reweighting
+# ---------------------------------------------------------------------------
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) over hashed n-gram features: score every
+    document by how target-like its token distribution is, so raw
+    data can be resampled toward a target domain (here: the
+    ``target_lang`` slice stands in for the target corpus).
+
+    Features are word unigrams + bigrams hashed into ``n_buckets``
+    via the cross-engine str2inthash; the importance weight is
+    ``log p_target(f) - log p_raw(f)`` summed over a doc's feature
+    counts, with add-one smoothing on bucket counts. To keep the
+    score exact across engines the per-bucket log-ratio is quantized
+    ONCE to integer micro-units (floor at 1e-6, ``n_buckets`` values
+    total) and each document's score is then a pure integer
+    sum — order-independent, no float-accumulation seam. Returns
+    (doc_id, lang, logw_micro); feed it to
+    :func:`webhookdb_spark.operators.sampling.weighted_sample` (rank
+    by ``exp(logw_micro/1e6)``) for the resampling step.
+
+    100 TB shape: one narrow gram explode → groupBy (doc_id, bucket)
+    with map-side combine; bucket statistics are a second aggregate
+    over that ALREADY-compressed table (≤ n_buckets rows per doc);
+    the bucket→weight table is ``n_buckets`` rows broadcast back.
+    Nothing driver-side, no all-corpus collect.
+    """
+    from webhookdb_spark.functions.converters import CONV_STR2HASH
+
+    b = bind(
+        scale_out(df.select("doc_id", "lang", text_col)),
+        "_t",
+        F.split(F.trim(F.col(text_col)), WS),
+    )
+    bigrams = F.when(
+        F.size("_t") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.concat(
+                F.element_at("_t", i), F.lit(" "), F.element_at("_t", i + 1)
+            ),
+        )
+    )
+    grams = b.select(
+        "doc_id", "lang",
+        F.explode(F.concat(F.col("_t"), bigrams)).alias("_g"),
+    )
+    bucket = F.pmod(
+        CONV_STR2HASH.spark(F.col("_g")).cast("long"), F.lit(n_buckets)
+    )
+    cnts = (
+        grams.select("doc_id", "lang", bucket.alias("_b"))
+        .groupBy("doc_id", "lang", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    is_t = (F.col("lang") == target_lang).cast("long")
+    bstats = cnts.groupBy("_b").agg(
+        F.sum(F.col("_c") * is_t).alias("_nt"),
+        F.sum("_c").alias("_nr"),
+    )
+    tot = bstats.agg(
+        F.sum("_nt").alias("_T"), F.sum("_nr").alias("_R")
+    )
+    bw = bstats.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        F.floor(
+            F.lit(1e6)
+            * (
+                F.log((F.col("_nt") + 1) / (F.col("_T") + n_buckets))
+                - F.log((F.col("_nr") + 1) / (F.col("_R") + n_buckets))
+            )
+        ).cast("long").alias("_w"),
+    )
+    return (
+        cnts.join(F.broadcast(bw), "_b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("_c") * F.col("_w")).cast("long").alias("logw_micro"))
+    )
+
+
+def sql_dsir_logweights(
+    table: str = "documents",
+    target_lang: str = "en",
+    n_buckets: int = 128,
+) -> str:
+    """DuckDB twin of :func:`dsir_logweights` — same grams, same
+    str2inthash buckets, same bucket-level micro quantization."""
+    from webhookdb_spark.functions.converters import CONV_STR2HASH
+
+    t = SQL_TOKENS.format(c="text")
+    h = CONV_STR2HASH.sql("g")
+    tl = sql_str_lit(target_lang)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {t} AS tk FROM {table}
+    ), grams AS (
+      SELECT doc_id, lang, unnest(tk) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, lang, tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i + 1 AS INTEGER)] AS g
+      FROM (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i FROM toks)
+    ), cnts AS (
+      SELECT doc_id, lang,
+             ((({h}) % {n_buckets}) + {n_buckets}) % {n_buckets} AS b,
+             count(*) AS c
+      FROM grams GROUP BY 1, 2, 3
+    ), bstats AS (
+      SELECT b,
+             sum(CASE WHEN lang = {tl} THEN c ELSE 0 END) AS nt,
+             sum(c) AS nr
+      FROM cnts GROUP BY b
+    ), tot AS (
+      SELECT sum(nt) AS T, sum(nr) AS R FROM bstats
+    ), bw AS (
+      SELECT b,
+             CAST(floor(1e6 * (ln((nt + 1) / CAST(T + {n_buckets} AS DOUBLE))
+                             - ln((nr + 1) / CAST(R + {n_buckets} AS DOUBLE))))
+                  AS BIGINT) AS w
+      FROM bstats, tot
+    )
+    SELECT cnts.doc_id, cnts.lang,
+           CAST(sum(c * w) AS BIGINT) AS logw_micro
+    FROM cnts JOIN bw USING (b)
+    GROUP BY 1, 2
+    """

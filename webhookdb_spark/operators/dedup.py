@@ -1358,3 +1358,154 @@ def sql_prefix_jaccard_join(
     JOIN sz sb ON sb.doc_id = doc_b
     WHERE inter * {den} >= {num} * (sa.n + sb.n - inter)
     """
+
+
+# -- Sliding-window span novelty + cross-source leakage ----------------------
+#
+# The sliding-window complement of :func:`segment_dedup`: where that
+# operator REWRITES documents by dropping duplicated aligned segments,
+# these two AUDIT the corpus through every overlapping k-token window
+# — the per-doc novelty score curation pipelines threshold on, and the
+# source-pair leakage matrix that catches verbatim contamination
+# between corpus subsets (e.g. a benchmark split that leaked into a
+# crawl source). Reference scope note: the Ruby reference has no
+# corpus operators; this is training-pipeline surface beyond it.
+
+
+def _span_windows(df: DataFrame, k: int, text_col: str, extra: list[str]):
+    """(doc_id, *extra, h): md5 of every overlapping ``k``-token
+    window (docs shorter than ``k`` tokens yield none). Narrow map —
+    one bound token array, one explode of size-k+1 hashes; the md5
+    collapses each window to 32 bytes BEFORE the shuffle, so shuffle
+    bytes are ~32B per corpus token regardless of token length."""
+    b = bind(
+        scale_out(df.select("doc_id", *extra, text_col)),
+        "_t",
+        tokens(F.col(text_col)),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - k),
+        lambda i: F.md5(F.array_join(F.slice("_t", i + 1, k), " ")),
+    )
+    return (
+        b.where(F.size("_t") >= k)
+        .select("doc_id", *extra, F.explode(wins).alias("h"))
+    )
+
+
+def span_novelty(
+    df: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Per-document span novelty: of a doc's overlapping ``k``-token
+    windows, how many are unique in the whole corpus. Returns
+    (doc_id, n_windows, dup_windows, novelty_ppm) where a window is
+    "dup" iff its hash occurs anywhere else (another doc OR a repeat
+    inside the same doc — self-plagiarism counts, matching the
+    remove-any-repeat posture of Lee et al.), and ``novelty_ppm =
+    (n_windows - dup_windows) * 1000000 div n_windows`` (integer
+    arithmetic — exact in both engines, no float-floor seam).
+
+    100 TB shape: ONE shuffle keyed by the window hash (the corpus-
+    wide occurrence count rides a hash-partitioned window function —
+    no self-join), then one doc_id re-aggregate. Both partial-agg
+    friendly; the boilerplate-span skew case is AQE's skew-split.
+    """
+    wins = _span_windows(df, k, text_col, [])
+    occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    per = wins.select("doc_id", (occ > 1).cast("int").alias("_dup"))
+    n = F.count(F.lit(1)).cast("long")
+    dup = F.sum("_dup").cast("long")
+    return per.groupBy("doc_id").agg(
+        n.alias("n_windows"),
+        dup.alias("dup_windows"),
+        ((n - dup) * F.lit(1000000)).alias("_num"),
+    ).select(
+        "doc_id", "n_windows", "dup_windows",
+        F.expr("_num div n_windows").cast("long").alias("novelty_ppm"),
+    )
+
+
+def sql_span_novelty(table: str = "documents", k: int = 8) -> str:
+    """DuckDB twin of :func:`span_novelty` (same windows, same
+    integer-division novelty)."""
+    t = SQL_TOKENS.format(c="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {t} AS tk FROM {table}
+    ), ix AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk) - {k} + 2)) AS i
+      FROM toks WHERE len(tk) >= {k}
+    ), wins AS (
+      SELECT doc_id,
+             md5(array_to_string(tk[CAST(i AS INTEGER):CAST(i + {k} - 1 AS INTEGER)], ' ')) AS h
+      FROM ix
+    ), occ AS (
+      SELECT doc_id, (count(*) OVER (PARTITION BY h) > 1) AS dup FROM wins
+    )
+    SELECT doc_id,
+           count(*) AS n_windows,
+           count(*) FILTER (WHERE dup) AS dup_windows,
+           ((count(*) - count(*) FILTER (WHERE dup)) * 1000000)
+             // count(*) AS novelty_ppm
+    FROM occ
+    GROUP BY doc_id
+    """
+
+
+def source_span_leakage(
+    df: DataFrame, k: int = 8, text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Verbatim-leakage matrix between corpus subsets: for every pair
+    of ``group_col`` values, the number of DISTINCT ``k``-token
+    windows that appear in both. Returns (src_a, src_b, shared_spans)
+    with src_a < src_b. This is the audit a curation pipeline runs
+    before declaring train/eval sources independent.
+
+    100 TB shape: distinct-(h, group) is one shuffle on the hash; the
+    per-hash group set is collected (bounded by the number of sources,
+    a few dozen — NOT by corpus size), pairs are expanded from that
+    tiny array, and the final count groups on the pair key. No
+    self-join on the window table, no all-pairs docs."""
+    wins = _span_windows(df, k, text_col, [group_col])
+    per_h = (
+        wins.select("h", F.col(group_col).alias("_g"))
+        .distinct()
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("_g")).alias("_gs"))
+        .where(F.size("_gs") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(_gs, (a, i) -> "
+        "transform(slice(_gs, i + 2, size(_gs)), "
+        "b -> struct(a AS src_a, b AS src_b))))"
+    )
+    return (
+        per_h.select(F.explode(pairs).alias("_p"))
+        .select("_p.src_a", "_p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_spans"))
+    )
+
+
+def sql_source_span_leakage(table: str = "documents", k: int = 8) -> str:
+    """DuckDB twin of :func:`source_span_leakage` (distinct window ×
+    source, equi-self-join on the hash with an ordered pair filter —
+    count(*) over the distinct set == distinct shared hashes)."""
+    t = SQL_TOKENS.format(c="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {t} AS tk FROM {table}
+    ), ix AS (
+      SELECT doc_id, source, tk, unnest(range(1, len(tk) - {k} + 2)) AS i
+      FROM toks WHERE len(tk) >= {k}
+    ), hs AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(tk[CAST(i AS INTEGER):CAST(i + {k} - 1 AS INTEGER)], ' ')) AS h
+      FROM ix
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS shared_spans
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """

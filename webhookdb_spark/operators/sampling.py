@@ -565,3 +565,76 @@ def sql_cap_per_group(
       FROM {table}
     ) WHERE _rn <= {n}
     """
+
+
+# -- Temperature-scaled source mixture planning ------------------------------
+
+def mixture_plan(
+    df: DataFrame,
+    alpha: float = 0.7,
+    budget_tokens: int = 10_000_000,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pretraining mixture plan: per-source sampling weights under
+    temperature scaling ``w_s ∝ n_s^alpha`` (the multilingual /
+    multi-source rebalancing rule of mBERT/XLM-R and every LLM data
+    recipe: alpha < 1 upsamples small sources), plus the expected
+    epoch count each source runs at to fill ``budget_tokens``.
+
+    Returns one row per source: (source, n_docs, n_tokens,
+    mix_weight_micro, epochs_micro) where ``mix_weight_micro =
+    floor(1e6 * n^alpha / Σ n^alpha)`` and ``epochs_micro = floor(1e6
+    * budget * weight / n)`` — epochs_micro > 1e6 means that source
+    repeats (the signal to cap or collect more of it).
+
+    Shape: one narrow token-count map, one groupBy on the source key
+    (partial-agg friendly, a few dozen groups), one broadcast of the
+    1-row normalizer. Driver-free at any corpus size.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0B]+"))
+    per = (
+        df.select(F.col(group_col).alias("source"), toks.alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_tokens"),
+        )
+    )
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    per = per.withColumn("_pw", pw)
+    tot = per.agg(F.sum("_pw").alias("_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        F.floor(F.lit(1e6) * F.col("_pw") / F.col("_tot"))
+        .cast("long").alias("mix_weight_micro"),
+        F.floor(
+            F.lit(1e6) * F.lit(float(budget_tokens)) * F.col("_pw")
+            / (F.col("_tot") * F.col("n_tokens"))
+        ).cast("long").alias("epochs_micro"),
+    )
+
+
+def sql_mixture_plan(
+    table: str = "documents",
+    alpha: float = 0.7,
+    budget_tokens: int = 10_000_000,
+) -> str:
+    """DuckDB twin of :func:`mixture_plan` (same power-law weights,
+    same micro quantization)."""
+    return f"""
+    WITH per AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))) AS n_tokens
+      FROM {table} GROUP BY source
+    ), pw AS (
+      SELECT *, pow(CAST(n_tokens AS DOUBLE), {alpha}) AS p FROM per
+    ), tot AS (
+      SELECT sum(p) AS t FROM pw
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(1e6 * p / t) AS BIGINT) AS mix_weight_micro,
+           CAST(floor(1e6 * {float(budget_tokens)} * p / (t * n_tokens)) AS BIGINT) AS epochs_micro
+    FROM pw, tot
+    """

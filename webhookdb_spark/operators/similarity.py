@@ -2613,3 +2613,88 @@ def load_pca_model(path: str) -> dict:
     from pathlib import Path
 
     return json.loads((Path(path) / "_pca_model.json").read_text())
+
+
+# -- Contrastive hard-negative mining ----------------------------------------
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query vector, the ``k`` nearest corpus vectors whose
+    ``label_col`` DIFFERS from the query's — the near-but-wrong
+    examples a bi-encoder learns the most from (the in-batch-negative
+    upgrade every dense-retrieval recipe ships).
+
+    Exact form: ``queries`` is broadcast (a map-side nested loop over
+    the corpus scan — no shuffle), the different-label predicate is
+    applied BEFORE ranking so the window ranks only eligible
+    negatives, then a per-query top-k window. At scale, swap the
+    corpus scan for :func:`ann_topk_ivf`'s probed cells with an
+    over-fetch factor (a label filter AFTER an ANN top-k must fetch
+    more than k to survive the filter); the exact form is the recall
+    oracle for that path.
+
+    Returns (query_id, query_label, vec_id, neg_label, cosine_sim,
+    rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    paired = c.crossJoin(F.broadcast(q)).where(
+        F.col("neg_label") != F.col("query_label")
+    )
+    scored = paired.select(
+        "query_id", "query_label", "vec_id", "neg_label",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "vec_id", "neg_label",
+            "cosine_sim", F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def sql_hard_negatives(
+    table: str = "embeddings", query_pred: str = "vec_id < 3", k: int = 5
+) -> str:
+    """DuckDB twin of :func:`hard_negatives` (same double-precision
+    cosine, same different-label predicate before the rank)."""
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS query_label, embedding AS q_vec
+      FROM {table} WHERE {query_pred}
+    ),
+    pairs AS (
+      SELECT q.query_id, q.query_label, c.vec_id, c.label AS neg_label,
+             {_SQL_COS.format(a="q.q_vec", b="c.embedding")} AS cosine_sim
+      FROM {table} c, q
+      WHERE c.label != q.query_label
+    ),
+    ranked AS (
+      SELECT query_id, query_label, vec_id, neg_label, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM pairs
+    )
+    SELECT query_id, query_label, vec_id, neg_label, cosine_sim, rank
+    FROM ranked WHERE rank <= {k}
+    """
