@@ -585,3 +585,31 @@ def test_bucketed_colocated_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for t in ("bk_a", "bk_b", "bk_c"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dsir_reuses_gram_aggregate_stage(spark):
+    """dsir_importance consumes its (doc_id, bucket) count table from
+    three places (bucket stats, the totals row, the per-doc join); at
+    100 TB the gram explode must run ONCE, not once per consumer. The
+    static plan shows three scan branches, but AQE stage reuse
+    collapses them — pin that: the executed adaptive plan must carry
+    reused stages and touch the heavy gram aggregate a single time."""
+    df = entry.queries()["dsir_importance"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    reused = len(re.findall(r"ReusedQueryStage|ReusedExchange", plan))
+    assert reused >= 2, f"gram stage recomputed (reused={reused})"
+
+
+def test_span_novelty_single_scan_two_shuffles(spark):
+    """span_novelty is one corpus scan, one shuffle on the window hash
+    (the occurrence window), one re-aggregate on doc_id — and the scan
+    reads only (doc_id, text). A second scan or a join would mean the
+    occurrence count regressed to a self-join."""
+    p = plan_of(entry.queries()["span_novelty"](spark, SF))
+    # formatted explain lists each node twice (tree + detail); count details
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"SortMergeJoin|BroadcastHashJoin", p)) == 0
+    schema = " ".join(re.findall(r"ReadSchema: [^\n]*", p))
+    assert "text" in schema and "lang" not in schema and "source" not in schema
