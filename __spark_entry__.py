@@ -3482,6 +3482,30 @@ def q_ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return S.hard_negatives(emb, emb.where(F.col("vec_id") < 3))
 
 
+def q_span_store_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """The persisted window-hash store end-to-end: write 80% of the
+    corpus, APPEND another 10% as its own segment, compact, then score
+    the remaining 10% 'incoming batch' incrementally against the
+    store. By the grown == one-shot contract the result must equal
+    one-shot span_novelty over the WHOLE corpus restricted to the
+    batch docs — which is exactly what the oracle computes, so this
+    one row checks write + append + compact + probe together."""
+    import tempfile
+
+    docs = load(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="whdb_spans_")
+    D.write_span_store(docs.where("doc_id % 10 > 1"), path, k=8)
+    D.append_span_store(docs.where("doc_id % 10 = 1"), path)
+    D.compact_span_store(spark, path)
+    return D.batch_span_novelty(docs.where("doc_id % 10 = 0"), spark, path)
+
+
+SQL_SPAN_STORE_INC = """
+    WITH full_nov AS ({base})
+    SELECT * FROM full_nov WHERE doc_id % 10 = 0
+"""
+
+
 def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled pretraining mixture plan (w_s ∝ n_s^0.7):
     per-source token mass, micro-quantized sampling weight, and the
@@ -3571,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "ann_hard_negatives": q_ann_hard_negatives,
         "mixture_plan": q_mixture_plan,
+        "span_store_incremental": q_span_store_incremental,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -3740,6 +3765,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": C.sql_dsir_logweights(),
         "ann_hard_negatives": S.sql_hard_negatives(),
         "mixture_plan": SA.sql_mixture_plan(),
+        "span_store_incremental": SQL_SPAN_STORE_INC.format(
+            base=D.sql_span_novelty()),
         "corpus_cap_quality": SA.sql_cap_per_group(
             "(SELECT d.doc_id, d.lang, q.quality_score"
             " FROM documents d JOIN ("

@@ -1147,3 +1147,43 @@ def test_hard_negatives_excludes_same_label(spark):
     assert sorted(r.rank for r in out) == [1, 2]
     top = next(r for r in out if r.rank == 1)
     assert top.vec_id == 2
+
+
+def test_span_store_grown_equals_one_shot(spark, tmp_path):
+    """The persisted window-hash store's restart contract: write
+    corpus A, append batch B, then a probe batch C's incremental
+    novelty must equal the one-shot span_novelty(A ∪ B ∪ C) restricted
+    to C's docs — and compaction must not change it."""
+    from webhookdb_spark.operators.dedup import (
+        append_span_store,
+        batch_span_novelty,
+        compact_span_store,
+        span_novelty,
+        write_span_store,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    a = mk([(1, shared + " a1 a2 a3 a4 a5 a6 a7"),
+            (2, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")])
+    b = mk([(3, "c1 c2 c3 c4 c5 c6 c7 c8 " + "d1 d2 d3 d4 d5 d6 d7 d8")])
+    c = mk([(10, shared + " fresh f2 f3 f4 f5 f6 f7"),   # hits A
+            (11, "c1 c2 c3 c4 c5 c6 c7 c8 x1 x2 x3 x4 x5 x6 x7"),  # hits B
+            (12, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")])     # fully novel
+    path = str(tmp_path / "spanstore")
+    write_span_store(a, path, k=8)
+    append_span_store(b, path)
+
+    inc = {r.doc_id: tuple(r)[1:] for r in
+           batch_span_novelty(c, spark, path).collect()}
+    full = {r.doc_id: tuple(r)[1:] for r in
+            span_novelty(a.unionByName(b).unionByName(c), k=8).collect()
+            if r.doc_id >= 10}
+    assert inc == full
+    assert inc[12][1] == 0 and inc[12][2] == 1000000  # novel doc
+    assert inc[10][1] >= 1 and inc[11][1] >= 1        # store hits
+
+    compact_span_store(spark, path)
+    inc2 = {r.doc_id: tuple(r)[1:] for r in
+            batch_span_novelty(c, spark, path).collect()}
+    assert inc2 == inc

@@ -1509,3 +1509,159 @@ def sql_source_span_leakage(table: str = "documents", k: int = 8) -> str:
     FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
     GROUP BY 1, 2
     """
+
+
+# -- Persisted window-hash store (incremental span novelty) ------------------
+#
+# The restart/incremental contract of the persisted-index family
+# (LSH/IVF/IVF-PQ/postings) extended to the span audit: the corpus's
+# window-hash multiset lives on disk as immutable segments; a new
+# batch's novelty is computed against the standing store in O(batch +
+# one store probe) instead of recomputing the corpus, and appending
+# the batch is one more segment write. Single-writer, like
+# ManagedTable's manifest.
+
+_SPAN_META = "_span_meta.json"
+
+
+def _span_counts(df: DataFrame, k: int, text_col: str, n_shards: int) -> DataFrame:
+    """Distinct window hashes with occurrence counts, sharded by a hex
+    prefix of the hash (uniform by construction — md5)."""
+    wins = _span_windows(df, k, text_col, [])
+    shard = F.pmod(
+        F.conv(F.substring("h", 1, 6), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    return (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("shard", shard)
+    )
+
+
+def _span_write_segment(counts: DataFrame, seg_dir) -> None:
+    (
+        counts.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "h")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(str(seg_dir))
+    )
+
+
+def write_span_store(
+    df: DataFrame, path: str, k: int = 8,
+    text_col: str = "text", n_shards: int = 8,
+) -> None:
+    """Materialize the corpus's ``k``-token window-hash counts at
+    ``path`` as segment 0 (``seg_0/shard=<s>/*.parquet`` + a sidecar
+    with the knobs and live segment list). Rows are sorted by hash
+    within each shard so file-level min/max stats stay narrow."""
+    import json as _json
+    from pathlib import Path as _P
+
+    root = _P(path)
+    _span_write_segment(_span_counts(df, k, text_col, n_shards), root / "seg_0")
+    meta = {"k": k, "text_col": text_col, "n_shards": n_shards,
+            "segments": ["seg_0"]}
+    (root / _SPAN_META).write_text(_json.dumps(meta))
+
+
+def append_span_store(df_new: DataFrame, path: str) -> None:
+    """Fold a new batch into the store as its own immutable segment —
+    O(batch) work, existing segments are never read or rewritten. The
+    same hash may appear in several segments; readers treat the store
+    as a multiset (counts add)."""
+    import json as _json
+    from pathlib import Path as _P
+
+    root = _P(path)
+    meta = _json.loads((root / _SPAN_META).read_text())
+    seg = f"seg_{len(meta['segments'])}"
+    _span_write_segment(
+        _span_counts(df_new, meta["k"], meta["text_col"], meta["n_shards"]),
+        root / seg,
+    )
+    meta["segments"] = meta["segments"] + [seg]
+    (root / _SPAN_META).write_text(_json.dumps(meta))
+
+
+def _span_store_frames(spark, path: str):
+    import json as _json
+    from pathlib import Path as _P
+
+    root = _P(path)
+    meta = _json.loads((root / _SPAN_META).read_text())
+    frames = [
+        spark.read.parquet(str(root / seg)) for seg in meta["segments"]
+    ]
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return meta, u
+
+
+def compact_span_store(spark, path: str) -> None:
+    """Merge all segments into one (counts added per hash), restoring
+    the exact one-shot layout — run when the segment list grows past
+    the point where per-probe union cost matters."""
+    import json as _json
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    root = _P(path)
+    meta, u = _span_store_frames(spark, path)
+    merged = (
+        u.groupBy("h", "shard").agg(F.sum("n").alias("n"))
+        .select("h", "n", "shard")
+    )
+    tmp = root / "_seg_compact"
+    _span_write_segment(merged, tmp)
+    for seg in meta["segments"]:
+        _sh.rmtree(root / seg, ignore_errors=True)
+    tmp.rename(root / "seg_0")
+    meta["segments"] = ["seg_0"]
+    (root / _SPAN_META).write_text(_json.dumps(meta))
+
+
+def batch_span_novelty(
+    df_batch: DataFrame, spark, path: str
+) -> DataFrame:
+    """:func:`span_novelty` for an incoming batch against the standing
+    store: a batch window is dup iff it repeats WITHIN the batch or
+    exists anywhere in the store. Equals the one-shot
+    ``span_novelty(corpus ∪ batch)`` restricted to the batch's docs —
+    the grown == one-shot contract, proven in tests.
+
+    Cost: the batch pays its own window shuffle; the store is probed
+    with ONE left-semi join against the batch's distinct hashes (semi
+    join — segment unions need no cross-segment distinct and can never
+    multiply rows), so the store contributes a scan but no store-sized
+    shuffle. For latency-critical probes layer
+    :func:`bloom_bitmap` over the store's hashes the way
+    :func:`bloom_decontaminate` does."""
+    meta, store = _span_store_frames(spark, path)
+    wins = _span_windows(
+        df_batch, meta["k"], meta["text_col"], []
+    )
+    occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    flagged = wins.select("doc_id", "h", (occ > 1).alias("_multi"))
+    hits = (
+        flagged.select("h").distinct()
+        .join(store.select("h"), "h", "left_semi")
+        .withColumn("_hit", F.lit(True))
+    )
+    per = flagged.join(hits, "h", "left").select(
+        "doc_id",
+        (F.col("_multi") | F.coalesce(F.col("_hit"), F.lit(False)))
+        .cast("int").alias("_dup"),
+    )
+    n = F.count(F.lit(1)).cast("long")
+    dup = F.sum("_dup").cast("long")
+    return per.groupBy("doc_id").agg(
+        n.alias("n_windows"),
+        dup.alias("dup_windows"),
+        ((n - dup) * F.lit(1000000)).alias("_num"),
+    ).select(
+        "doc_id", "n_windows", "dup_windows",
+        F.expr("_num div n_windows").cast("long").alias("novelty_ppm"),
+    )
