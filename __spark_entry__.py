@@ -3320,12 +3320,17 @@ def q_fuzzy_link_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked fuzzy record linkage (entity resolution): customer-name
     pairs within edit distance 1, candidates from a (suffix, length
     band) blocking join — the distance runs only inside blocks, never
-    over the cross product. levenshtein is integer-exact in both
-    engines, so the oracle is a full value-hash match including the
-    blocking's documented recall contract."""
+    over the cross product. Blocking is cardinality-ADAPTIVE
+    (split_threshold=64): customer names end in digits, so the 3-char
+    suffix space saturates at 1,000 buckets and fixed-length blocking
+    goes quadratic with corpus size (measured 81x time at 10x data
+    before the split; ~6x after — SCALE_r08.md). levenshtein is
+    integer-exact in both engines, so the oracle is a full value-hash
+    match including the blocking's documented recall contract."""
     cust = load(spark, sf, "customer")
     return J.fuzzy_link(
-        cust, cust, "c_custkey", "c_custkey", "c_name", "c_name", max_dist=1
+        cust, cust, "c_custkey", "c_custkey", "c_name", "c_name",
+        max_dist=1, block_chars=3, split_threshold=64,
     )
 
 
@@ -3936,7 +3941,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": X.sql_normalize_text(),
         "fuzzy_link_customers": J.sql_fuzzy_link(
             "customer", "customer", "c_custkey", "c_custkey",
-            "c_name", "c_name", 1,
+            "c_name", "c_name", 1, block_chars=3, split_threshold=64,
         ),
         "phrase_search": C.sql_phrase_search(PHRASE),
         # incremental == one-shot, so the one-shot twin IS the oracle
