@@ -3487,6 +3487,56 @@ def q_ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return S.hard_negatives(emb, emb.where(F.col("vec_id") < 3))
 
 
+def q_doc_feature_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """The classifier-training feature matrix: one wide row per doc
+    joining the independent per-doc signals — token/unique counts,
+    quality heuristics, character entropy, predicted language, and
+    corpus-level span novelty (LEFT join: docs shorter than the
+    window carry NULL novelty). Each signal is its own already-green
+    operator; the four narrow ones are shuffle-free maps, novelty is
+    the one hash-shuffle, and every join co-partitions on doc_id, so
+    the matrix costs one shuffle more than its most expensive member.
+    Oracle chains the five SQL twins as CTEs."""
+    docs = load(spark, sf, "documents")
+    tc = TX.token_count(docs).select("doc_id", "n_tokens", "n_unique_tokens")
+    q = TX.quality_score(docs).select(
+        "doc_id", "mean_word_len", "stopword_ratio", "type_token_ratio",
+        "quality_score",
+    )
+    ent = TX.char_entropy(docs).select("doc_id", "entropy")
+    lid = TX.langid(docs).select("doc_id", "lang_pred")
+    nov = D.span_novelty(docs).select("doc_id", "novelty_ppm")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(tc, "doc_id")
+        .join(q, "doc_id")
+        .join(ent, "doc_id")
+        .join(lid, "doc_id")
+        .join(nov, "doc_id", "left")
+    )
+
+
+def _sql_doc_feature_matrix() -> str:
+    return f"""
+    WITH tc AS ({TX.sql_token_count()}),
+    q AS ({TX.sql_quality_score()}),
+    ent AS ({TX.sql_char_entropy("documents")}),
+    lid AS ({TX.sql_langid("documents")}),
+    nov AS ({D.sql_span_novelty()})
+    SELECT d.doc_id, d.lang, d.source,
+           tc.n_tokens, tc.n_unique_tokens,
+           q.mean_word_len, q.stopword_ratio, q.type_token_ratio,
+           q.quality_score,
+           ent.entropy, lid.lang_pred, nov.novelty_ppm
+    FROM documents d
+    JOIN tc USING (doc_id)
+    JOIN q USING (doc_id)
+    JOIN ent USING (doc_id)
+    JOIN lid USING (doc_id)
+    LEFT JOIN nov USING (doc_id)
+    """
+
+
 def q_span_store_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """The persisted window-hash store end-to-end: write 80% of the
     corpus, APPEND another 10% as its own segment, compact, then score
@@ -3534,7 +3584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows (output shape fixed this round) lead, then the 43 rows whose
     # last driver check is CORRECTNESS_r05.json (4 + 43 = 47 fills the
     # ~50-row cap — after r8 no row's latest driver check should be
-    # older than r6), then the 6 never-checked r8 additions (local
+    # older than r6), then the 12 never-checked r8 additions (local
     # sweep green; they lead r9's window), then r6-green, then the 50
     # green in CORRECTNESS_r07.json. Every entry runs in
     # tools/check_oracle.py regardless of position.
@@ -3601,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hard_negatives": q_ann_hard_negatives,
         "mixture_plan": q_mixture_plan,
         "span_store_incremental": q_span_store_incremental,
+        "doc_feature_matrix": q_doc_feature_matrix,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -3772,6 +3823,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_plan": SA.sql_mixture_plan(),
         "span_store_incremental": SQL_SPAN_STORE_INC.format(
             base=D.sql_span_novelty()),
+        "doc_feature_matrix": _sql_doc_feature_matrix(),
         "corpus_cap_quality": SA.sql_cap_per_group(
             "(SELECT d.doc_id, d.lang, q.quality_score"
             " FROM documents d JOIN ("
