@@ -703,3 +703,67 @@ def test_streaming_incremental_agg_maintenance(spark, tmp_path):
     run_once()  # checkpoint replay: still exact
     got = {(r.group, r.n_keys, r.total) for r in mt.aggregate().collect()}
     assert got == {("y", 2, 12)}
+
+
+def test_span_store_streaming_consumer_matches_batch(spark, tmp_path):
+    """The span store runs as a STREAM consumer: each micro-batch of
+    documents is scored against the standing store, then appended to
+    it (score-then-absorb, the arrival-order semantics of an
+    ingest-time novelty gate). The streamed scores must equal a
+    sequential batch-fed replay of the same arrival order — the
+    store's grown == one-shot contract lifted to streaming."""
+    from webhookdb_spark.operators.dedup import (
+        append_span_store,
+        batch_span_novelty,
+        write_span_store,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    seed = mk([(1, shared + " a1 a2 a3 a4 a5 a6 a7")])
+    b1 = [(10, shared + " n1 n2 n3 n4 n5 n6 n7"),
+          (11, "u1 u2 u3 u4 u5 u6 u7 u8 u9")]
+    b2 = [(20, "u1 u2 u3 u4 u5 u6 u7 u8 fresh"),  # hits b1's span via store
+          (21, "w1 w2 w3 w4 w5 w6 w7 w8")]
+
+    stream_store = str(tmp_path / "stream_store")
+    write_span_store(seed, stream_store, k=8)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    mk(b1).coalesce(1).write.parquet(str(src / "d=0"))
+    mk(b2).coalesce(1).write.parquet(str(src / "d=1"))
+
+    got = []
+
+    def handle(batch, _bid):
+        rows = [r.doc_id for r in batch.select("doc_id").collect()]
+        if not rows:
+            return
+        scored = {tuple(r) for r in
+                  batch_span_novelty(batch, spark, stream_store).collect()}
+        got.append((min(rows), scored))
+        append_span_store(batch, stream_store)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "d=*"))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(got) == 2
+
+    # batch-fed replay in the SAME arrival order
+    replay_store = str(tmp_path / "replay_store")
+    write_span_store(seed, replay_store, k=8)
+    batches = {10: mk(b1), 20: mk(b2)}
+    for first_doc, scored in got:
+        b = batches[first_doc]
+        want = {tuple(r) for r in
+                batch_span_novelty(b, spark, replay_store).collect()}
+        assert scored == want
+        append_span_store(b, replay_store)
