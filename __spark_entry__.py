@@ -3569,6 +3569,97 @@ def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
     return SA.mixture_plan(load(spark, sf, "documents"))
 
 
+def q_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate decontamination ACROSS corpora: training docs
+    whose shingle-Jaccard to ANY eval doc (the doc_id % 7 = 0 slice,
+    the same fixture convention as the exact n-gram pass) is ≥ 0.5 —
+    the fuzzy tier that catches paraphrase-level benchmark leakage
+    exact n-gram matching misses. Eval side is broadcast at both the
+    LSH band join and the verify join, so the train corpus is never
+    shuffled on band keys."""
+    docs = load(spark, sf, "documents")
+    return D.fuzzy_decontaminate(
+        docs.where("doc_id % 7 != 0"), docs.where("doc_id % 7 = 0")
+    )
+
+
+def q_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free train/val/test split: near-dup CLUSTERS — not
+    documents — are hashed into splits, so no near-duplicate pair can
+    straddle the eval boundary (the doc-level hash split scatters a
+    dup pair across train/test with probability 2p(1-p)). Split
+    assignment adds zero shuffles on top of the clustering."""
+    return D.cluster_safe_split(load(spark, sf, "documents"))
+
+
+_QF_Z = (
+    "-4.0 + 1.2 * quality_score + 2.0 * type_token_ratio"
+    " - 1.5 * stopword_ratio + 0.6 * entropy"
+    " + 0.25 * ln(1.0 + n_tokens)"
+    " + coalesce(novelty_ppm, 1000000) / 1000000.0"
+    " + 0.5 * (CASE WHEN lang_pred = lang THEN 1.0 ELSE 0.0 END)"
+)
+
+
+def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The classifier-driven quality gate applied at scale: a fixed
+    linear model (fastText-style quality filter posture — published
+    weights frozen at training time, applied as pure arithmetic over
+    the doc feature matrix) produces a logistic keep-score per doc and
+    the keep decision at 0.5. Runtime cost is the feature matrix plus
+    a shuffle-free map; the score is rounded to 4 decimals so both
+    engines agree at driver precision."""
+    feats = q_doc_feature_matrix(spark, sf)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.expr(_QF_Z))), 4)
+    return feats.select(
+        "doc_id", "source",
+        score.alias("keep_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def _sql_quality_filter() -> str:
+    return f"""
+    WITH feats AS ({_sql_doc_feature_matrix()})
+    SELECT doc_id, source,
+           round(1.0 / (1.0 + exp(-({_QF_Z}))), 4) AS keep_score,
+           round(1.0 / (1.0 + exp(-({_QF_Z}))), 4) >= 0.5 AS keep
+    FROM feats
+    """
+
+
+def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR end-to-end: importance weights from hashed-gram bucket
+    counts, then the RESAMPLING step — 100 docs drawn without
+    replacement with probability ∝ exp(logw) via deterministic
+    Gumbel-key order (ln(-ln(u)) - logw, u from the salted md5 of the
+    id; the overflow-free form of the Efraimidis-Spirakis key). The
+    selection is a top-k (TakeOrderedAndProject), never a global
+    sort."""
+    w = C.dsir_logweights(load(spark, sf, "documents"))
+    u = (SA._bucket28(F.col("doc_id"), "dsir:") + F.lit(0.5)) / F.lit(
+        float(1 << 28)
+    )
+    key = F.log(-F.log(u)) - F.col("logw_micro") / F.lit(1000000.0)
+    return (
+        w.withColumn("_k", key)
+        .orderBy(F.asc("_k"), F.col("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "logw_micro")
+    )
+
+
+def _sql_dsir_resample() -> str:
+    b = SA._sql_bucket28("doc_id", "dsir:")
+    return f"""
+    WITH w AS ({C.sql_dsir_logweights()})
+    SELECT doc_id, lang, logw_micro FROM (
+      SELECT *, ln(-ln(({b} + 0.5) / 268435456.0)) - logw_micro / 1000000.0 AS _k
+      FROM w ORDER BY _k ASC, doc_id LIMIT 100
+    )
+    """
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -3652,6 +3743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "span_store_incremental": q_span_store_incremental,
         "doc_feature_matrix": q_doc_feature_matrix,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "cluster_safe_split": q_cluster_safe_split,
+        "quality_filter": q_quality_filter,
+        "dsir_resample": q_dsir_resample,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -3824,6 +3919,10 @@ def oracle_sql() -> dict[str, str]:
         "span_store_incremental": SQL_SPAN_STORE_INC.format(
             base=D.sql_span_novelty()),
         "doc_feature_matrix": _sql_doc_feature_matrix(),
+        "fuzzy_decontaminate": D.sql_fuzzy_decontaminate(),
+        "cluster_safe_split": D.sql_cluster_safe_split(),
+        "quality_filter": _sql_quality_filter(),
+        "dsir_resample": _sql_dsir_resample(),
         "corpus_cap_quality": SA.sql_cap_per_group(
             "(SELECT d.doc_id, d.lang, q.quality_score"
             " FROM documents d JOIN ("

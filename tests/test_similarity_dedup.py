@@ -1187,3 +1187,67 @@ def test_span_store_grown_equals_one_shot(spark, tmp_path):
     inc2 = {r.doc_id: tuple(r)[1:] for r in
             batch_span_novelty(c, spark, path).collect()}
     assert inc2 == inc
+
+
+def test_fuzzy_decontaminate_catches_paraphrase_exact_misses(spark):
+    """A benchmark item with a few words swapped shares almost no
+    exact 5-grams with its training twin but keeps a high shingle
+    Jaccard — the fuzzy pass must flag it while the exact pass does
+    not. Clean docs stay unflagged, and the broadcast discipline
+    holds: the eval side reaches both joins as a broadcast, never a
+    shuffle of the train corpus on band keys."""
+    from tests.test_plans import plan_of
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    near = base.replace("echo", "zulu")  # one word swap: J ≈ 13/19
+    train = _docs(spark, [
+        (1, near),                                   # paraphrase of eval 100
+        (2, "totally unrelated words about spark partitions and shuffles ok"),
+    ])
+    ev = _docs(spark, [(100, base)])
+
+    exact = {r.doc_id: r.contaminated
+             for r in D.decontaminate(train, ev, ngram_n=5).collect()}
+    fuzzy = {r.doc_id: (r.contaminated, r.max_eval_jaccard, r.n_eval_matches)
+             for r in D.fuzzy_decontaminate(train, ev, threshold=0.5).collect()}
+
+    assert fuzzy[1][0] and fuzzy[1][1] >= 0.5 and fuzzy[1][2] == 1
+    assert not fuzzy[2][0] and fuzzy[2][1] == 0.0
+    # the paraphrase defeats exact 5-gram matching only at the edges
+    assert fuzzy[1][1] < 1.0
+
+    # The scale property, pinned directly: the eval side is broadcast
+    # at the band join and the verify join (≥2 BroadcastHashJoin), the
+    # TRAIN corpus is never shuffled on band keys, and nothing is a
+    # nested-loop pairing. The remaining sort-merge joins both have a
+    # candidate-sparse side that AQE converts at runtime.
+    p = plan_of(D.fuzzy_decontaminate(train, ev))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "hashpartitioning(band_key" not in p, p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+
+
+def test_cluster_safe_split_never_splits_a_near_dup_pair(spark):
+    """Every member of a near-dup cluster lands in the SAME split —
+    the leakage-free property a doc-level hash split cannot give —
+    and the assignment is deterministic across invocations."""
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, dup) for i in range(6)] + [
+        (10 + i, f"unique document number {i} with its own distinct words "
+                 f"entirely unlike the others {i}") for i in range(6)
+    ]
+    df = _docs(spark, rows)
+    out = D.cluster_safe_split(df, {"train": 0.5, "test": 0.5}).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the 6 verbatim dups are one cluster on one side
+    dup_rows = [r for r in out if r.doc_id < 6]
+    assert len({r.cluster_id for r in dup_rows}) == 1
+    assert len({r.split for r in dup_rows}) == 1
+    again = D.cluster_safe_split(df, {"train": 0.5, "test": 0.5}).collect()
+    assert {(r.doc_id, r.split) for r in again} == {
+        (r.doc_id, r.split) for r in out
+    }

@@ -1665,3 +1665,222 @@ def batch_span_novelty(
         "doc_id", "n_windows", "dup_windows",
         F.expr("_num div n_windows").cast("long").alias("novelty_ppm"),
     )
+
+
+# -- Fuzzy cross-corpus decontamination (MinHash train ↔ eval) ---------------
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate decontamination across corpora: flag training
+    documents whose shingle-Jaccard to ANY eval/benchmark document is
+    ≥ ``threshold``. Exact n-gram decontamination
+    (:func:`decontaminate`) misses paraphrase-level leakage — a
+    benchmark item with a couple of words changed shares few exact
+    13-grams but keeps a high Jaccard; this is the fuzzy pass run next
+    to it (the two-tier posture of published LLM corpus audits, e.g.
+    the GPT-3 appendix-C exact pass + later near-dup re-audits).
+
+    Output: one row per training document —
+    ``(doc_id, n_eval_matches, max_eval_jaccard, contaminated)``.
+
+    100 TB shape: signatures are the row-local minhash walk (no
+    shuffle); the candidate step is an LSH band join where the EVAL
+    side — tiny by construction — is explicitly broadcast, so the
+    train corpus is never shuffled on band keys; verification joins
+    candidate train docs (sparse) to their shingle sets and broadcasts
+    the eval shingle sets. Nothing is quadratic in the train corpus:
+    cost = one corpus scan + work proportional to candidates.
+    """
+    t = train.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    e = eval_df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    tb = lsh_bands(minhash_signatures(t, "text", n_hashes, shingle_n),
+                   n_hashes, bands)
+    eb = (
+        lsh_bands(minhash_signatures(e, "text", n_hashes, shingle_n),
+                  n_hashes, bands)
+        .withColumnRenamed("doc_id", "eval_id")
+    )
+    cand = (
+        tb.join(F.broadcast(eb), ["band_id", "band_key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    tsets = shingle_sets(t, "text", shingle_n).select("doc_id", "_sh")
+    esets = (
+        shingle_sets(e, "text", shingle_n)
+        .select(F.col("doc_id").alias("eval_id"), F.col("_sh").alias("_esh"))
+    )
+    inter = F.size(F.array_intersect("_sh", "_esh"))
+    jac = F.round(
+        inter / (F.size("_sh") + F.size("_esh") - inter).cast("double"), 6
+    )
+    scored = (
+        cand.join(tsets, "doc_id")
+        .join(F.broadcast(esets), "eval_id")
+        .select("doc_id", jac.alias("_j"))
+        .where(F.col("_j") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("_n"),
+            F.max("_j").alias("_mx"),
+        )
+    )
+    return t.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("_n", F.lit(0)).alias("n_eval_matches"),
+        F.coalesce("_mx", F.lit(0.0)).alias("max_eval_jaccard"),
+        (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def sql_fuzzy_decontaminate(
+    table: str = "documents",
+    eval_pred: str = "doc_id % 7 = 0",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`fuzzy_decontaminate` with the eval set
+    carved out of ``table`` by ``eval_pred`` (train = the complement),
+    mirroring :func:`sql_decontaminate`'s fixture convention."""
+    rows = n_hashes // bands
+    sig = sql_minhash_signatures("train_", n_hashes, shingle_n)
+    esig = sql_minhash_signatures("eval_", n_hashes, shingle_n)
+    def band_sel(src: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            + " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+            + f" AS band_key FROM {src}"
+            for b in range(bands)
+        )
+    sh = sql_shingles("text", shingle_n)
+    jac = (
+        "round(len(list_intersect(t.sh, e.sh))::DOUBLE"
+        " / (len(t.sh) + len(e.sh) - len(list_intersect(t.sh, e.sh))), 6)"
+    )
+    return f"""
+    WITH train_ AS (SELECT * FROM {table} WHERE NOT ({eval_pred})),
+    eval_ AS (SELECT * FROM {table} WHERE {eval_pred}),
+    tsigs AS ({sig}),
+    esigs AS ({esig}),
+    tbands AS ({band_sel('tsigs')}),
+    ebands AS ({band_sel('esigs')}),
+    cand AS (
+      SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+      FROM tbands t JOIN ebands e
+        ON t.band_id = e.band_id AND t.band_key = e.band_key
+    ),
+    tsets AS (SELECT doc_id, {sh} AS sh FROM train_),
+    esets AS (SELECT doc_id, {sh} AS sh FROM eval_),
+    scored AS (
+      SELECT c.doc_id,
+             CAST(count(*) AS INTEGER) AS n_eval_matches,
+             max({jac}) AS max_eval_jaccard
+      FROM cand c
+      JOIN tsets t ON t.doc_id = c.doc_id
+      JOIN esets e ON e.doc_id = c.eval_id
+      WHERE {jac} >= {threshold}
+      GROUP BY c.doc_id
+    )
+    SELECT tr.doc_id,
+           coalesce(s.n_eval_matches, 0) AS n_eval_matches,
+           coalesce(s.max_eval_jaccard, 0.0) AS max_eval_jaccard,
+           coalesce(s.n_eval_matches, 0) > 0 AS contaminated
+    FROM train_ tr LEFT JOIN scored s ON s.doc_id = tr.doc_id
+    """
+
+
+# -- Leakage-free split: near-dup clusters assigned atomically ---------------
+
+def cluster_safe_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Train/val/test split that can NOT leak near-duplicates across
+    the boundary: documents are first clustered
+    (:func:`dedup_clusters`), then each CLUSTER — not each document —
+    is hashed into a split, so every member of a near-dup cluster
+    lands on the same side. A per-document hash split (
+    :func:`webhookdb_spark.operators.sampling.corpus_split`) scatters
+    a duplicate pair across train/test with probability
+    2·p·(1-p) per pair — the textbook eval-contamination bug this
+    operator exists to close.
+
+    Output: ``(doc_id, cluster_id, split)``; deterministic on every
+    engine (cluster id = min doc id of the component, split from the
+    salted md5 of the cluster id — the same 28-bit discipline as the
+    sampling family, salted differently so it is independent of any
+    doc-level sample drawn before or after).
+
+    100 TB shape: cost is the dedup clustering itself (band joins +
+    contraction CC, both hash-partitioned); the split assignment adds
+    ZERO shuffles — it is a map over the labeled table.
+    """
+    from webhookdb_spark.operators.sampling import _bucket28
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    labeled = dedup_clusters(
+        df, None, text_col, id_col, n_hashes, bands, shingle_n, threshold
+    )
+    bucket = _bucket28(F.col("cluster_id"), "csplit:")
+    expr: Column | None = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, wt in items[:-1]:
+        acc += wt / total
+        cutoff = int(acc * float(1 << 28))
+        cond = bucket < F.lit(cutoff)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = (
+        F.lit(items[0][0]) if expr is None else expr.otherwise(F.lit(items[-1][0]))
+    )
+    return labeled.select("doc_id", "cluster_id", expr.alias("split"))
+
+
+def sql_cluster_safe_split(
+    table: str = "documents",
+    weights: dict[str, float] | None = None,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB twin of :func:`cluster_safe_split`: the
+    :func:`sql_dedup_clusters` recursive CTE, then the identical
+    salted-hash cutoff cascade on ``cluster_id``."""
+    from webhookdb_spark.operators.sampling import _sql_bucket28
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    clusters = sql_dedup_clusters(table, n_hashes, bands, shingle_n, threshold)
+    b = _sql_bucket28("cluster_id", "csplit:")
+    acc = 0.0
+    cases = []
+    items = list(weights.items())
+    for name, wt in items[:-1]:
+        acc += wt / total
+        cases.append(f"WHEN {b} < {int(acc * float(1 << 28))} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{items[-1][0]}' END"
+    return f"""
+    WITH clusters AS ({clusters})
+    SELECT doc_id, cluster_id, {case} AS split
+    FROM clusters
+    """
