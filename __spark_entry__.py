@@ -3660,6 +3660,119 @@ def _sql_dsir_resample() -> str:
     """
 
 
+_MARKUP_WRAP_SPARK = (
+    "concat('<html><head><style>body {margin:0}</style>"
+    "<script>var x = \"<p>\";</script></head><body><h1>', source, "
+    "'</h1><p>', text, '</p><!-- id ', cast(doc_id as string), "
+    "' --></body></html>')"
+)
+_MARKUP_WRAP_SQL = (
+    "'<html><head><style>body {margin:0}</style>"
+    "<script>var x = \"<p>\";</script></head><body><h1>' || source || "
+    "'</h1><p>' || text || '</p><!-- id ' || CAST(doc_id AS VARCHAR) || "
+    "' --></body></html>'"
+)
+
+
+def q_markup_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """The web-corpus HTML extraction stage: each doc is wrapped in
+    deterministic markup (head/style, a script whose STRING BODY
+    contains a tag, heading, comment) and strip_markup must recover
+    'source text' — script/style/comment bodies dropped, block tags
+    to spaces, entities decoded, whitespace collapsed. A fixed regex
+    pipeline (narrow, shuffle-free, no UDF), not a DOM parse: the
+    rule list is the cross-engine contract and survives the malformed
+    HTML a crawl actually contains."""
+    docs = load(spark, sf, "documents").selectExpr(
+        "doc_id", f"{_MARKUP_WRAP_SPARK} AS text"
+    )
+    return TX.strip_markup(docs)
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplication-rate audit per corpus source: a doc is a redundant
+    copy when an earlier doc_id anywhere in the corpus carries the
+    same normalized fingerprint. Returns per-source doc counts,
+    redundant-copy counts, and the rate in ppm (integer — no float
+    seam). One shuffle on the fingerprint, one on source."""
+    docs = load(spark, sf, "documents")
+    norm = TX.ascii_lower(F.regexp_replace(F.trim(F.col("text")), TX.WS, " "))
+    w = Window.partitionBy(F.md5(norm)).orderBy("doc_id")
+    per = docs.select(
+        "source", (F.row_number().over(w) > 1).cast("int").alias("_red")
+    )
+    n = F.count(F.lit(1)).cast("long")
+    red = F.sum("_red").cast("long")
+    return per.groupBy("source").agg(
+        n.alias("n_docs"),
+        red.alias("n_redundant"),
+        F.expr("cast(sum(_red) * 1000000 as bigint) div count(1)")
+        .cast("long").alias("dup_ppm"),
+    )
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+WITH per AS (
+  SELECT source,
+         CAST(row_number() OVER (
+           PARTITION BY md5(translate(regexp_replace(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
+           ORDER BY doc_id) > 1 AS INTEGER) AS _red
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(_red) AS BIGINT) AS n_redundant,
+       CAST(sum(_red) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+FROM per GROUP BY source
+"""
+
+
+def q_contamination_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The audit table a release manager reads before shipping a
+    corpus: per source, training docs flagged by the EXACT n-gram
+    pass and by the FUZZY MinHash pass against the eval slice
+    (doc_id % 7 = 0) — both tiers in one report, so exact-only vs
+    paraphrase-level leakage is visible per source."""
+    docs = load(spark, sf, "documents")
+    train = docs.where("doc_id % 7 != 0")
+    ev = docs.where("doc_id % 7 = 0")
+    exact = D.decontaminate(train, ev).select(
+        "doc_id", F.col("contaminated").cast("int").alias("_ex")
+    )
+    fuzzy = D.fuzzy_decontaminate(train, ev).select(
+        "doc_id", F.col("contaminated").cast("int").alias("_fz")
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(exact, "doc_id")
+        .join(fuzzy, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum("_ex").cast("long").alias("n_exact_contaminated"),
+            F.sum("_fz").cast("long").alias("n_fuzzy_contaminated"),
+        )
+    )
+
+
+def _sql_contamination_report() -> str:
+    return f"""
+    WITH exact_ AS ({D.sql_decontaminate()}),
+    fuzzy_ AS ({D.sql_fuzzy_decontaminate()})
+    SELECT d.source,
+           count(*) AS n_train_docs,
+           CAST(sum(CASE WHEN e.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_contaminated,
+           CAST(sum(CASE WHEN f.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fuzzy_contaminated
+    FROM documents d
+    JOIN exact_ e ON e.doc_id = d.doc_id
+    JOIN fuzzy_ f ON f.doc_id = d.doc_id
+    WHERE d.doc_id % 7 != 0
+    GROUP BY d.source
+    """
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -3747,6 +3860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": q_cluster_safe_split,
         "quality_filter": q_quality_filter,
         "dsir_resample": q_dsir_resample,
+        "markup_strip": q_markup_strip,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "contamination_report": q_contamination_report,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -3923,6 +4039,10 @@ def oracle_sql() -> dict[str, str]:
         "cluster_safe_split": D.sql_cluster_safe_split(),
         "quality_filter": _sql_quality_filter(),
         "dsir_resample": _sql_dsir_resample(),
+        "markup_strip": TX.sql_strip_markup(
+            "(SELECT doc_id, " + _MARKUP_WRAP_SQL + " AS text FROM documents)"),
+        "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+        "contamination_report": _sql_contamination_report(),
         "corpus_cap_quality": SA.sql_cap_per_group(
             "(SELECT d.doc_id, d.lang, q.quality_score"
             " FROM documents d JOIN ("

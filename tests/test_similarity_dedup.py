@@ -1251,3 +1251,44 @@ def test_cluster_safe_split_never_splits_a_near_dup_pair(spark):
     assert {(r.doc_id, r.split) for r in again} == {
         (r.doc_id, r.split) for r in out
     }
+
+
+def test_strip_markup_edge_semantics(spark):
+    """Script bodies with tags inside strings, block-tag word
+    boundaries, the entity table (incl. double-encoded &amp;lt;),
+    comments, malformed bare '<', and empty docs."""
+    import duckdb
+
+    from webhookdb_spark.operators.text import sql_strip_markup, strip_markup
+
+    rows = [
+        (1, '<script>if (a<b) { x = "<td>nope</td>"; }</script>keep'),
+        (2, "<p>one</p><p>two</p>"),            # block tags must not glue
+        (3, "a &amp;lt; b &nbsp; c &#39;d&#39;"),  # entities, double-encoded
+        (4, "<!-- secret --><B>bold</B> tail"),
+        (5, "3 < 5 and x > 1"),                  # bare comparators survive*
+        (6, ""),
+        (7, "<style type='text/css'>p { color: red }</style>done"),
+    ]
+    df = _docs(spark, rows)
+    got = {r.doc_id: (r.clean_text, r.n_tags) for r in strip_markup(df).collect()}
+    assert got[1][0] == "keep"
+    assert got[2][0] == "one two"
+    assert got[3][0] == "a &lt; b c 'd'"
+    assert got[4][0] == "bold tail"
+    # *'< 5 and x >' parses as one tag under the crawl-grade regex —
+    # the documented degradation, identical on both engines
+    assert got[5] == ("3 1", 1)
+    assert got[6] == ("", 0)
+    assert got[7][0] == "done"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(sql_strip_markup("docs")).fetchall()
+    }
+    assert oracle == got
