@@ -3773,6 +3773,29 @@ def _sql_contamination_report() -> str:
     """
 
 
+def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (the learning side of the
+    merge table token_count_bpe2 applies): one corpus shuffle
+    compresses the corpus to a (word, count) vocabulary, then each
+    merge round — pair explode, weighted count, global argmax, vocab
+    rewrite — is bounded by vocabulary size, not corpus size. The
+    first 6 learned merges with their corpus-weighted pair counts;
+    semantics pinned to tools/train_bpe.py (pytest proves the
+    distributed trainer reproduces the committed BPE_MERGES table)."""
+    return TX.bpe_train(load(spark, sf, "documents"), n_merges=6)
+
+
+def q_span_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicate-span REMOVAL with reconstruction (Lee et al.
+    2022's rewrite stage — span_novelty scores, this one edits): every
+    non-first occurrence of a corpus-duplicated 8-token window loses
+    its token range (overlaps union), and each document comes back
+    with its surviving tokens re-joined plus kept/removed counts. The
+    only corpus-sized shuffle keys the 32-byte window hash; the
+    rewrite itself is a doc-keyed join + narrow array filter."""
+    return D.remove_duplicate_spans(load(spark, sf, "documents"), k=8)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -3863,6 +3886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_strip": q_markup_strip,
         "dup_rate_by_source": q_dup_rate_by_source,
         "contamination_report": q_contamination_report,
+        "bpe_train_merges": q_bpe_train_merges,
+        "span_dedup_rewrite": q_span_dedup_rewrite,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4043,6 +4068,8 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, " + _MARKUP_WRAP_SQL + " AS text FROM documents)"),
         "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
         "contamination_report": _sql_contamination_report(),
+        "bpe_train_merges": TX.sql_bpe_train("documents", n_merges=6),
+        "span_dedup_rewrite": D.sql_remove_duplicate_spans("documents", k=8),
         "corpus_cap_quality": SA.sql_cap_per_group(
             "(SELECT d.doc_id, d.lang, q.quality_score"
             " FROM documents d JOIN ("

@@ -1292,3 +1292,62 @@ def test_strip_markup_edge_semantics(spark):
         for r in con.execute(sql_strip_markup("docs")).fetchall()
     }
     assert oracle == got
+
+
+def test_remove_duplicate_spans_rewrite_semantics(spark):
+    """The globally-first occurrence (smallest (doc_id, pos)) of a
+    duplicated window survives; every later occurrence — in another
+    doc OR a self-repeat — loses its token range; overlapping removed
+    ranges union; short docs and unique docs pass through verbatim."""
+    from webhookdb_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "a b c d e f g h"
+    rows = [
+        (1, shared + " tail1 x1 y1 z1 w1 v1 u1 t1"),
+        (2, shared + " tail2 x2 y2 z2 w2 v2 u2 t2"),
+        (3, "q r s t u v w x y z aa bb cc dd ee ff"),
+        (4, shared + " " + shared),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert len(out) == 5
+    # doc 1 holds the first occurrence: untouched
+    assert out[1].n_removed == 0
+    assert out[1].clean_text.startswith(shared)
+    # doc 2's copy of the shared window is removed (its 8 leading
+    # tokens), the unique tail survives
+    assert out[2].n_removed == 8
+    assert out[2].clean_text == "tail2 x2 y2 z2 w2 v2 u2 t2"
+    # unique doc: verbatim
+    assert out[3].n_removed == 0 and out[3].clean_text == rows[2][1]
+    # doc 4 = shared twice: windows 1..8 are all non-first occurrences
+    # (window 0 collides with doc 1's, windows 1-8 with its own), so
+    # every position is covered and the doc empties entirely
+    assert out[4].n_kept == 0 and out[4].clean_text == ""
+    assert out[4].n_removed == out[4].n_tokens == 16
+    # short doc: no windows, verbatim
+    assert out[5].n_removed == 0 and out[5].clean_text == "too short"
+    for r in out.values():
+        assert r.n_tokens == r.n_kept + r.n_removed
+
+
+def test_bpe_train_distributed_reproduces_pinned_table(spark):
+    """The distributed trainer must learn EXACTLY the merge table the
+    driver-side twin (tools/train_bpe.py) produced over the same
+    fixture corpus — the first 10 rows of the committed BPE_MERGES,
+    in rank order, symbols chr(65+k)."""
+    from webhookdb_spark.operators.text import BPE_MERGES, bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = bpe_train(docs, n_merges=10).orderBy("merge_rank").collect()
+    assert [(r.pair, r.merged_symbol) for r in got] == list(BPE_MERGES[:10])
+    assert all(r.pair_count >= 1 for r in got)
+    # counts are corpus-weighted and the argmax is strictly the max:
+    # rank-0 pair must beat rank-1's count at the time it was chosen —
+    # not directly comparable after rewrites, so just pin positivity
+    # and determinism across a re-run
+    again = bpe_train(docs, n_merges=3).orderBy("merge_rank").collect()
+    assert [(r.pair, r.merged_symbol, r.pair_count) for r in again] == [
+        (r.pair, r.merged_symbol, r.pair_count) for r in got[:3]
+    ]

@@ -1884,3 +1884,118 @@ def sql_cluster_safe_split(
     SELECT doc_id, cluster_id, {case} AS split
     FROM clusters
     """
+
+
+def remove_duplicate_spans(
+    df: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate-span REMOVAL with text reconstruction (the
+    rewrite stage of Lee et al. 2022's exact substring deduplication;
+    :func:`span_novelty` only scores). Returns one row per document:
+    (doc_id, n_tokens, n_kept, n_removed, clean_text) where every
+    occurrence of a corpus-duplicated ``k``-token window EXCEPT the
+    globally first one (smallest (doc_id, start) — same-doc repeats
+    count, matching span_novelty's posture) has its token range
+    removed, overlapping ranges union, and ``clean_text`` is the
+    surviving tokens re-joined in order.
+
+    100 TB shape: the only corpus-sized shuffle keys the 32-byte md5
+    window hash (to rank occurrences); removed-range positions are
+    loser-sized, aggregated per doc into a covered-position set, and
+    the rewrite is a doc-keyed join + one narrow array filter — the
+    full token stream is never re-shuffled or re-aggregated. Skewed
+    boilerplate hashes are AQE's skew-split case.
+    """
+    b = bind(
+        scale_out(df.select("doc_id", text_col)),
+        "_t",
+        tokens(F.col(text_col)),
+    ).select("doc_id", "_t")
+    wins = (
+        b.where(F.size("_t") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - k),
+                    lambda i: F.md5(F.array_join(F.slice("_t", i + 1, k), " ")),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    losers = (
+        wins.select("doc_id", "pos", F.row_number().over(w).alias("_r"))
+        .where(F.col("_r") > 1)
+    )
+    cov = (
+        losers.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("cpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("cpos").alias("_cov"))
+    )
+    kept = F.expr(
+        "CASE WHEN _cov IS NULL THEN _t ELSE"
+        " filter(transform(_t, (x, i) ->"
+        " IF(array_contains(_cov, i), CAST(NULL AS STRING), x)),"
+        " x -> x IS NOT NULL) END"
+    )
+    return (
+        b.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_t").cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("n_kept"),
+            (F.size("_t") - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
+def sql_remove_duplicate_spans(table: str = "documents", k: int = 8) -> str:
+    """DuckDB twin of :func:`remove_duplicate_spans` — same windows,
+    same global (doc_id, pos) first-occurrence rank; the rewrite takes
+    the explode / anti-join / ordered string_agg route (independent
+    plan, identical values)."""
+    t = SQL_TOKENS.format(c="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {t} AS tk FROM {table}
+    ), wins AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(tk[CAST(i AS INTEGER):CAST(i + {k} - 1 AS INTEGER)], ' ')) AS h
+      FROM toks, unnest(range(1, len(tk) - {k} + 2)) AS t2(i)
+      WHERE len(tk) >= {k}
+    ), losers AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS r
+        FROM wins
+      ) WHERE r > 1
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos + u AS cpos
+      FROM losers, unnest(range(0, {k})) AS t3(u)
+    ), tpos AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[CAST(i AS INTEGER)] AS tok
+      FROM toks, unnest(range(1, len(tk) + 1)) AS t4(i)
+    ), kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cov c WHERE c.doc_id = tp.doc_id AND c.cpos = tp.pos
+      )
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(b.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM (SELECT doc_id, len(tk) AS n FROM toks) b
+    LEFT JOIN agg a USING (doc_id)
+    """

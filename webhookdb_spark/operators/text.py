@@ -984,3 +984,124 @@ def sql_strip_markup(table: str = "documents", text_expr: str = "text") -> str:
     return (
         f"SELECT doc_id, {out} AS clean_text, {n} AS n_tags FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training — the TRAINING side of the merge table
+# that token_count_bpe2 applies (tools/train_bpe.py is the driver-side
+# twin of this operator; both implement classic Sennrich-style BPE over
+# the corpus's lowercase letter runs). The scalable shape is the
+# textbook one: ONE corpus-wide shuffle compresses the corpus to a
+# (word, count) vocabulary table, and every merge round after that
+# touches only the vocabulary — at 100 TB the corpus is read once and
+# the per-round work is bounded by vocabulary size, not corpus size.
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """(merge_rank, pair, merged_symbol, pair_count): the first
+    ``n_merges`` BPE merges learned from the corpus.
+
+    Semantics pinned to tools/train_bpe.py (and therefore to the
+    :data:`BPE_MERGES` table the apply path uses): words are the
+    ``[a-z]+`` runs of the ascii-lowered text, weighted by occurrence
+    count; each round merges the adjacent symbol pair with the highest
+    corpus-weighted count (overlapping occurrences each count, e.g.
+    "aaa" contributes ("a","a") twice); ties break to the
+    lexicographically smallest pair; merge #k's output symbol is
+    chr(65 + k), so every BPE unit stays exactly one character and
+    merge application is plain leftmost non-overlapping replace() —
+    identical in Python, Spark, and DuckDB.
+
+    JUSTIFIED COLLECT: each round collects exactly ONE row (the argmax
+    pair) — metadata-sized by construction, the same posture as
+    PageRank's per-round convergence scalar. The vocabulary table is
+    localCheckpoint()ed every round so round k's job re-reads the
+    checkpointed vocab, not the corpus lineage (without this the
+    driver loop is O(rounds^2) in recomputation).
+    """
+    words = (
+        scale_out(df.select(text_col))
+        .select(F.explode(F.split(ascii_lower(F.col(text_col)), "[^a-z]+")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(n_merges):
+        pairs = (
+            words.where(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr("transform(sequence(1, length(w) - 1),"
+                           " i -> substring(w, i, 2))")
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1).collect()
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        sym = chr(65 + k)
+        merges.append((k, pair, sym, n))
+        words = (
+            words.select(
+                F.replace(F.col("w"), F.lit(pair), F.lit(sym)).alias("w"), "cnt"
+            )
+            .groupBy("w")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, merged_symbol string, pair_count bigint"
+    )
+
+
+def sql_bpe_train(table: str = "documents", n_merges: int = 6) -> str:
+    """DuckDB twin of :func:`bpe_train` — the merge loop unrolled as a
+    generated CTE chain (one pair-count + argmax + vocabulary-rewrite
+    block per round, the same shape as the unrolled PageRank oracle)."""
+    lower = SQL_ASCII_LOWER.format(c="text")
+    ctes = [
+        f"""w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split_regex({lower}, '[^a-z]+')) AS w
+        FROM {table}
+      ) WHERE len(w) > 0 GROUP BY w
+    )"""
+    ]
+    selects = []
+    for k in range(n_merges):
+        sym = chr(65 + k)
+        ctes.append(f"""p{k} AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
+             CAST(SUM(cnt) AS BIGINT) AS n
+      FROM w{k}, unnest(range(1, len(w))) AS t(i)
+      GROUP BY 1
+    )""")
+        ctes.append(f"""m{k} AS (
+      SELECT pair, n FROM p{k} ORDER BY n DESC, pair LIMIT 1
+    )""")
+        ctes.append(f"""w{k + 1} AS (
+      SELECT replace(w, (SELECT pair FROM m{k}), '{sym}') AS w,
+             CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM w{k} GROUP BY 1
+    )""")
+        selects.append(
+            f"SELECT {k} AS merge_rank, pair, '{sym}' AS merged_symbol,"
+            f" n AS pair_count FROM m{k}"
+        )
+    union = "\n      UNION ALL ".join(selects)
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT * FROM ({union}) ORDER BY merge_rank
+    """
