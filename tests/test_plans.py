@@ -613,3 +613,48 @@ def test_span_novelty_single_scan_two_shuffles(spark):
     assert len(re.findall(r"SortMergeJoin|BroadcastHashJoin", p)) == 0
     schema = " ".join(re.findall(r"ReadSchema: [^\n]*", p))
     assert "text" in schema and "lang" not in schema and "source" not in schema
+
+
+def test_span_dedup_rewrite_two_scans_hash_exchange_no_cartesian(spark):
+    """remove_duplicate_spans: exactly TWO column-pruned corpus scans
+    (the windows pass and the rewrite pass — the token stream itself
+    is never re-shuffled or re-aggregated), the only corpus-sized
+    exchange keys the 32-byte window hash, the cover-set re-attach is
+    a keyed equi-join, and both scans read only (doc_id, text)."""
+    p = plan_of(entry.queries()["span_dedup_rewrite"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert re.search(r"hashpartitioning\(h#", p), p
+    schema = " ".join(re.findall(r"ReadSchema: [^\n]*", p))
+    assert "text" in schema and "lang" not in schema and "source" not in schema
+
+
+def test_bpe_train_word_table_single_corpus_scan(spark):
+    """The BPE trainer's vocabulary build — the ONLY corpus-sized
+    stage — is one column-pruned scan into a partial-agg word count;
+    every merge round after it reads the checkpointed vocab, not the
+    corpus (the plan of the round-1 pair aggregate must contain NO
+    parquet scan)."""
+    from pyspark.sql import functions as F
+    from webhookdb_spark.operators.text import ascii_lower
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    words = (
+        docs.select(F.explode(F.split(ascii_lower(F.col("text")), "[^a-z]+")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p = plan_of(words)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "partial_count" in p or "HashAggregate" in p
+    schema = " ".join(re.findall(r"ReadSchema: [^\n]*", p))
+    assert "text" in schema and "doc_id" not in schema
+    ck = words.localCheckpoint()
+    pairs = (
+        ck.where(F.length("w") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+        )).alias("pair"), "cnt")
+        .groupBy("pair").agg(F.sum("cnt").alias("n"))
+    )
+    assert "Scan parquet" not in plan_of(pairs)
