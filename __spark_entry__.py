@@ -33,6 +33,7 @@ from webhookdb_spark.operators import profile as PR  # noqa: E402
 from webhookdb_spark.operators import text as TX  # noqa: E402
 from webhookdb_spark.operators import analytics as AN  # noqa: E402
 from webhookdb_spark.operators import graph as GR  # noqa: E402
+from webhookdb_spark.sources import jsonl as JS  # noqa: E402
 from webhookdb_spark.operators import history as H  # noqa: E402
 from webhookdb_spark.operators import skew as SKW  # noqa: E402
 from webhookdb_spark.operators import digest as DG  # noqa: E402
@@ -3785,6 +3786,91 @@ def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     return TX.bpe_train(load(spark, sf, "documents"), n_merges=6)
 
 
+def q_jsonl_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """Bulk JSONL ingestion with quarantine routing (the corpus-scale
+    envelope validator): each doc is serialized to a JSONL line and a
+    deterministic doc_id%17 slice is corrupted — truncated JSON,
+    missing text, missing lang, explicit-null lang, non-numeric
+    n_chars — then parse_jsonl_with_quarantine must classify every
+    line (valid vs quarantined + machine-readable first-failure
+    reason) and surface try_cast'ed typed values, in ONE narrow
+    shuffle-free map. The reject stream gets a reason a replayer can
+    route on, instead of FAILFAST (job dies) or naive PERMISSIVE
+    (silent nulls)."""
+    docs = load(spark, sf, "documents")
+    q = F.lit('"')
+    esc = F.replace(
+        F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")), q, F.lit('\\"')
+    )
+    did, nch = F.col("doc_id").cast("string"), F.col("n_chars").cast("string")
+    head = F.concat(F.lit('{"doc_id": '), did)
+    txt = F.concat(F.lit(', "text": "'), esc, q)
+    lng = F.concat(F.lit(', "lang": "'), F.col("lang"), q)
+    tail = F.concat(F.lit(', "n_chars": '), nch, F.lit("}"))
+    full = F.concat(head, txt, lng, tail)
+    m = F.col("doc_id") % 17
+    line = (
+        F.when(m == 3, full.substr(F.lit(1), F.length(full) - 1))
+        .when(m == 5, F.concat(head, txt, tail))
+        .when(m == 7, F.concat(head, lng, tail))
+        .when(m == 9, F.concat(head, txt, F.lit(', "lang": null'), tail))
+        .when(m == 11, F.concat(head, txt, lng, F.lit(', "n_chars": "xx"}')))
+        .otherwise(full)
+    )
+    out = JS.parse_jsonl_with_quarantine(
+        docs.select(F.col("doc_id").alias("src_id"), line.alias("line")),
+        fields=[("doc_id", "bigint"), ("text", "string"),
+                ("lang", "string"), ("n_chars", "bigint")],
+        required=("text", "lang"),
+    )
+    # reason is NULL on valid rows by operator contract; the driver's
+    # pandas canonicalizer cannot sort mixed None/str, so the QUERY
+    # ships a sentinel (the r7 lesson: output shape is the contract)
+    return out.select(
+        "src_id",
+        F.coalesce(F.col("lang_val"), F.lit("")).alias("lang_val"),
+        F.coalesce(F.col("n_chars_val"), F.lit(-1).cast("bigint")).alias("n_chars_val"),
+        "status",
+        F.coalesce(F.col("reason"), F.lit("ok")).alias("reason"),
+    )
+
+
+def _sql_jsonl_quarantine() -> str:
+    lines_cte = """
+    SELECT src_id,
+      CASE
+        WHEN doc_id % 17 = 3 THEN substr(l_full, 1, length(l_full) - 1)
+        WHEN doc_id % 17 = 5 THEN h || t || tail
+        WHEN doc_id % 17 = 7 THEN h || lg || tail
+        WHEN doc_id % 17 = 9 THEN h || t || ', "lang": null' || tail
+        WHEN doc_id % 17 = 11 THEN h || t || lg || ', "n_chars": "xx"}'
+        ELSE l_full END AS line
+    FROM (
+      SELECT doc_id AS src_id, doc_id,
+             h, t, lg, tail, h || t || lg || tail AS l_full
+      FROM (
+        SELECT doc_id, lang, n_chars,
+               '{"doc_id": ' || doc_id AS h,
+               ', "text": "' || replace(replace(text, '\\', '\\\\'), '"', '\\"') || '"' AS t,
+               ', "lang": "' || lang || '"' AS lg,
+               ', "n_chars": ' || n_chars || '}' AS tail
+        FROM documents))
+    """
+    inner = JS.sql_parse_jsonl_with_quarantine(
+        lines_cte,
+        fields=[("doc_id", "bigint"), ("text", "string"),
+                ("lang", "string"), ("n_chars", "bigint")],
+        required=("text", "lang"),
+        keep=("src_id",),
+    )
+    return (
+        "SELECT src_id, COALESCE(lang_val, '') AS lang_val,"
+        " CAST(COALESCE(n_chars_val, -1) AS BIGINT) AS n_chars_val, status,"
+        " COALESCE(reason, 'ok') AS reason"
+        f" FROM ({inner})"
+    )
+
+
 def q_span_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicate-span REMOVAL with reconstruction (Lee et al.
     2022's rewrite stage — span_novelty scores, this one edits): every
@@ -3888,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "bpe_train_merges": q_bpe_train_merges,
         "span_dedup_rewrite": q_span_dedup_rewrite,
+        "jsonl_quarantine": q_jsonl_quarantine,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4070,6 +4157,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_report": _sql_contamination_report(),
         "bpe_train_merges": TX.sql_bpe_train("documents", n_merges=6),
         "span_dedup_rewrite": D.sql_remove_duplicate_spans("documents", k=8),
+        "jsonl_quarantine": _sql_jsonl_quarantine(),
         "corpus_cap_quality": SA.sql_cap_per_group(
             "(SELECT d.doc_id, d.lang, q.quality_score"
             " FROM documents d JOIN ("

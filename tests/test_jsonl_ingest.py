@@ -1,0 +1,61 @@
+"""Bulk JSONL quarantine ingestion: classification, reason priority,
+typed value extraction (webhookdb_spark/sources/jsonl.py)."""
+
+from __future__ import annotations
+
+from webhookdb_spark.sources.jsonl import parse_jsonl_with_quarantine
+
+FIELDS = [("doc_id", "bigint"), ("text", "string"),
+          ("lang", "string"), ("n_chars", "bigint")]
+
+
+def _parse(spark, rows):
+    df = spark.createDataFrame(rows, "src_id long, line string")
+    out = parse_jsonl_with_quarantine(
+        df, fields=FIELDS, required=("text", "lang"))
+    return {r.src_id: r for r in out.collect()}
+
+
+def test_jsonl_quarantine_classes_and_values(spark):
+    got = _parse(spark, [
+        (1, '{"doc_id": 5, "text": "hi", "lang": "en", "n_chars": 2}'),
+        (2, '{"doc_id": 6, "text": "x", "lang": "de", "n_chars": 1'),
+        (3, '{"doc_id": 7, "text": "y", "n_chars": 2}'),
+        (4, '{"doc_id": 8, "text": "z", "lang": null, "n_chars": 3}'),
+        (5, '{"doc_id": 9, "text": "w", "lang": "fr", "n_chars": "xx"}'),
+        (6, 'not json at all'),
+    ])
+    assert got[1].status == "valid" and got[1].reason is None
+    assert (got[1].doc_id_val, got[1].text_val, got[1].lang_val,
+            got[1].n_chars_val) == (5, "hi", "en", 2)
+    assert got[2].reason == "malformed_json"
+    assert got[3].reason == "missing_field:lang"
+    # explicit JSON null == absent, deliberately
+    assert got[4].reason == "missing_field:lang"
+    assert got[5].reason == "bad_type:n_chars"
+    assert got[5].n_chars_val is None and got[5].text_val == "w"
+    assert got[6].reason == "malformed_json"
+    assert all(r.status == "quarantined" for k, r in got.items() if k != 1)
+
+
+def test_jsonl_quarantine_reason_priority_first_failure_wins(spark):
+    # one line failing EVERY check after parse: missing text (declared
+    # first in required) must win over missing lang and bad n_chars
+    got = _parse(spark, [(1, '{"doc_id": 1, "n_chars": "xx"}')])
+    assert got[1].reason == "missing_field:text"
+    # lang present, text missing, n_chars bad: still text first
+    got = _parse(spark, [(1, '{"doc_id": 1, "lang": "en", "n_chars": "xx"}')])
+    assert got[1].reason == "missing_field:text"
+    # all required present, only the cast fails
+    got = _parse(spark, [(1, '{"doc_id": 1, "text": "t", "lang": "en", "n_chars": "xx"}')])
+    assert got[1].reason == "bad_type:n_chars"
+
+
+def test_jsonl_quarantine_numeric_coercion_and_passthrough_cols(spark):
+    # JSON numbers coerce to their literal text before try_cast (the
+    # string-first contract), and non-line input columns pass through
+    got = _parse(spark, [(42, '{"doc_id": 3.0, "text": "t", "lang": "en", "n_chars": 7}')])
+    r = got[42]
+    assert r.src_id == 42 and r.status == "quarantined"
+    # "3.0" does not try_cast to bigint: bad_type, not silent floor
+    assert r.reason == "bad_type:doc_id"
