@@ -3786,18 +3786,11 @@ def q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     return TX.bpe_train(load(spark, sf, "documents"), n_merges=6)
 
 
-def q_jsonl_quarantine(spark: SparkSession, sf: str) -> DataFrame:
-    """Bulk JSONL ingestion with quarantine routing (the corpus-scale
-    envelope validator): each doc is serialized to a JSONL line and a
-    deterministic doc_id%17 slice is corrupted — truncated JSON,
-    missing text, missing lang, explicit-null lang, non-numeric
-    n_chars — then parse_jsonl_with_quarantine must classify every
-    line (valid vs quarantined + machine-readable first-failure
-    reason) and surface try_cast'ed typed values, in ONE narrow
-    shuffle-free map. The reject stream gets a reason a replayer can
-    route on, instead of FAILFAST (job dies) or naive PERMISSIVE
-    (silent nulls)."""
-    docs = load(spark, sf, "documents")
+def _jsonl_lines_spark(docs: DataFrame) -> DataFrame:
+    """(src_id, line): documents serialized to JSONL with a
+    deterministic doc_id%17 slice corrupted — truncated JSON, missing
+    text, missing lang, explicit-null lang, non-numeric n_chars — the
+    shared fixture feed for the raw-ingestion audits."""
     q = F.lit('"')
     esc = F.replace(
         F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")), q, F.lit('\\"')
@@ -3817,8 +3810,23 @@ def q_jsonl_quarantine(spark: SparkSession, sf: str) -> DataFrame:
         .when(m == 11, F.concat(head, txt, lng, F.lit(', "n_chars": "xx"}')))
         .otherwise(full)
     )
+    return docs.select(F.col("doc_id").alias("src_id"), line.alias("line"))
+
+
+def q_jsonl_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """Bulk JSONL ingestion with quarantine routing (the corpus-scale
+    envelope validator): each doc is serialized to a JSONL line and a
+    deterministic doc_id%17 slice is corrupted — truncated JSON,
+    missing text, missing lang, explicit-null lang, non-numeric
+    n_chars — then parse_jsonl_with_quarantine must classify every
+    line (valid vs quarantined + machine-readable first-failure
+    reason) and surface try_cast'ed typed values, in ONE narrow
+    shuffle-free map. The reject stream gets a reason a replayer can
+    route on, instead of FAILFAST (job dies) or naive PERMISSIVE
+    (silent nulls)."""
+    docs = load(spark, sf, "documents")
     out = JS.parse_jsonl_with_quarantine(
-        docs.select(F.col("doc_id").alias("src_id"), line.alias("line")),
+        _jsonl_lines_spark(docs),
         fields=[("doc_id", "bigint"), ("text", "string"),
                 ("lang", "string"), ("n_chars", "bigint")],
         required=("text", "lang"),
@@ -3835,8 +3843,7 @@ def q_jsonl_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_jsonl_quarantine() -> str:
-    lines_cte = """
+_SQL_JSONL_LINES = """
     SELECT src_id,
       CASE
         WHEN doc_id % 17 = 3 THEN substr(l_full, 1, length(l_full) - 1)
@@ -3856,8 +3863,11 @@ def _sql_jsonl_quarantine() -> str:
                ', "n_chars": ' || n_chars || '}' AS tail
         FROM documents))
     """
+
+
+def _sql_jsonl_quarantine() -> str:
     inner = JS.sql_parse_jsonl_with_quarantine(
-        lines_cte,
+        _SQL_JSONL_LINES,
         fields=[("doc_id", "bigint"), ("text", "string"),
                 ("lang", "string"), ("n_chars", "bigint")],
         required=("text", "lang"),
@@ -3869,6 +3879,18 @@ def _sql_jsonl_quarantine() -> str:
         " COALESCE(reason, 'ok') AS reason"
         f" FROM ({inner})"
     )
+
+
+def q_json_key_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-drift audit over the raw JSONL feed: per top-level key,
+    the observed normalized value-class distribution. On the
+    corrupted fixture feed this surfaces exactly what a drifting
+    producer looks like — n_chars counts as 'int' on clean lines and
+    'string' on the bad-type slice, lang shows a 'null' class, and
+    the missing-field slices show up as lower key totals. One narrow
+    parse+explode, one schema-sized groupBy."""
+    docs = load(spark, sf, "documents")
+    return JS.json_key_profile(_jsonl_lines_spark(docs))
 
 
 def q_span_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
@@ -3975,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": q_bpe_train_merges,
         "span_dedup_rewrite": q_span_dedup_rewrite,
         "jsonl_quarantine": q_jsonl_quarantine,
+        "json_key_profile": q_json_key_profile,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4158,6 +4181,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_merges": TX.sql_bpe_train("documents", n_merges=6),
         "span_dedup_rewrite": D.sql_remove_duplicate_spans("documents", k=8),
         "jsonl_quarantine": _sql_jsonl_quarantine(),
+        "json_key_profile": JS.sql_json_key_profile(_SQL_JSONL_LINES),
         "corpus_cap_quality": SA.sql_cap_per_group(
             "(SELECT d.doc_id, d.lang, q.quality_score"
             " FROM documents d JOIN ("

@@ -59,3 +59,25 @@ def test_jsonl_quarantine_numeric_coercion_and_passthrough_cols(spark):
     assert r.src_id == 42 and r.status == "quarantined"
     # "3.0" does not try_cast to bigint: bad_type, not silent floor
     assert r.reason == "bad_type:doc_id"
+
+
+def test_json_key_profile_classes_and_malformed_exclusion(spark):
+    from webhookdb_spark.sources.jsonl import json_key_profile
+
+    rows = [
+        (1, '{"a": 1, "b": "x", "c": 2.5, "d": true, "e": null}'),
+        (2, '{"a": -7, "f": [1,2], "g": {"h":1}}'),
+        (3, '{"a": "12"}'),       # string "12" profiles as int — by design
+        (4, 'broken {'),          # malformed: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "src_id long, line string")
+    got = {(r.key, r.value_class): r.n
+           for r in json_key_profile(df).collect()}
+    assert got[("a", "int")] == 3
+    assert got[("b", "string")] == 1
+    assert got[("c", "float")] == 1
+    assert got[("d", "bool")] == 1
+    assert got[("e", "null")] == 1
+    assert got[("f", "array")] == 1
+    assert got[("g", "object")] == 1
+    assert sum(n for (k, _), n in got.items() if k == "a") == 3

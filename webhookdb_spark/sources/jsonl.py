@@ -138,3 +138,70 @@ def sql_parse_jsonl_with_quarantine(
            {reason} AS reason
     FROM ({lines_cte})
     """
+
+
+def json_key_profile(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """(key, value_class, n): the schema-drift audit over a raw JSONL
+    feed — for every top-level key, how many parseable lines carry it
+    and as what normalized value class ('int', 'float', 'bool',
+    'null', 'array', 'object', 'string').
+
+    Classes describe the NORMALIZED text (both engines stringify
+    scalars identically: numbers to their literal text, strings
+    unquoted, null to SQL NULL, containers to JSON text) — so a JSON
+    string "123" and a number 123 profile identically as 'int'. That
+    is deliberate: the question a pipeline asks of a drifting feed is
+    "can this field still be read as an int", not "what did the
+    producer's serializer quote this week". Malformed lines are
+    excluded (they are :func:`parse_jsonl_with_quarantine`'s job).
+
+    Scale shape: one narrow map (parse to map<string,string> +
+    explode) and ONE partial-agg-friendly groupBy on (key, class) —
+    output is schema-sized, never corpus-sized.
+    """
+    kv = lines.select(
+        F.explode(F.from_json(F.col(line_col), "map<string,string>")).alias("k", "v")
+    )
+    cls = (
+        F.when(F.col("v").isNull(), "null")
+        .when(F.col("v").rlike("^-?[0-9]+$"), "int")
+        .when(F.col("v").rlike("^-?[0-9]+\\.[0-9]+$"), "float")
+        .when(F.col("v").isin("true", "false"), "bool")
+        .when(F.col("v").startswith("["), "array")
+        .when(F.col("v").startswith("{"), "object")
+        .otherwise("string")
+    )
+    return (
+        kv.select(F.col("k").alias("key"), cls.alias("value_class"))
+        .groupBy("key", "value_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_json_key_profile(lines_cte: str) -> str:
+    """DuckDB twin of :func:`json_key_profile` (json_keys +
+    json_extract_string normalize exactly like Spark's
+    map<string,string> parse; malformed lines excluded by
+    json_valid — the twin of from_json's null-map drop)."""
+    return f"""
+    WITH kv AS (
+      SELECT t.k AS key,
+             json_extract_string(line, '$.' || t.k) AS v
+      -- json_valid must gate BEFORE the lateral unnest: DuckDB
+      -- evaluates the table function during the scan, ahead of any
+      -- WHERE on the joined row, and json_keys ERRORS on malformed
+      FROM (SELECT line FROM ({lines_cte}) WHERE json_valid(line)) L,
+           unnest(json_keys(line)) AS t(k)
+    )
+    SELECT key,
+           CASE WHEN v IS NULL THEN 'null'
+                WHEN regexp_full_match(v, '-?[0-9]+') THEN 'int'
+                WHEN regexp_full_match(v, '-?[0-9]+\\.[0-9]+') THEN 'float'
+                WHEN v IN ('true', 'false') THEN 'bool'
+                WHEN v LIKE '[%' THEN 'array'
+                WHEN v LIKE '{{%' THEN 'object'
+                ELSE 'string' END AS value_class,
+           count(*) AS n
+    FROM kv
+    GROUP BY key, value_class
+    """
