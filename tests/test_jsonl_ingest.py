@@ -81,3 +81,50 @@ def test_json_key_profile_classes_and_malformed_exclusion(spark):
     assert got[("f", "array")] == 1
     assert got[("g", "object")] == 1
     assert sum(n for (k, _), n in got.items() if k == "a") == 3
+
+
+def test_jsonl_quarantine_runs_as_stream_with_two_sink_split(spark, tmp_warehouse):
+    """The parser is a narrow map, so the SAME call works under
+    readStream: a foreachBatch splits each micro-batch into valid and
+    quarantine sinks, and the union of the two equals the batch
+    parse of the same lines."""
+    import json as _json
+
+    land = tmp_warehouse / "jsonl_land"
+    land.mkdir(parents=True)
+    lines = [
+        '{"doc_id": 1, "text": "a", "lang": "en", "n_chars": 1}',
+        '{"doc_id": 2, "text": "b", "lang": "de", "n_chars": 1',
+        '{"doc_id": 3, "text": "c", "n_chars": 1}',
+        '{"doc_id": 4, "text": "d", "lang": "fr", "n_chars": "xx"}',
+    ]
+    (land / "part0.txt").write_text("\n".join(lines) + "\n")
+
+    valid_dir = str(tmp_warehouse / "valid")
+    quar_dir = str(tmp_warehouse / "quarantine")
+
+    def handle(batch, _bid):
+        out = parse_jsonl_with_quarantine(
+            batch.withColumnRenamed("value", "line"),
+            fields=FIELDS, required=("text", "lang"))
+        out.where("status = 'valid'").write.mode("append").parquet(valid_dir)
+        out.where("status = 'quarantined'").write.mode("append").parquet(quar_dir)
+
+    stream = spark.readStream.format("text").load(str(land))
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_warehouse / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    valid = spark.read.parquet(valid_dir).collect()
+    quar = spark.read.parquet(quar_dir).collect()
+    assert [r.doc_id_val for r in valid] == [1]
+    assert sorted(r.reason for r in quar) == [
+        "bad_type:n_chars", "malformed_json", "missing_field:lang"]
+    # stream result == batch result on the same lines
+    batch_df = spark.createDataFrame([(l,) for l in lines], "line string")
+    batch_out = parse_jsonl_with_quarantine(
+        batch_df, fields=FIELDS, required=("text", "lang"))
+    assert sorted((r.status, r.reason or "") for r in batch_out.collect()) == \
+        sorted([(r.status, r.reason or "") for r in valid] +
+               [(r.status, r.reason or "") for r in quar])
