@@ -3893,6 +3893,22 @@ def q_json_key_profile(spark: SparkSession, sf: str) -> DataFrame:
     return JS.json_key_profile(_jsonl_lines_spark(docs))
 
 
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity + l-diversity audit over customers: equivalence
+    classes keyed by (market segment, $1000 account-balance band),
+    nation as the sensitive attribute — class sizes, distinct-nation
+    counts, and k<5 / l<3 violation flags, from ONE QI-keyed
+    aggregate. The release-gate audit for structured records."""
+    cust = load(spark, sf, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000)).cast("int")
+    return PR.anonymity_audit(
+        cust.select("c_mktsegment", band.alias("bal_band"), "c_nationkey"),
+        qi_cols=["c_mktsegment", "bal_band"],
+        sensitive_col="c_nationkey",
+        k=5, l=3,
+    )
+
+
 def q_span_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicate-span REMOVAL with reconstruction (Lee et al.
     2022's rewrite stage — span_novelty scores, this one edits): every
@@ -3998,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_rewrite": q_span_dedup_rewrite,
         "jsonl_quarantine": q_jsonl_quarantine,
         "json_key_profile": q_json_key_profile,
+        "k_anonymity": q_k_anonymity,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4182,6 +4199,11 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_rewrite": D.sql_remove_duplicate_spans("documents", k=8),
         "jsonl_quarantine": _sql_jsonl_quarantine(),
         "json_key_profile": JS.sql_json_key_profile(_SQL_JSONL_LINES),
+        "k_anonymity": PR.sql_anonymity_audit(
+            "customer",
+            qi_exprs=[("c_mktsegment", "c_mktsegment"),
+                      ("CAST(floor(c_acctbal / 1000) AS INTEGER)", "bal_band")],
+            sensitive_col="c_nationkey", k=5, l=3),
         "corpus_cap_quality": SA.sql_cap_per_group(
             "(SELECT d.doc_id, d.lang, q.quality_score"
             " FROM documents d JOIN ("

@@ -128,3 +128,27 @@ def test_jsonl_quarantine_runs_as_stream_with_two_sink_split(spark, tmp_warehous
     assert sorted((r.status, r.reason or "") for r in batch_out.collect()) == \
         sorted([(r.status, r.reason or "") for r in valid] +
                [(r.status, r.reason or "") for r in quar])
+
+
+def test_anonymity_audit_k_and_l_flags(spark):
+    """A 2-row class violates k=3 (but its 2 distinct sensitive values
+    satisfy l=2); a 5-row class with one sensitive value satisfies k
+    but violates l=2; a mixed large class passes both."""
+    from webhookdb_spark.operators.profile import anonymity_audit
+
+    rows = (
+        [("seg_small", 0, 10), ("seg_small", 0, 11)]
+        + [("seg_homog", 1, 42)] * 5
+        + [("seg_ok", 2, i) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "seg string, band int, nation int")
+    got = {(r.seg, r.band): r for r in anonymity_audit(
+        df, qi_cols=["seg", "band"], sensitive_col="nation", k=3, l=2
+    ).collect()}
+    small = got[("seg_small", 0)]
+    assert (small.group_size, small.violates_k, small.violates_l) == (2, 1, 0)
+    homog = got[("seg_homog", 1)]
+    assert (homog.group_size, homog.n_sensitive_distinct,
+            homog.violates_k, homog.violates_l) == (5, 1, 0, 1)
+    ok = got[("seg_ok", 2)]
+    assert (ok.violates_k, ok.violates_l) == (0, 0)

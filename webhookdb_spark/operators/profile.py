@@ -383,3 +383,66 @@ def sql_fk_orphans(
            _o = 0 AS passed
     FROM o
     """
+
+
+def anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity + l-diversity audit — the governance pass a corpus
+    runs before releasing structured records: every equivalence class
+    over the quasi-identifier columns ``qi_cols`` with its size
+    (k-anonymity: a class smaller than ``k`` re-identifies its
+    members) and the number of DISTINCT values of ``sensitive_col``
+    inside it (l-diversity: a class with fewer than ``l`` distinct
+    sensitive values leaks the attribute by membership alone, however
+    large it is). Returns (qi..., group_size, n_sensitive_distinct,
+    violates_k, violates_l) — violations as int flags so the caller
+    can aggregate rates without a reshuffle.
+
+    Scale shape: ONE shuffle on the QI key; the exact distinct count
+    rides the same aggregate. At 100 TB the QI key is low-cardinality
+    by construction (that is what makes it a quasi-identifier), so
+    map-side combine collapses almost everything before the exchange;
+    a high-cardinality "QI" would mean the table is already
+    pseudonymous and the audit trivially passes.
+    """
+    g = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct(sensitive_col).cast("long").alias("n_sensitive_distinct"),
+    )
+    return g.select(
+        *qi_cols,
+        "group_size",
+        "n_sensitive_distinct",
+        (F.col("group_size") < k).cast("int").alias("violates_k"),
+        (F.col("n_sensitive_distinct") < l).cast("int").alias("violates_l"),
+    )
+
+
+def sql_anonymity_audit(
+    table: str,
+    qi_exprs: list[tuple[str, str]],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> str:
+    """DuckDB twin of :func:`anonymity_audit`. ``qi_exprs`` is
+    (expr, alias) pairs so generalization bands (e.g. floor(x/1000))
+    stay identical in both engines."""
+    sel = ", ".join(f"{e} AS {a}" for e, a in qi_exprs)
+    keys = ", ".join(a for _, a in qi_exprs)
+    return f"""
+    SELECT {keys},
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT {sensitive_col}) AS BIGINT)
+             AS n_sensitive_distinct,
+           CAST(COUNT(*) < {k} AS INTEGER) AS violates_k,
+           CAST(COUNT(DISTINCT {sensitive_col}) < {l} AS INTEGER)
+             AS violates_l
+    FROM (SELECT {sel}, {sensitive_col} FROM {table})
+    GROUP BY {keys}
+    """
