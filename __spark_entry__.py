@@ -3909,6 +3909,28 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Variance-optimal (Neyman) sample allocation over event types:
+    per stratum, exact-decimal moment sums -> population stddev ->
+    integer weight N_h*S_h*1e6 -> integer-division allocation of a
+    1000-draw budget, capped at stratum size. The principled form of
+    'sample noisy sources more'; one stratum-keyed aggregate + a
+    1-row broadcast total."""
+    return SA.neyman_allocation(
+        load(spark, sf, "events"), "event_type", "value", total_n=1000
+    )
+
+
+def q_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """The Neyman draw itself: deterministic md5-order pick of each
+    stratum's allocation (WindowGroupLimit keeps per-task state at
+    the allocation bound, never the stratum)."""
+    return SA.neyman_sample(
+        load(spark, sf, "events"), "event_type", "value",
+        id_col="event_id", total_n=1000,
+    )
+
+
 def q_span_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicate-span REMOVAL with reconstruction (Lee et al.
     2022's rewrite stage — span_novelty scores, this one edits): every
@@ -4015,6 +4037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_quarantine": q_jsonl_quarantine,
         "json_key_profile": q_json_key_profile,
         "k_anonymity": q_k_anonymity,
+        "neyman_allocation": q_neyman_allocation,
+        "neyman_sample": q_neyman_sample,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4199,6 +4223,10 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_rewrite": D.sql_remove_duplicate_spans("documents", k=8),
         "jsonl_quarantine": _sql_jsonl_quarantine(),
         "json_key_profile": JS.sql_json_key_profile(_SQL_JSONL_LINES),
+        "neyman_allocation": SA.sql_neyman_allocation(
+            "events", "event_type", "value", total_n=1000),
+        "neyman_sample": SA.sql_neyman_sample(
+            "events", "event_type", "value", id_col="event_id", total_n=1000),
         "k_anonymity": PR.sql_anonymity_audit(
             "customer",
             qi_exprs=[("c_mktsegment", "c_mktsegment"),

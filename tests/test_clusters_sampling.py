@@ -715,3 +715,39 @@ def test_mixture_plan_temperature_upsamples_small_sources(spark):
     assert abs(flat["small"].mix_weight_micro - 100000) <= 1
     # 20k budget * ~25% share / 1k tokens ≈ 5 epochs for the small source
     assert out["small"].epochs_micro > 1_000_000
+
+
+def test_neyman_allocation_favors_large_noisy_strata(spark):
+    """Allocation is proportional to N_h * S_h: a zero-variance
+    stratum gets 0 draws regardless of size; doubling a stratum's
+    spread (same size) doubles its weight; alloc never exceeds the
+    stratum size and uses exact integer division."""
+    from webhookdb_spark.operators.sampling import (
+        neyman_allocation, neyman_sample,
+    )
+
+    rows = (
+        [("flat", i, 5.0) for i in range(100)]          # S=0
+        + [("narrow", 200 + i, float(i % 2)) for i in range(100)]   # S=0.5
+        + [("wide", 400 + i, float(i % 2) * 2) for i in range(100)] # S=1.0
+        + [("tiny", 700 + i, float(i) * 100) for i in range(3)]     # huge S, N=3
+    )
+    df = spark.createDataFrame(rows, "stratum string, id long, v double")
+    got = {r.stratum: r for r in neyman_allocation(
+        df, "stratum", "v", total_n=60).collect()}
+    assert got["flat"].weight == 0 and got["flat"].alloc == 0
+    assert got["wide"].weight == 2 * got["narrow"].weight
+    assert got["tiny"].alloc == 3  # capped at stratum size
+    # allocations are floor-divided, so 2x weight gives 2x alloc +- 1
+    assert got["wide"].alloc in (2 * got["narrow"].alloc,
+                                 2 * got["narrow"].alloc + 1)
+    total = sum(r.alloc for r in got.values())
+    assert total <= 60  # floor division never overshoots
+    # the draw honors the allocation exactly and is deterministic
+    s1 = neyman_sample(df, "stratum", "v", "id", total_n=60).collect()
+    s2 = neyman_sample(df, "stratum", "v", "id", total_n=60).collect()
+    assert sorted(r.id for r in s1) == sorted(r.id for r in s2)
+    from collections import Counter
+    c = Counter(r.stratum for r in s1)
+    assert c.get("flat", 0) == 0 and c["tiny"] == 3
+    assert c["narrow"] == got["narrow"].alloc and c["wide"] == got["wide"].alloc

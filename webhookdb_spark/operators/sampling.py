@@ -638,3 +638,143 @@ def sql_mixture_plan(
            CAST(floor(1e6 * {float(budget_tokens)} * p / (t * n_tokens)) AS BIGINT) AS epochs_micro
     FROM pw, tot
     """
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling — variance-optimal subsampling:
+# given a total budget, allocate draws to strata proportionally to
+# N_h * S_h (stratum size x stddev), the allocation that minimizes the
+# variance of the stratified mean estimator. The principled version of
+# "sample big noisy sources more".
+# ---------------------------------------------------------------------------
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """(stratum, n_rows, weight, alloc): per-stratum Neyman allocation
+    of ``total_n`` draws. ``weight = floor(N_h * sqrt(pop-variance) *
+    1e6)`` as a BIGINT so the cross-stratum total is an exact integer
+    sum (double addition order would make the allocation
+    nondeterministic); ``alloc = min(N_h, (weight * total_n) div
+    total_weight)`` in integer arithmetic. Variance comes from exact
+    decimal moment sums (the numeric_correlations discipline: quantize
+    to decimal(18,6), sum squares as decimal(38,12)) so the only
+    doubles are one division and one sqrt — both correctly-rounded
+    IEEE, identical in any engine. Bound: |value| < 1e12 and
+    N_h * stddev * 1e6 * total_n must fit int64 (documented, checked
+    by construction for fixture scales).
+
+    ONE stratum-keyed aggregate + a 1-row total broadcast — the stats
+    pass is partial-agg friendly at any scale.
+    """
+    d = F.col(value_col).cast("string").try_cast("decimal(18,6)")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(d).alias("n_rows"),
+        F.sum(d).alias("s1"),
+        F.sum((d * d).cast("decimal(38,12)")).alias("s2"),
+    )
+    n = F.col("n_rows").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.greatest(
+        F.col("s2").cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    w = F.floor(n * F.sqrt(var) * 1e6).cast("long")
+    base = per.select("stratum", F.col("n_rows").cast("long").alias("n_rows"),
+                      w.alias("weight"))
+    tot = base.agg(F.sum("weight").alias("_W"))
+    return base.crossJoin(F.broadcast(tot)).select(
+        "stratum", "n_rows", "weight",
+        F.when(F.col("_W") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.col("n_rows"),
+                F.expr(f"(weight * {int(total_n)}L) div _W"),
+            )
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+def sql_neyman_allocation(
+    table: str, stratum_col: str, value_col: str, total_n: int
+) -> str:
+    """DuckDB twin of :func:`neyman_allocation` — same exact decimal
+    moments, same integer weight/allocation arithmetic."""
+    return f"""
+    WITH per AS (
+      SELECT {stratum_col} AS stratum,
+             COUNT(TRY_CAST({value_col} AS DECIMAL(18,6))) AS n_rows,
+             SUM(TRY_CAST({value_col} AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(TRY_CAST({value_col} AS DECIMAL(18,6))
+                      * TRY_CAST({value_col} AS DECIMAL(18,6))
+                      AS DECIMAL(38,12))) AS s2
+      FROM {table} GROUP BY 1
+    ), wts AS (
+      SELECT stratum, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(floor(CAST(n_rows AS DOUBLE)
+                  * sqrt(greatest(
+                      CAST(s2 AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n_rows AS DOUBLE)),
+                      0.0)) * 1e6) AS BIGINT) AS weight
+      FROM per
+    ), tot AS (SELECT SUM(weight) AS _W FROM wts)
+    SELECT stratum, n_rows, weight,
+           CAST(CASE WHEN _W = 0 THEN 0
+                ELSE least(n_rows, (weight * {int(total_n)}) // _W)
+                END AS BIGINT) AS alloc
+    FROM wts, tot
+    """
+
+
+def neyman_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    id_col: str,
+    total_n: int,
+) -> DataFrame:
+    """The draw itself: per-stratum deterministic md5-order pick of
+    each stratum's Neyman ``alloc``. Two passes over the data — the
+    stats aggregate and the sample filter — which is the inherent
+    shape of allocation-by-observed-variance; the pick itself rides
+    the same WindowGroupLimit pushdown as :func:`stratified_sample`
+    (each task keeps only its local per-stratum top-alloc... bounded
+    by the max alloc, never the stratum)."""
+    alloc = neyman_allocation(df, stratum_col, value_col, total_n).select(
+        F.col("stratum").alias(stratum_col), "alloc"
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_order(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(alloc), stratum_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("alloc"))
+        .select(id_col, stratum_col, value_col)
+    )
+
+
+def sql_neyman_sample(
+    table: str, stratum_col: str, value_col: str, id_col: str, total_n: int
+) -> str:
+    """DuckDB twin of :func:`neyman_sample`."""
+    alloc = sql_neyman_allocation(table, stratum_col, value_col, total_n)
+    return f"""
+    WITH alloc_ AS ({alloc}),
+    ranked AS (
+      SELECT {id_col}, {stratum_col}, {value_col},
+             row_number() OVER (
+               PARTITION BY {stratum_col}
+               ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS _rn
+      FROM {table}
+    )
+    SELECT r.{id_col}, r.{stratum_col}, r.{value_col}
+    FROM ranked r JOIN alloc_ a ON a.stratum = r.{stratum_col}
+    WHERE r._rn <= a.alloc
+    """
