@@ -3931,6 +3931,23 @@ def q_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fd_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit over lineitem: which candidate
+    determinant->dependent pairs actually hold (order -> returnflag?
+    part -> supplier?) with violation counts and worst fan-out — one
+    determinant-keyed aggregate per candidate, each collapsed to a
+    single row before the union."""
+    return PR.fd_audit(
+        load(spark, sf, "lineitem"),
+        candidates=[
+            ("l_orderkey", "l_returnflag"),
+            ("l_orderkey", "l_suppkey"),
+            ("l_partkey", "l_suppkey"),
+            ("l_suppkey", "l_linestatus"),
+        ],
+    )
+
+
 def q_span_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicate-span REMOVAL with reconstruction (Lee et al.
     2022's rewrite stage — span_novelty scores, this one edits): every
@@ -4039,6 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "neyman_allocation": q_neyman_allocation,
         "neyman_sample": q_neyman_sample,
+        "fd_audit": q_fd_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4223,6 +4241,12 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_rewrite": D.sql_remove_duplicate_spans("documents", k=8),
         "jsonl_quarantine": _sql_jsonl_quarantine(),
         "json_key_profile": JS.sql_json_key_profile(_SQL_JSONL_LINES),
+        "fd_audit": PR.sql_fd_audit(
+            "lineitem",
+            candidates=[("l_orderkey", "l_returnflag"),
+                        ("l_orderkey", "l_suppkey"),
+                        ("l_partkey", "l_suppkey"),
+                        ("l_suppkey", "l_linestatus")]),
         "neyman_allocation": SA.sql_neyman_allocation(
             "events", "event_type", "value", total_n=1000),
         "neyman_sample": SA.sql_neyman_sample(

@@ -152,3 +152,25 @@ def test_anonymity_audit_k_and_l_flags(spark):
             homog.violates_k, homog.violates_l) == (5, 1, 0, 1)
     ok = got[("seg_ok", 2)]
     assert (ok.violates_k, ok.violates_l) == (0, 0)
+
+
+def test_fd_audit_verdicts_and_branching(spark):
+    """An FD that holds reports 0 violations / holds=1; a broken one
+    counts exactly the violating determinant values and the worst
+    fan-out."""
+    from webhookdb_spark.operators.profile import fd_audit
+
+    rows = [
+        (1, "a", "x"), (1, "a", "x"),     # det 1 -> one dep value
+        (2, "b", "x"), (2, "b", "y"),     # det 2 -> 2 deps (violates)
+        (3, "c", "x"), (3, "c", "y"), (3, "c", "z"),  # 3 deps
+    ]
+    df = spark.createDataFrame(rows, "k int, d string, v string")
+    got = {(r.determinant, r.dependent): r for r in fd_audit(
+        df, candidates=[("k", "d"), ("k", "v")]).collect()}
+    holds = got[("k", "d")]
+    assert (holds.n_det_values, holds.n_violating,
+            holds.max_branching, holds.holds) == (3, 0, 1, 1)
+    broken = got[("k", "v")]
+    assert (broken.n_det_values, broken.n_violating,
+            broken.max_branching, broken.holds) == (3, 2, 3, 0)

@@ -446,3 +446,60 @@ def sql_anonymity_audit(
     FROM (SELECT {sel}, {sensitive_col} FROM {table})
     GROUP BY {keys}
     """
+
+
+def fd_audit(
+    df: DataFrame, candidates: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate ``determinant
+    -> dependent`` pair, does one determinant value ever map to more
+    than one dependent value? Returns one row per candidate:
+    (determinant, dependent, n_det_values, n_violating,
+    max_branching, holds) — ``n_violating`` determinant values map to
+    2+ dependents, ``max_branching`` is the worst fan-out, ``holds``
+    is the FD verdict as an int flag. The discovery pass a warehouse
+    runs before trusting a column as derivable (and the audit that
+    catches a denormalized copy drifting from its source).
+
+    Scale shape: one determinant-keyed aggregate per candidate (the
+    keys differ, so the shuffles are inherent — candidates is a
+    short, caller-curated list, not a column cross-product), each
+    collapsed to a single summary row before the union; nothing
+    row-sized crosses stages.
+    """
+    parts = []
+    for det, dep in candidates:
+        g = df.groupBy(det).agg(F.countDistinct(dep).alias("_nd"))
+        parts.append(
+            g.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).cast("long").alias("n_det_values"),
+                F.sum((F.col("_nd") > 1).cast("long")).alias("n_violating"),
+                F.max("_nd").cast("long").alias("max_branching"),
+                (F.sum((F.col("_nd") > 1).cast("long")) == 0)
+                .cast("int")
+                .alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sql_fd_audit(table: str, candidates: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`fd_audit`."""
+    selects = []
+    for det, dep in candidates:
+        selects.append(f"""
+    SELECT '{det}' AS determinant, '{dep}' AS dependent,
+           CAST(COUNT(*) AS BIGINT) AS n_det_values,
+           CAST(SUM(CASE WHEN _nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(MAX(_nd) AS BIGINT) AS max_branching,
+           CAST(SUM(CASE WHEN _nd > 1 THEN 1 ELSE 0 END) = 0 AS INTEGER)
+             AS holds
+    FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS _nd
+          FROM {table} GROUP BY {det})""")
+    return " UNION ALL ".join(selects)
