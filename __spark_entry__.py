@@ -3931,6 +3931,16 @@ def q_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rolling_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection per user: events
+    sitting >3 sigma from the trailing 7-day per-user baseline
+    (baseline excludes the point under test; >=5 baseline events
+    required). Exact-integer microsecond RANGE frames + exact-decimal
+    moments make the flag set value-hash reproducible; one user-keyed
+    shuffle."""
+    return AN.rolling_anomalies(load(spark, sf, "events"))
+
+
 def q_fd_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Functional-dependency audit over lineitem: which candidate
     determinant->dependent pairs actually hold (order -> returnflag?
@@ -4057,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": q_neyman_allocation,
         "neyman_sample": q_neyman_sample,
         "fd_audit": q_fd_audit,
+        "rolling_anomalies": q_rolling_anomalies,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4241,6 +4252,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_rewrite": D.sql_remove_duplicate_spans("documents", k=8),
         "jsonl_quarantine": _sql_jsonl_quarantine(),
         "json_key_profile": JS.sql_json_key_profile(_SQL_JSONL_LINES),
+        "rolling_anomalies": AN.sql_rolling_anomalies(),
         "fd_audit": PR.sql_fd_audit(
             "lineitem",
             candidates=[("l_orderkey", "l_returnflag"),

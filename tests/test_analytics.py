@@ -515,3 +515,32 @@ def test_fk_orphans_counts_and_null_semantics(spark):
         child.where("fk = 10"), parent, "fk", "pk"
     ).collect()[0]
     assert clean.passed and clean.n_orphans == 0
+
+
+def test_rolling_anomalies_flags_spike_not_baseline(spark):
+    """A user with a stable baseline and one huge spike flags exactly
+    the spike; the spike does NOT poison later points' baselines into
+    false negatives for genuinely normal values; users with too few
+    baseline events flag nothing."""
+    from datetime import datetime, timedelta
+
+    from webhookdb_spark.operators.analytics import rolling_anomalies
+
+    t0 = datetime(2024, 6, 1)
+    rows = []
+    # user 1: 10 alternating baseline values (variance > 0), then a spike
+    for i in range(10):
+        rows.append((i, t0 + timedelta(hours=i), 1, "e", 10.0 + (i % 2)))
+    rows.append((99, t0 + timedelta(hours=10), 1, "e", 1000.0))
+    # user 2: only 3 events then a spike -> below min_window_n, no flag
+    for i in range(3):
+        rows.append((200 + i, t0 + timedelta(hours=i), 2, "e", 5.0 + i))
+    rows.append((299, t0 + timedelta(hours=3), 2, "e", 500.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = rolling_anomalies(df, min_window_n=5)
+    flagged = {r.event_id: r for r in got.collect()}
+    assert set(flagged) == {99}
+    assert flagged[99].n_window == 10
+    assert flagged[99].z_micro > 3_000_000

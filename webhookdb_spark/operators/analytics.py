@@ -1036,3 +1036,130 @@ def sql_distribution_drift(
            floor(abs(p - q) * 1e6) / 1e6 AS abs_diff
     FROM cells
     """
+
+
+def rolling_anomalies(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+    z_micro_threshold: int = 3_000_000,
+    min_window_n: int = 5,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection: an event is
+    anomalous when its value sits more than ``z_micro_threshold/1e6``
+    population standard deviations from the mean of the SAME user's
+    events in the preceding ``window_days`` (the event itself and
+    same-microsecond peers excluded — the frame ends 1 microsecond
+    before, so the baseline never contains the point under test).
+    Returns only the anomalies: (event_id, user_id, ts, value,
+    n_window, z_micro) with z floor-quantized to 1e-6.
+
+    Determinism discipline: the window ORDER key is exact integer
+    epoch microseconds (unix_micros / epoch_us — sub-second
+    timestamps make a seconds key collapse distinct events into RANGE
+    peer groups differently per engine); the moment sums are exact
+    decimals, so the only doubles are the final mean/variance/sqrt
+    chain, identical IEEE in both engines. Windows with fewer than
+    ``min_window_n`` baseline events or zero variance flag nothing.
+
+    100 TB shape: ONE shuffle on the user key; the RANGE frame is
+    value-based so silent periods cost nothing, and state per user is
+    the in-frame running sums. The hot-user skew case is the same
+    AQE/salting story as every user-keyed window.
+    """
+    from pyspark.sql.window import Window
+
+    d = F.col(value_col).cast("string").try_cast("decimal(18,6)")
+    b = events.select(
+        "event_id", F.col(user_col).alias("user_id"), ts_col,
+        F.col(value_col).alias("value"),
+        # parquet loads ts as TIMESTAMP_NTZ; the session TZ is pinned
+        # UTC, so the LTZ cast is instant-identical and unlocks
+        # unix_micros (which rejects NTZ input)
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("_us"),
+        d.alias("_d"),
+        (d * d).cast("decimal(38,12)").alias("_dd"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(-window_days * 86_400 * 1_000_000, -1)
+    )
+    n = F.count("_d").over(w)
+    s1 = F.sum("_d").over(w)
+    s2 = F.sum("_dd").over(w)
+    scored = b.select(
+        "event_id", "user_id", ts_col, "value",
+        n.cast("long").alias("n_window"),
+        s1.alias("_s1"), s2.alias("_s2"),
+    )
+    nn = F.col("n_window").cast("double")
+    mean = F.col("_s1").cast("double") / nn
+    var = F.greatest(F.col("_s2").cast("double") / nn - mean * mean, F.lit(0.0))
+    sigma = F.sqrt(var)
+    z_micro = F.floor(
+        F.abs(F.col("value") - mean) / sigma * 1e6
+    ).cast("long")
+    return (
+        scored.where(F.col("n_window") >= min_window_n)
+        .select(
+            "event_id", "user_id", ts_col, "value", "n_window",
+            F.when(sigma > 0, z_micro).alias("z_micro"),
+        )
+        .where(F.col("z_micro") > z_micro_threshold)
+    )
+
+
+def sql_rolling_anomalies(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+    z_micro_threshold: int = 3_000_000,
+    min_window_n: int = 5,
+) -> str:
+    """DuckDB twin of :func:`rolling_anomalies` — same microsecond
+    RANGE frame, same exact-decimal moments, same double chain."""
+    span = window_days * 86_400 * 1_000_000
+    return f"""
+    WITH b AS (
+      SELECT event_id, {user_col} AS user_id, {ts_col}, {value_col} AS value,
+             epoch_us({ts_col}) AS _us,
+             TRY_CAST(CAST({value_col} AS VARCHAR) AS DECIMAL(18,6)) AS _d,
+             CAST(TRY_CAST(CAST({value_col} AS VARCHAR) AS DECIMAL(18,6))
+                  * TRY_CAST(CAST({value_col} AS VARCHAR) AS DECIMAL(18,6))
+                  AS DECIMAL(38,12)) AS _dd
+      FROM {table}
+    ), scored AS (
+      SELECT event_id, user_id, {ts_col}, value,
+             CAST(count(_d) OVER w AS BIGINT) AS n_window,
+             sum(_d) OVER w AS _s1,
+             sum(_dd) OVER w AS _s2
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY _us
+                   RANGE BETWEEN {span} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, {ts_col}, value, n_window,
+           CAST(floor(abs(value - CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
+                / sqrt(greatest(
+                    CAST(_s2 AS DOUBLE) / CAST(n_window AS DOUBLE)
+                    - (CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
+                      * (CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE)),
+                    0.0)) * 1e6) AS BIGINT) AS z_micro
+    FROM scored
+    WHERE n_window >= {min_window_n}
+      AND sqrt(greatest(
+            CAST(_s2 AS DOUBLE) / CAST(n_window AS DOUBLE)
+            - (CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
+              * (CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE)), 0.0)) > 0
+      AND floor(abs(value - CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
+            / sqrt(greatest(
+                CAST(_s2 AS DOUBLE) / CAST(n_window AS DOUBLE)
+                - (CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
+                  * (CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE)),
+                0.0)) * 1e6) > {z_micro_threshold}
+    ORDER BY event_id
+    """
