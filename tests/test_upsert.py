@@ -850,3 +850,44 @@ def test_incremental_agg_maintainer_feed_equals_recompute(spark, tmp_path):
     ]), FAKE_V1)
     assert mt.run(t) == 1
     assert maintained() == recompute() == {("x", 2, 8), ("y", 2, 27)}
+
+
+def test_contract_upsert_quarantines_violating_rows(spark, tmp_warehouse):
+    """Rows failing the landing contract (null key via missing my_id
+    is already dropped by shaping; here: 'at' outside the declared
+    window) land in the quarantine parquet with the first-failing
+    reason; clean rows merge normally; the table never sees the bad
+    rows; a second batch appends to the same quarantine."""
+    from webhookdb_spark.operators.upsert import upsert_envelopes_with_contract
+
+    t = fake_table(spark, tmp_warehouse)
+    qdir = str(tmp_warehouse / "quarantine")
+    rules = [
+        ("not_null", "at"),
+        ("between", "at", "2024-01-01 00:00:00", "2024-12-31 23:59:59"),
+    ]
+    bodies = [
+        {"my_id": "good1", "at": "2024-06-01T00:00:00Z"},
+        {"my_id": "old", "at": "1999-01-01T00:00:00Z"},     # before window
+        {"my_id": "good2", "at": "2024-07-01T00:00:00Z"},
+        {"my_id": "future", "at": "2031-01-01T00:00:00Z"},  # after window
+    ]
+    res, n_bad = upsert_envelopes_with_contract(
+        t, env_df(spark, bodies), FAKE_V1, rules, qdir
+    )
+    assert n_bad == 2 and res.inserted == 2
+    kept = sorted(r["my_id"] for r in t.read().collect())
+    assert kept == ["good1", "good2"]
+    quar = spark.read.parquet(qdir).collect()
+    reasons = {r["my_id"]: r["_contract_reason"] for r in quar}
+    assert set(reasons) == {"old", "future"}
+    assert all(v.startswith("between(at") for v in reasons.values())
+    # second batch appends; clean row upserts into the live table
+    res2, n_bad2 = upsert_envelopes_with_contract(
+        t, env_df(spark, [{"my_id": "old2", "at": "1998-01-01T00:00:00Z"},
+                          {"my_id": "good3", "at": "2024-08-01T00:00:00Z"}]),
+        FAKE_V1, rules, qdir,
+    )
+    assert n_bad2 == 1 and res2.inserted == 1
+    assert spark.read.parquet(qdir).count() == 3
+    assert t.read().count() == 3

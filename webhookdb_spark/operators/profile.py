@@ -503,3 +503,45 @@ def sql_fd_audit(table: str, candidates: list[tuple[str, str]]) -> str:
     FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS _nd
           FROM {table} GROUP BY {det})""")
     return " UNION ALL ".join(selects)
+
+
+def expectation_reason(rules) -> "Column":
+    """Per-ROW companion to :func:`check_expectations`: the first
+    failing rule's name as a Column (NULL when every rule passes) —
+    the routing expression a landing contract uses to quarantine
+    violating rows instead of merging them. Row-local rules only
+    (``unique`` is an aggregate property and raises here); same NULL
+    semantics as the aggregate form (in_set/between/regex pass on
+    NULL — compose with not_null to forbid it). One narrow CASE
+    chain, shuffle-free.
+    """
+    reason = None
+    for rule in rules:
+        kind, col = rule[0], rule[1]
+        c = F.col(col)
+        if kind == "not_null":
+            cond, name = c.isNull(), f"not_null({col})"
+        elif kind == "in_set":
+            vals = list(rule[2])
+            cond = c.isNotNull() & ~c.isin(*vals)
+            name = f"in_set({col})"
+        elif kind == "between":
+            lo, hi = rule[2], rule[3]
+            cond = c.isNotNull() & ((c < lo) | (c > hi))
+            name = f"between({col},{lo},{hi})"
+        elif kind == "regex":
+            cond = c.isNotNull() & ~c.rlike(rule[2])
+            name = f"regex({col})"
+        elif kind == "non_negative":
+            cond = c.isNotNull() & (c < 0)
+            name = f"non_negative({col})"
+        elif kind == "unique":
+            raise ValueError(
+                "unique is an aggregate rule; row-level contracts "
+                "cannot evaluate it (use check_expectations)"
+            )
+        else:
+            raise ValueError(f"unknown rule kind: {kind}")
+        arm = F.when(cond, F.lit(name))
+        reason = arm if reason is None else reason.when(cond, F.lit(name))
+    return reason if reason is not None else F.lit(None).cast("string")

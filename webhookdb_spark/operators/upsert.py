@@ -340,6 +340,17 @@ def upsert_envelopes(
     ``capture_changes`` forwarded likewise (False = skip the durable
     CDC write for subscriber-less bulk loads).
     """
+    shaped = _shape_for_merge(table, envelopes, spec)
+    return merge_upsert(
+        table, shaped, spec, buckets=buckets, capture_changes=capture_changes
+    )
+
+
+def _shape_for_merge(
+    table: ManagedTable, envelopes: DataFrame, spec: ReplicatorSpec
+) -> DataFrame:
+    """Shared shaping front-half of the ingest path: create the table,
+    stamp the arrival ordinal, shape, fill sequence defaults."""
     if not table.exists():
         table.create(spec.schema(), key=spec.remote_key.name, n_buckets=spec.n_buckets)
     if "_seq" not in envelopes.columns:
@@ -360,9 +371,53 @@ def upsert_envelopes(
         seq = IntegrationSequence(table.path)
         for name in seq_cols:
             shaped = seq.fill(shaped, name)
-    return merge_upsert(
-        table, shaped, spec, buckets=buckets, capture_changes=capture_changes
+    return shaped
+
+
+def upsert_envelopes_with_contract(
+    table: ManagedTable,
+    envelopes: DataFrame,
+    spec: ReplicatorSpec,
+    rules,
+    quarantine_path: str,
+    buckets: list[int] | None = None,
+    capture_changes: bool = True,
+) -> tuple[MergeResult, int]:
+    """Landing-contract ingest: shape as usual, then route SHAPED rows
+    failing any row-level expectation (profile.expectation_reason's
+    rule grammar) to an append-only quarantine parquet — with the
+    first-failing-rule reason stamped on each row — and merge only the
+    clean remainder. Returns (MergeResult, n_quarantined).
+
+    The warehouse-side twin of the JSONL source quarantine
+    (sources/jsonl.py): the source contract rejects lines that do not
+    parse; this one rejects rows that parse but violate the TABLE's
+    declared invariants (the reference analog is the per-replicator
+    webhook validation that 400s bad bodies at the API door,
+    lib/webhookdb/api/helpers.rb:218-231 — at bulk scale the job must
+    keep running and keep the evidence instead).
+
+    Scale: the reason is one narrow CASE over the shaped batch; the
+    split costs one extra batch-sized pass (the quarantine write),
+    nothing table-sized. The quarantine is a plain parquet append —
+    violating rows may lack valid keys, so a keyed MERGE is exactly
+    the wrong sink for them.
+    """
+    from webhookdb_spark.operators.profile import expectation_reason
+
+    shaped = _shape_for_merge(table, envelopes, spec)
+    flagged = shaped.withColumn("_contract_reason", expectation_reason(rules))
+    bad = flagged.where(F.col("_contract_reason").isNotNull())
+    n_bad = bad.count()
+    if n_bad:
+        bad.write.mode("append").parquet(quarantine_path)
+    clean = flagged.where(F.col("_contract_reason").isNull()).drop(
+        "_contract_reason"
     )
+    res = merge_upsert(
+        table, clean, spec, buckets=buckets, capture_changes=capture_changes
+    )
+    return res, n_bad
 
 
 # ---------------------------------------------------------------------------
