@@ -3931,6 +3931,58 @@ def q_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase credits
+    the same user's latest click/view/signup within a 7-day lookback
+    (equal-instant ties break to the highest (ts, type) — the
+    asof_join struct rule, mirrored in the oracle), then per-touch
+    conversion counts and exact-decimal attributed revenue.
+    Composition of the as-of join (ONE user-keyed shuffle) + one
+    touch-type aggregate."""
+    ev = load(spark, sf, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("string").try_cast("decimal(18,6)").alias("_v"),
+    )
+    touch = ev.where(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select("user_id", "ts", "event_type")
+    j = J.asof_join(
+        conv, touch, key="user_id", ts="ts",
+        right_cols=("event_type",), tolerance_seconds=7 * 86400,
+    )
+    return j.groupBy(
+        F.coalesce(F.col("event_type_r"), F.lit("(none)")).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.coalesce(F.sum("_v").cast("double"), F.lit(0.0)).alias(
+            "attributed_value"
+        ),
+    )
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = """
+WITH conv AS (
+  SELECT event_id, user_id, ts,
+         TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS _v
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT c.event_id, c._v,
+         (SELECT t.event_type FROM events t
+          WHERE t.user_id = c.user_id
+            AND t.event_type IN ('click', 'view', 'signup')
+            AND t.ts <= c.ts
+            AND epoch_us(c.ts) - epoch_us(t.ts) <= 604800000000
+          ORDER BY t.ts DESC, t.event_type DESC LIMIT 1) AS touch_type
+  FROM conv c
+)
+SELECT COALESCE(touch_type, '(none)') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       COALESCE(CAST(SUM(_v) AS DOUBLE), 0.0) AS attributed_value
+FROM m GROUP BY 1
+"""
+
+
 def q_rolling_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     """Trailing-window z-score anomaly detection per user: events
     sitting >3 sigma from the trailing 7-day per-user baseline
@@ -3984,10 +4036,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows (output shape fixed this round) lead, then the 43 rows whose
     # last driver check is CORRECTNESS_r05.json (4 + 43 = 47 fills the
     # ~50-row cap — after r8 no row's latest driver check should be
-    # older than r6), then the 12 never-checked r8 additions (local
-    # sweep green; they lead r9's window), then r6-green, then the 50
-    # green in CORRECTNESS_r07.json. Every entry runs in
-    # tools/check_oracle.py regardless of position.
+    # older than r6), then the 29 never-checked r8 additions (local
+    # sweep green; they lead r9's window — with a ~50-row cap the
+    # round cannot both refresh all 43 r5 rows AND first-check every
+    # r8 query, and VERDICT r7 item 2's explicit criterion picked the
+    # stale set), then r6-green, then the 50 green in
+    # CORRECTNESS_r07.json. Every entry runs in tools/check_oracle.py
+    # regardless of position.
     return {
         # --- r7 err rows, output shape fixed this round: green row needed first ---
         "scd2_user_state": q_scd2_user_state,
@@ -4068,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_sample": q_neyman_sample,
         "fd_audit": q_fd_audit,
         "rolling_anomalies": q_rolling_anomalies,
+        "attribution_last_touch": q_attribution_last_touch,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4253,6 +4309,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_quarantine": _sql_jsonl_quarantine(),
         "json_key_profile": JS.sql_json_key_profile(_SQL_JSONL_LINES),
         "rolling_anomalies": AN.sql_rolling_anomalies(),
+        "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
         "fd_audit": PR.sql_fd_audit(
             "lineitem",
             candidates=[("l_orderkey", "l_returnflag"),
