@@ -3931,6 +3931,51 @@ def q_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quality_calibrated(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source percentile calibration of quality scores: raw
+    heuristic scores are not comparable ACROSS sources (each source
+    has its own score distribution), so before a global threshold the
+    pipeline maps each doc's score to its within-source percentile —
+    rank-based integer ppm ((rank-1)*1e6 div (n-1), ties share a
+    rank, single-doc sources pin to 500000). One source-keyed window;
+    the quality features themselves stay a narrow map."""
+    docs = load(spark, sf, "documents")
+    q = TX.quality_score(docs).select("doc_id", "quality_score")
+    j = docs.select("doc_id", "source").join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy("quality_score")
+    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    pct = F.when(n == 1, F.lit(500000)).otherwise(
+        F.expr("((_rk - 1) * 1000000) div (_n - 1)")
+    )
+    return (
+        j.withColumn("_rk", F.rank().over(w))
+        .withColumn("_n", n)
+        .select(
+            "doc_id", "source", "quality_score",
+            pct.cast("long").alias("quality_pct_ppm"),
+        )
+    )
+
+
+SQL_QUALITY_CALIBRATED = """
+WITH q AS ({q_sql}),
+j AS (
+  SELECT d.doc_id, d.source, q.quality_score
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+)
+SELECT doc_id, source, quality_score,
+       CAST(CASE WHEN n = 1 THEN 500000
+            ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT)
+         AS quality_pct_ppm
+FROM (
+  SELECT doc_id, source, quality_score,
+         rank() OVER (PARTITION BY source ORDER BY quality_score) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM j
+)
+"""
+
+
 def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     """Marketing-style last-touch attribution: every purchase credits
     the same user's latest click/view/signup within a 7-day lookback
@@ -4124,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_audit": q_fd_audit,
         "rolling_anomalies": q_rolling_anomalies,
         "attribution_last_touch": q_attribution_last_touch,
+        "quality_calibrated": q_quality_calibrated,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4310,6 +4356,8 @@ def oracle_sql() -> dict[str, str]:
         "json_key_profile": JS.sql_json_key_profile(_SQL_JSONL_LINES),
         "rolling_anomalies": AN.sql_rolling_anomalies(),
         "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
+        "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
+            q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(
             "lineitem",
             candidates=[("l_orderkey", "l_returnflag"),
