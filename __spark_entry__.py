@@ -3944,8 +3944,11 @@ def q_quality_calibrated(spark: SparkSession, sf: str) -> DataFrame:
     j = docs.select("doc_id", "source").join(q, "doc_id")
     w = Window.partitionBy("source").orderBy("quality_score")
     n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    # rank() yields int32: (_rk-1)*1e6 overflows past rank ~2147, so
+    # widen BEFORE the multiply (caught by the sf1 scale pair; DuckDB's
+    # rank() is already bigint, so only this side needs the cast)
     pct = F.when(n == 1, F.lit(500000)).otherwise(
-        F.expr("((_rk - 1) * 1000000) div (_n - 1)")
+        F.expr("((cast(_rk AS bigint) - 1) * 1000000L) div (cast(_n AS bigint) - 1)")
     )
     return (
         j.withColumn("_rk", F.rank().over(w))
