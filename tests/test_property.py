@@ -839,3 +839,72 @@ def test_scd2_apply_equals_rebuild_on_arbitrary_streams(spark, evs, cut):
         r.user_id, r.version, r.state, r.valid_from, r.valid_to, r.is_current
     )
     assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+
+
+_json_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**15), max_value=10**15),
+    st.text(alphabet="abcdefghij XYZ.,-_0123456789", max_size=12),
+)
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "doc_id": _json_scalar,
+                "text": _json_scalar,
+                "lang": _json_scalar,
+                "n_chars": _json_scalar,
+            },
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.data(),
+)
+@_settings
+def test_jsonl_quarantine_cross_engine(spark, dicts, data):
+    """The quarantine classifier must agree between engines for
+    arbitrary field subsets, JSON nulls, wrong-typed values, and a
+    random truncation corruption — not just the fixture's five
+    corruption classes."""
+    import json as _json
+
+    from webhookdb_spark.sources.jsonl import (
+        parse_jsonl_with_quarantine,
+        sql_parse_jsonl_with_quarantine,
+    )
+
+    fields = [("doc_id", "bigint"), ("text", "string"),
+              ("lang", "string"), ("n_chars", "bigint")]
+    lines = []
+    for i, d in enumerate(dicts):
+        s = _json.dumps(d)
+        if data.draw(st.booleans()):
+            s = s[: max(1, len(s) - data.draw(st.integers(1, 3)))]
+        lines.append((i, s))
+
+    df = spark.createDataFrame(lines, "src_id long, line string")
+    out = parse_jsonl_with_quarantine(
+        df, fields=fields, required=("text", "lang"))
+    got = {r.src_id: (r.status, r.reason, r.doc_id_val, r.n_chars_val)
+           for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lines_t (src_id BIGINT, line VARCHAR)")
+    con.executemany("INSERT INTO lines_t VALUES (?, ?)", lines)
+    sql = sql_parse_jsonl_with_quarantine(
+        "SELECT src_id, line FROM lines_t",
+        fields=fields, required=("text", "lang"), keep=("src_id",))
+    want = {
+        r[0]: (r[-2], r[-1], r[1], r[4])
+        for r in con.execute(
+            f"SELECT src_id, doc_id_val, text_val, lang_val, n_chars_val,"
+            f" status, reason FROM ({sql})"
+        ).fetchall()
+    }
+    for i in got:
+        assert got[i] == want[i], (i, lines[i][1], got[i], want[i])
