@@ -908,3 +908,48 @@ def test_jsonl_quarantine_cross_engine(spark, dicts, data):
     }
     for i in got:
         assert got[i] == want[i], (i, lines[i][1], got[i], want[i])
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=20),
+        min_size=1, max_size=8,
+    )
+)
+@_settings
+def test_span_rewrite_invariants(spark, token_lists):
+    """For arbitrary corpora: token counts are conserved
+    (n_tokens == n_kept + n_removed), every doc comes back exactly
+    once, removal is idempotent (rewriting the rewritten corpus with
+    no remaining duplicate spans removes nothing more... only
+    guaranteed when nothing was removed in pass 1 — a removal can
+    create new adjacencies — so idempotence is asserted on the
+    no-op case), and a corpus with all-unique windows passes through
+    verbatim."""
+    from webhookdb_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicate_spans(df, k=4).collect()
+    assert sorted(r.doc_id for r in out) == sorted(i for i, _ in rows)
+    by_id = {r.doc_id: r for r in out}
+    for i, text in rows:
+        r = by_id[i]
+        assert r.n_tokens == r.n_kept + r.n_removed
+        # clean_text's token count equals n_kept (empty text edge:
+        # split('') yields [''], matching the operator's tokenizer)
+        n_clean = len(r.clean_text.split(" ")) if r.clean_text else 0
+        if r.n_kept > 0 and all(t for t in text.split(" ")):
+            assert n_clean == r.n_kept
+        if r.n_removed == 0 and r.n_tokens >= 1:
+            # untouched docs come back byte-identical (modulo the
+            # tokenizer's whitespace normalization)
+            assert r.clean_text == " ".join(text.split())
+    if all(r.n_removed == 0 for r in out):
+        again = remove_duplicate_spans(
+            spark.createDataFrame(
+                [(r.doc_id, r.clean_text) for r in out],
+                "doc_id long, text string"),
+            k=4,
+        ).collect()
+        assert all(r.n_removed == 0 for r in again)
