@@ -3931,6 +3931,16 @@ def q_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-weighted (U-shaped) multi-touch attribution: each
+    purchase splits exactly 1e6 credit-ppm over the user's lookback
+    touches — 40/40 first/last, middle 20% integer-divided with the
+    remainder pinned to the last interior touch so totals are exact;
+    attributed revenue stays in decimal micro-units. One user-keyed
+    join + one per-conversion window + one touch-type aggregate."""
+    return AN.multi_touch_attribution(load(spark, sf, "events"))
+
+
 def q_quality_calibrated(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source percentile calibration of quality scores: raw
     heuristic scores are not comparable ACROSS sources (each source
@@ -4084,7 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows (output shape fixed this round) lead, then the 43 rows whose
     # last driver check is CORRECTNESS_r05.json (4 + 43 = 47 fills the
     # ~50-row cap — after r8 no row's latest driver check should be
-    # older than r6), then the 31 never-checked r8 additions (local
+    # older than r6), then the 33 never-checked r8 additions (local
     # sweep green; they lead r9's window — with a ~50-row cap the
     # round cannot both refresh all 43 r5 rows AND first-check every
     # r8 query, and VERDICT r7 item 2's explicit criterion picked the
@@ -4173,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomalies": q_rolling_anomalies,
         "attribution_last_touch": q_attribution_last_touch,
         "quality_calibrated": q_quality_calibrated,
+        "attribution_multi_touch": q_attribution_multi_touch,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4359,6 +4370,7 @@ def oracle_sql() -> dict[str, str]:
         "json_key_profile": JS.sql_json_key_profile(_SQL_JSONL_LINES),
         "rolling_anomalies": AN.sql_rolling_anomalies(),
         "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
+        "attribution_multi_touch": AN.sql_multi_touch_attribution(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(

@@ -544,3 +544,44 @@ def test_rolling_anomalies_flags_spike_not_baseline(spark):
     assert set(flagged) == {99}
     assert flagged[99].n_window == 10
     assert flagged[99].z_micro > 3_000_000
+
+
+def test_multi_touch_credit_is_exact_and_u_shaped(spark):
+    """Per-conversion credit sums to exactly 1e6 ppm for every touch
+    count (1, 2, 3, 5, and the remainder case 0 touches); first/last
+    interior weighting is the U-shape."""
+    from datetime import datetime, timedelta
+
+    from webhookdb_spark.operators.analytics import multi_touch_attribution
+
+    t0 = datetime(2024, 6, 1)
+    rows, eid = [], 0
+
+    def ev(user, etype, hours, value=0.0):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t0 + timedelta(hours=hours), user, etype, value))
+
+    # user 1: 3 touches then purchase -> 400k/200k/400k
+    ev(1, "click", 0); ev(1, "view", 1); ev(1, "signup", 2)
+    ev(1, "purchase", 3, 10.0)
+    # user 2: 5 touches -> 400k, 66666, 66666, 66668, 400k
+    for h in range(5):
+        ev(2, "click", h)
+    ev(2, "purchase", 5, 1.0)
+    # user 3: no touches -> (none) gets the full 1e6
+    ev(3, "purchase", 0, 2.0)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.touch_type: r for r in multi_touch_attribution(df).collect()}
+    total = sum(r.total_credit_ppm for r in got.values())
+    assert total == 3 * 1_000_000      # one exact 1e6 per conversion
+    assert got["(none)"].total_credit_ppm == 1_000_000
+    # user 1's U-shape: click(first)=400k, view(middle)=200k, signup(last)=400k
+    assert got["view"].total_credit_ppm == 200_000
+    assert got["signup"].total_credit_ppm == 400_000
+    # click carries user1 first (400k) + user2 all five (1e6)
+    assert got["click"].total_credit_ppm == 1_400_000
+    # attributed micro-value: user1's 10.0 split 40/20/40
+    assert got["signup"].attributed_value_micro == 10.0 * 400_000

@@ -1163,3 +1163,142 @@ def sql_rolling_anomalies(
                 0.0)) * 1e6) > {z_micro_threshold}
     ORDER BY event_id
     """
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    window_days: int = 7,
+) -> DataFrame:
+    """Position-weighted (U-shaped) multi-touch attribution: every
+    conversion distributes exactly 1,000,000 credit-ppm over the same
+    user's touches in the lookback window — 40%/40% to the first and
+    last touch, the middle 20% split evenly over interior touches
+    (integer division, remainder to the LAST interior touch so the
+    per-conversion total is exactly 1e6); one touch takes 100%, two
+    take 50/50, zero touches credit a '(none)' bucket. Touch order is
+    (ts, type, event_id) — fully deterministic under ties. Returns
+    per touch type: (touch_type, n_touchpoints, total_credit_ppm,
+    attributed_value_micro) where attributed_value_micro =
+    sum(conversion_value * credit_ppm) in exact decimal (divide by
+    1e6 for value units).
+
+    Scale shape: ONE user-keyed equi-join (the window predicate is a
+    post-filter on the joined pair — touches per user per week is
+    bounded in any real event stream), one window per conversion key,
+    one touch-type aggregate. The hot-user case is the standard
+    skew-join story.
+    """
+    from pyspark.sql.window import Window
+
+    dv = F.col("value").cast("string").try_cast("decimal(18,6)")
+    conv = events.where(F.col("event_type") == conv_type).select(
+        F.col("event_id").alias("_cid"),
+        F.col("user_id").alias("_cuser"),
+        F.col("ts").alias("_cts"),
+        dv.alias("_cval"),
+    )
+    touch = events.where(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id").alias("_tuser"),
+        F.col("ts").alias("_tts"),
+        F.col("event_type").alias("_ttype"),
+        F.col("event_id").alias("_tid"),
+    )
+    span_us = window_days * 86_400 * 1_000_000
+    cus = F.unix_micros(F.col("_cts").cast("timestamp_ltz"))
+    tus = F.unix_micros(F.col("_tts").cast("timestamp_ltz"))
+    j = conv.join(
+        touch,
+        (F.col("_cuser") == F.col("_tuser"))
+        & (tus <= cus)
+        & (cus - tus <= span_us),
+        "left",
+    )
+    w = Window.partitionBy("_cid").orderBy("_tts", "_ttype", "_tid")
+    n = F.count("_tid").over(Window.partitionBy("_cid"))
+    r = F.row_number().over(w)
+    base_mid = F.expr("200000 div (_n - 2)")
+    credit = (
+        F.when(F.col("_tid").isNull(), F.lit(1_000_000))
+        .when(F.col("_n") == 1, F.lit(1_000_000))
+        .when(F.col("_n") == 2, F.lit(500_000))
+        .when(F.col("_r") == 1, F.lit(400_000))
+        .when(F.col("_r") == F.col("_n"), F.lit(400_000))
+        .when(
+            F.col("_r") == F.col("_n") - 1,
+            base_mid + F.expr("200000 - (200000 div (_n - 2)) * (_n - 2)"),
+        )
+        .otherwise(base_mid)
+    )
+    scored = (
+        j.withColumn("_n", n)
+        .withColumn("_r", r)
+        .withColumn("_credit", credit.cast("long"))
+    )
+    return (
+        scored.groupBy(
+            F.coalesce(F.col("_ttype"), F.lit("(none)")).alias("touch_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+            F.sum("_credit").cast("long").alias("total_credit_ppm"),
+            F.sum(
+                (F.col("_cval") * F.col("_credit")).cast("decimal(38,6)")
+            ).cast("double").alias("attributed_value_micro"),
+        )
+    )
+
+
+def sql_multi_touch_attribution(
+    table: str = "events",
+    conv_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    window_days: int = 7,
+) -> str:
+    """DuckDB twin of :func:`multi_touch_attribution`."""
+    span_us = window_days * 86_400 * 1_000_000
+    tt = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+    WITH conv AS (
+      SELECT event_id AS _cid, user_id AS _cuser, ts AS _cts,
+             TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS _cval
+      FROM {table} WHERE event_type = '{conv_type}'
+    ), touch AS (
+      SELECT user_id AS _tuser, ts AS _tts, event_type AS _ttype,
+             event_id AS _tid
+      FROM {table} WHERE event_type IN ({tt})
+    ), j AS (
+      SELECT c.*, t._tts, t._ttype, t._tid
+      FROM conv c LEFT JOIN touch t
+        ON c._cuser = t._tuser
+       AND epoch_us(t._tts) <= epoch_us(c._cts)
+       AND epoch_us(c._cts) - epoch_us(t._tts) <= {span_us}
+    ), ranked AS (
+      SELECT *,
+             count(_tid) OVER (PARTITION BY _cid) AS _n,
+             row_number() OVER (
+               PARTITION BY _cid ORDER BY _tts, _ttype, _tid) AS _r
+      FROM j
+    ), credited AS (
+      SELECT _ttype, _cval,
+             CAST(CASE
+               WHEN _tid IS NULL THEN 1000000
+               WHEN _n = 1 THEN 1000000
+               WHEN _n = 2 THEN 500000
+               WHEN _r = 1 THEN 400000
+               WHEN _r = _n THEN 400000
+               WHEN _r = _n - 1
+                 THEN (200000 // (_n - 2)) + (200000 - (200000 // (_n - 2)) * (_n - 2))
+               ELSE 200000 // (_n - 2)
+             END AS BIGINT) AS _credit
+      FROM ranked
+    )
+    SELECT COALESCE(_ttype, '(none)') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+           CAST(SUM(_credit) AS BIGINT) AS total_credit_ppm,
+           CAST(CAST(SUM(_cval * _credit) AS DECIMAL(38,6)) AS DOUBLE)
+             AS attributed_value_micro
+    FROM credited
+    GROUP BY 1
+    """
