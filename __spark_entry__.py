@@ -2909,6 +2909,33 @@ def _sql_customer_entity_clusters() -> str:
     """
 
 
+def q_golden_records(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution completed end-to-end: the fuzzy-link +
+    connected-components cluster table feeds SURVIVORSHIP — one
+    golden record per entity under deterministic field rules
+    (smallest key canonical, longest-name text, majority nation with
+    ties to the smallest, max balance in exact decimal). All stages
+    keyed on the entity id, so the merge shares one partitioning."""
+    clusters = q_customer_entity_clusters(spark, sf)
+    members = load(spark, sf, "customer").join(clusters, "c_custkey")
+    return J.golden_records(
+        members, entity_col="entity_id", key_col="c_custkey",
+        text_col="c_name", cat_col="c_nationkey", num_col="c_acctbal",
+    )
+
+
+def _sql_golden_records() -> str:
+    members = f"""
+      SELECT c.*, e.entity_id
+      FROM customer c JOIN ({_sql_customer_entity_clusters()}) e
+        USING (c_custkey)
+    """
+    return J.sql_golden_records(
+        members, entity_col="entity_id", key_col="c_custkey",
+        text_col="c_name", cat_col="c_nationkey", num_col="c_acctbal",
+    )
+
+
 def q_pipeline_curate(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end curation pipeline composing the round-7 operators:
     EXACT shingle-Jaccard near-dup removal (prefix-filtered join,
@@ -4184,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": q_attribution_last_touch,
         "quality_calibrated": q_quality_calibrated,
         "attribution_multi_touch": q_attribution_multi_touch,
+        "golden_records": q_golden_records,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4371,6 +4399,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_anomalies": AN.sql_rolling_anomalies(),
         "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
         "attribution_multi_touch": AN.sql_multi_touch_attribution(),
+        "golden_records": _sql_golden_records(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(

@@ -413,3 +413,33 @@ def test_fuzzy_link_deletions_exact_recall(spark):
         if lev(na, nb) <= 1
     }
     assert got == want
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Canonical key = min; text = longest (ties lexicographically
+    largest); categorical = majority (ties smallest); numeric = max;
+    singleton entities pass through."""
+    from webhookdb_spark.operators.joins import golden_records
+
+    rows = [
+        # entity 1: three members
+        (1, 10, "ann", 5, 100.0),
+        (1, 11, "anne", 5, 250.0),
+        (1, 12, "anna", 7, 50.0),    # 'anne' and 'anna' same length
+        # entity 2: singleton
+        (2, 20, "bob", 9, -10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "ent long, k long, name string, nat int, bal double")
+    got = {r.ent: r for r in golden_records(
+        df, "ent", "k", "name", "nat", "bal").collect()}
+    g1 = got[1]
+    assert g1.canonical_key == 10
+    # longest: anne/anna tie at 4 chars -> lexicographically larger: anne
+    assert g1.survived_text == "anne"
+    # nations {5:2, 7:1} -> majority 5
+    assert g1.survived_cat == 5
+    assert g1.max_num == 250.0 and g1.n_members == 3 and g1.n_cat_distinct == 2
+    g2 = got[2]
+    assert (g2.canonical_key, g2.survived_text, g2.survived_cat,
+            g2.max_num, g2.n_members) == (20, "bob", 9, -10.0, 1)

@@ -759,3 +759,108 @@ def sql_fuzzy_link_deletions(
     FROM cands
     WHERE levenshtein(left_text, right_text) <= 1
     """
+
+
+def golden_records(
+    members: DataFrame,
+    entity_col: str,
+    key_col: str,
+    text_col: str,
+    cat_col: str,
+    num_col: str,
+) -> DataFrame:
+    """Survivorship: collapse each resolved entity's member records
+    into ONE golden record under deterministic field-level rules —
+    the merge step after blocked linkage + connected components
+    (detect -> cluster -> THIS). Rules (classic MDM defaults, each
+    engine-portable):
+
+    - canonical key: the smallest member key (stable across runs);
+    - text field: the LONGEST value, ties to the lexicographically
+      largest (richest-data-wins);
+    - categorical field: majority vote, ties to the smallest value;
+    - numeric field: the maximum in exact decimal.
+
+    Returns (entity, canonical_key, survived_text, survived_cat,
+    max_num, n_members, n_cat_distinct).
+
+    Scale shape: one entity-keyed aggregate + one (entity, cat)
+    count with a per-entity top-1 window — every key is the entity
+    id, so all stages share a partitioning; nothing corpus-sized
+    crosses stages twice.
+    """
+    e = F.col(entity_col)
+    w_txt = Window.partitionBy(entity_col).orderBy(
+        F.length(text_col).desc(), F.col(text_col).desc()
+    )
+    base = (
+        members.withColumn("_rt", F.row_number().over(w_txt))
+        .groupBy(entity_col)
+        .agg(
+            F.min(key_col).cast("long").alias("canonical_key"),
+            F.max(F.when(F.col("_rt") == 1, F.col(text_col))).alias(
+                "survived_text"
+            ),
+            F.max(
+                F.col(num_col).cast("string").try_cast("decimal(18,6)")
+            ).cast("double").alias("max_num"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.count_distinct(cat_col).cast("long").alias("n_cat_distinct"),
+        )
+    )
+    w_cat = Window.partitionBy(entity_col).orderBy(
+        F.col("_n").desc(), F.col(cat_col).asc()
+    )
+    cat = (
+        members.groupBy(entity_col, cat_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_rc", F.row_number().over(w_cat))
+        .where(F.col("_rc") == 1)
+        .select(e.alias("_e2"), F.col(cat_col).alias("survived_cat"))
+    )
+    return base.join(cat, base[entity_col] == F.col("_e2")).select(
+        entity_col, "canonical_key", "survived_text", "survived_cat",
+        "max_num", "n_members", "n_cat_distinct",
+    )
+
+
+def sql_golden_records(
+    members_cte: str,
+    entity_col: str,
+    key_col: str,
+    text_col: str,
+    cat_col: str,
+    num_col: str,
+) -> str:
+    """DuckDB twin of :func:`golden_records` (``members_cte`` yields
+    the member rows with their entity labels)."""
+    return f"""
+    WITH m AS ({members_cte}),
+    base AS (
+      SELECT {entity_col},
+             CAST(MIN({key_col}) AS BIGINT) AS canonical_key,
+             MAX(CASE WHEN _rt = 1 THEN {text_col} END) AS survived_text,
+             CAST(MAX(TRY_CAST(CAST({num_col} AS VARCHAR) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS max_num,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(COUNT(DISTINCT {cat_col}) AS BIGINT) AS n_cat_distinct
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY {entity_col}
+          ORDER BY length({text_col}) DESC, {text_col} DESC) AS _rt
+        FROM m
+      ) GROUP BY {entity_col}
+    ),
+    cat AS (
+      SELECT {entity_col}, {cat_col} AS survived_cat
+      FROM (
+        SELECT {entity_col}, {cat_col}, row_number() OVER (
+          PARTITION BY {entity_col}
+          ORDER BY COUNT(*) DESC, {cat_col} ASC) AS _rc
+        FROM m GROUP BY {entity_col}, {cat_col}
+      ) WHERE _rc = 1
+    )
+    SELECT b.{entity_col}, b.canonical_key, b.survived_text,
+           c.survived_cat, b.max_num, b.n_members, b.n_cat_distinct
+    FROM base b JOIN cat c USING ({entity_col})
+    """
