@@ -3968,6 +3968,86 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_conversion_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Path-to-conversion analysis: for every purchase, the ordered
+    sequence of the user's lookback touch types rendered as a '>'
+    path (ties ordered by (ts, type, id) — deterministic), then
+    frequency and exact-decimal value per distinct path. The query
+    marketing teams run after attribution to see WHICH journeys
+    convert. Same one user-keyed join as attribution; the path build
+    is one per-conversion sorted aggregate."""
+    ev = load(spark, sf, "events")
+    dv = F.col("value").cast("string").try_cast("decimal(18,6)")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("_cid"), F.col("user_id").alias("_cuser"),
+        F.col("ts").alias("_cts"), dv.alias("_cval"),
+    )
+    touch = ev.where(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").alias("_tuser"), F.col("ts").alias("_tts"),
+        F.col("event_type").alias("_ttype"), F.col("event_id").alias("_tid"),
+    )
+    cus = F.unix_micros(F.col("_cts").cast("timestamp_ltz"))
+    tus = F.unix_micros(F.col("_tts").cast("timestamp_ltz"))
+    j = conv.join(
+        touch,
+        (F.col("_cuser") == F.col("_tuser")) & (tus <= cus)
+        & (cus - tus <= 7 * 86_400 * 1_000_000),
+        "left",
+    )
+    per = j.groupBy("_cid").agg(
+        F.first("_cval").alias("_v"),
+        F.coalesce(
+            F.nullif(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("_tts", "_ttype", "_tid"))
+                        ),
+                        lambda s: s["_ttype"],
+                    ),
+                    ">",
+                ),
+                F.lit(""),
+            ),
+            F.lit("(none)"),
+        ).alias("path"),
+    )
+    return per.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.coalesce(F.sum("_v").cast("double"), F.lit(0.0)).alias("total_value"),
+    )
+
+
+SQL_CONVERSION_PATHS = """
+WITH conv AS (
+  SELECT event_id AS _cid, user_id AS _cuser, ts AS _cts,
+         TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS _cval
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS _tuser, ts AS _tts, event_type AS _ttype,
+         event_id AS _tid
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+), j AS (
+  SELECT c._cid, c._cval, t._tts, t._ttype, t._tid
+  FROM conv c LEFT JOIN touch t
+    ON c._cuser = t._tuser
+   AND epoch_us(t._tts) <= epoch_us(c._cts)
+   AND epoch_us(c._cts) - epoch_us(t._tts) <= 604800000000
+), per AS (
+  SELECT _cid, MIN(_cval) AS _v,
+         COALESCE(NULLIF(string_agg(_ttype, '>'
+           ORDER BY _tts, _ttype, _tid), ''), '(none)') AS path
+  FROM j GROUP BY _cid
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       COALESCE(CAST(SUM(_v) AS DOUBLE), 0.0) AS total_value
+FROM per GROUP BY path
+"""
+
+
 def q_quality_calibrated(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source percentile calibration of quality scores: raw
     heuristic scores are not comparable ACROSS sources (each source
@@ -4212,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibrated": q_quality_calibrated,
         "attribution_multi_touch": q_attribution_multi_touch,
         "golden_records": q_golden_records,
+        "conversion_paths": q_conversion_paths,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4400,6 +4481,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
         "attribution_multi_touch": AN.sql_multi_touch_attribution(),
         "golden_records": _sql_golden_records(),
+        "conversion_paths": SQL_CONVERSION_PATHS,
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(
