@@ -3968,6 +3968,149 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps-law vocabulary-growth audit: decimate the corpus into 10
+    deterministic slices (doc_id % 10), then for each cumulative
+    prefix report docs seen, NEW distinct tokens first appearing in
+    that slice, and cumulative vocabulary size — the curve that tells
+    a corpus builder whether more data still buys vocabulary. ONE
+    token explode + a per-token min-slice aggregate (the whole curve
+    from one corpus pass); the cumulative window runs over 10 rows."""
+    docs = load(spark, sf, "documents")
+    b = docs.select(
+        (F.col("doc_id") % 10).cast("int").alias("fb"),
+        F.explode(TX.tokens(F.col("text"))).alias("tok"),
+    ).where(F.length("tok") > 0)
+    newt = (
+        b.groupBy("tok").agg(F.min("fb").alias("fb"))
+        .groupBy("fb").agg(F.count(F.lit(1)).cast("long").alias("new_tokens"))
+    )
+    nd = docs.groupBy(
+        (F.col("doc_id") % 10).cast("int").alias("fb")
+    ).agg(F.count(F.lit(1)).cast("long").alias("slice_docs"))
+    base = spark.range(10).select(F.col("id").cast("int").alias("fb"))
+    w = Window.orderBy("fb").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        base.join(newt, "fb", "left").join(nd, "fb", "left")
+        .select(
+            (F.col("fb") + 1).cast("int").alias("tenth"),
+            F.sum(F.coalesce("slice_docs", F.lit(0))).over(w)
+            .cast("long").alias("n_docs"),
+            F.coalesce("new_tokens", F.lit(0)).cast("long").alias("new_tokens"),
+            F.sum(F.coalesce("new_tokens", F.lit(0))).over(w)
+            .cast("long").alias("vocab_size"),
+        )
+    )
+
+
+def _sql_vocab_growth() -> str:
+    t = TX.SQL_TOKENS.format(c="text")
+    return f"""
+    WITH toks AS (
+      SELECT CAST(doc_id % 10 AS INTEGER) AS fb, unnest({t}) AS tok
+      FROM documents
+    ), newt AS (
+      SELECT fb, CAST(COUNT(*) AS BIGINT) AS new_tokens FROM (
+        SELECT tok, MIN(fb) AS fb FROM toks WHERE len(tok) > 0 GROUP BY tok
+      ) GROUP BY fb
+    ), nd AS (
+      SELECT CAST(doc_id % 10 AS INTEGER) AS fb,
+             CAST(COUNT(*) AS BIGINT) AS slice_docs
+      FROM documents GROUP BY 1
+    ), base AS (SELECT CAST(unnest(range(10)) AS INTEGER) AS fb)
+    SELECT CAST(b.fb + 1 AS INTEGER) AS tenth,
+           CAST(SUM(COALESCE(nd.slice_docs, 0)) OVER w AS BIGINT) AS n_docs,
+           CAST(COALESCE(newt.new_tokens, 0) AS BIGINT) AS new_tokens,
+           CAST(SUM(COALESCE(newt.new_tokens, 0)) OVER w AS BIGINT)
+             AS vocab_size
+    FROM base b
+    LEFT JOIN newt ON newt.fb = b.fb
+    LEFT JOIN nd ON nd.fb = b.fb
+    WINDOW w AS (ORDER BY b.fb ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """
+
+
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, recency (days from last
+    purchase to the corpus max ts — a fixed anchor, so the segment is
+    reproducible), frequency (purchase count) and monetary
+    (exact-decimal value sum) each score 1-5 by exact NTILE over
+    users; segments aggregate to (rfm_segment, n_users,
+    total_value). Recency ntile is DESCENDING (most recent = 5) so
+    '555' is the best customer the way practitioners read it. Three
+    user-keyed aggregates + three rank windows over the per-user
+    table (already small after the first shuffle; a billion-user
+    corpus would swap in operators/sampling.py's distributed exact
+    NTILE, same semantics) + one segment rollup."""
+    ev = load(spark, sf, "events")
+    p = ev.where(F.col("event_type") == "purchase")
+    anchor = p.agg(F.max("ts").alias("_maxts"))
+    per = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("_freq"),
+            F.sum(F.col("value").cast("string").try_cast("decimal(18,6)"))
+            .alias("_mon"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("_maxts").cast("date"), F.col("_last").cast("date"))
+            .cast("int").alias("_rec_days"),
+            "_freq", "_mon",
+        )
+    )
+    wr = Window.orderBy(F.col("_rec_days").asc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("_freq").asc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("_mon").asc(), F.col("user_id").asc())
+    scored = per.select(
+        "user_id", "_mon",
+        (F.lit(6) - F.ntile(5).over(wr)).alias("_r"),
+        F.ntile(5).over(wf).alias("_f"),
+        F.ntile(5).over(wm).alias("_m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat(F.col("_r"), F.col("_f"), F.col("_m")).alias("rfm_segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("_mon").cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH p AS (
+  SELECT user_id, ts,
+         TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS _v
+  FROM events WHERE event_type = 'purchase'
+), anchor AS (SELECT MAX(ts) AS _maxts FROM p),
+per AS (
+  SELECT user_id,
+         CAST(datediff('day', CAST(MAX(ts) AS DATE),
+              CAST((SELECT _maxts FROM anchor) AS DATE)) AS INTEGER)
+           AS _rec_days,
+         CAST(COUNT(*) AS BIGINT) AS _freq,
+         SUM(_v) AS _mon
+  FROM p GROUP BY user_id
+), scored AS (
+  SELECT user_id, _mon,
+         6 - ntile(5) OVER (ORDER BY _rec_days ASC, user_id ASC) AS _r,
+         ntile(5) OVER (ORDER BY _freq ASC, user_id ASC) AS _f,
+         ntile(5) OVER (ORDER BY _mon ASC, user_id ASC) AS _m
+  FROM per
+)
+SELECT CAST(_r AS VARCHAR) || CAST(_f AS VARCHAR) || CAST(_m AS VARCHAR)
+         AS rfm_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(_mon) AS DOUBLE) AS total_value
+FROM scored GROUP BY 1
+"""
+
+
 def q_conversion_paths(spark: SparkSession, sf: str) -> DataFrame:
     """Path-to-conversion analysis: for every purchase, the ordered
     sequence of the user's lookback touch types rendered as a '>'
@@ -4293,6 +4436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_multi_touch": q_attribution_multi_touch,
         "golden_records": q_golden_records,
         "conversion_paths": q_conversion_paths,
+        "rfm_segments": q_rfm_segments,
+        "vocab_growth": q_vocab_growth,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4482,6 +4627,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution_multi_touch": AN.sql_multi_touch_attribution(),
         "golden_records": _sql_golden_records(),
         "conversion_paths": SQL_CONVERSION_PATHS,
+        "rfm_segments": SQL_RFM_SEGMENTS,
+        "vocab_growth": _sql_vocab_growth(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(
