@@ -3968,6 +3968,147 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_orders_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    """Warehouse reconciliation audit: does each order's recorded
+    o_totalprice equal the sum over its lineitems of
+    extendedprice*(1-discount)*(1+tax)? Per order status: order
+    count, matching count (exact-decimal equality at 2dp — money),
+    orphans (orders with no lineitems), and the worst absolute
+    mismatch in cents. The denormalized-copy drift check every
+    warehouse runs; one order-keyed join + one aggregate."""
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    dec = "decimal(18,6)"
+    ext = F.col("l_extendedprice").cast("string").try_cast(dec)
+    dis = F.col("l_discount").cast("string").try_cast(dec)
+    tax = F.col("l_tax").cast("string").try_cast(dec)
+    per = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (ext * (F.lit(1).cast(dec) - dis) * (F.lit(1).cast(dec) + tax))
+            .cast("decimal(38,12)")
+        ).alias("_derived")
+    )
+    tot = F.col("o_totalprice").cast("string").try_cast(dec)
+    j = orders.select("o_orderkey", "o_orderstatus", tot.alias("_tot")).join(
+        per, orders["o_orderkey"] == per["l_orderkey"], "left"
+    )
+    # money comparison at cents: round both to 2dp in exact decimal
+    diff_cents = F.abs(
+        (F.round(F.col("_tot"), 2) - F.round(F.col("_derived"), 2)) * 100
+    ).cast("long")
+    return (
+        j.select(
+            "o_orderstatus",
+            F.col("_derived").isNull().cast("int").alias("_orphan"),
+            F.when(F.col("_derived").isNotNull(), diff_cents).alias("_dc"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum((F.col("_dc") == 0).cast("long")).cast("long").alias("n_match"),
+            F.sum("_orphan").cast("long").alias("n_orphans"),
+            F.coalesce(F.max("_dc"), F.lit(0)).cast("long")
+            .alias("max_mismatch_cents"),
+        )
+    )
+
+
+SQL_ORDERS_RECONCILIATION = """
+WITH per AS (
+  SELECT l_orderkey,
+         SUM(CAST(TRY_CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,6))
+             * (1 - TRY_CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(18,6)))
+             * (1 + TRY_CAST(CAST(l_tax AS VARCHAR) AS DECIMAL(18,6)))
+             AS DECIMAL(38,12))) AS _derived
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderstatus,
+         CASE WHEN p._derived IS NULL THEN 1 ELSE 0 END AS _orphan,
+         CASE WHEN p._derived IS NOT NULL THEN
+           CAST(abs((round(TRY_CAST(CAST(o.o_totalprice AS VARCHAR)
+                     AS DECIMAL(18,6)), 2)
+                     - round(p._derived, 2)) * 100) AS BIGINT)
+         END AS _dc
+  FROM orders o LEFT JOIN per p ON p.l_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN _dc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(SUM(_orphan) AS BIGINT) AS n_orphans,
+       CAST(COALESCE(MAX(_dc), 0) AS BIGINT) AS max_mismatch_cents
+FROM j GROUP BY o_orderstatus
+"""
+
+
+def q_revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue-concentration audit: the Gini coefficient of customer
+    order revenue within each market segment (the one-number answer
+    to 'how top-heavy is this segment'). Rank-weighted exact-decimal
+    sums per segment ((2*Sum(i*x_i))/(n*Sum(x)) - (n+1)/n), final
+    ratio in doubles floor-quantized to ppm. One customer aggregate,
+    one segment-keyed rank window, one segment rollup."""
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    dec = "decimal(18,6)"
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("string").try_cast(dec))
+            .alias("_rev")
+        )
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("c_mktsegment", "c_custkey", "_rev")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("_rev").asc(), F.col("c_custkey").asc()
+    )
+    ranked = rev.withColumn("_i", F.row_number().over(w))
+    per = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("_rev").alias("_sx"),
+        F.sum((F.col("_i") * F.col("_rev")).cast("decimal(38,12)")).alias("_six"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("_six").cast("double")
+        / (n * F.col("_sx").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return per.select(
+        "c_mktsegment", "n_customers",
+        F.col("_sx").cast("double").alias("total_revenue"),
+        F.floor(gini * 1e6).cast("long").alias("gini_ppm"),
+    )
+
+
+SQL_REVENUE_GINI = """
+WITH rev AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+         SUM(TRY_CAST(CAST(o.o_totalprice AS VARCHAR) AS DECIMAL(18,6)))
+           AS _rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_mktsegment ORDER BY _rev ASC, c_custkey ASC) AS _i
+  FROM rev
+), per AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(_rev) AS _sx,
+         SUM(CAST(_i * _rev AS DECIMAL(38,12))) AS _six
+  FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_customers,
+       CAST(_sx AS DOUBLE) AS total_revenue,
+       CAST(floor((2.0 * CAST(_six AS DOUBLE)
+            / (CAST(n_customers AS DOUBLE) * CAST(_sx AS DOUBLE))
+            - (CAST(n_customers AS DOUBLE) + 1.0)
+              / CAST(n_customers AS DOUBLE)) * 1e6) AS BIGINT) AS gini_ppm
+FROM per
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     """Heaps-law vocabulary-growth audit: decimate the corpus into 10
     deterministic slices (doc_id % 10), then for each cumulative
@@ -4438,6 +4579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_paths": q_conversion_paths,
         "rfm_segments": q_rfm_segments,
         "vocab_growth": q_vocab_growth,
+        "orders_reconciliation": q_orders_reconciliation,
+        "revenue_gini": q_revenue_gini,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4629,6 +4772,8 @@ def oracle_sql() -> dict[str, str]:
         "conversion_paths": SQL_CONVERSION_PATHS,
         "rfm_segments": SQL_RFM_SEGMENTS,
         "vocab_growth": _sql_vocab_growth(),
+        "orders_reconciliation": SQL_ORDERS_RECONCILIATION,
+        "revenue_gini": SQL_REVENUE_GINI,
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(
