@@ -3968,6 +3968,95 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_churn_risk_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Survival-analysis risk table for customer churn (the
+    integer-exact core of a Kaplan-Meier estimate): a customer is at
+    risk from their first order day through their last; customers
+    ordering in the final 90 days are CENSORED (still alive),
+    everyone else churns on their last order day. Per churn day:
+    customers at risk, churns, and the discrete hazard in ppm
+    (churned*1e6 div at_risk) — all integer arithmetic, so no
+    cross-engine float seam (the KM survival curve is the running
+    product of (1-hazard); shipping the risk table keeps the oracle
+    exact). At-risk counts come from the sweep-line +1/-1 delta
+    trick: one per-customer aggregate, one delta union, one
+    cumulative window over DISTINCT DAYS (date-range-sized, not
+    customer-sized)."""
+    ev = load(spark, sf, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    per = ev.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.min(day).alias("_first"), F.max(day).alias("_last")
+    )
+    mx = per.agg(F.max("_last").alias("_mx"))
+    per = per.crossJoin(F.broadcast(mx)).select(
+        "user_id", "_first", "_last",
+        (F.col("_last") >= F.col("_mx") - 90).cast("int").alias("_censored"),
+    )
+    deltas = (
+        per.select(F.col("_first").alias("day_num"), F.lit(1).alias("_d"))
+        .unionByName(
+            per.select((F.col("_last") + 1).alias("day_num"),
+                       F.lit(-1).alias("_d"))
+        )
+        .groupBy("day_num").agg(F.sum("_d").alias("_delta"))
+    )
+    churns = (
+        per.where(F.col("_censored") == 0)
+        .groupBy(F.col("_last").alias("day_num"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    w = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    risk = deltas.select(
+        "day_num", F.sum("_delta").over(w).cast("long").alias("n_at_risk")
+    )
+    return (
+        risk.join(churns, "day_num")
+        .select(
+            F.col("day_num").cast("int").alias("day_num"),
+            "n_at_risk", "n_churned",
+            F.expr("(n_churned * 1000000) div n_at_risk").cast("long")
+            .alias("hazard_ppm"),
+        )
+    )
+
+
+SQL_CHURN_RISK_TABLE = """
+WITH ev AS (
+  SELECT o_custkey AS user_id,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+  FROM orders
+), per AS (
+  SELECT user_id, MIN(day) AS _first, MAX(day) AS _last FROM ev
+  GROUP BY user_id
+), mx AS (SELECT MAX(_last) AS _mx FROM per),
+flagged AS (
+  SELECT p.*, CASE WHEN p._last >= (SELECT _mx FROM mx) - 90
+              THEN 1 ELSE 0 END AS _censored
+  FROM per p
+), deltas AS (
+  SELECT day_num, SUM(_d) AS _delta FROM (
+    SELECT _first AS day_num, 1 AS _d FROM flagged
+    UNION ALL
+    SELECT _last + 1 AS day_num, -1 AS _d FROM flagged
+  ) GROUP BY day_num
+), churns AS (
+  SELECT _last AS day_num, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM flagged WHERE _censored = 0 GROUP BY _last
+), risk AS (
+  SELECT day_num,
+         CAST(SUM(_delta) OVER (ORDER BY day_num
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_at_risk
+  FROM deltas
+)
+SELECT CAST(r.day_num AS INTEGER) AS day_num, r.n_at_risk, c.n_churned,
+       CAST((c.n_churned * 1000000) // r.n_at_risk AS BIGINT) AS hazard_ppm
+FROM risk r JOIN churns c USING (day_num)
+"""
+
+
 def q_orders_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
     """Warehouse reconciliation audit: does each order's recorded
     o_totalprice equal the sum over its lineitems of
@@ -4581,6 +4670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "orders_reconciliation": q_orders_reconciliation,
         "revenue_gini": q_revenue_gini,
+        "churn_risk_table": q_churn_risk_table,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4774,6 +4864,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _sql_vocab_growth(),
         "orders_reconciliation": SQL_ORDERS_RECONCILIATION,
         "revenue_gini": SQL_REVENUE_GINI,
+        "churn_risk_table": SQL_CHURN_RISK_TABLE,
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(
