@@ -3968,6 +3968,17 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_winsorize_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type winsorization audit: exact interpolated p5/p95
+    bounds, clip counts, and the exact-decimal sum of the clipped
+    column — the outlier-taming pass before feature normalization.
+    Two type-keyed aggregates + a broadcast bounds join."""
+    return AN.winsorize_summary(
+        load(spark, sf, "events"), "event_type", "value",
+        lo_pct=0.05, hi_pct=0.95,
+    )
+
+
 def q_churn_risk_table(spark: SparkSession, sf: str) -> DataFrame:
     """Survival-analysis risk table for customer churn (the
     integer-exact core of a Kaplan-Meier estimate): a customer is at
@@ -4671,6 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_reconciliation": q_orders_reconciliation,
         "revenue_gini": q_revenue_gini,
         "churn_risk_table": q_churn_risk_table,
+        "winsorize_values": q_winsorize_values,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4865,6 +4877,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_reconciliation": SQL_ORDERS_RECONCILIATION,
         "revenue_gini": SQL_REVENUE_GINI,
         "churn_risk_table": SQL_CHURN_RISK_TABLE,
+        "winsorize_values": AN.sql_winsorize_summary(
+            "events", "event_type", "value", lo_pct=0.05, hi_pct=0.95),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(

@@ -1302,3 +1302,78 @@ def sql_multi_touch_attribution(
     FROM credited
     GROUP BY 1
     """
+
+
+def winsorize_summary(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: float = 0.05,
+    hi_pct: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization audit: exact interpolated percentile
+    bounds (Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the rank p*(n-1) linear-interpolation definition — the
+    length_stats twin discipline), rows clipped below/above, and the
+    exact-decimal sum of the CLIPPED column (clamp in doubles —
+    identical IEEE on both engines — then quantize to decimal(18,6)
+    before summing, so partial-agg order cannot drift the total).
+    The outlier-taming pass a feature pipeline runs before
+    normalization; two group-keyed aggregates, the bounds re-attached
+    by a broadcast-sized join.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col)
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(lo_pct)).alias("_lo"),
+        F.percentile(v, F.lit(hi_pct)).alias("_hi"),
+    )
+    j = df.select(group_col, value_col).join(F.broadcast(bounds), group_col)
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    cd = clipped.cast("string").try_cast("decimal(18,6)")
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("_lo"), 6).alias("lo_bound"),
+            F.round(F.min("_hi"), 6).alias("hi_bound"),
+            F.sum((v < F.col("_lo")).cast("long")).cast("long")
+            .alias("n_clipped_low"),
+            F.sum((v > F.col("_hi")).cast("long")).cast("long")
+            .alias("n_clipped_high"),
+            F.sum(cd).cast("double").alias("winsorized_sum"),
+        )
+    )
+
+
+def sql_winsorize_summary(
+    table: str,
+    group_col: str,
+    value_col: str,
+    lo_pct: float = 0.05,
+    hi_pct: float = 0.95,
+) -> str:
+    """DuckDB twin of :func:`winsorize_summary`."""
+    return f"""
+    WITH bounds AS (
+      SELECT {group_col},
+             quantile_cont({value_col}, {lo_pct}) AS _lo,
+             quantile_cont({value_col}, {hi_pct}) AS _hi
+      FROM {table} GROUP BY {group_col}
+    ), j AS (
+      SELECT t.{group_col}, t.{value_col}, b._lo, b._hi,
+             least(greatest(t.{value_col}, b._lo), b._hi) AS _clip
+      FROM {table} t JOIN bounds b USING ({group_col})
+    )
+    SELECT {group_col},
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(MIN(_lo), 6) AS lo_bound,
+           round(MIN(_hi), 6) AS hi_bound,
+           CAST(SUM(CASE WHEN {value_col} < _lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN {value_col} > _hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(SUM(TRY_CAST(CAST(_clip AS VARCHAR) AS DECIMAL(18,6)))
+                AS DOUBLE) AS winsorized_sum
+    FROM j GROUP BY {group_col}
+    """
