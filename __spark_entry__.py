@@ -3968,6 +3968,16 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_token_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining: top token pairs by a PMI-equivalent
+    integer ratio (n_pair * n_windows * 1e6 div (n_a * n_b)) over
+    5-token co-occurrence windows — monotone in PMI with NO log()
+    engine seam, so the ranking itself carries a value-hash oracle.
+    One pair-keyed shuffle, token counts broadcast, top-k via
+    TakeOrderedAndProject."""
+    return C.token_collocations(load(spark, sf, "documents"))
+
+
 def q_winsorize_values(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type winsorization audit: exact interpolated p5/p95
     bounds, clip counts, and the exact-decimal sum of the clipped
@@ -4683,6 +4693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_gini": q_revenue_gini,
         "churn_risk_table": q_churn_risk_table,
         "winsorize_values": q_winsorize_values,
+        "token_collocations": q_token_collocations,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4879,6 +4890,7 @@ def oracle_sql() -> dict[str, str]:
         "churn_risk_table": SQL_CHURN_RISK_TABLE,
         "winsorize_values": AN.sql_winsorize_summary(
             "events", "event_type", "value", lo_pct=0.05, hi_pct=0.95),
+        "token_collocations": C.sql_token_collocations(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(

@@ -1235,3 +1235,117 @@ def sql_dsir_logweights(
     FROM cnts JOIN bw USING (b)
     GROUP BY 1, 2
     """
+
+
+def token_collocations(
+    df: DataFrame,
+    window: int = 5,
+    min_pair_count: int = 20,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: the top-``top_k`` token pairs by a
+    PMI-EQUIVALENT integer score. Co-occurrence counts every ordered
+    window of ``window`` consecutive tokens once per adjacent pair
+    inside it (pair = alphabetically ordered so (a,b)==(b,a));
+    ``pmi_ratio_ppm = n_pair * n_windows * 1e6 div (n_a * n_b)`` —
+    monotone in PMI (log of the same ratio), but pure int64, so the
+    ranking carries a value-hash oracle with NO log() cross-engine
+    seam. Ties break (ratio desc, pair asc).
+
+    Scale shape: one window explode (window-1 pairs per corpus
+    token), ONE shuffle on the pair key, token counts as a broadcast
+    side; top-k via orderBy+limit (TakeOrderedAndProject, per-task
+    local top-k). min_pair_count prunes the long tail BEFORE the
+    ratio join.
+    """
+    b = bind(
+        scale_out(df.select(text_col)), "_t", F.split(F.trim(F.col(text_col)), WS)
+    )
+    # adjacent-within-window pairs: for token i, partners i+1..i+window-1
+    pairs = b.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, greatest(size(_t) - 1, 0)),
+                    i -> transform(
+                        sequence(i + 1, least(i + {window} - 1, size(_t))),
+                        j -> IF(_t[i - 1] < _t[j - 1],
+                                struct(_t[i - 1] AS a, _t[j - 1] AS b),
+                                struct(_t[j - 1] AS a, _t[i - 1] AS b)))))"""
+            )
+        ).alias("_p")
+    ).select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    pc = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    toks = (
+        b.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    total = pairs.agg(F.count(F.lit(1)).alias("_n_windows"))
+    scored = (
+        pc.join(F.broadcast(toks.withColumnRenamed("tok", "a")
+                .withColumnRenamed("n_tok", "n_a")), "a")
+        .join(F.broadcast(toks.withColumnRenamed("tok", "b")
+              .withColumnRenamed("n_tok", "n_b")), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a", "b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            # 128-bit intermediates: at 100 TB n_pair * n_windows *
+            # 1e6 overflows int64 (the quality_calibrated lesson,
+            # applied preemptively) — decimal(38,0) here, HUGEINT in
+            # the twin; the RATIO always fits int64
+            F.expr(
+                "(cast(n_pair AS decimal(38,0))"
+                " * cast(_n_windows AS decimal(38,0)) * 1000000)"
+                " div (cast(n_a AS decimal(38,0)) * cast(n_b AS decimal(38,0)))"
+            ).cast("long").alias("pmi_ratio_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio_ppm").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(top_k)
+
+
+def sql_token_collocations(
+    table: str = "documents",
+    window: int = 5,
+    min_pair_count: int = 20,
+    top_k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`token_collocations`."""
+    t = SQL_TOKENS.format(c="text")
+    return f"""
+    WITH toks AS (
+      SELECT {t} AS tk FROM {table}
+    ), pairs AS (
+      SELECT CASE WHEN tk[CAST(i AS INTEGER)] < tk[CAST(j AS INTEGER)]
+                  THEN tk[CAST(i AS INTEGER)] ELSE tk[CAST(j AS INTEGER)] END AS a,
+             CASE WHEN tk[CAST(i AS INTEGER)] < tk[CAST(j AS INTEGER)]
+                  THEN tk[CAST(j AS INTEGER)] ELSE tk[CAST(i AS INTEGER)] END AS b
+      FROM toks,
+           unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS t1(i),
+           unnest(range(i + 1, least(i + {window} - 1, len(tk)) + 1)) AS t2(j)
+    ), pc AS (
+      SELECT a, b, COUNT(*) AS n_pair FROM pairs GROUP BY a, b
+      HAVING COUNT(*) >= {min_pair_count}
+    ), tc AS (
+      SELECT tok, COUNT(*) AS n_tok FROM (
+        SELECT unnest(tk) AS tok FROM toks
+      ) GROUP BY tok
+    ), total AS (SELECT COUNT(*) AS _n_windows FROM pairs)
+    SELECT p.a, p.b, CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(CAST(p.n_pair AS HUGEINT) * t._n_windows * 1000000
+                // (CAST(ta.n_tok AS HUGEINT) * tb.n_tok)
+                AS BIGINT) AS pmi_ratio_ppm
+    FROM pc p
+    JOIN tc ta ON ta.tok = p.a
+    JOIN tc tb ON tb.tok = p.b
+    CROSS JOIN total t
+    ORDER BY pmi_ratio_ppm DESC, p.a ASC, p.b ASC
+    LIMIT {top_k}
+    """
