@@ -3968,6 +3968,17 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_discount_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-wise OLS (the SQL-standard REGR_* family, determinism-
+    hardened): slope/intercept/R2 of quantity regressed on discount
+    per returnflag — does a deeper discount move volume? Exact
+    decimal moments in ONE aggregate; only the final divisions run
+    in doubles, floor-quantized to ppm."""
+    return AN.groupwise_ols(
+        load(spark, sf, "lineitem"), "l_returnflag", "l_discount", "l_quantity"
+    )
+
+
 def q_token_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """Collocation mining: top token pairs by a PMI-equivalent
     integer ratio (n_pair * n_windows * 1e6 div (n_a * n_b)) over
@@ -4694,6 +4705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn_risk_table": q_churn_risk_table,
         "winsorize_values": q_winsorize_values,
         "token_collocations": q_token_collocations,
+        "discount_ols": q_discount_ols,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4891,6 +4903,8 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_values": AN.sql_winsorize_summary(
             "events", "event_type", "value", lo_pct=0.05, hi_pct=0.95),
         "token_collocations": C.sql_token_collocations(),
+        "discount_ols": AN.sql_groupwise_ols(
+            "lineitem", "l_returnflag", "l_discount", "l_quantity"),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(

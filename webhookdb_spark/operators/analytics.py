@@ -1377,3 +1377,107 @@ def sql_winsorize_summary(
                 AS DOUBLE) AS winsorized_sum
     FROM j GROUP BY {group_col}
     """
+
+
+def groupwise_ols(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Group-wise simple linear regression — the SQL-standard
+    REGR_SLOPE / REGR_INTERCEPT / REGR_R2 family, hardened for
+    cross-engine determinism: the built-in regr_* aggregates sum
+    DOUBLES (partial-aggregation order drifts the last bits, breaking
+    a value-hash oracle), so the moments here are exact decimals (the
+    numeric_correlations discipline) and only the final slope /
+    intercept / r2 divisions run in doubles, floor-quantized to ppm.
+    Pairwise-complete (rows with NULL on either side drop). Returns
+    (group, n, slope_ppm, intercept_ppm, r2_ppm) — r2 NULL when x or
+    y has zero variance, slope/intercept NULL when x does. ONE
+    group-keyed aggregate; partial-agg friendly at any scale.
+    """
+
+    def dec(c):
+        return F.col(c).cast("string").try_cast("decimal(18,6)")
+
+    ok = dec(x_col).isNotNull() & dec(y_col).isNotNull()
+    x = F.when(ok, dec(x_col))
+    y = F.when(ok, dec(y_col))
+    m = df.groupBy(group_col).agg(
+        F.count(x).cast("long").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("_sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("_sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = cov / vx
+    intercept = (sy - slope * sx) / n
+    r2 = (cov * cov) / (vx * vy)
+    return m.select(
+        group_col, "n",
+        F.when(vx != 0, F.floor(slope * 1e6)).cast("long").alias("slope_ppm"),
+        F.when(vx != 0, F.floor(intercept * 1e6)).cast("long")
+        .alias("intercept_ppm"),
+        F.when((vx != 0) & (vy != 0), F.floor(r2 * 1e6)).cast("long")
+        .alias("r2_ppm"),
+    )
+
+
+def sql_groupwise_ols(table: str, group_col: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of :func:`groupwise_ols` — same exact-decimal
+    moments, same double chain, same guards."""
+    dx = f"TRY_CAST(CAST({x_col} AS VARCHAR) AS DECIMAL(18,6))"
+    dy = f"TRY_CAST(CAST({y_col} AS VARCHAR) AS DECIMAL(18,6))"
+    return f"""
+    WITH m AS (
+      SELECT {group_col},
+             CAST(COUNT(CASE WHEN {dx} IS NOT NULL AND {dy} IS NOT NULL
+                        THEN 1 END) AS BIGINT) AS n,
+             SUM(CASE WHEN {dy} IS NOT NULL THEN {dx} END) AS _sx,
+             SUM(CASE WHEN {dx} IS NOT NULL THEN {dy} END) AS _sy,
+             SUM(CAST({dx} * {dy} AS DECIMAL(38,12))) AS _sxy,
+             SUM(CASE WHEN {dy} IS NOT NULL
+                 THEN CAST({dx} * {dx} AS DECIMAL(38,12)) END) AS _sxx,
+             SUM(CASE WHEN {dx} IS NOT NULL
+                 THEN CAST({dy} * {dy} AS DECIMAL(38,12)) END) AS _syy
+      FROM {table} GROUP BY {group_col}
+    )
+    SELECT {group_col}, n,
+      CASE WHEN CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) != 0 THEN
+        CAST(floor((CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+             - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) * 1e6) AS BIGINT)
+      END AS slope_ppm,
+      CASE WHEN CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) != 0 THEN
+        CAST(floor((CAST(_sy AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                 - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                   - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)))
+               * CAST(_sx AS DOUBLE)) / CAST(n AS DOUBLE) * 1e6) AS BIGINT)
+      END AS intercept_ppm,
+      CASE WHEN (CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                 - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) != 0
+            AND (CAST(n AS DOUBLE) * CAST(_syy AS DOUBLE)
+                 - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE)) != 0 THEN
+        CAST(floor(((CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+             - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                 - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(_syy AS DOUBLE)
+                   - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE))) * 1e6)
+             AS BIGINT)
+      END AS r2_ppm
+    FROM m
+    """
