@@ -3968,6 +3968,129 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_weighted_median_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted order statistic: the quantity-weighted median
+    extended price per returnflag — the smallest price whose
+    cumulative weight reaches half the group total, computed with an
+    exact-decimal cumulative window (no engine has a portable
+    weighted-quantile builtin; the cumulative form is exact in both).
+    One group-keyed window over (group, price)-aggregated rows."""
+    li = load(spark, sf, "lineitem")
+    dec = "decimal(18,6)"
+    g = li.groupBy(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("string").try_cast(dec).alias("_p"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("string").try_cast(dec)).alias("_w")
+    )
+    wsum = Window.partitionBy("l_returnflag").orderBy("_p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag", "_p",
+        F.sum("_w").over(wsum).alias("_cum"),
+        F.sum("_w").over(tot).alias("_tot"),
+    )
+    # first price where 2*cum >= tot (exact decimal compare)
+    hit = c.where(F.col("_cum") * 2 >= F.col("_tot"))
+    wmin = Window.partitionBy("l_returnflag").orderBy("_p")
+    return (
+        hit.withColumn("_r", F.row_number().over(wmin))
+        .where(F.col("_r") == 1)
+        .select(
+            "l_returnflag",
+            F.col("_p").cast("double").alias("weighted_median_price"),
+            F.col("_tot").cast("double").alias("total_weight"),
+        )
+    )
+
+
+SQL_WEIGHTED_MEDIAN_PRICE = """
+WITH g AS (
+  SELECT l_returnflag,
+         TRY_CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,6)) AS _p,
+         SUM(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,6))) AS _w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, _p,
+         SUM(_w) OVER (PARTITION BY l_returnflag ORDER BY _p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _cum,
+         SUM(_w) OVER (PARTITION BY l_returnflag) AS _tot
+  FROM g
+), hit AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY _p) AS _r
+  FROM c WHERE _cum * 2 >= _tot
+)
+SELECT l_returnflag,
+       CAST(_p AS DOUBLE) AS weighted_median_price,
+       CAST(_tot AS DOUBLE) AS total_weight
+FROM hit WHERE _r = 1
+"""
+
+# Benford first-digit expected frequencies, ppm: floor(log10(1+1/d)*1e6)
+# — precomputed CONSTANTS so neither engine evaluates log10 at runtime
+# (libm rounding differs across engines; literals cannot).
+_BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910,
+                5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+
+def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals (the classic
+    fabricated-numbers screen): observed leading-digit counts and ppm
+    vs the Benford expectation (precomputed literal constants — no
+    runtime log10, no libm seam), with the absolute deviation. The
+    first digit comes from the INTEGER part rendered from a bigint
+    (exact), values < 1 excluded. One narrow map + a 9-row aggregate."""
+    orders = load(spark, sf, "orders")
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("_t"))
+    bf = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n",
+            F.expr("n * 1000000 div _t").cast("long").alias("observed_ppm"),
+            bf[F.col("digit")].cast("long").alias("benford_ppm"),
+        )
+        .withColumn(
+            "abs_dev_ppm",
+            F.abs(F.col("observed_ppm") - F.col("benford_ppm")).cast("long"),
+        )
+    )
+
+
+def _sql_benford_audit() -> str:
+    rows = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM.items())
+    return f"""
+    WITH obs AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS INTEGER) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS _t FROM obs),
+    bf(digit, benford_ppm) AS (VALUES {rows})
+    SELECT o.digit, o.n,
+           CAST(o.n * 1000000 // t._t AS BIGINT) AS observed_ppm,
+           CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(abs(o.n * 1000000 // t._t - b.benford_ppm) AS BIGINT)
+             AS abs_dev_ppm
+    FROM obs o CROSS JOIN tot t JOIN bf b USING (digit)
+    """
+
+
 def q_discount_ols(spark: SparkSession, sf: str) -> DataFrame:
     """Group-wise OLS (the SQL-standard REGR_* family, determinism-
     hardened): slope/intercept/R2 of quantity regressed on discount
@@ -4706,6 +4829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_values": q_winsorize_values,
         "token_collocations": q_token_collocations,
         "discount_ols": q_discount_ols,
+        "weighted_median_price": q_weighted_median_price,
+        "benford_audit": q_benford_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -4905,6 +5030,8 @@ def oracle_sql() -> dict[str, str]:
         "token_collocations": C.sql_token_collocations(),
         "discount_ols": AN.sql_groupwise_ols(
             "lineitem", "l_returnflag", "l_discount", "l_quantity"),
+        "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
+        "benford_audit": _sql_benford_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(
