@@ -585,3 +585,55 @@ def test_multi_touch_credit_is_exact_and_u_shaped(spark):
     assert got["click"].total_credit_ppm == 1_400_000
     # attributed micro-value: user1's 10.0 split 40/20/40
     assert got["signup"].attributed_value_micro == 10.0 * 400_000
+
+
+def test_winsorize_summary_bounds_and_clip_counts(spark):
+    """p5/p95 interpolated bounds on a known ramp; exactly the tail
+    rows clip; the winsorized sum replaces tails by the bounds."""
+    from webhookdb_spark.operators.analytics import winsorize_summary
+
+    rows = [("g", float(i)) for i in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = winsorize_summary(df, "g", "v", lo_pct=0.05, hi_pct=0.95).collect()[0]
+    # rank p*(n-1): lo = 1 + 0.05*99 = 5.95, hi = 1 + 0.95*99 = 95.05
+    assert r.lo_bound == 5.95 and r.hi_bound == 95.05
+    assert r.n_clipped_low == 5 and r.n_clipped_high == 5
+    expected = 5 * 5.95 + sum(range(6, 96)) + 5 * 95.05
+    assert abs(r.winsorized_sum - expected) < 1e-6
+
+
+def test_groupwise_ols_recovers_exact_line(spark):
+    """Points on y = 3x + 7 give slope 3, intercept 7, r2 = 1; a
+    zero-variance-x group returns NULL fits."""
+    from webhookdb_spark.operators.analytics import groupwise_ols
+
+    rows = [("line", float(x), 3.0 * x + 7) for x in range(10)]
+    rows += [("flatx", 5.0, float(y)) for y in range(5)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in groupwise_ols(df, "g", "x", "y").collect()}
+    line = got["line"]
+    assert (line.slope_ppm, line.intercept_ppm, line.r2_ppm) == (
+        3_000_000, 7_000_000, 1_000_000)
+    flat = got["flatx"]
+    assert flat.slope_ppm is None and flat.r2_ppm is None
+
+
+def test_token_collocations_ranks_exclusive_pairs_highest(spark):
+    """A pair that ONLY ever co-occurs together outranks pairs of
+    promiscuous frequent tokens; the ratio is exact integer."""
+    from webhookdb_spark.operators.corpus import token_collocations
+
+    rows = [("alpha beta common1 common2",)] * 30
+    rows += [("common1 gamma common2 delta",)] * 30
+    df = spark.createDataFrame(rows, "text string")
+    got = token_collocations(
+        df, window=3, min_pair_count=5, top_k=10).collect()
+    ranks = {(r.a, r.b): i for i, r in enumerate(got)}
+    # (alpha, beta): n_pair=30, n_a=n_b=30 -> highest ratio;
+    # (common1, common2) occurs 60x but each token appears 60x
+    assert ("alpha", "beta") in ranks
+    ab = [r for r in got if (r.a, r.b) == ("alpha", "beta")][0]
+    cc = [r for r in got if (r.a, r.b) == ("common1", "common2")]
+    if cc:
+        assert ab.pmi_ratio_ppm > cc[0].pmi_ratio_ppm
+    assert ranks[("alpha", "beta")] == 0
