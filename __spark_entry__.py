@@ -3968,6 +3968,78 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_stratified_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified k-fold assignment (k=5): within each language
+    stratum, docs take folds round-robin in deterministic md5-of-id
+    order, so every stratum's folds are balanced within one row and
+    the assignment is reproducible across runs and engines — the
+    cross-validation splitter that never lets a small language vanish
+    from a fold. One stratum-keyed rank window (WindowGroupLimit-free
+    but stratum-sized state only)."""
+    docs = load(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id", "lang",
+        ((F.row_number().over(w) - 1) % 5).cast("int").alias("fold"),
+    )
+
+
+SQL_STRATIFIED_KFOLD = """
+SELECT doc_id, lang,
+       CAST((row_number() OVER (
+         PARTITION BY lang
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5
+       AS INTEGER) AS fold
+FROM documents
+"""
+
+
+def q_kmv_accuracy_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch self-validation: the KMV distinct estimate vs the EXACT
+    distinct count for each event type, with the signed error in ppm
+    — the audit that tells an operator whether the k=256 sketch is
+    trustworthy on their data before they rely on it at 100 TB (where
+    the exact count is the expensive side and this audit runs on a
+    slice). Both sides in one pass each; error integer-exact."""
+    ev = load(spark, sf, "events")
+    est = SK.kmv_distinct(ev, "event_type", "user_id", k=256).select(
+        F.col("event_type"), F.col("est_distinct")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type", "exact_distinct",
+            F.col("est_distinct").cast("long").alias("est_distinct"),
+            F.expr(
+                "(cast(est_distinct AS bigint) - exact_distinct) * 1000000"
+                " div exact_distinct"
+            ).cast("long").alias("err_ppm"),
+        )
+    )
+
+
+def _sql_kmv_accuracy_audit() -> str:
+    est = SK.sql_kmv_distinct("events", "event_type", "user_id", k=256)
+    return f"""
+    WITH est AS ({est}),
+    exact_ AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT x.event_type, x.exact_distinct,
+           CAST(e.est_distinct AS BIGINT) AS est_distinct,
+           CAST((CAST(e.est_distinct AS BIGINT) - x.exact_distinct) * 1000000
+                // x.exact_distinct AS BIGINT) AS err_ppm
+    FROM exact_ x JOIN est e USING (event_type)
+    """
+
+
 def q_weighted_median_price(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted order statistic: the quantity-weighted median
     extended price per returnflag — the smallest price whose
@@ -4831,6 +4903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_ols": q_discount_ols,
         "weighted_median_price": q_weighted_median_price,
         "benford_audit": q_benford_audit,
+        "stratified_kfold": q_stratified_kfold,
+        "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -5032,6 +5106,8 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", "l_returnflag", "l_discount", "l_quantity"),
         "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
         "benford_audit": _sql_benford_audit(),
+        "stratified_kfold": SQL_STRATIFIED_KFOLD,
+        "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
         "fd_audit": PR.sql_fd_audit(
