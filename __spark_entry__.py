@@ -3968,6 +3968,77 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    """Pretraining packing cost table: for context lengths 64/128/256
+    and both packing strategies — 'concat' (dense, documents flow
+    across sequence boundaries) vs 'doc_boundary' (every document
+    padded to its own sequence multiple) — the sequence count and
+    padding waste in ppm. The table a team reads before picking a
+    context length; exact integer arithmetic from ONE per-doc token
+    count pass."""
+    docs = load(spark, sf, "documents")
+    b = docs.select(
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("_n")
+    )
+    aggs = [F.sum("_n").alias("_total")]
+    for L in (64, 128, 256):
+        aggs.append(
+            F.sum(F.expr(f"(_n + {L} - 1) div {L}")).alias(f"_docseq_{L}")
+        )
+    m = b.agg(*aggs)
+    rows = []
+    for L in (64, 128, 256):
+        concat_seq = F.expr(f"(_total + {L} - 1) div {L}")
+        rows.append(F.struct(
+            F.lit(L).alias("context_len"),
+            F.lit("concat").alias("strategy"),
+            concat_seq.cast("long").alias("n_sequences"),
+            F.expr(
+                f"((((_total + {L} - 1) div {L}) * {L} - _total) * 1000000)"
+                f" div (((_total + {L} - 1) div {L}) * {L})"
+            ).cast("long").alias("waste_ppm"),
+        ))
+        rows.append(F.struct(
+            F.lit(L).alias("context_len"),
+            F.lit("doc_boundary").alias("strategy"),
+            F.col(f"_docseq_{L}").cast("long").alias("n_sequences"),
+            F.expr(
+                f"((_docseq_{L} * {L} - _total) * 1000000)"
+                f" div (_docseq_{L} * {L})"
+            ).cast("long").alias("waste_ppm"),
+        ))
+    return m.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def _sql_packing_efficiency() -> str:
+    t = TX.SQL_TOKENS.format(c="text")
+    selects = []
+    for L in (64, 128, 256):
+        selects.append(f"""
+    SELECT {L} AS context_len, 'concat' AS strategy,
+           CAST((_total + {L} - 1) // {L} AS BIGINT) AS n_sequences,
+           CAST((((_total + {L} - 1) // {L}) * {L} - _total) * 1000000
+                // (((_total + {L} - 1) // {L}) * {L}) AS BIGINT) AS waste_ppm
+    FROM m""")
+        selects.append(f"""
+    SELECT {L} AS context_len, 'doc_boundary' AS strategy,
+           CAST(_docseq_{L} AS BIGINT) AS n_sequences,
+           CAST((_docseq_{L} * {L} - _total) * 1000000
+                // (_docseq_{L} * {L}) AS BIGINT) AS waste_ppm
+    FROM m""")
+    cols = ", ".join(
+        f"SUM((_n + {L} - 1) // {L}) AS _docseq_{L}" for L in (64, 128, 256)
+    )
+    return f"""
+    WITH b AS (
+      SELECT CAST(len({t}) AS BIGINT) AS _n FROM documents
+    ), m AS (
+      SELECT SUM(_n) AS _total, {cols} FROM b
+    )
+    {" UNION ALL ".join(selects)}
+    """
+
+
 def q_stratified_kfold(spark: SparkSession, sf: str) -> DataFrame:
     """Stratified k-fold assignment (k=5): within each language
     stratum, docs take folds round-robin in deterministic md5-of-id
@@ -4904,6 +4975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price": q_weighted_median_price,
         "benford_audit": q_benford_audit,
         "stratified_kfold": q_stratified_kfold,
+        "packing_efficiency": q_packing_efficiency,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5107,6 +5179,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
         "benford_audit": _sql_benford_audit(),
         "stratified_kfold": SQL_STRATIFIED_KFOLD,
+        "packing_efficiency": _sql_packing_efficiency(),
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
