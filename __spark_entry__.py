@@ -3968,6 +3968,97 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_revenue_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint detection on daily order revenue: the
+    classic recursive statistic S_t = max(0, S_{t-1} + (x_t - mu - k))
+    rewritten EXACTLY as cum_t - min_prefix(cum_t) of the drift-
+    adjusted series — a pure window identity, so the whole detector
+    is two cumulative windows over exact decimals with no recursion
+    and no float seam (mu is the global daily mean as an exact
+    decimal ratio; drift k = mu/10; returns days where the statistic
+    crosses 3*mu). One day aggregate + one 1-row broadcast + ordered
+    windows over the (date-range-sized) daily series."""
+    orders = load(spark, sf, "orders")
+    dec = "decimal(18,6)"
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    daily = orders.groupBy(day.alias("day_num")).agg(
+        F.sum(F.col("o_totalprice").cast("string").try_cast(dec)).alias("_x")
+    )
+    g = daily.agg(
+        F.sum("_x").alias("_sx"),
+        F.count(F.lit(1)).cast("long").alias("_nd"),
+    )
+    j = daily.crossJoin(F.broadcast(g))
+    # drift-adjusted term in EXACT decimal: x - mu - mu/10 where
+    # mu = _sx/_nd; scale by _nd*10 to stay integral-decimal:
+    # adj = x*_nd*10 - _sx*11  (all decimal, order-independent sums)
+    adj = (
+        F.col("_x").cast("decimal(38,6)") * F.col("_nd") * 10
+        - F.col("_sx").cast("decimal(38,6)") * 11
+    ).cast("decimal(38,6)")
+    w = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    c = j.select(
+        "day_num", "_x", "_sx", "_nd",
+        F.sum(adj).over(w).alias("_cum"),
+    )
+    # the identity needs min(0, min_prefix): an all-positive prefix
+    # must subtract 0, not its own first element
+    c = c.withColumn(
+        "_minpfx",
+        F.least(F.lit(0).cast("decimal(38,6)"), F.min("_cum").over(w)),
+    )
+    # S_t in the scaled space; threshold 3*mu scaled = 3*_sx*10
+    s_scaled = F.col("_cum") - F.col("_minpfx")
+    return (
+        c.where(s_scaled > F.col("_sx").cast("decimal(38,6)") * 30)
+        .select(
+            F.col("day_num").cast("int").alias("day_num"),
+            F.col("_x").cast("double").alias("daily_revenue"),
+            # statistic reported in mu units, ppm: S/(mu*scale)*1e6
+            # integral intermediates before the truncating division —
+            # fractional-decimal div rounds differently per engine
+            F.expr(
+                "cast(cast((_cum - _minpfx) * 1000000 AS decimal(38,0))"
+                " * 100000 div cast(_sx * 10000000 AS decimal(38,0))"
+                " as bigint)"
+            ).alias("cusum_decimicro_mu"),
+        )
+    )
+
+
+SQL_REVENUE_CUSUM = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day_num,
+         SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,6))) AS _x
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT SUM(_x) AS _sx, CAST(COUNT(*) AS BIGINT) AS _nd FROM daily
+), c AS (
+  SELECT d.day_num, d._x, g._sx, g._nd,
+         SUM(CAST(CAST(d._x AS DECIMAL(38,6)) * g._nd * 10
+             - CAST(g._sx AS DECIMAL(38,6)) * 11 AS DECIMAL(38,6)))
+           OVER (ORDER BY d.day_num
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+  FROM daily d CROSS JOIN g
+), m AS (
+  SELECT *, least(CAST(0 AS DECIMAL(38,6)),
+            MIN(_cum) OVER (ORDER BY day_num
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS _minpfx
+  FROM c
+)
+SELECT CAST(day_num AS INTEGER) AS day_num,
+       CAST(_x AS DOUBLE) AS daily_revenue,
+       CAST(CAST((_cum - _minpfx) * 1000000 AS HUGEINT) * 100000
+            // CAST(_sx * 10000000 AS HUGEINT) AS BIGINT)
+         AS cusum_decimicro_mu
+FROM m
+WHERE (_cum - _minpfx) > CAST(_sx AS DECIMAL(38,6)) * 30
+"""
+
+
 def q_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
     """Pretraining packing cost table: for context lengths 64/128/256
     and both packing strategies — 'concat' (dense, documents flow
@@ -4976,6 +5067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "stratified_kfold": q_stratified_kfold,
         "packing_efficiency": q_packing_efficiency,
+        "revenue_cusum": q_revenue_cusum,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5180,6 +5272,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": _sql_benford_audit(),
         "stratified_kfold": SQL_STRATIFIED_KFOLD,
         "packing_efficiency": _sql_packing_efficiency(),
+        "revenue_cusum": SQL_REVENUE_CUSUM,
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
