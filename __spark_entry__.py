@@ -3968,6 +3968,71 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_source_vocab_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source vocabulary comparison: EXACT Jaccard similarity
+    of the distinct-token vocabularies for every source pair — the
+    drift audit that says which feeds speak the same language (the
+    exact counterpart of corpus_overlap_kmv's sketch estimate). One
+    token-keyed self-join over the (vocab x source) distinct table
+    (per-token fanout is bounded by the source count, never corpus
+    rows); vocab sizes broadcast; jaccard in integer ppm."""
+    docs = load(spark, sf, "documents")
+    vs = (
+        docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .where(F.length("tok") > 0)
+        .distinct()
+    )
+    sizes = vs.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = vs.select(F.col("source").alias("src_a"), "tok")
+    b = vs.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("n_vocab", "n_a")), "src_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("n_vocab", "n_b")), "src_b")
+        .select(
+            "src_a", "src_b", "n_inter",
+            F.expr("n_a + n_b - n_inter").cast("long").alias("n_union"),
+            F.expr("n_inter * 1000000 div (n_a + n_b - n_inter)")
+            .cast("long").alias("jaccard_ppm"),
+        )
+    )
+
+
+def _sql_source_vocab_jaccard() -> str:
+    t = TX.SQL_TOKENS.format(c="text")
+    return f"""
+    WITH vs AS (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest({t}) AS tok FROM documents
+      ) WHERE len(tok) > 0
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab FROM vs GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM vs a JOIN vs b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_inter,
+           CAST(sa.n_vocab + sb.n_vocab - i.n_inter AS BIGINT) AS n_union,
+           CAST(i.n_inter * 1000000
+                // (sa.n_vocab + sb.n_vocab - i.n_inter) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """
+
+
 def q_revenue_cusum(spark: SparkSession, sf: str) -> DataFrame:
     """CUSUM changepoint detection on daily order revenue: the
     classic recursive statistic S_t = max(0, S_{t-1} + (x_t - mu - k))
@@ -5068,6 +5133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_kfold": q_stratified_kfold,
         "packing_efficiency": q_packing_efficiency,
         "revenue_cusum": q_revenue_cusum,
+        "source_vocab_jaccard": q_source_vocab_jaccard,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5273,6 +5339,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_kfold": SQL_STRATIFIED_KFOLD,
         "packing_efficiency": _sql_packing_efficiency(),
         "revenue_cusum": SQL_REVENUE_CUSUM,
+        "source_vocab_jaccard": _sql_source_vocab_jaccard(),
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
