@@ -3968,6 +3968,60 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_dedup_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup self-evaluation: the MinHash-LSH pipeline's verified
+    pairs measured against the EXACT prefix-filtered Jaccard join as
+    ground truth at the same 0.7 shingle threshold — one row of
+    (n_true_pairs, n_verified_pairs, n_missed, n_extra, recall_ppm).
+    The honest answer to 'what does the probabilistic path lose';
+    pair sets compared by full outer join so the metric stays
+    well-defined even on rounding-boundary pairs."""
+    docs = load(spark, sf, "documents")
+    truth = D.prefix_jaccard_join(docs, "text", 7, 10, ngram=3).select(
+        "doc_a", "doc_b", F.lit(1).alias("_t")
+    )
+    sigs = D.minhash_signatures(docs, "text", shingle_n=3)
+    cand = D.lsh_candidate_pairs(sigs)
+    ver = D.jaccard_pairs(docs, cand, "text", 3, 0.7).select(
+        "doc_a", "doc_b", F.lit(1).alias("_v")
+    )
+    j = truth.join(ver, ["doc_a", "doc_b"], "full")
+    return j.agg(
+        F.sum("_t").cast("long").alias("n_true_pairs"),
+        F.sum("_v").cast("long").alias("n_verified_pairs"),
+        F.sum(((F.col("_t") == 1) & F.col("_v").isNull()).cast("long"))
+        .cast("long").alias("n_missed"),
+        F.sum(((F.col("_v") == 1) & F.col("_t").isNull()).cast("long"))
+        .cast("long").alias("n_extra"),
+        F.expr(
+            "(sum(if(_t = 1 AND _v = 1, 1, 0)) * 1000000) div sum(_t)"
+        ).cast("long").alias("recall_ppm"),
+    )
+
+
+def _sql_dedup_eval() -> str:
+    truth = D.sql_prefix_jaccard_join("documents", "text", 7, 10, ngram=3)
+    ver = D.sql_minhash_dedup_pairs("documents", shingle_n=3, threshold=0.7)
+    return f"""
+    WITH truth_ AS (SELECT doc_a, doc_b, 1 AS _t FROM ({truth})),
+    ver_ AS (SELECT doc_a, doc_b, 1 AS _v FROM ({ver})),
+    j AS (
+      SELECT COALESCE(t._t, 0) AS _t, COALESCE(v._v, 0) AS _v
+      FROM truth_ t FULL OUTER JOIN ver_ v
+        ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b
+    )
+    SELECT CAST(SUM(_t) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(_v) AS BIGINT) AS n_verified_pairs,
+           CAST(SUM(CASE WHEN _t = 1 AND _v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missed,
+           CAST(SUM(CASE WHEN _v = 1 AND _t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_extra,
+           CAST(SUM(CASE WHEN _t = 1 AND _v = 1 THEN 1 ELSE 0 END) * 1000000
+                // SUM(_t) AS BIGINT) AS recall_ppm
+    FROM j
+    """
+
+
 def q_source_vocab_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source vocabulary comparison: EXACT Jaccard similarity
     of the distinct-token vocabularies for every source pair — the
@@ -5134,6 +5188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": q_packing_efficiency,
         "revenue_cusum": q_revenue_cusum,
         "source_vocab_jaccard": q_source_vocab_jaccard,
+        "dedup_eval": q_dedup_eval,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5340,6 +5395,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_efficiency": _sql_packing_efficiency(),
         "revenue_cusum": SQL_REVENUE_CUSUM,
         "source_vocab_jaccard": _sql_source_vocab_jaccard(),
+        "dedup_eval": _sql_dedup_eval(),
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
