@@ -3968,6 +3968,83 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_part_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph (edges =
+    part pairs co-occurring in >= 3 orders): edge count, wedge count
+    (paths of length 2, from degrees — sum deg*(deg-1)/2 in exact
+    ints), triangle count via the ordered two-join (a<b<c, so each
+    triangle counts exactly once), and the global clustering
+    coefficient in ppm (3*triangles*1e6 div wedges). The density
+    audit for any projected graph; every join is edge-keyed, the
+    orientation bounds the join fanout by the smaller endpoint's
+    degree."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .where(F.col("_s") >= 3)
+        .select("u", "v")
+    )
+    deg = (
+        pairs.select(F.col("u").alias("n")).unionAll(
+            pairs.select(F.col("v").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e1.u") == F.col("e3.u"))
+              & (F.col("e2.v") == F.col("e3.v")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(wedges)).crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges", "n_wedges", "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("(n_triangles * 3000000) div n_wedges"),
+            ).cast("long").alias("clustering_ppm"),
+        )
+    )
+
+
+SQL_PART_TRIANGLES = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+), deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs
+  ) GROUP BY n
+), wedges AS (
+  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v
+), ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+SELECT ne.n_edges, w.n_wedges, t.n_triangles,
+       CASE WHEN w.n_wedges > 0
+            THEN CAST((t.n_triangles * 3000000) // w.n_wedges AS BIGINT)
+       END AS clustering_ppm
+FROM ne CROSS JOIN wedges w CROSS JOIN tri t
+"""
+
+
 def q_dedup_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup self-evaluation: the MinHash-LSH pipeline's verified
     pairs measured against the EXACT prefix-filtered Jaccard join as
@@ -5189,6 +5266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_cusum": q_revenue_cusum,
         "source_vocab_jaccard": q_source_vocab_jaccard,
         "dedup_eval": q_dedup_eval,
+        "part_triangles": q_part_triangles,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5396,6 +5474,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_cusum": SQL_REVENUE_CUSUM,
         "source_vocab_jaccard": _sql_source_vocab_jaccard(),
         "dedup_eval": _sql_dedup_eval(),
+        "part_triangles": SQL_PART_TRIANGLES,
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
