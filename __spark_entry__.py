@@ -3968,6 +3968,75 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_doc_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction: each doc's top-3 terms by an
+    integer TF-IDF score (tf * (1e6 * n_docs div df) — the same
+    exact-integer idf proxy as ranked retrieval, so ties and ranks
+    hash identically), ties to the lexicographically smaller term.
+    One token aggregate for df (broadcast), one (doc, term) tf
+    aggregate, one doc-keyed top-k window (WindowGroupLimit keeps
+    per-task state at k)."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "term", "tf",
+            F.expr("tf * ((1000000 * _nd) div df)").cast("long")
+            .alias("tfidf_score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= 3)
+        .select("doc_id", F.col("_r").cast("int").alias("rank"),
+                "term", "tf", "tfidf_score")
+    )
+
+
+def _sql_doc_keywords() -> str:
+    t = TX.SQL_TOKENS.format(c="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, tok AS term FROM (
+        SELECT doc_id, unnest({t}) AS tok FROM documents
+      ) WHERE len(tok) > 0
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), dft AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY term
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS _nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(tf.tf * ((1000000 * nd._nd) // dft.df) AS BIGINT)
+               AS tfidf_score
+      FROM tf JOIN dft USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, CAST(_r AS INTEGER) AS rank, term, tf, tfidf_score
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY tfidf_score DESC, term ASC) AS _r
+      FROM scored
+    ) WHERE _r <= 3
+    """
+
+
 def q_part_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact triangle census of the part co-purchase graph (edges =
     part pairs co-occurring in >= 3 orders): edge count, wedge count
@@ -5267,6 +5336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_jaccard": q_source_vocab_jaccard,
         "dedup_eval": q_dedup_eval,
         "part_triangles": q_part_triangles,
+        "doc_keywords": q_doc_keywords,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5475,6 +5545,7 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_jaccard": _sql_source_vocab_jaccard(),
         "dedup_eval": _sql_dedup_eval(),
         "part_triangles": SQL_PART_TRIANGLES,
+        "doc_keywords": _sql_doc_keywords(),
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
