@@ -3968,6 +3968,19 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_bootstrap_value_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Poisson bootstrap 95% CI for the mean event
+    value: 100 replicates whose per-row multiplicities come from
+    md5-uniform draws pushed through literal Poisson(1) CDF
+    thresholds (no RNG, no libm — fully reproducible in any engine),
+    replicate means from exact decimal weighted sums, CI from exact
+    interpolated percentiles. The distributed bootstrap: data is
+    never physically resampled, just weighted."""
+    return AN.poisson_bootstrap_ci(
+        load(spark, sf, "events"), "event_id", "value", n_replicates=100
+    )
+
+
 def q_doc_keywords(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document keyword extraction: each doc's top-3 terms by an
     integer TF-IDF score (tf * (1e6 * n_docs div df) — the same
@@ -5337,6 +5350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": q_dedup_eval,
         "part_triangles": q_part_triangles,
         "doc_keywords": q_doc_keywords,
+        "bootstrap_value_ci": q_bootstrap_value_ci,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5546,6 +5560,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_eval": _sql_dedup_eval(),
         "part_triangles": SQL_PART_TRIANGLES,
         "doc_keywords": _sql_doc_keywords(),
+        "bootstrap_value_ci": AN.sql_poisson_bootstrap_ci(
+            "events", "event_id", "value", n_replicates=100),
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
