@@ -3968,6 +3968,89 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_ab_test_readout(spark: SparkSession, sf: str) -> DataFrame:
+    """Experiment readout: Welch's t statistic between every pair of
+    event types' value distributions — means, sample variances, the
+    t statistic and Welch-Satterthwaite degrees of freedom (micro
+    units, floor-quantized) — all from ONE exact-decimal moment
+    aggregate per type, pairs composed from the (tiny) per-type
+    summary. The p-value needs a t-distribution CDF (a libm seam), so
+    the readout ships the statistic — what an experimentation
+    platform stores anyway."""
+    ev = load(spark, sf, "events")
+    dec = "decimal(18,6)"
+    d = F.col("value").cast("string").try_cast(dec)
+    m = ev.groupBy("event_type").agg(
+        F.count(d).cast("long").alias("n"),
+        F.sum(d).alias("_s1"),
+        F.sum((d * d).cast("decimal(38,12)")).alias("_s2"),
+    )
+    a = m.select(F.col("event_type").alias("type_a"),
+                 F.col("n").alias("na"), F.col("_s1").alias("sa"),
+                 F.col("_s2").alias("qa"))
+    b = m.select(F.col("event_type").alias("type_b"),
+                 F.col("n").alias("nb"), F.col("_s1").alias("sb"),
+                 F.col("_s2").alias("qb"))
+    j = a.crossJoin(b).where(F.col("type_a") < F.col("type_b"))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = (F.col("qa").cast("double") - na * ma * ma) / (na - 1)
+    vb = (F.col("qb").cast("double") - nb * mb * mb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    return j.select(
+        "type_a", "type_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.floor(ma * 1e6).cast("long").alias("mean_a_micro"),
+        F.floor(mb * 1e6).cast("long").alias("mean_b_micro"),
+        F.floor(t * 1e6).cast("long").alias("welch_t_micro"),
+        F.floor(dof * 1e6).cast("long").alias("welch_df_micro"),
+    )
+
+
+SQL_AB_TEST_READOUT = """
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)))
+              AS BIGINT) AS n,
+         SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) AS _s1,
+         SUM(CAST(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))
+             * TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))
+             AS DECIMAL(38,12))) AS _s2
+  FROM events GROUP BY event_type
+), j AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS na, CAST(a._s1 AS DOUBLE) AS sa, CAST(a._s2 AS DOUBLE) AS qa,
+         b.n AS nb, CAST(b._s1 AS DOUBLE) AS sb, CAST(b._s2 AS DOUBLE) AS qb
+  FROM m a CROSS JOIN m b WHERE a.event_type < b.event_type
+)
+SELECT type_a, type_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(floor(sa / na * 1e6) AS BIGINT) AS mean_a_micro,
+       CAST(floor(sb / nb * 1e6) AS BIGINT) AS mean_b_micro,
+       CAST(floor((sa / na - sb / nb)
+            / sqrt(((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na
+                   + ((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb)
+            * 1e6) AS BIGINT) AS welch_t_micro,
+       CAST(floor(
+         ((((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na
+           + ((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb)
+          * (((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na
+             + ((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb))
+         / ((((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na)
+            * (((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na) / (na - 1)
+            + (((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb)
+              * (((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb) / (nb - 1))
+         * 1e6) AS BIGINT) AS welch_df_micro
+FROM j
+"""
+
+
 def q_bootstrap_value_ci(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic Poisson bootstrap 95% CI for the mean event
     value: 100 replicates whose per-row multiplicities come from
@@ -5351,6 +5434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles": q_part_triangles,
         "doc_keywords": q_doc_keywords,
         "bootstrap_value_ci": q_bootstrap_value_ci,
+        "ab_test_readout": q_ab_test_readout,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5562,6 +5646,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _sql_doc_keywords(),
         "bootstrap_value_ci": AN.sql_poisson_bootstrap_ci(
             "events", "event_id", "value", n_replicates=100),
+        "ab_test_readout": SQL_AB_TEST_READOUT,
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
