@@ -3968,6 +3968,75 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_chi2_contingency(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence audit of the order status x priority
+    contingency table: per-cell observed counts, expected counts in
+    micro units, and the chi-square contribution in ppm — computed as
+    the exact integer identity (O*N - row*col)^2 * 1e6 div
+    (N*row*col) with decimal(38,0)/HUGEINT intermediates, so the
+    whole test statistic is a SUM OF INTEGERS (no float-order seam
+    anywhere; the complement of the mutual-information audit). One
+    cell aggregate + broadcast marginals."""
+    orders = load(spark, sf, "orders")
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    rows_m = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("_row")
+    )
+    cols_m = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("_col")
+    )
+    n = orders.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    j = (
+        cells.join(F.broadcast(rows_m), "o_orderstatus")
+        .join(F.broadcast(cols_m), "o_orderpriority")
+        .crossJoin(F.broadcast(n))
+    )
+    return j.select(
+        "o_orderstatus", "o_orderpriority", "observed",
+        F.expr(
+            "cast((cast(_row AS decimal(38,0)) * _col * 1000000)"
+            " div cast(_n AS decimal(38,0)) as bigint)"
+        ).alias("expected_micro"),
+        F.expr(
+            "cast((cast(observed AS decimal(38,0)) * _n"
+            " - cast(_row AS decimal(38,0)) * _col)"
+            " * (cast(observed AS decimal(38,0)) * _n"
+            " - cast(_row AS decimal(38,0)) * _col) * 1000000"
+            " div (cast(_n AS decimal(38,0)) * _row * _col) as bigint)"
+        ).alias("chi2_contrib_ppm"),
+    )
+
+
+SQL_CHI2_CONTINGENCY = """
+WITH cells AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1, 2
+), rows_m AS (
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS _row
+  FROM orders GROUP BY 1
+), cols_m AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS _col
+  FROM orders GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM orders)
+SELECT c.o_orderstatus, c.o_orderpriority, c.observed,
+       CAST((CAST(r._row AS HUGEINT) * cl._col * 1000000)
+            // CAST(n._n AS HUGEINT) AS BIGINT) AS expected_micro,
+       CAST((CAST(c.observed AS HUGEINT) * n._n
+             - CAST(r._row AS HUGEINT) * cl._col)
+            * (CAST(c.observed AS HUGEINT) * n._n
+               - CAST(r._row AS HUGEINT) * cl._col) * 1000000
+            // (CAST(n._n AS HUGEINT) * r._row * cl._col) AS BIGINT)
+         AS chi2_contrib_ppm
+FROM cells c
+JOIN rows_m r USING (o_orderstatus)
+JOIN cols_m cl USING (o_orderpriority)
+CROSS JOIN n
+"""
+
+
 def q_ab_test_readout(spark: SparkSession, sf: str) -> DataFrame:
     """Experiment readout: Welch's t statistic between every pair of
     event types' value distributions — means, sample variances, the
@@ -5435,6 +5504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "bootstrap_value_ci": q_bootstrap_value_ci,
         "ab_test_readout": q_ab_test_readout,
+        "chi2_contingency": q_chi2_contingency,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5647,6 +5717,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_value_ci": AN.sql_poisson_bootstrap_ci(
             "events", "event_id", "value", n_replicates=100),
         "ab_test_readout": SQL_AB_TEST_READOUT,
+        "chi2_contingency": SQL_CHI2_CONTINGENCY,
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
