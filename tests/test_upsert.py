@@ -891,3 +891,60 @@ def test_contract_upsert_quarantines_violating_rows(spark, tmp_warehouse):
     assert n_bad2 == 1 and res2.inserted == 1
     assert spark.read.parquet(qdir).count() == 3
     assert t.read().count() == 3
+
+
+def test_zonemap_range_read_prunes_buckets_exactly(spark, tmp_warehouse):
+    """A range read over a zone-mapped column opens ONLY buckets whose
+    [min,max] intersects the range (verified via inputFiles), returns
+    exactly the rows a full-scan filter returns, stats refresh on
+    rewrite, and untracked columns / stat-less buckets fall back to
+    reading everything."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    t = ManagedTable(spark, tmp_warehouse / "org" / "zm")
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("data", T.StringType()),
+    ])
+    t.create(schema, key="k", n_buckets=8, zonemap_cols=("v",))
+    # zone maps on HASH buckets pay only when the tracked column
+    # correlates with the key's bucket — build that correlation
+    # explicitly (v = bucket * 1000 + i), which makes the pruning
+    # assertions DETERMINISTIC instead of luck-of-distribution
+    from webhookdb_spark.functions.converters import str2inthash_py
+
+    rows = [(f"k{i}", str2inthash_py(f"k{i}") % 8 * 1000 + i, "d")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, schema)
+    t.overwrite_all(df)
+
+    m = t.manifest
+    assert m.zonemap_cols == ["v"] and len(m.zonemaps) == 8
+    for b, stats in m.zonemaps.items():
+        assert stats["v"][0] <= stats["v"][1]
+
+    # a narrow range hits exactly the buckets whose band intersects
+    got = t.read_where_range("v", 0, 1999)
+    want = sorted(r.k for r in t.read().where("v between 0 and 1999").collect())
+    assert sorted(r.k for r in got.collect()) == want
+    opened = {p.split("/buckets/")[1].split("/")[0] for p in got.inputFiles()}
+    expected = {b for b, s in m.zonemaps.items()
+                if not (s["v"][1] < 0 or s["v"][0] > 1999)}
+    assert opened == expected == {"0", "1"}
+
+    # rewrite shifts values: stats must refresh and pruning follow
+    df2 = spark.createDataFrame(
+        [(f"k{i}", str2inthash_py(f"k{i}") % 8 * 1000 + i + 100000, "d")
+         for i in range(100)], schema)
+    t.overwrite_all(df2)
+    m2 = t.manifest
+    assert all(s["v"][0] >= 100000 for s in m2.zonemaps.values())
+    assert t.read_where_range("v", 0, 1999).count() == 0
+    got3 = t.read_where_range("v", 100000, 101999)
+    assert got3.count() == t.read().where(
+        "v between 100000 and 101999").count() > 0
+
+    # untracked column: no pruning, plain filtered read
+    assert t.read_where_range("k", "k0", "k99").count() == 100

@@ -29,6 +29,7 @@ import json
 import os
 import shutil
 import uuid
+import dataclasses
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -134,6 +135,13 @@ class Manifest:
     # Defaults keep pre-existing manifests loading unchanged.
     keep_versions: int = 0
     history: list[dict] | None = None
+    # zone maps: optional per-bucket column min/max for range-predicate
+    # bucket pruning (the manifest-level analog of parquet footer
+    # stats — prunes DIRECTORIES before any file is listed). Tracked
+    # columns are declared at create(); stats refresh on every bucket
+    # write. int/double/string columns only (JSON-portable ordering).
+    zonemap_cols: list[str] | None = None
+    zonemaps: dict | None = None  # bucket id -> {col: [min, max]}
 
     @classmethod
     def load(cls, path: Path) -> "Manifest":
@@ -164,6 +172,7 @@ class ManagedTable:
         n_buckets: int = 16,
         zorder: tuple[str, ...] | None = None,
         keep_versions: int = 0,
+        zonemap_cols: tuple[str, ...] | None = None,
     ) -> None:
         """``zorder=(a, b[, c[, d]])`` declares 2-4 integer columns to
         Morton-sort within every bucket on each write (see
@@ -173,6 +182,16 @@ class ManagedTable:
         3-4 columns < 2^15 (zorder_key4's slice bound)."""
         if zorder is not None and not 2 <= len(zorder) <= 4:
             raise ValueError("zorder takes 2-4 columns")
+        if zonemap_cols:
+            ok = ("integer", "long", "short", "byte", "double", "float",
+                  "string")
+            by_name = {f.name: f.dataType.typeName() for f in schema.fields}
+            for c in zonemap_cols:
+                if by_name.get(c) not in ok:
+                    raise ValueError(
+                        f"zonemap column {c!r} must exist with a numeric or "
+                        f"string type (got {by_name.get(c)})"
+                    )
         self.path.mkdir(parents=True, exist_ok=True)
         Manifest(
             key=key,
@@ -183,6 +202,8 @@ class ManagedTable:
             zorder=list(zorder) if zorder else None,
             keep_versions=keep_versions,
             history=[] if keep_versions else None,
+            zonemap_cols=list(zonemap_cols) if zonemap_cols else None,
+            zonemaps={} if zonemap_cols else None,
         ).save(self.path)
 
     def drop(self) -> None:
@@ -229,6 +250,44 @@ class ManagedTable:
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def read_where_range(self, col: str, lo, hi) -> DataFrame:
+        """Range-predicate read with ZONE-MAP bucket pruning: buckets
+        whose tracked [min, max] for ``col`` cannot intersect
+        [lo, hi] are never opened (directory-level skipping, one step
+        above parquet footer stats). HONEST CAVEAT: buckets are HASH
+        partitions, so pruning pays only when the tracked column
+        CORRELATES with the key's hash-cohort (tenant-homogeneous
+        buckets, per-key monotone values) — a column uniform across
+        keys spans every bucket and prunes nothing (the same reason
+        Delta file stats need clustering to bite; WITHIN a bucket,
+        the declared ``zorder`` sort + parquet footers do the
+        file-level skipping instead). Conservative by construction:
+        buckets with no stats (untracked column, or data written
+        before the table declared zone maps) are always read; a
+        bucket whose min is NULL holds only NULLs in ``col`` and is
+        skipped (a BETWEEN never matches NULL). The residual between
+        filter still applies, so results are exact regardless of
+        pruning."""
+        m = self.manifest
+        tracked = getattr(m, "zonemap_cols", None) or []
+        zm = getattr(m, "zonemaps", None) or {}
+        if col not in tracked:
+            return self.read().where(F.col(col).between(F.lit(lo), F.lit(hi)))
+        keep: list[int] = []
+        for b in m.buckets:
+            stats = (zm.get(b) or {}).get(col)
+            if stats is None:
+                keep.append(int(b))
+                continue
+            mn, mx = stats
+            if mn is None:
+                continue
+            if not (mx < lo or mn > hi):
+                keep.append(int(b))
+        return self.read(buckets=keep).where(
+            F.col(col).between(F.lit(lo), F.lit(hi))
+        )
 
     def read_for_key(self, key_value: str) -> DataFrame:
         """Key-routing read: prune to the single bucket owning the key
@@ -332,6 +391,34 @@ class ManagedTable:
                 f"manifest advanced txn {m.txn} -> {current.txn} before "
                 "promote; reload and retry"
             )
+        # Zone-map refresh for the written buckets: one column-pruned
+        # pass over the JUST-STAGED files (parquet footers make the
+        # min/max aggregate near-metadata cost), collected at
+        # bucket-count size (JUSTIFIED COLLECT: rows == touched
+        # buckets). Buckets written empty lose their stats; untouched
+        # buckets keep theirs.
+        zm_cols = getattr(m, "zonemap_cols", None)
+        new_zonemaps = dict(getattr(m, "zonemaps", None) or {})
+        if zm_cols:
+            seen: set[str] = set()
+            stat_rows = (
+                self.spark.read.parquet(str(staging))
+                .groupBy(PART_COL)
+                .agg(*[x for c in zm_cols
+                       for x in (F.min(c).alias(f"mn_{c}"),
+                                 F.max(c).alias(f"mx_{c}"))])
+                .collect()
+            ) if any((staging / f"{PART_COL}={b}").exists()
+                     for b in buckets) else []
+            for r in stat_rows:
+                bid = str(r[PART_COL])
+                seen.add(bid)
+                new_zonemaps[bid] = {
+                    c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in zm_cols
+                }
+            for bb in buckets:
+                if str(bb) not in seen:
+                    new_zonemaps.pop(str(bb), None)
         new_buckets = dict(m.buckets)
         old_dirs: list[str] = []
         for b in buckets:
@@ -370,16 +457,17 @@ class ManagedTable:
                     f"manifest advanced txn {m.txn} -> {current.txn} "
                     "during write; reload and retry"
                 )
-            Manifest(
-                key=m.key,
-                n_buckets=m.n_buckets,
+            # dataclasses.replace carries EVERY manifest field (zorder,
+            # zonemap declarations, ...) — a hand-listed constructor
+            # here once silently dropped new fields on rewrite
+            dataclasses.replace(
+                m,
                 txn=txn,
                 buckets=new_buckets,
-                schema_json=m.schema_json,
-                zorder=m.zorder,  # carried — dropping it would silently
-                # stop Z-sorting on every write after the first
                 keep_versions=keep,
                 history=new_history if keep else m.history,
+                zonemaps=new_zonemaps if zm_cols else getattr(
+                    m, "zonemaps", None),
             ).save(self.path)
         shutil.rmtree(staging, ignore_errors=True)
         for snap in dropped:  # GC dirs beyond the retention window
@@ -488,11 +576,9 @@ class ManagedTable:
             + [f for f in schema.fields if f.name == "data"]
         )
         m = self.manifest
-        Manifest(
-            key=m.key, n_buckets=m.n_buckets, txn=m.txn, buckets=m.buckets,
-            schema_json=new_schema.json(), zorder=m.zorder,
-            keep_versions=m.keep_versions, history=m.history,
-        ).save(self.path)
+        # replace() carries every manifest field (zorder, zone maps,
+        # retention) through the schema evolution
+        dataclasses.replace(m, schema_json=new_schema.json()).save(self.path)
         self.overwrite_all(df.select(*new_order, PART_COL))
 
 
