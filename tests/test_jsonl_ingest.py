@@ -88,8 +88,6 @@ def test_jsonl_quarantine_runs_as_stream_with_two_sink_split(spark, tmp_warehous
     readStream: a foreachBatch splits each micro-batch into valid and
     quarantine sinks, and the union of the two equals the batch
     parse of the same lines."""
-    import json as _json
-
     land = tmp_warehouse / "jsonl_land"
     land.mkdir(parents=True)
     lines = [
