@@ -3968,6 +3968,67 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_filter_config_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Curation config change-impact audit: run the filter cascade
+    under the CURRENT config and a PROPOSED tightening (min 12->16
+    tokens, max 90->80, one more blocked source), then report per
+    source how many docs each config keeps, how many flip
+    kept->dropped and dropped->kept, and the proposed config's
+    first-failing reason for the newly dropped — the table a data
+    lead reads before rolling a threshold change. Two narrow filter
+    passes joined on doc_id, one source rollup."""
+    docs = load(spark, sf, "documents")
+    cur = C.corpus_filter(docs).select(
+        "doc_id", F.col("keep").alias("_ka"))
+    prop = C.corpus_filter(
+        docs, blocked_sources=("src13", "src17", "src5"),
+        min_tokens=16, max_tokens=80,
+    ).select("doc_id", F.col("keep").alias("_kb"),
+             F.col("reason").alias("_rb"))
+    j = (
+        docs.select("doc_id", "source")
+        .join(cur, "doc_id").join(prop, "doc_id")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("_ka").cast("long")).cast("long").alias("kept_current"),
+        F.sum(F.col("_kb").cast("long")).cast("long").alias("kept_proposed"),
+        F.sum((F.col("_ka") & ~F.col("_kb")).cast("long")).cast("long")
+        .alias("newly_dropped"),
+        F.sum((~F.col("_ka") & F.col("_kb")).cast("long")).cast("long")
+        .alias("newly_kept"),
+        F.max(F.when(F.col("_ka") & ~F.col("_kb"), F.col("_rb")))
+        .alias("top_new_drop_reason"),
+    )
+
+
+def _sql_filter_config_diff() -> str:
+    cur = C.sql_corpus_filter("documents")
+    prop = C.sql_corpus_filter(
+        "documents", blocked_sources=("src13", "src17", "src5"),
+        min_tokens=16, max_tokens=80,
+    )
+    return f"""
+    WITH cur AS (SELECT doc_id, keep AS _ka FROM ({cur})),
+    prop AS (SELECT doc_id, keep AS _kb, reason AS _rb FROM ({prop}))
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN _ka THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_current,
+           CAST(SUM(CASE WHEN _kb THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_proposed,
+           CAST(SUM(CASE WHEN _ka AND NOT _kb THEN 1 ELSE 0 END) AS BIGINT)
+             AS newly_dropped,
+           CAST(SUM(CASE WHEN _kb AND NOT _ka THEN 1 ELSE 0 END) AS BIGINT)
+             AS newly_kept,
+           MAX(CASE WHEN _ka AND NOT _kb THEN _rb END)
+             AS top_new_drop_reason
+    FROM documents d
+    JOIN cur USING (doc_id) JOIN prop USING (doc_id)
+    GROUP BY d.source
+    """
+
+
 def q_chi2_contingency(spark: SparkSession, sf: str) -> DataFrame:
     """Chi-square independence audit of the order status x priority
     contingency table: per-cell observed counts, expected counts in
@@ -5505,6 +5566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_value_ci": q_bootstrap_value_ci,
         "ab_test_readout": q_ab_test_readout,
         "chi2_contingency": q_chi2_contingency,
+        "filter_config_diff": q_filter_config_diff,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5718,6 +5780,7 @@ def oracle_sql() -> dict[str, str]:
             "events", "event_id", "value", n_replicates=100),
         "ab_test_readout": SQL_AB_TEST_READOUT,
         "chi2_contingency": SQL_CHI2_CONTINGENCY,
+        "filter_config_diff": _sql_filter_config_diff(),
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
