@@ -3968,6 +3968,61 @@ def q_attribution_multi_touch(spark: SparkSession, sf: str) -> DataFrame:
     return AN.multi_touch_attribution(load(spark, sf, "events"))
 
 
+def q_corpus_release_report(spark: SparkSession, sf: str) -> DataFrame:
+    """THE release gate: one per-source table composing the corpus
+    audits a release manager signs off on — doc counts, redundant-copy
+    ppm (exact fingerprint dedup), exact + fuzzy eval-contamination
+    counts, the exact median token count, and the median quality score
+    — every column an already-oracle-green operator, joined on source.
+    The composition IS the product: a user of this engine runs one
+    query, not five."""
+    docs = load(spark, sf, "documents")
+    dup = q_dup_rate_by_source(spark, sf).select(
+        "source", "n_docs", "dup_ppm")
+    cont = q_contamination_report(spark, sf).select(
+        "source", "n_exact_contaminated", "n_fuzzy_contaminated")
+    q = TX.quality_score(docs).select("doc_id", "quality_score", "n_tokens")
+    med = (
+        docs.select("doc_id", "source").join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.percentile(F.col("n_tokens"), F.lit(0.5)).alias("_mt"),
+            F.percentile(F.col("quality_score"), F.lit(0.5)).alias("_mq"),
+        )
+        .select(
+            "source",
+            F.round("_mt", 6).alias("median_tokens"),
+            F.round("_mq", 6).alias("median_quality"),
+        )
+    )
+    return (
+        dup.join(cont, "source").join(med, "source")
+        .select("source", "n_docs", "dup_ppm", "n_exact_contaminated",
+                "n_fuzzy_contaminated", "median_tokens", "median_quality")
+    )
+
+
+def _sql_corpus_release_report() -> str:
+    q = X.sql_quality_score()
+    return f"""
+    WITH dup_ AS ({SQL_DUP_RATE_BY_SOURCE}),
+    cont_ AS ({_sql_contamination_report()}),
+    q_ AS (SELECT doc_id, quality_score, n_tokens FROM ({q})),
+    med_ AS (
+      SELECT d.source,
+             round(quantile_cont(q_.n_tokens, 0.5), 6) AS median_tokens,
+             round(quantile_cont(q_.quality_score, 0.5), 6)
+               AS median_quality
+      FROM documents d JOIN q_ ON q_.doc_id = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT dup_.source, dup_.n_docs, dup_.dup_ppm,
+           cont_.n_exact_contaminated, cont_.n_fuzzy_contaminated,
+           med_.median_tokens, med_.median_quality
+    FROM dup_ JOIN cont_ USING (source) JOIN med_ USING (source)
+    """
+
+
 def q_filter_config_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Curation config change-impact audit: run the filter cascade
     under the CURRENT config and a PROPOSED tightening (min 12->16
@@ -5567,6 +5622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_readout": q_ab_test_readout,
         "chi2_contingency": q_chi2_contingency,
         "filter_config_diff": q_filter_config_diff,
+        "corpus_release_report": q_corpus_release_report,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5781,6 +5837,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_readout": SQL_AB_TEST_READOUT,
         "chi2_contingency": SQL_CHI2_CONTINGENCY,
         "filter_config_diff": _sql_filter_config_diff(),
+        "corpus_release_report": _sql_corpus_release_report(),
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
