@@ -5509,7 +5509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows (output shape fixed this round) lead, then the 43 rows whose
     # last driver check is CORRECTNESS_r05.json (4 + 43 = 47 fills the
     # ~50-row cap — after r8 no row's latest driver check should be
-    # older than r6), then the 55 never-checked r8 additions (local
+    # older than r6), then the 57 never-checked r8 additions (local
     # sweep green; they lead r9's window — with a ~50-row cap the
     # round cannot both refresh all 43 r5 rows AND first-check every
     # r8 query, and VERDICT r7 item 2's explicit criterion picked the
