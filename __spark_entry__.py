@@ -4084,6 +4084,78 @@ def _sql_filter_config_diff() -> str:
     """
 
 
+def q_mannwhitney_u(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U (the nonparametric partner of the Welch
+    readout) for click-vs-view values, EXACT and distributed: the
+    combined sample ranks come from the two-phase distributed
+    global_rank (never a single-partition window), ties are corrected
+    with the integer identity avgrank*2 = 2*min_rank + cnt - 1 per
+    distinct value, rank sums accumulate in decimal(38,0) (int64
+    would overflow at ~1e12 rows), and U and the common-language
+    effect size come out as exact integers — U1*2 = 2*R1 - n1(n1+1),
+    effect_ppm = U1*2*1e6 div (2*n1*n2). No float enters the
+    statistic at all."""
+    ev = load(spark, sf, "events")
+    d = F.col("value").cast("string").try_cast("decimal(18,6)")
+    comb = ev.where(F.col("event_type").isin("click", "view")).select(
+        d.alias("_v"), F.col("event_type").alias("_g"),
+        F.col("event_id").alias("_id"),
+    ).where(F.col("_v").isNotNull())
+    ranked = SA.global_rank(comb, ["_v", "_g", "_id"], rank_col="_rk")
+    per_v = ranked.groupBy("_v").agg(
+        F.min("_rk").alias("_mnr"), F.count(F.lit(1)).alias("_cnt")
+    )
+    j = ranked.join(per_v, "_v")
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("_g") == "click",
+                   (F.col("_mnr") * 2 + F.col("_cnt") - 1)
+                   .cast("decimal(38,0)"))
+        ).alias("_r1x2"),
+        F.sum((F.col("_g") == "click").cast("long")).alias("_n1"),
+        F.sum((F.col("_g") == "view").cast("long")).alias("_n2"),
+    )
+    return agg.select(
+        F.col("_n1").cast("long").alias("n_click"),
+        F.col("_n2").cast("long").alias("n_view"),
+        F.expr(
+            "cast(_r1x2 - cast(_n1 as decimal(38,0)) * (_n1 + 1) as bigint)"
+        ).alias("u_click_x2"),
+        F.expr(
+            "cast((_r1x2 - cast(_n1 as decimal(38,0)) * (_n1 + 1)) * 1000000"
+            " div (cast(_n1 as decimal(38,0)) * _n2 * 2) as bigint)"
+        ).alias("effect_ppm"),
+    )
+
+
+SQL_MANNWHITNEY_U = """
+WITH comb AS (
+  SELECT TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS _v,
+         event_type AS _g, event_id AS _id
+  FROM events
+  WHERE event_type IN ('click', 'view')
+    AND TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY _v, _g, _id) AS _rk FROM comb
+), per_v AS (
+  SELECT _v, MIN(_rk) AS _mnr, COUNT(*) AS _cnt FROM ranked GROUP BY _v
+), agg AS (
+  SELECT SUM(CASE WHEN r._g = 'click'
+             THEN CAST(p._mnr * 2 + p._cnt - 1 AS HUGEINT) END) AS _r1x2,
+         SUM(CASE WHEN r._g = 'click' THEN 1 ELSE 0 END) AS _n1,
+         SUM(CASE WHEN r._g = 'view' THEN 1 ELSE 0 END) AS _n2
+  FROM ranked r JOIN per_v p USING (_v)
+)
+SELECT CAST(_n1 AS BIGINT) AS n_click,
+       CAST(_n2 AS BIGINT) AS n_view,
+       CAST(_r1x2 - CAST(_n1 AS HUGEINT) * (_n1 + 1) AS BIGINT)
+         AS u_click_x2,
+       CAST((_r1x2 - CAST(_n1 AS HUGEINT) * (_n1 + 1)) * 1000000
+            // (CAST(_n1 AS HUGEINT) * _n2 * 2) AS BIGINT) AS effect_ppm
+FROM agg
+"""
+
+
 def q_chi2_contingency(spark: SparkSession, sf: str) -> DataFrame:
     """Chi-square independence audit of the order status x priority
     contingency table: per-cell observed counts, expected counts in
@@ -5623,6 +5695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_contingency": q_chi2_contingency,
         "filter_config_diff": q_filter_config_diff,
         "corpus_release_report": q_corpus_release_report,
+        "mannwhitney_u": q_mannwhitney_u,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5838,6 +5911,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_contingency": SQL_CHI2_CONTINGENCY,
         "filter_config_diff": _sql_filter_config_diff(),
         "corpus_release_report": _sql_corpus_release_report(),
+        "mannwhitney_u": SQL_MANNWHITNEY_U,
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
