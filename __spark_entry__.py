@@ -4084,6 +4084,82 @@ def _sql_filter_config_diff() -> str:
     """
 
 
+def q_ks_statistic(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance for click-vs-view
+    values, EXACT and distributed: per-distinct-value group counts,
+    cumulative counts via the reusable two-phase distributed prefix
+    sum (operators/sampling.prefix_sums — never a single-partition
+    window over the sample), and D as the max of the integer
+    cross-multiplied |c1*n2 - c2*n1| — ks_ppm = max * 1e6 div
+    (n1*n2), no float in the statistic. Completes the two-sample
+    family (Welch parametric, Mann-Whitney rank, KS distributional)."""
+    ev = load(spark, sf, "events")
+    d = F.col("value").cast("string").try_cast("decimal(18,6)")
+    comb = ev.where(F.col("event_type").isin("click", "view")).select(
+        d.alias("_v"), F.col("event_type").alias("_g")
+    ).where(F.col("_v").isNotNull())
+    per_v = comb.groupBy("_v").agg(
+        F.sum((F.col("_g") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("_g") == "view").cast("long")).alias("c2"),
+    )
+    cum = SA.prefix_sums(per_v, ["_v"], ["c1", "c2"])
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("_n1"),
+        F.sum("c2").cast("long").alias("_n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "_n1", "_n2",
+            F.abs(
+                F.col("c1_cum").cast("decimal(38,0)") * F.col("_n2")
+                - F.col("c2_cum").cast("decimal(38,0)") * F.col("_n1")
+            ).alias("_dx"),
+        )
+        .groupBy("_n1", "_n2")
+        .agg(F.max("_dx").alias("_dmax"))
+        .select(
+            F.col("_n1").cast("long").alias("n_click"),
+            F.col("_n2").cast("long").alias("n_view"),
+            F.expr(
+                "cast(_dmax * 1000000 div"
+                " (cast(_n1 as decimal(38,0)) * _n2) as bigint)"
+            ).alias("ks_ppm"),
+        )
+    )
+
+
+SQL_KS_STATISTIC = """
+WITH comb AS (
+  SELECT TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS _v,
+         event_type AS _g
+  FROM events
+  WHERE event_type IN ('click', 'view')
+    AND TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) IS NOT NULL
+), per_v AS (
+  SELECT _v,
+         SUM(CASE WHEN _g = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN _g = 'view' THEN 1 ELSE 0 END) AS c2
+  FROM comb GROUP BY _v
+), cum AS (
+  SELECT _v,
+         SUM(c1) OVER w AS c1_cum, SUM(c2) OVER w AS c2_cum
+  FROM per_v
+  WINDOW w AS (ORDER BY _v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS _n1, CAST(SUM(c2) AS BIGINT) AS _n2
+  FROM per_v
+)
+SELECT t._n1 AS n_click, t._n2 AS n_view,
+       CAST(MAX(abs(CAST(c.c1_cum AS HUGEINT) * t._n2
+                    - CAST(c.c2_cum AS HUGEINT) * t._n1)) * 1000000
+            // (CAST(t._n1 AS HUGEINT) * t._n2) AS BIGINT) AS ks_ppm
+FROM cum c CROSS JOIN tot t
+GROUP BY t._n1, t._n2
+"""
+
+
 def q_mannwhitney_u(spark: SparkSession, sf: str) -> DataFrame:
     """Mann-Whitney U (the nonparametric partner of the Welch
     readout) for click-vs-view values, EXACT and distributed: the
@@ -5696,6 +5772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_config_diff": q_filter_config_diff,
         "corpus_release_report": q_corpus_release_report,
         "mannwhitney_u": q_mannwhitney_u,
+        "ks_statistic": q_ks_statistic,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5912,6 +5989,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_config_diff": _sql_filter_config_diff(),
         "corpus_release_report": _sql_corpus_release_report(),
         "mannwhitney_u": SQL_MANNWHITNEY_U,
+        "ks_statistic": SQL_KS_STATISTIC,
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),

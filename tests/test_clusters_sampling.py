@@ -751,3 +751,24 @@ def test_neyman_allocation_favors_large_noisy_strata(spark):
     c = Counter(r.stratum for r in s1)
     assert c.get("flat", 0) == 0 and c["tiny"] == 3
     assert c["narrow"] == got["narrow"].alloc and c["wide"] == got["wide"].alloc
+
+
+def test_prefix_sums_matches_single_window(spark):
+    """The distributed two-phase prefix sum equals a single ordered
+    window over arbitrary data, for multiple sum columns at once."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from webhookdb_spark.operators.sampling import prefix_sums
+
+    rows = [(i * 7 % 101, i % 5, (i * 3) % 11) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, a int, b int")
+    # make k a total order key by deduplicating
+    df = df.groupBy("k").agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    got = {r.k: (r.a_cum, r.b_cum) for r in prefix_sums(
+        df, ["k"], ["a", "b"], bucket_partitions=8).collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: (r.ac, r.bc) for r in df.select(
+        "k", F.sum("a").over(w).alias("ac"),
+        F.sum("b").over(w).alias("bc")).collect()}
+    assert got == want

@@ -778,3 +778,47 @@ def sql_neyman_sample(
     FROM ranked r JOIN alloc_ a ON a.stratum = r.{stratum_col}
     WHERE r._rn <= a.alloc
     """
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    bucket_partitions: int = 64,
+) -> DataFrame:
+    """Running (inclusive) sums of ``sum_cols`` in the total order
+    ``order_cols`` — the reusable form of the two-phase distributed
+    prefix sum :func:`global_rank` and :func:`sequence_pack` inline
+    (range-partition the order, per-range window sums in parallel,
+    range totals get metadata-sized running offsets broadcast back).
+    Adds ``<col>_cum`` per sum column; never a single-partition
+    window. ``order_cols`` must be a total order for deterministic
+    output. Sums should be integral/decimal types (the per-range and
+    offset additions reassociate — exact types keep that harmless).
+    """
+    cols = [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(bucket_partitions, *cols).withColumn(
+        "_psb", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("_psb").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = d
+    for c in sum_cols:
+        local = local.withColumn(f"_psl_{c}", F.sum(c).over(w))
+    wo = Window.orderBy("_psb").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = (
+        local.groupBy("_psb")
+        .agg(*[F.sum(c).alias(f"_pst_{c}") for c in sum_cols])
+        .select(
+            "_psb",
+            *[(F.sum(f"_pst_{c}").over(wo) - F.col(f"_pst_{c}"))
+              .alias(f"_pso_{c}") for c in sum_cols],
+        )
+    )
+    out = local.join(F.broadcast(offsets), "_psb")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_cum", F.col(f"_pso_{c}") + F.col(f"_psl_{c}")
+        ).drop(f"_psl_{c}", f"_pso_{c}")
+    return out.drop("_psb")
