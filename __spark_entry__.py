@@ -4084,6 +4084,108 @@ def _sql_filter_config_diff() -> str:
     """
 
 
+def q_revenue_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series diagnostic: lag-1..7 autocorrelation of daily
+    order revenue — the seasonality fingerprint (a weekly cycle shows
+    as a lag-7 spike). Daily series from one aggregate; each lag pairs
+    via LAG over the (date-range-sized) day spine; Pearson per lag
+    from exact decimal moments, floor-quantized ppm (NULL for lags
+    with zero variance). One narrow moment aggregate per lag over the
+    tiny daily table."""
+    orders = load(spark, sf, "orders")
+    dec = "decimal(18,6)"
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    daily = orders.groupBy(day.alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("string").try_cast(dec)).alias("x")
+    )
+    w = Window.orderBy("d")
+    lags = daily.select(
+        "d", "x",
+        *[F.lag("x", k).over(w).alias(f"x_{k}") for k in range(1, 8)],
+    )
+    rows = []
+    for k in range(1, 8):
+        y = F.col(f"x_{k}")
+        ok = y.isNotNull()
+        xx = F.when(ok, F.col("x"))
+        n = F.count(xx).cast("double")
+        sx, sy = F.sum(xx).cast("double"), F.sum(F.when(ok, y)).cast("double")
+        sxy = F.sum((xx * y).cast("decimal(38,12)")).cast("double")
+        sxx = F.sum((xx * xx).cast("decimal(38,12)")).cast("double")
+        syy = F.sum(
+            (F.when(ok, y) * F.when(ok, y)).cast("decimal(38,12)")
+        ).cast("double")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = F.when(
+            (vx > 0) & (vy > 0),
+            F.floor((n * sxy - sx * sy) / F.sqrt(vx) / F.sqrt(vy) * 1e6),
+        ).cast("long")
+        rows.append(F.struct(
+            F.lit(k).alias("lag"),
+            n.cast("long").alias("n_pairs"),
+            corr.alias("autocorr_ppm"),
+        ))
+    agg = lags.agg(*[r.alias(f"_s{k}") for k, r in enumerate(rows)])
+    return agg.select(
+        F.explode(F.array(*[F.col(f"_s{k}") for k in range(len(rows))]))
+        .alias("_r")
+    ).select("_r.*")
+
+
+def _sql_revenue_autocorrelation() -> str:
+    d = "TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,6))"
+    selects = []
+    for k in range(1, 8):
+        selects.append(f"""
+    SELECT {k} AS lag,
+           CAST(COUNT(CASE WHEN x_{k} IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           CASE WHEN
+             CAST(COUNT(CASE WHEN x_{k} IS NOT NULL THEN 1 END) AS DOUBLE)
+               * CAST(SUM(CASE WHEN x_{k} IS NOT NULL
+                      THEN CAST(x * x AS DECIMAL(38,12)) END) AS DOUBLE)
+               - CAST(SUM(CASE WHEN x_{k} IS NOT NULL THEN x END) AS DOUBLE)
+                 * CAST(SUM(CASE WHEN x_{k} IS NOT NULL THEN x END) AS DOUBLE) > 0
+            AND
+             CAST(COUNT(CASE WHEN x_{k} IS NOT NULL THEN 1 END) AS DOUBLE)
+               * CAST(SUM(CAST(x_{k} * x_{k} AS DECIMAL(38,12))) AS DOUBLE)
+               - CAST(SUM(x_{k}) AS DOUBLE) * CAST(SUM(x_{k}) AS DOUBLE) > 0
+           THEN
+             CAST(floor(
+               (CAST(COUNT(CASE WHEN x_{k} IS NOT NULL THEN 1 END) AS DOUBLE)
+                * CAST(SUM(CAST(x * x_{k} AS DECIMAL(38,12))) AS DOUBLE)
+                - CAST(SUM(CASE WHEN x_{k} IS NOT NULL THEN x END) AS DOUBLE)
+                  * CAST(SUM(x_{k}) AS DOUBLE))
+               / sqrt(CAST(COUNT(CASE WHEN x_{k} IS NOT NULL THEN 1 END) AS DOUBLE)
+                 * CAST(SUM(CASE WHEN x_{k} IS NOT NULL
+                        THEN CAST(x * x AS DECIMAL(38,12)) END) AS DOUBLE)
+                 - CAST(SUM(CASE WHEN x_{k} IS NOT NULL THEN x END) AS DOUBLE)
+                   * CAST(SUM(CASE WHEN x_{k} IS NOT NULL THEN x END) AS DOUBLE))
+               / sqrt(CAST(COUNT(CASE WHEN x_{k} IS NOT NULL THEN 1 END) AS DOUBLE)
+                 * CAST(SUM(CAST(x_{k} * x_{k} AS DECIMAL(38,12))) AS DOUBLE)
+                 - CAST(SUM(x_{k}) AS DOUBLE) * CAST(SUM(x_{k}) AS DOUBLE))
+               * 1e6) AS BIGINT)
+           END AS autocorr_ppm
+    FROM lags""")
+    lag_cols = ", ".join(
+        f"lag(x, {k}) OVER (ORDER BY d) AS x_{k}" for k in range(1, 8)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             SUM({d}) AS x
+      FROM orders GROUP BY 1
+    ), lags AS (
+      SELECT d, x, {lag_cols} FROM daily
+    )
+    {" UNION ALL ".join(selects)}
+    """
+
+
 def q_ks_statistic(spark: SparkSession, sf: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance for click-vs-view
     values, EXACT and distributed: per-distinct-value group counts,
@@ -5773,6 +5875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_release_report": q_corpus_release_report,
         "mannwhitney_u": q_mannwhitney_u,
         "ks_statistic": q_ks_statistic,
+        "revenue_autocorrelation": q_revenue_autocorrelation,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -5990,6 +6093,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_release_report": _sql_corpus_release_report(),
         "mannwhitney_u": SQL_MANNWHITNEY_U,
         "ks_statistic": SQL_KS_STATISTIC,
+        "revenue_autocorrelation": _sql_revenue_autocorrelation(),
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
