@@ -4084,6 +4084,51 @@ def _sql_filter_config_diff() -> str:
     """
 
 
+def q_order_ship_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Fulfillment latency SLA report: per order priority, exact
+    p50/p90/p99 of days from order date to each lineitem's ship date,
+    plus the late-rate ppm beyond a 90-day SLA — the logistics
+    readout every ops team keeps on a wall. One order-keyed join
+    (both sides pre-pruned to two columns), one priority-keyed
+    aggregate with exact interpolated percentiles."""
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    j = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("int").alias("_lat"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.round(F.percentile(F.col("_lat"), F.lit(0.5)), 6).alias("p50_days"),
+        F.round(F.percentile(F.col("_lat"), F.lit(0.9)), 6).alias("p90_days"),
+        F.round(F.percentile(F.col("_lat"), F.lit(0.99)), 6).alias("p99_days"),
+        F.expr(
+            "(sum(if(_lat > 90, 1L, 0L)) * 1000000) div count(1)"
+        ).cast("long").alias("late_ppm"),
+    )
+
+
+SQL_ORDER_SHIP_LATENCY = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+              CAST(l.l_shipdate AS DATE)) AS INTEGER) AS _lat
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       round(quantile_cont(_lat, 0.5), 6) AS p50_days,
+       round(quantile_cont(_lat, 0.9), 6) AS p90_days,
+       round(quantile_cont(_lat, 0.99), 6) AS p99_days,
+       CAST(SUM(CASE WHEN _lat > 90 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS late_ppm
+FROM j GROUP BY o_orderpriority
+"""
+
+
 def q_revenue_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series diagnostic: lag-1..7 autocorrelation of daily
     order revenue — the seasonality fingerprint (a weekly cycle shows
@@ -5876,6 +5921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mannwhitney_u": q_mannwhitney_u,
         "ks_statistic": q_ks_statistic,
         "revenue_autocorrelation": q_revenue_autocorrelation,
+        "order_ship_latency": q_order_ship_latency,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6094,6 +6140,7 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney_u": SQL_MANNWHITNEY_U,
         "ks_statistic": SQL_KS_STATISTIC,
         "revenue_autocorrelation": _sql_revenue_autocorrelation(),
+        "order_ship_latency": SQL_ORDER_SHIP_LATENCY,
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
