@@ -4084,6 +4084,104 @@ def _sql_filter_config_diff() -> str:
     """
 
 
+def q_reorder_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of days between a
+    customer's consecutive orders — per order priority of the LATER
+    order, exact p50/p90 gap and mean gap in micro-days (exact
+    integer sums) — the replenishment-cycle readout. One
+    customer-keyed LAG window (distributed by customer), one
+    priority aggregate."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), F.col("o_orderkey")
+    )
+    gaps = orders.select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).cast("long").alias("_gap"),
+    ).where(F.col("_gap").isNotNull())
+    return gaps.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.percentile(F.col("_gap"), F.lit(0.5)), 6).alias("p50_days"),
+        F.round(F.percentile(F.col("_gap"), F.lit(0.9)), 6).alias("p90_days"),
+        F.expr("(sum(_gap) * 1000000) div count(1)").cast("long")
+        .alias("mean_gap_micro_days"),
+    )
+
+
+SQL_REORDER_INTERVALS = """
+WITH gaps AS (
+  SELECT o_orderpriority,
+         CAST(datediff('day',
+              lag(CAST(o_orderdate AS DATE)) OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS _gap
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       round(quantile_cont(_gap, 0.5), 6) AS p50_days,
+       round(quantile_cont(_gap, 0.9), 6) AS p90_days,
+       CAST(SUM(_gap) * 1000000 // COUNT(*) AS BIGINT)
+         AS mean_gap_micro_days
+FROM gaps WHERE _gap IS NOT NULL
+GROUP BY o_orderpriority
+"""
+
+
+def q_cohort_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curve: exact cumulative-ready revenue per (first-
+    order cohort week, weeks-since-first) cell — the money companion
+    of cohort_retention's user counts (epoch-week integer arithmetic,
+    exact decimal sums). Two customer-keyed aggregates."""
+    orders = load(spark, sf, "orders")
+    dec = "decimal(18,6)"
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    ev = orders.select(
+        "o_custkey",
+        F.floor(day / 7).cast("int").alias("wk"),
+        F.col("o_totalprice").cast("string").try_cast(dec).alias("_v"),
+    )
+    first = ev.groupBy("o_custkey").agg(F.min("wk").alias("cohort_week"))
+    return (
+        ev.join(first, "o_custkey")
+        .where((F.col("wk") - F.col("cohort_week")) <= 52)
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).cast("int").alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("_v").cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_COHORT_REVENUE = """
+WITH ev AS (
+  SELECT o_custkey,
+         CAST(floor(datediff('day', DATE '1970-01-01',
+              CAST(o_orderdate AS DATE)) / 7) AS INTEGER) AS wk,
+         TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,6)) AS _v
+  FROM orders
+), first AS (
+  SELECT o_custkey, MIN(wk) AS cohort_week FROM ev GROUP BY o_custkey
+)
+SELECT f.cohort_week,
+       CAST(e.wk - f.cohort_week AS INTEGER) AS period,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(e._v) AS DOUBLE) AS revenue
+FROM ev e JOIN first f USING (o_custkey)
+WHERE e.wk - f.cohort_week <= 52
+GROUP BY f.cohort_week, period
+"""
+
+
 def q_order_ship_latency(spark: SparkSession, sf: str) -> DataFrame:
     """Fulfillment latency SLA report: per order priority, exact
     p50/p90/p99 of days from order date to each lineitem's ship date,
@@ -5922,6 +6020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_statistic": q_ks_statistic,
         "revenue_autocorrelation": q_revenue_autocorrelation,
         "order_ship_latency": q_order_ship_latency,
+        "reorder_intervals": q_reorder_intervals,
+        "cohort_revenue": q_cohort_revenue,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6141,6 +6241,8 @@ def oracle_sql() -> dict[str, str]:
         "ks_statistic": SQL_KS_STATISTIC,
         "revenue_autocorrelation": _sql_revenue_autocorrelation(),
         "order_ship_latency": SQL_ORDER_SHIP_LATENCY,
+        "reorder_intervals": SQL_REORDER_INTERVALS,
+        "cohort_revenue": SQL_COHORT_REVENUE,
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
