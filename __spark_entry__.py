@@ -4084,6 +4084,117 @@ def _sql_filter_config_diff() -> str:
     """
 
 
+def q_brand_velocity_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Merchandising velocity shift: per part brand, shipped quantity
+    in the corpus's final 180 days vs the prior 180 (the anchor is
+    the observed max ship date, so the window is data-relative and
+    reproducible), with the shift in ppm of the prior period —
+    integer-exact via decimal quantity sums. One brand-keyed
+    aggregate over a date-filtered scan + a broadcast anchor."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    dec = "decimal(18,6)"
+    anchor = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("_mx"))
+    j = (
+        li.select("l_partkey", "l_shipdate",
+                  F.col("l_quantity").cast("string").try_cast(dec).alias("_q"))
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "_age",
+            F.datediff(F.col("_mx"), F.col("l_shipdate").cast("date")),
+        )
+        .where(F.col("_age") < 360)
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    agg = j.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("_age") < 180, F.col("_q"))).alias("_recent"),
+        F.sum(F.when(F.col("_age") >= 180, F.col("_q"))).alias("_prior"),
+    )
+    return agg.select(
+        "p_brand",
+        F.coalesce(F.col("_recent").cast("double"), F.lit(0.0))
+        .alias("qty_recent_180d"),
+        F.coalesce(F.col("_prior").cast("double"), F.lit(0.0))
+        .alias("qty_prior_180d"),
+        F.when(
+            F.col("_prior").isNotNull() & (F.col("_prior") != 0),
+            # integral intermediates before the truncating division
+            # (fractional-decimal div rounds differently per engine)
+            F.expr(
+                "cast(cast((coalesce(_recent, 0) - _prior) * 1000000"
+                " as decimal(38,0)) * 1000000"
+                " div cast(_prior * 1000000 as decimal(38,0)) as bigint)"
+            ),
+        ).alias("shift_ppm"),
+    )
+
+
+SQL_BRAND_VELOCITY_SHIFT = """
+WITH anchor AS (
+  SELECT MAX(CAST(l_shipdate AS DATE)) AS _mx FROM lineitem
+), j AS (
+  SELECT p.p_brand,
+         datediff('day', CAST(l.l_shipdate AS DATE),
+                  (SELECT _mx FROM anchor)) AS _age,
+         TRY_CAST(CAST(l.l_quantity AS VARCHAR) AS DECIMAL(18,6)) AS _q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE datediff('day', CAST(l.l_shipdate AS DATE),
+                 (SELECT _mx FROM anchor)) < 360
+), agg AS (
+  SELECT p_brand,
+         SUM(CASE WHEN _age < 180 THEN _q END) AS _recent,
+         SUM(CASE WHEN _age >= 180 THEN _q END) AS _prior
+  FROM j GROUP BY p_brand
+)
+SELECT p_brand,
+       COALESCE(CAST(_recent AS DOUBLE), 0.0) AS qty_recent_180d,
+       COALESCE(CAST(_prior AS DOUBLE), 0.0) AS qty_prior_180d,
+       CASE WHEN _prior IS NOT NULL AND _prior != 0 THEN
+         CAST(CAST((COALESCE(_recent, 0) - _prior) * 1000000 AS HUGEINT)
+              * 1000000 // CAST(_prior * 1000000 AS HUGEINT) AS BIGINT)
+       END AS shift_ppm
+FROM agg
+"""
+
+
+def q_supplier_return_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier quality signal: per supplier, shipped lineitems,
+    returned lineitems (returnflag R), and the return rate in ppm —
+    limited to suppliers with >= 20 lineitems so the rate is
+    meaningful, ranked worst-first with a deterministic tie-break.
+    One supplier-keyed aggregate."""
+    li = load(spark, sf, "lineitem")
+    agg = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long")
+        .alias("n_returned"),
+    ).where(F.col("n_items") >= 20)
+    return (
+        agg.select(
+            F.col("l_suppkey").alias("suppkey"), "n_items", "n_returned",
+            F.expr("(n_returned * 1000000) div n_items").cast("long")
+            .alias("return_ppm"),
+        )
+        .orderBy(F.col("return_ppm").desc(), F.col("suppkey").asc())
+        .limit(25)
+    )
+
+
+SQL_SUPPLIER_RETURN_RATES = """
+SELECT l_suppkey AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS return_ppm
+FROM lineitem
+GROUP BY l_suppkey HAVING COUNT(*) >= 20
+ORDER BY return_ppm DESC, suppkey ASC
+LIMIT 25
+"""
+
+
 def q_reorder_intervals(spark: SparkSession, sf: str) -> DataFrame:
     """Repeat-purchase cadence: the distribution of days between a
     customer's consecutive orders — per order priority of the LATER
@@ -6022,6 +6133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_ship_latency": q_order_ship_latency,
         "reorder_intervals": q_reorder_intervals,
         "cohort_revenue": q_cohort_revenue,
+        "brand_velocity_shift": q_brand_velocity_shift,
+        "supplier_return_rates": q_supplier_return_rates,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6243,6 +6356,8 @@ def oracle_sql() -> dict[str, str]:
         "order_ship_latency": SQL_ORDER_SHIP_LATENCY,
         "reorder_intervals": SQL_REORDER_INTERVALS,
         "cohort_revenue": SQL_COHORT_REVENUE,
+        "brand_velocity_shift": SQL_BRAND_VELOCITY_SHIFT,
+        "supplier_return_rates": SQL_SUPPLIER_RETURN_RATES,
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
