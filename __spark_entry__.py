@@ -4084,6 +4084,86 @@ def _sql_filter_config_diff() -> str:
     """
 
 
+def q_activity_heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    """Ops heatmap: events per (ISO day-of-week, hour-of-day) cell
+    with exact-decimal value sums — the table behind every on-call
+    dashboard's weekly rhythm plot. dayofweek is computed as integer
+    epoch-day arithmetic ((day + 3) % 7: 1970-01-01 was a Thursday,
+    so day 0 maps to 3 under Monday = 0) so both engines agree without locale-dependent DOW
+    functions. One narrow aggregate."""
+    ev = load(spark, sf, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    return ev.groupBy(
+        ((day + 3) % 7).cast("int").alias("dow_monday0"),
+        F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("string").try_cast("decimal(18,6)"))
+        .cast("double").alias("value_sum"),
+    )
+
+
+SQL_ACTIVITY_HEATMAP = """
+SELECT CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+            AS INTEGER) AS dow_monday0,
+       CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)))
+            AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_length_quality_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Dependence-structure audit: the joint decile grid of document
+    length vs quality score — are long docs the good docs? Both
+    decile assignments come from the DISTRIBUTED global rank + the
+    exact ANSI NTILE remainder rule (never a single-partition
+    window), so the grid is value-hash exact. Output one row per
+    occupied (len_decile, quality_decile) cell."""
+    docs = load(spark, sf, "documents")
+    q = TX.quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    n = q.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    rl = SA.global_rank(q, ["n_tokens", "doc_id"], rank_col="_rl").select(
+        "doc_id", "_rl"
+    )
+    rq = SA.global_rank(q, ["quality_score", "doc_id"], rank_col="_rq").select(
+        "doc_id", "_rq"
+    )
+    j = q.select("doc_id").join(rl, "doc_id").join(rq, "doc_id").crossJoin(
+        F.broadcast(n)
+    )
+    return (
+        j.select(
+            SA.ntile_assign(F.col("_rl"), F.col("_n"), 10).alias("len_decile"),
+            SA.ntile_assign(F.col("_rq"), F.col("_n"), 10)
+            .alias("quality_decile"),
+        )
+        .groupBy("len_decile", "quality_decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def _sql_length_quality_grid() -> str:
+    q = X.sql_quality_score()
+    return f"""
+    WITH q AS (SELECT doc_id, n_tokens, quality_score FROM ({q})),
+    r AS (
+      SELECT doc_id,
+             ntile(10) OVER (ORDER BY n_tokens, doc_id) AS len_decile,
+             ntile(10) OVER (ORDER BY quality_score, doc_id)
+               AS quality_decile
+      FROM q
+    )
+    SELECT CAST(len_decile AS INTEGER) AS len_decile,
+           CAST(quality_decile AS INTEGER) AS quality_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM r GROUP BY 1, 2
+    """
+
+
 def q_brand_velocity_shift(spark: SparkSession, sf: str) -> DataFrame:
     """Merchandising velocity shift: per part brand, shipped quantity
     in the corpus's final 180 days vs the prior 180 (the anchor is
@@ -6135,6 +6215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_revenue": q_cohort_revenue,
         "brand_velocity_shift": q_brand_velocity_shift,
         "supplier_return_rates": q_supplier_return_rates,
+        "activity_heatmap": q_activity_heatmap,
+        "length_quality_grid": q_length_quality_grid,
         "kmv_accuracy_audit": q_kmv_accuracy_audit,
         # --- last driver row r6 ---
         "decontaminate_bloom": q_decontaminate_bloom,
@@ -6358,6 +6440,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_revenue": SQL_COHORT_REVENUE,
         "brand_velocity_shift": SQL_BRAND_VELOCITY_SHIFT,
         "supplier_return_rates": SQL_SUPPLIER_RETURN_RATES,
+        "activity_heatmap": SQL_ACTIVITY_HEATMAP,
+        "length_quality_grid": _sql_length_quality_grid(),
         "kmv_accuracy_audit": _sql_kmv_accuracy_audit(),
         "quality_calibrated": SQL_QUALITY_CALIBRATED.format(
             q_sql=f"SELECT doc_id, quality_score FROM ({X.sql_quality_score()})"),
