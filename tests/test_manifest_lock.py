@@ -1,0 +1,97 @@
+"""Manifest-lock steal semantics (storage._ManifestLock).
+
+The lock serializes the manifest compare-and-swap (reference analog:
+Postgres row locks around the org-DB DDL/upsert path,
+lib/webhookdb/organization.rb:125-164). These tests pin the
+identity-verified steal protocol: a stale lock is broken, but a FRESH
+lock acquired between the stealer's staleness stat and its rename is
+detected by content token and restored, never destroyed.
+
+Pure-filesystem tests — no SparkSession needed.
+"""
+
+import os
+import time
+import types
+from pathlib import Path
+
+import pytest
+
+from webhookdb_spark.storage import ConcurrentWriteError, _ManifestLock
+
+
+def _backdate(p: Path, seconds: float = 3600.0) -> None:
+    old = time.time() - seconds
+    os.utime(p, (old, old))
+
+
+def test_acquire_writes_unique_token(tmp_path):
+    lk = _ManifestLock(tmp_path, timeout=0.5)
+    with lk:
+        assert lk.lock_path.read_bytes() == lk.token
+        assert lk.holds()
+    assert not lk.lock_path.exists()  # released
+
+
+def test_stale_lock_is_stolen(tmp_path):
+    # A crashed holder's lock: old mtime, content never changes.
+    lock = tmp_path / "_manifest.lock"
+    lock.write_bytes(b"1234.deadbeef")
+    _backdate(lock)
+    lk = _ManifestLock(tmp_path, timeout=2.0, stale_after=60.0)
+    with lk:
+        # steal succeeded: the lock file now carries OUR token
+        assert lock.read_bytes() == lk.token
+    assert not lock.exists()
+
+
+def test_release_never_unlinks_foreign_lock(tmp_path):
+    lk = _ManifestLock(tmp_path, timeout=0.5)
+    lk.__enter__()
+    # Simulate a steal: another writer replaced the lock content.
+    lk.lock_path.write_bytes(b"9999.thief")
+    assert not lk.holds()
+    lk.__exit__(None, None, None)
+    # The thief's lock must survive our release.
+    assert lk.lock_path.read_bytes() == b"9999.thief"
+    lk.lock_path.unlink()
+
+
+def test_fresh_acquirer_race_restores_lock(tmp_path, monkeypatch):
+    """The ADVICE race: holder releases and a NEW writer acquires
+    between the stealer's staleness stat and its rename. The stealer
+    must detect the content mismatch, restore the fresh lock, and lose.
+    """
+    lock = tmp_path / "_manifest.lock"
+    lock.write_bytes(b"2.fresh-owner")  # the new writer's live lock
+
+    real_stat = Path.stat
+    real_read = Path.read_bytes
+    state = {"iter": 0}
+
+    def fake_stat(self, **kw):
+        st = real_stat(self, **kw)
+        if self.name == "_manifest.lock" and state["iter"] == 0:
+            # First loop iteration: the stealer measured the OLD
+            # (crashed-looking) lock as stale.
+            return types.SimpleNamespace(st_mtime=st.st_mtime - 3600)
+        return st
+
+    def fake_read(self):
+        if self.name == "_manifest.lock" and state["iter"] == 0:
+            state["iter"] = 1
+            # ...and observed the old holder's content; by the time the
+            # rename lands, the file actually holds the fresh lock.
+            return b"1.crashed-holder"
+        return real_read(self)
+
+    monkeypatch.setattr(Path, "stat", fake_stat)
+    monkeypatch.setattr(Path, "read_bytes", fake_read)
+
+    lk = _ManifestLock(tmp_path, timeout=0.3, stale_after=60.0)
+    with pytest.raises(ConcurrentWriteError):
+        lk.__enter__()
+    # The fresh writer's lock was restored, not destroyed, and no
+    # stray .steal.* files remain.
+    assert lock.read_bytes() == b"2.fresh-owner"
+    assert list(tmp_path.glob("_manifest.steal.*")) == []

@@ -288,13 +288,15 @@ def scd2_from_feed(
     history: DataFrame | None = None,
     since_txn: int = 0,
     project=None,
-) -> tuple[DataFrame | None, int]:
+) -> tuple[DataFrame | None, int, int]:
     """Fold every captured change transaction in ``(since_txn, latest]``
     of a managed table's MERGE feed (operators/upsert.py
     ``_changes/txn_*``) into an SCD2 ``history``, one
     :func:`scd2_apply` per transaction in txn order. Returns
-    ``(new_history, new_watermark)`` — history is ``None`` only when
-    there was nothing to fold and none was passed.
+    ``(new_history, new_watermark, n_applied)`` — history is ``None``
+    only when there was nothing to fold and none was passed;
+    ``n_applied`` counts the transactions actually folded (NOT the
+    txn-id delta, which overcounts under sparse feed ids).
 
     This is the consumer that keeps an SCD2 table maintained BY
     ingestion: each committed MERGE's post-images are exactly the
@@ -329,7 +331,7 @@ def scd2_from_feed(
                 batch, key_col, attr_cols, ts_col,
             )
         watermark = t
-    return history, watermark
+    return history, watermark, len(txns)
 
 
 class Scd2Maintainer:
@@ -385,17 +387,19 @@ class Scd2Maintainer:
         return self.spark.read.parquet(str(self.path / m["current"]))
 
     def run(self, table) -> int:
-        """Fold new feed transactions; returns how many were applied."""
+        """Fold new feed transactions; returns the count of
+        transactions applied (``len(txns)``, matching
+        ``IncrementalAggMaintainer.run`` — not the txn-id delta, which
+        overcounts when the feed's txn ids are sparse)."""
         import json as _json
         import shutil as _sh
 
         m = self._meta()
-        hist, new_wm = scd2_from_feed(
+        hist, new_wm, applied = scd2_from_feed(
             table, self.key_col, self.attr_cols, self.ts_col,
             history=self.history(), since_txn=int(m["watermark"]),
             project=self.project,
         )
-        applied = new_wm - int(m["watermark"])
         if applied <= 0 or hist is None:
             return 0
         new_dir = f"v_{new_wm}"

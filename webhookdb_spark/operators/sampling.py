@@ -708,10 +708,14 @@ def sql_neyman_allocation(
     return f"""
     WITH per AS (
       SELECT {stratum_col} AS stratum,
-             COUNT(TRY_CAST({value_col} AS DECIMAL(18,6))) AS n_rows,
-             SUM(TRY_CAST({value_col} AS DECIMAL(18,6))) AS s1,
-             SUM(CAST(TRY_CAST({value_col} AS DECIMAL(18,6))
-                      * TRY_CAST({value_col} AS DECIMAL(18,6))
+             COUNT(TRY_CAST(CAST({value_col} AS VARCHAR)
+                   AS DECIMAL(18,6))) AS n_rows,
+             SUM(TRY_CAST(CAST({value_col} AS VARCHAR)
+                 AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(TRY_CAST(CAST({value_col} AS VARCHAR)
+                      AS DECIMAL(18,6))
+                      * TRY_CAST(CAST({value_col} AS VARCHAR)
+                        AS DECIMAL(18,6))
                       AS DECIMAL(38,12))) AS s2
       FROM {table} GROUP BY 1
     ), wts AS (

@@ -57,6 +57,18 @@ class _ManifestLock:
     microseconds of one JSON read + one JSON write, so contention is
     resolved by a short spin; a crashed holder is detected by lock age
     and the stale lock is broken.
+
+    Identity-verified steal: every acquire writes a unique token
+    (pid + uuid) into the lock file. A stealer captures the victim's
+    (content, mtime) BEFORE renaming the lock aside, then re-verifies
+    the renamed file still carries exactly that stale content. If the
+    old holder released and a NEW writer acquired between the staleness
+    stat and the rename, the contents differ — the stealer restores the
+    fresh lock with ``os.link`` (which, unlike rename-back, can never
+    clobber a lock acquired while the path was vacant) and loses the
+    steal. Release and commit both verify the file still holds our own
+    token (``holds()``) so a writer whose lock was broken underneath it
+    can never unlink someone else's lock or commit a manifest.
     """
 
     def __init__(self, table_path: Path, timeout: float = 10.0,
@@ -64,6 +76,15 @@ class _ManifestLock:
         self.lock_path = table_path / "_manifest.lock"
         self.timeout = timeout
         self.stale_after = stale_after
+        self.token = f"{os.getpid()}.{uuid.uuid4().hex}".encode()
+
+    def holds(self) -> bool:
+        """True iff the lock file still carries OUR token (it can be
+        stolen out from under a holder that stalls past stale_after)."""
+        try:
+            return self.lock_path.read_bytes() == self.token
+        except OSError:
+            return False
 
     def __enter__(self) -> "_ManifestLock":
         import time
@@ -74,31 +95,48 @@ class _ManifestLock:
                 fd = os.open(
                     self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                 )
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, self.token)
                 os.close(fd)
                 return self
             except FileExistsError:
                 try:  # break locks abandoned by a crashed writer
-                    age = time.time() - self.lock_path.stat().st_mtime
+                    st = self.lock_path.stat()
+                    observed = self.lock_path.read_bytes()
+                    age = time.time() - st.st_mtime
                     if age > self.stale_after:
-                        # Atomic steal: rename the stale lock to a
-                        # unique name first, then unlink the renamed
-                        # file. A bare unlink races — between the age
-                        # check and the unlink the old holder can
-                        # release and a NEW writer acquire, and the
-                        # unlink would silently destroy the new
-                        # holder's fresh lock (two writers in the
-                        # critical section). rename fails for every
-                        # stealer but one, and only the winner removes
-                        # anything.
+                        # Steal in two steps: rename the lock to a
+                        # unique name (serializes concurrent stealers —
+                        # rename fails for all but one), then VERIFY
+                        # the renamed file is the same stale lock we
+                        # measured. Between the stat and the rename the
+                        # old holder can release and a new writer
+                        # O_EXCL-acquire a fresh lock; a blind unlink
+                        # here would destroy that fresh lock and admit
+                        # two writers. The content token disambiguates:
+                        # mismatch → we grabbed a fresh lock → give it
+                        # back via link() and retry as a loser.
                         steal = self.lock_path.with_suffix(
                             f".steal.{os.getpid()}.{time.monotonic_ns()}"
                         )
                         try:
                             self.lock_path.rename(steal)
-                            steal.unlink(missing_ok=True)
                         except OSError:
-                            pass  # lost the steal race; retry acquire
+                            continue  # lost the steal race; re-acquire
+                        try:
+                            stolen = steal.read_bytes()
+                        except OSError:
+                            stolen = None
+                        if stolen != observed:
+                            # Fresh-acquirer race hit: restore. link()
+                            # fails (harmlessly) if yet another writer
+                            # acquired while the path was vacant — the
+                            # victim then loses its lock, but holds()
+                            # stops it from committing or unlinking.
+                            try:
+                                os.link(steal, self.lock_path)
+                            except OSError:
+                                pass
+                        steal.unlink(missing_ok=True)
                         continue
                 except OSError:
                     pass  # holder released between exists and stat
@@ -110,7 +148,10 @@ class _ManifestLock:
                 time.sleep(0.01)
 
     def __exit__(self, *exc) -> None:
-        self.lock_path.unlink(missing_ok=True)
+        # Only remove the lock if it is still OURS — after a steal the
+        # path may hold another writer's fresh lock.
+        if self.holds():
+            self.lock_path.unlink(missing_ok=True)
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -450,12 +491,20 @@ class ManagedTable:
         # the planned txn and save atomically, so of two racing writers
         # exactly one commits and the loser rolls back only its own
         # writer-unique dirs.
-        with _ManifestLock(self.path):
+        with _ManifestLock(self.path) as lk:
             current = Manifest.load(self.path)
             if current.txn != m.txn:
                 _abort(
                     f"manifest advanced txn {m.txn} -> {current.txn} "
                     "during write; reload and retry"
+                )
+            if not lk.holds():
+                # Our lock was stolen (we stalled past stale_after and
+                # another writer broke it) — committing now could race
+                # the thief's own verify→save window. Abort and retry.
+                _abort(
+                    "manifest lock stolen during commit (holder stalled "
+                    "past stale_after); reload and retry"
                 )
             # dataclasses.replace carries EVERY manifest field (zorder,
             # zonemap declarations, ...) — a hand-listed constructor
