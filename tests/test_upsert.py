@@ -948,3 +948,45 @@ def test_zonemap_range_read_prunes_buckets_exactly(spark, tmp_warehouse):
 
     # untracked column: no pruning, plain filtered read
     assert t.read_where_range("k", "k0", "k99").count() == 100
+
+
+def test_contract_upsert_single_materialization_of_shaped_batch(
+    spark, tmp_warehouse
+):
+    """The shaped+flagged batch must be evaluated exactly ONCE
+    (operators/upsert.py localCheckpoint): the source scan count —
+    measured by an accumulator in the envelope lineage — must equal
+    one pass over the input rows, no matter how many downstream
+    actions (quarantine count, quarantine write, merge) consume it.
+    Pre-fix the lineage was recomputed three times, and the
+    monotonically_increasing_id _seq could shift between the
+    quarantine write and the merge."""
+    from webhookdb_spark.operators.upsert import upsert_envelopes_with_contract
+
+    t = fake_table(spark, tmp_warehouse)
+    qdir = str(tmp_warehouse / "quarantine_scans")
+    rules = [
+        ("between", "at", "2024-01-01 00:00:00", "2024-12-31 23:59:59"),
+    ]
+    bodies = [
+        {"my_id": "good1", "at": "2024-06-01T00:00:00Z"},
+        {"my_id": "bad1", "at": "1999-01-01T00:00:00Z"},
+        {"my_id": "good2", "at": "2024-07-01T00:00:00Z"},
+    ]
+    base = env_df(spark, bodies)
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(rows):
+        for r in rows:
+            acc.add(1)
+            yield r
+
+    env = spark.createDataFrame(
+        base.rdd.mapPartitions(counting), base.schema
+    )
+    res, n_bad = upsert_envelopes_with_contract(t, env, FAKE_V1, rules, qdir)
+    assert n_bad == 1 and res.inserted == 2
+    assert acc.value == len(bodies), (
+        f"shaped batch evaluated {acc.value / len(bodies):.1f}x; "
+        "contract upsert must materialize it exactly once"
+    )

@@ -398,15 +398,21 @@ def upsert_envelopes_with_contract(
     keep running and keep the evidence instead).
 
     Scale: the reason is one narrow CASE over the shaped batch; the
-    split costs one extra batch-sized pass (the quarantine write),
-    nothing table-sized. The quarantine is a plain parquet append —
-    violating rows may lack valid keys, so a keyed MERGE is exactly
-    the wrong sink for them.
+    shaped+flagged batch is materialized exactly ONCE (eager
+    localCheckpoint), then the quarantine count, quarantine write, and
+    clean-side merge all read the pinned partitions — no recompute of
+    the shaping lineage, and (critically) the ``_seq``
+    monotonically_increasing_id values cannot shift between the
+    quarantine write and the merge under task retries. The quarantine
+    is a plain parquet append — violating rows may lack valid keys, so
+    a keyed MERGE is exactly the wrong sink for them.
     """
     from webhookdb_spark.operators.profile import expectation_reason
 
     shaped = _shape_for_merge(table, envelopes, spec)
-    flagged = shaped.withColumn("_contract_reason", expectation_reason(rules))
+    flagged = shaped.withColumn(
+        "_contract_reason", expectation_reason(rules)
+    ).localCheckpoint(eager=True)
     bad = flagged.where(F.col("_contract_reason").isNotNull())
     n_bad = bad.count()
     if n_bad:
