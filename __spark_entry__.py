@@ -6088,128 +6088,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: STRICT staleness — the driver checks roughly
-    # the first 50 entries per round. Round-8 state: the 4 r7 `err`
-    # rows (output shape fixed this round) lead, then the 43 rows whose
-    # last driver check is CORRECTNESS_r05.json (4 + 43 = 47 fills the
-    # ~50-row cap — after r8 no row's latest driver check should be
-    # older than r6), then the 57 never-checked r8 additions (local
-    # sweep green; they lead r9's window — with a ~50-row cap the
-    # round cannot both refresh all 43 r5 rows AND first-check every
-    # r8 query, and VERDICT r7 item 2's explicit criterion picked the
-    # stale set), then r6-green, then the 50 green in
-    # CORRECTNESS_r07.json. Every entry runs in tools/check_oracle.py
+    # Ordering contract: NEEDY-FIRST — the driver checks roughly the
+    # first 50 entries per round; never-checked queries (registered in
+    # tools/rotation_debt.json) and past-horizon stale ones must lead.
+    # tools/rotation_audit.py enforces this (run by the test suite):
+    # staleness horizon = ceil(registry/50) rounds, the sustainable
+    # cadence for a 50-row budget. Round-9 state: VERDICT r8 item #1 —
+    # spend ALL slots on the 64 never-checked r8 queries, statistics +
+    # governance first. Every entry runs in tools/check_oracle.py
     # regardless of position.
     return {
-        # --- r7 err rows, output shape fixed this round: green row needed first ---
-        "scd2_user_state": q_scd2_user_state,
-        "scd2_incremental": q_scd2_incremental,
-        "embed_rp_project": q_embed_rp_project,
-        "embed_pca_project": q_embed_pca_project,
-        # --- last driver row r5 (CORRECTNESS_r05.json): oldest evidence ---
-        "important_parts": q_important_parts,
-        "interval_overlap": q_interval_overlap,
-        "media_audio_features": q_media_audio_features,
-        "media_jpeg_decode": q_media_jpeg_decode,
-        "media_pixel_features": q_media_pixel_features,
-        "order_deciles": q_order_deciles,
-        "order_percentiles": q_order_percentiles,
-        "order_priority_check": q_order_priority_check,
-        "pipeline_pack": q_pipeline_pack,
-        "pivot_status": q_pivot_status,
-        "profile_orders": q_profile_orders,
-        "promo_revenue": q_promo_revenue,
-        "revenue_grouping_sets": q_revenue_grouping_sets,
-        "skew_salted_join": q_skew_salted_join,
-        "small_qty_revenue": q_small_qty_revenue,
-        "top_supplier": q_top_supplier,
-        "vocab_coverage": q_vocab_coverage,
-        "waiting_suppliers": q_waiting_suppliers,
-        "zorder_layout": q_zorder_layout,
-        "asof_join_events": q_asof_join,
-        "big_spenders": q_big_spenders,
-        "corpus_filter": q_corpus_filter,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_segments": q_dedup_segments,
-        "inverted_index": q_inverted_index,
-        "kmv_distinct": q_kmv_distinct,
-        "length_stats": q_length_stats,
-        "media_avi_frames": q_media_avi_frames,
-        "media_decode": q_media_decode,
-        "media_wav_decode": q_media_wav_decode,
-        "range_join_events": q_range_join,
-        "search_ranked": q_search_ranked,
-        "search_terms": q_search_terms,
-        "sequence_pack": q_sequence_pack,
-        "shipping_priority": q_shipping_priority,
-        "ann_lsh_recall": q_ann_lsh_recall,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "dedup_clusters": q_dedup_clusters,
-        "embed_near_dup": q_embed_near_dup,
-        "media_features": q_media_features,
-        "media_summary": q_media_summary,
-        # --- never driver-checked (new in r8) ---
-        "scd2_feed_maintained": q_scd2_feed_maintained,
-        "corpus_cap_quality": q_corpus_cap_quality,
-        "table_diff": q_table_diff,
-        "embed_near_dup_ivf": q_embed_near_dup_ivf,
-        "matview_event_totals": q_matview_event_totals,
-        "text_entropy": q_text_entropy,
-        "span_novelty": q_span_novelty,
-        "source_span_leakage": q_source_span_leakage,
-        "dsir_importance": q_dsir_importance,
-        "ann_hard_negatives": q_ann_hard_negatives,
-        "mixture_plan": q_mixture_plan,
-        "span_store_incremental": q_span_store_incremental,
-        "doc_feature_matrix": q_doc_feature_matrix,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "cluster_safe_split": q_cluster_safe_split,
-        "quality_filter": q_quality_filter,
-        "dsir_resample": q_dsir_resample,
-        "markup_strip": q_markup_strip,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "contamination_report": q_contamination_report,
-        "bpe_train_merges": q_bpe_train_merges,
-        "span_dedup_rewrite": q_span_dedup_rewrite,
-        "jsonl_quarantine": q_jsonl_quarantine,
-        "json_key_profile": q_json_key_profile,
-        "k_anonymity": q_k_anonymity,
-        "neyman_allocation": q_neyman_allocation,
-        "neyman_sample": q_neyman_sample,
-        "fd_audit": q_fd_audit,
-        "rolling_anomalies": q_rolling_anomalies,
-        "attribution_last_touch": q_attribution_last_touch,
-        "quality_calibrated": q_quality_calibrated,
-        "attribution_multi_touch": q_attribution_multi_touch,
-        "golden_records": q_golden_records,
-        "conversion_paths": q_conversion_paths,
-        "rfm_segments": q_rfm_segments,
-        "vocab_growth": q_vocab_growth,
-        "orders_reconciliation": q_orders_reconciliation,
-        "revenue_gini": q_revenue_gini,
-        "churn_risk_table": q_churn_risk_table,
-        "winsorize_values": q_winsorize_values,
-        "token_collocations": q_token_collocations,
-        "discount_ols": q_discount_ols,
-        "weighted_median_price": q_weighted_median_price,
-        "benford_audit": q_benford_audit,
-        "stratified_kfold": q_stratified_kfold,
-        "packing_efficiency": q_packing_efficiency,
-        "revenue_cusum": q_revenue_cusum,
-        "source_vocab_jaccard": q_source_vocab_jaccard,
-        "dedup_eval": q_dedup_eval,
-        "part_triangles": q_part_triangles,
-        "doc_keywords": q_doc_keywords,
+        # --- r9 rotation: the 64 never-driver-checked r8 queries
+        # lead (statistics/governance first — subtlest arithmetic);
+        # the driver's ~50-row budget first-checks positions 1-50,
+        # r10 covers the remainder. tools/rotation_audit.py enforces
+        # this ordering from here on. ---
         "bootstrap_value_ci": q_bootstrap_value_ci,
         "ab_test_readout": q_ab_test_readout,
         "chi2_contingency": q_chi2_contingency,
-        "filter_config_diff": q_filter_config_diff,
-        "corpus_release_report": q_corpus_release_report,
         "mannwhitney_u": q_mannwhitney_u,
         "ks_statistic": q_ks_statistic,
+        "revenue_cusum": q_revenue_cusum,
         "revenue_autocorrelation": q_revenue_autocorrelation,
+        "discount_ols": q_discount_ols,
+        "weighted_median_price": q_weighted_median_price,
+        "winsorize_values": q_winsorize_values,
+        "benford_audit": q_benford_audit,
+        "k_anonymity": q_k_anonymity,
+        "fd_audit": q_fd_audit,
+        "jsonl_quarantine": q_jsonl_quarantine,
+        "json_key_profile": q_json_key_profile,
+        "contamination_report": q_contamination_report,
+        "corpus_release_report": q_corpus_release_report,
+        "filter_config_diff": q_filter_config_diff,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "neyman_allocation": q_neyman_allocation,
+        "neyman_sample": q_neyman_sample,
+        "stratified_kfold": q_stratified_kfold,
+        "cluster_safe_split": q_cluster_safe_split,
+        "dsir_importance": q_dsir_importance,
+        "dsir_resample": q_dsir_resample,
+        "quality_filter": q_quality_filter,
+        "quality_calibrated": q_quality_calibrated,
+        "mixture_plan": q_mixture_plan,
+        "span_novelty": q_span_novelty,
+        "source_span_leakage": q_source_span_leakage,
+        "span_store_incremental": q_span_store_incremental,
+        "span_dedup_rewrite": q_span_dedup_rewrite,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "dedup_eval": q_dedup_eval,
+        "embed_near_dup_ivf": q_embed_near_dup_ivf,
+        "matview_event_totals": q_matview_event_totals,
+        "doc_keywords": q_doc_keywords,
+        "vocab_growth": q_vocab_growth,
+        "token_collocations": q_token_collocations,
+        "text_entropy": q_text_entropy,
+        "markup_strip": q_markup_strip,
+        "bpe_train_merges": q_bpe_train_merges,
+        "source_vocab_jaccard": q_source_vocab_jaccard,
+        "kmv_accuracy_audit": q_kmv_accuracy_audit,
+        "doc_feature_matrix": q_doc_feature_matrix,
+        "packing_efficiency": q_packing_efficiency,
+        "part_triangles": q_part_triangles,
+        "ann_hard_negatives": q_ann_hard_negatives,
+        "golden_records": q_golden_records,
+        "attribution_last_touch": q_attribution_last_touch,
+        # --- embed_pca_project: r8 row was no_oracle; now carries
+        #     SQL-checkable invariants — needs a fresh driver row ---
+        "embed_pca_project": q_embed_pca_project,
+        # --- never-checked remainder (r10's first budget) ---
+        "rolling_anomalies": q_rolling_anomalies,
+        "attribution_multi_touch": q_attribution_multi_touch,
+        "conversion_paths": q_conversion_paths,
+        "rfm_segments": q_rfm_segments,
+        "orders_reconciliation": q_orders_reconciliation,
+        "revenue_gini": q_revenue_gini,
+        "churn_risk_table": q_churn_risk_table,
         "order_ship_latency": q_order_ship_latency,
         "reorder_intervals": q_reorder_intervals,
         "cohort_revenue": q_cohort_revenue,
@@ -6217,8 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_return_rates": q_supplier_return_rates,
         "activity_heatmap": q_activity_heatmap,
         "length_quality_grid": q_length_quality_grid,
-        "kmv_accuracy_audit": q_kmv_accuracy_audit,
-        # --- last driver row r6 ---
+        # --- last driver row r6 (oldest checked evidence) ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
         "min_cost_supplier": q_min_cost_supplier,
@@ -6269,7 +6222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extraction": q_json_extraction,
         "rollup_revenue": q_rollup_revenue,
         "set_ops": q_set_ops,
-        # --- green in CORRECTNESS_r07.json (freshest; tail) ---
+        # --- last driver row r7 ---
         "order_status_priority_mi": q_order_status_priority_mi,
         "weighted_sample_by_lang": q_weighted_sample_by_lang,
         "event_type_drift": q_event_type_drift,
@@ -6316,6 +6269,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_profile": q_cluster_profile,
         "event_transitions": q_event_transitions,
         "global_sales_opportunity": q_global_sales_opportunity,
+        # --- last driver row r8 (freshest; tail) ---
+        "scd2_user_state": q_scd2_user_state,
+        "scd2_incremental": q_scd2_incremental,
+        "embed_rp_project": q_embed_rp_project,
+        "important_parts": q_important_parts,
+        "interval_overlap": q_interval_overlap,
+        "media_audio_features": q_media_audio_features,
+        "media_jpeg_decode": q_media_jpeg_decode,
+        "media_pixel_features": q_media_pixel_features,
+        "order_deciles": q_order_deciles,
+        "order_percentiles": q_order_percentiles,
+        "order_priority_check": q_order_priority_check,
+        "pipeline_pack": q_pipeline_pack,
+        "pivot_status": q_pivot_status,
+        "profile_orders": q_profile_orders,
+        "promo_revenue": q_promo_revenue,
+        "revenue_grouping_sets": q_revenue_grouping_sets,
+        "skew_salted_join": q_skew_salted_join,
+        "small_qty_revenue": q_small_qty_revenue,
+        "top_supplier": q_top_supplier,
+        "vocab_coverage": q_vocab_coverage,
+        "waiting_suppliers": q_waiting_suppliers,
+        "zorder_layout": q_zorder_layout,
+        "asof_join_events": q_asof_join,
+        "big_spenders": q_big_spenders,
+        "corpus_filter": q_corpus_filter,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_segments": q_dedup_segments,
+        "inverted_index": q_inverted_index,
+        "kmv_distinct": q_kmv_distinct,
+        "length_stats": q_length_stats,
+        "media_avi_frames": q_media_avi_frames,
+        "media_decode": q_media_decode,
+        "media_wav_decode": q_media_wav_decode,
+        "range_join_events": q_range_join,
+        "search_ranked": q_search_ranked,
+        "search_terms": q_search_terms,
+        "sequence_pack": q_sequence_pack,
+        "shipping_priority": q_shipping_priority,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "embed_near_dup": q_embed_near_dup,
+        "media_features": q_media_features,
+        "media_summary": q_media_summary,
+        "scd2_feed_maintained": q_scd2_feed_maintained,
+        "corpus_cap_quality": q_corpus_cap_quality,
+        "table_diff": q_table_diff,
     }
 
 def oracle_sql() -> dict[str, str]:
