@@ -3402,19 +3402,19 @@ PARETO_LI_SQL = (
 def q_embed_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     """Learned-rotation counterpart of embed_rp_project: train PCA
     (per-partition Arrow partial sums -> driver eigh, collect is
-    metadata-sized) and project 64d -> 8d with the frozen model as one
-    array-literal expression. NO oracle_sql entry: eigendecomposition
-    is not SQL-expressible — the driver records the rows-only check;
-    the algebraic contract is property-pinned in
-    test_pca_recovers_planted_structure_and_freezes. Output exploded
-    to (vec_id, dim, value) scalar rows so the driver canonicalizer
-    (which cannot sort array columns) can digest it."""
+    metadata-sized), then emit per-vector SQL-CHECKABLE invariants of
+    the frozen model — raw projections are eigensolver-dependent (sign
+    flips, near-tie order) and not replayable in SQL, but (a) the
+    rotation's orthonormality residual in ppm and (b) the quantized
+    Pythagoras sum ``‖proj‖² + ‖reconstruction residual‖²`` are: the
+    latter must equal ``‖x − μ‖²``, which DuckDB computes from the
+    parquet alone. Any bug in centering/rotation/orthonormality breaks
+    the value hash; subspace OPTIMALITY stays pinned by
+    test_pca_recovers_planted_structure_and_freezes (not
+    SQL-expressible)."""
     emb = load(spark, sf, "embeddings")
     model = S.pca_train(emb, k=8)
-    proj = S.pca_project(emb, model)
-    return proj.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "value")
-    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "value")
+    return S.pca_invariants(emb, model)
 
 
 def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
@@ -6389,6 +6389,7 @@ def oracle_sql() -> dict[str, str]:
         "source_span_leakage": D.sql_source_span_leakage(),
         "dsir_importance": C.sql_dsir_logweights(),
         "ann_hard_negatives": S.sql_hard_negatives(),
+        "embed_pca_project": S.sql_pca_invariants("embeddings"),
         "mixture_plan": SA.sql_mixture_plan(),
         "span_store_incremental": SQL_SPAN_STORE_INC.format(
             base=D.sql_span_novelty()),

@@ -2595,6 +2595,104 @@ def pca_project(
     )
 
 
+def pca_invariants(
+    corpus: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantum: float = 1e4,
+) -> DataFrame:
+    """(vec_id, ortho_ppm, pythag_q): per-vector SQL-checkable
+    invariants of a trained PCA rotation — the value-hash oracle for a
+    model whose raw projections are eigensolver-dependent (sign flips,
+    near-tie ordering) and therefore not replayable in SQL.
+
+    - ``ortho_ppm`` = ``round(max|R Rᵀ − I| · 1e6)`` over the k×k Gram
+      of the component rows (driver-side numpy on the k×d model —
+      exact integer, 0 for a healthy eigh basis).
+    - ``pythag_q`` = ``round((‖Rᵀ(x−μ)‖² + ‖(x−μ) − R Rᵀ(x−μ)‖²) ·
+      quantum)``: by Pythagoras this equals ``round(‖x−μ‖² · quantum)``
+      IFF the rows of R are orthonormal and the centering/rotation/
+      reconstruction arithmetic is right — and ``‖x−μ‖²`` is computable
+      by any SQL engine from the parquet alone (per-dim AVG). Any bug
+      in the model or its application breaks the equality; subspace
+      OPTIMALITY is pinned separately by the planted-structure
+      property test (not SQL-expressible).
+
+    Entirely expression-level (array-literal zip_with/transform, the
+    pca_project shape — no UDF, no shuffle); the reconstruction uses
+    the UNQUANTIZED projection so Pythagoras holds to float64, far
+    inside the 1e-4 quantum. Cross-engine seam: Spark centers at the
+    model mean, the oracle at its own AVG — both float64 means of the
+    same fixed data, differing O(1e-15), invisible at the quantum.
+    """
+    import numpy as np
+
+    comps = np.asarray(model["components"], dtype=np.float64)
+    gram = comps @ comps.T
+    ortho_ppm = int(round(float(np.abs(gram - np.eye(len(comps))).max()) * 1e6))
+
+    mean_lit = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    comps_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in model["components"]]
+    )
+    # d×k transpose literal for the reconstruction R·proj
+    compsT_lit = F.array(*[
+        F.array(*[F.lit(float(comps[r][j])) for r in range(len(comps))])
+        for j in range(comps.shape[1])
+    ])
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    centered = F.zip_with(
+        F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m
+    )
+    b = bind(
+        scale_out(corpus.select(id_col, vec_col)), "_c", centered
+    )
+    proj = F.transform(comps_lit, lambda c: dot(F.col("_c"), c))
+    b = bind(b, "_p", proj)
+    recon = F.transform(compsT_lit, lambda row_j: dot(row_j, F.col("_p")))
+    resid = F.zip_with(F.col("_c"), recon, lambda x, y: x - y)
+    pythag = dot(F.col("_p"), F.col("_p")) + dot(resid, resid)
+    return b.select(
+        F.col(id_col).alias("vec_id"),
+        F.lit(ortho_ppm).cast("long").alias("ortho_ppm"),
+        F.round(pythag * F.lit(float(quantum))).cast("long").alias("pythag_q"),
+    )
+
+
+def sql_pca_invariants(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantum: float = 1e4,
+) -> str:
+    """DuckDB twin of :func:`pca_invariants`: a healthy model has
+    ``ortho_ppm = 0`` (literal), and Pythagoras makes ``pythag_q`` equal
+    ``round(‖x − μ‖² · quantum)`` — per-dim mean and the squared
+    distance are plain SQL over the same parquet."""
+    return f"""
+    WITH dims AS (
+      SELECT {id_col} AS vec_id,
+             generate_subscripts({vec_col}, 1) AS j,
+             CAST(unnest({vec_col}) AS DOUBLE) AS val
+      FROM {table}
+    ), mu AS (SELECT j, AVG(val) AS m FROM dims GROUP BY j)
+    SELECT d.vec_id,
+           CAST(0 AS BIGINT) AS ortho_ppm,
+           CAST(round(SUM((d.val - mu.m) * (d.val - mu.m))
+                      * {float(quantum)}) AS BIGINT) AS pythag_q
+    FROM dims d JOIN mu USING (j)
+    GROUP BY d.vec_id
+    """
+
+
 def write_pca_model(model: dict, path: str) -> None:
     """Persist a :func:`pca_train` rotation (the sidecar pattern of
     every persisted index here: train once offline, project every
