@@ -552,3 +552,105 @@ def test_dependent_table_maintained_from_change_stream(spark, tmp_path):
     # replaying the stream (same checkpoint) is a no-op
     run_once()
     assert child.read().count() == 7
+
+
+def test_ivm_maintainer_streaming_identical(spark, tmp_warehouse):
+    """Streaming-identical proof for the IVM maintainer (the house
+    standard the count-min/quantile sketches set in
+    test_streaming_windows.py): IncrementalAggMaintainer driven from
+    the envelope STREAM — hooked on each foreachBatch commit via
+    on_rowupsert — must equal (a) a from-scratch groupBy of the
+    table's current rows after every micro-batch, and (b) a one-shot
+    batch maintainer folding the same feed in a single run. The
+    watermark survives a maintainer restart (new instance, same path)
+    as a no-op."""
+    from webhookdb_spark.operators.matview import IncrementalAggMaintainer
+
+    land = tmp_warehouse / "landing_ivm"
+    wh = Warehouse(spark, tmp_warehouse / "wh_ivm")
+    table = wh.table("org1", "fake_v1")
+    shape = lambda b: b.select(  # noqa: E731
+        "my_id",
+        F.get_json_object(F.col("data").cast("string"), "$.g").alias("g"),
+        F.get_json_object(F.col("data").cast("string"), "$.v")
+        .cast("long")
+        .alias("v"),
+    )
+    mt = IncrementalAggMaintainer(
+        spark, str(tmp_warehouse / "ivm_stream"), "my_id", "g", "v",
+        project=shape,
+    )
+    applied: list[int] = []
+    pipeline = IngestPipeline(
+        warehouse=wh, audit_table_path=str(tmp_warehouse / "audit_ivm")
+    )
+    pipeline.register(
+        IntegrationRuntime(
+            opaque_id="svi_a",
+            org="org1",
+            spec=FAKE_V1,
+            on_rowupsert=lambda df: applied.append(mt.run(table)),
+        )
+    )
+
+    def recompute():
+        cur = table.read().select(
+            F.get_json_object(F.col("data").cast("string"), "$.g").alias(
+                "group"
+            ),
+            F.get_json_object(F.col("data").cast("string"), "$.v")
+            .cast("long")
+            .alias("v"),
+        )
+        return {
+            (r.group, r.n_keys, r.total)
+            for r in cur.groupBy("group")
+            .agg(
+                F.count("*").cast("long").alias("n_keys"),
+                F.sum("v").cast("long").alias("total"),
+            )
+            .collect()
+        }
+
+    def maintained(m):
+        return {(r.group, r.n_keys, r.total) for r in m.aggregate().collect()}
+
+    write_envelopes(land, [
+        {"my_id": "a", "at": "2024-06-01T00:00:00Z", "g": "x", "v": 10},
+        {"my_id": "b", "at": "2024-06-01T00:00:00Z", "g": "x", "v": 5},
+        {"my_id": "c", "at": "2024-06-01T00:00:00Z", "g": "y", "v": 7},
+    ])
+    stream = read_envelope_stream(spark, str(land))
+    q = pipeline.start(stream, str(tmp_warehouse / "ckpt_ivm"), trigger_once=True)
+    q.awaitTermination(120)
+    assert applied == [1]
+    assert maintained(mt) == recompute() == {("x", 2, 15), ("y", 1, 7)}
+
+    # micro-batch 2: "a" moves group x -> y, "b" value in place, "d" new
+    write_envelopes(land, [
+        {"my_id": "a", "at": "2024-06-02T00:00:00Z", "g": "y", "v": 20},
+        {"my_id": "b", "at": "2024-06-02T00:00:00Z", "g": "x", "v": 6},
+        {"my_id": "d", "at": "2024-06-02T00:00:00Z", "g": "z", "v": 1},
+    ])
+    q2 = pipeline.start(stream, str(tmp_warehouse / "ckpt_ivm"), trigger_once=True)
+    q2.awaitTermination(120)
+    assert applied == [1, 1]
+    want = {("x", 1, 6), ("y", 2, 27), ("z", 1, 1)}
+    assert maintained(mt) == recompute() == want
+
+    # restart safety: a NEW maintainer on the same path is a no-op
+    mt2 = IncrementalAggMaintainer(
+        spark, str(tmp_warehouse / "ivm_stream"), "my_id", "g", "v",
+        project=shape,
+    )
+    assert mt2.run(table) == 0
+    assert maintained(mt2) == want
+
+    # batch rebuild: a fresh maintainer folding the SAME feed in one
+    # run lands on the identical aggregate (streaming == batch fold)
+    mt3 = IncrementalAggMaintainer(
+        spark, str(tmp_warehouse / "ivm_batch"), "my_id", "g", "v",
+        project=shape,
+    )
+    assert mt3.run(table) == 2
+    assert maintained(mt3) == want
