@@ -658,3 +658,85 @@ def test_bpe_train_word_table_single_corpus_scan(spark):
         .groupBy("pair").agg(F.sum("cnt").alias("n"))
     )
     assert "Scan parquet" not in plan_of(pairs)
+
+
+def test_retention_delete_prunes_buckets_via_zone_maps(spark, tmp_path):
+    """The stale-row delete (retention.py delete_stale_rows) must use
+    manifest zone maps: buckets whose [min, max] for the tracked ts
+    column cannot intersect the half-open delete window are neither
+    read nor rewritten (their manifest version dirs stay byte-
+    identical), while overlapping buckets are NEVER skipped and the
+    surviving rows equal the full-scan semantics exactly — including
+    NULL-ts rows, which a SQL DELETE never removes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from webhookdb_spark.functions.converters import str2inthash_py
+    from webhookdb_spark.operators.retention import delete_stale_rows
+    from webhookdb_spark.storage import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "org" / "ret_zm")
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("at", T.StringType()),
+        T.StructField("status", T.StringType()),
+    ])
+    t.create(schema, key="k", n_buckets=8, zonemap_cols=("at",))
+    # per-bucket day bands: bucket b holds 2024-01-(b+1) timestamps —
+    # deterministic correlation between the hash bucket and the ts
+    rows = []
+    for i in range(160):
+        b = str2inthash_py(f"k{i}") % 8
+        rows.append((f"k{i}", f"2024-01-{b + 1:02d} 12:00:00", "CANCELLED"))
+    rows.append(("knull", None, "CANCELLED"))  # NULL ts must survive
+    t.overwrite_all(spark.createDataFrame(rows, schema))
+
+    m0 = t.manifest
+    # delete window [2024-01-02, 2024-01-04): buckets holding day 2
+    # and day 3, plus knull's bucket (its stats min is the non-null
+    # min — all-null only if the bucket holds nothing else)
+    lo, hi = "2024-01-02 00:00:00", "2024-01-04 00:00:00"
+    cands = t.zonemap_candidates("at", lo, hi, hi_inclusive=False)
+    day_of = {b: int(s["at"][0][8:10]) if s["at"][0] else None
+              for b, s in m0.zonemaps.items()}
+    expect_cands = {int(b) for b, d in day_of.items() if d in (2, 3)}
+    assert set(cands) == expect_cands and 0 < len(cands) < 8
+
+    # conservative correctness (pre-delete): a window overlapping
+    # EVERY bucket skips nothing; untracked column -> None (full scan)
+    cands_all = t.zonemap_candidates(
+        "at", "2024-01-01 00:00:00", "2024-01-31 00:00:00",
+        hi_inclusive=False,
+    )
+    assert set(cands_all) == set(range(8))
+    assert t.zonemap_candidates("status", "A", "Z") is None
+
+    full = t.read().collect()
+    survivors_want = sorted(
+        r.k for r in full
+        if r.at is None or not (lo <= r.at < hi)
+    )
+    n_doomed = len(full) - len(survivors_want)
+    assert n_doomed > 0
+
+    deleted = delete_stale_rows(t, "at", stale_cutoff=hi, lookback_cutoff=lo)
+    assert deleted == n_doomed
+    assert sorted(r.k for r in t.read().collect()) == survivors_want
+    assert "knull" in survivors_want  # NULL-ts row survived
+
+    # skipped buckets: manifest rel dirs byte-identical (never
+    # rewritten); candidate buckets advanced to a new version dir
+    m1 = t.manifest
+    for b in map(str, range(8)):
+        if int(b) in expect_cands:
+            assert m1.buckets[b] != m0.buckets[b], f"bucket {b} not rewritten"
+        else:
+            assert m1.buckets[b] == m0.buckets[b], f"bucket {b} rewritten"
+
+    # an emptied bucket's stats either collapse to NULL-min (skippable)
+    # or drop out entirely (conservatively re-read) — never stale bands
+    # that would wrongly skip live data
+    m1z = m1.zonemaps or {}
+    for b in map(str, sorted(expect_cands)):
+        stats = (m1z.get(b) or {}).get("at")
+        assert stats is None or stats[0] is None, stats

@@ -51,14 +51,46 @@ def delete_stale_rows(
 ) -> int:
     """base_stale_row_deleter semantics: delete rows whose ``ts_col`` is
     in [lookback_cutoff, stale_cutoff) and that match ``condition``.
-    Returns number of rows deleted."""
+    Returns number of rows deleted.
+
+    Zone-map bucket pruning: when ``ts_col`` is a tracked zonemap
+    column, buckets whose [min, max] cannot intersect the half-open
+    delete window are neither READ nor REWRITTEN — the delete touches
+    only candidate bucket dirs, the manifest entries of skipped
+    buckets stay byte-identical (the Delta-DELETE partition-pruning
+    analog; on a 100 TB table a retention sweep over the last day must
+    not rewrite years of cold buckets). Conservative: overlapping or
+    stat-less buckets are always candidates, so results equal the
+    full-scan path exactly. Pruning validity requires the cutoff
+    strings to be in the SAME lexical format as the stored column
+    (e.g. both ``yyyy-MM-dd HH:mm:ss``) — the row filter casts to
+    timestamp and is format-robust, but zone stats compare as the
+    column's native type. Survivor semantics are SQL DELETE's: only
+    rows where the predicate is TRUE are removed — NULL ``ts_col``
+    rows survive (coalesce, both paths)."""
     doomed = (
         (F.col(ts_col) >= F.lit(lookback_cutoff).cast("timestamp"))
         & (F.col(ts_col) < F.lit(stale_cutoff).cast("timestamp"))
     )
     if condition is not None:
         doomed = doomed & condition
-    before, after = _rewrite(table, lambda df: df.where(~doomed))
+    keep_pred = ~F.coalesce(doomed, F.lit(False))
+    cands = table.zonemap_candidates(
+        ts_col, lookback_cutoff, stale_cutoff, hi_inclusive=False
+    )
+    if cands is None:
+        before, after = _rewrite(table, lambda df: df.where(keep_pred))
+        return before - after
+    if not cands:
+        return 0
+    m = table.manifest
+    df = table.read(buckets=cands)
+    before = df.count()
+    out = df.where(keep_pred).withColumn(
+        PART_COL, bucket_expr(m.key, m.n_buckets)
+    )
+    after = out.count()
+    table.overwrite_buckets(out, cands)
     return before - after
 
 

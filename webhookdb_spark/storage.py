@@ -310,11 +310,27 @@ class ManagedTable:
         skipped (a BETWEEN never matches NULL). The residual between
         filter still applies, so results are exact regardless of
         pruning."""
+        keep = self.zonemap_candidates(col, lo, hi)
+        if keep is None:
+            return self.read().where(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return self.read(buckets=keep).where(
+            F.col(col).between(F.lit(lo), F.lit(hi))
+        )
+
+    def zonemap_candidates(
+        self, col: str, lo, hi, hi_inclusive: bool = True
+    ) -> list[int] | None:
+        """Bucket ids that MAY hold rows with ``col`` in ``[lo, hi]``
+        (``[lo, hi)`` when ``hi_inclusive=False``), by the manifest's
+        zone maps. ``None`` = column untracked, caller must scan every
+        bucket. Conservative: buckets without stats are candidates;
+        overlapping ranges are never skipped; an all-NULL bucket
+        (min is NULL) is skipped — no range predicate matches NULL."""
         m = self.manifest
         tracked = getattr(m, "zonemap_cols", None) or []
-        zm = getattr(m, "zonemaps", None) or {}
         if col not in tracked:
-            return self.read().where(F.col(col).between(F.lit(lo), F.lit(hi)))
+            return None
+        zm = getattr(m, "zonemaps", None) or {}
         keep: list[int] = []
         for b in m.buckets:
             stats = (zm.get(b) or {}).get(col)
@@ -324,11 +340,12 @@ class ManagedTable:
             mn, mx = stats
             if mn is None:
                 continue
-            if not (mx < lo or mn > hi):
-                keep.append(int(b))
-        return self.read(buckets=keep).where(
-            F.col(col).between(F.lit(lo), F.lit(hi))
-        )
+            if mx < lo:
+                continue
+            if (mn > hi) if hi_inclusive else (mn >= hi):
+                continue
+            keep.append(int(b))
+        return keep
 
     def read_for_key(self, key_value: str) -> DataFrame:
         """Key-routing read: prune to the single bucket owning the key
