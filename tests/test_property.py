@@ -953,3 +953,62 @@ def test_span_rewrite_invariants(spark, token_lists):
             k=4,
         ).collect()
         assert all(r.n_removed == 0 for r in again)
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 7),
+        st.lists(st.one_of(st.none(), st.integers(-50, 50)), max_size=12),
+        min_size=1, max_size=8,
+    ),
+    st.integers(-60, 60),
+    st.integers(0, 40),
+    st.booleans(),
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_zonemap_candidates_never_skip_matching_rows(
+    bucket_values, lo, width, hi_inclusive, data
+):
+    """Conservative-pruning property (retention delete / range read):
+    a bucket excluded by zonemap_candidates must contain NO value in
+    the window — under exact stats, randomly MISSING stats (pre-
+    zonemap data: must stay candidates), and all-NULL buckets. Pure
+    manifest arithmetic, no Spark."""
+    import types
+
+    from webhookdb_spark.storage import ManagedTable, Manifest
+
+    hi = lo + width
+    zonemaps = {}
+    for b, vals in bucket_values.items():
+        nn = [v for v in vals if v is not None]
+        if data.draw(st.booleans(), label=f"stats_present_{b}"):
+            zonemaps[str(b)] = {
+                "v": [min(nn), max(nn)] if nn else [None, None]
+            }
+    m = Manifest(
+        key="k", n_buckets=8, txn=1,
+        buckets={str(b): f"buckets/{b}/v1" for b in bucket_values},
+        schema_json="{}", zonemap_cols=["v"], zonemaps=zonemaps,
+    )
+    fake = types.SimpleNamespace(manifest=m)
+    cands = ManagedTable.zonemap_candidates(
+        fake, "v", lo, hi, hi_inclusive=hi_inclusive
+    )
+    assert set(cands) <= set(bucket_values)
+    in_window = (
+        (lambda v: lo <= v <= hi) if hi_inclusive
+        else (lambda v: lo <= v < hi)
+    )
+    for b, vals in bucket_values.items():
+        matching = [v for v in vals if v is not None and in_window(v)]
+        if b not in cands:
+            assert matching == [], (
+                f"bucket {b} skipped but holds {matching} in "
+                f"[{lo}, {hi}{']' if hi_inclusive else ')'}"
+            )
+        if str(b) not in zonemaps:
+            assert b in cands  # stat-less buckets always read
+    # untracked column -> None (caller must full-scan)
+    assert ManagedTable.zonemap_candidates(fake, "other", lo, hi) is None
