@@ -3936,6 +3936,20 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy best-first corpus fill under a per-source TOKEN budget
+    (the selection step of a pretraining recipe — "take the best 800
+    tokens per source", ~60% of each fixture source): exact-decimal
+    quality ranking, doc_id
+    tie-break, rows-frame running token sum, keep while within budget.
+    Token-budget counterpart of corpus_cap_quality's count cap; the
+    one wide shuffle is the per-source sort (a running sum cannot
+    WindowGroupLimit-prune)."""
+    return SA.token_budget_select(
+        load(spark, sf, "documents"), budget_tokens=800
+    )
+
+
 def q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
     """Variance-optimal (Neyman) sample allocation over event types:
     per stratum, exact-decimal moment sums -> population stddev ->
@@ -6171,6 +6185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_return_rates": q_supplier_return_rates,
         "activity_heatmap": q_activity_heatmap,
         "length_quality_grid": q_length_quality_grid,
+        # --- net-new r9 (registered in tools/rotation_debt.json) ---
+        "token_budget_select": q_token_budget_select,
         # --- last driver row r6 (oldest checked evidence) ---
         "decontaminate_bloom": q_decontaminate_bloom,
         "inverted_index_bucketed": q_inverted_index_bucketed,
@@ -6455,6 +6471,9 @@ def oracle_sql() -> dict[str, str]:
                         ("l_orderkey", "l_suppkey"),
                         ("l_partkey", "l_suppkey"),
                         ("l_suppkey", "l_linestatus")]),
+        "token_budget_select": SA.sql_token_budget_select(
+            "documents", budget_tokens=800
+        ),
         "neyman_allocation": SA.sql_neyman_allocation(
             "events", "event_type", "value", total_n=1000),
         "neyman_sample": SA.sql_neyman_sample(

@@ -640,6 +640,81 @@ def sql_mixture_plan(
     """
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy best-first corpus fill under a per-source TOKEN budget:
+    rank each source's documents by composite quality (the exact-
+    decimal :func:`webhookdb_spark.operators.text.quality_score`
+    arithmetic, engine-portable) descending with an ``id_col``
+    tie-break, and keep documents while the running token sum stays
+    within ``budget_tokens`` — the selection step of every
+    pretraining-data recipe ("take the best N billion tokens per
+    source"), budget-capped by TOKENS where :func:`cap_per_group` caps
+    by document count.
+
+    Returns (source, doc_id, n_tokens, cum_tokens) of the selected
+    documents.
+
+    Shape: one quality pass, one doc_id-keyed join to recover the
+    source, one per-source sort for the running sum (the single wide
+    shuffle — a running sum cannot WindowGroupLimit-prune the way a
+    rank cap can). 100 TB path: bound the sorted set first with an
+    approximate per-source quality cutoff (quantile sketch at
+    budget/mean-doc-tokens rank), then run this exact pass on the
+    survivors — the cutoff never changes the result, only the sort
+    input size."""
+    from webhookdb_spark.operators.text import quality_score
+
+    q = quality_score(df, text_col).select(
+        id_col, "n_tokens", "quality_score"
+    )
+    src = df.select(id_col, F.col(group_col).alias("source"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality_score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.join(src, id_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .where(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+        .select(
+            "source", id_col,
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "cum_tokens",
+        )
+    )
+
+
+def sql_token_budget_select(
+    table: str = "documents", budget_tokens: int = 50_000
+) -> str:
+    """DuckDB twin of :func:`token_budget_select` — same quality
+    ranking, same tie-break, same rows-frame running sum."""
+    from webhookdb_spark.operators.text import sql_quality_score
+
+    return f"""
+    WITH q AS ({sql_quality_score(table)}),
+    s AS (
+      SELECT d.source, q.doc_id,
+             CAST(q.n_tokens AS INTEGER) AS n_tokens,
+             CAST(SUM(q.n_tokens) OVER (
+               PARTITION BY d.source
+               ORDER BY q.quality_score DESC, q.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM q JOIN {table} d USING (doc_id)
+    )
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM s WHERE cum_tokens <= {int(budget_tokens)}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Neyman-allocation stratified sampling — variance-optimal subsampling:
 # given a total budget, allocate draws to strata proportionally to
