@@ -740,3 +740,21 @@ def test_retention_delete_prunes_buckets_via_zone_maps(spark, tmp_path):
     for b in map(str, sorted(expect_cands)):
         stats = (m1z.get(b) or {}).get("at")
         assert stats is None or stats[0] is None, stats
+
+
+def test_token_budget_select_keyed_join_no_cartesian(spark):
+    """token_budget_select composes a quality pass with a doc_id-keyed
+    join back to the source column: the join must be a hash/merge
+    equi-join (never BroadcastNestedLoop/Cartesian), the running sum a
+    single per-source window, and the documents scan pruned to the
+    referenced columns."""
+    p = plan_of(entry.queries()["token_budget_select"](spark, SF))
+    phys = p.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoop" not in phys, p
+    # exactly ONE window node (the running sum) — a second would mean
+    # the quality rank recomputed as a separate shuffled pass
+    assert len(re.findall(r"\(\d+\) Window", phys)) == 1, p
+    # two exchanges: the doc_id equi-join + the per-source sort; a
+    # third keyed shuffle means the quality/join partitioning stopped
+    # being reused
+    assert len(re.findall(r"\(\d+\) Exchange", phys)) <= 2, p

@@ -767,3 +767,111 @@ def test_span_store_streaming_consumer_matches_batch(spark, tmp_path):
                 batch_span_novelty(b, spark, replay_store).collect()}
         assert scored == want
         append_span_store(b, replay_store)
+
+
+def test_span_store_streaming_identical(spark):
+    """Streaming-identical proof for the span store (the dedup-family
+    member of the house standard: count-min/quantile sketches, IVM,
+    SCD2 feed). Novelty-at-arrival is ORDER-DEFINED, so the contract
+    is two-sided: (a) foreachBatch delivery of the doc stream — score
+    each micro-batch against the standing store, then fold it in —
+    yields exactly the per-batch results of the same-order batch loop;
+    (b) the final appended store, compacted, holds the same window-
+    hash counts as a one-shot write_span_store over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.operators.dedup import (
+        _span_store_frames,
+        append_span_store,
+        batch_span_novelty,
+        compact_span_store,
+        write_span_store,
+    )
+
+    src = Path(tempfile.mkdtemp(prefix="whdb_spanstream_src_"))
+    root = Path(tempfile.mkdtemp(prefix="whdb_spanstream_"))
+    stream_store = str(root / "stream")
+    loop_store = str(root / "loop")
+    ckpt = str(root / "ckpt")
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    batches = [
+        [(0, f"{base} one two"), (1, f"{base} one two")],     # intra-dup
+        [(2, f"{base} three x"), (3, "totally different words here now ok yes")],
+        [(4, f"{base} one two"), (5, "fresh unique windows not seen before at all")],
+    ]
+    try:
+        results_stream: dict[int, list] = {}
+
+        def on_batch(bdf, bid):
+            docs = bdf.select("doc_id", "text")
+            if not docs.head(1):
+                return
+            i = min(r.doc_id for r in docs.select("doc_id").collect()) // 2
+            if Path(stream_store, "_span_meta.json").exists():
+                nov = batch_span_novelty(docs, spark, stream_store)
+                results_stream[i] = sorted(map(tuple, nov.collect()))
+                append_span_store(docs, stream_store)
+            else:
+                # first batch: no standing store; one-shot semantics
+                from webhookdb_spark.operators.dedup import span_novelty
+
+                results_stream[i] = sorted(
+                    map(tuple, span_novelty(docs, k=4).collect())
+                )
+                write_span_store(docs, stream_store, k=4, n_shards=4)
+
+        reader = spark.readStream.schema("doc_id long, text string")
+        for i, rows in enumerate(batches):
+            (src / f"b{i}.json").write_text(
+                "\n".join(json.dumps({"doc_id": d, "text": t})
+                          for d, t in rows)
+            )
+            q = (
+                reader.json(str(src))
+                .writeStream.foreachBatch(on_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # (a) same-order batch loop replay
+        results_loop: dict[int, list] = {}
+        for i, rows in enumerate(batches):
+            docs = spark.createDataFrame(rows, "doc_id long, text string")
+            if i == 0:
+                from webhookdb_spark.operators.dedup import span_novelty
+
+                results_loop[i] = sorted(
+                    map(tuple, span_novelty(docs, k=4).collect())
+                )
+                write_span_store(docs, loop_store, k=4, n_shards=4)
+            else:
+                nov = batch_span_novelty(docs, spark, loop_store)
+                results_loop[i] = sorted(map(tuple, nov.collect()))
+                append_span_store(docs, loop_store)
+        assert results_stream == results_loop
+        # batch 3 re-sends batch-1 text: its windows must be all-dup
+        dup_doc = [r for r in results_stream[2] if r[0] == 4][0]
+        assert dup_doc[3] == 0  # novelty_ppm
+        fresh_doc = [r for r in results_stream[2] if r[0] == 5][0]
+        assert fresh_doc[3] == 1000000
+
+        # (b) final store == one-shot over the full corpus
+        compact_span_store(spark, stream_store)
+        allrows = [r for b in batches for r in b]
+        oneshot = str(root / "oneshot")
+        write_span_store(
+            spark.createDataFrame(allrows, "doc_id long, text string"),
+            oneshot, k=4, n_shards=4,
+        )
+        _, grown = _span_store_frames(spark, stream_store)
+        _, once = _span_store_frames(spark, oneshot)
+        canon = lambda df: sorted(  # noqa: E731
+            (r.h, r.n) for r in df.groupBy("h").agg(
+                F.sum("n").alias("n")).collect()
+        )
+        assert canon(grown) == canon(once)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
