@@ -1012,3 +1012,53 @@ def test_zonemap_candidates_never_skip_matching_rows(
             assert b in cands  # stat-less buckets always read
     # untracked column -> None (caller must full-scan)
     assert ManagedTable.zonemap_candidates(fake, "other", lo, hi) is None
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(
+                st.sampled_from(["the", "spark", "merge", "window",
+                                 "table", "row", "data", "of", "and"]),
+                min_size=1, max_size=20,
+            ),
+        ),
+        min_size=1, max_size=24,
+    ),
+    st.integers(1, 60),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_budget_select_matches_greedy_model(spark, rows, budget):
+    """token_budget_select == the obvious sequential greedy model:
+    per source, walk docs in (quality desc, doc_id asc) order keeping
+    each while the running token total stays within budget. The Spark
+    window form must reproduce the sequential semantics exactly —
+    including that one over-budget doc BLOCKS everything after it in
+    that source (prefix-sum cut, not best-fit knapsack)."""
+    from webhookdb_spark.operators.sampling import token_budget_select
+    from webhookdb_spark.operators.text import quality_score
+
+    docs = [(i, " ".join(words), src) for i, (src, words) in enumerate(rows)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = sorted(
+        (r.source, r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in token_budget_select(df, budget).collect()
+    )
+
+    q = {r.doc_id: (r.quality_score, r.n_tokens)
+         for r in quality_score(df).collect()}
+    want = []
+    by_src: dict[str, list] = {}
+    for i, _, src in docs:
+        by_src.setdefault(src, []).append(i)
+    for src, ids in by_src.items():
+        ids.sort(key=lambda i: (-q[i][0], i))
+        cum = 0
+        for i in ids:
+            cum += q[i][1]
+            if cum > budget:
+                break  # prefix cut: later (worse) docs blocked too
+            want.append((src, i, q[i][1], cum))
+    assert got == sorted(want)

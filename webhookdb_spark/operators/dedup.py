@@ -1524,6 +1524,20 @@ def sql_source_span_leakage(table: str = "documents", k: int = 8) -> str:
 _SPAN_META = "_span_meta.json"
 
 
+def _span_meta_save(root, meta) -> None:
+    """Atomic meta-pointer flip (tmp + os.replace, the Manifest.save
+    pattern): a crash mid-write must leave the PREVIOUS segment list
+    readable — the freshly-written but unreferenced segment dir is
+    garbage, not corruption."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    tmp = root / f"{_SPAN_META}.{_uuid.uuid4().hex}.tmp"
+    tmp.write_text(_json.dumps(meta))
+    _os.replace(tmp, root / _SPAN_META)
+
+
 def _span_counts(df: DataFrame, k: int, text_col: str, n_shards: int) -> DataFrame:
     """Distinct window hashes with occurrence counts, sharded by a hex
     prefix of the hash (uniform by construction — md5)."""
@@ -1563,7 +1577,7 @@ def write_span_store(
     _span_write_segment(_span_counts(df, k, text_col, n_shards), root / "seg_0")
     meta = {"k": k, "text_col": text_col, "n_shards": n_shards,
             "segments": ["seg_0"]}
-    (root / _SPAN_META).write_text(_json.dumps(meta))
+    _span_meta_save(root, meta)
 
 
 def append_span_store(df_new: DataFrame, path: str) -> None:
@@ -1582,7 +1596,7 @@ def append_span_store(df_new: DataFrame, path: str) -> None:
         root / seg,
     )
     meta["segments"] = meta["segments"] + [seg]
-    (root / _SPAN_META).write_text(_json.dumps(meta))
+    _span_meta_save(root, meta)
 
 
 def _span_store_frames(spark, path: str):
@@ -1620,7 +1634,7 @@ def compact_span_store(spark, path: str) -> None:
         _sh.rmtree(root / seg, ignore_errors=True)
     tmp.rename(root / "seg_0")
     meta["segments"] = ["seg_0"]
-    (root / _SPAN_META).write_text(_json.dumps(meta))
+    _span_meta_save(root, meta)
 
 
 def batch_span_novelty(
