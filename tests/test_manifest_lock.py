@@ -95,3 +95,52 @@ def test_fresh_acquirer_race_restores_lock(tmp_path, monkeypatch):
     # stray .steal.* files remain.
     assert lock.read_bytes() == b"2.fresh-owner"
     assert list(tmp_path.glob("_manifest.steal.*")) == []
+
+
+def _stress_worker(args):
+    """Module-level for multiprocessing pickling."""
+    import time as _t
+
+    table_dir, iters, idx = args
+    from webhookdb_spark.storage import ConcurrentWriteError, _ManifestLock
+
+    counter = Path(table_dir) / "counter.txt"
+    wins = 0
+    for i in range(iters):
+        lk = _ManifestLock(Path(table_dir), timeout=30.0, stale_after=0.2)
+        try:
+            with lk:
+                v = int(counter.read_text())
+                # dwell past stale_after sometimes so OTHER writers
+                # steal an ACTIVE lock — the protocol must make the
+                # victim lose safely (holds() false), never corrupt.
+                # (stale_after=0.2 keeps the benign holds()->write gap
+                # far below the steal threshold on a loaded host.)
+                if (idx + i) % 5 == 0:
+                    _t.sleep(0.3)
+                if lk.holds():
+                    counter.write_text(str(v + 1))
+                    wins += 1
+        except ConcurrentWriteError:
+            pass
+    return wins
+
+
+def test_steal_storm_mutual_exclusion(tmp_path):
+    """6 processes x 30 iterations with stale_after far below the
+    dwell time, so active-lock steals happen constantly: the counter's
+    read-modify-write must never interleave — final counter equals
+    exactly the number of increments writers performed while still
+    holding their token."""
+    import multiprocessing as mp
+
+    (tmp_path / "counter.txt").write_text("0")
+    n_procs, iters = 6, 30
+    with mp.get_context("spawn").Pool(n_procs) as pool:
+        wins = pool.map(
+            _stress_worker,
+            [(str(tmp_path), iters, i) for i in range(n_procs)],
+        )
+    final = int((tmp_path / "counter.txt").read_text())
+    assert final == sum(wins), (final, wins)
+    assert sum(wins) > 0
