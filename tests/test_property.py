@@ -1062,3 +1062,54 @@ def test_token_budget_select_matches_greedy_model(spark, rows, budget):
                 break  # prefix cut: later (worse) docs blocked too
             want.append((src, i, q[i][1], cum))
     assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view", "error"]),
+            # small value set -> heavy ties (the tie-correction path is
+            # the subtle arithmetic); fractions + negatives included
+            st.sampled_from([-2.5, -1.0, 0.0, 0.125, 1.0, 1.0, 3.75, 10.0]),
+        ),
+        min_size=4, max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mannwhitney_and_ks_cross_engine(spark, tmp_path_factory, rows):
+    """Cross-engine property pin for the two rank statistics about to
+    enter the driver rotation (VERDICT r8: 'subtlest arithmetic
+    first'): on ARBITRARY tied/negative/fractional samples, Spark and
+    the DuckDB twin must agree exactly — the integer tie identity
+    (avgrank*2 = 2*min_rank + cnt - 1), the decimal(38)/HUGEINT rank
+    sums, and the cross-multiplied KS distance leave no float seam to
+    disagree over."""
+    import duckdb as _duck
+
+    import __spark_entry__ as entry
+
+    # need at least one click and one view for the statistics to exist
+    rows = rows + [("click", 1.0), ("view", 0.0)]
+    data = [(i, g, float(v), None) for i, (g, v) in enumerate(rows)]
+    tmp = tmp_path_factory.mktemp("mwks")
+    spark.createDataFrame(
+        [(i, g, v) for i, g, v, _ in data],
+        "event_id long, event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+
+    got_mw = [tuple(r) for r in entry.q_mannwhitney_u(spark, str(tmp)).collect()]
+    got_ks = [tuple(r) for r in entry.q_ks_statistic(spark, str(tmp)).collect()]
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp}/events.parquet/*.parquet'"
+    )
+    want_mw = con.execute(entry.SQL_MANNWHITNEY_U).fetchall()
+    want_ks = con.execute(entry.SQL_KS_STATISTIC).fetchall()
+    assert got_mw == want_mw
+    assert got_ks == want_ks
+    # sanity bounds: effect in [0, 1e6], KS in [0, 1e6]
+    assert 0 <= got_mw[0][3] <= 1_000_000
+    assert 0 <= got_ks[0][2] <= 1_000_000
