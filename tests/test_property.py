@@ -1113,3 +1113,71 @@ def test_mannwhitney_and_ks_cross_engine(spark, tmp_path_factory, rows):
     # sanity bounds: effect in [0, 1e6], KS in [0, 1e6]
     assert 0 <= got_mw[0][3] <= 1_000_000
     assert 0 <= got_ks[0][2] <= 1_000_000
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.sampled_from([0.01, 1.0, 2.5, 2.5, 7.75, 100.0, 9999.99]),
+            st.integers(1, 50),
+        ),
+        min_size=2, max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_median_and_winsorize_cross_engine(
+    spark, tmp_path_factory, rows
+):
+    """Cross-engine property pin for the remaining subtle-arithmetic
+    statistics entering the driver rotation: weighted median (exact
+    decimal cumulative-weight order statistic, tie-heavy prices) and
+    percentile winsorization (exact interpolated bounds) must agree
+    with the DuckDB twins on arbitrary inputs."""
+    import duckdb as _duck
+
+    import __spark_entry__ as entry
+    from webhookdb_spark.operators.analytics import (
+        sql_winsorize_summary,
+        winsorize_summary,
+    )
+
+    tmp = tmp_path_factory.mktemp("wmw")
+    li = spark.createDataFrame(
+        [(f, p, q) for f, p, q in rows],
+        "l_returnflag string, l_extendedprice double, l_quantity int",
+    )
+    li.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp / "lineitem.parquet")
+    )
+    got_wm = sorted(
+        tuple(r)
+        for r in entry.q_weighted_median_price(spark, str(tmp)).collect()
+    )
+    ev = spark.createDataFrame(
+        [(i, f, p) for i, (f, p, _) in enumerate(rows)],
+        "event_id long, event_type string, value double",
+    )
+    got_wz = sorted(
+        tuple(r) for r in winsorize_summary(
+            ev, "event_type", "value", lo_pct=0.1, hi_pct=0.9
+        ).collect()
+    )
+
+    con = _duck.connect()
+    con.execute("CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{tmp}/lineitem.parquet/*.parquet'")
+    con.execute("CREATE TABLE events (event_id BIGINT, event_type VARCHAR, "
+                "value DOUBLE)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?)",
+        [(i, f, p) for i, (f, p, _) in enumerate(rows)],
+    )
+    want_wm = sorted(map(tuple, con.execute(
+        entry.SQL_WEIGHTED_MEDIAN_PRICE).fetchall()))
+    want_wz = sorted(map(tuple, con.execute(sql_winsorize_summary(
+        "events", "event_type", "value", lo_pct=0.1, hi_pct=0.9
+    )).fetchall()))
+    assert got_wm == want_wm
+    assert got_wz == want_wz

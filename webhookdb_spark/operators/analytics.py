@@ -1311,37 +1311,49 @@ def winsorize_summary(
     lo_pct: float = 0.05,
     hi_pct: float = 0.95,
 ) -> DataFrame:
-    """Per-group winsorization audit: exact interpolated percentile
-    bounds (Spark ``percentile`` and DuckDB ``quantile_cont`` share
-    the rank p*(n-1) linear-interpolation definition — the
-    length_stats twin discipline), rows clipped below/above, and the
-    exact-decimal sum of the CLIPPED column (clamp in doubles —
-    identical IEEE on both engines — then quantize to decimal(18,6)
-    before summing, so partial-agg order cannot drift the total).
-    The outlier-taming pass a feature pipeline runs before
-    normalization; two group-keyed aggregates, the bounds re-attached
-    by a broadcast-sized join.
+    """Per-group winsorization audit: interpolated percentile bounds
+    (Spark ``percentile`` / DuckDB ``quantile_cont`` share the rank
+    p*(n-1) definition), rows clipped below/above, and the
+    exact-decimal sum of the CLIPPED column. ALL clip decisions and
+    the clamp itself run at 6-dp decimal resolution — the engines'
+    interpolation FORMULAS differ in the last ulp (Spark computes
+    ``a + f*(b - a)``, exact on ties; DuckDB computes
+    ``(1-f)*a + f*b``, which drifts one ulp on tied values — found by
+    the hypothesis cross-engine pin), so a raw-double ``v < lo``
+    comparison can flip between engines. Quantizing bound and value
+    through the VARCHAR->decimal(18,6) path first makes the predicate
+    and the clamp engine-portable, and the decimal sum is
+    partial-agg-order-proof. The outlier-taming pass a feature
+    pipeline runs before normalization; two group-keyed aggregates,
+    the bounds re-attached by a broadcast-sized join.
     """
-    g = F.col(group_col)
     v = F.col(value_col)
+
+    def q6(c):
+        return c.cast("string").try_cast("decimal(18,6)")
+
     bounds = df.groupBy(group_col).agg(
         F.percentile(v, F.lit(lo_pct)).alias("_lo"),
         F.percentile(v, F.lit(hi_pct)).alias("_hi"),
     )
     j = df.select(group_col, value_col).join(F.broadcast(bounds), group_col)
-    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
-    cd = clipped.cast("string").try_cast("decimal(18,6)")
+    vq, loq, hiq = q6(v), q6(F.col("_lo")), q6(F.col("_hi"))
+    clipped = F.least(F.greatest(vq, loq), hiq)  # exact decimal clamp
     return (
         j.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.round(F.min("_lo"), 6).alias("lo_bound"),
-            F.round(F.min("_hi"), 6).alias("hi_bound"),
-            F.sum((v < F.col("_lo")).cast("long")).cast("long")
+            F.min(loq).cast("double").alias("lo_bound"),
+            F.min(hiq).cast("double").alias("hi_bound"),
+            F.sum((vq < loq).cast("long")).cast("long")
             .alias("n_clipped_low"),
-            F.sum((v > F.col("_hi")).cast("long")).cast("long")
+            F.sum((vq > hiq).cast("long")).cast("long")
             .alias("n_clipped_high"),
-            F.sum(cd).cast("double").alias("winsorized_sum"),
+            # the decimal sum is exact at 6dp; round(cast(double), 6)
+            # erases the engines' decimal->double conversion ulp
+            # (DuckDB multiplies by 1e-6 — inexact; the JVM divides)
+            F.round(F.sum(clipped).cast("double"), 6)
+            .alias("winsorized_sum"),
         )
     )
 
@@ -1353,7 +1365,12 @@ def sql_winsorize_summary(
     lo_pct: float = 0.05,
     hi_pct: float = 0.95,
 ) -> str:
-    """DuckDB twin of :func:`winsorize_summary`."""
+    """DuckDB twin of :func:`winsorize_summary` — same 6-dp decimal
+    quantization of value AND bounds before every clip decision (see
+    the Spark docstring: the engines' quantile interpolation formulas
+    differ in the last ulp)."""
+    q = "TRY_CAST(CAST({c} AS VARCHAR) AS DECIMAL(18,6))"
+    vq, loq, hiq = (q.format(c=c) for c in (value_col, "b._lo", "b._hi"))
     return f"""
     WITH bounds AS (
       SELECT {group_col},
@@ -1361,20 +1378,20 @@ def sql_winsorize_summary(
              quantile_cont({value_col}, {hi_pct}) AS _hi
       FROM {table} GROUP BY {group_col}
     ), j AS (
-      SELECT t.{group_col}, t.{value_col}, b._lo, b._hi,
-             least(greatest(t.{value_col}, b._lo), b._hi) AS _clip
+      SELECT t.{group_col},
+             {vq} AS _vq, {loq} AS _loq, {hiq} AS _hiq,
+             least(greatest({vq}, {loq}), {hiq}) AS _clip
       FROM {table} t JOIN bounds b USING ({group_col})
     )
     SELECT {group_col},
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           round(MIN(_lo), 6) AS lo_bound,
-           round(MIN(_hi), 6) AS hi_bound,
-           CAST(SUM(CASE WHEN {value_col} < _lo THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(MIN(_loq) AS DOUBLE) AS lo_bound,
+           CAST(MIN(_hiq) AS DOUBLE) AS hi_bound,
+           CAST(SUM(CASE WHEN _vq < _loq THEN 1 ELSE 0 END) AS BIGINT)
              AS n_clipped_low,
-           CAST(SUM(CASE WHEN {value_col} > _hi THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN _vq > _hiq THEN 1 ELSE 0 END) AS BIGINT)
              AS n_clipped_high,
-           CAST(SUM(TRY_CAST(CAST(_clip AS VARCHAR) AS DECIMAL(18,6)))
-                AS DOUBLE) AS winsorized_sum
+           round(CAST(SUM(_clip) AS DOUBLE), 6) AS winsorized_sum
     FROM j GROUP BY {group_col}
     """
 
