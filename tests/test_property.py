@@ -1181,3 +1181,113 @@ def test_weighted_median_and_winsorize_cross_engine(
     )).fetchall()))
     assert got_wm == want_wm
     assert got_wz == want_wz
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view", "error"]),
+            st.sampled_from(
+                [-3.5, -1.0, 0.0, 0.01, 0.125, 1.0, 2.5, 7.75, 42.0]
+            ),
+        ),
+        min_size=6, max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_welch_and_ols_cross_engine(spark, tmp_path_factory, rows):
+    """Random-input cross-engine pin for the floor-quantized double
+    statistics (Welch t readout, group-wise OLS): both engines start
+    from identical exact-decimal moments, but their decimal->double
+    conversions can differ in the last ulp (the winsorize bug class),
+    which a floor(x*1e6) would amplify into an off-by-one micro unit.
+    Random tied/negative/fractional samples must agree exactly."""
+    import duckdb as _duck
+
+    import __spark_entry__ as entry
+    from webhookdb_spark.operators.analytics import (
+        groupwise_ols,
+        sql_groupwise_ols,
+    )
+
+    # every group needs n >= 2 for a variance
+    rows = rows + [("click", 1.0), ("click", 2.0), ("view", 0.5),
+                   ("view", 3.0), ("error", 1.5), ("error", 2.5)]
+    tmp = tmp_path_factory.mktemp("welch")
+    spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "event_id long, event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got_w = sorted(
+        tuple(r) for r in entry.q_ab_test_readout(spark, str(tmp)).collect()
+    )
+    li = spark.createDataFrame(
+        [(g, v, float(i % 7)) for i, (g, v) in enumerate(rows)],
+        "l_returnflag string, l_discount double, l_quantity double",
+    )
+    got_ols = sorted(
+        tuple(r) for r in groupwise_ols(
+            li, "l_returnflag", "l_discount", "l_quantity"
+        ).collect()
+    )
+
+    con = _duck.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp}/events.parquet/*.parquet'")
+    con.execute("CREATE TABLE lineitem (l_returnflag VARCHAR, "
+                "l_discount DOUBLE, l_quantity DOUBLE)")
+    con.executemany(
+        "INSERT INTO lineitem VALUES (?, ?, ?)",
+        [(g, v, float(i % 7)) for i, (g, v) in enumerate(rows)],
+    )
+    want_w = sorted(map(tuple, con.execute(
+        entry.SQL_AB_TEST_READOUT).fetchall()))
+    want_ols = sorted(map(tuple, con.execute(sql_groupwise_ols(
+        "lineitem", "l_returnflag", "l_discount", "l_quantity"
+    )).fetchall()))
+    assert got_w == want_w
+    assert got_ols == want_ols
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from([-2.5, 0.0, 0.01, 1.0, 1.0, 3.75, 99.99]),
+        ),
+        min_size=2, max_size=40,
+    ),
+    st.integers(1, 500),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_neyman_allocation_cross_engine(spark, rows, total_n):
+    """Random-input pin for Neyman allocation: the weight is
+    floor(N_h * sqrt(pop-variance) * 1e6) with the variance built from
+    exact decimal moments — the sqrt/floor runs in doubles, so the
+    decimal->double seam class (winsorize bug) would flip weights by
+    one. Strata with zero variance and singleton strata included."""
+    import duckdb as _duck
+
+    from webhookdb_spark.operators.sampling import (
+        neyman_allocation,
+        sql_neyman_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [(g, v) for g, v in rows], "event_type string, value double"
+    )
+    got = sorted(
+        tuple(r)
+        for r in neyman_allocation(df, "event_type", "value", total_n).collect()
+    )
+    con = _duck.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", list(rows))
+    want = sorted(map(tuple, con.execute(sql_neyman_allocation(
+        "events", "event_type", "value", total_n)).fetchall()))
+    assert got == want
+    # allocations never exceed stratum sizes and never go negative
+    for _, n_rows, _, alloc in got:
+        assert 0 <= alloc <= n_rows
