@@ -1291,3 +1291,45 @@ def test_neyman_allocation_cross_engine(spark, rows, total_n):
     # allocations never exceed stratum sizes and never go negative
     for _, n_rows, _, alloc in got:
         assert 0 <= alloc <= n_rows
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),  # day offsets with gaps and ties
+            st.sampled_from([10.0, 10.0, 99.99, 250.5, 1000.0, 12345.67]),
+        ),
+        min_size=3, max_size=50,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_revenue_autocorrelation_cross_engine(spark, tmp_path_factory, rows):
+    """Random-input pin for the lag-1..7 autocorrelation (floor-
+    quantized ppm Pearson from exact decimal moments): gappy dates,
+    tied days, constant stretches (zero-variance lags -> NULL rows)
+    must agree across engines."""
+    import datetime as _dt
+
+    import duckdb as _duck
+
+    import __spark_entry__ as entry
+
+    tmp = tmp_path_factory.mktemp("acf")
+    data = [
+        (i, _dt.date(2024, 1, 1) + _dt.timedelta(days=d), v)
+        for i, (d, v) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in entry.q_revenue_autocorrelation(spark, str(tmp)).collect()
+    )
+    con = _duck.connect()
+    con.execute("CREATE VIEW orders AS SELECT * FROM "
+                f"'{tmp}/orders.parquet/*.parquet'")
+    want = sorted(map(tuple, con.execute(
+        entry.oracle_sql()["revenue_autocorrelation"]).fetchall()))
+    assert got == want
