@@ -4467,9 +4467,16 @@ def q_revenue_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("double")
         vx = n * sxx - sx * sx
         vy = n * syy - sy * sy
+        # round, not floor: perfect correlation (r exactly +/-1 — any
+        # lag with 2 pairs) is a COMMON outcome, and the engines'
+        # decimal->double conversions land one ulp apart around exact
+        # integers, so floor(r*1e6) split 1000000 vs 999999 (caught by
+        # the hypothesis cross-engine pin). round is stable within
+        # ulp of integers; a .5-micro boundary needs r*1e6 exactly on
+        # .5, unreachable for the sqrt-valued statistic.
         corr = F.when(
             (vx > 0) & (vy > 0),
-            F.floor((n * sxy - sx * sy) / F.sqrt(vx) / F.sqrt(vy) * 1e6),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx) / F.sqrt(vy) * 1e6, 0),
         ).cast("long")
         rows.append(F.struct(
             F.lit(k).alias("lag"),
@@ -4502,7 +4509,7 @@ def _sql_revenue_autocorrelation() -> str:
                * CAST(SUM(CAST(x_{k} * x_{k} AS DECIMAL(38,12))) AS DOUBLE)
                - CAST(SUM(x_{k}) AS DOUBLE) * CAST(SUM(x_{k}) AS DOUBLE) > 0
            THEN
-             CAST(floor(
+             CAST(round(
                (CAST(COUNT(CASE WHEN x_{k} IS NOT NULL THEN 1 END) AS DOUBLE)
                 * CAST(SUM(CAST(x * x_{k} AS DECIMAL(38,12))) AS DOUBLE)
                 - CAST(SUM(CASE WHEN x_{k} IS NOT NULL THEN x END) AS DOUBLE)
@@ -4753,13 +4760,13 @@ CROSS JOIN n
 
 def q_ab_test_readout(spark: SparkSession, sf: str) -> DataFrame:
     """Experiment readout: Welch's t statistic between every pair of
-    event types' value distributions — means, sample variances, the
-    t statistic and Welch-Satterthwaite degrees of freedom (micro
-    units, floor-quantized) — all from ONE exact-decimal moment
-    aggregate per type, pairs composed from the (tiny) per-type
-    summary. The p-value needs a t-distribution CDF (a libm seam), so
-    the readout ships the statistic — what an experimentation
-    platform stores anyway."""
+    event types' value distributions — means in EXACT integer micro
+    units ((s1*1e6) div n), the t statistic and Welch-Satterthwaite
+    degrees of freedom round-quantized micro — all from ONE
+    exact-decimal moment aggregate per type, pairs composed from the
+    (tiny) per-type summary. The p-value needs a t-distribution CDF
+    (a libm seam), so the readout ships the statistic — what an
+    experimentation platform stores anyway."""
     ev = load(spark, sf, "events")
     dec = "decimal(18,6)"
     d = F.col("value").cast("string").try_cast(dec)
@@ -4785,14 +4792,25 @@ def q_ab_test_readout(spark: SparkSession, sf: str) -> DataFrame:
     dof = (se2 * se2) / (
         (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
     )
+    # Quantization discipline (hypothesis cross-engine pin findings):
+    # the means are RATIONAL — quantize them in exact integer
+    # arithmetic ((s1*1e6) div n; both engines truncate div toward
+    # zero identically), because the engines' decimal->double
+    # conversions land one ulp apart around exact-6dp means (DuckDB's
+    # 900000*1e-6 = 0.8999999999999999) and floor(mean*1e6) splits.
+    # t and df are sqrt-valued irrationals — round(x*1e6), stable
+    # within an ulp of integers, and a .5-micro landing is
+    # unreachable for them.
     return j.select(
         "type_a", "type_b",
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
-        F.floor(ma * 1e6).cast("long").alias("mean_a_micro"),
-        F.floor(mb * 1e6).cast("long").alias("mean_b_micro"),
-        F.floor(t * 1e6).cast("long").alias("welch_t_micro"),
-        F.floor(dof * 1e6).cast("long").alias("welch_df_micro"),
+        F.expr("cast(cast(sa * 1000000 as decimal(38,0)) div na as long)")
+        .alias("mean_a_micro"),
+        F.expr("cast(cast(sb * 1000000 as decimal(38,0)) div nb as long)")
+        .alias("mean_b_micro"),
+        F.round(t * 1e6, 0).cast("long").alias("welch_t_micro"),
+        F.round(dof * 1e6, 0).cast("long").alias("welch_df_micro"),
     )
 
 
@@ -4808,19 +4826,23 @@ WITH m AS (
   FROM events GROUP BY event_type
 ), j AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b,
-         a.n AS na, CAST(a._s1 AS DOUBLE) AS sa, CAST(a._s2 AS DOUBLE) AS qa,
-         b.n AS nb, CAST(b._s1 AS DOUBLE) AS sb, CAST(b._s2 AS DOUBLE) AS qb
+         a.n AS na, a._s1 AS sa_dec,
+         CAST(a._s1 AS DOUBLE) AS sa, CAST(a._s2 AS DOUBLE) AS qa,
+         b.n AS nb, b._s1 AS sb_dec,
+         CAST(b._s1 AS DOUBLE) AS sb, CAST(b._s2 AS DOUBLE) AS qb
   FROM m a CROSS JOIN m b WHERE a.event_type < b.event_type
 )
 SELECT type_a, type_b,
        CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-       CAST(floor(sa / na * 1e6) AS BIGINT) AS mean_a_micro,
-       CAST(floor(sb / nb * 1e6) AS BIGINT) AS mean_b_micro,
-       CAST(floor((sa / na - sb / nb)
+       CAST(CAST(sa_dec * 1000000 AS HUGEINT) // na AS BIGINT)
+         AS mean_a_micro,
+       CAST(CAST(sb_dec * 1000000 AS HUGEINT) // nb AS BIGINT)
+         AS mean_b_micro,
+       CAST(round((sa / na - sb / nb)
             / sqrt(((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na
                    + ((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb)
             * 1e6) AS BIGINT) AS welch_t_micro,
-       CAST(floor(
+       CAST(round(
          ((((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na
            + ((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb)
           * (((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na

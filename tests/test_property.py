@@ -1211,9 +1211,13 @@ def test_welch_and_ols_cross_engine(spark, tmp_path_factory, rows):
         sql_groupwise_ols,
     )
 
-    # every group needs n >= 2 for a variance
+    # every group needs n >= 2 for a variance; 0.9 repeated makes the
+    # group mean an exact-6dp value — the case where DuckDB's
+    # decimal->double (900000*1e-6 = 0.8999999999999999) used to flip
+    # a floor-quantized mean
     rows = rows + [("click", 1.0), ("click", 2.0), ("view", 0.5),
-                   ("view", 3.0), ("error", 1.5), ("error", 2.5)]
+                   ("view", 3.0), ("error", 0.9), ("error", 0.9),
+                   ("error", 0.9)]
     tmp = tmp_path_factory.mktemp("welch")
     spark.createDataFrame(
         [(i, g, v) for i, (g, v) in enumerate(rows)],
@@ -1222,8 +1226,12 @@ def test_welch_and_ols_cross_engine(spark, tmp_path_factory, rows):
     got_w = sorted(
         tuple(r) for r in entry.q_ab_test_readout(spark, str(tmp)).collect()
     )
+    # group "P" is a perfect fit (y == x): slope_ppm/r2_ppm land
+    # EXACTLY on 1e6 — the integral-ppm case round must keep stable
+    ols_rows = [(g, v, float(i % 7)) for i, (g, v) in enumerate(rows)]
+    ols_rows += [("P", 0.9, 0.9), ("P", 2.5, 2.5), ("P", 7.0, 7.0)]
     li = spark.createDataFrame(
-        [(g, v, float(i % 7)) for i, (g, v) in enumerate(rows)],
+        ols_rows,
         "l_returnflag string, l_discount double, l_quantity double",
     )
     got_ols = sorted(
@@ -1237,10 +1245,7 @@ def test_welch_and_ols_cross_engine(spark, tmp_path_factory, rows):
                 f"'{tmp}/events.parquet/*.parquet'")
     con.execute("CREATE TABLE lineitem (l_returnflag VARCHAR, "
                 "l_discount DOUBLE, l_quantity DOUBLE)")
-    con.executemany(
-        "INSERT INTO lineitem VALUES (?, ?, ?)",
-        [(g, v, float(i % 7)) for i, (g, v) in enumerate(rows)],
-    )
+    con.executemany("INSERT INTO lineitem VALUES (?, ?, ?)", ols_rows)
     want_w = sorted(map(tuple, con.execute(
         entry.SQL_AB_TEST_READOUT).fetchall()))
     want_ols = sorted(map(tuple, con.execute(sql_groupwise_ols(

@@ -1436,12 +1436,18 @@ def groupwise_ols(
     slope = cov / vx
     intercept = (sy - slope * sx) / n
     r2 = (cov * cov) / (vx * vy)
+    # round, not floor: perfect fits (slope/r2 exactly integral ppm —
+    # any 2-point group, x==y) are common, and the engines'
+    # decimal->double conversions differ by an ulp around exact
+    # integers (the winsorize/Welch/autocorrelation bug class, caught
+    # by the hypothesis cross-engine pin).
     return m.select(
         group_col, "n",
-        F.when(vx != 0, F.floor(slope * 1e6)).cast("long").alias("slope_ppm"),
-        F.when(vx != 0, F.floor(intercept * 1e6)).cast("long")
+        F.when(vx != 0, F.round(slope * 1e6, 0)).cast("long")
+        .alias("slope_ppm"),
+        F.when(vx != 0, F.round(intercept * 1e6, 0)).cast("long")
         .alias("intercept_ppm"),
-        F.when((vx != 0) & (vy != 0), F.floor(r2 * 1e6)).cast("long")
+        F.when((vx != 0) & (vy != 0), F.round(r2 * 1e6, 0)).cast("long")
         .alias("r2_ppm"),
     )
 
@@ -1468,14 +1474,14 @@ def sql_groupwise_ols(table: str, group_col: str, x_col: str, y_col: str) -> str
     SELECT {group_col}, n,
       CASE WHEN CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)
                 - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) != 0 THEN
-        CAST(floor((CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+        CAST(round((CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)
              - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
              / (CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)
                 - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) * 1e6) AS BIGINT)
       END AS slope_ppm,
       CASE WHEN CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)
                 - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) != 0 THEN
-        CAST(floor((CAST(_sy AS DOUBLE)
+        CAST(round((CAST(_sy AS DOUBLE)
              - ((CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)
                  - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
                 / (CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)
@@ -1486,7 +1492,7 @@ def sql_groupwise_ols(table: str, group_col: str, x_col: str, y_col: str) -> str
                  - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) != 0
             AND (CAST(n AS DOUBLE) * CAST(_syy AS DOUBLE)
                  - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE)) != 0 THEN
-        CAST(floor(((CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+        CAST(round(((CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)
              - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
              * (CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)
                 - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE)))
