@@ -5721,7 +5721,7 @@ def q_revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
     return per.select(
         "c_mktsegment", "n_customers",
         F.col("_sx").cast("double").alias("total_revenue"),
-        F.floor(gini * 1e6).cast("long").alias("gini_ppm"),
+        F.round(gini * 1e6, 0).cast("long").alias("gini_ppm"),
     )
 
 
@@ -5745,7 +5745,7 @@ WITH rev AS (
 )
 SELECT c_mktsegment, n_customers,
        CAST(_sx AS DOUBLE) AS total_revenue,
-       CAST(floor((2.0 * CAST(_six AS DOUBLE)
+       CAST(round((2.0 * CAST(_six AS DOUBLE)
             / (CAST(n_customers AS DOUBLE) * CAST(_sx AS DOUBLE))
             - (CAST(n_customers AS DOUBLE) + 1.0)
               / CAST(n_customers AS DOUBLE)) * 1e6) AS BIGINT) AS gini_ppm

@@ -1099,8 +1099,13 @@ def rolling_anomalies(
     mean = F.col("_s1").cast("double") / nn
     var = F.greatest(F.col("_s2").cast("double") / nn - mean * mean, F.lit(0.0))
     sigma = F.sqrt(var)
-    z_micro = F.floor(
-        F.abs(F.col("value") - mean) / sigma * 1e6
+    # round, not floor: z lands EXACTLY on integral micro units for
+    # simple series (sigma = 1, integer deviations), and the engines'
+    # decimal->double conversion differs by an ulp there (the
+    # winsorize/Welch bug class) — floor would flip both the value and
+    # the threshold-filter membership.
+    z_micro = F.round(
+        F.abs(F.col("value") - mean) / sigma * 1e6, 0
     ).cast("long")
     return (
         scored.where(F.col("n_window") >= min_window_n)
@@ -1143,7 +1148,7 @@ def sql_rolling_anomalies(
                    RANGE BETWEEN {span} PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, user_id, {ts_col}, value, n_window,
-           CAST(floor(abs(value - CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
+           CAST(round(abs(value - CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
                 / sqrt(greatest(
                     CAST(_s2 AS DOUBLE) / CAST(n_window AS DOUBLE)
                     - (CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
@@ -1155,7 +1160,7 @@ def sql_rolling_anomalies(
             CAST(_s2 AS DOUBLE) / CAST(n_window AS DOUBLE)
             - (CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
               * (CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE)), 0.0)) > 0
-      AND floor(abs(value - CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
+      AND round(abs(value - CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
             / sqrt(greatest(
                 CAST(_s2 AS DOUBLE) / CAST(n_window AS DOUBLE)
                 - (CAST(_s1 AS DOUBLE) / CAST(n_window AS DOUBLE))
