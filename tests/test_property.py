@@ -1338,3 +1338,48 @@ def test_revenue_autocorrelation_cross_engine(spark, tmp_path_factory, rows):
     want = sorted(map(tuple, con.execute(
         entry.oracle_sql()["revenue_autocorrelation"]).fetchall()))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2", "s3"]),
+            st.integers(1, 30),   # words per doc -> varied token counts
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mixture_plan_cross_engine(spark, rows):
+    """Random-input pin for the temperature mixture plan: the n^0.7
+    weights run through libm pow (JVM vs glibc are each within an ulp
+    but not guaranteed identical), then floor(1e6 * p / t) — this pin
+    watches for a pow-ulp landing on an integral micro boundary across
+    arbitrary per-source token totals, including single-doc and
+    single-source corpora."""
+    import duckdb as _duck
+
+    from webhookdb_spark.operators.sampling import (
+        mixture_plan,
+        sql_mixture_plan,
+    )
+
+    docs = [(i, " ".join(["tok"] * w), src)
+            for i, (src, w) in enumerate(rows)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in mixture_plan(df, alpha=0.7, budget_tokens=1000).collect()
+    )
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
+    want = sorted(map(tuple, con.execute(
+        sql_mixture_plan("documents", alpha=0.7, budget_tokens=1000)
+    ).fetchall()))
+    assert got == want
