@@ -1383,3 +1383,37 @@ def test_mixture_plan_cross_engine(spark, rows):
         sql_mixture_plan("documents", alpha=0.7, budget_tokens=1000)
     ).fetchall()))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.sampled_from([0.01, 0.9, 0.9, 1.0, 2.5, 2.5, 7.75, 100.0]),
+        min_size=4, max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_outliers_iqr_cross_engine(spark, values):
+    """Random-input pin for the Tukey-fence outlier audit: tie-heavy
+    samples make q1/q3 land ON data values where the engines'
+    interpolation-formula ulp used to flip fence membership (the
+    winsorize bug class). Fence arithmetic is exact decimal now —
+    membership and quantized fences must agree on arbitrary input."""
+    import duckdb as _duck
+
+    from webhookdb_spark.operators.analytics import (
+        outliers_iqr,
+        sql_outliers_iqr,
+    )
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    got = sorted(
+        tuple(r) for r in outliers_iqr(df, "value", "event_id").collect()
+    )
+    con = _duck.connect()
+    con.execute("CREATE TABLE events (event_id BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        sql_outliers_iqr("value", "event_id", "events")).fetchall()))
+    assert got == want

@@ -529,33 +529,41 @@ def outliers_iqr(
 ) -> DataFrame:
     """(id, value, lo_fence, hi_fence, side): rows outside the Tukey
     fences [q1 - f*IQR, q3 + f*IQR] — the standard numeric-outlier
-    audit. ``factor_tenths`` keeps the fence factor rational (15 =
-    1.5), so fence arithmetic is the identical double sequence in both
-    engines; q1/q3 are exact interpolated percentiles (Spark
-    ``percentile`` and DuckDB ``quantile_cont`` both interpolate at
-    rank p*(n-1)). Two passes: a 1-row quartile aggregate broadcast
-    onto the scan, then the fence filter — the filter is the only
-    per-row work, so at 100 TB this costs one profile + one scan.
-    Fences are floor-quantized to 1e-6 for hash stability."""
+    audit. ``factor_tenths`` keeps the fence factor an exact 1-dp
+    decimal literal (15 = 1.5), and the quartiles are quantized to
+    6-dp decimal straight off the percentile BEFORE any fence
+    arithmetic: the engines' quantile INTERPOLATION formulas differ
+    in the last ulp (Spark ``a + f*(b-a)`` vs DuckDB ``(1-f)*a + f*b``
+    — the winsorize bug class), so fence membership decided on raw
+    doubles could flip between engines. After quantization every
+    fence op (subtract, multiply by 1.5, compare against the 7-dp
+    quantized value) is EXACT decimal arithmetic, identical anywhere.
+    Two passes: a 1-row quartile aggregate broadcast onto the scan,
+    then the fence filter — the filter is the only per-row work, so
+    at 100 TB this costs one profile + one scan. Fences are
+    floor-quantized to 1e-6 for hash stability."""
     x = F.col(col).cast("double")
     q = df.agg(
         F.percentile(x, F.lit(0.25)).alias("_q1"),
         F.percentile(x, F.lit(0.75)).alias("_q3"),
     )
-    iqr = F.col("_q3") - F.col("_q1")
-    lo = F.col("_q1") - (iqr * factor_tenths) / 10
-    hi = F.col("_q3") + (iqr * factor_tenths) / 10
-    qq = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    q1d = F.col("_q1").cast("string").try_cast("decimal(18,6)")
+    q3d = F.col("_q3").cast("string").try_cast("decimal(18,6)")
+    fac = F.lit(f"{factor_tenths / 10:.1f}").cast("decimal(4,1)")
+    lo = q1d - (q3d - q1d) * fac  # decimal scale 7, exact
+    hi = q3d + (q3d - q1d) * fac
+    xd = x.cast("string").try_cast("decimal(28,7)")
+    qq = lambda c: (F.floor(c * 1000000) / F.lit(1e6)).cast("double")  # noqa: E731
     return (
         df.where(x.isNotNull())
         .crossJoin(F.broadcast(q))
-        .where((x < lo) | (x > hi))
+        .where((xd < lo) | (xd > hi))
         .select(
             F.col(id_col).alias("id"),
             x.alias("value"),
             qq(lo).alias("lo_fence"),
             qq(hi).alias("hi_fence"),
-            F.when(x < lo, F.lit("low")).otherwise(F.lit("high")).alias("side"),
+            F.when(xd < lo, F.lit("low")).otherwise(F.lit("high")).alias("side"),
         )
     )
 
@@ -563,24 +571,35 @@ def outliers_iqr(
 def sql_outliers_iqr(
     col: str, id_col: str, table: str, factor_tenths: int = 15
 ) -> str:
-    """DuckDB twin of :func:`outliers_iqr` — same quantile
-    interpolation, same fence arithmetic."""
+    """DuckDB twin of :func:`outliers_iqr` — same 6-dp quartile
+    quantization before the exact-decimal fence arithmetic (see the
+    Spark docstring: the engines' quantile interpolation formulas
+    differ in the last ulp)."""
     x = f"CAST({col} AS DOUBLE)"
+    fac = f"CAST({factor_tenths / 10:.1f} AS DECIMAL(4,1))"
     return f"""
     WITH q AS (
       SELECT quantile_cont({x}, 0.25) AS q1,
              quantile_cont({x}, 0.75) AS q3
       FROM {table}
+    ), qd AS (
+      SELECT TRY_CAST(CAST(q1 AS VARCHAR) AS DECIMAL(18,6)) AS q1d,
+             TRY_CAST(CAST(q3 AS VARCHAR) AS DECIMAL(18,6)) AS q3d
+      FROM q
+    ), f AS (
+      SELECT q1d - (q3d - q1d) * {fac} AS lo,
+             q3d + (q3d - q1d) * {fac} AS hi
+      FROM qd
     )
     SELECT {id_col} AS id, {x} AS value,
-           floor((q.q1 - ((q.q3 - q.q1) * {factor_tenths}) / 10) * 1e6) / 1e6 AS lo_fence,
-           floor((q.q3 + ((q.q3 - q.q1) * {factor_tenths}) / 10) * 1e6) / 1e6 AS hi_fence,
-           CASE WHEN {x} < q.q1 - ((q.q3 - q.q1) * {factor_tenths}) / 10
+           CAST(floor(f.lo * 1000000) / 1e6 AS DOUBLE) AS lo_fence,
+           CAST(floor(f.hi * 1000000) / 1e6 AS DOUBLE) AS hi_fence,
+           CASE WHEN TRY_CAST(CAST({x} AS VARCHAR) AS DECIMAL(28,7)) < f.lo
                 THEN 'low' ELSE 'high' END AS side
-    FROM {table} CROSS JOIN q
+    FROM {table} CROSS JOIN f
     WHERE {x} IS NOT NULL
-      AND ({x} < q.q1 - ((q.q3 - q.q1) * {factor_tenths}) / 10
-           OR {x} > q.q3 + ((q.q3 - q.q1) * {factor_tenths}) / 10)
+      AND (TRY_CAST(CAST({x} AS VARCHAR) AS DECIMAL(28,7)) < f.lo
+           OR TRY_CAST(CAST({x} AS VARCHAR) AS DECIMAL(28,7)) > f.hi)
     """
 
 
