@@ -1344,20 +1344,31 @@ def test_revenue_autocorrelation_cross_engine(spark, tmp_path_factory, rows):
     st.lists(
         st.tuples(
             st.sampled_from(["s0", "s1", "s2", "s3"]),
-            st.integers(1, 30),   # words per doc -> varied token counts
+            # Words per doc: small range PLUS exact powers of 2 and 10 so
+            # per-source totals frequently hit pow-integer boundaries —
+            # e.g. n_tokens=1024 with alpha=0.5 makes n^alpha exactly 32,
+            # the inputs where a libm-pow ulp used to flip floor().
+            st.sampled_from(
+                list(range(1, 31)) + [16, 64, 100, 256, 1000, 1024, 4096]
+            ),
         ),
-        min_size=1, max_size=30,
-    )
+        min_size=1, max_size=40,
+    ),
+    st.sampled_from([0.5, 0.7, 1.0]),
+    st.sampled_from([1000, 1024, 1_000_000]),
 )
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=40, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_mixture_plan_cross_engine(spark, rows):
-    """Random-input pin for the temperature mixture plan: the n^0.7
+def test_mixture_plan_cross_engine(spark, rows, alpha, budget):
+    """Random-input pin for the temperature mixture plan: the n^alpha
     weights run through libm pow (JVM vs glibc are each within an ulp
-    but not guaranteed identical), then floor(1e6 * p / t) — this pin
-    watches for a pow-ulp landing on an integral micro boundary across
-    arbitrary per-source token totals, including single-doc and
-    single-source corpora."""
+    but not guaranteed identical), then round(1e6 * p / t) — round,
+    not floor, is what makes an ulp of pow disagreement harmless at an
+    integral micro boundary (the r9 mixture_plan driver red, fixed r10
+    with the f824962 pattern). Sweeps alpha in {0.5, 0.7, 1.0} and
+    budgets including exact powers; alpha=1.0 with power-of-two token
+    totals makes p/t hit dyadic rationals, alpha=0.5 with square
+    totals makes p itself integral — the worst boundary cases."""
     import duckdb as _duck
 
     from webhookdb_spark.operators.sampling import (
@@ -1372,7 +1383,9 @@ def test_mixture_plan_cross_engine(spark, rows):
     )
     got = sorted(
         tuple(r)
-        for r in mixture_plan(df, alpha=0.7, budget_tokens=1000).collect()
+        for r in mixture_plan(
+            df, alpha=alpha, budget_tokens=budget
+        ).collect()
     )
     con = _duck.connect()
     con.execute(
@@ -1380,7 +1393,7 @@ def test_mixture_plan_cross_engine(spark, rows):
     )
     con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
     want = sorted(map(tuple, con.execute(
-        sql_mixture_plan("documents", alpha=0.7, budget_tokens=1000)
+        sql_mixture_plan("documents", alpha=alpha, budget_tokens=budget)
     ).fetchall()))
     assert got == want
 

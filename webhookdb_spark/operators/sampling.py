@@ -584,9 +584,18 @@ def mixture_plan(
 
     Returns one row per source: (source, n_docs, n_tokens,
     mix_weight_micro, epochs_micro) where ``mix_weight_micro =
-    floor(1e6 * n^alpha / Σ n^alpha)`` and ``epochs_micro = floor(1e6
+    round(1e6 * n^alpha / Σ n^alpha)`` and ``epochs_micro = round(1e6
     * budget * weight / n)`` — epochs_micro > 1e6 means that source
     repeats (the signal to cap or collect more of it).
+
+    Quantization uses ``round``, not ``floor``: the ratio goes through
+    libm ``pow`` whose last ulp differs between the JVM and glibc, and
+    ``floor`` flips the quantized value whenever the true ratio lands
+    exactly on an integral micro boundary (e.g. n_tokens an exact
+    power). ``round`` is stable there — an ulp of disagreement moves
+    the argument within (k-0.5, k+0.5), never across it (the same
+    hardening applied to Welch/OLS/autocorrelation in r9, commit
+    f824962).
 
     Shape: one narrow token-count map, one groupBy on the source key
     (partial-agg friendly, a few dozen groups), one broadcast of the
@@ -606,11 +615,11 @@ def mixture_plan(
     tot = per.agg(F.sum("_pw").alias("_tot"))
     return per.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "n_tokens",
-        F.floor(F.lit(1e6) * F.col("_pw") / F.col("_tot"))
+        F.round(F.lit(1e6) * F.col("_pw") / F.col("_tot"), 0)
         .cast("long").alias("mix_weight_micro"),
-        F.floor(
+        F.round(
             F.lit(1e6) * F.lit(float(budget_tokens)) * F.col("_pw")
-            / (F.col("_tot") * F.col("n_tokens"))
+            / (F.col("_tot") * F.col("n_tokens")), 0
         ).cast("long").alias("epochs_micro"),
     )
 
@@ -634,8 +643,8 @@ def sql_mixture_plan(
       SELECT sum(p) AS t FROM pw
     )
     SELECT source, n_docs, n_tokens,
-           CAST(floor(1e6 * p / t) AS BIGINT) AS mix_weight_micro,
-           CAST(floor(1e6 * {float(budget_tokens)} * p / (t * n_tokens)) AS BIGINT) AS epochs_micro
+           CAST(round(1e6 * p / t, 0) AS BIGINT) AS mix_weight_micro,
+           CAST(round(1e6 * {float(budget_tokens)} * p / (t * n_tokens), 0) AS BIGINT) AS epochs_micro
     FROM pw, tot
     """
 
