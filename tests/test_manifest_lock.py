@@ -67,19 +67,24 @@ def test_fresh_acquirer_race_restores_lock(tmp_path, monkeypatch):
 
     real_stat = Path.stat
     real_read = Path.read_bytes
-    state = {"iter": 0}
+    state = {"stats": 0, "reads": 0}
 
     def fake_stat(self, **kw):
         st = real_stat(self, **kw)
-        if self.name == "_manifest.lock" and state["iter"] == 0:
-            # First loop iteration: the stealer measured the OLD
-            # (crashed-looking) lock as stale.
-            return types.SimpleNamespace(st_mtime=st.st_mtime - 3600)
+        if self.name == "_manifest.lock" and state["stats"] < 2:
+            # First loop iteration: BOTH stats of the stat→read→stat
+            # incarnation check see the OLD (crashed-looking) lock as
+            # stale and self-consistent — the race must slip past the
+            # measurement and be caught at rename-verify time.
+            state["stats"] += 1
+            return types.SimpleNamespace(
+                st_mtime=st.st_mtime - 3600, st_ino=st.st_ino
+            )
         return st
 
     def fake_read(self):
-        if self.name == "_manifest.lock" and state["iter"] == 0:
-            state["iter"] = 1
+        if self.name == "_manifest.lock" and state["reads"] == 0:
+            state["reads"] = 1
             # ...and observed the old holder's content; by the time the
             # rename lands, the file actually holds the fresh lock.
             return b"1.crashed-holder"
@@ -93,6 +98,42 @@ def test_fresh_acquirer_race_restores_lock(tmp_path, monkeypatch):
         lk.__enter__()
     # The fresh writer's lock was restored, not destroyed, and no
     # stray .steal.* files remain.
+    assert lock.read_bytes() == b"2.fresh-owner"
+    assert list(tmp_path.glob("_manifest.steal.*")) == []
+
+
+def test_stat_read_toctou_detected_by_incarnation_check(
+    tmp_path, monkeypatch
+):
+    """The r9 ADVICE TOCTOU: the stale holder releases and a FRESH
+    writer acquires between the stealer's stat and its read, so age
+    describes the abandoned lock while observed captures the fresh
+    token — the rename-time content check would then "verify" and
+    destroy the active lock. The second stat must detect the changed
+    incarnation (ino/mtime) and abort the measurement: the fresh lock
+    survives untouched and the stealer loses by timeout."""
+    lock = tmp_path / "_manifest.lock"
+    lock.write_bytes(b"2.fresh-owner")
+
+    real_stat = Path.stat
+    state = {"stats": 0}
+
+    def fake_stat(self, **kw):
+        st = real_stat(self, **kw)
+        if self.name == "_manifest.lock" and state["stats"] == 0:
+            # stat #1 catches the OLD lock file (stale, other inode);
+            # read and stat #2 then see the fresh writer's lock.
+            state["stats"] = 1
+            return types.SimpleNamespace(
+                st_mtime=st.st_mtime - 3600, st_ino=st.st_ino + 1
+            )
+        return st
+
+    monkeypatch.setattr(Path, "stat", fake_stat)
+
+    lk = _ManifestLock(tmp_path, timeout=0.3, stale_after=60.0)
+    with pytest.raises(ConcurrentWriteError):
+        lk.__enter__()
     assert lock.read_bytes() == b"2.fresh-owner"
     assert list(tmp_path.glob("_manifest.steal.*")) == []
 

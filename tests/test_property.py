@@ -1014,6 +1014,33 @@ def test_zonemap_candidates_never_skip_matching_rows(
     assert ManagedTable.zonemap_candidates(fake, "other", lo, hi) is None
 
 
+def test_zonemap_candidates_incomparable_types_degrade_to_full_scan():
+    """Type-mismatched probes (string cutoffs against numeric zone
+    stats — e.g. delete_stale_rows on a table whose tracked ts column
+    is stored as epoch ints) must treat every stats-bearing bucket as
+    a candidate, not raise TypeError: pruning is an optimization and
+    the caller's residual filter keeps results exact."""
+    import types
+
+    from webhookdb_spark.storage import ManagedTable, Manifest
+
+    m = Manifest(
+        key="k", n_buckets=4, txn=1,
+        buckets={str(b): f"buckets/{b}/v1" for b in range(4)},
+        schema_json="{}", zonemap_cols=["ts"],
+        zonemaps={
+            "0": {"ts": [100, 200]},      # numeric stats vs str probe
+            "1": {"ts": [None, None]},    # all-NULL: still skippable
+            "2": {"ts": [300, 400]},
+        },                                 # 3: stat-less
+    )
+    fake = types.SimpleNamespace(manifest=m)
+    cands = ManagedTable.zonemap_candidates(
+        fake, "ts", "2024-01-01", "2024-02-01", hi_inclusive=False
+    )
+    assert set(cands) == {0, 2, 3}
+
+
 @given(
     st.lists(
         st.tuples(

@@ -990,3 +990,32 @@ def test_contract_upsert_single_materialization_of_shaped_batch(
         f"shaped batch evaluated {acc.value / len(bodies):.1f}x; "
         "contract upsert must materialize it exactly once"
     )
+
+
+def test_contract_upsert_releases_checkpoint_blocks(spark, tmp_warehouse):
+    """The eager localCheckpoint that pins the shaped batch must be
+    freed once the merge commits: a streaming ingest calls the
+    contract upsert per micro-batch, and leaked checkpoint blocks
+    accumulate on executor storage until driver GC. After the call,
+    no persistent RDDs may remain beyond those present before it."""
+    from webhookdb_spark.operators.upsert import upsert_envelopes_with_contract
+
+    t = fake_table(spark, tmp_warehouse)
+    qdir = str(tmp_warehouse / "quarantine_release")
+    rules = [
+        ("between", "at", "2024-01-01 00:00:00", "2024-12-31 23:59:59"),
+    ]
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    for batch in range(2):  # per-micro-batch: no growth across calls
+        env = env_df(spark, [
+            {"my_id": f"k{batch}a", "at": "2024-06-01T00:00:00Z"},
+            {"my_id": f"k{batch}b", "at": "1999-01-01T00:00:00Z"},
+        ])
+        res, n_bad = upsert_envelopes_with_contract(
+            t, env, FAKE_V1, rules, qdir
+        )
+        assert n_bad == 1 and res.total_changed == 1
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before, (
+        f"contract upsert leaked {after - before} checkpointed RDD(s)"
+    )

@@ -541,7 +541,14 @@ def outliers_iqr(
     Two passes: a 1-row quartile aggregate broadcast onto the scan,
     then the fence filter — the filter is the only per-row work, so
     at 100 TB this costs one profile + one scan. Fences are
-    floor-quantized to 1e-6 for hash stability."""
+    floor-quantized to 1e-6 for hash stability.
+
+    DOMAIN BOUND: |q1| and |q3| must be < 1e12 — the quantized
+    quartiles ride in decimal(18,6), and a magnitude past its 12
+    integer digits try_casts to NULL, making the fence predicate NULL
+    and the result silently empty (same bound as neyman_allocation's
+    documented contract). Pre-scale wider-ranged columns before the
+    audit."""
     x = F.col(col).cast("double")
     q = df.agg(
         F.percentile(x, F.lit(0.25)).alias("_q1"),
@@ -1350,6 +1357,13 @@ def winsorize_summary(
     partial-agg-order-proof. The outlier-taming pass a feature
     pipeline runs before normalization; two group-keyed aggregates,
     the bounds re-attached by a broadcast-sized join.
+
+    DOMAIN BOUND: |value| must be < 1e12 — values and percentile
+    bounds ride in decimal(18,6), and a magnitude past its 12 integer
+    digits try_casts to NULL, which silently changes the clamp (a
+    NULL bound makes least/greatest pass values through). Same
+    contract as neyman_allocation and outliers_iqr; pre-scale
+    wider-ranged columns first.
     """
     v = F.col(value_col)
 

@@ -654,12 +654,11 @@ def token_budget_select(
     budget_tokens: int,
     group_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Greedy best-first corpus fill under a per-source TOKEN budget:
     rank each source's documents by composite quality (the exact-
     decimal :func:`webhookdb_spark.operators.text.quality_score`
-    arithmetic, engine-portable) descending with an ``id_col``
+    arithmetic, engine-portable) descending with a ``doc_id``
     tie-break, and keep documents while the running token sum stays
     within ``budget_tokens`` — the selection step of every
     pretraining-data recipe ("take the best N billion tokens per
@@ -679,21 +678,23 @@ def token_budget_select(
     input size."""
     from webhookdb_spark.operators.text import quality_score
 
+    # quality_score keys its output on doc_id, so the id column is
+    # fixed — a configurable id_col here would fail inside it anyway.
     q = quality_score(df, text_col).select(
-        id_col, "n_tokens", "quality_score"
+        "doc_id", "n_tokens", "quality_score"
     )
-    src = df.select(id_col, F.col(group_col).alias("source"))
+    src = df.select("doc_id", F.col(group_col).alias("source"))
     w = (
         Window.partitionBy("source")
-        .orderBy(F.col("quality_score").desc(), F.col(id_col).asc())
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        q.join(src, id_col)
+        q.join(src, "doc_id")
         .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
         .where(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
         .select(
-            "source", id_col,
+            "source", "doc_id",
             F.col("n_tokens").cast("int").alias("n_tokens"),
             "cum_tokens",
         )

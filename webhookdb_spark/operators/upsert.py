@@ -374,6 +374,24 @@ def _shape_for_merge(
     return shaped
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the RDD blocks behind an eager ``localCheckpoint``.
+
+    PySpark exposes no public API for this (the blocks normally live
+    until the driver GCs the RDD), so reach through the analyzed plan
+    — a checkpointed DataFrame's plan IS a LogicalRDD over the
+    materialized blocks. Best-effort by design: the reflective path is
+    version-sensitive, and failing to free early is only the status
+    quo (GC frees later). Call ONLY after every consumer of the
+    checkpointed batch has fully materialized — a localCheckpoint has
+    no lineage, so a read after release fails instead of recomputing.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def upsert_envelopes_with_contract(
     table: ManagedTable,
     envelopes: DataFrame,
@@ -406,6 +424,14 @@ def upsert_envelopes_with_contract(
     quarantine write and the merge under task retries. The quarantine
     is a plain parquet append — violating rows may lack valid keys, so
     a keyed MERGE is exactly the wrong sink for them.
+
+    The checkpoint blocks are freed once the merge commits: a
+    long-running streaming ingest calls this per micro-batch, and
+    without the explicit release each batch would pin its blocks on
+    executor storage until driver GC happens to collect the RDD.
+    Safe because nothing downstream re-reads the batch lineage —
+    MergeResult.changed reads the just-written bucket files, and the
+    quarantine is already on disk.
     """
     from webhookdb_spark.operators.profile import expectation_reason
 
@@ -413,16 +439,20 @@ def upsert_envelopes_with_contract(
     flagged = shaped.withColumn(
         "_contract_reason", expectation_reason(rules)
     ).localCheckpoint(eager=True)
-    bad = flagged.where(F.col("_contract_reason").isNotNull())
-    n_bad = bad.count()
-    if n_bad:
-        bad.write.mode("append").parquet(quarantine_path)
-    clean = flagged.where(F.col("_contract_reason").isNull()).drop(
-        "_contract_reason"
-    )
-    res = merge_upsert(
-        table, clean, spec, buckets=buckets, capture_changes=capture_changes
-    )
+    try:
+        bad = flagged.where(F.col("_contract_reason").isNotNull())
+        n_bad = bad.count()
+        if n_bad:
+            bad.write.mode("append").parquet(quarantine_path)
+        clean = flagged.where(F.col("_contract_reason").isNull()).drop(
+            "_contract_reason"
+        )
+        res = merge_upsert(
+            table, clean, spec, buckets=buckets,
+            capture_changes=capture_changes,
+        )
+    finally:
+        _release_local_checkpoint(flagged)
     return res, n_bad
 
 

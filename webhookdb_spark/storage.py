@@ -100,8 +100,20 @@ class _ManifestLock:
                 return self
             except FileExistsError:
                 try:  # break locks abandoned by a crashed writer
+                    # stat → read → stat: age and observed must describe
+                    # the SAME lock incarnation. Without the second stat
+                    # there is a TOCTOU — the stale holder releases and a
+                    # fresh writer acquires between the first stat and
+                    # the read, so age reflects the abandoned lock while
+                    # observed captures the fresh token, and the steal's
+                    # content check below would "verify" and destroy an
+                    # active lock (the victim aborts via holds(), safe
+                    # but spuriously failed).
                     st = self.lock_path.stat()
                     observed = self.lock_path.read_bytes()
+                    st2 = self.lock_path.stat()
+                    if (st2.st_ino, st2.st_mtime) != (st.st_ino, st.st_mtime):
+                        continue  # lock changed incarnation mid-measure
                     age = time.time() - st.st_mtime
                     if age > self.stale_after:
                         # Steal in two steps: rename the lock to a
@@ -340,10 +352,17 @@ class ManagedTable:
             mn, mx = stats
             if mn is None:
                 continue
-            if mx < lo:
-                continue
-            if (mn > hi) if hi_inclusive else (mn >= hi):
-                continue
+            # Incomparable stats vs bounds (e.g. a numeric tracked
+            # column probed with string cutoffs) must degrade to "may
+            # hold rows", not raise — pruning is an optimization and
+            # the residual filter keeps results exact either way.
+            try:
+                if mx < lo:
+                    continue
+                if (mn > hi) if hi_inclusive else (mn >= hi):
+                    continue
+            except TypeError:
+                pass
             keep.append(int(b))
         return keep
 
