@@ -1514,11 +1514,16 @@ def q_order_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated percentiles (p25/p50/p75/p90) of order value
     per priority — Spark's exact `percentile` aggregate against
     DuckDB's `quantile_cont`. Both define rank = p*(n-1) with linear
-    interpolation on the same sorted doubles; results are quantized
-    midpoint-free (floor(x*1e6)/1e6) so a last-ulp difference in the
-    interpolation arithmetic cannot flip a rounding. Exact percentile
-    is a sort-per-group; at 100 TB swap in approx_percentile (t-digest,
-    mergeable, one pass) — this query pins the exact semantics."""
+    interpolation on the same sorted doubles, but the FORMULAS differ
+    (Spark a+f*(b-a), DuckDB (1-f)*a+f*b) by a last ulp — and 2-dp
+    money values at 1- or 2-dp interpolation factors put the true
+    x*1e6 exactly ON integers, so floor would flip across engines
+    right at the attractor (the mixture_plan ulp class, r10). The
+    quantization is round(x*1e6)/1e6: a half-integer at 1e6 scale
+    would need a 5 in the 7th decimal of a <=4-dp true value —
+    impossible. Exact percentile is a sort-per-group; at 100 TB swap
+    in approx_percentile (t-digest, mergeable, one pass) — this query
+    pins the exact semantics."""
     orders = load(spark, sf, "orders")
     pcts = [0.25, 0.5, 0.75, 0.9]
     agg = orders.groupBy("o_orderpriority").agg(
@@ -1526,7 +1531,8 @@ def q_order_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_orders"),
     )
     cols = [
-        (F.floor(F.element_at("_p", i + 1) * F.lit(1e6)) / F.lit(1e6)).alias(a)
+        (F.round(F.element_at("_p", i + 1) * F.lit(1e6), 0) / F.lit(1e6))
+        .alias(a)
         for i, a in enumerate(["p25", "p50", "p75", "p90"])
     ]
     return agg.select("o_orderpriority", "n_orders", *cols).orderBy("o_orderpriority")
@@ -1534,10 +1540,10 @@ def q_order_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_ORDER_PERCENTILES = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       floor(quantile_cont(o_totalprice, 0.25) * 1e6) / 1e6 AS p25,
-       floor(quantile_cont(o_totalprice, 0.5) * 1e6) / 1e6 AS p50,
-       floor(quantile_cont(o_totalprice, 0.75) * 1e6) / 1e6 AS p75,
-       floor(quantile_cont(o_totalprice, 0.9) * 1e6) / 1e6 AS p90
+       round(quantile_cont(o_totalprice, 0.25) * 1e6, 0) / 1e6 AS p25,
+       round(quantile_cont(o_totalprice, 0.5) * 1e6, 0) / 1e6 AS p50,
+       round(quantile_cont(o_totalprice, 0.75) * 1e6, 0) / 1e6 AS p75,
+       round(quantile_cont(o_totalprice, 0.9) * 1e6, 0) / 1e6 AS p90
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

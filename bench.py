@@ -111,37 +111,60 @@ def main() -> None:
     }))
     # ... then a compact summary as the FINAL line, sized to fit the
     # driver's 2,000-char stdout tail: the full line above is ~4 KB at
-    # 143 queries, so a tail-truncated capture loses the EARLIEST
-    # (most expensive) queries. The compact line keeps the total, the
-    # query count, and as many of the SLOWEST queries as fit a
-    # 1,700-char budget — the rows that matter are always inside the
-    # tail.
+    # 200+ queries, so a tail-truncated capture loses the EARLIEST
+    # (most expensive) queries. The compact line carries EVERY query's
+    # 2-dp time as a positional array in registry order — the names
+    # are recoverable by zipping with queries() (same order as the
+    # committed QUERIES.md rows, which the registry's tracked-record
+    # sort keeps stable until the next correctness file is committed)
+    # — plus a small named slowest-K dict for direct readability. The
+    # K shrinks until the line fits the 1,700-char budget; at ~6
+    # bytes/query the array itself fits the full registry to ~250
+    # queries.
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    order = [n for n in qfns]
     compact = None
-    for n in range(len(slowest), 0, -1):
-        head, rest = slowest[:n], slowest[n:]
+    for n in range(min(16, len(slowest)), -1, -1):
+        head = slowest[:n]
         doc = {
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
-            # 2-dp buys ~1 extra query per 60 chars vs 3-dp; the local
-            # full-precision record is the line above / BENCH_*_local
+            # 2-dp: the local full-precision record is the line above
+            # and BENCH_*_local
             "queries": {k: round(v, 2) for k, v in head},
             "query_count": len(timings),
-            "slowest_only": n < len(timings),
+            "times_by_registry_order": [
+                round(timings[q], 2) for q in order
+            ],
             "reran": reran,
             "sf": sf,
         }
-        if rest:
-            # account for what the tail budget drops so the official
-            # record is self-consistent: the excluded set's count,
-            # total, and worst member bound the missing information
-            doc["rest_count"] = len(rest)
-            doc["rest_total"] = round(sum(v for _, v in rest), 2)
-            doc["rest_max"] = round(rest[0][1], 2)
-        compact = json.dumps(doc)
+        compact = json.dumps(doc, separators=(",", ":"))
         if len(compact) <= 1700:
             break
+    if compact is not None and len(compact) > 1700:
+        # registry grew past what the array fits: fall back to the
+        # pre-r10 slowest-only shape rather than emit a truncated line
+        for n in range(len(slowest), 0, -1):
+            head, rest = slowest[:n], slowest[n:]
+            doc = {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in head},
+                "query_count": len(timings),
+                "slowest_only": n < len(timings),
+                "reran": reran,
+                "sf": sf,
+            }
+            if rest:
+                doc["rest_count"] = len(rest)
+                doc["rest_total"] = round(sum(v for _, v in rest), 2)
+                doc["rest_max"] = round(rest[0][1], 2)
+            compact = json.dumps(doc, separators=(",", ":"))
+            if len(compact) <= 1700:
+                break
     print(compact)
     spark.stop()
 

@@ -1457,3 +1457,124 @@ def test_outliers_iqr_cross_engine(spark, values):
     want = sorted(map(tuple, con.execute(
         sql_outliers_iqr("value", "event_id", "events")).fetchall()))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("AB"), st.sampled_from("XY")),
+        min_size=2, max_size=60,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_categorical_dependence_cross_engine(spark, pairs):
+    """Random-input pin for the MI/entropy audit's libm-ln seam:
+    near-independent 2x2 tables put per-cell mi terms at +/-ulp of 0,
+    where the old floor(term*1e12) flipped between 0 and -1 across
+    engines (JVM vs glibc ln). The term layer rounds now — every
+    random contingency table must hash-match."""
+    import duckdb as _duck
+
+    from webhookdb_spark.operators.analytics import (
+        categorical_dependence,
+        sql_categorical_dependence,
+    )
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, ca string, cb string")
+    got = sorted(
+        tuple(r)
+        for r in categorical_dependence(df, "ca", "cb").collect()
+    )
+    con = _duck.connect()
+    con.execute("CREATE TABLE t (id BIGINT, ca VARCHAR, cb VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        sql_categorical_dependence("t", "ca", "cb")).fetchall()))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["c0", "c1", "c2"]), st.booleans()),
+        min_size=2, max_size=60,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_distribution_drift_cross_engine(spark, rows_in):
+    """Random-input pin for the JS-drift libm-ln seam: when both
+    snapshots have (near-)identical per-category proportions the js
+    term sits at +/-ulp of 0 — the old floor(term*1e12) flipped its
+    sign across engines there (0 vs -1e-12). Term layer rounds now."""
+    import duckdb as _duck
+
+    from webhookdb_spark.operators.analytics import (
+        distribution_drift,
+        sql_distribution_drift,
+    )
+    from pyspark.sql import functions as F
+
+    cats = [c for c, _ in rows_in]
+    if len(cats) % 2 == 0:
+        # Skew toward identical snapshots: mirror every category into
+        # both sides (p==q exactly per category — the +/-ulp-of-0
+        # js_term case).
+        rows = [(i, c, True) for i, c in enumerate(cats)] + [
+            (i + len(cats), c, False) for i, c in enumerate(cats)
+        ]
+    else:
+        # Random split, but keep both snapshots non-empty (the
+        # operator's documented domain: proportions divide by each
+        # side's total).
+        rows = [(i, c, p) for i, (c, p) in enumerate(rows_in)]
+        rows += [(len(rows), "c0", True), (len(rows) + 1, "c0", False)]
+    df = spark.createDataFrame(rows, "id long, cat string, in_p boolean")
+    got = sorted(
+        tuple(r)
+        for r in distribution_drift(df, "cat", F.col("in_p")).collect()
+    )
+    con = _duck.connect()
+    con.execute("CREATE TABLE t (id BIGINT, cat VARCHAR, in_p BOOLEAN)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        sql_distribution_drift("t", "cat", "in_p")).fetchall()))
+    assert got == want
+
+
+@given(
+    st.lists(
+        # 2-dp money values; duplicates force interpolated percentiles
+        # exactly ON the 1e-6 grid — the integer attractor where the
+        # engines' different interpolation formulas (a+f*(b-a) vs
+        # (1-f)*a+f*b) straddle the boundary by an ulp.
+        st.sampled_from([10.25, 10.25, 99.99, 100.00, 107.13, 250.50]),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_order_percentiles_cross_engine(spark, tmp_path_factory, prices):
+    """Random-input pin for the percentile quantization: 2-dp values
+    at 1-2-dp interpolation factors put the true p*1e6 exactly on
+    integers; quantization must be round (r10), floor flipped at the
+    attractor."""
+    import duckdb as _duck
+
+    import __spark_entry__ as entry
+
+    tmp = tmp_path_factory.mktemp("op_pcts")
+    rows = [(i, f"P{i % 2}", float(v)) for i, v in enumerate(prices)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in entry.q_order_percentiles(spark, str(tmp)).collect()
+    )
+    con = _duck.connect()
+    con.execute("CREATE VIEW orders AS SELECT * FROM "
+                f"'{tmp}/orders.parquet/*.parquet'")
+    want = sorted(map(tuple, con.execute(
+        entry.oracle_sql()["order_percentiles"]).fetchall()))
+    assert got == want

@@ -205,6 +205,10 @@ def column_histogram(
     )
     lo = F.col("_mn") + (F.col("bin").cast("double") * width) / F.lit(n_bins)
     hi = F.col("_mn") + ((F.col("bin") + 1).cast("double") * width) / F.lit(n_bins)
+    # floor is ulp-safe here (r10 audit): lo/hi come from min/max
+    # through +,-,*,/ only — every op correctly-rounded IEEE, so the
+    # pre-quantization double is bit-identical in both engines (no
+    # libm estimate, no order-dependent sum in the chain).
     q = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
     return (
         df.where(x.isNotNull())
@@ -294,6 +298,10 @@ def numeric_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
         denom = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
             F.greatest(n * syy - sy * sy, F.lit(0.0))
         )
+        # floor is ulp-safe here (r10 audit): moments are exact
+        # decimals, and the double chain is +,-,*,/ and sqrt — ALL
+        # correctly-rounded IEEE (sqrt is not a libm estimate), so
+        # both engines floor the bit-identical double.
         corr = F.when(
             denom != 0, F.floor(((n * sxy - sx * sy) / denom) * 1e6) / 1e6
         )
@@ -560,6 +568,9 @@ def outliers_iqr(
     lo = q1d - (q3d - q1d) * fac  # decimal scale 7, exact
     hi = q3d + (q3d - q1d) * fac
     xd = x.cast("string").try_cast("decimal(28,7)")
+    # floor is ulp-safe here (r10 audit): the fences are EXACT decimal
+    # values, so decimal*1e6 and its floor are exact in both engines
+    # — no double enters until the final display cast.
     qq = lambda c: (F.floor(c * 1000000) / F.lit(1e6)).cast("double")  # noqa: E731
     return (
         df.where(x.isNotNull())
@@ -866,11 +877,15 @@ def categorical_dependence(
     data rows): vocabulary-keyed marginal joins (broadcast) and a
     1-row total broadcast onto the cells. Determinism: each cell's
     p*ln-ratio term is computed in doubles from exact long counts,
-    scaled by 1e12 and floored to a LONG, so the cross-cell sum is
-    integer-exact and independent of partial-aggregation order (a
-    double sum would drift at the 1e-15 level and break the value-hash
-    oracle); mi/h land floor-quantized to 1e-6, and nmi derives from
-    the already-quantized values.
+    scaled by 1e12 and ROUNDED to a LONG (round, not floor: ln is a
+    libm estimate whose last ulp differs between engines, and floor
+    flips at integral boundaries — worst at the near-zero terms of
+    near-independent columns), so the cross-cell sum is integer-exact
+    and independent of partial-aggregation order (a double sum would
+    drift at the 1e-15 level and break the value-hash oracle); mi/h
+    land floor-quantized to 1e-6 (safe: exact-long inputs through
+    correctly-rounded ops only), and nmi derives from the
+    already-quantized values.
     """
     pairs = df.where(
         F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
@@ -889,8 +904,13 @@ def categorical_dependence(
     na = F.col("_na").cast("double")
     nb = F.col("_nb").cast("double")
     n = F.col("_n").cast("double")
+    # round, not floor, at the term layer: ln is a libm ESTIMATE (JVM
+    # and glibc differ in the last ulp), and for near-independent
+    # columns mi_term hovers at ±ulp around 0 where floor flips
+    # between 0 and -1 across engines (the mixture_plan ulp class,
+    # r10). round maps both sides of an integer to the same long.
     mi_term = (nab / n) * F.log((nab * n) / (na * nb))
-    scaled = F.floor(mi_term * F.lit(1e12)).cast("long")
+    scaled = F.round(mi_term * F.lit(1e12), 0).cast("long")
     mi_sum = cells.agg(
         F.sum(scaled).alias("_mi12"), F.max("_n").alias("_n")
     )
@@ -898,12 +918,16 @@ def categorical_dependence(
     def h_of(marg, cnt_col):
         m = marg.crossJoin(F.broadcast(tot))
         p = F.col(cnt_col).cast("double") / F.col("_n").cast("double")
-        t = F.floor((-p * F.log(p)) * F.lit(1e12)).cast("long")
+        t = F.round((-p * F.log(p)) * F.lit(1e12), 0).cast("long")
         return m.agg(F.sum(t).alias("_h12"))
 
     ha = h_of(ma, "_na")
     hb = h_of(mb, "_nb")
 
+    # q6/nmi keep floor: their inputs are exact longs (identical
+    # cross-engine once the term layer rounds) pushed through
+    # correctly-rounded /,*,sqrt only — bit-identical in any IEEE
+    # engine, so a deterministic floor cannot disagree.
     q6 = lambda c: F.floor(c / F.lit(1e6)) / F.lit(1e6)  # noqa: E731
     out = (
         mi_sum.crossJoin(ha.select(F.col("_h12").alias("_ha12")))
@@ -940,25 +964,25 @@ def sql_categorical_dependence(table: str, col_a: str, col_b: str) -> str:
     mb AS (SELECT _b, sum(_nab) AS _nb FROM joint GROUP BY 1),
     tot AS (SELECT sum(_nab) AS _n FROM joint),
     mi AS (
-      SELECT sum(CAST(floor(
+      SELECT sum(CAST(round(
                ((CAST(_nab AS DOUBLE) / CAST(_n AS DOUBLE))
                 * ln((CAST(_nab AS DOUBLE) * CAST(_n AS DOUBLE))
-                     / (CAST(_na AS DOUBLE) * CAST(_nb AS DOUBLE)))) * 1e12
+                     / (CAST(_na AS DOUBLE) * CAST(_nb AS DOUBLE)))) * 1e12, 0
              ) AS BIGINT)) AS _mi12,
              max(_n) AS _n
       FROM joint JOIN ma USING (_a) JOIN mb USING (_b) CROSS JOIN tot
     ),
     ha AS (
-      SELECT sum(CAST(floor(
+      SELECT sum(CAST(round(
                (-(CAST(_na AS DOUBLE) / CAST(_n AS DOUBLE))
-                * ln(CAST(_na AS DOUBLE) / CAST(_n AS DOUBLE))) * 1e12
+                * ln(CAST(_na AS DOUBLE) / CAST(_n AS DOUBLE))) * 1e12, 0
              ) AS BIGINT)) AS _ha12
       FROM ma CROSS JOIN tot
     ),
     hb AS (
-      SELECT sum(CAST(floor(
+      SELECT sum(CAST(round(
                (-(CAST(_nb AS DOUBLE) / CAST(_n AS DOUBLE))
-                * ln(CAST(_nb AS DOUBLE) / CAST(_n AS DOUBLE))) * 1e12
+                * ln(CAST(_nb AS DOUBLE) / CAST(_n AS DOUBLE))) * 1e12, 0
              ) AS BIGINT)) AS _hb12
       FROM mb CROSS JOIN tot
     ),
@@ -996,9 +1020,11 @@ def distribution_drift(
     counts via conditional sums, then per-category arithmetic against
     broadcast 1-row totals — a second scan or a self-join would double
     the read for no reason. Determinism: per-category js terms are
-    long-scaled (1e12) before any cross-category consumer sums them,
-    same discipline as categorical_dependence; emitted values are
-    floor-quantized to 1e-6.
+    long-scaled (1e12) and ROUNDED (ln's libm ulp puts near-identical
+    snapshots at ±ulp of 0, where floor flips sign across engines)
+    before any cross-category consumer sums them, same discipline as
+    categorical_dependence; the pure-division proportions are
+    floor-quantized to 1e-6 (bit-identical inputs, safe).
     """
     counts = (
         df.where(F.col(cat_col).isNotNull())
@@ -1018,6 +1044,10 @@ def distribution_drift(
     kl_p = F.when(F.col("_np") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
     kl_q = F.when(F.col("_nq") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
     js_term = (kl_p + kl_q) / F.lit(2.0)
+    # p/q/abs_diff keep floor: pure correctly-rounded divisions of
+    # exact longs are bit-identical cross-engine. js_term carries ln
+    # (libm estimate, engines differ by an ulp; near-identical
+    # snapshots put it at ±ulp of 0 where floor flips sign) → round.
     q6 = lambda c: F.floor(c * F.lit(1e6)) / F.lit(1e6)  # noqa: E731
     return cells.select(
         "category",
@@ -1025,7 +1055,7 @@ def distribution_drift(
         F.col("_nq").cast("long").alias("n_q"),
         q6(p).alias("p"),
         q6(q).alias("q"),
-        (F.floor(js_term * F.lit(1e12)) / F.lit(1e12)).alias("js_term"),
+        (F.round(js_term * F.lit(1e12), 0) / F.lit(1e12)).alias("js_term"),
         q6(F.abs(p - q)).alias("abs_diff"),
     )
 
@@ -1056,9 +1086,9 @@ def sql_distribution_drift(
            CAST(_nq AS BIGINT) AS n_q,
            floor(p * 1e6) / 1e6 AS p,
            floor(q * 1e6) / 1e6 AS q,
-           floor(((CASE WHEN _np > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+           round(((CASE WHEN _np > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
                    + CASE WHEN _nq > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
-                  / 2.0) * 1e12) / 1e12 AS js_term,
+                  / 2.0) * 1e12, 0) / 1e12 AS js_term,
            floor(abs(p - q) * 1e6) / 1e6 AS abs_diff
     FROM cells
     """

@@ -1023,7 +1023,13 @@ def search_bm25(
     idf = F.log((nd - dfd + 0.5) / (dfd + 0.5) + 1.0)
     denom = tfd + k1 * (1.0 - b + b * dld / F.col("avgdl"))
     term_score = idf * tfd * (k1 + 1.0) / denom
-    scaled = F.floor(term_score * F.lit(1e9)).cast("long")
+    # round, not floor: idf rides on ln — a libm estimate whose last
+    # ulp differs between the JVM and glibc — so term_score*1e9 can
+    # straddle an integral boundary across engines (the mixture_plan
+    # ulp class, r10); round maps both sides to the same long. The
+    # downstream floor(_s9/1e3) is safe: identical longs through one
+    # correctly-rounded division are bit-identical in any engine.
+    scaled = F.round(term_score * F.lit(1e9), 0).cast("long")
     from pyspark.sql.window import Window
 
     scored = joined.groupBy("doc_id").agg(
@@ -1079,13 +1085,13 @@ def sql_search_bm25(
     tf AS (SELECT doc_id, tok, count(*) AS tf FROM hits GROUP BY 1, 2),
     scored AS (
       SELECT doc_id,
-             sum(CAST(floor(
+             sum(CAST(round(
                ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
                   / (CAST(df AS DOUBLE) + 0.5) + 1.0)
                * CAST(tf AS DOUBLE) * ({k1} + 1.0)
                / (CAST(tf AS DOUBLE)
                   + {k1} * (1.0 - {b} + {b} * CAST(dl AS DOUBLE) / avgdl))
-               * 1e9) AS BIGINT)) AS _s9,
+               * 1e9, 0) AS BIGINT)) AS _s9,
              CAST(count(*) AS INTEGER) AS n_terms_matched
       FROM tf JOIN dfreq USING (tok) JOIN doclen USING (doc_id)
       CROSS JOIN stats
@@ -1124,9 +1130,10 @@ def dsir_logweights(
     ``log p_target(f) - log p_raw(f)`` summed over a doc's feature
     counts, with add-one smoothing on bucket counts. To keep the
     score exact across engines the per-bucket log-ratio is quantized
-    ONCE to integer micro-units (floor at 1e-6, ``n_buckets`` values
-    total) and each document's score is then a pure integer
-    sum — order-independent, no float-accumulation seam. Returns
+    ONCE to integer micro-units (round at 1e-6 — ln is a libm
+    estimate, so floor would flip at integral micro boundaries;
+    ``n_buckets`` values total) and each document's score is then a
+    pure integer sum — order-independent, no float-accumulation seam. Returns
     (doc_id, lang, logw_micro); feed it to
     :func:`webhookdb_spark.operators.sampling.weighted_sample` (rank
     by ``exp(logw_micro/1e6)``) for the resampling step.
@@ -1176,12 +1183,18 @@ def dsir_logweights(
     )
     bw = bstats.crossJoin(F.broadcast(tot)).select(
         "_b",
-        F.floor(
+        # round, not floor: the log-ratio difference rides on libm ln
+        # (JVM vs glibc last-ulp), and floor flips at integral micro
+        # boundaries (the mixture_plan ulp class, r10). The
+        # equal-ratio case is exactly 0 in both engines either way
+        # (ln of the same double twice), but unequal ratios near a
+        # boundary need round's half-unit margin.
+        F.round(
             F.lit(1e6)
             * (
                 F.log((F.col("_nt") + 1) / (F.col("_T") + n_buckets))
                 - F.log((F.col("_nr") + 1) / (F.col("_R") + n_buckets))
-            )
+            ), 0
         ).cast("long").alias("_w"),
     )
     return (
@@ -1225,8 +1238,8 @@ def sql_dsir_logweights(
       SELECT sum(nt) AS T, sum(nr) AS R FROM bstats
     ), bw AS (
       SELECT b,
-             CAST(floor(1e6 * (ln((nt + 1) / CAST(T + {n_buckets} AS DOUBLE))
-                             - ln((nr + 1) / CAST(R + {n_buckets} AS DOUBLE))))
+             CAST(round(1e6 * (ln((nt + 1) / CAST(T + {n_buckets} AS DOUBLE))
+                             - ln((nr + 1) / CAST(R + {n_buckets} AS DOUBLE))), 0)
                   AS BIGINT) AS w
       FROM bstats, tot
     )

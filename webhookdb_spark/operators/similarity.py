@@ -1726,6 +1726,11 @@ def embedding_cluster_profile(
         ),
         6,
     )
+    # floor is ulp-safe here (r10 audit): score's chain is HOF folds
+    # (fixed order) through +,-,*,/ and sqrt — all correctly-rounded
+    # IEEE, no libm estimate — so both engines floor the bit-identical
+    # double; the only residual seam is round(x, 6)'s documented exact
+    # 6-dp-midpoint coincidence, which has no attractor for cosines.
     scored = assigned.select(
         "vec_id", "cent_id", F.floor(score * F.lit(1e6)).cast("long").alias("_s6")
     ).join(corpus.select(F.col(id_col).alias("vec_id"), label_col), "vec_id")

@@ -322,6 +322,12 @@ def log_histogram_state(
     re-groupBy sum (:func:`log_histogram_merge`)."""
     gamma = 1.0 + eps_bp / 10000.0
     x = F.col(value_col).cast("double")
+    # floor here is the DDSketch bucket definition (round would shift
+    # every boundary by half a bucket). Ulp-audit (r10): log is libm,
+    # but the seam needs log(x)/log(gamma) within an ulp of an integer
+    # — i.e. x within a ~1e-16 relative slice of gamma^k, an
+    # IRRATIONAL boundary no data attracts to (unlike the ppm
+    # quantizations, whose 1e6-grids integer-valued data lands on).
     bucket = F.when(
         x > 0, F.floor(F.log(x) / F.lit(float(__import__("math").log(gamma))))
     ).otherwise(F.lit(-(1 << 31))).cast("int")
@@ -348,7 +354,8 @@ def log_histogram_quantiles(
     cumulative count reaches ceil(p * n). The cumulative window runs
     over the STATE table (O(log(range)/eps) rows — sketch-sized, not
     data-sized), so the single-partition sort is over ~thousands of
-    buckets at any data scale. Estimates floor-quantized to 1e-6."""
+    buckets at any data scale. Estimates round-quantized to 1e-6
+    (exp is libm; floor would flip at integral micro boundaries)."""
     import math
 
     gamma = 1.0 + eps_bp / 10000.0
@@ -372,9 +379,12 @@ def log_histogram_quantiles(
             .select(
                 F.lit(p).alias("p"),
                 (
-                    F.floor(
+                    # round: exp is a libm estimate (engines differ by
+                    # an ulp), so floor could flip at an integral
+                    # micro boundary (mixture_plan ulp class, r10)
+                    F.round(
                         F.exp((F.col("bucket") + F.lit(0.5)) * F.lit(lg))
-                        * F.lit(1e6)
+                        * F.lit(1e6), 0
                     )
                     / F.lit(1e6)
                 ).alias("est"),
@@ -398,7 +408,7 @@ def sql_log_histogram_quantiles(
     for p in pcts:
         selects.append(f"""
         SELECT CAST({p} AS DOUBLE) AS p,
-               (SELECT floor(exp((bucket + 0.5) * {lg}) * 1e6) / 1e6
+               (SELECT round(exp((bucket + 0.5) * {lg}) * 1e6, 0) / 1e6
                 FROM cum CROSS JOIN tot
                 WHERE _cum >= ceil({p} * _tot)
                 ORDER BY bucket LIMIT 1) AS est,
@@ -435,6 +445,8 @@ def log_histogram_state_by(
     import math
 
     x = F.col(value_col).cast("double")
+    # floor = DDSketch bucket definition; gamma^k boundaries are
+    # irrational, no integer attractor (see log_histogram's note).
     bucket = F.when(
         x > 0, F.floor(F.log(x) / F.lit(float(math.log(gamma))))
     ).otherwise(F.lit(-(1 << 31))).cast("int")
@@ -484,9 +496,11 @@ def log_histogram_quantiles_by(
                 "group",
                 F.lit(p).alias("p"),
                 (
-                    F.floor(
+                    # round, not floor: exp is a libm estimate (see
+                    # log_histogram_quantiles)
+                    F.round(
                         F.exp((F.col("_b") + F.lit(0.5)) * F.lit(lg))
-                        * F.lit(1e6)
+                        * F.lit(1e6), 0
                     )
                     / F.lit(1e6)
                 ).alias("est"),
@@ -513,7 +527,7 @@ def sql_log_histogram_quantiles_by(
     for p in pcts:
         selects.append(f"""
         SELECT "group", CAST({p} AS DOUBLE) AS p,
-               floor(exp((min(bucket) + 0.5) * {lg}) * 1e6) / 1e6 AS est,
+               round(exp((min(bucket) + 0.5) * {lg}) * 1e6, 0) / 1e6 AS est,
                CAST(max(_tot) AS BIGINT) AS n_total
         FROM cum WHERE _cum >= ceil({p} * _tot) GROUP BY "group" """)
     body = " UNION ALL ".join(selects)
