@@ -21,6 +21,54 @@ At 100 TB: n_buckets is sized so each bucket is a few GB (e.g. 4096+
 buckets); an upsert batch touching K distinct keys reads/writes at most
 K buckets, not the table. Bucket pruning happens by path selection, which
 is strictly stronger than relying on min/max stats.
+
+CRASH-CONSISTENCY CONTRACT — what an operator built on this module may
+assume without re-deriving it (each guarantee is pinned by the cited
+tests):
+
+===================  =======================================================
+Guarantee            Mechanism / test
+===================  =======================================================
+Manifest flip is     ``Manifest.save`` writes a uuid-unique tmp file then
+ATOMIC               ``os.replace`` — a reader sees the old or the new
+                     manifest, never a torn one. Same pattern for the
+                     span-store meta pointer (``operators/dedup.py``,
+                     ``_span_meta.json``). tests/test_upsert.py (manifest
+                     persistence), tests/test_streaming_windows.py
+                     (span meta mid-stream).
+Commit is CAS        Verify→save runs under ``_ManifestLock`` re-checking
+(exactly one         the planned txn; of N racing writers exactly one
+winner)              commits, losers raise ``ConcurrentWriteError`` and
+                     roll back ONLY their writer-unique
+                     ``v{txn}_{wtoken}`` dirs — a loser can never delete
+                     a winner's data. tests/test_manifest_lock.py::
+                     test_steal_storm_mutual_exclusion.
+Lock steal is        A stealer measures (stat→read→stat, same-incarnation
+identity-verified    check), renames the lock aside, re-verifies the stale
+                     content, and restores a fresh lock via ``os.link`` on
+                     mismatch; a victim whose lock was broken fails
+                     ``holds()`` and aborts rather than commit.
+                     tests/test_manifest_lock.py (fresh-acquirer restore,
+                     TOCTOU incarnation check).
+Readers are          A reader resolves the manifest ONCE and reads only
+snapshot-isolated    the version dirs that snapshot names; a concurrent
+                     commit creates NEW ``v{txn}_{wtoken}`` dirs and GC
+                     deletes only dirs no retained snapshot references —
+                     a mid-compaction/mid-merge reader keeps a complete,
+                     consistent file list. tests/test_upsert.py
+                     (time travel / keep_versions).
+Staging is           Data lands in a writer-unique ``_staging_*`` dir and
+invisible until      is promoted by per-bucket ``os.replace``; nothing
+commit               under ``buckets/`` is referenced until the manifest
+                     flip, so a crash mid-write leaves garbage dirs but a
+                     correct table (garbage is bounded by wtoken
+                     uniqueness and removed by the next writer's abort
+                     path or GC).
+Retries are          A re-run of a failed MERGE re-plans from the current
+idempotent           manifest; committed effects are keyed by txn, so
+                     replaying an uncommitted batch cannot double-apply.
+                     tests/test_streaming_ingest.py (effectively-once).
+===================  =======================================================
 """
 
 from __future__ import annotations
