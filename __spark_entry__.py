@@ -6109,6 +6109,156 @@ def q_fd_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pipeline_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end ops lifecycle in one query — the closest the sandbox
+    gets to the reference's replicator integration specs
+    (lib/webhookdb/spec_helpers/shared_examples_for_replicators.rb:13-183):
+    events become webhook ENVELOPES in three arrival windows, each
+    batch runs the landing-contract ingest (shape → quarantine rows
+    violating the table's invariants: 'error' events and
+    value_cents > 40000 → MERGE only the clean remainder), the IVM
+    matview maintains per-type totals from the MERGE change feed, and
+    a change-feed-driven DatabaseSyncTarget exports post-images into a
+    parquet replica with txn watermark + feed trim. Returns the final
+    EXPORTED replica (one row per user: their latest clean event),
+    after asserting the IVM matview agrees with totals recomputed from
+    the replica — replica == current table because this feed never
+    deletes keys. The oracle recomputes the replica from scratch:
+    latest clean event per user.
+
+    Per-batch work is batch-proportional end to end: contract CASE +
+    keyed MERGE touch only the batch's buckets, the matview retract/
+    apply and the sync's anti-join touch only CHANGED keys, and the
+    trimmed feed keeps the change-dir scan a day's txns at 100 TB.
+    """
+    import shutil
+    import tempfile
+
+    from webhookdb_spark.operators.matview import IncrementalAggMaintainer
+    from webhookdb_spark.operators.upsert import (
+        upsert_envelopes_with_contract,
+    )
+    from webhookdb_spark.sinks.sync_target import (
+        DatabaseSyncTarget,
+        SyncState,
+    )
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.storage import Warehouse
+    from webhookdb_spark.types import ColumnType
+
+    spec = ReplicatorSpec(
+        name="pipeline_demo_v1",
+        table="pipeline_demo_v1",
+        remote_key=Col("user_id", ColumnType.BIGINT),
+        denorm_cols=(
+            Col("event_type", ColumnType.TEXT),
+            Col("ts_us", ColumnType.BIGINT),
+            Col("value_cents", ColumnType.BIGINT),
+        ),
+        timestamp_col="ts_us",
+        update_where=lambda s, t: s("ts_us") > t("ts_us"),
+        n_buckets=4,
+    )
+    rules = [
+        ("in_set", "event_type", ["click", "purchase", "signup", "view"]),
+        ("between", "value_cents", 1, 40000),
+    ]
+    ev = load(spark, sf, "events")
+    splits = ("2024-01-15", "2024-01-23")
+    windows = [
+        ev.where(F.col("ts") < splits[0]),
+        ev.where((F.col("ts") >= splits[0]) & (F.col("ts") < splits[1])),
+        ev.where(F.col("ts") >= splits[1]),
+    ]
+    root = tempfile.mkdtemp(prefix="whdb_lifecycle_")
+    try:
+        table = Warehouse(spark, f"{root}/wh").table(
+            "org", "pipeline_demo_v1"
+        )
+        mt = IncrementalAggMaintainer(
+            spark, f"{root}/ivm", "user_id", "event_type", "value_cents"
+        )
+        from pathlib import Path as _P
+
+        target = DatabaseSyncTarget(
+            state=SyncState(_P(root) / "sync_state.json"),
+            ts_col="ts_us",
+            key_col="user_id",
+            dest_path=_P(root) / "replica.parquet",
+        )
+        for i, w in enumerate(windows):
+            env = w.select(
+                F.col("event_id").cast("string").alias("opaque_id"),
+                F.to_json(
+                    F.struct(
+                        "user_id",
+                        "event_type",
+                        F.unix_micros(
+                            F.col("ts").cast("timestamp")
+                        ).alias("ts_us"),
+                        F.floor(F.col("value") * 100)
+                        .cast("long")
+                        .alias("value_cents"),
+                    )
+                ).alias("body"),
+                F.col("ts").alias("received_at"),
+                F.col("event_id").alias("_seq"),
+            )
+            upsert_envelopes_with_contract(
+                table, env, spec, rules, f"{root}/quarantine"
+            )
+            mt.run(table)  # IVM consumes the feed BEFORE the sync trims
+            target.run_sync_changes(
+                table, now=f"2024-02-0{i + 1} 00:00:00", trim=True
+            )
+        out = (
+            spark.read.parquet(f"{root}/replica.parquet")
+            .select("user_id", "event_type", "ts_us", "value_cents")
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+        # IVM consistency gate: the maintained matview must equal the
+        # totals recomputed from the exported replica (both views of
+        # the same current rows). Tiny collects — rows == event types.
+        got = {
+            r["group"]: (r["n_keys"], r["total"])
+            for r in mt.aggregate().collect()
+        }
+        want = {
+            r["event_type"]: (r["n_keys"], r["total"])
+            for r in out.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("value_cents").cast("long").alias("total"),
+            ).collect()
+        }
+        if got != want:
+            raise AssertionError(
+                f"IVM matview diverged from the exported replica: "
+                f"{got} != {want}"
+            )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_PIPELINE_LIFECYCLE = """
+WITH clean AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+  WHERE event_type IN ('click', 'purchase', 'signup', 'view')
+    AND CAST(floor(value * 100) AS BIGINT) BETWEEN 1 AND 40000
+)
+SELECT user_id, event_type, ts_us, value_cents
+FROM clean WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def q_span_dedup_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicate-span REMOVAL with reconstruction (Lee et al.
     2022's rewrite stage — span_novelty scores, this one edits): every
@@ -6261,6 +6411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": q_dedup_eval,
         "embed_near_dup_ivf": q_embed_near_dup_ivf,
         "matview_event_totals": q_matview_event_totals,
+        "pipeline_lifecycle": q_pipeline_lifecycle,
         "doc_keywords": q_doc_keywords,
         "vocab_growth": q_vocab_growth,
         "token_collocations": q_token_collocations,
@@ -6509,6 +6660,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_feed_maintained": _sql_scd2_feed_maintained(),
         "table_diff": SQL_TABLE_DIFF,
         "matview_event_totals": SQL_MATVIEW_TOTALS,
+        "pipeline_lifecycle": SQL_PIPELINE_LIFECYCLE,
         "text_entropy": X.sql_char_entropy("documents"),
         "span_novelty": D.sql_span_novelty(),
         "source_span_leakage": D.sql_source_span_leakage(),
