@@ -35,3 +35,43 @@ def test_debt_fits_rotation_runway():
     assert debt <= registry
     assert {q for q in registry if q not in latest} <= debt
     assert len(debt) <= 2 * WINDOW
+
+
+def test_rotation_sorted_orders_needy_first():
+    """The derived registry order (r10): priority re-checks lead, then
+    never-checked (no tracked row), then stalest-first, registry
+    source order as the tie-break — on a synthetic record, so the
+    invariant is pinned independent of the repo's current state."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    base = {n: (lambda s, d: None) for n in
+            ["fresh_a", "stale_b", "never_c", "prio_d", "stale_a"]}
+    saved_record = entrymod._ROTATION_RECORD
+    saved_prio = entrymod._ROTATION_PRIORITY
+    try:
+        entrymod._ROTATION_RECORD = {
+            "fresh_a": 9, "stale_b": 6, "stale_a": 6, "prio_d": 9,
+        }
+        entrymod._ROTATION_PRIORITY = ["prio_d"]
+        got = list(entrymod._rotation_sorted(base))
+    finally:
+        entrymod._ROTATION_RECORD = saved_record
+        entrymod._ROTATION_PRIORITY = saved_prio
+    assert got == ["prio_d", "never_c", "stale_b", "stale_a", "fresh_a"]
+
+
+def test_rotation_record_matches_audit_view():
+    """queries()'s ordering source and the audit must read the SAME
+    record (git-tracked correctness files): a divergence would let the
+    driver check one order while the audit enforces another."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    audit_latest, _ = load_record()
+    entry_latest = entrymod._latest_driver_round()
+    assert entry_latest == audit_latest
