@@ -1578,3 +1578,53 @@ def test_order_percentiles_cross_engine(spark, tmp_path_factory, prices):
     want = sorted(map(tuple, con.execute(
         entry.oracle_sql()["order_percentiles"]).fetchall()))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 6),                     # user_id (collisions)
+            st.integers(0, 5),                     # day offset (ts ties)
+            st.sampled_from(["click", "purchase", "error", "view"]),
+            st.sampled_from([0.01, 3.5, 120.0, 405.0, 450.0]),  # 405+ → quarantine
+        ),
+        min_size=1, max_size=18,
+    )
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pipeline_lifecycle_cross_engine(spark, tmp_path_factory, rows_in):
+    """Random-input pin for the full ops-lifecycle query: envelope
+    intake → contract quarantine ('error' type, value > 400.00) →
+     3-window MERGE → IVM matview → change-feed sync export, against
+    the from-scratch SQL oracle. Generates user collisions, (user, ts)
+    TIES (same window by construction — equal ts always lands in one
+    arrival window, where last-wins keys on event_id, matching the
+    oracle's event_id DESC), all-quarantined users (absent from the
+    export), and empty middle windows."""
+    import duckdb as _duck
+
+    import __spark_entry__ as entry
+
+    tmp = tmp_path_factory.mktemp("lifecycle")
+    rows = [
+        (i, f"2024-01-{10 + d:02d} 00:00:00", u, et, v)
+        for i, (u, d, et, v) in enumerate(rows_in)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp / "events.parquet")
+    )
+    got = sorted(
+        tuple(r)
+        for r in entry.q_pipeline_lifecycle(spark, str(tmp)).collect()
+    )
+    con = _duck.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp}/events.parquet/*.parquet'")
+    want = sorted(map(tuple, con.execute(
+        entry.oracle_sql()["pipeline_lifecycle"]).fetchall()))
+    assert got == want
