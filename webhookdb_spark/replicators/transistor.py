@@ -39,6 +39,16 @@ _KEY = Col("transistor_id", T, data_key="id")
 _GUARD = lambda s, t: t("updated_at") < s("updated_at")  # noqa: E731
 
 
+def _transistor_unwrap(body):
+    """transistor_v1_mixin.rb:19-23: a body carrying a ``data`` key is
+    a JSON:API envelope — the resource is ``body.data`` and the
+    envelope rides along as the event; a bare resource passes through.
+    Fidelity gap found by the golden-payload suite (the reference's
+    episode/show spec bodies are all wrapped)."""
+    data = F.get_json_object(body, "$.data")
+    return F.coalesce(data, body), F.when(data.isNotNull(), body)
+
+
 # --- minimal DOM for the description split ---------------------------------
 
 _VOID = {"br", "hr", "img", "input", "meta", "link"}
@@ -223,6 +233,7 @@ def transistor_episode_v1(
         ),
         timestamp_col="updated_at",
         update_where=_GUARD,
+        resource_and_event=_transistor_unwrap,
         enrichment_fetcher=enrich,
         prepare_hook=_episode_format_hook,
     )
@@ -249,5 +260,6 @@ TRANSISTOR_SHOW_V1 = register(
         ),
         timestamp_col="updated_at",
         update_where=_GUARD,
+        resource_and_event=_transistor_unwrap,
     )
 )
