@@ -382,3 +382,37 @@ def test_transistor_episode_golden_wrapped_body(spark, tmp_warehouse):
     )
     upsert_envelopes(t2, _env(spark, [body["data"]]), TRANSISTOR_EPISODE_V1)
     assert t2.read().collect()[0].title == "THE SHOW"
+
+
+def test_increase_family_golden_doc_resources(spark, tmp_warehouse):
+    """The Increase family's golden API-doc resources
+    (let(:doc_resource_json) in each increase_*_v1_spec.rb, which the
+    shared examples merge with updated_at to form the 'a replicator'
+    body): every one must insert with its id as the remote key and
+    parse the mixin timestamps."""
+    import re
+
+    from webhookdb_spark.spec import _REGISTRY
+    # importing the module registers the whole family
+    import webhookdb_spark.replicators.increase  # noqa: F401
+
+    pat = re.compile(
+        r"let\(:doc_resource_json\) \{ <<~JSON \}\n(.*?)\n\s*JSON\n", re.S
+    )
+    checked = 0
+    for f in sorted(SPECS.glob("increase_*_v1_spec.rb")):
+        name = f.name[:-8]
+        m = pat.search(f.read_text())
+        if m is None or name not in _REGISTRY:
+            continue
+        resource = json.loads(m.group(1))
+        body = dict(resource, updated_at="2020-01-31T23:59:59Z")
+        t = Warehouse(spark, str(tmp_warehouse)).table("org", name)
+        res = upsert_envelopes(t, _env(spark, [body]), _REGISTRY[name])
+        assert res.inserted == 1, name
+        row = t.read().collect()[0]
+        assert row.increase_id == resource["id"], name
+        if "created_at" in resource and hasattr(row, "created_at"):
+            assert row.created_at is not None, name
+        checked += 1
+    assert checked >= 7, f"only {checked} increase golden resources found"
