@@ -555,3 +555,56 @@ def test_db_sync_from_change_feed_merges_and_verifies(spark, tmp_warehouse):
     # feed trimmed, steady state syncs nothing
     assert change_txns(t) == []
     assert tgt.run_sync_changes(t, "2024-01-05 00:00:00") == 0
+
+
+def test_db_sync_crash_between_merge_and_watermark_is_idempotent(
+    spark, tmp_warehouse
+):
+    """DatabaseSyncTarget.run_sync_changes commits its txn watermark
+    only AFTER the replica merge lands — so a crash in between leaves
+    a delivered-but-unacknowledged batch, and the re-run must re-merge
+    the same post-images without duplicating replica rows (the
+    anti-join keys the merge, making redelivery idempotent — the
+    docstring's claim, pinned here by rolling the watermark back)."""
+    import json as _json
+
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.sinks.sync_target import (
+        DatabaseSyncTarget,
+        SyncState,
+    )
+
+    t = Warehouse(spark, tmp_warehouse / "wh_dbcrash").table("org", "fake_v1")
+    upsert_envelopes(t, _cdc_env(spark, [
+        {"my_id": f"k{i}", "at": "2024-01-01T00:00:00Z"} for i in range(6)
+    ]), FAKE_V1)
+    state = SyncState(tmp_warehouse / "dbcrash_st.json")
+    tgt = DatabaseSyncTarget(
+        state=state, ts_col="at", key_col="my_id",
+        dest_path=tmp_warehouse / "replica_crash.parquet",
+    )
+    assert tgt.run_sync_changes(t, "2024-01-02 00:00:00", trim=False) == 6
+
+    # simulate the crash: merge landed (replica has 6 rows) but the
+    # watermark save never happened
+    st = state.load()
+    st["last_synced_txn"] = 0
+    state.save(st)
+
+    # redelivery: same post-images re-merge; no duplicates, watermark
+    # advances past the txn this time
+    assert tgt.run_sync_changes(t, "2024-01-02 00:10:00", trim=False) == 6
+    replica = spark.read.parquet(str(tmp_warehouse / "replica_crash.parquet"))
+    assert replica.count() == 6
+    assert replica.select("my_id").distinct().count() == 6
+    assert int(state.load()["last_synced_txn"]) > 0
+
+    # a subsequent update still lands exactly once
+    upsert_envelopes(t, _cdc_env(spark, [
+        {"my_id": "k0", "at": "2024-01-03T00:00:00Z"}
+    ]), FAKE_V1)
+    assert tgt.run_sync_changes(t, "2024-01-04 00:00:00") == 1
+    replica = spark.read.parquet(str(tmp_warehouse / "replica_crash.parquet"))
+    assert replica.count() == 6
+    k0 = [r for r in replica.collect() if r.my_id == "k0"]
+    assert len(k0) == 1
