@@ -120,3 +120,28 @@ def test_strip_encoded_nuls():
 
 def test_canonical_json_sorted():
     assert C.canonical_json_py({"b": 1, "a": {"d": 2, "c": 3}}) == '{"a":{"c":3,"d":2},"b":1}'
+
+
+def test_json_drop_keys_preserves_nested_values(spark):
+    """json_drop_keys_udf strips only the named top-level keys and
+    keeps every other value byte-faithful (nested objects, arrays,
+    numbers) — the _resource_to_data key-stripping kernel."""
+    import json
+
+    from webhookdb_spark.functions.converters import json_drop_keys_udf
+
+    rows = [
+        ('{"a":1,"q":{"x":[1,2]},"keep":{"deep":{"v":0.5}}}',),
+        ('{"q":"only"}',),
+        ("[1,2,3]",),       # non-object passes through
+        ("not json",),      # unparseable passes through
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    out = [r.o for r in df.select(
+        json_drop_keys_udf("q")("j").alias("o")).collect()]
+    assert json.loads(out[0]) == {"a": 1, "keep": {"deep": {"v": 0.5}}}
+    assert json.loads(out[1]) == {}
+    assert out[2] == "[1,2,3]"
+    assert out[3] == "not json"
+    assert out[4] is None

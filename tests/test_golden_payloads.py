@@ -416,3 +416,57 @@ def test_increase_family_golden_doc_resources(spark, tmp_warehouse):
             assert row.created_at is not None, name
         checked += 1
     assert checked >= 7, f"only {checked} increase golden resources found"
+
+
+def _rb_str_decode(s: str) -> str:
+    """Decode a double-quoted Ruby string literal's escapes."""
+    out, i = [], 0
+    mp = {"r": "\r", "n": "\n", "t": "\t", '"': '"', "\\": "\\"}
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s) and s[i + 1] in mp:
+            out.append(mp[s[i + 1]])
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def test_jotform_multipart_golden(spark, tmp_warehouse):
+    """jotform_webhook_v1_spec.rb's multipart/form-data golden body
+    (the raw POST bytes as a Ruby string literal): the replicator must
+    parse the form fields, the rawRequest JSON-in-a-field, and derive
+    the questions map with the temp_upload file-answer indirection —
+    the reference's expected_row values verbatim
+    (jotform_webhook_v1.rb:44-84)."""
+    import re
+
+    from webhookdb_spark.replicators.misc import JOTFORM_WEBHOOK_V1
+
+    text = (SPECS / "jotform_webhook_v1_spec.rb").read_text()
+    m = re.search(r'let\(:body\) do\s*\n\s*"(.*?)"\n\s*end', text, re.S)
+    body = _rb_str_decode(m.group(1))
+    assert body.startswith("--") and "form-data" in body
+
+    t = Warehouse(spark, str(tmp_warehouse)).table("org", "jotform_webhook_v1")
+    res = upsert_envelopes(t, _env(spark, [body]), JOTFORM_WEBHOOK_V1)
+    assert res.inserted == 1
+    row = t.read().collect()[0]
+    assert row.event_id == "1753766885252_5555_jxErYuv"
+    assert row.form_id == "5555"
+    assert row.submission_id == "6295760960429644172"
+    qs = json.loads(row.questions)
+    assert qs["bluesky"] == ""
+    assert qs["password"] == "somepassword2"
+    assert qs["schooltext"] == "newschool"
+    assert qs["headerImage"] == [
+        "https://www.jotform.com/uploads/RobG/5555/6295760960429644172/"
+        "Screenshot%202025-07-03%20at%2008.07.58.png"
+    ]
+    d = json.loads(row.data)
+    # _resource_to_data parity: rawRequest stored parsed, questions
+    # stripped from the payload column
+    assert isinstance(d["rawRequest"], dict)
+    assert "questions" not in d
+    assert d["action"] == ""

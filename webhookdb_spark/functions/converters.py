@@ -380,6 +380,42 @@ CONV_QUESTIONABLE_TS = Converter(
 )
 
 
+def json_drop_keys_udf(*keys: str):
+    """Pandas UDF factory: remove top-level keys from a JSON-object
+    string, nested values preserved verbatim (the `-` jsonb operator /
+    the reference's _resource_to_data key-stripping). NULLs and
+    non-objects pass through. A UDF for the same reason as
+    :func:`json_merge_udf` — native map<string,string> round-trips
+    cannot preserve nested values."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    drop = set(keys)
+
+    def strip(col):
+        import json as _json
+
+        out = []
+        for x in col:
+            if x is None:
+                out.append(None)
+                continue
+            try:
+                d = _json.loads(x)
+                if not isinstance(d, dict):
+                    out.append(x)
+                    continue
+                out.append(_json.dumps(
+                    {k: v for k, v in d.items() if k not in drop},
+                    separators=(",", ":"),
+                ))
+            except (ValueError, TypeError):
+                out.append(x)
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(strip, "string")
+
+
 def json_merge_udf():
     """Pandas UDF: shallow merge of two JSON-object strings, right keys
     winning; NULL on either side passes the other through. Matches

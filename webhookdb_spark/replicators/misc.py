@@ -63,10 +63,105 @@ def _epoch_millis(c: Column) -> Column:
 
 _JOTFORM_TS = Converter(name="jotform_millis", spark=_epoch_millis, sql=None)
 
-# jotform_webhook_v1.rb — form submission webhooks. The reference also
-# parses multipart/form-data request bodies into JSON
-# (_resource_and_event); that is the HTTP intake layer's job here —
-# envelopes arrive with JSON bodies.
+
+def _jotform_prepare_udf():
+    """Arrow-batched kernel mirroring the reference jotform pipeline
+    (jotform_webhook_v1.rb:44-79): a multipart/form-data POST body
+    parses into its form fields (Rack::Multipart.parse_multipart for
+    the text-field case Jotform sends), the ``rawRequest`` and
+    ``validatedNewRequiredFieldIDs`` fields — JSON encoded as strings
+    inside the form — parse into objects so the remote-key/timestamp
+    digs work, and the ``questions`` map derives from the ``q<d>_``
+    answer keys plus the ``temp_upload`` file-answer indirection.
+    Already-JSON bodies (intake layers that pre-decode, existing
+    callers) pass through the same preparation.
+
+    A UDF because the work is dynamic-key JSON restructuring (answer
+    keys differ per form) that native functions cannot express without
+    lossy map<string,string> round-trips; volume is webhook-intake
+    scale, Arrow-batched like the jsonb-merge kernel.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qkey = _re.compile(r"^q\d+_")
+
+    def parse_multipart(body: str) -> dict:
+        boundary = body.split("\r\n", 1)[0]
+        fields: dict = {}
+        for part in body.split(boundary):
+            if "\r\n\r\n" not in part:
+                continue
+            head, _, value = part.partition("\r\n\r\n")
+            m = _re.search(r'name="([^"]*)"', head)
+            if m is None:
+                continue
+            fields[m.group(1)] = value[:-2] if value.endswith("\r\n") else value
+        return fields
+
+    def prepare(bodies):
+        import json as _json
+
+        out = []
+        for body in bodies:
+            if body is None:
+                out.append(None)
+                continue
+            try:
+                if body.startswith("--") and "form-data" in body[:4096]:
+                    d = parse_multipart(body)
+                else:
+                    d = _json.loads(body)
+                if not isinstance(d, dict):
+                    out.append(body)
+                    continue
+                raw = d.get("rawRequest")
+                if isinstance(raw, str):
+                    raw = _json.loads(raw)
+                    d["rawRequest"] = raw
+                vn = d.get("validatedNewRequiredFieldIDs")
+                if isinstance(vn, str):
+                    try:
+                        d["validatedNewRequiredFieldIDs"] = _json.loads(vn)
+                    except ValueError:
+                        pass
+                if isinstance(raw, dict) and "questions" not in d:
+                    qs = {
+                        qkey.sub("", k): v
+                        for k, v in raw.items() if qkey.match(k)
+                    }
+                    tu = raw.get("temp_upload")
+                    if isinstance(tu, dict):
+                        for k in tu:
+                            pure = qkey.sub("", k)
+                            if pure in raw:
+                                qs[pure] = raw[pure]
+                    d["questions"] = qs
+                out.append(_json.dumps(d, separators=(",", ":")))
+            except (ValueError, TypeError):
+                out.append(body)
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(prepare, "string")
+
+
+def _jotform_unwrap(body: Column) -> tuple[Column, Column | None]:
+    return _jotform_prepare_udf()(body), None
+
+
+def _jotform_data_hook(df):
+    # _resource_to_data (jotform_webhook_v1.rb:80-84): the derived
+    # questions map lives in its column, not in the stored payload.
+    from webhookdb_spark.functions.converters import json_drop_keys_udf
+
+    return df.withColumn("data", json_drop_keys_udf("questions")(F.col("data")))
+
+
+# jotform_webhook_v1.rb — form submission webhooks: multipart bodies
+# parse into form fields, rawRequest into an object, question answers
+# into the questions map (see _jotform_prepare_udf).
 JOTFORM_WEBHOOK_V1 = register(
     ReplicatorSpec(
         name="jotform_webhook_v1",
@@ -84,6 +179,8 @@ JOTFORM_WEBHOOK_V1 = register(
         ),
         timestamp_col="submit_date",
         update_where=lambda s, t: t("submit_date") < s("submit_date"),
+        resource_and_event=_jotform_unwrap,
+        prepare_hook=_jotform_data_hook,
     )
 )
 
