@@ -470,3 +470,36 @@ def test_jotform_multipart_golden(spark, tmp_warehouse):
     assert isinstance(d["rawRequest"], dict)
     assert "questions" not in d
     assert d["action"] == ""
+
+
+def test_plivo_urlencoded_golden(spark, tmp_warehouse):
+    """plivo_sms_inbound_v1_spec.rb — the golden body is
+    URI.encode_www_form of the JSON payload (Plivo POSTs
+    form-urlencoded): the replicator decodes the form natively and the
+    stored data coerces TotalAmount/TotalRate/Units to integers,
+    matching the spec's expected_data exactly."""
+    import re
+    from urllib.parse import urlencode
+
+    from webhookdb_spark.replicators.misc import PLIVO_SMS_INBOUND_V1
+
+    text = (SPECS / "plivo_sms_inbound_v1_spec.rb").read_text()
+    m = re.search(
+        r"URI\.encode_www_form\(JSON\.parse\(<<~(\w+)\)\)\n(.*?)\n\s*\1\n",
+        text, re.S,
+    )
+    payload = json.loads(m.group(2))
+    expected_data = _ruby_json_lets(
+        "plivo_sms_inbound_v1_spec.rb", "expected_data"
+    )[0]
+    body = urlencode(payload)  # quote_plus, the encode_www_form analog
+    t = Warehouse(spark, str(tmp_warehouse)).table(
+        "org", "plivo_sms_inbound_v1"
+    )
+    res = upsert_envelopes(t, _env(spark, [body]), PLIVO_SMS_INBOUND_V1)
+    assert res.inserted == 1
+    row = t.read().collect()[0]
+    assert row.plivo_message_uuid == "b30e9eb8-34bd-11ee-b8b2-0242ac110005"
+    assert row.from_number == "15306658721"
+    assert row.to_number == "12064263986"
+    assert json.loads(row.data) == expected_data

@@ -38,6 +38,37 @@ SIGNALWIRE_MESSAGE_V1 = register(
     )
 )
 
+def _plivo_unwrap(body: Column) -> tuple[Column, Column | None]:
+    """plivo_sms_inbound_v1.rb:45-50: Plivo POSTs form-urlencoded
+    bodies — ``URI.decode_www_form(body).to_h`` — so the resource is
+    the decoded key/value map. Fully native: str_to_map splits the
+    pairs, url_decode reverses the percent/plus encoding on both
+    sides, to_json materializes the resource. Already-JSON bodies
+    (pre-decoding intakes, existing callers) pass through."""
+    pairs = F.str_to_map(body, F.lit("&"), F.lit("="))
+    decoded = F.map_from_arrays(
+        F.transform(F.map_keys(pairs), F.url_decode),
+        F.transform(F.map_values(pairs), F.url_decode),
+    )
+    is_json = F.startswith(F.ltrim(body), F.lit("{"))
+    return F.when(is_json, body).otherwise(F.to_json(decoded)), None
+
+
+def _plivo_data_hook(df):
+    # _resource_to_data (plivo_sms_inbound_v1.rb:52-61): the INTEGER_KEYS
+    # arrive as form strings and store as integers. One regexp over the
+    # flat string map's JSON — the keys are fixed and the values numeric
+    # strings from Plivo's encoder.
+    return df.withColumn(
+        "data",
+        F.regexp_replace(
+            F.col("data"),
+            F.lit(r'"(TotalAmount|TotalRate|Units)":\s*"(-?\d+)"'),
+            F.lit('"$1":$2'),
+        ),
+    )
+
+
 # plivo_sms_inbound_v1.rb:20-36 — immutable inbound SMS events.
 PLIVO_SMS_INBOUND_V1 = register(
     ReplicatorSpec(
@@ -51,6 +82,8 @@ PLIVO_SMS_INBOUND_V1 = register(
         ),
         timestamp_col="row_inserted_at",
         update_where=lambda s, t: F.lit(False),
+        resource_and_event=_plivo_unwrap,
+        prepare_hook=_plivo_data_hook,
     )
 )
 
