@@ -503,3 +503,76 @@ def test_plivo_urlencoded_golden(spark, tmp_warehouse):
     assert row.from_number == "15306658721"
     assert row.to_number == "12064263986"
     assert json.loads(row.data) == expected_data
+
+
+def test_staleness_guard_golden_pairs_all_replicators(spark, tmp_warehouse):
+    """The reference's 'prevents overwriting new data with old' shared
+    example, run with each spec's OWN golden old/new pair across every
+    replicator whose spec embeds one as JSON: upsert old, upsert new
+    (the row must change), replay old (the new state must survive).
+    Compares the full row minus ingestion-time columns."""
+    import re
+
+    from webhookdb_spark.spec import _REGISTRY
+    import webhookdb_spark.replicators as R
+    import importlib
+    import pkgutil
+
+    for mod in pkgutil.iter_modules(R.__path__):
+        importlib.import_module(f"webhookdb_spark.replicators.{mod.name}")
+
+    # sanitize the #{' '} interpolation trick some specs use to pin
+    # trailing whitespace
+    def lets(text, name):
+        pat = re.compile(
+            rf"let\(:{name}\) do\s*\n\s*JSON\.parse\(<<~(\w+)\)\n(.*?)\n\s*\1\n",
+            re.S,
+        )
+        out = []
+        for m in pat.finditer(text):
+            raw = re.sub(r"#\{'\s*'\}", "", m.group(2))
+            try:
+                out.append(json.loads(raw))
+            except ValueError:
+                pass
+        return out
+
+    skip_cols = {"inserted_at", "row_inserted_at", "row_updated_at",
+                 "_received_at", "_seq", "_part"}
+    checked, changed_somewhere = 0, 0
+    for f in sorted(SPECS.glob("*_v1_spec.rb")):
+        name = f.name[:-8]
+        if name not in _REGISTRY:
+            continue
+        text = f.read_text()
+        olds = lets(text, "old_body")
+        news = lets(text, "new_body")
+        if not olds or not news:
+            continue
+        spec = _REGISTRY[name]
+        if spec.enrichment_fetcher is not None:
+            continue  # needs an injected fetcher; family tests cover it
+        t = Warehouse(spark, str(tmp_warehouse)).table("g", name)
+
+        def snap():
+            rows = t.read().collect()
+            assert len(rows) == 1, (name, len(rows))
+            return {k: v for k, v in rows[0].asDict().items()
+                    if k not in skip_cols}
+
+        upsert_envelopes(t, _env(spark, [olds[0]]), spec)
+        before = snap()
+        upsert_envelopes(t, _env(spark, [news[0]]), spec)
+        after_new = snap()
+        if after_new != before:
+            changed_somewhere += 1
+        res = upsert_envelopes(t, _env(spark, [olds[0]]), spec)
+        assert res.inserted == 0, name
+        assert snap() == after_new, (
+            f"{name}: replaying the old golden body overwrote newer data"
+        )
+        checked += 1
+    assert checked >= 20, f"only {checked} golden old/new pairs ran"
+    assert changed_somewhere >= 20, (
+        "new bodies should actually change rows for most replicators"
+    )
