@@ -576,3 +576,52 @@ def test_staleness_guard_golden_pairs_all_replicators(spark, tmp_warehouse):
     assert changed_somewhere >= 20, (
         "new bodies should actually change rows for most replicators"
     )
+
+
+def test_every_extractable_golden_body_shapes(spark, tmp_warehouse):
+    """The reference's 'a replicator' bodies, all of them: every spec
+    whose let(:body) is extractable JSON must shape to exactly one
+    inserted row through our registered spec. Specs already exercised
+    three-ways by the staleness-pair test skip here to bound suite
+    time; this covers the remainder (convertkit, email_octopus,
+    front_conversation, github release/repository_event, icalendar
+    calendar, sponsy, signalwire, webhookdb_customer, ...)."""
+    import re
+
+    from webhookdb_spark.spec import _REGISTRY
+    import webhookdb_spark.replicators as R
+    import importlib
+    import pkgutil
+
+    for mod in pkgutil.iter_modules(R.__path__):
+        importlib.import_module(f"webhookdb_spark.replicators.{mod.name}")
+
+    body_pat = re.compile(
+        r"let\(:body\) do\s*\n\s*JSON\.parse\(<<~(\w+)\)\n(.*?)\n\s*\1\n",
+        re.S,
+    )
+    old_pat = re.compile(r"let\(:old_body\) do\s*\n\s*JSON\.parse")
+    checked = []
+    for f in sorted(SPECS.glob("*_v1_spec.rb")):
+        name = f.name[:-8]
+        if name not in _REGISTRY:
+            continue
+        spec = _REGISTRY[name]
+        if spec.enrichment_fetcher is not None:
+            continue
+        text = f.read_text()
+        if old_pat.search(text):
+            continue  # the staleness-pair test already runs this spec
+        m = body_pat.search(text)
+        if m is None:
+            continue
+        raw = re.sub(r"#\{'\s*'\}", "", m.group(2))
+        try:
+            body = json.loads(raw)
+        except ValueError:
+            continue
+        t = Warehouse(spark, str(tmp_warehouse)).table("b", name)
+        res = upsert_envelopes(t, _env(spark, [body]), spec)
+        assert res.inserted == 1, name
+        checked.append(name)
+    assert len(checked) >= 8, f"only {checked}"
