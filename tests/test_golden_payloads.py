@@ -625,3 +625,21 @@ def test_every_extractable_golden_body_shapes(spark, tmp_warehouse):
         assert res.inserted == 1, name
         checked.append(name)
     assert len(checked) >= 8, f"only {checked}"
+
+
+def test_ics_invalid_bymonthyearday_projection_golden():
+    """invalid_bymonthyearday.ics — the reference's RRULE projection
+    pin (icalendar_calendar_v1_spec.rb:1941-1964): at a frozen
+    now=2024-08-01 the pathological BYMONTH/BYMONTHDAY rule projects
+    exactly 36 occurrences within the 5-year horizon, including the
+    listed DTSTART dates."""
+    from webhookdb_spark.operators.recurrence import FeedProjector
+
+    events = _feed("invalid_bymonthyearday.ics")
+    proj = FeedProjector(now=dt.datetime(2024, 8, 1, tzinfo=dt.timezone.utc))
+    parsed = [p for h in events for p in proj.project(h)]
+    assert len(parsed) == 36, len(parsed)
+    starts = {p["DTSTART"]["v"] for p in parsed}
+    for want in ["20220514", "20220814", "20221114",
+                 "20210814", "20211114", "20220214"]:
+        assert want in starts, (want, sorted(starts)[:10])
