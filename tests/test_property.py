@@ -1628,3 +1628,79 @@ def test_pipeline_lifecycle_cross_engine(spark, tmp_path_factory, rows_in):
     want = sorted(map(tuple, con.execute(
         entry.oracle_sql()["pipeline_lifecycle"]).fetchall()))
     assert got == want
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="ABCDEFGHabcdefgh_", min_size=1, max_size=10),
+        st.text(
+            alphabet="abc 123&=%+é中\r\n'\"",
+            max_size=20,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_plivo_urlencode_roundtrip(spark, fields):
+    """Random form fields through urlencode → the plivo unwrap must
+    decode them back exactly (plus the MessageUUID key so the row
+    isn't dropped): '&', '=', '%', '+', unicode, quotes, and CR/LF in
+    VALUES all round-trip; keys stay plain form names."""
+    import json
+    from urllib.parse import urlencode
+
+    from webhookdb_spark.replicators.misc import _plivo_unwrap
+
+    fields = {"MessageUUID": "u1", **fields}
+    body = urlencode(fields)
+    df = spark.createDataFrame([(body,)], "body string")
+    resource, _ = _plivo_unwrap(F.col("body"))
+    got = json.loads(df.select(resource.alias("r")).collect()[0].r)
+    assert got == fields
+
+
+@given(
+    st.dictionaries(
+        st.from_regex(r"q[0-9]{1,3}_[a-z]{1,8}", fullmatch=True),
+        st.one_of(
+            st.text(alphabet="abc 123é", max_size=12),
+            st.lists(st.text(alphabet="xy", max_size=4), max_size=3),
+            st.integers(-5, 5),
+        ),
+        max_size=6,
+    ),
+    st.text(alphabet="abcdef-123", min_size=4, max_size=12),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jotform_multipart_questions_roundtrip(spark, answers, ev):
+    """Random q<d>_ answers (strings, arrays, numbers) synthesized into
+    a multipart POST the way Jotform sends them (rawRequest as a
+    JSON-encoded form field) must come back as the cleaned-key
+    questions map, with rawRequest parsed into the stored data."""
+    import json
+
+    from webhookdb_spark.replicators.misc import _jotform_prepare_udf
+
+    raw = {"event_id": ev, "submitDate": "1609459200500", **answers}
+    boundary = "--------------------------testBoundaryABC123"
+    parts = [
+        ("formID", "77"), ("submissionID", "88"),
+        ("rawRequest", json.dumps(raw)),
+    ]
+    body = "".join(
+        f"{boundary}\r\nContent-Disposition: form-data; "
+        f'name="{k}"\r\n\r\n{v}\r\n'
+        for k, v in parts
+    ) + boundary + "--\r\n"
+    df = spark.createDataFrame([(body,)], "body string")
+    got = json.loads(
+        df.select(_jotform_prepare_udf()(F.col("body")).alias("r"))
+        .collect()[0].r
+    )
+    assert got["formID"] == "77"
+    assert got["rawRequest"]["event_id"] == ev
+    import re
+    want_q = {re.sub(r"^q\d+_", "", k): v for k, v in answers.items()}
+    assert got["questions"] == want_q
