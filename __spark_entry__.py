@@ -3603,6 +3603,15 @@ def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
     return SA.mixture_plan(load(spark, sf, "documents"))
 
 
+def q_mixture_plan_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Differential diagnosis for the mixture_plan driver seam: the
+    pure-integer (source, n_docs, n_tokens) prefix of the pipeline,
+    before any floating-point step. Red here ⇒ data/tokenizer seam;
+    green here with mixture_plan red ⇒ the pow/arithmetic chain.
+    Retire once mixture_plan holds a green driver row."""
+    return SA.mixture_plan_tokens(load(spark, sf, "documents"))
+
+
 def q_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Near-duplicate decontamination ACROSS corpora: training docs
     whose shingle-Jaccard to ANY eval doc (the doc_id % 7 = 0 slice,
@@ -6291,13 +6300,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_revenue_by_region(spark, "/root/testdata/sf0.001")
 
 
-# Queries needing a driver RE-check ahead of staleness order: a red or
-# no_oracle row is worse than a stale green one, but the staleness sort
-# below cannot see row QUALITY — only recency. Prune entries once a
-# fresh full-green row lands on the tracked record.
+# Queries needing a driver RE-check ahead of staleness order: a red /
+# no_oracle row, or a query whose IMPLEMENTATION changed after its last
+# green row (the staleness sort below sees row recency, not row quality
+# or code drift — tools/rotation_audit.py's fingerprint check enforces
+# the code-changed⇒re-check rule mechanically and names the queries to
+# put here). Prune entries once a fresh full-green row lands on the
+# tracked record.
 _ROTATION_PRIORITY = [
-    "mixture_plan",       # r9 hash-red; floor→round fix shipped r10
-    "embed_pca_project",  # r8 no_oracle; invariant oracle landed r9
+    "mixture_plan",         # r9+r10 hash-red; r11 exact-decimal rebuild
+    "mixture_plan_tokens",  # r11 diagnostic: integer-only prefix of ^
+    # r10 floor→round quantization sweep (a06b0d7) changed these while
+    # their green rows predate it — re-check on the new code:
+    "search_bm25",              # row r6
+    "order_status_priority_mi",  # row r7
+    "event_type_drift",          # row r7
+    "price_quantile_sketch",     # row r7
+    "value_quantiles_by_type",   # row r7
+    "order_percentiles",         # row r8
+    "dsir_importance",           # row r9
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None
@@ -6331,7 +6352,9 @@ def _latest_driver_round() -> dict[str, int]:
             )
             if out.returncode == 0 and out.stdout.strip():
                 files = [here / line for line in out.stdout.splitlines()]
-        except OSError:
+        except (OSError, subprocess.SubprocessError):
+            # TimeoutExpired is a SubprocessError, not an OSError — a
+            # hung git must fall back to the on-disk glob, not raise.
             pass
         if files is None:
             files = sorted(here.glob("CORRECTNESS_r*.json"))
@@ -6382,11 +6405,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # source order only a tie-break. Every entry runs in
     # tools/check_oracle.py regardless of position.
     base = {
-        # --- r9 rotation: the 64 never-driver-checked r8 queries
-        # lead (statistics/governance first — subtlest arithmetic);
-        # the driver's ~50-row budget first-checks positions 1-50,
-        # r10 covers the remainder. tools/rotation_audit.py enforces
-        # this ordering from here on. ---
+        # --- INVENTORY ONLY: source order below is just the final
+        # tie-break. The served order is computed by _rotation_sorted
+        # from the tracked driver record: _ROTATION_PRIORITY first
+        # (red rows + code-changed re-checks), then never-checked,
+        # then stalest-first. r11 window ≈ the 9 priority entries +
+        # the 18 r6-latest rows + the oldest r7 rows. ---
         "bootstrap_value_ci": q_bootstrap_value_ci,
         "ab_test_readout": q_ab_test_readout,
         "chi2_contingency": q_chi2_contingency,
@@ -6415,6 +6439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "quality_calibrated": q_quality_calibrated,
         "mixture_plan": q_mixture_plan,
+        "mixture_plan_tokens": q_mixture_plan_tokens,
         "span_novelty": q_span_novelty,
         "source_span_leakage": q_source_span_leakage,
         "span_store_incremental": q_span_store_incremental,
@@ -6680,6 +6705,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_hard_negatives": S.sql_hard_negatives(),
         "embed_pca_project": S.sql_pca_invariants("embeddings"),
         "mixture_plan": SA.sql_mixture_plan(),
+        "mixture_plan_tokens": SA.sql_mixture_plan_tokens(),
         "span_store_incremental": SQL_SPAN_STORE_INC.format(
             base=D.sql_span_novelty()),
         "doc_feature_matrix": _sql_doc_feature_matrix(),

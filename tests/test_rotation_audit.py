@@ -63,6 +63,80 @@ def test_rotation_sorted_orders_needy_first():
     assert got == ["prio_d", "never_c", "stale_b", "stale_a", "fresh_a"]
 
 
+def test_fingerprint_code_change_makes_query_needy(monkeypatch):
+    """The r11 code-changed⇒re-check rule: a query whose current
+    fingerprint differs from the vouched one (and with no driver row
+    newer than the fingerprint record) must be treated as needy — if
+    it sits deep in the registry the audit goes red with NEEDY-BURIED,
+    exactly like a never-checked query."""
+    import tools.rotation_audit as ra
+
+    stored = ra.load_fingerprints()
+    assert stored is not None
+    # Pick the LAST registry entry (freshest, deepest position) and
+    # pretend its code changed since its vouched round.
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    victim = list(entrymod.queries().keys())[-1]
+    fake = json.loads(json.dumps(stored))
+    fake["queries"][victim]["fp"] = "0" * 64
+    latest, _ = load_record()
+    fake["recorded_at"] = max(fake["recorded_at"], latest.get(victim, 0))
+    monkeypatch.setattr(ra, "load_fingerprints", lambda: fake)
+    problems = ra.audit()
+    assert any(p.startswith(f"NEEDY-BURIED {victim}") for p in problems), problems
+
+
+def test_fingerprint_refresh_demanded_after_new_row(monkeypatch):
+    """A driver row NEWER than the fingerprint record vouches for the
+    changed code — the audit demands a regeneration (FP-REFRESH), not
+    a reorder."""
+    import tools.rotation_audit as ra
+
+    stored = ra.load_fingerprints()
+    assert stored is not None
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    latest, newest = load_record()
+    victim = next(q for q in entrymod.queries() if latest.get(q) == newest)
+    fake = json.loads(json.dumps(stored))
+    fake["queries"][victim]["fp"] = "0" * 64
+    fake["recorded_at"] = newest - 1
+    monkeypatch.setattr(ra, "load_fingerprints", lambda: fake)
+    problems = ra.audit()
+    assert any(p.startswith(f"FP-REFRESH {victim}") for p in problems), problems
+
+
+def test_fingerprints_cover_registry_and_flag_unvouched():
+    """The committed fingerprint file covers every registry query; the
+    unvouched entries are exactly the queries re-checked this round
+    (the priority block leads them all)."""
+    import sys
+
+    import tools.rotation_audit as ra
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    stored = ra.load_fingerprints()
+    assert stored is not None
+    registry = list(entrymod.queries().keys())
+    assert set(stored["queries"]) == set(registry)
+    unvouched = {q for q, e in stored["queries"].items()
+                 if e["vouched"] is None}
+    # every unvouched query must lead the registry (needy-first)
+    positions = {q: i for i, q in enumerate(registry)}
+    bound = len(unvouched) + ra.SLACK
+    assert all(positions[q] < bound for q in unvouched), sorted(
+        (positions[q], q) for q in unvouched)
+
+
 def test_rotation_record_matches_audit_view():
     """queries()'s ordering source and the audit must read the SAME
     record (git-tracked correctness files): a divergence would let the

@@ -17,12 +17,27 @@ The driver checks roughly the FIRST 50 ``queries()`` entries per round
    impossible — VERDICT r8 "rotation debt is structural").
 3. ``rotation_debt.json`` must not list queries that already have a
    driver row or that left the registry (prune it every round).
+4. CODE CHANGED ⇒ RE-CHECK (r11, VERDICT r10 Next #2): a green driver
+   row only vouches for the code it ran. Every registry query has a
+   source FINGERPRINT (sha256 of its entry function, the transitive
+   closure of webhookdb_spark functions it calls, referenced module
+   constants, and its oracle SQL) recorded in
+   ``tools/query_fingerprints.json`` together with the round whose
+   driver row vouches for that exact fingerprint. A query whose
+   current fingerprint differs from the vouched one — or that was
+   recorded unvouched — is NEEDY exactly like a never-checked query
+   and must lead the registry until a fresh row lands.
+
+   Regenerate the file as the FIRST action of a round, right after
+   committing the driver's CORRECTNESS record and before touching any
+   code (that is what makes "newest row ⇒ ran the current code"
+   sound): ``python tools/rotation_audit.py --update [--unvouch q…]``.
 
 Only GIT-TRACKED correctness files count: the driver writes
 CORRECTNESS_r{N}.json AFTER the builder's last commit, so keying on
 tracked files keeps the suite green at judge time and turns the
-"commit the new record, prune the debt, reorder" sequence into the
-first red-to-green task of the next round.
+"commit the new record, prune the debt, regenerate fingerprints"
+sequence into the first red-to-green task of the next round.
 
 Exit 0 = green; exit 1 prints one line per violation. Run by pytest
 (tests/test_rotation_audit.py).
@@ -30,16 +45,23 @@ Exit 0 = green; exit 1 prints one line per violation. Run by pytest
 
 from __future__ import annotations
 
+import ast
+import hashlib
+import inspect
 import json
 import math
 import re
 import subprocess
 import sys
+import textwrap
+import types
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 WINDOW = 50  # driver's per-round correctness budget
 SLACK = 8   # tolerated non-needy interleavings in the needy block
+FP_FILE = REPO / "tools" / "query_fingerprints.json"
+_OUR_ROOTS = {"webhookdb_spark", "__spark_entry__"}
 
 
 def _tracked_correctness_files() -> list[Path]:
@@ -50,7 +72,9 @@ def _tracked_correctness_files() -> list[Path]:
         )
         if out.returncode == 0 and out.stdout.strip():
             return [REPO / line for line in out.stdout.splitlines()]
-    except OSError:
+    except (OSError, subprocess.SubprocessError):
+        # TimeoutExpired is a SubprocessError, not an OSError — a hung
+        # git must fall back to the on-disk glob, not raise.
         pass
     return sorted(REPO.glob("CORRECTNESS_r*.json"))
 
@@ -71,6 +95,117 @@ def load_record() -> tuple[dict[str, int], int]:
     return latest, newest
 
 
+def _is_ours(obj) -> bool:
+    mod = getattr(obj, "__module__", None)
+    return isinstance(mod, str) and mod.split(".")[0] in _OUR_ROOTS
+
+
+def _collect_sources(fn, seen: dict[str, str], depth: int = 0) -> None:
+    """Record ``fn``'s source plus the transitive closure of
+    webhookdb_spark/__spark_entry__ functions, classes, and module
+    constants its source references (static attribute/name analysis —
+    deterministic, no execution). Bounded at 500 nodes / depth 25 as a
+    runaway backstop; real closures are a handful of operators."""
+    if len(seen) >= 500 or depth > 25:
+        return
+    key = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', '?')}"
+    if key in seen:
+        return
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        seen[key] = repr(fn)
+        return
+    seen[key] = src
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return
+    g = getattr(fn, "__globals__", None)
+    if g is None:  # a class: use its defining module's namespace
+        mod = sys.modules.get(getattr(fn, "__module__", ""))
+        g = vars(mod) if mod else {}
+    for node in ast.walk(tree):
+        obj, const_key = None, None
+        if isinstance(node, ast.Name):
+            obj = g.get(node.id)
+            const_key = f"const:{getattr(fn, '__module__', '?')}:{node.id}"
+        elif isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
+            base = g.get(node.value.id)
+            if isinstance(base, types.ModuleType) and _is_ours(base):
+                obj = getattr(base, node.attr, None)
+                const_key = f"const:{base.__name__}:{node.attr}"
+        if obj is None:
+            continue
+        if isinstance(obj, (types.FunctionType, type)) and _is_ours(obj):
+            _collect_sources(obj, seen, depth + 1)
+        elif isinstance(obj, (str, int, float)) and not isinstance(obj, bool):
+            seen.setdefault(const_key, repr(obj))
+
+
+def compute_fingerprints(entrymod) -> dict[str, str]:
+    """{query: sha256 of (entry-fn closure sources + oracle SQL)}."""
+    oracles = entrymod.oracle_sql()
+    out: dict[str, str] = {}
+    for q, fn in entrymod.queries().items():
+        seen: dict[str, str] = {}
+        _collect_sources(fn, seen)
+        h = hashlib.sha256()
+        for k in sorted(seen):
+            h.update(k.encode())
+            h.update(b"\x01")
+            h.update(seen[k].encode())
+            h.update(b"\x00")
+        h.update(b"oracle\x01")
+        h.update(oracles.get(q, "").encode())
+        out[q] = h.hexdigest()
+    return out
+
+
+def load_fingerprints() -> dict | None:
+    if not FP_FILE.exists():
+        return None
+    try:
+        return json.loads(FP_FILE.read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def update_fingerprints(unvouch: set[str] | None = None) -> None:
+    """Regenerate query_fingerprints.json. A query's ``vouched`` round
+    carries over only while its fingerprint is unchanged; a row newer
+    than the previous record re-vouches (the driver ran the code
+    current at that round's close — which is THIS code iff you run
+    --update at round start, before editing). ``--unvouch`` forces
+    entries to unvouched when you know a row did NOT run current code
+    (e.g. the code changed mid-round after the driver's check)."""
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    unvouch = unvouch or set()
+    fps = compute_fingerprints(entrymod)
+    latest, newest = load_record()
+    old = load_fingerprints() or {"recorded_at": -1, "queries": {}}
+    old_at = old.get("recorded_at", -1)
+    queries: dict[str, dict] = {}
+    for q, fp in sorted(fps.items()):
+        oe = old.get("queries", {}).get(q)
+        if q in unvouch:
+            v = None
+        elif latest.get(q, -1) > old_at:
+            v = latest[q]
+        elif oe is not None and oe.get("fp") == fp:
+            v = oe.get("vouched")
+        else:
+            v = None
+        queries[q] = {"fp": fp, "vouched": v}
+    FP_FILE.write_text(json.dumps(
+        {"recorded_at": newest, "queries": queries}, indent=1) + "\n")
+    n_unv = sum(1 for e in queries.values() if e["vouched"] is None)
+    print(f"fingerprints: {len(queries)} queries recorded at r{newest}, "
+          f"{n_unv} unvouched")
+
+
 def audit() -> list[str]:
     sys.path.insert(0, str(REPO))
     import __spark_entry__ as entrymod
@@ -84,6 +219,9 @@ def audit() -> list[str]:
 
     problems: list[str] = []
     needy: list[str] = []  # registry order
+    stored = load_fingerprints()
+    fps = compute_fingerprints(entrymod) if stored else {}
+    stored_at = stored.get("recorded_at", -1) if stored else -1
     for q in registry:
         rnd = latest.get(q)
         if rnd is None:
@@ -95,6 +233,29 @@ def audit() -> list[str]:
                 )
         elif rnd < newest - horizon:
             needy.append(q)
+        elif stored is not None:
+            ent = stored.get("queries", {}).get(q)
+            if ent is None:
+                problems.append(
+                    f"FP-MISSING {q}: no entry in query_fingerprints.json "
+                    "— regenerate (python tools/rotation_audit.py --update)"
+                )
+            elif ent.get("fp") != fps.get(q) or ent.get("vouched") is None:
+                if rnd > stored_at:
+                    problems.append(
+                        f"FP-REFRESH {q}: driver re-checked in r{rnd} after "
+                        f"the fingerprint record (r{stored_at}) — regenerate "
+                        "(python tools/rotation_audit.py --update)"
+                    )
+                else:
+                    # code changed since the round that vouched for it
+                    # (or never vouched): needy like a never-checked row
+                    needy.append(q)
+    if stored is None:
+        problems.append(
+            "FP-FILE-MISSING: tools/query_fingerprints.json not found — "
+            "generate it (python tools/rotation_audit.py --update)"
+        )
 
     bound = len(needy) + SLACK
     for q in needy:
@@ -120,6 +281,13 @@ def audit() -> list[str]:
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--update":
+        rest = sys.argv[2:]
+        unvouch: set[str] = set()
+        if rest and rest[0] == "--unvouch":
+            unvouch = set(rest[1:])
+        update_fingerprints(unvouch)
+        return 0
     problems = audit()
     latest, newest = load_record()
     if problems:

@@ -588,18 +588,28 @@ def mixture_plan(
     * budget * weight / n)`` — epochs_micro > 1e6 means that source
     repeats (the signal to cap or collect more of it).
 
-    Quantization uses ``round``, not ``floor``: the ratio goes through
-    libm ``pow`` whose last ulp differs between the JVM and glibc, and
-    ``floor`` flips the quantized value whenever the true ratio lands
-    exactly on an integral micro boundary (e.g. n_tokens an exact
-    power). ``round`` is stable there — an ulp of disagreement moves
-    the argument within (k-0.5, k+0.5), never across it (the same
-    hardening applied to Welch/OLS/autocorrelation in r9, commit
-    f824962).
+    Cross-engine arithmetic contract (the r9/r10 hash-red fix, round
+    3): the ONLY floating-point step is libm ``pow``, and its output
+    is quantized to integer micro-units (``round(pow(n, alpha) *
+    1e6)`` → BIGINT) at that boundary. Everything downstream — the
+    normalizer sum, both ratios, and both micro quantizations — runs
+    in exact integer/decimal arithmetic via the half-up identity
+    ``round(a/b) = (2a + b) div (2b)`` (positive operands), which is
+    order-free and engine-identical by construction. The earlier
+    floor→round patch (eebe07f) quantized AFTER an unquantized double
+    SUM + division, leaving the whole chain exposed to accumulation-
+    order and division rounding differences between the JVM and
+    DuckDB; measurement showed the red rows sat ~1.5e5 ulps from any
+    round boundary, so only a structural rebuild could close it.
+    Residual exposure: a pow ulp flips one element's micro-quant only
+    when pow(n, alpha)*1e6 lies within ~1e-5 of a half-integer at
+    magnitude ~1e11 (~6e-5 per element; property-pinned invariant
+    under ±200-ulp perturbation in tests/test_property.py).
 
     Shape: one narrow token-count map, one groupBy on the source key
     (partial-agg friendly, a few dozen groups), one broadcast of the
-    1-row normalizer. Driver-free at any corpus size.
+    1-row normalizer. Driver-free at any corpus size; the decimal ops
+    stay inside whole-stage codegen.
     """
     toks = F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0B]+"))
     per = (
@@ -610,17 +620,29 @@ def mixture_plan(
             F.sum("_n").cast("long").alias("n_tokens"),
         )
     )
-    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
-    per = per.withColumn("_pw", pw)
-    tot = per.agg(F.sum("_pw").alias("_tot"))
-    return per.crossJoin(F.broadcast(tot)).select(
+    # libm boundary: quantize pow to integer micro-units immediately.
+    pm = F.round(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * F.lit(1e6), 0
+    ).cast("decimal(38,0)")
+    per = per.withColumn("_pm", pm)
+    tot = per.agg(F.sum("_pm").cast("decimal(38,0)").alias("_tm"))
+    j = per.crossJoin(F.broadcast(tot))
+    # Exact half-up rounding of integer ratios: round(a/b) = (2a+b) div (2b).
+    # Spark's `div` on decimals is BigDecimal.divideToIntegralValue — exact.
+    mix = F.expr(
+        "CAST((2 * CAST(1000000 AS DECIMAL(38,0)) * _pm + _tm)"
+        " div (2 * _tm) AS BIGINT)"
+    )
+    ep = F.expr(
+        f"CAST((2 * CAST(1000000 AS DECIMAL(38,0))"
+        f" * CAST({int(budget_tokens)} AS DECIMAL(38,0)) * _pm"
+        f" + _tm * n_tokens)"
+        f" div (2 * _tm * n_tokens) AS BIGINT)"
+    )
+    return j.select(
         "source", "n_docs", "n_tokens",
-        F.round(F.lit(1e6) * F.col("_pw") / F.col("_tot"), 0)
-        .cast("long").alias("mix_weight_micro"),
-        F.round(
-            F.lit(1e6) * F.lit(float(budget_tokens)) * F.col("_pw")
-            / (F.col("_tot") * F.col("n_tokens")), 0
-        ).cast("long").alias("epochs_micro"),
+        mix.alias("mix_weight_micro"),
+        ep.alias("epochs_micro"),
     )
 
 
@@ -629,8 +651,11 @@ def sql_mixture_plan(
     alpha: float = 0.7,
     budget_tokens: int = 10_000_000,
 ) -> str:
-    """DuckDB twin of :func:`mixture_plan` (same power-law weights,
-    same micro quantization)."""
+    """DuckDB twin of :func:`mixture_plan`: identical quantize-at-the-
+    libm-boundary contract — ``round(pow * 1e6)`` per element, then
+    exact 128-bit integer sum/ratio/quantization (HUGEINT ``//``
+    mirrors Spark's exact decimal ``div``; the half-up identity
+    ``round(a/b) = (2a+b) // (2b)`` is shared with the Spark twin)."""
     return f"""
     WITH per AS (
       SELECT source,
@@ -638,14 +663,49 @@ def sql_mixture_plan(
              sum(len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))) AS n_tokens
       FROM {table} GROUP BY source
     ), pw AS (
-      SELECT *, pow(CAST(n_tokens AS DOUBLE), {alpha}) AS p FROM per
+      SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), {alpha}) * 1e6, 0) AS HUGEINT) AS pm FROM per
     ), tot AS (
-      SELECT sum(p) AS t FROM pw
+      SELECT CAST(sum(pm) AS HUGEINT) AS tm FROM pw
     )
     SELECT source, n_docs, n_tokens,
-           CAST(round(1e6 * p / t, 0) AS BIGINT) AS mix_weight_micro,
-           CAST(round(1e6 * {float(budget_tokens)} * p / (t * n_tokens), 0) AS BIGINT) AS epochs_micro
+           CAST((2 * CAST(1000000 AS HUGEINT) * pm + tm) // (2 * tm) AS BIGINT) AS mix_weight_micro,
+           CAST((2 * CAST(1000000 AS HUGEINT) * CAST({int(budget_tokens)} AS HUGEINT) * pm + tm * CAST(n_tokens AS HUGEINT))
+                // (2 * tm * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS epochs_micro
     FROM pw, tot
+    """
+
+
+def mixture_plan_tokens(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Differential-diagnosis prefix of :func:`mixture_plan`: the
+    pure-integer (source, n_docs, n_tokens) aggregate BEFORE any
+    floating-point step. Registered as its own driver row so a
+    cross-engine divergence localizes definitively — this row red ⇒
+    the data/tokenizer seam (regexp split semantics), this row green
+    with ``mixture_plan`` red ⇒ the pow/arithmetic chain. Retire once
+    ``mixture_plan`` holds a green driver row (VERDICT r10 Next #1b).
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0B]+"))
+    return (
+        df.select(F.col(group_col).alias("source"), toks.alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def sql_mixture_plan_tokens(table: str = "documents") -> str:
+    """DuckDB twin of :func:`mixture_plan_tokens` (integer-only)."""
+    return f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))) AS n_tokens
+    FROM {table} GROUP BY source
     """
 
 
