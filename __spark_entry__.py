@@ -6169,6 +6169,12 @@ def q_pipeline_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
         n_buckets=4,
     )
     rules = [
+        # not_null first: in_set/between are documented NULL-pass, but
+        # the DuckDB oracle's IN/BETWEEN predicates EXCLUDE NULL rows —
+        # quarantining NULLs explicitly makes both sides agree by
+        # construction on any fixture (the events table has none today).
+        ("not_null", "event_type"),
+        ("not_null", "value_cents"),
         ("in_set", "event_type", ["click", "purchase", "signup", "view"]),
         ("between", "value_cents", 1, 40000),
     ]
@@ -6319,6 +6325,10 @@ _ROTATION_PRIORITY = [
     "value_quantiles_by_type",   # row r7
     "order_percentiles",         # row r8
     "dsir_importance",           # row r9
+    # r11: contract rules gained explicit not_null quarantine (NULL-pass
+    # in_set/between vs the oracle's NULL-excluding IN/BETWEEN) — code
+    # changed after its r10 row:
+    "pipeline_lifecycle",
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None

@@ -146,13 +146,73 @@ def test_jotform_millis_timestamps(spark, tmp_warehouse):
     t = Warehouse(spark, str(tmp_warehouse)).table("org", "jotform_webhook_v1")
     sub = {"formID": "f1", "submissionID": "s1",
            "rawRequest": {"event_id": "e1", "submitDate": "1609459200500",
-                          "buildDate": "1609459100000"},
-           "questions": {"q1": "a"}}
+                          "buildDate": "1609459100000",
+                          "q3_name": "a"},
+           "questions": {"stale": "x"}}
     upsert_envelopes(t, _env(spark, [sub]), JOTFORM_WEBHOOK_V1)
     row = t.read().collect()[0]
     # 1609459200500 ms → 1609459200 s (integer division)
     assert row.submit_date == dt.datetime(2021, 1, 1, 0, 0, 0)
-    assert json.loads(row.questions) == {"q1": "a"}
+    # questions is ALWAYS rebuilt from rawRequest (jotform_webhook_v1.rb:
+    # 62-73) — a stale pre-decoded `questions` key must not survive
+    assert json.loads(row.questions) == {"name": "a"}
+
+
+def test_jotform_validated_field_defaults_empty(spark, tmp_warehouse):
+    """jotform_webhook_v1.rb:60 — validatedNewRequiredFieldIDs is
+    Oj.load(fetch(key, "{}")): absent → {}, string → parsed object."""
+    t = Warehouse(spark, str(tmp_warehouse)).table("org", "jotform_webhook_v1")
+    sub = {"formID": "f1", "submissionID": "s1",
+           "rawRequest": {"event_id": "e1", "submitDate": "1609459200500",
+                          "buildDate": "1609459100000"}}
+    upsert_envelopes(t, _env(spark, [sub]), JOTFORM_WEBHOOK_V1)
+    data = json.loads(t.read().collect()[0].data)
+    assert data["validatedNewRequiredFieldIDs"] == {}
+
+
+def test_plivo_to_i_coercion_and_duplicate_fields(spark, tmp_warehouse):
+    """plivo_sms_inbound_v1.rb:52-61 — the INTEGER_KEYS coerce with
+    Ruby to_i semantics unconditionally (decimal "0.00300" → 0,
+    "12abc" → 12, "+7" → 7, "x" → 0), and a repeated form field
+    last-wins like URI.decode_www_form(...).to_h instead of tripping
+    Spark's DUPLICATED_MAP_KEY."""
+    import datetime as _dt
+
+    from webhookdb_spark.replicators.misc import PLIVO_SMS_INBOUND_V1
+
+    body = ("MessageUUID=u1&From=15551234567&To=15557654321"
+            "&TotalRate=0.00300&TotalAmount=12abc&Units=%2B7"
+            "&Status=queued&Status=delivered")
+    env = spark.createDataFrame(
+        [(body, _dt.datetime(2026, 1, 1))],
+        "body string, received_at timestamp",
+    )
+    t = Warehouse(spark, str(tmp_warehouse)).table("org", "plivo_sms_inbound_v1")
+    res = upsert_envelopes(t, env, PLIVO_SMS_INBOUND_V1)
+    assert res.inserted == 1
+    data = json.loads(t.read().collect()[0].data)
+    assert data["TotalRate"] == 0       # "0.00300".to_i
+    assert data["TotalAmount"] == 12    # "12abc".to_i
+    assert data["Units"] == 7           # "+7".to_i (sign dropped in JSON)
+    assert data["Status"] == "delivered"  # duplicate field last-wins
+
+
+def test_plivo_to_i_nonnumeric_zero(spark, tmp_warehouse):
+    import datetime as _dt
+
+    from webhookdb_spark.replicators.misc import PLIVO_SMS_INBOUND_V1
+
+    body = "MessageUUID=u2&From=1&To=2&Units=n%2Fa&TotalRate=-3xyz"
+    env = spark.createDataFrame(
+        [(body, _dt.datetime(2026, 1, 1))],
+        "body string, received_at timestamp",
+    )
+    t = Warehouse(spark, str(tmp_warehouse)).table("org", "plivo_sms_inbound_v1")
+    upsert_envelopes(t, env, PLIVO_SMS_INBOUND_V1)
+    data = json.loads(t.read().collect()[0].data)
+    assert data["Units"] == 0           # "n/a".to_i
+    assert data["TotalRate"] == -3      # "-3xyz".to_i
+    assert "TotalAmount" not in data    # absent key stays absent
 
 
 def test_url_recorder_sequence_key(spark, tmp_warehouse):

@@ -41,14 +41,38 @@ SIGNALWIRE_MESSAGE_V1 = register(
 def _plivo_unwrap(body: Column) -> tuple[Column, Column | None]:
     """plivo_sms_inbound_v1.rb:45-50: Plivo POSTs form-urlencoded
     bodies — ``URI.decode_www_form(body).to_h`` — so the resource is
-    the decoded key/value map. Fully native: str_to_map splits the
-    pairs, url_decode reverses the percent/plus encoding on both
-    sides, to_json materializes the resource. Already-JSON bodies
-    (pre-decoding intakes, existing callers) pass through."""
-    pairs = F.str_to_map(body, F.lit("&"), F.lit("="))
-    decoded = F.map_from_arrays(
-        F.transform(F.map_keys(pairs), F.url_decode),
-        F.transform(F.map_values(pairs), F.url_decode),
+    the decoded key/value map. Fully native: split on '&', split each
+    pair on its FIRST '=' (decode_www_form keeps later '='s in the
+    value; a pair with no '=' maps to ""), url_decode both sides, and
+    keep the LAST occurrence of a repeated field (.to_h last-wins) —
+    built with filter+map_from_entries rather than str_to_map so a
+    legal duplicate form field never trips Spark's default
+    mapKeyDedupPolicy=EXCEPTION. Already-JSON bodies (pre-decoding
+    intakes, existing callers) pass through."""
+    kvs = F.filter(F.split(body, F.lit("&")), lambda s: s != F.lit(""))
+    eq = lambda s: F.instr(s, "=")  # noqa: E731
+    key = lambda s: F.when(  # noqa: E731
+        eq(s) > 0, F.substring(s, F.lit(1), eq(s) - 1)
+    ).otherwise(s)
+    val = lambda s: F.when(  # noqa: E731
+        eq(s) > 0, F.substring(s, eq(s) + 1, F.length(s))
+    ).otherwise(F.lit(""))
+    # last-wins: drop any pair whose key reappears LATER in the array
+    deduped = F.filter(
+        kvs,
+        lambda s, i: ~F.exists(
+            F.slice(kvs, i + F.lit(2), F.size(kvs)),
+            lambda t: key(t) == key(s),
+        ),
+    )
+    decoded = F.map_from_entries(
+        F.transform(
+            deduped,
+            lambda s: F.struct(
+                F.url_decode(key(s)).alias("key"),
+                F.url_decode(val(s)).alias("value"),
+            ),
+        )
     )
     is_json = F.startswith(F.ltrim(body), F.lit("{"))
     return F.when(is_json, body).otherwise(F.to_json(decoded)), None
@@ -56,17 +80,25 @@ def _plivo_unwrap(body: Column) -> tuple[Column, Column | None]:
 
 def _plivo_data_hook(df):
     # _resource_to_data (plivo_sms_inbound_v1.rb:52-61): the INTEGER_KEYS
-    # arrive as form strings and store as integers. One regexp over the
-    # flat string map's JSON — the keys are fixed and the values numeric
-    # strings from Plivo's encoder.
-    return df.withColumn(
-        "data",
-        F.regexp_replace(
-            F.col("data"),
-            F.lit(r'"(TotalAmount|TotalRate|Units)":\s*"(-?\d+)"'),
-            F.lit('"$1":$2'),
-        ),
-    )
+    # store with Ruby `to_i` semantics applied UNCONDITIONALLY when the
+    # key is present: optional leading whitespace + adjacent sign +
+    # leading digits parse (the rest of the value drops), anything else
+    # — including decimal strings like "0.00300" — coerces to 0. Three
+    # chained regexp passes over the flat map's JSON (all JVM-side):
+    # plus-signed (sign dropped, "+12" -> 12), minus/plain prefix, then
+    # any remaining string value for those keys -> 0. (`to_i`'s
+    # underscore-digit-separator quirk "1_0" -> 10 is not reproduced.)
+    keys = "(TotalAmount|TotalRate|Units)"
+    ws = r"(?: |\\[tnrfv])*"          # literal or JSON-escaped whitespace
+    rest = r'(?:[^"\\]|\\.)*'         # remainder of the JSON string value
+    d = F.col("data")
+    d = F.regexp_replace(
+        d, F.lit(rf'"{keys}":\s*"{ws}\+(\d+){rest}"'), F.lit('"$1":$2'))
+    d = F.regexp_replace(
+        d, F.lit(rf'"{keys}":\s*"{ws}(-?\d+){rest}"'), F.lit('"$1":$2'))
+    d = F.regexp_replace(
+        d, F.lit(rf'"{keys}":\s*"{rest}"'), F.lit('"$1":0'))
+    return df.withColumn("data", d)
 
 
 # plivo_sms_inbound_v1.rb:20-36 — immutable inbound SMS events.
@@ -154,13 +186,21 @@ def _jotform_prepare_udf():
                 if isinstance(raw, str):
                     raw = _json.loads(raw)
                     d["rawRequest"] = raw
+                # jotform_webhook_v1.rb:60 — validatedNewRequiredFieldIDs
+                # is ALWAYS set: Oj.load(resource.fetch(key, "{}")), so an
+                # absent field defaults to {} and a string field parses.
                 vn = d.get("validatedNewRequiredFieldIDs")
-                if isinstance(vn, str):
+                if vn is None:
+                    d["validatedNewRequiredFieldIDs"] = {}
+                elif isinstance(vn, str):
                     try:
                         d["validatedNewRequiredFieldIDs"] = _json.loads(vn)
                     except ValueError:
                         pass
-                if isinstance(raw, dict) and "questions" not in d:
+                if isinstance(raw, dict):
+                    # jotform_webhook_v1.rb:62-73 — questions is ALWAYS
+                    # rebuilt from rawRequest (a pre-decoded body carrying
+                    # a stale `questions` key must not survive).
                     qs = {
                         qkey.sub("", k): v
                         for k, v in raw.items() if qkey.match(k)
