@@ -643,3 +643,395 @@ def test_ics_invalid_bymonthyearday_projection_golden():
     for want in ["20220514", "20220814", "20221114",
                  "20210814", "20211114", "20220214"]:
         assert want in starts, (want, sorted(starts)[:10])
+
+
+# --- Webhook-verification golden fixtures ---------------------------------
+# The reference's own "webhook validation" spec blocks: literal secrets,
+# bodies, and signature headers (valid AND tampered) replayed through
+# functions/verification.py. Reasons must match the reference's
+# WebhookResponse.error strings byte for byte.
+
+
+def test_verification_github_golden():
+    """github_issue_v1_spec.rb:669-695 — the canonical GitHub docs
+    vector: secret "It's a Secret to Everybody" over "Hello, World!"."""
+    from webhookdb_spark.functions.verification import verify_github
+
+    secret, body = "It's a Secret to Everybody", "Hello, World!"
+    good = "sha256=757107ea0eb2509fc211221cce984b8a37570b6d7586c22c46f4379c8b043e17"
+    assert verify_github(body, good, secret) is None
+    assert verify_github(body, "sha256=BADSHA", secret) == "invalid sha256"
+    assert verify_github(body, None, secret) == "missing sha256"
+
+
+def test_verification_stripe_golden():
+    """stripe_charge_v1_spec.rb:1366-1396 — tampered literal header
+    rejects with "invalid hmac"; a freshly computed signature (the
+    spec's Stripe::Webhook::Signature.compute_signature) verifies."""
+    import hashlib
+    import hmac
+    import time
+
+    from webhookdb_spark.functions.verification import verify_stripe
+
+    secret, body = "user:pass", '{"data": "asdfghujkl"}'
+    tampered = ("t=1492774577,"
+                "v1=5257a869e7ecebeda32affa62cdca3fa51cad7e77a0e56ff536d0ce8e108d8bd")
+    now = int(time.time())
+    assert verify_stripe(body, tampered, secret, now) == "invalid hmac"
+    assert verify_stripe(body, None, secret, now) == "missing hmac"
+    sig = hmac.new(secret.encode(), f"{now}.{body}".encode(),
+                   hashlib.sha256).hexdigest()
+    assert verify_stripe(body, f"t={now},v1={sig}", secret, now) is None
+
+
+def test_verification_shopify_golden():
+    """shopify_order_v1_spec.rb:4707-4738 — an hmac computed under the
+    WRONG key ("bad") rejects; under the integration secret verifies."""
+    import hashlib
+    import hmac
+    from base64 import b64encode
+
+    from webhookdb_spark.functions.verification import verify_shopify
+
+    body = "webhook body"
+    bad = b64encode(hmac.new(b"bad", body.encode(), hashlib.sha256).digest()).decode()
+    assert verify_shopify(body, bad, "secureuser:pass") == "invalid hmac"
+    assert verify_shopify(body, None, "user:pass") == "missing hmac"
+    good = b64encode(
+        hmac.new(b"user:pass", body.encode(), hashlib.sha256).digest()
+    ).decode()
+    assert verify_shopify(body, good, "user:pass") is None
+
+
+def test_verification_email_octopus_golden():
+    """email_octopus_event_v1_spec.rb:277-313 — fully literal positive
+    vector (secret, body, sha256=<hex> header) plus the wrong-key
+    negative."""
+    import hashlib
+    import hmac
+    from base64 import b64encode
+
+    from webhookdb_spark.functions.verification import verify_email_octopus
+
+    secret = "56f1b498b4c692b390fcc17d00fa79148495975721312def0e4a10f07fe3a028"
+    body = ('[{"id":"64a53baf-f9c5-4fa7-84b8-de05af070554","type":"contact.updated",'
+            '"list_id":"8f7c154e-0adc-11ee-acf6-b3c282ea3783",'
+            '"contact_id":"076669e8-1d06-11ee-b055-07ca0addb982",'
+            '"occurred_at":"2023-07-10T17:16:39+00:00",'
+            '"contact_fields":{"LastName":"Rodriguez","FirstName":"Miller"},'
+            '"contact_status":"SUBSCRIBED","contact_email_address":"Miller@example.com"}]')
+    good = "sha256=8e448d6c3a8b01ac6626f70b4a531d184e327f1d45ebecec1750b8086d7908f1"
+    assert verify_email_octopus(body, good, secret) is None
+    bad = b64encode(hmac.new(b"bad", body.encode(), hashlib.sha256).digest()).decode()
+    assert verify_email_octopus(body, bad, secret) == "invalid signature"
+    assert verify_email_octopus(body, None, secret) == "missing signature"
+
+
+def test_verification_plivo_golden():
+    """plivo_sms_inbound_v1_spec.rb:111-160 — the literal V2 vector:
+    token "abc", url https://baz.com/foo, nonce 31578143405117776772."""
+    import pytest as _pytest
+
+    from webhookdb_spark.functions.verification import verify_plivo_v2
+
+    url, nonce = "https://baz.com/foo", "31578143405117776772"
+    good = "PCEE/ioItYLv1woRasJkIYaOtewFjzuBvy8wBbRNU/w="
+    assert verify_plivo_v2(good, nonce, "abc", url) is None
+    assert verify_plivo_v2("sig", nonce, "abc", url) == "invalid signature"
+    assert verify_plivo_v2("sig", None, "abc", url) == "missing nonce"
+    assert verify_plivo_v2(None, None, "abc", url) == "missing signature"
+    with _pytest.raises(ValueError):
+        verify_plivo_v2(good, nonce, "", url)  # InvalidPrecondition analog
+    # query string and non-default port drop out of the signed URL
+    assert verify_plivo_v2(good, nonce, "abc", url + "?x=1") is None
+
+
+def test_verification_twilio_signalwire_basic_golden():
+    """twilio_sms_v1_spec.rb:479-503 / signalwire_message_v1_spec.rb —
+    Basic auth equality: wrong creds 401-invalid, absent challenges."""
+    from base64 import b64encode
+
+    from webhookdb_spark.functions.verification import verify_twilio_basic
+
+    hdr = "Basic " + b64encode(b"user:pass").decode()
+    assert verify_twilio_basic(hdr, "secureuser:pass") == "invalid"
+    assert verify_twilio_basic(None, "user:pass") == "challenge"
+    assert verify_twilio_basic(hdr, "user:pass") is None
+
+
+def test_verification_postmark_ips_golden():
+    """postmark_outbound_message_event_v1_spec.rb:188-211 — every
+    published source IP passes, 1.1.1.1 rejects "invalid ip"."""
+    from webhookdb_spark.functions.verification import (
+        POSTMARK_ALLOWED_IPS,
+        verify_postmark_ip,
+    )
+
+    for ip in POSTMARK_ALLOWED_IPS:
+        assert verify_postmark_ip(ip) is None
+    assert verify_postmark_ip("1.1.1.1") == "invalid ip"
+    assert verify_postmark_ip(None) == "invalid ip"
+
+
+def test_verification_whdb_customer_golden():
+    """webhookdb_customer_v1_spec.rb:42-70 — Whdb-Secret equality with
+    the reference's exact reason strings."""
+    from webhookdb_spark.functions.verification import verify_whdb_customer
+
+    assert verify_whdb_customer("abc", "abc") is None
+    assert verify_whdb_customer("xyz", "abc") == (
+        "Whdb-Secret value does not match configured secret")
+    assert verify_whdb_customer(None, "abc") == "Whdb-Secret header is missing"
+
+
+def test_verification_standard_secret_golden():
+    """webhook_response.rb:15-21 (icalendar_calendar_v1's scheme) —
+    Whdb-Webhook-Secret equality."""
+    from webhookdb_spark.functions.verification import verify_standard_secret
+
+    assert verify_standard_secret("sek", "sek") is None
+    assert verify_standard_secret("bad", "sek") == "secret mismatch"
+    assert verify_standard_secret(None, "sek") == "missing secret header"
+
+
+def test_verification_envelope_stage_new_schemes(spark):
+    """The five r11 schemes through the distributed verify_envelopes
+    stage: one envelope per scheme, valid and tampered."""
+    import hashlib
+    import hmac
+    from base64 import b64encode
+
+    from webhookdb_spark.functions.verification import (
+        accepted,
+        rejected,
+        verify_envelopes,
+    )
+
+    body = '{"k":1}'
+    eo_sig = "sha256=" + hmac.new(
+        b"eos", body.encode(), hashlib.sha256).hexdigest()
+    plivo_sig = b64encode(hmac.new(
+        b"ptok", b"https://h.example/hook31578", hashlib.sha256
+    ).digest()).decode()
+    rows = [
+        ("eo_ok", body, {"emailoctopus-signature": eo_sig}, "/hook"),
+        ("eo_bad", body, {"emailoctopus-signature": "sha256=ff"}, "/hook"),
+        ("plivo_ok", body,
+         {"x-plivo-signature-v2": plivo_sig,
+          "x-plivo-signature-v2-nonce": "31578",
+          "x-forwarded-proto": "https", "host": "h.example"}, "/hook"),
+        ("plivo_bad", body,
+         {"x-plivo-signature-v2": "nope",
+          "x-plivo-signature-v2-nonce": "31578",
+          "x-forwarded-proto": "https", "host": "h.example"}, "/hook"),
+        ("pm_ok", body, {"remote-addr": "3.134.147.250"}, "/hook"),
+        ("pm_bad", body, {"x-forwarded-for": "1.1.1.1"}, "/hook"),
+        ("std_ok", body, {"whdb-webhook-secret": "sek"}, "/hook"),
+        ("std_bad", body, {}, "/hook"),
+        ("cust_ok", body, {"whdb-secret": "abc"}, "/hook"),
+        ("cust_bad", body, {"whdb-secret": "zzz"}, "/hook"),
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "integration_opaque_id string, body string, "
+        "headers map<string,string>, request_path string",
+    )
+    secrets = {
+        "eo_ok": ("email_octopus", "eos"), "eo_bad": ("email_octopus", "eos"),
+        "plivo_ok": ("plivo", "ptok"), "plivo_bad": ("plivo", "ptok"),
+        "pm_ok": ("postmark", ""), "pm_bad": ("postmark", ""),
+        "std_ok": ("standard_secret", "sek"), "std_bad": ("standard_secret", "sek"),
+        "cust_ok": ("whdb_customer", "abc"), "cust_bad": ("whdb_customer", "abc"),
+    }
+    out = verify_envelopes(env, secrets)
+    ok = {r.integration_opaque_id for r in accepted(out).collect()}
+    bad = {r.integration_opaque_id: r._reject_reason
+           for r in rejected(out).collect()}
+    assert ok == {"eo_ok", "plivo_ok", "pm_ok", "std_ok", "cust_ok"}
+    assert bad == {
+        "eo_bad": "invalid signature",
+        "plivo_bad": "invalid signature",
+        "pm_bad": "invalid ip",
+        "std_bad": "missing secret header",
+        "cust_bad": "Whdb-Secret value does not match configured secret",
+    }
+
+
+# --- Backfill pagination golden transcripts --------------------------------
+
+
+def _spec_heredocs(spec_name: str, let_name_re: str) -> dict[str, str]:
+    """Extract ``let(:name) do <<~X ... X end`` heredoc bodies."""
+    import re
+    import textwrap
+
+    text = (SPECS / spec_name).read_text()
+    out = {}
+    for m in re.finditer(
+        rf"let\(:({let_name_re})\) do\s*\n\s*<<~(\w+)\n(.*?)\n\s*\2\n",
+        text, re.S,
+    ):
+        # first occurrence wins: a spec may redefine the same let in a
+        # later shared-example block (e.g. incremental backfill)
+        out.setdefault(m.group(1), textwrap.dedent(m.group(3)))
+    return out
+
+
+def test_stripe_charge_backfill_golden_transcript(spark, tmp_warehouse):
+    """stripe_charge_v1_spec.rb:616-1362 — the spec's three literal
+    page responses replayed through our Backfiller with the Stripe
+    pager: the request sequence must hit the spec's exact stubbed URLs
+    (the starting_after cursor derives from each page's last item id),
+    and the spec's expected_items_count rows land with the payloads'
+    values."""
+    import re
+
+    from webhookdb_spark.replicators.stripe_charge_v1 import STRIPE_CHARGE_V1
+    from webhookdb_spark.replicators.stripe import stripe_page_fetcher
+    from webhookdb_spark.sources.backfill import Backfiller
+
+    pages = _spec_heredocs("stripe_charge_v1_spec.rb", r"page\d_response")
+    assert set(pages) == {"page1_response", "page2_response", "page3_response"}
+    spec_text = (SPECS / "stripe_charge_v1_spec.rb").read_text()
+    expected_count = int(re.search(
+        r"let\(:expected_items_count\) \{ (\d+) \}", spec_text).group(1))
+    # the spec's stub URLs, in stub order — from the
+    # stub_service_requests block specifically (earlier describe blocks
+    # stub the same bare endpoint)
+    block = re.search(
+        r"def stub_service_requests\n(.*?)\n    end\n", spec_text, re.S
+    ).group(1)
+    stub_urls = re.findall(
+        r'stub_request\(:get, "(https://api\.stripe\.com/v1/charges[^"]*)"\)',
+        block)
+    transcript = dict(zip(stub_urls, [
+        pages["page1_response"], pages["page2_response"],
+        pages["page3_response"]]))
+
+    calls = []
+
+    def http_get(url, basic_user):
+        calls.append((url, basic_user))
+        assert url in transcript, f"un-stubbed request: {url}"
+        return transcript[url]
+
+    wh = Warehouse(spark, str(tmp_warehouse))
+    bf = Backfiller(
+        spark=spark, warehouse=wh, org="org", spec=STRIPE_CHARGE_V1,
+        fetch_page=stripe_page_fetcher(
+            http_get, "https://api.stripe.com/v1/charges", "bfkey"),
+    )
+    total = bf.backfill()
+    assert total == expected_count
+    assert [u for u, _ in calls] == stub_urls  # golden cursor sequence
+    assert all(k == "bfkey" for _, k in calls)
+    rows = wh.table("org", "stripe_charge_v1").read().collect()
+    assert len(rows) == expected_count
+    ids = {r.stripe_id for r in rows}
+    want_ids = {item["id"] for p in pages.values()
+                for item in json.loads(p)["data"]}
+    assert ids == want_ids
+    by_id = {r.stripe_id: r for r in rows}
+    first = json.loads(pages["page1_response"])["data"][0]
+    assert by_id[first["id"]].amount == first["amount"]
+    assert by_id[first["id"]].created == _utc(first["created"])
+
+
+def test_transistor_episode_backfill_golden_transcript(spark, tmp_warehouse):
+    """transistor_episode_v1_spec.rb:256-330 — the page-number
+    transcript (meta.currentPage/totalPages): both literal pages
+    fetched in order, expected_items_count rows land."""
+    import re
+
+    from webhookdb_spark.replicators.transistor import (
+        TRANSISTOR_EPISODE_V1,
+        transistor_page_fetcher,
+    )
+    from webhookdb_spark.sources.backfill import Backfiller
+
+    pages = _spec_heredocs("transistor_episode_v1_spec.rb", r"page\d_response")
+    assert {"page1_response", "page2_response"} <= set(pages)
+    spec_text = (SPECS / "transistor_episode_v1_spec.rb").read_text()
+    expected_count = int(re.search(
+        r"let\(:expected_items_count\) \{ (\d+) \}", spec_text).group(1))
+
+    calls = []
+
+    def http_get(page, api_key):
+        calls.append((page, api_key))
+        return pages[f"page{page}_response"]
+
+    wh = Warehouse(spark, str(tmp_warehouse))
+    bf = Backfiller(
+        spark=spark, warehouse=wh, org="org", spec=TRANSISTOR_EPISODE_V1,
+        fetch_page=transistor_page_fetcher(http_get, "bfkey"),
+    )
+    total = bf.backfill()
+    assert total == expected_count
+    assert [p for p, _ in calls] == [1, 2]
+    assert all(k == "bfkey" for _, k in calls)
+    rows = wh.table("org", "transistor_episode_v1").read().collect()
+    assert len(rows) == expected_count
+    want_ids = {item["id"] for n in ("page1_response", "page2_response")
+                for item in json.loads(pages[n])["data"]}
+    assert {r.transistor_id for r in rows} == want_ids
+
+
+def test_transistor_incremental_backfill_golden_early_stop(spark, tmp_warehouse):
+    """transistor_episode_v1_spec.rb:336-457 ("can backfill
+    incrementally"): with last_backfilled set, pagination stops after
+    page 1 because the page's oldest created_at predates the cursor
+    (transistor_episode_v1.rb:183-188) — only expected_new_items_count
+    rows land and page 2 is never requested; without the cursor both
+    pages fetch."""
+    import re
+    import textwrap
+
+    from webhookdb_spark.replicators.transistor import (
+        TRANSISTOR_EPISODE_V1,
+        transistor_page_fetcher,
+    )
+    from webhookdb_spark.sources.backfill import Backfiller, CursorStore
+
+    spec_text = (SPECS / "transistor_episode_v1_spec.rb").read_text()
+    inc_block = spec_text[spec_text.index("can backfill incrementally"):]
+    pages = {}
+    for m in re.finditer(
+        r"let\(:(page\d_response)\) do\s*\n\s*<<~(\w+)\n(.*?)\n\s*\2\n",
+        inc_block, re.S,
+    ):
+        pages.setdefault(m.group(1), textwrap.dedent(m.group(3)))
+    last_backfilled = re.search(
+        r'let\(:last_backfilled\) \{ "([^"]+)" \}', inc_block).group(1)
+    expected_new = int(re.search(
+        r"let\(:expected_new_items_count\) \{ (\d+) \}", inc_block).group(1))
+    expected_old = int(re.search(
+        r"let\(:expected_old_items_count\) \{ (\d+) \}", inc_block).group(1))
+
+    calls = []
+
+    def http_get(page, api_key):
+        calls.append(page)
+        return pages[f"page{page}_response"]
+
+    store = CursorStore(tmp_warehouse / "cursors.json")
+    store.set("backfill", last_backfilled)
+    wh = Warehouse(spark, str(tmp_warehouse / "wh"))
+    bf = Backfiller(
+        spark=spark, warehouse=wh, org="org", spec=TRANSISTOR_EPISODE_V1,
+        fetch_page=transistor_page_fetcher(http_get, "bfkey"),
+        cursors=store,
+    )
+    total = bf.backfill(incremental=True)
+    assert total == expected_new
+    assert calls == [1]  # page 2 never requested
+    # non-incremental replay fetches the full transcript
+    wh2 = Warehouse(spark, str(tmp_warehouse / "wh2"))
+    calls.clear()
+    bf2 = Backfiller(
+        spark=spark, warehouse=wh2, org="org", spec=TRANSISTOR_EPISODE_V1,
+        fetch_page=transistor_page_fetcher(http_get, "bfkey"),
+    )
+    assert bf2.backfill(incremental=False) == expected_new + expected_old
+    assert calls == [1, 2]

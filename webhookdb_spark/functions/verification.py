@@ -169,6 +169,83 @@ def verify_increase(
     return "invalid signature"
 
 
+def verify_email_octopus(body: str, sig_header: str | None, secret: str) -> str | None:
+    """EmailOctopus scheme (email_octopus.rb:16-22 via
+    email_octopus_event_v1.rb:109-117): ``sha256=<hex HMAC-SHA256>``
+    over the raw body."""
+    if sig_header is None:
+        return "missing signature"
+    digest = hmac_mod.new(secret.encode(), body.encode(), hashlib.sha256).hexdigest()
+    if hmac_mod.compare_digest("sha256=" + digest, sig_header):
+        return None
+    return "invalid signature"
+
+
+def verify_plivo_v2(
+    sig_header: str | None,
+    nonce_header: str | None,
+    auth_token: str,
+    url: str,
+) -> str | None:
+    """Plivo X-Plivo-Signature-V2 (plivo.rb:27-51): base64(HMAC-SHA256(
+    auth_token, canonical_url + nonce)) where the canonical URL is
+    rebuilt from ONLY scheme+host+path — the query string AND any
+    non-default port drop out (URI::HTTPS.build(host:, path:)), exactly
+    as the reference copies from plivo-ruby."""
+    from urllib.parse import urlsplit
+
+    if not auth_token:
+        raise ValueError("auth_token cannot be nil/blank")
+    if sig_header is None:
+        return "missing signature"
+    if nonce_header is None:
+        return "missing nonce"
+    parts = urlsplit(url.split("?")[0])
+    canonical = f"{parts.scheme}://{parts.hostname or ''}{parts.path}"
+    digest = b64encode(
+        hmac_mod.new(
+            auth_token.encode(), (canonical + nonce_header).encode(), hashlib.sha256
+        ).digest()
+    ).decode()
+    if hmac_mod.compare_digest(digest, sig_header):
+        return None
+    return "invalid signature"
+
+
+# postmark.rb:10-13 — the published Postmark webhook source IPs.
+POSTMARK_ALLOWED_IPS = (
+    "127.0.0.1", "3.134.147.250", "50.31.156.6", "50.31.156.77",
+    "18.217.206.57",
+)
+
+
+def verify_postmark_ip(ip: str | None) -> str | None:
+    """Postmark verifies by SOURCE IP, not signature (postmark.rb:15-19)."""
+    if ip in POSTMARK_ALLOWED_IPS:
+        return None
+    return "invalid ip"
+
+
+def verify_standard_secret(hdr_secret: str | None, secret: str) -> str | None:
+    """The Whdb-Webhook-Secret header equality check
+    (webhook_response.rb:15-21, used by icalendar_calendar_v1)."""
+    if hdr_secret is None:
+        return "missing secret header"
+    if hmac_mod.compare_digest(secret, hdr_secret):
+        return None
+    return "secret mismatch"
+
+
+def verify_whdb_customer(hdr_secret: str | None, secret: str) -> str | None:
+    """webhookdb_customer_v1.rb:17-22 — plain Whdb-Secret equality
+    (reference uses ==, not constant-time; we keep compare_digest)."""
+    if hdr_secret is None:
+        return "Whdb-Secret header is missing"
+    if hmac_mod.compare_digest(secret, hdr_secret):
+        return None
+    return "Whdb-Secret value does not match configured secret"
+
+
 def verify_twilio_basic(auth_header: str | None, secret: str) -> str | None:
     """Reference-faithful Twilio check (twilio_sms_v1.rb:20-44): the
     webhook must carry HTTP Basic auth whose decoded ``user:pass`` equals
@@ -233,6 +310,11 @@ SCHEME_HEADERS = {
     "increase": "increase-webhook-signature",
     "twilio": "authorization",
     "twilio_signature": "x-twilio-signature",
+    "email_octopus": "emailoctopus-signature",
+    "plivo": "x-plivo-signature-v2",
+    "postmark": "remote-addr",
+    "standard_secret": "whdb-webhook-secret",
+    "whdb_customer": "whdb-secret",
 }
 
 
@@ -281,6 +363,26 @@ def verify_envelopes(
             return lambda body, h, p, now: verify_twilio_signature(
                 body, h.get("x-twilio-signature"), secret,
                 _twilio_url_from_envelope(h, p))
+        if scheme == "email_octopus":
+            return lambda body, h, p, now: verify_email_octopus(
+                body, h.get("emailoctopus-signature"), secret)
+        if scheme == "plivo":
+            return lambda body, h, p, now: verify_plivo_v2(
+                h.get("x-plivo-signature-v2"),
+                h.get("x-plivo-signature-v2-nonce"), secret,
+                _twilio_url_from_envelope(h, p))
+        if scheme == "postmark":
+            # request.ip: the proxy chain's client address rides the
+            # envelope headers (x-forwarded-for first hop, else remote-addr)
+            return lambda body, h, p, now: verify_postmark_ip(
+                (h.get("x-forwarded-for") or h.get("remote-addr") or "")
+                .split(",")[0].strip() or None)
+        if scheme == "standard_secret":
+            return lambda body, h, p, now: verify_standard_secret(
+                h.get("whdb-webhook-secret"), secret)
+        if scheme == "whdb_customer":
+            return lambda body, h, p, now: verify_whdb_customer(
+                h.get("whdb-secret"), secret)
         raise ValueError(f"unknown scheme {scheme!r}")
 
     for opaque_id, (scheme, secret) in secrets.items():

@@ -251,3 +251,27 @@ STRIPE_SUBSCRIPTION_ITEM_V1 = stripe_spec(
         _c("subscription", T, index=True, optional=True),
     ),
 )
+
+
+def stripe_page_fetcher(http_get, base_url: str, backfill_key: str):
+    """The Stripe-family backfill pager (stripe_v1_mixin.rb:93-109):
+    GET ``base_url + pagination_token`` with HTTP Basic auth of
+    ``backfill_key:`` (empty password); while the response says
+    ``has_more``, the next token is ``?starting_after=<last item id>``.
+
+    ``http_get(url, basic_user) -> response body str`` keeps the
+    transport injectable (drivers plug requests/urllib; tests replay
+    the reference's golden page transcripts verbatim). Returns a
+    ``PageFetcher`` for :class:`webhookdb_spark.sources.backfill.Backfiller`.
+    """
+    import json as _json
+
+    def fetch(token, _last):
+        url = base_url + (token or "")
+        data = _json.loads(http_get(url, backfill_key))
+        next_param = None
+        if data.get("has_more"):
+            next_param = "?starting_after=" + data["data"][-1]["id"]
+        return data["data"], next_param
+
+    return fetch

@@ -263,3 +263,51 @@ TRANSISTOR_SHOW_V1 = register(
         resource_and_event=_transistor_unwrap,
     )
 )
+
+
+def transistor_page_fetcher(http_get, backfill_key: str):
+    """The Transistor backfill pager (transistor_episode_v1.rb:167-190
+    and transistor_show_v1.rb): GET the list endpoint with
+    ``pagination[page]=N&pagination[per]=500`` (page 1 when the token
+    is blank) and the ``x-api-key`` header; continue while
+    ``meta.currentPage < meta.totalPages``; in incremental mode stop
+    early once the page's OLDEST item predates ``last_backfilled``
+    (the API returns newest-first).
+
+    ``http_get(page:int, api_key:str) -> response body str`` keeps the
+    transport injectable. ``last_backfilled`` may be an ISO-8601 string
+    (any offset) or a datetime. Returns a ``PageFetcher``.
+    """
+    import datetime as _dt
+    import json as _json
+
+    def _ts(v):
+        if isinstance(v, _dt.datetime):
+            t = v
+        else:
+            t = _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=_dt.timezone.utc)
+        return t
+
+    def fetch(token, last_backfilled):
+        page = int(token) if token else 1
+        data = _json.loads(http_get(page, backfill_key))
+        episodes = data["data"]
+        meta = data["meta"]
+        next_page = (
+            str(meta["currentPage"] + 1)
+            if meta["currentPage"] < meta["totalPages"]
+            else None
+        )
+        if last_backfilled:
+            earliest = (
+                _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                if not episodes
+                else _ts(episodes[-1]["attributes"]["created_at"])
+            )
+            if earliest < _ts(last_backfilled):
+                return episodes, None
+        return episodes, next_page
+
+    return fetch
