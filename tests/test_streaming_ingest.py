@@ -654,3 +654,72 @@ def test_ivm_maintainer_streaming_identical(spark, tmp_warehouse):
     )
     assert mt3.run(table) == 2
     assert maintained(mt3) == want
+
+
+def test_contract_ingest_soak_releases_checkpoint_storage(spark, tmp_warehouse):
+    """Sustained-ingest soak for the r10 checkpoint-release fix
+    (operators/upsert.py:_release_local_checkpoint): N micro-batches
+    through upsert_envelopes_with_contract must leave executor RDD
+    storage O(1), not O(N) — each batch's eager localCheckpoint blocks
+    are freed once its merge commits. Without the release, a
+    long-running streaming ingest pins every batch's blocks until
+    driver GC (unbounded storage growth at 100-TB scale; invisible to
+    wall-clock benches). Also re-asserts correctness under the soak:
+    every clean row lands, every violating row is quarantined."""
+    import json as _json
+
+    from pyspark.sql import functions as _F
+
+    from webhookdb_spark.operators.upsert import (
+        upsert_envelopes_with_contract,
+    )
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.storage import ManagedTable
+
+    def env_df(sp, bodies):
+        rows = [("svi_fake", _json.dumps(b), "2024-01-01T00:00:00")
+                for b in bodies]
+        df = sp.createDataFrame(
+            rows, "opaque_id string, body string, received_at_s string")
+        return df.withColumn(
+            "received_at", _F.col("received_at_s").cast("timestamp")
+        ).drop("received_at_s")
+
+    t = ManagedTable(spark, tmp_warehouse / "org" / "fake_v1")
+    qdir = str(tmp_warehouse / "quarantine")
+    rules = [("not_null", "at"),
+             ("between", "at", "2024-01-01 00:00:00", "2024-12-31 23:59:59")]
+    sc = spark.sparkContext
+
+    def stored_rdds():
+        return len([i for i in sc._jsc.sc().getRDDStorageInfo()])
+
+    base = stored_rdds()
+    n_batches, per_batch = 12, 8
+    total_clean = total_bad = 0
+    high_water = base
+    for b in range(n_batches):
+        bodies = []
+        for i in range(per_batch):
+            bad = (i % 4) == 3
+            bodies.append({
+                "my_id": f"b{b}_i{i}",
+                "at": "1999-01-01T00:00:00Z" if bad
+                else f"2024-06-{(b % 27) + 1:02d}T00:00:0{i % 10}Z",
+            })
+        res, n_bad = upsert_envelopes_with_contract(
+            t, env_df(spark, bodies), FAKE_V1, rules, qdir
+        )
+        total_clean += res.inserted + res.updated
+        total_bad += n_bad
+        high_water = max(high_water, stored_rdds())
+    # O(1): at most a couple of live entries at any point (the batch in
+    # flight), never the accumulated n_batches.
+    assert high_water - base <= 2, (
+        f"checkpoint blocks accumulating: base={base} high={high_water} "
+        f"after {n_batches} batches"
+    )
+    assert stored_rdds() - base <= 1
+    assert total_bad == n_batches * (per_batch // 4)
+    assert t.read().count() == n_batches * (per_batch - per_batch // 4)
+    assert spark.read.parquet(qdir).count() == total_bad
