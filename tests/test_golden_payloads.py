@@ -868,13 +868,14 @@ def _spec_heredocs(spec_name: str, let_name_re: str) -> dict[str, str]:
 
     text = (SPECS / spec_name).read_text()
     out = {}
-    for m in re.finditer(
+    for pat in (
         rf"let\(:({let_name_re})\) do\s*\n\s*<<~(\w+)\n(.*?)\n\s*\2\n",
-        text, re.S,
+        rf"let\(:({let_name_re})\) \{{ <<~(\w+) \}}\n(.*?)\n\s*\2\n",
     ):
-        # first occurrence wins: a spec may redefine the same let in a
-        # later shared-example block (e.g. incremental backfill)
-        out.setdefault(m.group(1), textwrap.dedent(m.group(3)))
+        for m in re.finditer(pat, text, re.S):
+            # first occurrence wins: a spec may redefine the same let in
+            # a later shared-example block (e.g. incremental backfill)
+            out.setdefault(m.group(1), textwrap.dedent(m.group(3)))
     return out
 
 
@@ -1035,3 +1036,396 @@ def test_transistor_incremental_backfill_golden_early_stop(spark, tmp_warehouse)
     )
     assert bf2.backfill(incremental=False) == expected_new + expected_old
     assert calls == [1, 2]
+
+
+# --- Family-pager golden transcripts (r11, sources/pagers.py) --------------
+# Each family's "can backfill" spec block: the literal page bodies and
+# the EXACT stubbed URL sequence (webmock normalizes query order, so
+# URLs compare as (base, sorted query pairs)).
+
+
+def _norm_url(url, query=None):
+    from urllib.parse import parse_qsl, urlsplit
+
+    parts = urlsplit(url)
+    pairs = parse_qsl(parts.query, keep_blank_values=True)
+    if query:
+        pairs += [(k, "" if v is None else str(v)) for k, v in query.items()]
+    return (f"{parts.scheme}://{parts.netloc}{parts.path}",
+            tuple(sorted(pairs)))
+
+
+def _run_pager(spark, tmp_warehouse, spec, fetch):
+    from webhookdb_spark.sources.backfill import Backfiller
+
+    wh = Warehouse(spark, str(tmp_warehouse))
+    bf = Backfiller(spark=spark, warehouse=wh, org="org", spec=spec,
+                    fetch_page=fetch)
+    total = bf.backfill()
+    return total, wh.table("org", spec.table).read()
+
+
+def _expected_count(spec_name):
+    import re
+
+    return int(re.search(
+        r"let\(:expected_items_count\) \{ (\d+) \}",
+        (SPECS / spec_name).read_text()).group(1))
+
+
+def test_shopify_order_backfill_golden_link_header(spark, tmp_warehouse):
+    """shopify_order_v1_spec.rb:4650-4698 — three literal pages chained
+    by ``Link: <...>; rel="next"`` response headers (the rel="previous"
+    noise must be ignored); shopify_v1_mixin.rb:139-159."""
+    import re
+
+    from webhookdb_spark.replicators.shopify_order_v1 import SHOPIFY_ORDER_V1
+    from webhookdb_spark.sources.pagers import shopify_page_fetcher
+
+    spec_text = (SPECS / "shopify_order_v1_spec.rb").read_text()
+    pages = _spec_heredocs("shopify_order_v1_spec.rb", r"page\d_response")
+    block = re.search(r"def stub_service_requests\n(.*?)\n    end\n",
+                      spec_text, re.S).group(1)
+    stub_urls = re.findall(r'stub_request\(:get, "([^"]+)"\)', block)
+    links = re.findall(r'"Link" => \'([^\']*)\'', block)
+    transcript = {}
+    for i, u in enumerate(stub_urls):
+        transcript[_norm_url(u)] = (
+            pages[f"page{i + 1}_response"], {"Link": links[i]})
+    calls = []
+
+    def http_get(url):
+        calls.append(_norm_url(url))
+        return transcript[_norm_url(url)]
+
+    fetch = shopify_page_fetcher(
+        http_get, "https://fake-url.com",
+        "/admin/api/2021-04/orders.json?status=any", "orders")
+    total, table = _run_pager(spark, tmp_warehouse, SHOPIFY_ORDER_V1, fetch)
+    assert total == _expected_count("shopify_order_v1_spec.rb")
+    assert calls == [_norm_url(u) for u in stub_urls]
+    assert table.count() == total
+
+
+def test_github_issue_backfill_golden_link_header(spark, tmp_warehouse):
+    """github_issue_v1_spec.rb:480-520 — repo list endpoint with
+    per_page=100&state=all, second page via the Link header; the
+    incremental probe adds sort=updated&since=<cursor iso>
+    (github_issue_v1.rb:16-22) and serves the partial stub."""
+    import re
+
+    from webhookdb_spark.replicators.github_issue_v1 import GITHUB_ISSUE_V1
+    from webhookdb_spark.sources.pagers import (
+        github_issue_query_params,
+        github_page_fetcher,
+    )
+
+    spec_text = (SPECS / "github_issue_v1_spec.rb").read_text()
+    pages = _spec_heredocs("github_issue_v1_spec.rb", r"page\d_response")
+    block = re.search(r"def stub_service_requests\n(.*?)\n    end\n",
+                      spec_text, re.S).group(1)
+    stub_urls = re.findall(r'stub_request\(:get, "([^"]+)"\)', block)
+    links = re.findall(r'"Link" => \'([^\']*)\'', block) + [""]
+    transcript = {
+        _norm_url(u): (pages[f"page{i + 1}_response"],
+                       {"Link": links[i]} if links[i] else {})
+        for i, u in enumerate(stub_urls)
+    }
+    calls = []
+
+    def http_get(url, query):
+        calls.append(_norm_url(url, query))
+        return transcript[_norm_url(url, query)]
+
+    fetch = github_page_fetcher(
+        http_get, "my/code", "/issues", github_issue_query_params)
+    total, table = _run_pager(spark, tmp_warehouse, GITHUB_ISSUE_V1, fetch)
+    assert total == _expected_count("github_issue_v1_spec.rb")
+    assert calls == [_norm_url(u) for u in stub_urls]
+    assert table.count() == total
+    # incremental probe: the since/sort params appear on the first URL
+    probe = []
+    fetch2 = github_page_fetcher(
+        lambda url, q: probe.append(_norm_url(url, q)) or (
+            "[]", {}),
+        "my/code", "/issues", github_issue_query_params)
+    fetch2(None, "2019-05-15T18:00:00Z")
+    base, q = probe[0]
+    assert ("since", "2019-05-15T18:00:00Z") in q and ("sort", "updated") in q
+
+
+def test_intercom_contact_backfill_golden_cursor(spark, tmp_warehouse):
+    """intercom_contact_v1_spec.rb:647-700 — pages.next.starting_after
+    cursor pagination at per_page=2 (intercom_v1_mixin.rb:78-136)."""
+    import re
+
+    from webhookdb_spark.replicators.intercom_contact_v1 import (
+        INTERCOM_CONTACT_V1,
+    )
+    from webhookdb_spark.sources.pagers import intercom_page_fetcher
+
+    spec_text = (SPECS / "intercom_contact_v1_spec.rb").read_text()
+    pages = _spec_heredocs("intercom_contact_v1_spec.rb", r"page\d_response")
+    block = re.search(r"def stub_service_requests\n(.*?)\n    end\n",
+                      spec_text, re.S).group(1)
+    stub_urls = re.findall(r'stub_request\(:get, "([^"]+)"\)', block)
+    transcript = {
+        _norm_url(u): pages[f"page{i + 1}_response"]
+        for i, u in enumerate(stub_urls)
+    }
+    calls = []
+
+    def http_get(url, query):
+        calls.append(_norm_url(url, query))
+        return transcript[_norm_url(url, query)]
+
+    fetch = intercom_page_fetcher(
+        http_get, "https://api.intercom.io/contacts", "data", per_page=2)
+    total, table = _run_pager(spark, tmp_warehouse, INTERCOM_CONTACT_V1, fetch)
+    assert total == _expected_count("intercom_contact_v1_spec.rb")
+    assert calls == [_norm_url(u) for u in stub_urls]
+    assert table.count() == total
+
+
+def test_intercom_tolerated_errors_absorb_to_empty_page():
+    """intercom_v1_mixin.rb:95-126 — 403 (plan restricted) and 401 with
+    token_suspended absorb to ([], done); any other error raises."""
+    import pytest as _pytest
+
+    from webhookdb_spark.sources.pagers import (
+        HttpStatusError,
+        intercom_page_fetcher,
+    )
+
+    def raising(status, body=""):
+        def http_get(url, query):
+            raise HttpStatusError(status, body)
+        return http_get
+
+    f403 = intercom_page_fetcher(raising(403), "u", "data")
+    assert f403(None, None) == ([], None)
+    f401s = intercom_page_fetcher(
+        raising(401, '{"errors":[{"code":"token_suspended"}]}'), "u", "data")
+    assert f401s(None, None) == ([], None)
+    f401 = intercom_page_fetcher(raising(401, '{"errors":[]}'), "u", "data")
+    with _pytest.raises(HttpStatusError):
+        f401(None, None)
+
+
+def test_increase_event_backfill_golden_cursor(spark, tmp_warehouse):
+    """increase_event_v1_spec.rb:109-127 — response_metadata.next_cursor
+    pagination; every backfilled row's updated_at is stamped with the
+    fetch time (increase_v1_mixin.rb:92-99)."""
+    import datetime as _dt
+    import re
+
+    from webhookdb_spark.replicators.increase import INCREASE_EVENT_V1
+    from webhookdb_spark.sources.pagers import increase_page_fetcher
+
+    spec_text = (SPECS / "increase_event_v1_spec.rb").read_text()
+    pages = _spec_heredocs("increase_event_v1_spec.rb", r"page\d_response")
+    block = re.search(r"def stub_service_requests\n(.*?)\n    end\n",
+                      spec_text, re.S).group(1)
+    stub_urls = re.findall(r'stub_request\(:get, "([^"]+)"\)', block)
+    transcript = {
+        _norm_url(u): pages[f"page{i + 1}_response"]
+        for i, u in enumerate(stub_urls)
+    }
+    calls = []
+
+    def http_get(url, query):
+        calls.append(_norm_url(url, query))
+        return transcript[_norm_url(url, query)]
+
+    frozen = _dt.datetime(2024, 5, 5, 12, 0, 0, tzinfo=_dt.timezone.utc)
+    fetch = increase_page_fetcher(
+        http_get, "https://api.increase.com/events", now=lambda: frozen)
+    total, table = _run_pager(spark, tmp_warehouse, INCREASE_EVENT_V1, fetch)
+    assert total == _expected_count("increase_event_v1_spec.rb")
+    assert calls == [_norm_url(u) for u in stub_urls]
+    rows = table.collect()
+    assert len(rows) == total
+
+
+def test_convertkit_subscriber_backfill_golden_dual_list(spark, tmp_warehouse):
+    """convertkit_subscriber_v1_spec.rb:158-186 — the dual-list walk:
+    subscribed pages 1..total_pages, then cancelled pages (adds
+    sort_field=cancelled_at), exactly the four stubbed URLs in order
+    (convertkit_subscriber_v1.rb:161-199)."""
+    import re
+
+    from webhookdb_spark.replicators.convertkit import (
+        CONVERTKIT_SUBSCRIBER_V1,
+    )
+    from webhookdb_spark.sources.pagers import (
+        convertkit_subscribers_page_fetcher,
+    )
+
+    spec_text = (SPECS / "convertkit_subscriber_v1_spec.rb").read_text()
+    pages = _spec_heredocs("convertkit_subscriber_v1_spec.rb", r"page\d_response")
+    block = re.search(r"def stub_service_requests\n(.*?)\n    end\n",
+                      spec_text, re.S).group(1)
+    stub_urls = re.findall(r'stub_request\(:get, "([^"]+)"\)', block)
+    transcript = {
+        _norm_url(u): pages[f"page{i + 1}_response"]
+        for i, u in enumerate(stub_urls)
+    }
+    calls = []
+
+    def http_get(url):
+        calls.append(_norm_url(url))
+        return transcript[_norm_url(url)]
+
+    fetch = convertkit_subscribers_page_fetcher(http_get, "bfsek")
+    total, table = _run_pager(
+        spark, tmp_warehouse, CONVERTKIT_SUBSCRIBER_V1, fetch)
+    assert total == _expected_count("convertkit_subscriber_v1_spec.rb")
+    assert calls == [_norm_url(u) for u in stub_urls]
+    assert table.count() == total
+
+
+def test_email_octopus_list_backfill_golden_next_path(spark, tmp_warehouse):
+    """email_octopus_list_v1_spec.rb:177-187 — the continuation token
+    IS the next endpoint path from paging.next
+    (email_octopus_list_v1.rb:75-88)."""
+    import re
+
+    from webhookdb_spark.replicators.email_octopus import (
+        EMAIL_OCTOPUS_LIST_V1,
+    )
+    from webhookdb_spark.sources.pagers import email_octopus_page_fetcher
+
+    spec_text = (SPECS / "email_octopus_list_v1_spec.rb").read_text()
+    pages = _spec_heredocs("email_octopus_list_v1_spec.rb", r"page\d_response")
+    block = re.search(r"def stub_service_requests\n(.*?)\n    end\n",
+                      spec_text, re.S).group(1)
+    stub_urls = re.findall(r'stub_request\(:get, "([^"]+)"\)', block)
+    transcript = {
+        _norm_url(u): pages[f"page{i + 1}_response"]
+        for i, u in enumerate(stub_urls)
+    }
+    calls = []
+
+    def http_get(url):
+        calls.append(_norm_url(url))
+        return transcript[_norm_url(url)]
+
+    fetch = email_octopus_page_fetcher(
+        http_get, "bfkey", "/api/1.6/lists?api_key={api_key}&limit={limit}")
+    total, table = _run_pager(
+        spark, tmp_warehouse, EMAIL_OCTOPUS_LIST_V1, fetch)
+    assert total == _expected_count("email_octopus_list_v1_spec.rb")
+    assert calls == [_norm_url(u) for u in stub_urls]
+    assert table.count() == total
+
+
+def test_twilio_sms_backfill_golden_next_page_uri(spark, tmp_warehouse):
+    """twilio_sms_v1_spec.rb:273-290 — first URL caps DateSend at
+    utc+2d (frozen clock -> 2020-11-24), then the API's literal
+    next_page_uri values (twilio_sms_v1.rb:120-150)."""
+    import datetime as _dt
+    import re
+
+    from webhookdb_spark.replicators.twilio_sms_v1 import TWILIO_SMS_V1
+    from webhookdb_spark.sources.pagers import twilio_page_fetcher
+
+    spec_text = (SPECS / "twilio_sms_v1_spec.rb").read_text()
+    pages = _spec_heredocs("twilio_sms_v1_spec.rb", r"page\d_response")
+    block = re.search(r"def stub_service_requests\n(.*?)\n    end\n",
+                      spec_text, re.S).group(1)
+    stub_urls = re.findall(r'stub_request\(:get, "([^"]+)"\)', block)
+    transcript = {
+        _norm_url(u): pages[f"page{i + 1}_response"]
+        for i, u in enumerate(stub_urls)
+    }
+    calls = []
+
+    def http_get(url):
+        calls.append(_norm_url(url))
+        return transcript[_norm_url(url)]
+
+    frozen = _dt.datetime(2020, 11, 22, 10, 0, 0, tzinfo=_dt.timezone.utc)
+    fetch = twilio_page_fetcher(http_get, "bfkey", now=lambda: frozen)
+    total, table = _run_pager(spark, tmp_warehouse, TWILIO_SMS_V1, fetch)
+    assert total == _expected_count("twilio_sms_v1_spec.rb")
+    assert calls == [_norm_url(u) for u in stub_urls]
+    assert table.count() == total
+
+
+def test_signalwire_message_backfill_golden(spark, tmp_warehouse):
+    """signalwire_message_v1_spec.rb:288-298 — the Twilio shape against
+    the space URL with the laml path prefix
+    (signalwire_message_v1.rb:161-181)."""
+    import datetime as _dt
+    import re
+
+    from webhookdb_spark.replicators.misc import SIGNALWIRE_MESSAGE_V1
+    from webhookdb_spark.sources.pagers import twilio_page_fetcher
+
+    spec_text = (SPECS / "signalwire_message_v1_spec.rb").read_text()
+    pages = _spec_heredocs("signalwire_message_v1_spec.rb", r"page\d_response")
+    block = re.search(r"def stub_service_requests\n(.*?)\n    end\n",
+                      spec_text, re.S).group(1)
+    stub_urls = re.findall(r'stub_request\(:get, "([^"]+)"\)', block)
+    transcript = {
+        _norm_url(u): pages[f"page{i + 1}_response"]
+        for i, u in enumerate(stub_urls)
+    }
+    calls = []
+
+    def http_get(url):
+        calls.append(_norm_url(url))
+        return transcript[_norm_url(url)]
+
+    frozen = _dt.datetime(2020, 11, 22, 10, 0, 0, tzinfo=_dt.timezone.utc)
+    fetch = twilio_page_fetcher(
+        http_get, "bfkey",
+        base_url="https://whdbtestfake.signalwire.com",
+        first_path="/api/laml/2010-04-01/Accounts/bfkey/Messages.json",
+        now=lambda: frozen)
+    total, table = _run_pager(
+        spark, tmp_warehouse, SIGNALWIRE_MESSAGE_V1, fetch)
+    assert total == _expected_count("signalwire_message_v1_spec.rb")
+    assert calls == [_norm_url(u) for u in stub_urls]
+    assert table.count() == total
+
+
+def test_sponsy_publication_backfill_golden_after_cursor(spark, tmp_warehouse):
+    """sponsy_publication_v1_spec.rb:218-238 — afterCursor pagination
+    ordered updatedAt DESC; a 404 absorbs to done
+    (sponsy_v1_mixin.rb:81-109)."""
+    import re
+
+    from webhookdb_spark.replicators.sponsy import SPONSY_PUBLICATION_V1
+    from webhookdb_spark.sources.pagers import (
+        HttpStatusError,
+        sponsy_page_fetcher,
+    )
+
+    spec_text = (SPECS / "sponsy_publication_v1_spec.rb").read_text()
+    pages = _spec_heredocs("sponsy_publication_v1_spec.rb", r"page\d_response")
+    block = re.search(r"def stub_service_requests\n(.*?)\n    end\n",
+                      spec_text, re.S).group(1)
+    stub_urls = re.findall(r'stub_request\(:get, "([^"]+)"\)', block)
+    transcript = {
+        _norm_url(u): pages[f"page{i + 1}_response"]
+        for i, u in enumerate(stub_urls)
+    }
+    calls = []
+
+    def http_get(url, query):
+        calls.append(_norm_url(url, query))
+        return transcript[_norm_url(url, query)]
+
+    fetch = sponsy_page_fetcher(
+        http_get, "https://api.getsponsy.com", "/v1/publications")
+    total, table = _run_pager(
+        spark, tmp_warehouse, SPONSY_PUBLICATION_V1, fetch)
+    assert total == _expected_count("sponsy_publication_v1_spec.rb")
+    assert calls == [_norm_url(u) for u in stub_urls]
+    assert table.count() == total
+    # 404 absorbs to done
+    def http_404(url, query):
+        raise HttpStatusError(404, "gone")
+    f404 = sponsy_page_fetcher(http_404, "https://api.getsponsy.com", "/x")
+    assert f404(None, None) == ([], None)
