@@ -137,6 +137,27 @@ def test_fingerprints_cover_registry_and_flag_unvouched():
         (positions[q], q) for q in unvouched)
 
 
+def test_fingerprint_closure_resolves_function_local_imports():
+    """Algo v2: `from X import Y` INSIDE a query function must pull X's
+    members into the fingerprint closure — otherwise editing e.g.
+    operators/matview.py would not flip pipeline_lifecycle's
+    fingerprint and the code-changed rule would silently miss it."""
+    import sys
+
+    from tools.rotation_audit import FP_ALGO, _collect_sources
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    assert FP_ALGO >= 2
+    seen = {}
+    _collect_sources(entrymod.q_pipeline_lifecycle, seen)
+    keys = set(seen)
+    assert any("operators.matview" in k for k in keys), sorted(keys)[:10]
+    assert any("sinks.sync_target" in k for k in keys)
+    assert any("operators.upsert" in k for k in keys)
+
+
 def test_rotation_record_matches_audit_view():
     """queries()'s ordering source and the audit must read the SAME
     record (git-tracked correctness files): a divergence would let the

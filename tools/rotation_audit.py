@@ -61,6 +61,13 @@ REPO = Path(__file__).resolve().parent.parent
 WINDOW = 50  # driver's per-round correctness budget
 SLACK = 8   # tolerated non-needy interleavings in the needy block
 FP_FILE = REPO / "tools" / "query_fingerprints.json"
+# Bump when the fingerprint ALGORITHM changes (closure rules, hash
+# input shape). --update then carries each query's vouched round across
+# the wholesale fp drift — the drift is explained by the algorithm, not
+# by code — EXCEPT queries passed via --unvouch (anything whose code
+# actually changed since its row must still be named). v2: resolve
+# function-local `from X import Y` imports into the closure.
+FP_ALGO = 2
 _OUR_ROOTS = {"webhookdb_spark", "__spark_entry__"}
 
 
@@ -125,13 +132,41 @@ def _collect_sources(fn, seen: dict[str, str], depth: int = 0) -> None:
     if g is None:  # a class: use its defining module's namespace
         mod = sys.modules.get(getattr(fn, "__module__", ""))
         g = vars(mod) if mod else {}
+    # Function-LOCAL imports (`from X import Y` inside the body — the
+    # dominant style in __spark_entry__ query functions) never reach
+    # fn.__globals__, so resolve ImportFrom/Import nodes explicitly:
+    # without this, editing e.g. operators/matview.py would not flip
+    # the fingerprint of a query that imports it locally.
+    local_imports: dict[str, object] = {}
+    import importlib
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and node.level == 0:
+            if node.module.split(".")[0] not in _OUR_ROOTS:
+                continue
+            try:
+                mod = importlib.import_module(node.module)
+            except Exception:
+                continue
+            for alias in node.names:
+                local_imports[alias.asname or alias.name] = getattr(
+                    mod, alias.name, None)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.split(".")[0] not in _OUR_ROOTS:
+                    continue
+                try:
+                    local_imports[alias.asname or alias.name.split(".")[0]] = (
+                        importlib.import_module(alias.name))
+                except Exception:
+                    continue
     for node in ast.walk(tree):
         obj, const_key = None, None
         if isinstance(node, ast.Name):
-            obj = g.get(node.id)
+            obj = local_imports.get(node.id, g.get(node.id))
             const_key = f"const:{getattr(fn, '__module__', '?')}:{node.id}"
         elif isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
-            base = g.get(node.value.id)
+            base = local_imports.get(node.value.id, g.get(node.value.id))
             if isinstance(base, types.ModuleType) and _is_ours(base):
                 obj = getattr(base, node.attr, None)
                 const_key = f"const:{base.__name__}:{node.attr}"
@@ -187,6 +222,7 @@ def update_fingerprints(unvouch: set[str] | None = None) -> None:
     latest, newest = load_record()
     old = load_fingerprints() or {"recorded_at": -1, "queries": {}}
     old_at = old.get("recorded_at", -1)
+    algo_changed = old.get("algo", 1) != FP_ALGO
     queries: dict[str, dict] = {}
     for q, fp in sorted(fps.items()):
         oe = old.get("queries", {}).get(q)
@@ -194,13 +230,17 @@ def update_fingerprints(unvouch: set[str] | None = None) -> None:
             v = None
         elif latest.get(q, -1) > old_at:
             v = latest[q]
-        elif oe is not None and oe.get("fp") == fp:
+        elif oe is not None and (oe.get("fp") == fp or algo_changed):
+            # same fp ⇒ same code; algo bump ⇒ the drift is the
+            # algorithm's, carry the vouch (callers MUST --unvouch any
+            # query whose code really changed since its row)
             v = oe.get("vouched")
         else:
             v = None
         queries[q] = {"fp": fp, "vouched": v}
     FP_FILE.write_text(json.dumps(
-        {"recorded_at": newest, "queries": queries}, indent=1) + "\n")
+        {"recorded_at": newest, "algo": FP_ALGO, "queries": queries},
+        indent=1) + "\n")
     n_unv = sum(1 for e in queries.values() if e["vouched"] is None)
     print(f"fingerprints: {len(queries)} queries recorded at r{newest}, "
           f"{n_unv} unvouched")
@@ -220,7 +260,11 @@ def audit() -> list[str]:
     problems: list[str] = []
     needy: list[str] = []  # registry order
     stored = load_fingerprints()
-    fps = compute_fingerprints(entrymod) if stored else {}
+    # per-query fp checks only make sense when the stored file was
+    # produced by THIS algorithm — an algo mismatch is reported once
+    # below and regeneration re-baselines every entry
+    algo_ok = stored is not None and stored.get("algo", 1) == FP_ALGO
+    fps = compute_fingerprints(entrymod) if algo_ok else {}
     stored_at = stored.get("recorded_at", -1) if stored else -1
     for q in registry:
         rnd = latest.get(q)
@@ -233,7 +277,7 @@ def audit() -> list[str]:
                 )
         elif rnd < newest - horizon:
             needy.append(q)
-        elif stored is not None:
+        elif algo_ok:
             ent = stored.get("queries", {}).get(q)
             if ent is None:
                 problems.append(
@@ -255,6 +299,12 @@ def audit() -> list[str]:
         problems.append(
             "FP-FILE-MISSING: tools/query_fingerprints.json not found — "
             "generate it (python tools/rotation_audit.py --update)"
+        )
+    elif stored.get("algo", 1) != FP_ALGO:
+        problems.append(
+            f"FP-ALGO: fingerprint file is algo v{stored.get('algo', 1)}, "
+            f"code is v{FP_ALGO} — regenerate (python tools/rotation_audit.py "
+            "--update --unvouch <queries whose code changed since their row>)"
         )
 
     bound = len(needy) + SLACK
