@@ -202,7 +202,8 @@ def test_plivo_to_i_nonnumeric_zero(spark, tmp_warehouse):
 
     from webhookdb_spark.replicators.misc import PLIVO_SMS_INBOUND_V1
 
-    body = "MessageUUID=u2&From=1&To=2&Units=n%2Fa&TotalRate=-3xyz"
+    body = ("MessageUUID=u2&From=1&To=2&Units=n%2Fa&TotalRate=-3xyz"
+            "&TotalAmount=007")
     env = spark.createDataFrame(
         [(body, _dt.datetime(2026, 1, 1))],
         "body string, received_at timestamp",
@@ -212,7 +213,28 @@ def test_plivo_to_i_nonnumeric_zero(spark, tmp_warehouse):
     data = json.loads(t.read().collect()[0].data)
     assert data["Units"] == 0           # "n/a".to_i
     assert data["TotalRate"] == -3      # "-3xyz".to_i
-    assert "TotalAmount" not in data    # absent key stays absent
+    assert data["TotalAmount"] == 7     # "007".to_i — no leading-zero JSON
+
+
+def test_plivo_to_i_zero_prefixes(spark, tmp_warehouse):
+    """The all-zeros / signed-zero / zero-prefixed-garbage class must
+    coerce to exactly 0 (never '-0' or '000', which is invalid JSON)."""
+    import datetime as _dt
+
+    from webhookdb_spark.replicators.misc import PLIVO_SMS_INBOUND_V1
+
+    body = ("MessageUUID=u3&From=1&To=2"
+            "&Units=0&TotalRate=-0&TotalAmount=%2B000x")
+    env = spark.createDataFrame(
+        [(body, _dt.datetime(2026, 1, 1))],
+        "body string, received_at timestamp",
+    )
+    t = Warehouse(spark, str(tmp_warehouse)).table("org", "plivo_sms_inbound_v1")
+    upsert_envelopes(t, env, PLIVO_SMS_INBOUND_V1)
+    data = json.loads(t.read().collect()[0].data)
+    assert data["Units"] == 0
+    assert data["TotalRate"] == 0       # "-0".to_i — stored as 0, not -0
+    assert data["TotalAmount"] == 0     # "+000x".to_i
 
 
 def test_url_recorder_sequence_key(spark, tmp_warehouse):

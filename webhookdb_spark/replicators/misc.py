@@ -92,10 +92,14 @@ def _plivo_data_hook(df):
     ws = r"(?: |\\[tnrfv])*"          # literal or JSON-escaped whitespace
     rest = r'(?:[^"\\]|\\.)*'         # remainder of the JSON string value
     d = F.col("data")
+    # zero prefixes first ("0", "+000", "-0", "0x"): to_i → 0, and the
+    # later passes must never emit JSON with a leading zero or bare sign
     d = F.regexp_replace(
-        d, F.lit(rf'"{keys}":\s*"{ws}\+(\d+){rest}"'), F.lit('"$1":$2'))
+        d, F.lit(rf'"{keys}":\s*"{ws}[-+]?0+(?!\d){rest}"'), F.lit('"$1":0'))
     d = F.regexp_replace(
-        d, F.lit(rf'"{keys}":\s*"{ws}(-?\d+){rest}"'), F.lit('"$1":$2'))
+        d, F.lit(rf'"{keys}":\s*"{ws}\+0*(\d+){rest}"'), F.lit('"$1":$2'))
+    d = F.regexp_replace(
+        d, F.lit(rf'"{keys}":\s*"{ws}(-?)0*(\d+){rest}"'), F.lit('"$1":$2$3'))
     d = F.regexp_replace(
         d, F.lit(rf'"{keys}":\s*"{rest}"'), F.lit('"$1":0'))
     return df.withColumn("data", d)
