@@ -524,13 +524,15 @@ def test_staleness_guard_golden_pairs_all_replicators(spark, tmp_warehouse):
     # sanitize the #{' '} interpolation trick some specs use to pin
     # trailing whitespace
     def lets(text, name):
+        # both heredoc-let forms (do…end and single-line braces — r11)
         pat = re.compile(
-            rf"let\(:{name}\) do\s*\n\s*JSON\.parse\(<<~(\w+)\)\n(.*?)\n\s*\1\n",
+            rf"let\(:{name}\) (?:do\s*\n\s*JSON\.parse\(<<~(\w+)\)"
+            rf"|\{{ JSON\.parse\(<<~(\w+)\) \}})\n(.*?)\n\s*(?:\1|\2)\n",
             re.S,
         )
         out = []
         for m in pat.finditer(text):
-            raw = re.sub(r"#\{'\s*'\}", "", m.group(2))
+            raw = re.sub(r"#\{'\s*'\}", "", m.group(3))
             try:
                 out.append(json.loads(raw))
             except ValueError:
@@ -597,10 +599,14 @@ def test_every_extractable_golden_body_shapes(spark, tmp_warehouse):
         importlib.import_module(f"webhookdb_spark.replicators.{mod.name}")
 
     body_pat = re.compile(
-        r"let\(:body\) do\s*\n\s*JSON\.parse\(<<~(\w+)\)\n(.*?)\n\s*\1\n",
+        # both heredoc-let forms: `do JSON.parse(<<~X) ... end` and the
+        # single-line `{ JSON.parse(<<~X) }` (increase_event,
+        # intercom_conversation use the brace form — r11)
+        r"let\(:body\) (?:do\s*\n\s*JSON\.parse\(<<~(\w+)\)"
+        r"|\{ JSON\.parse\(<<~(\w+)\) \})\n(.*?)\n\s*(?:\1|\2)\n",
         re.S,
     )
-    old_pat = re.compile(r"let\(:old_body\) do\s*\n\s*JSON\.parse")
+    old_pat = re.compile(r"let\(:old_body\) (?:do|\{ )\s*\n?\s*JSON\.parse")
     checked = []
     for f in sorted(SPECS.glob("*_v1_spec.rb")):
         name = f.name[:-8]
@@ -615,7 +621,7 @@ def test_every_extractable_golden_body_shapes(spark, tmp_warehouse):
         m = body_pat.search(text)
         if m is None:
             continue
-        raw = re.sub(r"#\{'\s*'\}", "", m.group(2))
+        raw = re.sub(r"#\{'\s*'\}", "", m.group(3))
         try:
             body = json.loads(raw)
         except ValueError:
@@ -1429,3 +1435,49 @@ def test_sponsy_publication_backfill_golden_after_cursor(spark, tmp_warehouse):
         raise HttpStatusError(404, "gone")
     f404 = sponsy_page_fetcher(http_404, "https://api.getsponsy.com", "/x")
     assert f404(None, None) == ([], None)
+
+
+def test_postmark_event_family_golden_bodies(spark, tmp_warehouse):
+    """postmark_outbound_message_event_v1_spec.rb:6-178 — the six
+    module-level event fixtures (bounce, open, delivery, click, spam
+    complaint, subscription change) each insert one row whose
+    record_type and per-event timestamp column carry the payload's
+    values, and whose stored data is the body verbatim (the spec's
+    expected_data == body)."""
+    import re
+    import textwrap
+
+    from webhookdb_spark.replicators.postmark import (
+        POSTMARK_OUTBOUND_MESSAGE_EVENT_V1,
+    )
+
+    text = (SPECS / "postmark_outbound_message_event_v1_spec.rb").read_text()
+    fixtures = {}
+    for m in re.finditer(
+        r"(\w+_json) = JSON\.parse\(<<~(\w+)\)\n(.*?)\n\s*\2\n", text, re.S
+    ):
+        fixtures[m.group(1)] = json.loads(textwrap.dedent(m.group(3)))
+    assert set(fixtures) == {
+        "bounce_json", "open_json", "delivery_json", "click_json",
+        "spam_complaint_json", "subscription_change_json",
+    }
+    # the spec's events table maps each fixture to its timestamp field
+    ts_field = dict(re.findall(r'\["\w+", (\w+_json), "(\w+)"\]', text))
+    assert len(ts_field) == 6
+    field_to_col = {"BouncedAt": "bounced_at", "ReceivedAt": "received_at",
+                    "DeliveredAt": "delivered_at", "ChangedAt": "changed_at"}
+    t = Warehouse(spark, str(tmp_warehouse)).table(
+        "org", "postmark_outbound_message_event_v1")
+    res = upsert_envelopes(
+        t, _env(spark, list(fixtures.values())),
+        POSTMARK_OUTBOUND_MESSAGE_EVENT_V1)
+    assert res.inserted == len(fixtures)
+    rows = {r.record_type: r for r in t.read().collect()}
+    assert len(rows) == len(fixtures)
+    for fix_name, body in fixtures.items():
+        rt = body["RecordType"]
+        row = rows[rt]
+        col = field_to_col[ts_field[fix_name]]
+        assert getattr(row, col) is not None, (fix_name, col)
+        assert row.message_id == body["MessageID"]
+        assert json.loads(row.data) == body, fix_name
