@@ -90,3 +90,21 @@ def test_upsert_atom_feed_geo_and_created_at(spark, tmp_warehouse):
     )
     rows3 = {r.entry_id: r for r in t.read().collect()}
     assert rows3["urn:quake:1"].updated.month == 6
+
+
+def test_parse_atom_feed_recovers_malformed_entity():
+    """Nokogiri's default RECOVER mode (xml.rb:18) tolerates broken
+    entity refs — the reference's own atom fixture embeds a truncated
+    '&qu' (atom_single_feed_v1_spec.rb:21). Our strict stdlib parser
+    must recover equivalently: bad ampersands read as literal text,
+    valid entities still decode, and a well-formed feed is untouched."""
+    feed = parse_atom_feed(
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        "<entry><id>1</id>"
+        '<content type="html">&lt;img border=&qu</content>'
+        "<title>a &amp; b &#65;</title>"
+        "</entry></feed>"
+    )
+    e = feed["entries"][0]
+    assert e["content"] == {"value": "<img border=&qu", "type": "html"}
+    assert e["title"] == "a & b A"

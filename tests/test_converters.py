@@ -145,3 +145,34 @@ def test_json_drop_keys_preserves_nested_values(spark):
     assert out[2] == "[1,2,3]"
     assert out[3] == "not json"
     assert out[4] is None
+
+
+def test_parse_time_ruby_timeparse_forms(spark):
+    """CONV_PARSE_TIME matches Ruby Time.parse (column.rb:44-47) on
+    every RFC-2822 variant the reference's own fixtures carry: colon
+    offsets (postmark_inbound_message_v1_spec.rb:61), trailing '(UTC)'
+    comments (ibid:137, pinned to 2023-07-05T22:27:31Z), named zones
+    from Ruby's ZoneOffset table (atom_single_feed_v1_spec.rb:16 pins
+    PST → 2023-06-10 01:40:38Z), single-digit days, -0000, and plain
+    +0000 (Twilio). Garbage → NULL."""
+    import datetime as dt
+
+    cases = [
+        ("Fri, 1 Aug 2014 16:45:32 -04:00", dt.datetime(2014, 8, 1, 20, 45, 32)),
+        ("Wed, 05 Jul 2023 22:27:31 +0000 (UTC)", dt.datetime(2023, 7, 5, 22, 27, 31)),
+        ("Mon, 16 Aug 2010 03:45:01 +0000", dt.datetime(2010, 8, 16, 3, 45, 1)),
+        ("Fri, 9 Jun 2023 17:40:38 PST", dt.datetime(2023, 6, 10, 1, 40, 38)),
+        ("Mon, 14 Jul 1997 17:30:00 -0000", dt.datetime(1997, 7, 14, 17, 30)),
+        ("16 Aug 2010 03:45 GMT", dt.datetime(2010, 8, 16, 3, 45)),
+        ("2023-06-09T17:46:27.411-07:00",
+         dt.datetime(2023, 6, 10, 0, 46, 27, 411000)),
+        ("not a date", None),
+        ("PST", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "v string")
+    out = df.select(
+        "v", C.CONV_PARSE_TIME.spark(F.col("v")).alias("out")
+    ).collect()
+    got = {r.v: r.out for r in out}
+    for s, want in cases:
+        assert got[s] == want, (s, got[s])

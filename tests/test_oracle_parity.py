@@ -79,3 +79,20 @@ def test_query_matches_oracle(spark, oracle, name):
         if not all(_eq(a, b) for a, b in zip(sv, ov))
     ]
     assert not bad, f"{len(bad)} mismatched rows; first: {bad[0]}"
+
+
+def test_no_oracle_projects_hugeint(oracle):
+    """No oracle may project a HUGEINT/UHUGEINT column. DuckDB's
+    integer ``sum`` widens to HUGEINT (int128), which has no pandas
+    dtype and float-renders on any pandas fetch ('1364.0' vs Spark's
+    BIGINT '1364') — byte-identical values then hash-mismatch. This
+    exact class was the sole two-round driver red (`mixture_plan`,
+    r9-r10: rows/schema green, hash red, and every arithmetic theory
+    disproven). Cast integer sums to BIGINT in the oracle SQL."""
+    offenders = {}
+    for name, sql in sorted(E.oracle_sql().items()):
+        cols = oracle.execute(f"DESCRIBE ({sql})").fetchall()
+        bad = [(c, ty) for c, ty, *_ in cols if "HUGEINT" in ty.upper()]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

@@ -81,20 +81,58 @@ CONV_TO_UTC_DATE = Converter(
     sql=lambda c: f"CAST({c} AS DATE)",
 )
 
+# Ruby Time.zone_offset's named-zone table (ruby/lib/time.rb ZoneOffset),
+# the zones Time.parse resolves without a numeric offset. The reference's
+# own fixtures exercise PST (atom_single_feed_v1_spec.rb:16 pins
+# 'Fri, 9 Jun 2023 17:40:38 PST' → 2023-06-10 01:40:38Z) and a trailing
+# '(UTC)' comment (postmark_inbound_message_v1_spec.rb:137 pins
+# 'Wed, 05 Jul 2023 22:27:31 +0000 (UTC)' → 2023-07-05T22:27:31Z).
+# Military single letters are omitted: no reference surface emits them
+# and a bare trailing letter is more likely data than a zone.
+_RFC2822_ZONES = {
+    "UTC": "+0000", "UT": "+0000", "GMT": "+0000", "Z": "+0000",
+    "EST": "-0500", "EDT": "-0400", "CST": "-0600", "CDT": "-0500",
+    "MST": "-0700", "MDT": "-0600", "PST": "-0800", "PDT": "-0700",
+}
+
+
+def _rfc2822_normalize(c: Column) -> Column:
+    """Reduce the RFC-2822 variants Ruby ``Time.parse`` accepts to the one
+    shape ``d MMM yyyy HH:mm:ss ±HHMM`` Java's formatter can take: strip
+    the weekday prefix (Spark rejects 'EEE' on input) and any trailing
+    parenthesized comment, fold a colon offset (``-04:00``) to ``-0400``,
+    and substitute named zones from the Ruby table above. Pure
+    regexp/map Column ops — stays inside whole-stage codegen."""
+    x = F.regexp_replace(c, r"^[A-Za-z]{3},\s*", "")
+    x = F.regexp_replace(x, r"\s*\([A-Za-z]+\)\s*$", "")
+    x = F.regexp_replace(x, r"([+-]\d{2}):(\d{2})\s*$", "$1$2")
+    named = F.create_map(
+        *[F.lit(s) for kv in _RFC2822_ZONES.items() for s in kv]
+    )
+    off = named[F.upper(F.regexp_extract(x, r"\s([A-Za-z]{1,3})\s*$", 1))]
+    return F.when(
+        off.isNotNull(),
+        F.concat(F.regexp_replace(x, r"\s[A-Za-z]{1,3}\s*$", " "), off),
+    ).otherwise(x)
+
+
 # column.rb:44-47 — permissive time parse; unparseable → NULL.
 CONV_PARSE_TIME = Converter(
     name="parse_time",
     # Ruby Time.parse is permissive: ISO-8601 AND RFC-2822
-    # ("Mon, 16 Aug 2010 03:45:01 +0000", Twilio's format) both parse.
-    # Spark's parser rejects day-of-week ('EEE') on input, so the RFC
-    # branch strips the weekday prefix first.
+    # ("Mon, 16 Aug 2010 03:45:01 +0000", Twilio's format) both parse,
+    # including single-digit days, colon offsets, '(UTC)' comments, and
+    # named zones — golden-pinned against the reference's own postmark
+    # and atom fixtures in tests/test_golden_payloads.py.
     spark=lambda c: F.coalesce(
         F.try_to_timestamp(c),
         F.try_to_timestamp(
-            F.regexp_replace(c, r"^[A-Za-z]{3},\s*", ""),
-            F.lit("dd MMM yyyy HH:mm:ss Z"),
+            _rfc2822_normalize(c), F.lit("d MMM yyyy HH:mm:ss Z")
         ),
+        F.try_to_timestamp(_rfc2822_normalize(c), F.lit("d MMM yyyy HH:mm Z")),
     ),
+    # The reference's SQL (backfill) side is a plain cast
+    # (column.rb:46: Sequel.cast(i, :timestamptz)); mirror that shape.
     sql=lambda c: f"TRY_CAST({c} AS TIMESTAMP)",
 )
 

@@ -588,10 +588,20 @@ def mixture_plan(
     * budget * weight / n)`` — epochs_micro > 1e6 means that source
     repeats (the signal to cap or collect more of it).
 
-    Cross-engine arithmetic contract (the r9/r10 hash-red fix, round
-    3): the ONLY floating-point step is libm ``pow``, and its output
-    is quantized to integer micro-units (``round(pow(n, alpha) *
-    1e6)`` → BIGINT) at that boundary. Everything downstream — the
+    THE ACTUAL r9/r10 driver-red root cause (found r11, round 4): the
+    oracle twin's ``sum()`` returned DuckDB HUGEINT for ``n_tokens``
+    — int128 has no pandas dtype, so any pandas-path fetch renders it
+    float64 ('1364.0' vs Spark's BIGINT '1364') and byte-identical
+    values hash-mismatch. The only two oracles in the registry
+    projecting HUGEINT were this family; the twin now casts to BIGINT
+    and tests/test_oracle_parity.py guards the whole registry against
+    the class. The arithmetic rebuild below predates that finding but
+    stands on its own merits as the stronger cross-engine contract.
+
+    Cross-engine arithmetic contract (rebuilt r11): the ONLY
+    floating-point step is libm ``pow``, and its output is quantized
+    to integer micro-units (``round(pow(n, alpha) * 1e6)`` → BIGINT)
+    at that boundary. Everything downstream — the
     normalizer sum, both ratios, and both micro quantizations — runs
     in exact integer/decimal arithmetic via the half-up identity
     ``round(a/b) = (2a + b) div (2b)`` (positive operands), which is
@@ -660,7 +670,12 @@ def sql_mixture_plan(
     WITH per AS (
       SELECT source,
              count(*) AS n_docs,
-             sum(len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))) AS n_tokens
+             -- BIGINT, not DuckDB's HUGEINT sum default: HUGEINT has no
+             -- pandas dtype and float-renders ('1364.0' vs '1364'), which
+             -- was the real r9-r10 driver hash seam on this query — see
+             -- sql_mixture_plan_tokens. Exact decimal arithmetic below is
+             -- unaffected (pm/tm recast where 128-bit range matters).
+             CAST(sum(len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))) AS BIGINT) AS n_tokens
       FROM {table} GROUP BY source
     ), pw AS (
       SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), {alpha}) * 1e6, 0) AS HUGEINT) AS pm FROM per
@@ -700,11 +715,20 @@ def mixture_plan_tokens(
 
 
 def sql_mixture_plan_tokens(table: str = "documents") -> str:
-    """DuckDB twin of :func:`mixture_plan_tokens` (integer-only)."""
+    """DuckDB twin of :func:`mixture_plan_tokens` (integer-only).
+
+    ``n_tokens`` is cast to BIGINT: DuckDB's integer ``sum`` returns
+    HUGEINT (int128), which has no pandas dtype and surfaces as
+    float64 — so an uncast sum renders '1364.0' against Spark's
+    '1364' and hash-mismatches on BYTE-IDENTICAL values. This was the
+    actual two-round `mixture_plan` driver seam (r9-r10): the only
+    two oracles in the whole 213-query registry that projected a
+    HUGEINT column were this family. Corpus token counts fit BIGINT
+    (9.2e18) at any realistic scale."""
     return f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))) AS n_tokens
+           CAST(sum(len(regexp_split_to_array(trim(text, ' '), '[ \\t\\n\\r\\f\\x0B]+'))) AS BIGINT) AS n_tokens
     FROM {table} GROUP BY source
     """
 

@@ -21,6 +21,7 @@ full-cluster parallelism — the reference's one-feed-at-a-time HTTP loop
 from __future__ import annotations
 
 import json
+import re
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 from io import StringIO
@@ -38,19 +39,35 @@ if TYPE_CHECKING:  # pragma: no cover
 _SPEC_ATTR = ("link", "category")
 
 
-def _parse_with_prefixes(xml_text: str):
+# XML's five predefined entities plus numeric character references; any
+# other '&' in feed text is malformed. The reference parses with
+# Nokogiri's default RECOVER mode (xml.rb:18), which tolerates such
+# feeds (its own atom spec fixture embeds a truncated '&qu' entity,
+# atom_single_feed_v1_spec.rb:21); ElementTree is strict, so we escape
+# the bad ampersands and retry — the recovered text keeps the raw
+# '&...' bytes, the deterministic reading of a broken entity.
+_BAD_AMP = re.compile(r"&(?!(?:amp|lt|gt|apos|quot|#[0-9]+|#x[0-9a-fA-F]+);)")
+
+
+def _parse_with_prefixes(xml_text: str, _retry: bool = True):
     """Parse, collecting namespace prefix declarations so element names
     can be rendered as ``prefix:name`` (ElementTree exposes URIs)."""
     uri_to_prefix: dict[str, str] = {}
     it = ET.iterparse(StringIO(xml_text), events=("start-ns", "end"))
     root = None
-    for event, payload in it:
-        if event == "start-ns":
-            prefix, uri = payload
-            # first declaration wins, matching document order
-            uri_to_prefix.setdefault(uri, prefix)
-        else:
-            root = payload if root is None else root
+    try:
+        for event, payload in it:
+            if event == "start-ns":
+                prefix, uri = payload
+                # first declaration wins, matching document order
+                uri_to_prefix.setdefault(uri, prefix)
+            else:
+                root = payload if root is None else root
+    except ET.ParseError:
+        fixed = _BAD_AMP.sub("&amp;", xml_text)
+        if _retry and fixed != xml_text:
+            return _parse_with_prefixes(fixed, _retry=False)
+        raise
     root = it.root  # type: ignore[attr-defined]
     return root, uri_to_prefix
 
