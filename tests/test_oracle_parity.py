@@ -57,6 +57,29 @@ def oracle():
     con.close()
 
 
+def _type_class(ty: str) -> str:
+    """Coarse type family for Spark/DuckDB cross-engine schema parity:
+    an int column on one side rendered float on the other ('1364' vs
+    '1364.0') hash-mismatches on identical values — the mixture_plan
+    r9-r10 driver seam (HUGEINT → pandas float64)."""
+    ty = ty.upper()
+    if "DECIMAL" in ty:
+        return "decimal"
+    if any(k in ty for k in ("DOUBLE", "FLOAT", "REAL")):
+        return "float"
+    if "INT" in ty or ty in ("LONG", "SHORT", "BYTE"):
+        return "int"
+    if "BOOL" in ty:
+        return "bool"
+    if "TIMESTAMP" in ty:
+        return "ts"
+    if "DATE" in ty:
+        return "date"
+    if any(k in ty for k in ("VARCHAR", "STRING", "TEXT", "CHAR")):
+        return "str"
+    return ty
+
+
 @pytest.mark.parametrize("name", sorted(E.queries()))
 def test_query_matches_oracle(spark, oracle, name):
     sdf = E.queries()[name](spark, SF_DIR)
@@ -69,6 +92,13 @@ def test_query_matches_oracle(spark, oracle, name):
     orows = cur.fetchall()
 
     assert sorted(sdf.columns) == sorted(ocols), "column names must match"
+    sklass = {f.name: _type_class(f.dataType.simpleString())
+              for f in sdf.schema.fields}
+    oklass = {c: _type_class(ty) for c, ty, *_ in
+              oracle.execute(f"DESCRIBE ({E.oracle_sql()[name]})").fetchall()}
+    drift = {c: (sklass[c], oklass[c]) for c in sklass
+             if sklass[c] != oklass[c]}
+    assert not drift, f"type-class drift (hash-render hazard): {drift}"
     assert len(srows) == len(orows), f"row count {len(srows)} vs oracle {len(orows)}"
 
     _, s = _canon(srows, sdf.columns)
