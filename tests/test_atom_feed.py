@@ -43,7 +43,10 @@ def test_parse_atom_feed_shape():
     assert e1["georss:point"] == "34.12 -118.3"
     assert e1["link"] == {"href": "https://example.org/quake/1"}
     assert e1["category"] == {"term": "quake", "label": "Earthquake"}
-    assert e1["content"] == {"value": "<p>shaking</p>", "type": "html"}
+    # named entity refs drop wholesale — the reference's own golden
+    # behavior (spec/webhookdb/xml_spec.rb:44-72, pinned in
+    # test_golden_payloads.py::test_xml_spec_full_feed_golden)
+    assert e1["content"] == {"value": "pshaking/p", "type": "html"}
     assert "published" not in e2
 
 
@@ -92,19 +95,23 @@ def test_upsert_atom_feed_geo_and_created_at(spark, tmp_warehouse):
     assert rows3["urn:quake:1"].updated.month == 6
 
 
-def test_parse_atom_feed_recovers_malformed_entity():
-    """Nokogiri's default RECOVER mode (xml.rb:18) tolerates broken
-    entity refs — the reference's own atom fixture embeds a truncated
-    '&qu' (atom_single_feed_v1_spec.rb:21). Our strict stdlib parser
-    must recover equivalently: bad ampersands read as literal text,
-    valid entities still decode, and a well-formed feed is untouched."""
+def test_parse_atom_feed_nokogiri_entity_contract():
+    """The reference's parse drops every NAMED entity ref — valid
+    ('&lt;', '&amp;') or broken ('&qu', the truncated ref its own
+    fixture embeds, atom_single_feed_v1_spec.rb:21) — while numeric
+    character references decode and bare ampersands survive as
+    literal text (spec/webhookdb/xml_spec.rb golden; full-hash pin in
+    test_golden_payloads.py). Our strict stdlib parser must not choke
+    on any of these."""
     feed = parse_atom_feed(
         '<feed xmlns="http://www.w3.org/2005/Atom">'
         "<entry><id>1</id>"
         '<content type="html">&lt;img border=&qu</content>'
-        "<title>a &amp; b &#65;</title>"
+        "<title>a &amp; b &#65; AT&T x & y</title>"
         "</entry></feed>"
     )
     e = feed["entries"][0]
-    assert e["content"] == {"value": "<img border=&qu", "type": "html"}
-    assert e["title"] == "a & b A"
+    assert e["content"] == {"value": "img border=", "type": "html"}
+    # '&amp;' and '&T' are named-ref-shaped → dropped (like the
+    # reference's icon '&a'); '&#65;' decodes; a bare '& ' is literal
+    assert e["title"] == "a  b A AT x & y"

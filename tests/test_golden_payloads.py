@@ -1629,3 +1629,65 @@ def test_atom_entry_golden_pst_updated(spark, tmp_warehouse):
     row2 = t.read().collect()[0]
     assert row2.title == "new title"
     assert row2.updated == dt.datetime(2023, 6, 11, 1, 40, 38)
+
+
+def test_xml_spec_full_feed_golden():
+    """spec/webhookdb/xml_spec.rb:9-73 — the reference's ONLY Atom
+    parser golden, compared hash-for-hash. It pins the entity
+    contract (named refs dropped wholesale: '&lt;'/'&quot;'/'&amp;'
+    vanish from the content value, the invalid '&a' vanishes from the
+    icon URL), the content value as leading-whitespace-preserving
+    inner XML, the absent value key on a childless content, spec-attr
+    shaping for link/category, and the author sub-hash."""
+    import re
+    import textwrap
+
+    from webhookdb_spark.sources.atom import parse_atom_feed
+
+    text = Path("/root/reference/spec/webhookdb/xml_spec.rb").read_text()
+    m = re.search(r"str = <<~(\w+)\n(.*?)\n\s*\1\n", text, re.S)
+    assert m, "reference fixture moved"
+    feed_xml = textwrap.dedent(m.group(2))
+
+    got = parse_atom_feed(feed_xml)
+    expected = {
+        "entries": [
+            {
+                "id": "2602407",
+                "title": "Campsite Reporting at 1900-1999 NE OREGON ST",
+                "updated": "Fri, 9 Jun 2023 17:40:38 PST",
+                "summary": "Campsite Reporting at 1900-1999 NE OREGON ST",
+                "category": {"label": "Campsite Reporting",
+                             "term": "Campsite Reporting"},
+                "published": "2023-06-09T17:40:37.0-07:00",
+                "status": "Open",
+                "content": {
+                    "value": (
+                        "\n      img border=0 src=http://www.portlandoregon"
+                        ".gov/trackit/deviceimage.cfm?input_value_id=1165110"
+                        "item_id=2602522thumb=yeswidth=200height=200dldtType"
+                        "/dtddCampsite Reporting/dddtAddress/dtdd9700-9999 "
+                        "SE KNAPP ST/dddtComments/dtddOne of the newer./dd"
+                        "dtStatus/dtddOpen/dd/dl\n    "
+                    ),
+                    "type": "html",
+                },
+            },
+            {
+                "georss:point": "45.5285898898 -122.646064077",
+                "content": {"type": "text/csv", "src": "https://foo.csv"},
+            },
+        ],
+        "id": "urn:uuid:2c8b4910-e5c4-11de-8a39-0800200c9a66",
+        "title": "City of Portland - iPhone Citizen Reports Submissions",
+        "subtitle": "Recent City of Portland iPhone application submissions",
+        "link": {"rel": "self",
+                 "href": "http://www.portlandoregon.gov/shared/cfm/"
+                         "trackit_devicerss.cfm"},
+        "updated": "2023-06-09T17:46:27.411-07:00",
+        "category": {"label": "feedcategory", "term": "stuff"},
+        "author": {"name": "City of Portland",
+                   "email": "cgis@portlandoregon.gov"},
+        "icon": "http://www.portlandonline.com/omf/index.cfm?c=39247=87997",
+    }
+    assert got == expected

@@ -39,35 +39,46 @@ if TYPE_CHECKING:  # pragma: no cover
 _SPEC_ATTR = ("link", "category")
 
 
-# XML's five predefined entities plus numeric character references; any
-# other '&' in feed text is malformed. The reference parses with
-# Nokogiri's default RECOVER mode (xml.rb:18), which tolerates such
-# feeds (its own atom spec fixture embeds a truncated '&qu' entity,
-# atom_single_feed_v1_spec.rb:21); ElementTree is strict, so we escape
-# the bad ampersands and retry — the recovered text keeps the raw
-# '&...' bytes, the deterministic reading of a broken entity.
-_BAD_AMP = re.compile(r"&(?!(?:amp|lt|gt|apos|quot|#[0-9]+|#x[0-9a-fA-F]+);)")
+# Entity contract pinned by the reference's OWN golden
+# (spec/webhookdb/xml_spec.rb:44-72): its Nokogiri parse (xml.rb:18)
+# drops EVERY named entity reference from the document — valid
+# ('&lt;', '&quot;', '&amp;' vanish from the content value) and
+# invalid ('&a' in the icon URL, '&qu' truncated in
+# atom_single_feed_v1_spec.rb:21) alike, semicolon or not — while
+# numeric character references decode normally. We reproduce exactly
+# that: delete named refs before the strict stdlib parse and escape
+# any remaining bare '&' so it survives as a literal ampersand.
+# CDATA sections are exempt (entity syntax is inert inside them).
+_NAMED_REF = re.compile(r"&[A-Za-z][A-Za-z0-9]*;?")
+_BARE_AMP = re.compile(r"&(?!#[0-9]+;|#x[0-9a-fA-F]+;)")
+_CDATA = re.compile(r"(<!\[CDATA\[.*?\]\]>)", re.S)
 
 
-def _parse_with_prefixes(xml_text: str, _retry: bool = True):
+def _nokogiri_entity_contract(xml_text: str) -> str:
+    parts = _CDATA.split(xml_text)
+    return "".join(
+        p if p.startswith("<![CDATA[")
+        else _BARE_AMP.sub("&amp;", _NAMED_REF.sub("", p))
+        for p in parts
+    )
+
+
+def _parse_with_prefixes(xml_text: str):
     """Parse, collecting namespace prefix declarations so element names
     can be rendered as ``prefix:name`` (ElementTree exposes URIs)."""
     uri_to_prefix: dict[str, str] = {}
-    it = ET.iterparse(StringIO(xml_text), events=("start-ns", "end"))
+    it = ET.iterparse(
+        StringIO(_nokogiri_entity_contract(xml_text)),
+        events=("start-ns", "end"),
+    )
     root = None
-    try:
-        for event, payload in it:
-            if event == "start-ns":
-                prefix, uri = payload
-                # first declaration wins, matching document order
-                uri_to_prefix.setdefault(uri, prefix)
-            else:
-                root = payload if root is None else root
-    except ET.ParseError:
-        fixed = _BAD_AMP.sub("&amp;", xml_text)
-        if _retry and fixed != xml_text:
-            return _parse_with_prefixes(fixed, _retry=False)
-        raise
+    for event, payload in it:
+        if event == "start-ns":
+            prefix, uri = payload
+            # first declaration wins, matching document order
+            uri_to_prefix.setdefault(uri, prefix)
+        else:
+            root = payload if root is None else root
     root = it.root  # type: ignore[attr-defined]
     return root, uri_to_prefix
 
@@ -97,10 +108,16 @@ def _parse_entry(entry: ET.Element, uri_to_prefix: dict[str, str]) -> dict:
         name = _fqn(c.tag, uri_to_prefix)
         if name == "content":
             content: dict = {}
-            inner = (c.text or "") + "".join(
+            lead = c.text or ""
+            if len(c) and not lead.strip():
+                lead = ""  # noblanks: whitespace-only node before children
+            inner = lead + "".join(
                 ET.tostring(cc, encoding="unicode") for cc in c
             )
-            if inner:
+            # Rails .present? gate (xml.rb:57): whitespace-only inner
+            # XML is absent, but non-blank values keep their leading
+            # whitespace (xml_spec.rb pins '\n      img border=0 …').
+            if inner.strip():
                 content["value"] = inner
             content.update(c.attrib)
             h["content"] = content
