@@ -378,3 +378,81 @@ END:VCALENDAR
     cal = wh.table("org", "icalendar_calendar_v1")
     if deleted.get("icalendar_calendar_v1"):
         assert all(r.external_id != "cal-a" for r in cal.read().collect())
+
+
+def test_timezone_spec_golden_vectors():
+    """spec/webhookdb/timezone_spec.rb:20-181 — every parse_time_with_tzid
+    vector the reference pins, replayed with ICS-compact values: IANA /
+    dashed / country-prefixed names, Windows zones (case, whitespace,
+    trailing digits), bare and named offsets, special-case links and
+    abbreviations, standard/daylight composites, canonical-casing
+    retries, Etc/GMT sign inversion, trailing-year strips, and the
+    nonsense classes that must fall back to UTC with tz_known=False."""
+    from webhookdb_spark.functions.timezones import parse_time_with_tzid
+
+    TS, SUMMER = "20000101T120000", "20000701T120000"
+    # (value, tzid, expected_utc_offset, expected_tz_known)
+    V = [
+    (TS, "America/New_York", "-05:00", True),
+    (TS, "America-New_York", "-05:00", True),
+    (TS, "SA Western Standard Time", "-04:00", True),
+    (TS, " SA Western Standard Time\t", "-04:00", True),
+    (TS, "sa western standard time", "-04:00", True),
+    (TS, "SA Western Standard Time 1", "-04:00", True),
+    (TS, " SA Western Standard Time\t  20  ", "-04:00", True),
+    (TS, "sa western standard time 2", "-04:00", True),
+    (TS, "GMT-0500", "-05:00", True),
+    (TS, "GMT-06:00", "-06:00", True),
+    (TS, "UTC-0500", "-05:00", True),
+    (TS, "UTC+0500", "+05:00", True),
+    (TS, "UTC-05", "-05:00", True),
+    (TS, "(UTC-07:00) Arizona", "-07:00", True),
+    (TS, "(UTC+05:30) Chennai, Kolkata, Mumbai, New Delhi", "+05:30", True),
+    (TS, "(UTC+00:00) Dublin, Edinburgh, Lisbon, London", "+00:00", True),
+    (TS, "EST", "-05:00", True),
+    (TS, "EDT", "-04:00", True),
+    (TS, "Yukon Standard Time", "-08:00", True),
+    (TS, "(UTC) Coordinated Universal Time", "+00:00", True),
+    (TS, "Eastern Standard Time", "-05:00", True),
+    (TS, "Eastern Standard Time 1", "-05:00", True),
+    (SUMMER, "Eastern Standard Time", "-04:00", True),
+    (TS, "Eastern Time", "-05:00", True),
+    (TS, "Pacific Time (US & Canada), Tijuana", "-08:00", True),
+    (TS, "GMT -0800 (Standard) / GMT -0700 (Daylight)", "-08:00", True),
+    (SUMMER, "GMT -0800 (Standard) / GMT -0700 (Daylight)", "-07:00", True),
+    (TS, "America/Blanc-Sablon", "-04:00", True),
+    (TS, "America/Blanc-sablon", "-04:00", True),
+    (TS, "America/blanc-SABLON", "-04:00", True),
+    (TS, "Etc/GMT", "+00:00", True),
+    (TS, "Etc/Universal", "+00:00", True),
+    (TS, "Etc/GMT-2", "+02:00", True),
+    (TS, "Etc/GMT-0", "+00:00", True),
+    (TS, "Etc/GMT+1", "-01:00", True),
+    (TS, "Etc/GMT+11", "-11:00", True),
+    (TS, "c3566dec-0958-48d5-8c80-57fb6274ccb2", "+00:00", False),
+    (TS, "Customized Time Zone 1", "+00:00", False),
+    (TS, "Customized Time Zone", "+00:00", False),
+    (TS, "1", "+00:00", False),
+    (TS, "tzone://Microsoft/Utc", "+00:00", True),
+    (TS, "tzone://Microsoft/Custom", "+00:00", False),
+    (TS, "/America/Los_Angeles", "-08:00", True),
+    (TS, "Eastern Standard Time2025", "-05:00", True),
+    (TS, "America/New_York2025", "-05:00", True),
+    (TS, "GMT", "+00:00", True),
+    (TS, "UTC", "+00:00", True),
+    (TS, "Singapore Standard Time", "+08:00", True),
+    (SUMMER, "Central Daylight Time", "-05:00", True),
+    (TS, "AUS Eastern Standard Time", "+11:00", True),
+    (SUMMER, "AUS Eastern Standard Time", "+10:00", True),
+    (TS, "GMT Standard Time", "+00:00", True),
+    (TS, "Greenwich Standard Time", "+00:00", True),
+    (TS, "US Eastern Standard Time", "-05:00", True),
+    (TS, "US America/New_York", "-05:00", True),
+    (TS, "AUS America/New_York", "-05:00", True),
+    (TS, "invalid-tz", "+00:00", False),
+    (TS, "", "+00:00", False),
+]
+    for value, tzid, off, known in V:
+        t, k = parse_time_with_tzid(value, tzid)
+        assert t.strftime("%z") == off.replace(":", ""), (tzid, t)
+        assert k == known, (tzid, k)

@@ -162,6 +162,10 @@ def resolve_tzid(tzid: str) -> tzinfo | None:
     win = WINDOWS_ZONES.get(re.sub(r"\s*\d+$", "", tzid.upper()))
     if win:
         return _zone(win)
+    if re.search(r"[A-Za-z]{2}\d\d\d\d$", tzid):
+        # malformed TZID lines glue a year on ('America/New_York2025',
+        # 'Eastern Standard Time2025') — timezone.rb:177-180
+        return resolve_tzid(tzid[:-4])
     return None
 
 
