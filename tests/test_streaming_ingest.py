@@ -4,6 +4,7 @@ exactly-once-effective processing, rowupsert side-output.
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 
 from pyspark.sql import functions as F
@@ -723,3 +724,97 @@ def test_contract_ingest_soak_releases_checkpoint_storage(spark, tmp_warehouse):
     assert total_bad == n_batches * (per_batch // 4)
     assert t.read().count() == n_batches * (per_batch - per_batch // 4)
     assert spark.read.parquet(qdir).count() == total_bad
+
+
+def test_canonicalize_headers_downcases_last_wins(spark):
+    """logged_webhook.rb:186-188 before_save + its spec: header keys
+    downcase on intake ({'Xyz': 'A', 'ABC': 'z'} → {'abc': 'z',
+    'xyz': 'A'}); keys colliding after lowering keep the LAST value
+    (Ruby transform_keys!), and a mixed-case User-Agent cannot bypass
+    the bot-GET filter."""
+    import json as _json
+
+    from webhookdb_spark.sources.envelopes import (
+        ENVELOPE_SCHEMA,
+        canonicalize_headers,
+        read_envelopes,
+        reject_bot_gets,
+    )
+
+    # build the maps via from_json so entry order is document order —
+    # the shape real envelopes arrive in (a python dict literal loses
+    # ordering through createDataFrame)
+    df = spark.createDataFrame(
+        [('{"Xyz": "A", "ABC": "z"}',), ('{"UA": "1", "ua": "2", "uA": "3"}',),
+         (None,)],
+        "j string",
+    ).select(F.from_json("j", "map<string,string>").alias("headers"))
+    got = [r.h for r in df.select(
+        canonicalize_headers(F.col("headers")).alias("h")).collect()]
+    assert got[0] == {"abc": "z", "xyz": "A"}
+    assert got[1] == {"ua": "3"}
+    assert got[2] is None
+
+    land = spark.createDataFrame(
+        [
+            ("keep", "svc", "POST", "/", {"User-Agent": "GoogleBot"}, "{}",
+             dt.datetime(2026, 1, 1)),
+            ("drop", "svc", "GET", "/", {"User-Agent": "GoogleBot"}, "{}",
+             dt.datetime(2026, 1, 1)),
+        ],
+        schema=ENVELOPE_SCHEMA,
+    )
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        land.write.mode("overwrite").json(d)
+        env = read_envelopes(spark, d)
+        kept = [r.integration_opaque_id for r in reject_bot_gets(env).collect()]
+    assert kept == ["keep"]
+
+
+def test_trim_logged_webhooks_full_policy(spark):
+    """logged_webhook_spec.rb:117-154 — the reference's own trim
+    fixture matrix: ancient orphan deleted, newer orphan kept; owned
+    successes truncate after 7d and already-truncated ones delete
+    after 90d (keeping their original truncated_at when younger);
+    owned failures truncate after 30d and already-truncated ones
+    delete after 90d."""
+    from webhookdb_spark.operators.retention import trim_logged_webhooks
+
+    now = dt.datetime(2026, 1, 1)
+    days = lambda n: now - dt.timedelta(days=n)  # noqa: E731
+    t = days(5)
+    rows = [
+        # (id, organization_id, response_status, inserted_at, truncated_at)
+        ("orphan_ancient", None, 202, days(400), None),
+        ("orphan_newer", None, 400, days(0), None),
+        ("success_newer", "o", 202, days(0), None),
+        ("success_older", "o", 202, days(20), None),
+        ("success_truncated", "o", 202, days(20), t),
+        ("success_ancient", "o", 202, days(400), days(395)),
+        ("failure_newer", "o", 400, days(0), None),
+        ("failure_mid", "o", 400, days(20), None),
+        ("failure_older", "o", 400, days(40), None),
+        ("failure_ancient", "o", 400, days(400), days(395)),
+    ]
+    df = spark.createDataFrame(
+        [(i, o, s, ts, tr, "body", '{"a":"b"}') for i, o, s, ts, tr in rows],
+        "id string, organization_id string, response_status int, "
+        "inserted_at timestamp, truncated_at timestamp, "
+        "request_body string, request_headers string",
+    )
+    out = {r.id: r for r in trim_logged_webhooks(df, now).collect()}
+    assert set(out) == {
+        "orphan_newer", "success_newer", "success_older",
+        "success_truncated", "failure_newer", "failure_mid",
+        "failure_older",
+    }
+    assert out["orphan_newer"].truncated_at is None
+    assert out["success_newer"].truncated_at is None
+    assert out["success_older"].truncated_at == now
+    assert out["success_older"].request_body == ""
+    assert out["success_older"].request_headers == "{}"
+    assert out["success_truncated"].truncated_at == t  # original stamp kept
+    assert out["failure_newer"].truncated_at is None
+    assert out["failure_mid"].truncated_at is None  # 20d < 30d threshold
+    assert out["failure_older"].truncated_at == now

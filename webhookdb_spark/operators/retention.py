@@ -135,7 +135,78 @@ def cancellation_sweep(
 def trim_audit_log(
     spark_df: DataFrame, received_col: str, max_age_days: int
 ) -> DataFrame:
-    """Logged-webhook trim predicate (logged_webhook.rb:40-90) as a
-    filter; callers overwrite the audit directory with the result."""
+    """Simple age-based audit trim for the envelope archive (callers
+    overwrite the audit directory with the result). The full
+    logged-webhook policy with per-class truncation is
+    :func:`trim_logged_webhooks`."""
     cutoff = F.date_sub(F.current_date(), max_age_days)
     return spark_df.where(F.col(received_col).cast("date") >= cutoff)
+
+
+# logged_webhook.rb:39-43
+DELETE_UNOWNED_DAYS = 14
+DELETE_SUCCESSES_DAYS = 90
+TRUNCATE_SUCCESSES_DAYS = 7
+DELETE_FAILURES_DAYS = 90
+TRUNCATE_FAILURES_DAYS = 30
+
+
+def trim_logged_webhooks(df: DataFrame, now) -> DataFrame:
+    """The reference's full logged-webhook trim policy
+    (logged_webhook.rb:87-113), as one declarative transform over a
+    DataFrame with (organization_id, response_status, inserted_at,
+    truncated_at, request_body, request_headers):
+
+    - unowned rows (NULL organization_id) older than 14 days → deleted
+    - owned successes (status < 400): already-truncated rows older
+      than 90 days → deleted; rows older than 7 days → truncated
+    - owned failures (status >= 400): already-truncated rows older
+      than 90 days → deleted; rows older than 30 days → truncated
+
+    Deleting only already-truncated rows is deliberate in the
+    reference (keeps its partial indexes small); here it means an
+    untruncated 100-day row is truncated this run and deleted the
+    next — same convergence. Truncation blanks request_body, sets
+    request_headers to '{}', and stamps truncated_at = now; rows
+    already truncated keep their original truncated_at (the SQL
+    UPDATE filters truncated_at IS NULL).
+
+    Pure Column predicates over the age partitions — at scale this is
+    a partition-pruned scan-and-rewrite, never a row-at-a-time job.
+    """
+    owned = F.col("organization_id").isNotNull()
+    success = F.col("response_status") < 400
+    age = lambda days: F.col("inserted_at") < (  # noqa: E731
+        F.lit(now) - F.expr(f"INTERVAL {int(days)} DAYS")
+    )
+    was_truncated = F.col("truncated_at").isNotNull()
+    delete = (
+        (~owned & age(DELETE_UNOWNED_DAYS))
+        | (owned & success & was_truncated & age(DELETE_SUCCESSES_DAYS))
+        | (owned & ~success & was_truncated & age(DELETE_FAILURES_DAYS))
+    )
+    truncate_now = (
+        owned
+        & ~was_truncated
+        & (
+            (success & age(TRUNCATE_SUCCESSES_DAYS))
+            | (~success & age(TRUNCATE_FAILURES_DAYS))
+        )
+    )
+    kept = df.where(~delete)
+    return (
+        kept.withColumn(
+            "request_body",
+            F.when(truncate_now, F.lit("")).otherwise(F.col("request_body")),
+        )
+        .withColumn(
+            "request_headers",
+            F.when(truncate_now, F.lit("{}")).otherwise(
+                F.col("request_headers")
+            ),
+        )
+        .withColumn(
+            "truncated_at",
+            F.when(truncate_now, F.lit(now)).otherwise(F.col("truncated_at")),
+        )
+    )

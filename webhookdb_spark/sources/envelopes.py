@@ -26,9 +26,40 @@ ENVELOPE_SCHEMA = T.StructType(
 )
 
 
+def canonicalize_headers(headers):
+    """Downcase header keys (the reference canonicalizes on save,
+    logged_webhook.rb:186-188) — every downstream predicate
+    (verification scheme lookup, bot user-agent filter) assumes
+    lowercase keys, so a producer sending 'User-Agent' must not bypass
+    them. Keys that collide after lowering keep the LAST value (Ruby
+    ``transform_keys!``); built entry-wise so the collision never
+    trips Spark's mapKeyDedupPolicy=EXCEPTION."""
+    ents = F.map_entries(headers)
+    low = F.transform(
+        ents,
+        lambda e: F.struct(
+            F.lower(e["key"]).alias("key"), e["value"].alias("value")
+        ),
+    )
+    deduped = F.filter(
+        low,
+        lambda e, i: ~F.exists(
+            F.slice(low, i + F.lit(2), F.size(low)),
+            lambda t: t["key"] == e["key"],
+        ),
+    )
+    return F.when(headers.isNull(), headers).otherwise(
+        F.map_from_entries(deduped)
+    )
+
+
+def _with_canonical_headers(df: DataFrame) -> DataFrame:
+    return df.withColumn("headers", canonicalize_headers(F.col("headers")))
+
+
 def read_envelopes(spark: SparkSession, path: str) -> DataFrame:
     """Batch envelope read (JSONL files)."""
-    return spark.read.schema(ENVELOPE_SCHEMA).json(path)
+    return _with_canonical_headers(spark.read.schema(ENVELOPE_SCHEMA).json(path))
 
 
 def read_envelope_stream(
@@ -52,7 +83,7 @@ def read_envelope_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    return reader.json(path)
+    return _with_canonical_headers(reader.json(path))
 
 
 def envelopes_from_kafka(records: DataFrame) -> DataFrame:
@@ -70,7 +101,7 @@ def envelopes_from_kafka(records: DataFrame) -> DataFrame:
         else parsed[f.name].alias(f.name)
         for f in ENVELOPE_SCHEMA.fields
     ]
-    return records.select(*cols)
+    return _with_canonical_headers(records.select(*cols))
 
 
 def read_envelope_kafka_stream(
