@@ -244,3 +244,49 @@ def test_plan_cost_guardrail_blocks_cartesian(spark):
     validate_plan_cost(
         spark, "SELECT * FROM guard_a, guard_b", allow_cartesian=True
     )
+
+
+def test_saved_view_spec_golden(spark):
+    """spec/webhookdb/saved_view_spec.rb:16-95 — create_or_replace
+    creates, replaces under the same name, quotes names with spaces,
+    and refuses invalid identifiers and non-read-only SQL; destroy
+    drops when present, noops when absent, and refuses an invalid
+    name."""
+    import pytest
+
+    from webhookdb_spark.plans.query_surface import (
+        QueryNotAllowed,
+        create_saved_view,
+        drop_saved_view,
+    )
+    from webhookdb_spark.types import InvalidIdentifier
+
+    create_saved_view(spark, "testview", "SELECT 1 AS x")
+    assert spark.sql("SELECT * FROM testview").collect()[0].x == 1
+    create_saved_view(spark, "testview2", "SELECT 1 AS y")
+    assert spark.sql("SELECT * FROM testview2").collect()[0].y == 1
+
+    # replaces a view with the same name
+    create_saved_view(spark, "testview", "SELECT 2 AS x")
+    assert spark.sql("SELECT * FROM testview").collect()[0].x == 2
+
+    # escapes/quotes the name
+    create_saved_view(spark, "x y", "SELECT 1 AS z")
+    assert spark.sql('SELECT * FROM `x y`').collect()[0].z == 1
+
+    with pytest.raises(InvalidIdentifier):
+        create_saved_view(spark, "hi-there", "SELECT 1")
+    with pytest.raises(QueryNotAllowed):
+        create_saved_view(spark, "testview3", "CREATE TABLE xyz(pk STRING)")
+
+    # destroy: drops, then the relation is gone
+    drop_saved_view(spark, "testview")
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        spark.sql("SELECT * FROM testview").collect()
+    # noops if the view does not exist
+    drop_saved_view(spark, "never_existed")
+    # errors if the view name is not a valid identifier
+    with pytest.raises(InvalidIdentifier):
+        drop_saved_view(spark, "hello-there")
+    drop_saved_view(spark, "testview2")
+    drop_saved_view(spark, "x y")

@@ -193,11 +193,28 @@ class SavedQueries:
 
 
 def create_saved_view(spark: SparkSession, name: str, sql: str) -> None:
-    """Validated read-only SQL → catalog view
-    (saved_view.rb:20-40: CREATE OR REPLACE VIEW after validation)."""
+    """Validated read-only SQL → catalog view (saved_view.rb:20-40:
+    CREATE OR REPLACE VIEW after both validations). The name must pass
+    the identifier rules (db_adapter.rb:10,203-213 — 'hi-there'
+    raises InvalidIdentifier) and is always quoted, so names with
+    spaces ('x y') work — both pinned by the reference's
+    saved_view_spec."""
+    from webhookdb_spark.types import validate_identifier
+
+    validate_identifier(name, "view")
     validate_readonly(sql)
     with _no_sql_on_files(spark):
-        spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+        spark.sql(f"CREATE OR REPLACE TEMP VIEW `{name}` AS {sql}")
+
+
+def drop_saved_view(spark: SparkSession, name: str) -> None:
+    """Saved-view destroy (saved_view.rb:42-55): drops the view if it
+    exists, noops when absent, and refuses a name that fails the
+    identifier rules (the spec's 'became invalid' invariant)."""
+    from webhookdb_spark.types import validate_identifier
+
+    validate_identifier(name, "view")
+    spark.sql(f"DROP VIEW IF EXISTS `{name}`")
 
 
 class MaterializedViews:
