@@ -176,3 +176,26 @@ def test_parse_time_ruby_timeparse_forms(spark):
     got = {r.v: r.out for r in out}
     for s, want in cases:
         assert got[s] == want, (s, got[s])
+
+
+def test_crypto_golden_vector():
+    """spec/webhookdb/crypto_spec.rb:6-20 — the reference's exact
+    AES-256-CBC ciphertext (zero IV, PKCS7), the decrypt round-trip,
+    and random-key uniqueness."""
+    from webhookdb_spark.functions.crypto import (
+        Boxed,
+        bin2hex,
+        decrypt_value,
+        encrypt_value,
+        encryption_key,
+    )
+
+    key = Boxed.from_b64("6vHQcB8xlVSmHO2Wxsqk713k7oi_SpIWirUG0YTGUa4=")
+    value = Boxed.from_raw(b"hello Boom")
+    enc = encrypt_value(key, value)
+    assert enc.base64 == "mzre1LavjI7wUWdZRsYsUA=="
+    dec = decrypt_value(key, enc)
+    assert dec.raw == b"hello Boom"
+    assert dec.base64 == "aGVsbG8gQm9vbQ=="
+    assert encryption_key().base64 != encryption_key().base64
+    assert bin2hex(b"\x01\xab") == "01ab"
