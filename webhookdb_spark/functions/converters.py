@@ -331,13 +331,15 @@ def converter_map_lookup(mapping: dict, *, default_passthrough: bool = True) -> 
     column.rb:244-264 — the reference marks the SQL side NOT_IMPLEMENTED,
     so this converter is not SQL-backfillable (``sql=None``).
     """
-    pairs: list[Column] = []
-    for k, v in mapping.items():
-        pairs.append(F.lit(k))
-        pairs.append(F.lit(v))
-    lookup = F.create_map(*pairs)
+    frozen = tuple(mapping.items())
 
     def spark(c: Column) -> Column:
+        # literals built lazily — specs declare converters at import
+        # time, before any SparkContext exists (same pattern as
+        # converter_map_lookup_array below)
+        lookup = F.create_map(
+            *[F.lit(x) for kv in frozen for x in kv]
+        )
         hit = F.element_at(lookup, c)
         return F.coalesce(hit, c) if default_passthrough else hit
 

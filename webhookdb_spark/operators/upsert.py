@@ -92,9 +92,16 @@ class IntegrationSequence:
         wm = self.watermark()
         df = df.localCheckpoint(eager=True)
         with_pid = df.withColumn("_pid", F.spark_partition_id())
+        # Count only rows that actually DRAW (col IS NULL): the
+        # reference's defaulter calls nextval per nil value
+        # (column.rb:132-152), so a batch with no nils must not move
+        # the watermark — column_spec.rb:908-938 pins the first draw
+        # of the exhaustive body's int_or_seq_has_not at exactly 1,
+        # with the regex-satisfied sibling column drawing nothing.
         counts = {
             r["_pid"]: r["n"]
-            for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+            for r in with_pid.where(F.col(col).isNull())
+            .groupBy("_pid").agg(F.count("*").alias("n")).collect()
         }
         if not counts:
             return df
@@ -107,7 +114,12 @@ class IntegrationSequence:
             F.col("_pid"),
         )
         w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
-        fresh = (F.lit(wm) + off + F.row_number().over(w)).cast("long")
+        # running count of nulls within the partition = this row's
+        # 1-based index among the partition's draws
+        draw_idx = F.sum(
+            F.when(F.col(col).isNull(), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        fresh = (F.lit(wm) + off + draw_idx).cast("long")
         out = with_pid.withColumn(col, F.coalesce(F.col(col), fresh)).drop("_pid")
         self._advance(wm + acc)
         return out
