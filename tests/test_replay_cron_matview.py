@@ -290,3 +290,78 @@ def test_saved_view_spec_golden(spark):
         drop_saved_view(spark, "hello-there")
     drop_saved_view(spark, "testview2")
     drop_saved_view(spark, "x y")
+
+
+def test_stale_row_deleter_spec_scenarios(spark, tmp_warehouse):
+    """base_stale_row_deleter_spec.rb:19-41 with the FakeStaleRow
+    parameters (stale_at=5d, lookback=5d, condition
+    textcol='cancelled'): `run` deletes only cancelled rows inside
+    [now-10d, now-5d) — recent, not-cancelled, and beyond-lookback
+    rows all survive; `run_initial` (nil age cutoff) widens the
+    window back to epoch and deletes every cancelled stale row."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.operators.retention import delete_stale_rows
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.storage import Warehouse
+    from webhookdb_spark.types import ColumnType
+
+    spec = ReplicatorSpec(
+        name="fake_stale_row_v1",
+        table="fake_stale_row_v1",
+        remote_key=Col("my_id", ColumnType.TEXT),
+        denorm_cols=(
+            Col("at", ColumnType.TIMESTAMP, index=True),
+            Col("textcol", ColumnType.TEXT, optional=True),
+        ),
+        timestamp_col="at",
+        update_where=lambda s, t: t("at") < s("at"),
+        n_buckets=4,
+    )
+    now = dt.datetime(2020, 10, 30)
+    days = lambda n: (now - dt.timedelta(days=n)).isoformat()  # noqa: E731
+
+    def env(rows):
+        return spark.createDataFrame(
+            [(json.dumps(r), now) for r in rows],
+            "body string, received_at timestamp",
+        )
+
+    def make_table(name):
+        t = Warehouse(spark, str(tmp_warehouse)).table(name, spec.table)
+        upsert_envelopes(t, env([
+            {"my_id": "recent", "at": days(3), "textcol": "cancelled"},
+            {"my_id": "stale", "at": days(7), "textcol": "cancelled"},
+            {"my_id": "stale_not_cancelled", "at": days(7),
+             "textcol": "confirmed"},
+            {"my_id": "too_old", "at": days(12), "textcol": "cancelled"},
+        ]), spec)
+        return t
+
+    t = make_table("org_run")
+    n = delete_stale_rows(
+        t, "at",
+        stale_cutoff=days(5), lookback_cutoff=days(10),
+        condition=F.col("textcol") == "cancelled",
+    )
+    assert n == 1
+    assert sorted(r.my_id for r in t.read().collect()) == [
+        "recent", "stale_not_cancelled", "too_old",
+    ]
+
+    # run_initial: nil age cutoff — lookback from epoch
+    t2 = make_table("org_initial")
+    n2 = delete_stale_rows(
+        t2, "at",
+        stale_cutoff=days(5), lookback_cutoff="1970-01-01T00:00:00",
+        condition=F.col("textcol") == "cancelled",
+    )
+    assert n2 == 2
+    assert sorted(r.my_id for r in t2.read().collect()) == [
+        "recent", "stale_not_cancelled",
+    ]
