@@ -6329,6 +6329,15 @@ _ROTATION_PRIORITY = [
     # in_set/between vs the oracle's NULL-excluding IN/BETWEEN) — code
     # changed after its r10 row:
     "pipeline_lifecycle",
+    # r11 late: the integration-sequence fill now draws only on NULLs
+    # (upsert.py) and jsonl integer casts gained the engine-identical
+    # integral-string gate — the fingerprint audit names these as
+    # running changed code on older green rows:
+    "upsert_merge",          # row r10
+    "jsonl_quarantine",      # row r9
+    "matview_event_totals",  # row r9
+    "scd2_feed_maintained",  # row r8
+    "table_diff",            # row r8
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None

@@ -172,3 +172,50 @@ def test_fd_audit_verdicts_and_branching(spark):
     broken = got[("k", "v")]
     assert (broken.n_det_values, broken.n_violating,
             broken.max_branching, broken.holds) == (3, 2, 3, 0)
+
+
+def test_integer_cast_gate_cross_engine_regression(spark):
+    """The '0.' falsifying example found by the hypothesis pin,
+    deterministic: DuckDB's TRY_CAST('0.' AS BIGINT) truncates to 0
+    where Spark yields NULL — both twins now gate integer casts on the
+    integral-string shape, so non-integral strings are bad_type on
+    BOTH engines."""
+    import duckdb
+
+    from webhookdb_spark.sources.jsonl import (
+        parse_jsonl_with_quarantine,
+        sql_parse_jsonl_with_quarantine,
+    )
+
+    fields = [("doc_id", "bigint"), ("text", "string")]
+    lines = [
+        (0, '{"doc_id": "0."}'),
+        (1, '{"doc_id": "1e3", "text": "x"}'),
+        (2, '{"doc_id": " 7 ", "text": "x"}'),
+        (3, '{"doc_id": "+5", "text": "x"}'),
+        (4, '{"doc_id": "007", "text": "x"}'),
+    ]
+    df = spark.createDataFrame(lines, "src_id long, line string")
+    got = {
+        r.src_id: (r.status, r.reason, r.doc_id_val)
+        for r in parse_jsonl_with_quarantine(
+            df, fields=fields, required=("text",)).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lt (src_id BIGINT, line VARCHAR)")
+    con.executemany("INSERT INTO lt VALUES (?, ?)", lines)
+    sql = sql_parse_jsonl_with_quarantine(
+        "SELECT src_id, line FROM lt", fields=fields,
+        required=("text",), keep=("src_id",))
+    want = {
+        r[0]: (r[3], r[4], r[1])
+        for r in con.execute(
+            f"SELECT src_id, doc_id_val, text_val, status, reason"
+            f" FROM ({sql})").fetchall()
+    }
+    assert got == want
+    assert got[0] == ("quarantined", "missing_field:text", None)
+    assert got[1] == ("quarantined", "bad_type:doc_id", None)  # 1e3 gated
+    assert got[2] == ("valid", None, 7)
+    assert got[3] == ("valid", None, 5)
+    assert got[4] == ("valid", None, 7)

@@ -41,6 +41,27 @@ from pyspark.sql import functions as F
 CORRUPT_COL = "_corrupt_record"
 
 
+# Engines disagree on TRY_CAST(<string> AS <integer>) for non-integral
+# strings: DuckDB truncates '0.' to 0 where Spark yields NULL (found by
+# the cross-engine hypothesis pin). Both twins therefore gate integer
+# casts on the SAME integral-string shape — strings outside it are
+# bad_type on both engines by construction.
+_INT_TYPES = {"bigint", "long", "int", "integer", "smallint", "tinyint"}
+_INT_RE = r"^\s*[+-]?\d+\s*$"
+
+
+def _typed(col: Column, typ: str) -> Column:
+    if typ.lower() in _INT_TYPES:
+        return F.when(col.rlike(_INT_RE), col.try_cast(typ))
+    return col.try_cast(typ)
+
+
+def _sql_typed(ex: str, typ: str) -> str:
+    if typ.lower() in _INT_TYPES:
+        ex = f"(CASE WHEN regexp_matches({ex}, '{_INT_RE}') THEN {ex} END)"
+    return f"TRY_CAST({ex} AS {typ})"
+
+
 def parse_jsonl_with_quarantine(
     lines: DataFrame,
     fields: list[tuple[str, str]],
@@ -76,11 +97,11 @@ def parse_jsonl_with_quarantine(
             continue
         reason = reason.when(
             F.col(f"_j.{name}").isNotNull()
-            & F.col(f"_j.{name}").try_cast(typ).isNull(),
+            & _typed(F.col(f"_j.{name}"), typ).isNull(),
             F.lit(f"bad_type:{name}"),
         )
     vals = [
-        F.col(f"_j.{name}").try_cast(typ).alias(f"{name}_val")
+        _typed(F.col(f"_j.{name}"), typ).alias(f"{name}_val")
         for name, typ in fields
     ]
     keep = [c for c in lines.columns if c != line_col]
@@ -121,14 +142,14 @@ def sql_parse_jsonl_with_quarantine(
         for name in required
     ]
     arms += [
-        f"WHEN {ex[name]} IS NOT NULL AND TRY_CAST({ex[name]} AS {typ}) IS NULL"
+        f"WHEN {ex[name]} IS NOT NULL AND {_sql_typed(ex[name], typ)} IS NULL"
         f" THEN 'bad_type:{name}'"
         for name, typ in fields
         if typ.lower() != "string"
     ]
     reason = "CASE " + " ".join(arms) + " END"
     vals = ", ".join(
-        f"TRY_CAST({ex[name]} AS {typ}) AS {name}_val" for name, typ in fields
+        f"{_sql_typed(ex[name], typ)} AS {name}_val" for name, typ in fields
     )
     keep_sql = "".join(f"{c}, " for c in keep)
     return f"""
