@@ -758,3 +758,31 @@ def test_token_budget_select_keyed_join_no_cartesian(spark):
     # third keyed shuffle means the quality/join partitioning stopped
     # being reused
     assert len(re.findall(r"\(\d+\) Exchange", phys)) <= 2, p
+
+
+def test_envelope_intake_projection_stays_jvm_side(spark, tmp_path):
+    """The intake projection (header canonicalization + bot filter)
+    must stay whole-stage-codegen JVM work — an envelope stream at
+    100 TB/week cannot afford a Python hop per record."""
+    import json as _json
+
+    from webhookdb_spark.sources.envelopes import (
+        read_envelopes,
+        reject_bot_gets,
+    )
+
+    d = tmp_path / "land"
+    d.mkdir()
+    (d / "a.json").write_text(_json.dumps({
+        "integration_opaque_id": "svi_a", "service_name": "fake_v1",
+        "request_method": "POST", "request_path": "/",
+        "headers": {"User-Agent": "x"}, "body": "{}",
+        "received_at": "2026-01-01T00:00:00Z",
+    }) + "\n")
+    df = reject_bot_gets(read_envelopes(spark, str(d)))
+    p = plan_of(df)
+    assert "BatchEvalPython" not in p
+    # higher-order map functions run as JVM expression eval (no codegen
+    # span) — the gate here is "no Python hop", plus shape: one scan,
+    # one filter, one projection, nothing else
+    assert "Scan json" in p and "PythonUDF" not in p
