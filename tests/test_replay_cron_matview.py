@@ -365,3 +365,47 @@ def test_stale_row_deleter_spec_scenarios(spark, tmp_warehouse):
     assert sorted(r.my_id for r in t2.read().collect()) == [
         "recent", "stale_not_cancelled",
     ]
+
+
+def test_standard_scheduled_backfills_table():
+    """jobs/scheduled_backfills.rb:12-86 — the reference's installed
+    schedule, row for row (config-driven expressions at their shipped
+    defaults), and its firing behavior on the scheduler: twilio and
+    signalwire fire every minute, convertkit_broadcast only at minute
+    10, the intercom backstop only at 04:46, and every expression
+    parses."""
+    import datetime as dt
+
+    from webhookdb_spark.sources.cron import (
+        STANDARD_SCHEDULED_BACKFILLS,
+        BackfillScheduler,
+        cron_matches,
+        install_standard_backfills,
+    )
+
+    rows = {s.service: s for s in STANDARD_SCHEDULED_BACKFILLS}
+    assert len(rows) == 12
+    assert rows["twilio_sms_v1"].cron == "*/1 * * * *"
+    assert rows["twilio_sms_v1"].recursive and rows["twilio_sms_v1"].incremental
+    assert rows["convertkit_broadcast_v1"].cron == "10 * * * *"
+    assert not rows["convertkit_broadcast_v1"].incremental
+    assert rows["intercom_marketplace_root_v1"].cron == "46 4 * * *"
+    assert rows["email_octopus_list_v1"].cron == "0 */4 * * *"
+    assert rows["github_repository_event_v1"].splay_seconds == 30
+    assert rows["transistor_show_v1"].cron == "0 0 */1 * *"
+    for s in STANDARD_SCHEDULED_BACKFILLS:  # all expressions parse
+        cron_matches(s.cron, dt.datetime(2026, 1, 1))
+
+    sched = BackfillScheduler()
+    fired: list[str] = []
+    install_standard_backfills(
+        sched, lambda sp: (lambda svc=sp.service: fired.append(svc)))
+    out = sched.tick(dt.datetime(2026, 1, 1, 3, 7))
+    assert sorted(out) == ["signalwire_message_v1", "twilio_sms_v1"]
+    out = sched.tick(dt.datetime(2026, 1, 1, 3, 10))
+    assert "convertkit_broadcast_v1" in out and "twilio_sms_v1" in out
+    out = sched.tick(dt.datetime(2026, 1, 1, 4, 46))
+    assert "intercom_marketplace_root_v1" in out
+    out = sched.tick(dt.datetime(2026, 1, 2, 4, 46))
+    assert "intercom_marketplace_root_v1" in out  # daily backstop
+    assert fired  # actions actually ran

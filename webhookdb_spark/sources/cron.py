@@ -82,3 +82,75 @@ class BackfillScheduler:
                 self._last_fired[job.service] = stamp
                 fired.append(job.service)
         return fired
+
+
+@dataclass(frozen=True)
+class StandardBackfillSpec:
+    """One row of the reference's installed schedule
+    (jobs/scheduled_backfills.rb:12-86): job class name, service,
+    five-field cron, enqueue splay seconds, incremental and recursive
+    bits. Config-driven expressions carry their shipped defaults
+    (email_octopus.rb:13, github.rb:10, sponsy.rb:9,
+    transistor.rb:9-10)."""
+
+    klass: str
+    service: str
+    cron: str
+    splay_seconds: int
+    incremental: bool
+    recursive: bool
+
+
+#: jobs/scheduled_backfills.rb:33-84, verbatim.
+STANDARD_SCHEDULED_BACKFILLS: tuple[StandardBackfillSpec, ...] = (
+    StandardBackfillSpec("ConvertkitBroadcastBackfill",
+                         "convertkit_broadcast_v1", "10 * * * *", 120,
+                         False, False),
+    StandardBackfillSpec("ConvertkitSubscriberBackfill",
+                         "convertkit_subscriber_v1", "20 * * * *", 120,
+                         True, False),
+    StandardBackfillSpec("ConvertkitTagBackfill",
+                         "convertkit_tag_v1", "30 * * * *", 120,
+                         False, False),
+    StandardBackfillSpec("EmailOctopusScheduledBackfill",
+                         "email_octopus_list_v1", "0 */4 * * *", 120,
+                         False, True),
+    StandardBackfillSpec("GithubRepoActivityScheduledBackfill",
+                         "github_repository_event_v1", "*/5 * * * *", 30,
+                         False, False),
+    StandardBackfillSpec("IntercomScheduledBackfill",
+                         "intercom_marketplace_root_v1", "46 4 * * *", 0,
+                         True, True),
+    StandardBackfillSpec("AtomSingleFeedPoller",
+                         "atom_single_feed_v1", "11 * * * *", 10,
+                         True, False),
+    StandardBackfillSpec("SponsyScheduledBackfill",
+                         "sponsy_publication_v1", "*/30 */4 * * *", 30,
+                         True, True),
+    StandardBackfillSpec("TransistorEpisodeBackfill",
+                         "transistor_episode_v1", "30 * * * *", 120,
+                         True, True),
+    StandardBackfillSpec("TransistorShowBackfill",
+                         "transistor_show_v1", "0 0 */1 * *", 120,
+                         True, False),
+    StandardBackfillSpec("TwilioSmsBackfill",
+                         "twilio_sms_v1", "*/1 * * * *", 0, True, True),
+    StandardBackfillSpec("SignalwireMessageBackfill",
+                         "signalwire_message_v1", "*/1 * * * *", 0,
+                         True, True),
+)
+
+
+def install_standard_backfills(
+    scheduler: "BackfillScheduler",
+    action_for: Callable[[StandardBackfillSpec], Callable[[], object]],
+) -> None:
+    """Install the reference's full schedule table on a scheduler;
+    ``action_for`` builds each job's enqueue callback (the analog of
+    BackfillJob.create_recursive/create, scheduled_backfills.rb:20-29,
+    selected by the spec's recursive bit)."""
+    for sp in STANDARD_SCHEDULED_BACKFILLS:
+        scheduler.add(ScheduledBackfill(
+            service=sp.service, cron=sp.cron,
+            action=action_for(sp), incremental=sp.incremental,
+        ))
