@@ -456,3 +456,31 @@ def test_timezone_spec_golden_vectors():
         t, k = parse_time_with_tzid(value, tzid)
         assert t.strftime("%z") == off.replace(":", ""), (tzid, t)
         assert k == known, (tzid, k)
+
+
+def test_rows_needing_sync_and_noop_gate(spark):
+    """icalendar_calendar_v1.rb:135-138 + 175-188: the periodic-sync
+    selection (never-synced OR older than the 6h period,
+    icalendar.rb:23) and the sync job's re-check gate that makes the
+    enqueue job's duplicates noop."""
+    import datetime as dt
+
+    from webhookdb_spark.replicators.icalendar_calendar_v1 import (
+        rows_needing_sync,
+        should_sync,
+    )
+
+    now = dt.datetime(2026, 1, 1, 12, 0)
+    df = spark.createDataFrame(
+        [("never", None),
+         ("stale", now - dt.timedelta(hours=7)),
+         ("fresh", now - dt.timedelta(hours=5))],
+        "external_id string, last_synced_at timestamp",
+    )
+    due = sorted(r.external_id for r in rows_needing_sync(df, now).collect())
+    assert due == ["never", "stale"]
+
+    assert should_sync(None, now)
+    assert should_sync(now - dt.timedelta(hours=7), now)
+    assert not should_sync(now - dt.timedelta(hours=5), now)
+    assert should_sync(now - dt.timedelta(hours=5), now, force=True)

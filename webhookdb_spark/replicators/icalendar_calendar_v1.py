@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import json
 from collections.abc import Iterator
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,6 +77,42 @@ def project_feed(
                 projected_resource_to_row(projected, calendar_external_id, now)
             )
     return rows, projector.delete_conditions()
+
+
+#: icalendar.rb:23 — hours between periodic feed syncs.
+SYNC_PERIOD_HOURS = 6
+
+
+def rows_needing_sync(
+    calendars: "DataFrame",
+    now: datetime,
+    sync_period_hours: int = SYNC_PERIOD_HOURS,
+) -> "DataFrame":
+    """Calendars due for a feed sync (icalendar_calendar_v1.rb:135-138):
+    never synced, or last synced before now - sync_period_hours. The
+    enqueue job runs this every 30 minutes with a splay
+    (jobs/icalendar_enqueue_syncs.rb:14-33) so duplicates are expected;
+    the sync itself re-checks the same cutoff and noops when the row
+    was synced in the meantime (sync_row's should_sync gate,
+    icalendar_calendar_v1.rb:175-188) — that re-check is the
+    thundering-herd thinner, not the enqueue filter."""
+    from pyspark.sql import functions as F
+
+    cutoff = now - timedelta(hours=sync_period_hours)
+    return calendars.where(
+        F.col("last_synced_at").isNull()
+        | (F.col("last_synced_at") < F.lit(cutoff))
+    )
+
+
+def should_sync(last_synced_at, now: datetime,
+                sync_period_hours: int = SYNC_PERIOD_HOURS,
+                force: bool = False) -> bool:
+    """The sync job's noop gate (icalendar_calendar_v1.rb:175-188,
+    minus the proxy branch — no proxy in this engine)."""
+    if force or last_synced_at is None:
+        return True
+    return last_synced_at < now - timedelta(hours=sync_period_hours)
 
 
 def sync_feed(
