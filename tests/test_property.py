@@ -1757,3 +1757,40 @@ def test_jotform_multipart_questions_roundtrip(spark, answers, ev):
     import re
     want_q = {re.sub(r"^q\d+_", "", k): v for k, v in answers.items()}
     assert got["questions"] == want_q
+
+
+@given(
+    headers=st.dictionaries(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"),
+                whitelist_characters="-_",
+            ),
+            min_size=1, max_size=12,
+        ),
+        st.text(min_size=0, max_size=16),
+        max_size=8,
+    ),
+)
+@settings(max_examples=30, deadline=None)
+def test_canonicalize_headers_properties(spark, headers):
+    """Header canonicalization invariants (logged_webhook.rb:186-188):
+    every output key is lowercase; the output keys are exactly the
+    lowercased input keys; every output value was SOME input value of
+    a case-colliding key; idempotent."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.sources.envelopes import canonicalize_headers
+
+    df = spark.createDataFrame(
+        [(_json.dumps(headers),)], "j string"
+    ).select(F.from_json("j", "map<string,string>").alias("h"))
+    once = df.select(canonicalize_headers(F.col("h")).alias("h"))
+    got = once.collect()[0].h or {}
+    assert set(got) == {k.lower() for k in headers}
+    for k, v in got.items():
+        assert v in {hv for hk, hv in headers.items() if hk.lower() == k}
+    twice = once.select(canonicalize_headers(F.col("h")).alias("h"))
+    assert (twice.collect()[0].h or {}) == got
