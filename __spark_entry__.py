@@ -104,8 +104,17 @@ def _dec(c: str, scale: int = 4):
 
 
 def _sum_d(col, alias: str):
-    """Exact decimal sum surfaced as a rounded double (engine-portable)."""
-    return F.round(F.sum(col).cast("double"), 6).alias(alias)
+    """Exact decimal sum surfaced as a double, rounding in the DECIMAL
+    domain first (engine-portable): round(double, 6) is undefined
+    territory above ~1e3 where doubles cannot hold 6 decimals, and the
+    engines' double-round implementations disagree in the last ulp on
+    such values (seen on revenue_by_region at sf0.1, where the exact
+    decimal sums matched but the double-domain rounds differed by one
+    ulp). Decimal-domain round is exact and identical on both engines;
+    the single decimal→double cast after it is IEEE
+    correctly-rounded — also identical. SQL twins mirror as
+    CAST(round(SUM(..), 6) AS DOUBLE)."""
+    return F.round(F.sum(col), 6).cast("double").alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -130,9 +139,9 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty,
-  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_base_price,
-  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS sum_disc_price,
+  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_qty,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_base_price,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS sum_disc_price,
   round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
   round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
   COUNT(*) AS count_order
@@ -162,7 +171,7 @@ def q_revenue_by_region(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_REVENUE_BY_REGION = """
 SELECT r_name AS region,
-  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS revenue,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS revenue,
   COUNT(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -329,7 +338,7 @@ def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(rev.cast("double"), 6).alias("revenue"))
+        .agg(F.round(rev, 6).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -364,9 +373,8 @@ def q_big_spenders(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_SHIPPING_PRIORITY = """
 SELECT l_orderkey,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                  AS DOUBLE), 6) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -466,7 +474,7 @@ def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return agg.select(
         "ship_month",
         pct.alias("promo_pct"),
-        F.round(den, 6).alias("total_revenue"),
+        F.round(F.col("_den"), 6).cast("double").alias("total_revenue"),
     ).orderBy("ship_month")
 
 
@@ -484,7 +492,7 @@ WITH j AS (
 SELECT ship_month,
        floor(100.0 * CAST(sum(promo_rev) AS DOUBLE)
              / CAST(sum(rev) AS DOUBLE) * 1e6) / 1e6 AS promo_pct,
-       round(CAST(sum(rev) AS DOUBLE), 6) AS total_revenue
+       CAST(round(sum(rev), 6) AS DOUBLE) AS total_revenue
 FROM j
 GROUP BY ship_month
 ORDER BY ship_month
@@ -529,7 +537,7 @@ WITH pp AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT p_brand, count(*) AS n_lines,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN pp ON l_partkey = pk
 JOIN part ON l_partkey = p_partkey
@@ -588,7 +596,7 @@ tot_n AS (
   SELECT CAST(sum(cents) AS BIGINT) AS tot, count(*) AS n FROM pos
 )
 SELECT c_nationkey, count(*) AS numcust,
-       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6) AS totacctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 6) AS DOUBLE) AS totacctbal
 FROM pos, tot_n
 WHERE cents * n > tot
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -615,7 +623,7 @@ def q_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("_p").cast("double"), 6).alias("rev"),
+            F.round(F.sum("_p"), 6).cast("double").alias("rev"),
         )
     )
     return piv.select(
@@ -632,14 +640,14 @@ def q_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
 SQL_PIVOT_STATUS = """
 SELECT c_mktsegment,
        CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
-       coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-           FILTER (o_orderstatus = 'F') AS DOUBLE), 6), 0.0) AS f_rev,
+       coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+           FILTER (o_orderstatus = 'F'), 6) AS DOUBLE), 0.0) AS f_rev,
        CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
-       coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-           FILTER (o_orderstatus = 'O') AS DOUBLE), 6), 0.0) AS o_rev,
+       coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+           FILTER (o_orderstatus = 'O'), 6) AS DOUBLE), 0.0) AS o_rev,
        CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
-       coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-           FILTER (o_orderstatus = 'P') AS DOUBLE), 6), 0.0) AS p_rev
+       coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+           FILTER (o_orderstatus = 'P'), 6) AS DOUBLE), 0.0) AS p_rev
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -969,8 +977,8 @@ def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_FORECAST_REVENUE = """
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                     * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 6)
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_discount AS DECIMAL(18,4))), 6) AS DOUBLE)
          AS revenue,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem
@@ -1037,7 +1045,7 @@ def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_LOCAL_SUPPLIER_VOLUME = f"""
 SELECT n_name,
-       round(CAST(sum({_SQL_REV}) AS DOUBLE), 6) AS revenue
+       CAST(round(sum({_SQL_REV}), 6) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1101,7 +1109,7 @@ def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
 SQL_NATION_TRADE_VOLUME = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INTEGER) AS l_year,
-       round(CAST(sum({_SQL_REV}) AS DOUBLE), 6) AS revenue
+       CAST(round(sum({_SQL_REV}), 6) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -1178,7 +1186,7 @@ def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
         "o_year",
         F.round(F.col("_num").cast("double") / F.col("_den").cast("double"), 6)
         .alias("mkt_share"),
-        F.round(F.col("_den").cast("double"), 6).alias("total_volume"),
+        F.round(F.col("_den"), 6).cast("double").alias("total_volume"),
     ).orderBy("o_year")
 
 
@@ -1203,7 +1211,7 @@ SELECT o_year,
        round(CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN rev
                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
              / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
-       round(CAST(sum(rev) AS DOUBLE), 6) AS total_volume
+       CAST(round(sum(rev), 6) AS DOUBLE) AS total_volume
 FROM vol GROUP BY o_year ORDER BY o_year
 """
 
@@ -1248,9 +1256,9 @@ def q_product_profit(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_PRODUCT_PROFIT = f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       round(CAST(sum({_SQL_REV}
+       CAST(round(sum({_SQL_REV}
                 - CAST(p_retailprice AS DECIMAL(18,4))
-                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+                  * CAST(l_quantity AS DECIMAL(18,2))), 6) AS DOUBLE)
          AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -1296,7 +1304,7 @@ def q_returned_item_losses(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_RETURNED_ITEM_LOSSES = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(CAST(sum({_SQL_REV}) AS DOUBLE), 6) AS revenue
+       CAST(round(sum({_SQL_REV}), 6) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1433,7 +1441,7 @@ def q_discounted_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_DISCOUNTED_BRAND_REVENUE = f"""
-SELECT round(CAST(sum({_SQL_REV}) AS DOUBLE), 6) AS revenue,
+SELECT CAST(round(sum({_SQL_REV}), 6) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
@@ -1471,7 +1479,7 @@ def q_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_SKEW_SALTED = """
 SELECT c_mktsegment, count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -1591,7 +1599,7 @@ WITH d AS (
 SELECT decile, count(*) AS n_orders,
        round(min(o_totalprice), 6) AS min_value,
        round(max(o_totalprice), 6) AS max_value,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_value
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS total_value
 FROM d
 GROUP BY decile
 ORDER BY decile
@@ -1739,7 +1747,7 @@ SELECT coalesce(c_mktsegment, '(all)') AS segment,
        coalesce(o_orderpriority, '(all)') AS priority,
        CAST(GROUPING(c_mktsegment, o_orderpriority) AS INTEGER) AS gid,
        count(*) AS n_orders,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
 ORDER BY gid, segment, priority
@@ -1767,7 +1775,7 @@ def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_ROLLUP = """
 SELECT r_name AS region, n_name AS nation,
-  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_revenue,
+  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS total_revenue,
   COUNT(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -4016,18 +4024,27 @@ def q_corpus_release_report(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.percentile(F.col("n_tokens"), F.lit(0.5)).alias("_mt"),
-            F.percentile(F.col("quality_score"), F.lit(0.5)).alias("_mq"),
+            # quality_score is exact at 6dp, so its micro-scaling is an
+            # exact integer and the even-count median interpolation is
+            # an exact X.5 midpoint — round half-up to BIGINT is then
+            # engine-deterministic. Rounding the raw double median at 6
+            # decimals is NOT: the interpolated value can land on a
+            # 1e-6 tie where the engines' double-rounds differ in the
+            # last digit (seen at sf0.1, src1: .499541 vs .499542).
+            F.percentile(F.col("quality_score") * F.lit(1e6), F.lit(0.5))
+            .alias("_mq"),
         )
         .select(
             "source",
             F.round("_mt", 6).alias("median_tokens"),
-            F.round("_mq", 6).alias("median_quality"),
+            F.round("_mq", 0).cast("long").alias("median_quality_micro"),
         )
     )
     return (
         dup.join(cont, "source").join(med, "source")
         .select("source", "n_docs", "dup_ppm", "n_exact_contaminated",
-                "n_fuzzy_contaminated", "median_tokens", "median_quality")
+                "n_fuzzy_contaminated", "median_tokens",
+                "median_quality_micro")
     )
 
 
@@ -4040,14 +4057,14 @@ def _sql_corpus_release_report() -> str:
     med_ AS (
       SELECT d.source,
              round(quantile_cont(q_.n_tokens, 0.5), 6) AS median_tokens,
-             round(quantile_cont(q_.quality_score, 0.5), 6)
-               AS median_quality
+             CAST(round(quantile_cont(q_.quality_score * 1e6, 0.5))
+               AS BIGINT) AS median_quality_micro
       FROM documents d JOIN q_ ON q_.doc_id = d.doc_id
       GROUP BY d.source
     )
     SELECT dup_.source, dup_.n_docs, dup_.dup_ppm,
            cont_.n_exact_contaminated, cont_.n_fuzzy_contaminated,
-           med_.median_tokens, med_.median_quality
+           med_.median_tokens, med_.median_quality_micro
     FROM dup_ JOIN cont_ USING (source) JOIN med_ USING (source)
     """
 
@@ -6338,6 +6355,31 @@ _ROTATION_PRIORITY = [
     "matview_event_totals",  # row r9
     "scd2_feed_maintained",  # row r8
     "table_diff",            # row r8
+    # r11 late: decimal-domain rounding sweep for the money-sum class
+    # (round(double, 6) is engine-divergent above ~1e3 — found by an
+    # sf0.1 cross-engine sweep on revenue_by_region) plus the
+    # corpus_release_report micro-median; every query whose twins were
+    # re-quantized re-checks on the new code:
+    "corpus_release_report",
+    "discounted_brand_revenue",
+    "forecast_revenue",
+    "global_sales_opportunity",
+    "local_supplier_volume",
+    "market_share",
+    "nation_trade_volume",
+    "order_deciles",
+    "pivot_status",
+    "product_profit",
+    "promo_revenue",
+    "returned_item_losses",
+    "revenue_grouping_sets",
+    "shipping_priority",
+    "skew_salted_join",
+    "small_qty_revenue",
+    "rollup_revenue",
+    # revenue_by_region and pricing_summary are in the same sweep but
+    # their r6 rows already rank them inside the re-check window by
+    # staleness alone
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None
