@@ -3611,15 +3611,6 @@ def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
     return SA.mixture_plan(load(spark, sf, "documents"))
 
 
-def q_mixture_plan_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """Differential diagnosis for the mixture_plan driver seam: the
-    pure-integer (source, n_docs, n_tokens) prefix of the pipeline,
-    before any floating-point step. Red here ⇒ data/tokenizer seam;
-    green here with mixture_plan red ⇒ the pow/arithmetic chain.
-    Retire once mixture_plan holds a green driver row."""
-    return SA.mixture_plan_tokens(load(spark, sf, "documents"))
-
-
 def q_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Near-duplicate decontamination ACROSS corpora: training docs
     whose shingle-Jaccard to ANY eval doc (the doc_id % 7 = 0 slice,
@@ -6330,56 +6321,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the code-changed⇒re-check rule mechanically and names the queries to
 # put here). Prune entries once a fresh full-green row lands on the
 # tracked record.
-_ROTATION_PRIORITY = [
-    "mixture_plan",         # r9+r10 hash-red; r11 exact-decimal rebuild
-    "mixture_plan_tokens",  # r11 diagnostic: integer-only prefix of ^
-    # r10 floor→round quantization sweep (a06b0d7) changed these while
-    # their green rows predate it — re-check on the new code:
-    "search_bm25",              # row r6
-    "order_status_priority_mi",  # row r7
-    "event_type_drift",          # row r7
-    "price_quantile_sketch",     # row r7
-    "value_quantiles_by_type",   # row r7
-    "order_percentiles",         # row r8
-    "dsir_importance",           # row r9
-    # r11: contract rules gained explicit not_null quarantine (NULL-pass
-    # in_set/between vs the oracle's NULL-excluding IN/BETWEEN) — code
-    # changed after its r10 row:
-    "pipeline_lifecycle",
-    # r11 late: the integration-sequence fill now draws only on NULLs
-    # (upsert.py) and jsonl integer casts gained the engine-identical
-    # integral-string gate — the fingerprint audit names these as
-    # running changed code on older green rows:
-    "upsert_merge",          # row r10
-    "jsonl_quarantine",      # row r9
-    "matview_event_totals",  # row r9
-    "scd2_feed_maintained",  # row r8
-    "table_diff",            # row r8
-    # r11 late: decimal-domain rounding sweep for the money-sum class
-    # (round(double, 6) is engine-divergent above ~1e3 — found by an
-    # sf0.1 cross-engine sweep on revenue_by_region) plus the
-    # corpus_release_report micro-median; every query whose twins were
-    # re-quantized re-checks on the new code:
-    "corpus_release_report",
-    "discounted_brand_revenue",
-    "forecast_revenue",
-    "global_sales_opportunity",
-    "local_supplier_volume",
-    "market_share",
-    "nation_trade_volume",
-    "order_deciles",
-    "pivot_status",
-    "product_profit",
-    "promo_revenue",
-    "returned_item_losses",
-    "revenue_grouping_sets",
-    "shipping_priority",
-    "skew_salted_join",
-    "small_qty_revenue",
-    "rollup_revenue",
-    # revenue_by_region and pricing_summary are in the same sweep but
-    # their r6 rows already rank them inside the re-check window by
-    # staleness alone
+_ROTATION_PRIORITY: list[str] = [
+    # (empty at r12 open: every r11 priority entry landed a fresh
+    # full-green driver row — VERDICT r11. Re-populate from
+    # tools/rotation_audit.py --update output when code changes
+    # outrun the rows that vouch for it.)
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None
@@ -6500,7 +6446,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "quality_calibrated": q_quality_calibrated,
         "mixture_plan": q_mixture_plan,
-        "mixture_plan_tokens": q_mixture_plan_tokens,
         "span_novelty": q_span_novelty,
         "source_span_leakage": q_source_span_leakage,
         "span_store_incremental": q_span_store_incremental,
@@ -6766,7 +6711,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_hard_negatives": S.sql_hard_negatives(),
         "embed_pca_project": S.sql_pca_invariants("embeddings"),
         "mixture_plan": SA.sql_mixture_plan(),
-        "mixture_plan_tokens": SA.sql_mixture_plan_tokens(),
         "span_store_incremental": SQL_SPAN_STORE_INC.format(
             base=D.sql_span_novelty()),
         "doc_feature_matrix": _sql_doc_feature_matrix(),

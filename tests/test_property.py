@@ -1443,12 +1443,12 @@ def test_mixture_plan_ulp_invariance():
 
     import duckdb as _duck
 
-    import __spark_entry__ as entry
+    from webhookdb_spark.operators import sampling as SA
 
     alpha, budget = 0.7, 10_000_000
     con = _duck.connect()
     rows = con.execute(
-        entry.oracle_sql()["mixture_plan_tokens"].replace(
+        SA.sql_mixture_plan_tokens().replace(
             "documents", "'/root/testdata/sf0.01/documents.parquet'"
         )
     ).fetchall()
