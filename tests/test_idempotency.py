@@ -172,3 +172,68 @@ def test_state_file_shape(tmp_path):
     assert len(files) == 1
     doc = json.loads(files[0].read_text())
     assert doc["key"] == "k" and doc["stored_result"] == [1, 2]
+
+
+def test_empty_userinfo_absent():
+    # ADVICE r11: http.rb:110 gates on userinfo.present? — a bare '@'
+    # (or none at all) must not grow an empty Basic Auth header, while
+    # ':' userinfo (present but empty creds) must
+    from webhookdb_spark.sinks.sync_target import extract_url_auth
+
+    assert extract_url_auth("https://@a.b") == ("https://@a.b", None)
+    cleaned, auth = extract_url_auth("https://:@a.b")
+    assert cleaned == "https://a.b"
+    assert auth == {"username": "", "password": ""}
+
+
+def test_long_callback_survives_staleness(tmp_path):
+    # ADVICE r11: a callback running past the lock's stale_after must
+    # NOT have its lock stolen (the heartbeat keeps a live holder
+    # fresh), so a concurrent caller blocks and then observes last_run
+    # instead of re-running the side effect.
+    import time
+
+    ran = []
+    first_done = threading.Event()
+
+    def slow():
+        time.sleep(1.2)  # > stale_after below
+        ran.append("slow")
+        return "slow"
+
+    def holder():
+        idem = Idempotency(tmp_path, lock_stale_after=0.4)
+        idem.once_ever().under_key("k", slow)
+        first_done.set()
+
+    t = threading.Thread(target=holder)
+    t.start()
+    time.sleep(0.3)  # let the holder acquire and enter the callback
+    idem2 = Idempotency(tmp_path, lock_stale_after=0.4)
+    got = idem2.once_ever().under_key("k", lambda: ran.append("second") or "second")
+    t.join()
+    assert first_done.is_set()
+    assert ran == ["slow"]  # exactly one run; the waiter got NOOP
+    assert got is NOOP
+
+
+def test_stolen_lock_refuses_to_record(tmp_path):
+    # A holder whose lock WAS stolen (simulated: replace the lock file
+    # under it) must raise instead of recording a run that raced.
+    import pytest
+
+    from webhookdb_spark.storage import ConcurrentWriteError
+
+    # small lock params so the retry below can break the thief's
+    # orphaned lock quickly
+    idem = Idempotency(tmp_path, lock_timeout=10, lock_stale_after=0.5)
+
+    def steal_then_return():
+        lock = next(tmp_path.rglob("_manifest.lock"))
+        lock.write_bytes(b"thief-token")
+        return "ran"
+
+    with pytest.raises(ConcurrentWriteError, match="stolen"):
+        idem.once_ever().under_key("k", steal_then_return)
+    # the run was NOT recorded: a later caller runs the callback
+    assert idem.once_ever().under_key("k", lambda: "retry") == "retry"

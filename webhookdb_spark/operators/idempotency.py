@@ -18,7 +18,11 @@ processes reuses the storage layer's identity-verified O_EXCL lock
 (the reference's ``FOR UPDATE`` row lock analog), held across the
 callback so a concurrent caller blocks and then observes ``last_run``
 — matching idempotency.rb:136-148, where the row lock covers the
-yield. The reference's in-transaction checks have no analog here (no
+yield. Because the callback can run arbitrarily long, the lock is held
+with callback-sized parameters (block up to an hour, like FOR UPDATE)
+and a mtime heartbeat that keeps a LIVE holder un-stealable while dead
+holders still recover in ~2 minutes; ``finish`` refuses to record a
+run whose lock was stolen mid-callback. The reference's in-transaction checks have no analog here (no
 ambient transaction); ``using_seperate_connection`` degenerates to the
 default path and is accepted as a no-op chain for API parity.
 
@@ -32,11 +36,65 @@ import datetime as dt
 import hashlib
 import json
 import os
+import threading
 from collections.abc import Callable
 from pathlib import Path
 from typing import Any
 
-from webhookdb_spark.storage import _ManifestLock
+from webhookdb_spark.storage import ConcurrentWriteError, _ManifestLock
+
+#: Lock parameters sized for ARBITRARY-duration callbacks, not the
+#: microsecond manifest-commit window _ManifestLock defaults to. A
+#: waiter blocks up to LOCK_TIMEOUT and then observes last_run — the
+#: analog of the reference's blocking FOR UPDATE (idempotency.rb:136) —
+#: rather than erroring after 10s. Staleness (crash recovery) stays at
+#: a couple of minutes because a LIVE holder heartbeats the lock mtime
+#: every LOCK_STALE_AFTER/4 for as long as the callback runs, so only
+#: a genuinely dead holder ever looks stale.
+LOCK_TIMEOUT = 3600.0
+LOCK_STALE_AFTER = 120.0
+
+
+class _HeartbeatLock:
+    """_ManifestLock held across a long-running callback: a daemon
+    thread refreshes the lock file's mtime (same token bytes, so
+    ``holds()`` and steal-verification are unaffected) while the lock
+    is held, keeping a live holder un-stealable without inflating the
+    crash-recovery window for dead ones."""
+
+    def __init__(self, table_path: Path, timeout: float,
+                 stale_after: float):
+        self._inner = _ManifestLock(
+            table_path, timeout=timeout, stale_after=stale_after)
+        self._interval = stale_after / 4.0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def holds(self) -> bool:
+        return self._inner.holds()
+
+    def _beat(self) -> None:
+        while not self._stop.wait(self._interval):
+            if not self._inner.holds():
+                return  # stolen out from under us; stop touching
+            try:
+                os.utime(self._inner.lock_path)
+            except OSError:
+                return
+
+    def __enter__(self) -> "_HeartbeatLock":
+        self._inner.__enter__()
+        self._thread = threading.Thread(
+            target=self._beat, name="idempotency-lock-heartbeat",
+            daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join()  # never touch mtime after release
+        self._inner.__exit__(*exc)
 
 
 class _Noop:
@@ -54,10 +112,14 @@ class Idempotency:
     NOOP = NOOP
 
     def __init__(self, root: str | Path,
-                 now: Callable[[], dt.datetime] | None = None):
+                 now: Callable[[], dt.datetime] | None = None,
+                 lock_timeout: float = LOCK_TIMEOUT,
+                 lock_stale_after: float = LOCK_STALE_AFTER):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self._now = now or (lambda: dt.datetime.now(dt.timezone.utc))
+        self._lock_timeout = lock_timeout
+        self._lock_stale_after = lock_stale_after
         self._memory_cache: dict[str, dt.datetime] = {}
         self._memory_results: dict[str, Any] = {}
 
@@ -166,6 +228,9 @@ class _InFiles:
 
     def __init__(self, parent: Idempotency):
         self._root = parent.root
+        self._lock_timeout = parent._lock_timeout
+        self._lock_stale_after = parent._lock_stale_after
+        self._held: _HeartbeatLock | None = None
 
     def _dir(self, key: str) -> Path:
         d = self._root / hashlib.sha256(key.encode()).hexdigest()[:24]
@@ -173,7 +238,10 @@ class _InFiles:
         return d
 
     def lock(self, key: str):
-        return _ManifestLock(self._dir(key))
+        self._held = _HeartbeatLock(
+            self._dir(key), timeout=self._lock_timeout,
+            stale_after=self._lock_stale_after)
+        return self._held
 
     def read(self, key: str):
         p = self._dir(key) / "state.json"
@@ -189,6 +257,15 @@ class _InFiles:
 
     def finish(self, key: str, last_run: dt.datetime, stored: bool,
                result: Any) -> None:
+        if self._held is not None and not self._held.holds():
+            # Lock stolen mid-callback (holder stalled past staleness
+            # despite the heartbeat — e.g. the whole process was
+            # SIGSTOPped): the side effect already ran, but recording
+            # the run would race the thief's own read-run-record cycle,
+            # so surface the conflict instead of silently last-writing.
+            raise ConcurrentWriteError(
+                f"idempotency lock for key {key!r} was stolen during "
+                "the callback; refusing to record the run")
         d = self._dir(key)
         doc: dict[str, Any] = {"key": key, "last_run": last_run.isoformat()}
         if stored:

@@ -41,11 +41,17 @@ def extract_url_auth(url: str) -> tuple[str, dict | None]:
     connection verifier both run every URL through this,
     sync_target.rb:167,487). Userinfo is %-decoded
     ('leonora%40x.com' → 'leonora@x.com'); a URL without userinfo
-    returns (url, None) unchanged."""
+    returns (url, None) unchanged. EMPTY userinfo ('https://@a.b')
+    also returns (url, None): the reference gates on
+    ``userinfo.present?`` (http.rb:110), so a bare '@' must not grow
+    an empty Basic Auth header."""
     from urllib.parse import unquote, urlsplit, urlunsplit
 
     parts = urlsplit(url)
-    if parts.username is None and parts.password is None:
+    # raw-userinfo gate, matching Ruby .present?: '@a.b' has userinfo
+    # "" (absent) but ':@a.b' has ":" (present, empty user+password)
+    userinfo = parts.netloc.rpartition("@")[0]
+    if not userinfo:
         return url, None
     host = parts.hostname or ""
     if parts.port is not None:
