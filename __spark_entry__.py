@@ -6322,10 +6322,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # put here). Prune entries once a fresh full-green row lands on the
 # tracked record.
 _ROTATION_PRIORITY: list[str] = [
-    # (empty at r12 open: every r11 priority entry landed a fresh
-    # full-green driver row — VERDICT r11. Re-populate from
-    # tools/rotation_audit.py --update output when code changes
-    # outrun the rows that vouch for it.)
+    # r12: the pareto oracle was rewritten as the O(n log n) skyline
+    # sweep (sql_pareto_front; VERDICT r11 Next #4) after its r7 row —
+    # fingerprint drift, re-check on the new twin:
+    "pareto_lineitems",
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None

@@ -153,6 +153,45 @@ def test_pareto_front_dominance_and_ties(spark):
     want = sorted(r[0] for r in con.execute(
         sql_pareto_front("x", "y", "t")).fetchall())
     assert got == want
+    # ...and the sweep oracle equals the O(n^2) dominance DEFINITION
+    from webhookdb_spark.operators.analytics import sql_pareto_front_direct
+
+    direct = sorted(r[0] for r in con.execute(
+        sql_pareto_front_direct("x", "y", "t")).fetchall())
+    assert want == direct
+
+
+def test_pareto_sweep_oracle_equals_direct_definition():
+    """The registry oracle is the O(n log n) skyline sweep (the O(n^2)
+    NOT-EXISTS form made the sf0.1 cross-engine sweep infeasible —
+    VERDICT r11 Next #4). Pin sweep ≡ direct definition on (a) random
+    data with heavy exact-x/exact-y ties and duplicate points, and
+    (b) the real sf0.001 lineitem projection the registry query uses."""
+    import duckdb
+
+    from webhookdb_spark.operators.analytics import (
+        sql_pareto_front,
+        sql_pareto_front_direct,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT range AS doc_id,"
+        " CAST(hash(range) % 40 AS DOUBLE) AS x,"
+        " CAST(hash(range + 1000000) % 40 AS DOUBLE) AS y"
+        " FROM range(3000)"
+    )
+    for tbl in [
+        "t",
+        "(SELECT l_orderkey * 10 + l_linenumber AS doc_id,"
+        " l_extendedprice AS x, l_quantity AS y"
+        " FROM '/root/testdata/sf0.001/lineitem.parquet')",
+    ]:
+        sweep = sorted(con.execute(
+            sql_pareto_front("x", "y", tbl)).fetchall())
+        direct = sorted(con.execute(
+            sql_pareto_front_direct("x", "y", tbl)).fetchall())
+        assert sweep == direct and len(sweep) > 0
 
 
 def test_pareto_front_plan_has_no_global_window_or_cartesian(spark):

@@ -436,9 +436,39 @@ def pareto_front(
 def sql_pareto_front(
     x_col: str, y_col: str, table: str, id_col: str = "doc_id"
 ) -> str:
-    """DuckDB twin of :func:`pareto_front` — the direct O(n²)
-    NOT-EXISTS dominance definition (correct by construction; the
-    Spark side exists precisely because this shape cannot scale)."""
+    """DuckDB twin of :func:`pareto_front` — the O(n log n) sort-based
+    skyline sweep (group to exact-x max-y, one suffix-max window over
+    descending x, keep groups beating every strictly-greater-x group).
+    The previous O(n²) NOT-EXISTS dominance oracle made the sf0.1
+    cross-engine sweep infeasible (~3h at 600k rows; VERDICT r11 Next
+    #4); :func:`sql_pareto_front_direct` keeps that
+    correct-by-construction form, and tests pin sweep ≡ direct."""
+    return f"""
+    WITH s AS (
+      SELECT {id_col} AS id, CAST({x_col} AS DOUBLE) AS x,
+             CAST({y_col} AS DOUBLE) AS y
+      FROM {table}
+      WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+    ), g AS (
+      SELECT x, max(y) AS gy FROM s GROUP BY x
+    ), sweep AS (
+      SELECT x, gy, max(gy) OVER (ORDER BY x DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS suffix_max
+      FROM g
+    )
+    SELECT s.id, s.x, s.y
+    FROM s JOIN sweep ON s.x = sweep.x AND s.y = sweep.gy
+    WHERE sweep.suffix_max IS NULL OR sweep.gy > sweep.suffix_max
+    """
+
+
+def sql_pareto_front_direct(
+    x_col: str, y_col: str, table: str, id_col: str = "doc_id"
+) -> str:
+    """The direct O(n²) NOT-EXISTS dominance DEFINITION of the skyline
+    (correct by construction). Not the registry oracle — quadratic in
+    the table — but the ground truth the sweep oracle is pinned
+    against (tests/test_property.py)."""
     return f"""
     SELECT r.{id_col} AS id, CAST(r.{x_col} AS DOUBLE) AS x,
            CAST(r.{y_col} AS DOUBLE) AS y
