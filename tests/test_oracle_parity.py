@@ -111,18 +111,24 @@ def test_query_matches_oracle(spark, oracle, name):
     assert not bad, f"{len(bad)} mismatched rows; first: {bad[0]}"
 
 
-def test_no_oracle_projects_hugeint(oracle):
-    """No oracle may project a HUGEINT/UHUGEINT column. DuckDB's
-    integer ``sum`` widens to HUGEINT (int128), which has no pandas
-    dtype and float-renders on any pandas fetch ('1364.0' vs Spark's
-    BIGINT '1364') — byte-identical values then hash-mismatch. This
-    exact class was the sole two-round driver red (`mixture_plan`,
-    r9-r10: rows/schema green, hash red, and every arithmetic theory
-    disproven). Cast integer sums to BIGINT in the oracle SQL."""
+def test_no_oracle_projects_pandas_unfaithful_types(oracle):
+    """No oracle may project a column of a DuckDB type with no
+    faithful pandas dtype — HUGEINT/UHUGEINT (int128, always
+    float64-rendered) and UBIGINT (values > 2^63 cannot land in
+    int64) — because the DRIVER fetches oracles through pandas, where
+    such columns render '1364.0' against Spark's '1364' and
+    byte-identical values hash-mismatch. This exact class was the sole
+    two-round driver red (`mixture_plan`, r9-r10: rows/schema green,
+    hash red, every arithmetic theory disproven — ABBENCH_r11 §4).
+    Cast in the SQL twin (BIGINT for integer sums/counts). The type
+    blacklist and the DESCRIBE sweep are shared with the driver
+    stand-in (tools/check_oracle.py), so the tool's fetch path
+    enforces the same gate."""
+    from tools.check_oracle import unfaithful_columns
+
     offenders = {}
     for name, sql in sorted(E.oracle_sql().items()):
-        cols = oracle.execute(f"DESCRIBE ({sql})").fetchall()
-        bad = [(c, ty) for c, ty, *_ in cols if "HUGEINT" in ty.upper()]
+        bad = unfaithful_columns(oracle, sql)
         if bad:
             offenders[name] = bad
     assert not offenders, offenders

@@ -37,6 +37,27 @@ def canon(rows, cols):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
+#: DuckDB types with NO faithful pandas dtype: the driver fetches the
+#: oracle through pandas, where these render float64 (HUGEINT/UHUGEINT
+#: always; UBIGINT for values > 2^63 falls back to object/float on
+#: overflowing paths), so byte-identical values hash-mismatch against
+#: Spark's integer rendering ('1364.0' vs '1364') — the mixture_plan
+#: r9-r10 seam (ABBENCH_r11 §4). Any oracle projecting one must cast
+#: (BIGINT for counts/sums, DOUBLE only if the Spark side is double).
+PANDAS_UNFAITHFUL_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT")
+
+
+def unfaithful_columns(con, sql: str) -> list[tuple[str, str]]:
+    """(column, type) pairs of ``sql``'s projection whose DuckDB type
+    cannot round-trip the driver's pandas fetch — the DESCRIBE sweep
+    both tools/check_oracle.py and tests/test_oracle_parity.py run."""
+    cols = con.execute(f"DESCRIBE ({sql})").fetchall()
+    return [
+        (c, ty) for c, ty, *_ in cols
+        if any(t in ty.upper() for t in PANDAS_UNFAITHFUL_TYPES)
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -84,11 +105,19 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
         try:
+            bad_types = unfaithful_columns(con, oracles[name])
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        if bad_types:
+            print(
+                f"FAIL {name}: oracle projects pandas-unfaithful "
+                f"type(s) {bad_types} — cast in the SQL twin"
+            )
             failures += 1
             continue
         problems = []
