@@ -1,0 +1,290 @@
+"""Black-box lifecycle flows over the engine's PUBLIC API, ported from
+the reference's integration suite (/root/reference/integration/*.rb) —
+the last unmapped test layer of SURVEY §5. Each test drives the same
+end-to-end journey the reference exercises against its live HTTP app,
+at the engine's altitude: envelope intake → verification → audit log →
+replicator MERGE → read-only SQL surface / sync target / migration.
+
+Mapping:
+- service_integrations_spec.rb:10-49  → test_full_customer_integration_lifecycle
+- service_integrations_spec.rb:52-69  → test_synchronous_upsert_flow
+- database_spec.rb:18-31              → test_sync_to_database_target_flow
+- database_spec.rb:33-63              → test_sync_to_http_target_flow
+- database_spec.rb:65-81              → test_database_migration_flow
+- auth_spec.rb (401 path) + helpers   → test_bad_secret_rejected_logged_replayable
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from webhookdb_spark.replicators.fake import FAKE_V1
+from webhookdb_spark.replicators.misc import WEBHOOKDB_CUSTOMER_V1
+from webhookdb_spark.sources.envelopes import ENVELOPE_SCHEMA
+from webhookdb_spark.storage import Warehouse
+from webhookdb_spark.streaming.ingest import IngestPipeline, IntegrationRuntime
+
+UTC = dt.timezone.utc
+NOW = dt.datetime(2026, 8, 16, 12, 0, 0, tzinfo=UTC)
+
+
+def _envelope(opaque_id, service, body_dict, headers=None, received_at=NOW,
+              method="POST", path=None):
+    return (
+        opaque_id,
+        service,
+        method,
+        path or f"/v1/service_integrations/{opaque_id}",
+        headers or {},
+        json.dumps(body_dict),
+        received_at,
+    )
+
+
+def _envelopes_df(spark, rows):
+    return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+
+def _pipeline(spark, tmp_warehouse, audit=True):
+    wh = Warehouse(spark, str(tmp_warehouse / "wh"))
+    return IngestPipeline(
+        warehouse=wh,
+        audit_table_path=str(tmp_warehouse / "logged_webhooks") if audit else None,
+    )
+
+
+def _seed_fake_rows(spark, pipeline, n=5, opaque_id="svi_fake"):
+    """database_spec.rb:4-15 setup_integration_with_data: n rows, one
+    per day back from now, landed through the real envelope path."""
+    pipeline.register(IntegrationRuntime(
+        opaque_id=opaque_id, org="org1", spec=FAKE_V1))
+    rows = [
+        _envelope(opaque_id, "fake_v1", {
+            "my_id": str(i),
+            "at": (NOW - dt.timedelta(days=i)).isoformat(),
+        })
+        for i in range(n)
+    ]
+    pipeline.process_batch(_envelopes_df(spark, rows))
+    return pipeline.warehouse.table("org1", FAKE_V1.table)
+
+
+def test_full_customer_integration_lifecycle(spark, tmp_warehouse):
+    """service_integrations_spec.rb:10-49: create a webhookdb_customer
+    integration, observe the empty readonly dataset, deliver a customer
+    webhook with the integration's Whdb-Secret, and find (a) the row in
+    the readonly dataset and (b) the delivery in the logged-webhooks
+    archive."""
+    pipeline = _pipeline(spark, tmp_warehouse)
+    secret = "org-secret-1"
+    opaque = "svi_cust"
+    pipeline.register(IntegrationRuntime(
+        opaque_id=opaque, org="org1", spec=WEBHOOKDB_CUSTOMER_V1))
+    table = pipeline.warehouse.table("org1", WEBHOOKDB_CUSTOMER_V1.table)
+    table.create(WEBHOOKDB_CUSTOMER_V1.schema(),
+                 key=WEBHOOKDB_CUSTOMER_V1.remote_key.name)
+    assert table.read().count() == 0  # eventually(be_empty)
+
+    customer = {
+        "id": 101,
+        "email": "leonora@example.com",
+        "created_at": "2026-08-16T11:59:00Z",
+    }
+    n_ok, rej = pipeline.intake_batch(
+        _envelopes_df(spark, [_envelope(
+            opaque, "webhookdb_customer_v1", customer,
+            headers={"Whdb-Secret": secret},
+        )]),
+        secrets={opaque: ("whdb_customer", secret)},
+    )
+    assert n_ok == 1 and rej.count() == 0
+
+    # readonly dataset has the customer (party_status 202 → upserted)
+    got = table.read().collect()
+    assert len(got) == 1
+    assert got[0]["webhookdb_id"] == "101"
+    assert got[0]["email"] == "leonora@example.com"
+
+    # ...reachable through the validated read-only SQL surface
+    from webhookdb_spark.plans.query_surface import run_readonly_sql
+
+    table.read().createOrReplaceTempView("webhookdb_customer_v1")
+    res = run_readonly_sql(
+        spark, "SELECT webhookdb_id, email FROM webhookdb_customer_v1")
+    assert res.rows == [("101", "leonora@example.com")]
+
+    # logged_whs to_not be_empty (spec :46-48)
+    logged = spark.read.parquet(pipeline.audit_table_path)
+    assert logged.where(F.col("integration_opaque_id") == opaque).count() == 1
+
+
+def test_synchronous_upsert_flow(spark, tmp_warehouse):
+    """service_integrations_spec.rb:52-69: a fake_v1 integration
+    accepts a synchronous {my_id, at} upsert and the readonly dataset
+    contains exactly that row."""
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+
+    wh = Warehouse(spark, str(tmp_warehouse / "wh"))
+    table = wh.table("org1", FAKE_V1.table)
+    env = _envelopes_df(spark, [_envelope(
+        "svi_fake", "fake_v1", {"my_id": "id", "at": NOW.isoformat()})])
+    res = upsert_envelopes(table, env, FAKE_V1)
+    assert res.total_changed == 1  # "You have upserted"
+    got = table.read().collect()
+    assert len(got) == 1 and got[0]["my_id"] == "id"
+
+
+def test_sync_to_database_target_flow(spark, tmp_warehouse):
+    """database_spec.rb:18-31: 5 rows land through the envelope path,
+    a database sync target runs, the replica holds all 5 and
+    last_synced_at is present (and no lock is left behind)."""
+    from webhookdb_spark.sinks.sync_target import DatabaseSyncTarget, SyncState
+
+    pipeline = _pipeline(spark, tmp_warehouse, audit=False)
+    table = _seed_fake_rows(spark, pipeline, n=5)
+
+    tgt = DatabaseSyncTarget(
+        state=SyncState(tmp_warehouse / "sync_state.json"),
+        ts_col="at",
+        key_col="my_id",
+        dest_path=tmp_warehouse / "replica",
+    )
+    sent = tgt.run_sync(table.read(), now=(NOW + dt.timedelta(hours=1)).isoformat())
+    assert sent == 5
+    replica = spark.read.parquet(str(tmp_warehouse / "replica"))
+    assert replica.count() == 5
+    assert sorted(r["my_id"] for r in replica.collect()) == ["0", "1", "2", "3", "4"]
+    assert tgt.state.load()["last_synced_at"] is not None
+    # advisory lock released: a second run is possible and no-ops
+    assert tgt.run_sync(table.read(),
+                        now=(NOW + dt.timedelta(hours=2)).isoformat()) == 0
+
+
+def test_sync_to_http_target_flow(spark, tmp_warehouse):
+    """database_spec.rb:33-63: the HTTP sync target POSTs the pending
+    window as row pages to the configured endpoint and commits
+    last_synced_at."""
+    from webhookdb_spark.sinks.sync_target import HttpSyncTarget, SyncState
+
+    pipeline = _pipeline(spark, tmp_warehouse, audit=False)
+    table = _seed_fake_rows(spark, pipeline, n=5)
+
+    received = []
+    tgt = HttpSyncTarget(
+        state=SyncState(tmp_warehouse / "http_state.json"),
+        ts_col="at",
+        post=lambda rows, now: received.append((list(rows), now)),
+        page_size=2,
+    )
+    sent = tgt.run_sync(table.read(), now=(NOW + dt.timedelta(hours=1)).isoformat())
+    assert sent == 5
+    # eventually(contain_exactly(include("POST /mypath").and(include('"rows":'))))
+    posted = [r for page, _ in received for r in page]
+    assert len(posted) == 5
+    assert {r["my_id"] for r in posted} == {"0", "1", "2", "3", "4"}
+    assert tgt.state.load()["last_synced_at"] is not None
+
+
+def test_database_migration_flow(spark, tmp_warehouse):
+    """database_spec.rb:65-81: migrate the org's replication data to a
+    new warehouse; the new database holds all 5 rows and the migration
+    finishes exactly once."""
+    import pytest
+
+    from webhookdb_spark.sinks.migration import (
+        MigrationAlreadyFinished,
+        migrate_organization,
+    )
+
+    pipeline = _pipeline(spark, tmp_warehouse, audit=False)
+    src_table = _seed_fake_rows(spark, pipeline, n=5)
+    assert src_table.read().count() == 5
+
+    dst = Warehouse(spark, str(tmp_warehouse / "wh_new"))
+    state_path = tmp_warehouse / "dbmigration.json"
+    copied = migrate_organization(
+        pipeline.warehouse, dst, "org1", [FAKE_V1], state_path)
+    assert copied == {FAKE_V1.table: 5}
+    assert dst.table("org1", FAKE_V1.table).read().count() == 5
+    # status "finished": a re-run refuses
+    with pytest.raises(MigrationAlreadyFinished):
+        migrate_organization(pipeline.warehouse, dst, "org1", [FAKE_V1], state_path)
+
+
+def test_bad_secret_rejected_logged_replayable(spark, tmp_warehouse):
+    """The failure path the reference's auth/endpoint specs pin (401 on
+    bad credentials) carried through the whole lifecycle: a delivery
+    with the wrong Whdb-Secret is rejected (never merged), but IS
+    archived in the logged-webhooks table with its verdict — and once
+    the secret configuration is fixed, replaying the window through
+    re-verification lands the row without data loss."""
+    from webhookdb_spark.operators.replay import replay_webhooks
+
+    pipeline = _pipeline(spark, tmp_warehouse)
+    secret = "right-secret"
+    opaque = "svi_cust"
+    pipeline.register(IntegrationRuntime(
+        opaque_id=opaque, org="org1", spec=WEBHOOKDB_CUSTOMER_V1))
+    table = pipeline.warehouse.table("org1", WEBHOOKDB_CUSTOMER_V1.table)
+    table.create(WEBHOOKDB_CUSTOMER_V1.schema(),
+                 key=WEBHOOKDB_CUSTOMER_V1.remote_key.name)
+
+    body = {"id": 7, "email": "x@example.com",
+            "created_at": "2026-08-16T11:00:00Z"}
+    # operator misconfigured the stored secret → verification 401s
+    n_ok, rej = pipeline.intake_batch(
+        _envelopes_df(spark, [_envelope(
+            opaque, "webhookdb_customer_v1", body,
+            headers={"Whdb-Secret": secret},
+        )]),
+        secrets={opaque: ("whdb_customer", "WRONG")},
+    )
+    assert n_ok == 0
+    rej_rows = rej.collect()
+    assert len(rej_rows) == 1 and rej_rows[0]["_reject_reason"] == (
+        "Whdb-Secret value does not match configured secret")
+    assert table.read().count() == 0  # never merged
+
+    # the 401'd delivery is in the archive, verdict and all
+    logged = spark.read.parquet(pipeline.audit_table_path)
+    assert logged.count() == 1
+    assert logged.collect()[0]["_reject_reason"] == (
+        "Whdb-Secret value does not match configured secret")
+
+    # replay WITHOUT fixing the config: the rejected row must not merge
+    win = (NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1))
+    assert replay_webhooks(pipeline, *win, now=NOW) == 0
+    assert table.read().count() == 0
+
+    # fix the secret config and replay with re-verification → row lands
+    n = replay_webhooks(pipeline, *win, now=NOW,
+                        secrets={opaque: ("whdb_customer", secret)})
+    assert n == 1
+    got = table.read().collect()
+    assert len(got) == 1 and got[0]["webhookdb_id"] == "7"
+    # replays are not re-archived (RETRY_HEADER parity)
+    assert spark.read.parquet(pipeline.audit_table_path).count() == 1
+
+
+def test_bot_get_never_logged(spark, tmp_warehouse):
+    """api/helpers.rb:182-198: a bot user-agent issuing a GET is
+    dropped before the audit append — the archive never sees it."""
+    pipeline = _pipeline(spark, tmp_warehouse)
+    opaque = "svi_cust"
+    pipeline.register(IntegrationRuntime(
+        opaque_id=opaque, org="org1", spec=WEBHOOKDB_CUSTOMER_V1))
+    n_ok, rej = pipeline.intake_batch(
+        _envelopes_df(spark, [_envelope(
+            opaque, "webhookdb_customer_v1", {"id": 1},
+            headers={"User-Agent": "GoogleBot/2.1", "Whdb-Secret": "s"},
+            method="GET",
+        )]),
+        secrets={opaque: ("whdb_customer", "s")},
+    )
+    assert n_ok == 0 and rej.count() == 0
+    import os
+
+    assert not os.path.exists(pipeline.audit_table_path)

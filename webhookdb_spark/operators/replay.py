@@ -30,10 +30,21 @@ def replay_webhooks(
     from_ts: datetime,
     to_ts: datetime,
     now: datetime | None = None,
+    secrets: dict[str, tuple[str, str]] | None = None,
 ) -> int:
     """Re-process archived envelopes in [from_ts, to_ts) through
     ``pipeline`` (an IngestPipeline with an audit table). Returns the
-    number of envelopes replayed."""
+    number of envelopes replayed.
+
+    The reference's replay re-POSTs each logged webhook through the
+    full endpoint, so verification always re-runs there
+    (logged_webhook.rb:27-31). Pass ``secrets`` (as for
+    ``IngestPipeline.intake_batch``) for that parity — archived
+    deliveries re-verify against the CURRENT secret configuration, so
+    a delivery 401'd by a misconfigured secret lands once the config
+    is fixed. Without ``secrets``, rows the intake archived as
+    rejected stay excluded (never merge unverified data); rows from
+    pre-verdict archives replay as before."""
     now = now or datetime.utcnow()
     if to_ts <= from_ts:
         raise ReplayWindowError("empty interval")
@@ -55,6 +66,19 @@ def replay_webhooks(
         )
         .drop("_day")
     )
+    if secrets is not None:
+        from webhookdb_spark.functions.verification import (
+            accepted,
+            verify_envelopes,
+        )
+
+        if "_reject_reason" in df.columns:
+            df = df.drop("_reject_reason")
+        df = accepted(verify_envelopes(df, secrets))
+    elif "_reject_reason" in df.columns:
+        # verdict-stamped archive (intake_batch): without re-verification
+        # only the intake-accepted rows may merge
+        df = df.where(F.col("_reject_reason").isNull()).drop("_reject_reason")
     n = df.count()
     if n:
         # marked so process_batch won't re-append them to the archive

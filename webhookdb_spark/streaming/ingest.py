@@ -100,7 +100,8 @@ class IngestPipeline:
             return lk
 
     # -- batch path --------------------------------------------------------
-    def process_batch(self, envelopes: DataFrame, batch_id: int = 0) -> None:
+    def process_batch(self, envelopes: DataFrame, batch_id: int = 0,
+                      skip_audit: bool = False) -> None:
         """The foreachBatch body.
 
         Routing: one pass over the micro-batch per *distinct integration
@@ -116,7 +117,7 @@ class IngestPipeline:
             envelopes = envelopes.drop("_replay")
         envelopes = envelopes.persist()
         try:
-            if self.audit_table_path and not is_replay:
+            if self.audit_table_path and not is_replay and not skip_audit:
                 # Audit log (logged_webhooks analog, api/helpers.rb:227-230):
                 # append-only, partitioned by arrival date for the trim jobs.
                 # This runs BEFORE any delivery dedup: the reference logs
@@ -177,6 +178,66 @@ class IngestPipeline:
                     list(ex.map(run_one, present))
         finally:
             envelopes.unpersist()
+
+    # -- endpoint-shaped intake --------------------------------------------
+    def intake_batch(
+        self,
+        envelopes: DataFrame,
+        secrets: dict[str, tuple[str, str]],
+        now_ts: int | None = None,
+    ) -> tuple[int, DataFrame]:
+        """One webhook-ENDPOINT intake batch with the reference's exact
+        ordering (api/helpers.rb:182-271): bot GETs are dropped before
+        anything else (:182-198, never logged), then EVERY surviving
+        delivery is archived with its verification verdict (:227-230 —
+        the logged-webhooks table records 401s too, which is what makes
+        a misconfigured-secret outage replayable), then verification
+        runs and only verified envelopes proceed to shaping + MERGE
+        (:259-271's 401-vs-enqueue fork).
+
+        ``secrets`` maps integration_opaque_id -> (scheme, secret) as
+        in :func:`~webhookdb_spark.functions.verification.verify_envelopes`.
+        Returns ``(n_accepted, rejected)`` where ``rejected`` carries
+        ``_reject_reason`` — the endpoint's 401 stream.
+        """
+        from webhookdb_spark.functions.verification import (
+            accepted,
+            rejected,
+            verify_envelopes,
+        )
+        from webhookdb_spark.sources.envelopes import (
+            _with_canonical_headers,
+            reject_bot_gets,
+        )
+
+        # canonicalize at the endpoint boundary (the reference downcases
+        # header keys on save, logged_webhook.rb:186-188) so producers
+        # that bypass read_envelopes still hit the same predicates
+        verified = verify_envelopes(
+            reject_bot_gets(_with_canonical_headers(envelopes)),
+            secrets, now_ts=now_ts,
+        ).persist()
+        try:
+            # an all-bot batch writes nothing (an empty parquet append
+            # still creates a schemaless directory)
+            if self.audit_table_path and verified.count():
+                (
+                    verified.withColumn("_day", F.to_date("received_at"))
+                    .write.mode("append")
+                    .partitionBy("_day")
+                    .parquet(self.audit_table_path)
+                )
+            ok = accepted(verified)
+            n_ok = ok.count()
+            if n_ok:
+                # already archived above — with verdicts, which the
+                # plain per-batch append does not record
+                self.process_batch(ok, skip_audit=True)
+            # unpersisting only drops the cache; the rejected stream's
+            # lineage stays valid and recomputes if the caller reads it
+            return n_ok, rejected(verified)
+        finally:
+            verified.unpersist()
 
     # -- streaming path ----------------------------------------------------
     def start(
