@@ -48,6 +48,7 @@ def _front_unwrap(path: str):
 FRONT_CONVERSATION_V1 = register(
     ReplicatorSpec(
         name="front_conversation_v1",
+        supports_backfill=False,  # webhook-only (no supports_backfill in its descriptor)
         table="front_conversation_v1",
         remote_key=Col("front_id", T, data_key="id"),
         denorm_cols=(
@@ -65,6 +66,7 @@ FRONT_CONVERSATION_V1 = register(
 FRONT_MESSAGE_V1 = register(
     ReplicatorSpec(
         name="front_message_v1",
+        supports_backfill=False,  # webhook-only (no supports_backfill in its descriptor)
         table="front_message_v1",
         remote_key=Col("front_id", T, data_key="id"),
         denorm_cols=(

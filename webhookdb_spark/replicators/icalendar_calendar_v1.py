@@ -45,6 +45,8 @@ from webhookdb_spark.types import ColumnType
 ICALENDAR_CALENDAR_V1 = register(
     ReplicatorSpec(
         name="icalendar_calendar_v1",
+        supports_backfill=False,  # feed-synced, not manually backfillable
+        documentation_url="https://docs.webhookdb.com/guides/icalendar/",
         table="icalendar_calendar_v1",
         remote_key=Col("external_id", ColumnType.TEXT),
         denorm_cols=(

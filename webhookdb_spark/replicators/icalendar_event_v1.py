@@ -198,6 +198,17 @@ ICALENDAR_EVENT_V1 = register(
     ReplicatorSpec(
         name="icalendar_event_v1",
         table="icalendar_event_v1",
+        # webhook-only; custom message (icalendar_event_v1.rb:376-382)
+        supports_backfill=False,
+        documentation_url="https://docs.webhookdb.com/guides/icalendar/",
+        backfill_not_supported=(
+            "iCalendar Event does not support backfilling.\n"
+            "See https://docs.webhookdb.com/guides/icalendar/ for "
+            "instructions on setting up your integration.\n\n"
+            "You can POST 'SYNC' messages to WebhookDB to force-sync a "
+            "user's feed,\nthough keep in mind calendar providers only "
+            "refresh feeds periodically."
+        ),
         remote_key=Col("compound_identity", ColumnType.TEXT),
         denorm_cols=(
             Col("calendar_external_id", ColumnType.TEXT, index=True),

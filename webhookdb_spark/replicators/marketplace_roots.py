@@ -24,6 +24,7 @@ from webhookdb_spark.types import ColumnType
 FRONT_MARKETPLACE_ROOT_V1 = register(
     ReplicatorSpec(
         name="front_marketplace_root_v1",
+        supports_backfill=False,  # webhook-only (no supports_backfill in its descriptor)
         table="front_marketplace_root_v1",
         remote_key=Col("ignore_id", ColumnType.INTEGER),
         denorm_cols=(),

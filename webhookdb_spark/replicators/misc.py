@@ -109,6 +109,7 @@ def _plivo_data_hook(df):
 PLIVO_SMS_INBOUND_V1 = register(
     ReplicatorSpec(
         name="plivo_sms_inbound_v1",
+        supports_backfill=False,  # webhook-only (no supports_backfill in its descriptor)
         table="plivo_sms_inbound_v1",
         remote_key=Col("plivo_message_uuid", T, data_key="MessageUUID"),
         denorm_cols=(
@@ -242,6 +243,7 @@ def _jotform_data_hook(df):
 JOTFORM_WEBHOOK_V1 = register(
     ReplicatorSpec(
         name="jotform_webhook_v1",
+        supports_backfill=False,  # webhook-only (no supports_backfill in its descriptor)
         table="jotform_webhook_v1",
         remote_key=Col("event_id", T, data_key=["rawRequest", "event_id"]),
         denorm_cols=(
@@ -268,6 +270,7 @@ JOTFORM_WEBHOOK_V1 = register(
 URL_RECORDER_V1 = register(
     ReplicatorSpec(
         name="url_recorder_v1",
+        supports_backfill=False,  # webhook-only (no supports_backfill in its descriptor)
         table="url_recorder_v1",
         remote_key=Col("unique_id", BI, optional=True,
                        defaulter=SEQUENCE_DEFAULTER),
@@ -292,6 +295,7 @@ URL_RECORDER_V1 = register(
 WEBHOOKDB_CUSTOMER_V1 = register(
     ReplicatorSpec(
         name="webhookdb_customer_v1",
+        supports_backfill=False,  # webhook-only (no supports_backfill in its descriptor)
         table="webhookdb_customer_v1",
         remote_key=Col("webhookdb_id", T, data_key="id"),
         denorm_cols=(

@@ -26,6 +26,15 @@ POSTMARK_INBOUND_MESSAGE_V1 = register(
     ReplicatorSpec(
         name="postmark_inbound_message_v1",
         table="postmark_inbound_message_v1",
+        # webhook-only; custom message (postmark_inbound_message_v1.rb:88-93)
+        supports_backfill=False,
+        backfill_not_supported=(
+            "We don't yet support backfilling Postmark Inbound Messages.\n"
+            "File an issue at https://github.com/webhookdb/webhookdb or "
+            "email hello@webhookdb.com to let us know if this is something "
+            "you want!\n\nRun `webhookdb integration reset "
+            "postmark_inbound_message_v1` to go through webhook setup."
+        ),
         remote_key=Col("message_id", T, data_key="MessageID"),
         denorm_cols=(
             Col("from_email", T, index=True, data_key=["FromFull", "Email"],
@@ -67,6 +76,18 @@ POSTMARK_OUTBOUND_MESSAGE_EVENT_V1 = register(
     ReplicatorSpec(
         name="postmark_outbound_message_event_v1",
         table="postmark_outbound_message_event_v1",
+        # webhook-only; custom message
+        # (postmark_outbound_message_event_v1.rb:100-106)
+        supports_backfill=False,
+        backfill_not_supported=(
+            "We don't yet support backfilling Postmark Outbound Message "
+            "Events.\n\nFile an issue at "
+            "https://github.com/webhookdb/webhookdb or email "
+            "hello@webhookdb.com to let us know if this is something you "
+            "want!\n\nRun `webhookdb integration reset "
+            "postmark_outbound_message_event_v1` to go through webhook "
+            "setup."
+        ),
         remote_key=Col("event_id", ColumnType.UUID, optional=True,
                        defaulter=_event_md5),
         denorm_cols=(

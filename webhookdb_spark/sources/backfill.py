@@ -42,6 +42,12 @@ class BackfillAuthError(RuntimeError):
     """HTTP 401 — fail fast, no retry (backfiller.rb:48-56)."""
 
 
+class BackfillNotSupported(RuntimeError):
+    """Manual backfill on a webhook-only spec (base.rb:1105's
+    InvariantViolation). ``str(exc)`` is the user-facing message the
+    reference CLI prints (spec.backfill_not_supported_message)."""
+
+
 PageFetcher = Callable[[str | None, Any], tuple[Sequence[dict], str | None]]
 # (pagination_token, last_backfilled) -> (items, next_token)
 
@@ -120,6 +126,9 @@ class Backfiller:
 
     def backfill(self, incremental: bool = True, recursive: bool = True) -> int:
         """Run to exhaustion; returns total items processed."""
+        if not self.spec.supports_backfill:
+            raise BackfillNotSupported(
+                self.spec.backfill_not_supported_message())
         last = (
             self.cursors.get(self.opaque_id)
             if (incremental and self.cursors)

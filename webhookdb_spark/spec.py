@@ -322,9 +322,38 @@ class ReplicatorSpec:
     # Dependent integrations an installer creates alongside this spec
     # (the build_dependents hook, front_marketplace_root_v1.rb:34-47).
     creates_dependents: tuple[str, ...] = ()
+    # Descriptor backfillability (replicator.rb:99,140): webhook-only
+    # streams refuse manual backfill (base.rb:1105) with the message
+    # below. The reference's descriptor DEFAULTS to false and services
+    # opt in; here the default is True because every spec in this
+    # registry except the 11 webhook-only ones opted in.
+    supports_backfill: bool = True
+    # Used by the default not-supported message (base.rb:279-289).
+    documentation_url: str | None = None
+    # Custom override (the backfill_not_supported_message override,
+    # e.g. icalendar_event_v1.rb:376-382, postmark_*_v1.rb).
+    backfill_not_supported: str | None = None
 
     def __post_init__(self):
         validate_identifier(self.table, "table")
+
+    def backfill_not_supported_message(self) -> str:
+        """base.rb:277-290: the CLI message when manual backfill is
+        refused — custom override, else the documentation_url form,
+        else the reset-command fallback."""
+        if self.backfill_not_supported is not None:
+            return self.backfill_not_supported
+        if not self.documentation_url:
+            return (
+                "Sorry, you cannot backfill this integration. "
+                "You may be looking for one of the following:\n\n"
+                f"  webhookdb integrations reset {self.table}\n      "
+            )
+        return (
+            "Sorry, you cannot manually backfill this integration.\n"
+            f"Please refer to the documentation at {self.documentation_url}\n"
+            "for information on how to refresh data."
+        )
 
     @property
     def all_cols(self) -> tuple[Col, ...]:
