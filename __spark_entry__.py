@@ -3625,6 +3625,47 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embed_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """EMBEDDING-space decontamination — the third leakage tier after
+    exact n-gram (source_span_leakage) and shingle-Jaccard
+    (fuzzy_decontaminate): train vectors whose cosine to any eval
+    vector (the vec_id % 7 = 0 slice, same fixture convention) is
+    >= 0.9, each with its best-matching eval vector. Planted leakage:
+    every third eval vector re-enters the train side under
+    vec_id + 10^7 SCALED BY 2 — cosine-invariant but not
+    byte-identical, so equality/hash dedup cannot find it and the
+    operator must. Eval sides are benchmarks (metadata-sized by
+    construction): broadcast map-side nested loop fused into the train
+    scan, zero shuffles before the thresholded match stream."""
+    emb = load(spark, sf, "embeddings")
+    ev = emb.where("vec_id % 7 = 0").select("vec_id", "embedding")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    planted = ev.where("vec_id % 3 = 0").select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0
+                    ).alias("embedding"),
+    )
+    train = (
+        emb.where("vec_id % 7 != 0")
+        .select("vec_id", as_double.alias("embedding"))
+        .unionByName(planted)
+    )
+    return S.embed_decontaminate(train, ev, threshold=0.9)
+
+
+SQL_EMBED_DECON_TRAIN = """
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+    FROM embeddings WHERE vec_id % 7 != 0
+    UNION ALL
+    SELECT vec_id + 10000000,
+           list_transform(embedding, x -> x::DOUBLE * 2)
+    FROM embeddings WHERE vec_id % 7 = 0 AND vec_id % 3 = 0
+"""
+SQL_EMBED_DECON_EVAL = (
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0"
+)
+
+
 def q_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-free train/val/test split: near-dup CLUSTERS — not
     documents — are hashed into splits, so no near-duplicate pair can
@@ -6460,6 +6501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_store_incremental": q_span_store_incremental,
         "span_dedup_rewrite": q_span_dedup_rewrite,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "embed_decontaminate": q_embed_decontaminate,
         "dedup_eval": q_dedup_eval,
         "embed_near_dup_ivf": q_embed_near_dup_ivf,
         "matview_event_totals": q_matview_event_totals,
@@ -6724,6 +6766,8 @@ def oracle_sql() -> dict[str, str]:
             base=D.sql_span_novelty()),
         "doc_feature_matrix": _sql_doc_feature_matrix(),
         "fuzzy_decontaminate": D.sql_fuzzy_decontaminate(),
+        "embed_decontaminate": S.sql_embed_decontaminate(
+            SQL_EMBED_DECON_TRAIN, SQL_EMBED_DECON_EVAL, threshold=0.9),
         "cluster_safe_split": D.sql_cluster_safe_split(),
         "quality_filter": _sql_quality_filter(),
         "dsir_resample": _sql_dsir_resample(),

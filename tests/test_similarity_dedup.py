@@ -1351,3 +1351,42 @@ def test_bpe_train_distributed_reproduces_pinned_table(spark):
     assert [(r.pair, r.merged_symbol, r.pair_count) for r in again] == [
         (r.pair, r.merged_symbol, r.pair_count) for r in got[:3]
     ]
+
+
+def test_embed_decontaminate_semantics_and_plan(spark):
+    """Embedding-space decontamination: a scaled copy of an eval
+    vector (cosine 1.0, not byte-identical) is caught, a mild
+    perturbation below threshold is not, each train vector reports its
+    single best eval match (ties -> lowest eval id), and the plan is
+    the broadcast map-side nested loop (no shuffle before the
+    threshold filter)."""
+    from pyspark.sql import functions as F
+
+    from webhookdb_spark.operators.similarity import embed_decontaminate
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (7, [0.0, 1.0, 0.0]), (14, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),     # scaled copy of eval 0 AND 14 -> tie,
+                                      # best match must be eval 0 (lowest id)
+            (2, [0.0, 0.0, 1.0]),     # orthogonal to all -> clean
+            (3, [1.0, 1.0, 0.0]),     # cos ~0.707 to eval 0/7/14 -> clean at 0.9
+            (4, [0.1, 3.0, 0.0]),     # near eval 7 (cos ~0.9994) -> caught
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.train_id: (r.eval_id, r.cosine_sim)
+        for r in embed_decontaminate(train, ev, threshold=0.9).collect()
+    }
+    assert set(got) == {1, 4}
+    assert got[1] == (0, 1.0)          # tie broken to lowest eval id
+    assert got[4][0] == 7 and got[4][1] >= 0.999
+
+    plan = embed_decontaminate(train, ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -57,6 +57,78 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def embed_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(train_id, eval_id, cosine_sim): training vectors semantically
+    CONTAMINATED by an eval/benchmark vector — rounded cosine ≥
+    ``threshold``, keeping each train vector's single best match
+    (ties → lowest eval id). The third decontamination tier after
+    exact n-gram overlap (``source_span_leakage``) and shingle-Jaccard
+    (``fuzzy_decontaminate``): embedding cosine catches paraphrase /
+    translation / re-template leakage with little or no lexical
+    overlap (the reason eval sets leak past string-matching filters).
+
+    Scale shape (same posture as :func:`cosine_topk`): the eval side
+    is a benchmark — metadata-sized BY CONSTRUCTION (thousands of
+    rows, not a corpus) — so it broadcasts and the pairing is a
+    map-side nested loop fused into the train scan: zero shuffles
+    until the already-thresholded (tiny) match stream hits the
+    per-train-id best-match window. Cosine is the shared fold
+    expression (sequential double accumulation, rounded to 6dp), so
+    the oracle's arithmetic is bit-matched.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).alias("t_vec")
+    )
+    e = eval_df.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("e_vec")
+    )
+    hits = (
+        t.crossJoin(F.broadcast(e))
+        .select(
+            "train_id",
+            "eval_id",
+            cosine(F.col("t_vec"), F.col("e_vec")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("eval_id").asc()
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("train_id", "eval_id", "cosine_sim")
+    )
+
+
+def sql_embed_decontaminate(
+    train_sql: str, eval_sql: str, threshold: float = 0.9
+) -> str:
+    """DuckDB twin of :func:`embed_decontaminate`. ``train_sql`` /
+    ``eval_sql`` are subqueries projecting (vec_id, embedding)."""
+    cos = _SQL_COS.format(a="t.embedding", b="e.embedding")
+    return f"""
+    WITH hits AS (
+      SELECT t.vec_id AS train_id, e.vec_id AS eval_id, {cos} AS cosine_sim
+      FROM ({train_sql}) t, ({eval_sql}) e
+    ), thresholded AS (
+      SELECT * FROM hits WHERE cosine_sim >= {threshold}
+    ), best AS (
+      SELECT train_id, eval_id, cosine_sim,
+             row_number() OVER (PARTITION BY train_id
+                                ORDER BY cosine_sim DESC, eval_id ASC) AS rn
+      FROM thresholded
+    )
+    SELECT train_id, eval_id, cosine_sim FROM best WHERE rn = 1
+    """
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
