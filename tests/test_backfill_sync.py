@@ -749,3 +749,19 @@ def test_backfill_not_supported_gate_and_messages(spark, tmp_warehouse):
         assert "You may be looking for one of the following" not in msg
     assert _REGISTRY["icalendar_event_v1"].backfill_not_supported_message() \
         .startswith("iCalendar Event does not support backfilling.")
+
+
+def test_url_helpers_keep_ipv6_brackets():
+    """Code-review r12: urlsplit strips IPv6 brackets from .hostname;
+    the cleaned/display URLs must re-bracket or everything after the
+    first ':' parses as a port."""
+    from webhookdb_spark.sinks.sync_target import (
+        displaysafe_url,
+        extract_url_auth,
+    )
+
+    cleaned, auth = extract_url_auth("postgres://u:pw@[::1]:5432/db")
+    assert cleaned == "postgres://[::1]:5432/db"
+    assert auth == {"username": "u", "password": "pw"}
+    assert displaysafe_url("postgres://foo:bar@[2001:db8::7]:123/db") == \
+        "postgres://***:***@[2001:db8::7]:123/db"

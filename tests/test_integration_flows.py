@@ -288,3 +288,92 @@ def test_bot_get_never_logged(spark, tmp_warehouse):
     import os
 
     assert not os.path.exists(pipeline.audit_table_path)
+
+
+def test_replay_mixed_schema_archive_never_merges_rejected(spark, tmp_warehouse):
+    """Code-review r12: an audit directory mixing plain process_batch
+    appends (no _reject_reason) with intake_batch's verdict-stamped
+    files must still exclude intake-rejected rows on a no-secrets
+    replay — schema inference from one arbitrary file must not hide
+    the verdict column."""
+    from webhookdb_spark.operators.replay import replay_webhooks
+
+    pipeline = _pipeline(spark, tmp_warehouse)
+    opaque = "svi_cust"
+    pipeline.register(IntegrationRuntime(
+        opaque_id=opaque, org="org1", spec=WEBHOOKDB_CUSTOMER_V1))
+    table = pipeline.warehouse.table("org1", WEBHOOKDB_CUSTOMER_V1.table)
+    table.create(WEBHOOKDB_CUSTOMER_V1.schema(),
+                 key=WEBHOOKDB_CUSTOMER_V1.remote_key.name)
+
+    # plain append path (no verdict column): a good delivery
+    pipeline.process_batch(_envelopes_df(spark, [_envelope(
+        opaque, "webhookdb_customer_v1",
+        {"id": 1, "created_at": "2026-08-16T10:00:00Z"})]))
+    # verdict-stamped path: a bad-secret delivery, archived as rejected
+    n_ok, _ = pipeline.intake_batch(
+        _envelopes_df(spark, [_envelope(
+            opaque, "webhookdb_customer_v1",
+            {"id": 2, "created_at": "2026-08-16T10:30:00Z"},
+            headers={"Whdb-Secret": "right"},
+        )]),
+        secrets={opaque: ("whdb_customer", "WRONG")},
+    )
+    assert n_ok == 0
+    assert table.read().count() == 1  # only id=1 merged
+
+    win = (NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1))
+    replay_webhooks(pipeline, *win, now=NOW)
+    got = sorted(r["webhookdb_id"] for r in table.read().collect())
+    assert got == ["1"]  # the rejected id=2 must NOT appear
+
+
+def test_replay_reverify_canonicalizes_and_pins_clock(spark, tmp_warehouse):
+    """Code-review r12: replay-with-secrets must (a) canonicalize
+    header keys like the endpoint (archives written via direct
+    process_batch can carry raw casing) and (b) honor now_ts so
+    timestamp-windowed schemes re-verify against the original intake
+    instant instead of the wall clock."""
+    import hashlib
+    import hmac as hmac_mod
+    import json as _json
+
+    from webhookdb_spark.operators.replay import replay_webhooks
+    from webhookdb_spark.replicators.fake import FAKE_V1
+
+    pipeline = _pipeline(spark, tmp_warehouse)
+    opaque = "svi_stripe_like"
+    pipeline.register(IntegrationRuntime(
+        opaque_id=opaque, org="org1", spec=FAKE_V1))
+    secret = "whsec_x"
+    intake_epoch = int(NOW.timestamp()) - 86400  # yesterday's delivery
+    body = _json.dumps({"my_id": "s1", "at": "2026-08-15T12:00:00+00:00"})
+    sig = hmac_mod.new(
+        secret.encode(), f"{intake_epoch}.{body}".encode(), hashlib.sha256
+    ).hexdigest()
+    env = _envelopes_df(spark, [(
+        opaque, "fake_v1", "POST", f"/v1/service_integrations/{opaque}",
+        {"Stripe-Signature": f"t={intake_epoch},v1={sig}"},  # raw casing
+        body,
+        NOW - dt.timedelta(days=1),
+    )])
+    # archive via the PLAIN path (headers stay raw-cased), no merge
+    # registered for a different runtime: simulate by archiving only
+    pipeline.process_batch(env.where("1=0"))  # ensure table machinery ok
+    (env.withColumn("_day", F.to_date("received_at"))
+        .write.mode("append").partitionBy("_day")
+        .parquet(pipeline.audit_table_path))
+
+    win = (NOW - dt.timedelta(days=1, minutes=5),
+           NOW - dt.timedelta(hours=23, minutes=55))
+    # wall-clock re-verification would reject (delivery is a day old):
+    n_wall = replay_webhooks(
+        pipeline, *win, now=NOW, secrets={opaque: ("stripe", secret)})
+    assert n_wall == 0
+    # pinned to the intake instant, the signature verifies and merges
+    n_pinned = replay_webhooks(
+        pipeline, *win, now=NOW, secrets={opaque: ("stripe", secret)},
+        now_ts=intake_epoch)
+    assert n_pinned == 1
+    table = pipeline.warehouse.table("org1", FAKE_V1.table)
+    assert [r["my_id"] for r in table.read().collect()] == ["s1"]

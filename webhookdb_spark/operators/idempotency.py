@@ -80,7 +80,10 @@ class _HeartbeatLock:
             try:
                 os.utime(self._inner.lock_path)
             except OSError:
-                return
+                # transient (EINTR-ish, fs hiccup): keep beating — a
+                # permanent loss shows up as holds() False next round.
+                # Returning here would leave a LIVE holder stale-able.
+                continue
 
     def __enter__(self) -> "_HeartbeatLock":
         self._inner.__enter__()

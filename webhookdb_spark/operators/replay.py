@@ -31,6 +31,7 @@ def replay_webhooks(
     to_ts: datetime,
     now: datetime | None = None,
     secrets: dict[str, tuple[str, str]] | None = None,
+    now_ts: int | None = None,
 ) -> int:
     """Re-process archived envelopes in [from_ts, to_ts) through
     ``pipeline`` (an IngestPipeline with an audit table). Returns the
@@ -44,7 +45,14 @@ def replay_webhooks(
     a delivery 401'd by a misconfigured secret lands once the config
     is fixed. Without ``secrets``, rows the intake archived as
     rejected stay excluded (never merge unverified data); rows from
-    pre-verdict archives replay as before."""
+    pre-verdict archives replay as before.
+
+    ``now_ts`` (epoch seconds) pins re-verification's clock for
+    timestamp-windowed schemes (Stripe ±300 s, Increase): archived
+    deliveries are by definition older than their signature window, so
+    replaying them against the wall clock would reject every one —
+    pass the original intake time (or any instant inside the window)
+    to re-verify the signatures as the endpoint originally did."""
     now = now or datetime.utcnow()
     if to_ts <= from_ts:
         raise ReplayWindowError("empty interval")
@@ -56,7 +64,12 @@ def replay_webhooks(
         raise ValueError("pipeline has no audit table")
     spark = pipeline.warehouse.spark
     df = (
-        spark.read.parquet(pipeline.audit_table_path)
+        # mergeSchema: the archive can mix plain process_batch appends
+        # (no _reject_reason) with intake_batch's verdict-stamped ones;
+        # default inference takes ONE file's schema and could silently
+        # hide the verdict column — and with it the rejected-row guard
+        spark.read.option("mergeSchema", "true")
+        .parquet(pipeline.audit_table_path)
         # _day prunes partitions; received_at refines within them
         .where(
             (F.col("_day") >= F.lit(from_ts.date().isoformat()).cast("date"))
@@ -71,10 +84,17 @@ def replay_webhooks(
             accepted,
             verify_envelopes,
         )
+        from webhookdb_spark.sources.envelopes import (
+            _with_canonical_headers,
+        )
 
         if "_reject_reason" in df.columns:
             df = df.drop("_reject_reason")
-        df = accepted(verify_envelopes(df, secrets))
+        # canonicalize like intake_batch: archives written by direct
+        # process_batch calls may carry raw-cased header keys, and the
+        # verifiers look up lowercase
+        df = accepted(verify_envelopes(
+            _with_canonical_headers(df), secrets, now_ts=now_ts))
     elif "_reject_reason" in df.columns:
         # verdict-stamped archive (intake_batch): without re-verification
         # only the intake-accepted rows may merge

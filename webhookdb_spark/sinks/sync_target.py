@@ -54,6 +54,8 @@ def extract_url_auth(url: str) -> tuple[str, dict | None]:
     if not userinfo:
         return url, None
     host = parts.hostname or ""
+    if ":" in host:  # IPv6 literal: urlsplit strips the brackets
+        host = f"[{host}]"
     if parts.port is not None:
         host = f"{host}:{parts.port}"
     cleaned = urlunsplit(
@@ -126,6 +128,8 @@ def displaysafe_url(url: str) -> str:
 
     parts = urlsplit(url)
     host = parts.hostname or ""
+    if ":" in host:  # IPv6 literal: urlsplit strips the brackets
+        host = f"[{host}]"
     if parts.port is not None:
         host = f"{host}:{parts.port}"
     return urlunsplit(

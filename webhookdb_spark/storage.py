@@ -138,6 +138,12 @@ class _ManifestLock:
         import time
 
         deadline = time.monotonic() + self.timeout
+        # Spin fast for the microsecond manifest-commit window, then
+        # back off geometrically toward 1s: idempotency holders keep
+        # this lock for whole callbacks (timeout up to an hour), and a
+        # flat 10ms poll would cost a blocked waiter ~100 stat+read
+        # syscall rounds per second for the duration.
+        sleep = 0.01
         while True:
             try:
                 fd = os.open(
@@ -205,7 +211,8 @@ class _ManifestLock:
                         f"manifest lock {self.lock_path} held past "
                         f"{self.timeout}s; reload and retry"
                     ) from None
-                time.sleep(0.01)
+                time.sleep(sleep)
+                sleep = min(sleep * 1.5, 1.0)
 
     def __exit__(self, *exc) -> None:
         # Only remove the lock if it is still OURS — after a steal the

@@ -210,6 +210,16 @@ class IngestPipeline:
             reject_bot_gets,
         )
 
+        if now_ts is None:
+            # pin the verification clock to ONE intake instant: the
+            # rejected stream returned below recomputes from lineage
+            # after unpersist, and timestamp-windowed schemes (Stripe
+            # ±300s) must not re-evaluate against a later wall clock —
+            # a boundary envelope could otherwise be merged as accepted
+            # AND later read back as rejected.
+            import time as _time
+
+            now_ts = int(_time.time())
         # canonicalize at the endpoint boundary (the reference downcases
         # header keys on save, logged_webhook.rb:186-188) so producers
         # that bypass read_envelopes still hit the same predicates
