@@ -6362,21 +6362,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the code-changed⇒re-check rule mechanically and names the queries to
 # put here). Prune entries once a fresh full-green row lands on the
 # tracked record.
-_ROTATION_PRIORITY: list[str] = [
-    # r12: the pareto oracle was rewritten as the O(n log n) skyline
-    # sweep (sql_pareto_front; VERDICT r11 Next #4) after its r7 row —
-    # fingerprint drift, re-check on the new twin:
-    "pareto_lineitems",
-    # r12: ReplicatorSpec grew the backfillability fields and
-    # process_batch the skip_audit flag (both default-off) AFTER these
-    # queries' r11 rows — behaviorally inert for them, but the
-    # code-changed⇒re-check rule is mechanical:
-    "matview_event_totals",
-    "pipeline_lifecycle",
-    "upsert_merge",
-    "scd2_feed_maintained",
-    "table_diff",
-]
+_ROTATION_PRIORITY: list[str] = []
 
 _ROTATION_RECORD: dict[str, int] | None = None
 
