@@ -720,7 +720,12 @@ def test_backfill_not_supported_gate_and_messages(spark, tmp_warehouse):
         "webhookdb_customer_v1",
     }
     flagged = {n for n, s in _REGISTRY.items() if not s.supports_backfill}
-    assert expected <= flagged
+    # EXACT equality, not subset: supports_backfill defaults True here
+    # (inverting the reference descriptor's default-false), so a future
+    # webhook-only port that forgets the flag fails OPEN — backfill
+    # silently runs instead of raising. Any registry change to the
+    # flagged set must update this list from the reference descriptors.
+    assert expected == flagged
 
     spec = _REGISTRY["jotform_webhook_v1"]
     bf = Backfiller(

@@ -377,3 +377,70 @@ def test_replay_reverify_canonicalizes_and_pins_clock(spark, tmp_warehouse):
     assert n_pinned == 1
     table = pipeline.warehouse.table("org1", FAKE_V1.table)
     assert [r["my_id"] for r in table.read().collect()] == ["s1"]
+
+
+def test_replay_with_partial_secrets_is_org_wide(spark, tmp_warehouse):
+    """Code-review r13: the reference replay is org-wide
+    (api/replay.rb) — each logged webhook re-verifies against ITS OWN
+    integration's config. A secrets map covering one integration must
+    scope RE-verification to that integration, not the replay: other
+    integrations' archived deliveries follow the no-secrets verdict
+    rule (accepted rows re-merge, rejected rows never do) instead of
+    being 401'd as 'unknown integration' and silently dropped."""
+    from webhookdb_spark.operators.replay import replay_webhooks
+
+    pipeline = _pipeline(spark, tmp_warehouse)
+    cust, fake = "svi_cust", "svi_fake"
+    pipeline.register(IntegrationRuntime(
+        opaque_id=cust, org="org1", spec=WEBHOOKDB_CUSTOMER_V1))
+    pipeline.register(IntegrationRuntime(
+        opaque_id=fake, org="org1", spec=FAKE_V1))
+    cust_table = pipeline.warehouse.table(
+        "org1", WEBHOOKDB_CUSTOMER_V1.table)
+    cust_table.create(WEBHOOKDB_CUSTOMER_V1.schema(),
+                      key=WEBHOOKDB_CUSTOMER_V1.remote_key.name)
+
+    # cust: a delivery 401'd by a misconfigured secret (verdict: rejected)
+    right = "cust-secret"
+    n_ok, _ = pipeline.intake_batch(
+        _envelopes_df(spark, [_envelope(
+            cust, "webhookdb_customer_v1",
+            {"id": 9, "created_at": "2026-08-16T11:00:00Z"},
+            headers={"Whdb-Secret": right},
+        )]),
+        secrets={cust: ("whdb_customer", "WRONG")},
+    )
+    assert n_ok == 0
+    # fake: one accepted and one rejected delivery, verdict-stamped
+    n_ok, _ = pipeline.intake_batch(
+        _envelopes_df(spark, [
+            _envelope(fake, "fake_v1", {"my_id": "good", "at": NOW.isoformat()},
+                      headers={"Whdb-Secret": "fs"}),
+        ]),
+        secrets={fake: ("whdb_customer", "fs")},
+    )
+    assert n_ok == 1
+    n_ok, _ = pipeline.intake_batch(
+        _envelopes_df(spark, [
+            _envelope(fake, "fake_v1", {"my_id": "bad", "at": NOW.isoformat()},
+                      headers={"Whdb-Secret": "nope"}),
+        ]),
+        secrets={fake: ("whdb_customer", "fs")},
+    )
+    assert n_ok == 0
+
+    # wipe fake's table so a replayed merge is observable, not a no-op
+    fake_table = pipeline.warehouse.table("org1", FAKE_V1.table)
+    fake_table.drop()
+    fake_table.create(FAKE_V1.schema(), key=FAKE_V1.remote_key.name)
+
+    # replay with secrets for cust ONLY (config fixed)
+    win = (NOW - dt.timedelta(hours=1), NOW + dt.timedelta(hours=1))
+    n = replay_webhooks(pipeline, *win, now=NOW,
+                        secrets={cust: ("whdb_customer", right)})
+    # cust re-verified + fake's intake-accepted row — NOT 1 (old
+    # behavior dropped fake as unknown), NOT 3 (fake's rejected row
+    # stays excluded without re-verification)
+    assert n == 2
+    assert [r["webhookdb_id"] for r in cust_table.read().collect()] == ["9"]
+    assert [r["my_id"] for r in fake_table.read().collect()] == ["good"]

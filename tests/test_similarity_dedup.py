@@ -1390,3 +1390,38 @@ def test_embed_decontaminate_semantics_and_plan(spark):
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embed_decontaminate_ragged_dims_agree_across_engines(spark):
+    """Code-review r13: a train/eval pair with mismatched vector
+    lengths must be DROPPED identically by both twins — the Spark
+    zip_with+aggregate fold NULL-propagates the padded slot, and the
+    SQL twin NULLs the cosine on len mismatch (without the guard,
+    DuckDB's list_sum would skip the NULL terms and score a partial
+    cosine that can cross the threshold)."""
+    import duckdb
+
+    from webhookdb_spark.operators.similarity import (
+        embed_decontaminate,
+        sql_embed_decontaminate,
+    )
+
+    # train 1 is a 2-dim prefix-copy of 3-dim eval 0: a partial cosine
+    # would be 1.0 (contaminated); the pair must instead be dropped.
+    ev_rows = [(0, [1.0, 0.0, 0.0])]
+    tr_rows = [(1, [1.0, 0.0]), (2, [2.0, 0.0, 0.0])]
+    ev = spark.createDataFrame(ev_rows, "vec_id long, embedding array<double>")
+    tr = spark.createDataFrame(tr_rows, "vec_id long, embedding array<double>")
+    got = {(r.train_id, r.eval_id)
+           for r in embed_decontaminate(tr, ev, threshold=0.9).collect()}
+    assert got == {(2, 0)}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tr (vec_id BIGINT, embedding DOUBLE[])")
+    con.execute("CREATE TABLE ev (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO tr VALUES (?, ?)", tr_rows)
+    con.executemany("INSERT INTO ev VALUES (?, ?)", ev_rows)
+    sql = sql_embed_decontaminate(
+        "SELECT * FROM tr", "SELECT * FROM ev", threshold=0.9)
+    oracle = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert oracle == got

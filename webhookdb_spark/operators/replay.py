@@ -13,7 +13,7 @@ predicate prunes to the touched partitions before the scan.
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import functions as F
 
@@ -43,17 +43,28 @@ def replay_webhooks(
     ``IngestPipeline.intake_batch``) for that parity — archived
     deliveries re-verify against the CURRENT secret configuration, so
     a delivery 401'd by a misconfigured secret lands once the config
-    is fixed. Without ``secrets``, rows the intake archived as
-    rejected stay excluded (never merge unverified data); rows from
-    pre-verdict archives replay as before.
+    is fixed. ``secrets`` scopes RE-verification, not the replay:
+    rows for integrations outside the map follow the no-secrets
+    verdict rule below instead of being rejected as unknown — the
+    reference replay is org-wide and each logged webhook re-verifies
+    against its own integration's config. Without ``secrets``, rows
+    the intake archived as rejected stay excluded (never merge
+    unverified data); rows from pre-verdict archives replay as
+    before.
 
     ``now_ts`` (epoch seconds) pins re-verification's clock for
     timestamp-windowed schemes (Stripe ±300 s, Increase): archived
     deliveries are by definition older than their signature window, so
     replaying them against the wall clock would reject every one —
     pass the original intake time (or any instant inside the window)
-    to re-verify the signatures as the endpoint originally did."""
-    now = now or datetime.utcnow()
+    to re-verify the signatures as the endpoint originally did. When
+    ``secrets`` is given and ``now_ts`` is not, the clock is pinned to
+    the replay instant so the count and the merge see one verdict."""
+    if now is None:
+        # match the caller's window: a tz-aware from_ts against a naive
+        # default clock raises on subtraction
+        now = (datetime.now(timezone.utc) if from_ts.tzinfo
+               else datetime.utcnow())
     if to_ts <= from_ts:
         raise ReplayWindowError("empty interval")
     if to_ts - from_ts > MAX_INTERVAL:
@@ -80,6 +91,8 @@ def replay_webhooks(
         .drop("_day")
     )
     if secrets is not None:
+        import time
+
         from webhookdb_spark.functions.verification import (
             accepted,
             verify_envelopes,
@@ -88,13 +101,33 @@ def replay_webhooks(
             _with_canonical_headers,
         )
 
+        # Pin the verification clock for the whole replay (mirrors
+        # intake_batch): the frame is evaluated twice (count() then
+        # process_batch), so a per-batch wall clock could count a
+        # timestamp-window boundary envelope (Stripe ±300 s, Increase)
+        # yet not merge it, or vice versa.
+        if now_ts is None:
+            now_ts = int(time.time())
+        # The reference replay is org-wide and each logged webhook
+        # re-verifies against ITS OWN integration's config
+        # (api/replay.rb) — so `secrets` scopes RE-verification, not
+        # the replay. Rows for integrations outside the map keep the
+        # no-secrets verdict rule instead of being 401'd as unknown.
+        known = F.col("integration_opaque_id").isin(list(secrets))
+        in_scope = df.where(known)
+        rest = df.where(~known)
         if "_reject_reason" in df.columns:
-            df = df.drop("_reject_reason")
+            in_scope = in_scope.drop("_reject_reason")
+            # verdict-stamped archive: without re-verification only
+            # the intake-accepted rows may merge
+            rest = rest.where(
+                F.col("_reject_reason").isNull()).drop("_reject_reason")
         # canonicalize like intake_batch: archives written by direct
         # process_batch calls may carry raw-cased header keys, and the
         # verifiers look up lowercase
         df = accepted(verify_envelopes(
-            _with_canonical_headers(df), secrets, now_ts=now_ts))
+            _with_canonical_headers(in_scope), secrets, now_ts=now_ts,
+        )).unionByName(rest)
     elif "_reject_reason" in df.columns:
         # verdict-stamped archive (intake_batch): without re-verification
         # only the intake-accepted rows may merge

@@ -128,6 +128,11 @@ def sql_embed_decontaminate(
            " x -> x::DOUBLE * x::DOUBLE)))")
     dot = ("list_sum(list_transform(range(1, len(e.embedding) + 1),"
            " i -> t.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))")
+    # Ragged-dimension guard: DuckDB's list_sum SKIPS the NULL
+    # out-of-bounds terms of a length-mismatched pair (a partial
+    # cosine), while the Spark fold NULL-propagates and the threshold
+    # excludes the pair — NULL the mismatch here so both engines drop
+    # it identically.
     return f"""
     WITH t AS (
       SELECT vec_id, embedding, {nrm} AS nrm FROM ({train_sql})
@@ -135,7 +140,8 @@ def sql_embed_decontaminate(
       SELECT vec_id, embedding, {nrm} AS nrm FROM ({eval_sql})
     ), hits AS (
       SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
-             round(CASE WHEN t.nrm * e.nrm = 0 THEN 0.0
+             round(CASE WHEN len(t.embedding) != len(e.embedding) THEN NULL
+                   WHEN t.nrm * e.nrm = 0 THEN 0.0
                    ELSE {dot} / (t.nrm * e.nrm) END, 6) AS cosine_sim
       FROM t, e
     ), thresholded AS (

@@ -326,7 +326,10 @@ class ReplicatorSpec:
     # streams refuse manual backfill (base.rb:1105) with the message
     # below. The reference's descriptor DEFAULTS to false and services
     # opt in; here the default is True because every spec in this
-    # registry except the 11 webhook-only ones opted in.
+    # registry except the 11 webhook-only ones opted in. Because this
+    # inversion makes a forgotten flag fail OPEN, the flagged set is
+    # pinned by EXACT equality in tests/test_backfill_sync.py — update
+    # that list from the reference descriptors when porting.
     supports_backfill: bool = True
     # Used by the default not-supported message (base.rb:279-289).
     documentation_url: str | None = None
