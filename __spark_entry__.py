@@ -3637,19 +3637,7 @@ def q_embed_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     operator must. Eval sides are benchmarks (metadata-sized by
     construction): broadcast map-side nested loop fused into the train
     scan, zero shuffles before the thresholded match stream."""
-    emb = load(spark, sf, "embeddings")
-    ev = emb.where("vec_id % 7 = 0").select("vec_id", "embedding")
-    as_double = F.transform("embedding", lambda x: x.cast("double"))
-    planted = ev.where("vec_id % 3 = 0").select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double") * 2.0
-                    ).alias("embedding"),
-    )
-    train = (
-        emb.where("vec_id % 7 != 0")
-        .select("vec_id", as_double.alias("embedding"))
-        .unionByName(planted)
-    )
+    train, ev = _embed_decon_sides(spark, sf)
     return S.embed_decontaminate(train, ev, threshold=0.9)
 
 
@@ -3664,6 +3652,41 @@ SQL_EMBED_DECON_TRAIN = """
 SQL_EMBED_DECON_EVAL = (
     "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0"
 )
+
+
+def _embed_decon_sides(spark: SparkSession, sf: str):
+    """The planted-leakage train/eval fixture shared by the brute and
+    IVF decontamination queries (see q_embed_decontaminate)."""
+    emb = load(spark, sf, "embeddings")
+    ev = emb.where("vec_id % 7 = 0").select("vec_id", "embedding")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    planted = ev.where("vec_id % 3 = 0").select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0
+                    ).alias("embedding"),
+    )
+    train = (
+        emb.where("vec_id % 7 != 0")
+        .select("vec_id", as_double.alias("embedding"))
+        .unionByName(planted)
+    )
+    return train, ev
+
+
+def q_embed_decontaminate_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-scale decontamination path: same planted-leakage
+    fixture and output contract as embed_decontaminate, but candidates
+    come from IVF cells (train assigned by one narrow literal-centroid
+    map, eval probing its nprobe nearest cells) instead of the brute
+    train×eval nested loop — per train row the work is
+    |eval|·nprobe/C cosines, not |eval|, which is what makes
+    decontaminating against a corpus-sized eval side executable at
+    100 TB. Every planted (scaled-copy) leak is recovered by
+    construction: a scaled copy is cosine-identical to its eval
+    source, so both share the argmax cell."""
+    train, ev = _embed_decon_sides(spark, sf)
+    return S.embed_decontaminate_ivf(
+        train, ev, threshold=0.9, n_centroids=8, nprobe=2)
 
 
 def q_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -6362,7 +6385,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # the code-changed⇒re-check rule mechanically and names the queries to
 # put here). Prune entries once a fresh full-green row lands on the
 # tracked record.
-_ROTATION_PRIORITY: list[str] = []
+_ROTATION_PRIORITY: list[str] = [
+    # r13: sql_embed_decontaminate grew the ragged-dimension NULL
+    # guard (ADVICE r12) after its r12 row — fingerprint drift,
+    # re-check on the new twin:
+    "embed_decontaminate",
+    # r13: ReplicatorSpec's supports_backfill comment block changed
+    # (ADVICE r12 exact-equality pin) after these queries' r12 rows —
+    # behaviorally inert, but code-changed⇒re-check is mechanical:
+    "matview_event_totals",
+    "pipeline_lifecycle",
+    "upsert_merge",
+    "scd2_feed_maintained",
+    "table_diff",
+]
 
 _ROTATION_RECORD: dict[str, int] | None = None
 
@@ -6488,6 +6524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_rewrite": q_span_dedup_rewrite,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "embed_decontaminate": q_embed_decontaminate,
+        "embed_decontaminate_ivf": q_embed_decontaminate_ivf,
         "dedup_eval": q_dedup_eval,
         "embed_near_dup_ivf": q_embed_near_dup_ivf,
         "matview_event_totals": q_matview_event_totals,
@@ -6754,6 +6791,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_decontaminate": D.sql_fuzzy_decontaminate(),
         "embed_decontaminate": S.sql_embed_decontaminate(
             SQL_EMBED_DECON_TRAIN, SQL_EMBED_DECON_EVAL, threshold=0.9),
+        "embed_decontaminate_ivf": S.sql_embed_decontaminate_ivf(
+            SQL_EMBED_DECON_TRAIN, SQL_EMBED_DECON_EVAL, threshold=0.9,
+            n_centroids=8, nprobe=2),
         "cluster_safe_split": D.sql_cluster_safe_split(),
         "quality_filter": _sql_quality_filter(),
         "dsir_resample": _sql_dsir_resample(),

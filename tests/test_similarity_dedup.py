@@ -1425,3 +1425,94 @@ def test_embed_decontaminate_ragged_dims_agree_across_engines(spark):
         "SELECT * FROM tr", "SELECT * FROM ev", threshold=0.9)
     oracle = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
     assert oracle == got
+
+
+def _decon_fixture(spark):
+    """The planted-leakage train/eval pair (driver fixture convention):
+    eval = vec_id % 7 == 0; every third eval re-enters train under
+    vec_id + 10^7 scaled by 2 — cosine-invariant, not byte-identical."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ev = emb.where("vec_id % 7 = 0").select("vec_id", "embedding")
+    planted = ev.where("vec_id % 3 = 0").select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0
+                    ).alias("embedding"),
+    )
+    train = (
+        emb.where("vec_id % 7 != 0")
+        .select("vec_id",
+                F.transform("embedding",
+                            lambda x: x.cast("double")).alias("embedding"))
+        .unionByName(planted)
+    )
+    return train, ev
+
+
+def test_embed_decontaminate_ivf_agrees_with_brute_on_planted(spark):
+    """The IVF-celled candidate path must (a) recover EVERY planted
+    scaled-copy leak — a scaled copy is cosine-identical to its eval
+    source so both share the argmax cell and nprobe>=1 covers it —
+    and (b) agree with the brute nested loop row-for-row on this
+    fixture (both deterministic, so equality is pinnable)."""
+    from webhookdb_spark.operators.similarity import (
+        embed_decontaminate,
+        embed_decontaminate_ivf,
+    )
+
+    train, ev = _decon_fixture(spark)
+    brute = {
+        r.train_id: (r.eval_id, r.cosine_sim)
+        for r in embed_decontaminate(train, ev, threshold=0.9).collect()
+    }
+    ivf = {
+        r.train_id: (r.eval_id, r.cosine_sim)
+        for r in embed_decontaminate_ivf(
+            train, ev, threshold=0.9, n_centroids=8, nprobe=2
+        ).collect()
+    }
+    planted_ids = {r.vec_id + 10_000_000
+                   for r in ev.where("vec_id % 3 = 0").collect()}
+    assert planted_ids  # fixture sanity
+    for pid in planted_ids:
+        assert pid in ivf, f"planted leak {pid} missed by IVF path"
+        eval_id, cos = ivf[pid]
+        assert cos == 1.0 and eval_id == pid - 10_000_000
+    assert ivf == brute
+
+
+def test_decontaminate_ivf_index_matches_inline_and_prunes_cells(spark, tmp_path):
+    """write_ivf_index + decontaminate_ivf_index equal the inline
+    embed_decontaminate_ivf (same knobs — the sidecar centroids are
+    the trained quantizer) and the index scan carries literal cent_id
+    partition predicates, so at 100 TB the decontamination reads only
+    the probed cells' directories."""
+    from webhookdb_spark.operators.similarity import (
+        decontaminate_ivf_index,
+        embed_decontaminate_ivf,
+        write_ivf_index,
+    )
+
+    train, ev = _decon_fixture(spark)
+    inline = {
+        r.train_id: (r.eval_id, r.cosine_sim)
+        for r in embed_decontaminate_ivf(
+            train, ev, threshold=0.9, n_centroids=8, nprobe=2
+        ).collect()
+    }
+    p = str(tmp_path / "decon_ivf_idx")
+    write_ivf_index(train, p, n_centroids=8, n_refine=1)
+    got_df = decontaminate_ivf_index(spark, p, ev, threshold=0.9, nprobe=2)
+    got = {
+        r.train_id: (r.eval_id, r.cosine_sim) for r in got_df.collect()
+    }
+    assert got == inline
+
+    plan = got_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cent_id" in pf[0], plan

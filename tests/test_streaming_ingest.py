@@ -818,3 +818,71 @@ def test_trim_logged_webhooks_full_policy(spark):
     assert out["failure_newer"].truncated_at is None
     assert out["failure_mid"].truncated_at is None  # 20d < 30d threshold
     assert out["failure_older"].truncated_at == now
+
+
+def test_streaming_endpoint_intake_verifies_per_microbatch(spark, tmp_warehouse):
+    """start(verify_secrets=...) runs the full endpoint-shaped intake
+    per micro-batch: a bad-secret delivery lands in the audit archive
+    WITH its 401 verdict and never reaches the table, while the
+    good-secret one merges — and a checkpointed restart processes only
+    new files, re-verifying them the same way."""
+    import pytest
+
+    land = tmp_warehouse / "landing"
+    land.mkdir(parents=True, exist_ok=True)
+
+    def write_batch(name, rows):
+        with open(land / name, "w") as fh:
+            for my_id, secret in rows:
+                fh.write(json.dumps({
+                    "integration_opaque_id": "svi_a",
+                    "service_name": "fake_v1",
+                    "request_method": "POST",
+                    "request_path": "/v1/service_integrations/svi_a",
+                    "headers": {"Whdb-Secret": secret},
+                    "body": json.dumps(
+                        {"my_id": my_id, "at": "2024-06-01T00:00:00Z"}),
+                    "received_at": "2024-06-01T00:00:00.000Z",
+                }) + "\n")
+
+    write_batch("b1.json", [("good1", "s3cr3t"), ("evil1", "WRONG")])
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    pipeline = IngestPipeline(
+        warehouse=wh, audit_table_path=str(tmp_warehouse / "audit"))
+    pipeline.register(IntegrationRuntime(
+        opaque_id="svi_a", org="org1", spec=FAKE_V1))
+    secrets = {"svi_a": ("whdb_customer", "s3cr3t")}
+
+    stream = read_envelope_stream(spark, str(land))
+    q = pipeline.start(stream, str(tmp_warehouse / "ckpt"),
+                       trigger_once=True, verify_secrets=secrets)
+    q.awaitTermination(120)
+
+    table = wh.table("org1", "fake_v1")
+    assert [r["my_id"] for r in table.read().collect()] == ["good1"]
+    audit = spark.read.parquet(str(tmp_warehouse / "audit"))
+    verdicts = {json.loads(r["body"])["my_id"]: r["_reject_reason"]
+                for r in audit.collect()}
+    assert verdicts == {
+        "good1": None,
+        "evil1": "Whdb-Secret value does not match configured secret",
+    }
+
+    # checkpointed restart: only the NEW file is processed, verified
+    # the same way — the table gains good2 only, the archive both
+    write_batch("b2.json", [("good2", "s3cr3t"), ("evil2", "nope")])
+    q2 = pipeline.start(stream, str(tmp_warehouse / "ckpt"),
+                        trigger_once=True, verify_secrets=secrets)
+    q2.awaitTermination(120)
+    assert sorted(r["my_id"] for r in table.read().collect()) == [
+        "good1", "good2"]
+    audit = spark.read.parquet(str(tmp_warehouse / "audit"))
+    assert audit.count() == 4  # every delivery archived exactly once
+    assert audit.where("_reject_reason IS NOT NULL").count() == 2
+
+    # the endpoint contract logs every delivery, so stream-level dedup
+    # ahead of the archive is refused
+    with pytest.raises(ValueError, match="verdict archive"):
+        pipeline.start(stream, str(tmp_warehouse / "ckpt2"),
+                       trigger_once=True, verify_secrets=secrets,
+                       dedup_deliveries_watermark="1 hour")

@@ -156,6 +156,223 @@ def sql_embed_decontaminate(
     """
 
 
+def _decon_probe_pairs(
+    assigned: DataFrame,
+    cents: list[list[float]],
+    eval_df: DataFrame,
+    threshold: float,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of the IVF decontamination pair: eval vectors probe
+    their ``nprobe`` nearest cells, candidates are (train, eval) rows
+    sharing a probed cell, exact rounded cosine thresholds them, and
+    the per-train-id best-match window picks one eval per train (ties
+    → lowest eval id). ``assigned`` is (vec_id, c_vec, cent_id) from
+    :func:`ivf_assign` or a partition-pruned index read."""
+    spark = assigned.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cent_id int, cent_vec array<double>",
+    )
+    q = (
+        eval_df.select(
+            F.col(id_col).alias("eval_id"), F.col(vec_col).alias("q_vec")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
+    )
+    pw = Window.partitionBy("eval_id").orderBy(
+        F.col("cscore").desc(), F.col("cent_id").asc()
+    )
+    # Norms hoist to per-ROW columns on both sides (the same ~3x
+    # lesson as embed_decontaminate): the per-PAIR work is one dot
+    # fold, and round(dot/(t_norm*e_norm), 6) is the identical
+    # arithmetic chain to :func:`cosine`'s inline form.
+    probes = (
+        q.withColumn("prank", F.row_number().over(pw))
+        .where(F.col("prank") <= nprobe)
+        .select("eval_id", "q_vec", "cent_id",
+                _norm(F.col("q_vec")).alias("e_norm"))
+    )
+    t = assigned.withColumn("t_norm", _norm(F.col("c_vec")))
+    denom = F.col("t_norm") * F.col("e_norm")
+    cos = F.round(
+        F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            _dot(F.col("c_vec"), F.col("q_vec")) / denom
+        ),
+        6,
+    )
+    # each train vector lives in exactly one cell and an eval probes
+    # distinct cells, so the join cannot duplicate (train, eval) pairs
+    paired = t.join(F.broadcast(probes), on="cent_id")
+    hits = paired.select(
+        F.col("vec_id").alias("train_id"),
+        "eval_id",
+        cos.alias("cosine_sim"),
+    ).where(F.col("cosine_sim") >= F.lit(threshold))
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("eval_id").asc()
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("train_id", "eval_id", "cosine_sim")
+    )
+
+
+def embed_decontaminate_ivf(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """(train_id, eval_id, cosine_sim): the corpus-scale variant of
+    :func:`embed_decontaminate` — same output contract (best eval
+    match per contaminated train vector, rounded cosine ≥ threshold,
+    ties → lowest eval id) with IVF-celled candidate generation
+    instead of the brute train×eval nested loop.
+
+    Why this exists: the brute form is linear in train but ×|eval| per
+    row — fine for a benchmark-sized eval set, quadratic pain once the
+    eval side is itself corpus-sized (dedup-against-a-held-out-corpus,
+    multi-benchmark unions). Here the TRAIN corpus is assigned to
+    coarse cells by one narrow literal-centroid map (no join, no
+    shuffle — :func:`ivf_assign`), each EVAL vector probes its
+    ``nprobe`` nearest cells, and only co-celled pairs are scored:
+    per train row the expected work is |eval|·nprobe/C cosines, not
+    |eval|. Deterministic end-to-end (seed + fixed-point Lloyd +
+    rounded scores + fixed tie-breaks), so it carries a full
+    value-hash oracle like the rest of the IVF family.
+
+    Recall contract (documented, mirrored by the SQL twin): a
+    contaminated pair is found iff the eval vector's probes cover the
+    train vector's argmax cell. Scaled/exact copies are cosine-
+    identical to their eval source, so they share the argmax cell by
+    construction and nprobe≥1 recovers them — the planted-leakage
+    class exact-dup hashing misses and this operator exists to catch.
+    Paraphrase-level neighbors follow the usual IVF recall/nprobe
+    trade. ``sample_fraction`` routes Lloyd refinement to the
+    deterministic hash-sample (the 100 TB path of
+    :func:`ivf_refine`)."""
+    cents = ivf_centroids(train, n_centroids, id_col, vec_col)
+    for _ in range(n_refine):
+        cents = ivf_refine(train, cents, id_col, vec_col, sample_fraction)
+    assigned = ivf_assign(train, cents, id_col, vec_col)
+    return _decon_probe_pairs(
+        assigned, cents, eval_df, threshold, nprobe, id_col, vec_col)
+
+
+def decontaminate_ivf_index(
+    spark,
+    path: str,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`embed_decontaminate_ivf` against a persisted
+    :func:`write_ivf_index` directory: the sidecar centroids ARE the
+    trained quantizer, and the corpus-side work is a partition-pruned
+    read of the probed cells only — at 100 TB the decontamination scan
+    touches ``≤ |probed cells|/C`` of the index by directory pruning
+    alone, and the index amortizes across eval-set releases."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import types as _T
+
+    meta = json.loads((Path(path) / "_ivf_meta.json").read_text())
+    cents = meta["centroids"]
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cent_id int, cent_vec array<double>",
+    )
+    q = (
+        eval_df.select(
+            F.col(id_col).alias("eval_id"), F.col(vec_col).alias("q_vec")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
+    )
+    pw = Window.partitionBy("eval_id").orderBy(
+        F.col("cscore").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.withColumn("prank", F.row_number().over(pw))
+        .where(F.col("prank") <= nprobe)
+        .select("cent_id")
+        .distinct()
+    )
+    # JUSTIFIED COLLECT: ≤ n_centroids cell ids — metadata-sized, and
+    # the literal IN list is what turns into parquet directory pruning
+    cells = sorted(r.cent_id for r in probes.collect())
+    read_schema = _T.StructType.fromJson(json.loads(meta["schema"]))
+    assigned = (
+        spark.read.schema(read_schema).parquet(path)
+        .where(F.col("cent_id").isin(cells))
+    )
+    return _decon_probe_pairs(
+        assigned, cents, eval_df, threshold, nprobe, id_col, vec_col)
+
+
+def sql_embed_decontaminate_ivf(
+    train_sql: str,
+    eval_sql: str,
+    threshold: float = 0.9,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_refine: int = 1,
+) -> str:
+    """DuckDB twin of :func:`embed_decontaminate_ivf` — identical seed
+    rule, ``n_refine`` unrolled fixed-point Lloyd iterations, probe
+    ranking, rounded cosine, and tie-breaks. ``train_sql`` /
+    ``eval_sql`` are subqueries projecting (vec_id, embedding)."""
+    cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _SQL_COS.format(a="q.embedding", b="c.cvec")
+    cos_tq = _SQL_COS.format(a="a.embedding", b="p.q_vec")
+    layers, cent_final = _sql_ivf_layers(
+        f"({train_sql})", n_centroids, n_refine)
+    return f"""
+    WITH {",".join(layers)},
+    assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ac} DESC, c.cent_id ASC) AS rn
+        FROM ({train_sql}) e CROSS JOIN {cent_final} c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT eval_id, q_vec, cent_id FROM (
+        SELECT q.vec_id AS eval_id, q.embedding AS q_vec, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_qc} DESC, c.cent_id ASC) AS rn
+        FROM ({eval_sql}) q CROSS JOIN {cent_final} c
+      ) WHERE rn <= {nprobe}
+    ),
+    hits AS (
+      SELECT a.vec_id AS train_id, p.eval_id, {cos_tq} AS cosine_sim
+      FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+      WHERE {cos_tq} >= {threshold}
+    ),
+    best AS (
+      SELECT train_id, eval_id, cosine_sim,
+             row_number() OVER (PARTITION BY train_id
+                                ORDER BY cosine_sim DESC, eval_id ASC) AS rn
+      FROM hits
+    )
+    SELECT train_id, eval_id, cosine_sim FROM best WHERE rn = 1
+    """
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

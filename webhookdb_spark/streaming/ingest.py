@@ -259,6 +259,7 @@ class IngestPipeline:
         max_files_per_trigger: int | None = None,
         max_offsets_per_trigger: int | None = None,
         dedup_deliveries_watermark: str | None = None,
+        verify_secrets: dict[str, tuple[str, str]] | None = None,
     ) -> StreamingQuery:
         """Run the pipeline as a streaming query.
 
@@ -287,7 +288,29 @@ class IngestPipeline:
         the audit append inside the batch. Use the watermark variant
         when retry-storm volume itself is the problem (it also spares
         the audit write) and the trade is acceptable.
+
+        ``verify_secrets`` makes each micro-batch run the full
+        ENDPOINT-shaped intake (:meth:`intake_batch`: bot-GET drop →
+        archive-with-verdict → verify → merge accepted only) instead of
+        the pre-verified worker path (:meth:`process_batch`, the
+        reference's Sidekiq boundary, jobs/process_webhook.rb:26-44).
+        Use it when the deployment has no separate endpoint tier in
+        front of the stream — a bad-secret delivery then lands in the
+        audit archive with its 401 verdict and never reaches the table,
+        and the checkpointed replay of a micro-batch re-verifies
+        identically (the clock pins per intake call, so at-least-once
+        redelivery converges on the idempotent MERGE). Mutually
+        exclusive with ``dedup_deliveries_watermark``: stream-level
+        dedup drops retries BEFORE the archive, which would break the
+        endpoint's log-every-delivery contract.
         """
+        if verify_secrets is not None and dedup_deliveries_watermark is not None:
+            raise ValueError(
+                "verify_secrets is the endpoint-shaped intake: every "
+                "delivery must reach the verdict archive, so stream-level "
+                "dedup_deliveries_watermark cannot run ahead of it (use "
+                "dedup_deliveries, which dedups after the audit append)"
+            )
         if isinstance(envelope_stream, str):
             from webhookdb_spark.sources.envelopes import read_envelope_stream
 
@@ -315,10 +338,14 @@ class IngestPipeline:
                 id_col="_delivery_key",
                 watermark=dedup_deliveries_watermark,
             ).drop("_delivery_key")
+        if verify_secrets is not None:
+            def _body(df, bid):
+                self.intake_batch(df, secrets=verify_secrets)
+        else:
+            def _body(df, bid):
+                self.process_batch(df, bid)
         writer = (
-            envelope_stream.writeStream.foreachBatch(
-                lambda df, bid: self.process_batch(df, bid)
-            )
+            envelope_stream.writeStream.foreachBatch(_body)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("update")
         )
