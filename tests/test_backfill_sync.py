@@ -770,3 +770,131 @@ def test_url_helpers_keep_ipv6_brackets():
     assert auth == {"username": "u", "password": "pw"}
     assert displaysafe_url("postgres://foo:bar@[2001:db8::7]:123/db") == \
         "postgres://***:***@[2001:db8::7]:123/db"
+
+
+def test_backfill_against_dependency_table_sponsy_customer(spark, tmp_warehouse):
+    """shared_examples_for_replicators.rb:964-1021 via its one concrete
+    consumer (sponsy_customer_v1_spec.rb:77-98): customers are backfilled
+    FROM THE SLOT TABLE's data bodies — rows newer than
+    last_backfilled_at when incremental, every row when not, every row
+    when the cursor is unset. Slot fixtures are the spec's
+    create_dependency_row verbatim (customer JSON incl. portalId)."""
+    import datetime as dt
+    import json as _json
+
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.replicators.sponsy import (
+        SPONSY_CUSTOMER_V1,
+        SPONSY_SLOT_V1,
+    )
+    from webhookdb_spark.sources.backfill import dependency_table_pager
+
+    def customer(external_id):
+        # sponsy_customer_v1_spec.rb:84-95 verbatim
+        return {
+            "id": external_id,
+            "createdAt": "2022-03-08T22:28:35.236Z",
+            "updatedAt": "2022-03-08T22:28:35.236Z",
+            "name": "Some Customer",
+            "logo": "",
+            "notes": None,
+            "portalText": None,
+            "portalId": "c5601d44-c759-48ae-8d0e-50495e004444",
+        }
+
+    now = dt.datetime(2026, 8, 16, 12, 0, 0)
+
+    def slot_body(external_id, hours_ago):
+        ts = (now - dt.timedelta(hours=hours_ago)).isoformat() + "Z"
+        return {
+            "id": f"slot-{external_id}",
+            "publication_id": "pub1",
+            "createdAt": ts,
+            "updatedAt": ts,
+            "customer": customer(external_id),
+        }
+
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    slots = wh.table("org1", SPONSY_SLOT_V1.table)
+    env = spark.createDataFrame(
+        [(_json.dumps(slot_body(f"dep{i}", i)), now) for i in (1, 2, 3)],
+        "body string, received_at timestamp",
+    )
+    upsert_envelopes(slots, env, SPONSY_SLOT_V1)
+    assert slots.read().count() == 3
+
+    def run(incremental, cursor_hours_ago=None, org="org1"):
+        cursors = None
+        if cursor_hours_ago is not None:
+            cursors = CursorStore(tmp_warehouse / f"cur_{org}.json")
+            cursors.set("backfill", (
+                now - dt.timedelta(hours=cursor_hours_ago)
+            ).isoformat() + "Z")
+        bf = Backfiller(
+            spark=spark, warehouse=wh, org=org, spec=SPONSY_CUSTOMER_V1,
+            fetch_page=dependency_table_pager(slots, "customer"),
+            cursors=cursors,
+        )
+        bf.backfill(incremental=incremental)
+        return sorted(
+            r["sponsy_id"]
+            for r in wh.table(org, SPONSY_CUSTOMER_V1.table).read().collect()
+        )
+
+    # incremental with last_backfilled 2.5h ago: dep3 (3h old) unseen
+    assert run(True, cursor_hours_ago=2.5, org="org1") == ["dep1", "dep2"]
+    # incremental=false ignores the cursor: all three
+    assert run(False, cursor_hours_ago=2.5, org="org2") == [
+        "dep1", "dep2", "dep3"]
+    # cursor unset: all three
+    assert run(True, org="org3") == ["dep1", "dep2", "dep3"]
+
+
+def test_backfill_requires_credentials_from_dependency(spark, tmp_warehouse):
+    """shared_examples_for_replicators.rb:643-662 via its concrete
+    consumers: stripping the dependency's auth makes backfill raise
+    CredentialsMissing with the replicator's message — terminally, no
+    retries (jobs/backfill.rb:41 treats it as a no-op, not a flake).
+    Messages are the reference's verbatim raises
+    (sponsy_v1_mixin.rb:112, intercom_v1_mixin.rb:80)."""
+    from webhookdb_spark.replicators.sponsy import SPONSY_STATUS_V1
+    from webhookdb_spark.sources.backfill import CredentialsMissing
+
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    auth = {"backfill_secret": "sek"}  # the dependency's credential
+    attempts = {"n": 0}
+
+    def fetch(token, last):
+        # per-family shape: the fetch itself discovers missing auth
+        attempts["n"] += 1
+        if not auth["backfill_secret"]:
+            raise CredentialsMissing(
+                "This Sponsy integration is missing a dependency with auth")
+        return ([{"id": "st1", "publication_id": "p1", "name": "Active",
+                  "createdAt": "2022-09-02T00:00:00Z",
+                  "updatedAt": "2022-09-02T00:00:00Z"}], None)
+
+    bf = Backfiller(spark=spark, warehouse=wh, org="o",
+                    spec=SPONSY_STATUS_V1, fetch_page=fetch)
+    assert bf.backfill() == 1  # with auth: backfills normally
+
+    auth["backfill_secret"] = ""  # strip_auth(sint)
+    attempts["n"] = 0
+    with pytest.raises(CredentialsMissing, match="This Sponsy"):
+        bf.backfill()
+    assert attempts["n"] == 1  # terminal: exactly one attempt, no retry
+
+    # pre-flight variant (base.rb:1107-1109 / find_auth_integration):
+    # the check runs before ANY fetch
+    def check():
+        raise CredentialsMissing(
+            "This integration requires that the Intercom Auth integration "
+            "has a valid Auth Token")
+
+    bf2 = Backfiller(spark=spark, warehouse=wh, org="o2",
+                     spec=SPONSY_STATUS_V1, fetch_page=fetch,
+                     credential_check=check)
+    with pytest.raises(CredentialsMissing,
+                       match="Intercom Auth integration has a valid Auth Token"):
+        bf2.backfill()
+    assert attempts["n"] == 1  # fetch never ran for bf2

@@ -1691,3 +1691,48 @@ def test_xml_spec_full_feed_golden():
         "icon": "http://www.portlandonline.com/omf/index.cfm?c=39247=87997",
     }
     assert got == expected
+
+
+def test_transistor_episode_enrichment_golden(spark, tmp_warehouse):
+    """transistor_episode_v1_spec.rb:460-529 ('a replicator that uses
+    enrichments', stores_enrichment_column: false): the spec's exact
+    JSON:API body and transcript text. The fetcher (executor-side,
+    mapInPandas) is keyed to the body's transcript_url, pinning that
+    the enrichment fetch targets the URL the reference stubs;
+    transcript_text lands on the row, NO enrichment column is stored,
+    and a fetcher error propagates with nothing inserted."""
+    from webhookdb_spark.replicators.transistor import transistor_episode_v1
+
+    body = _ruby_json_lets("transistor_episode_v1_spec.rb", "body")[1]
+    assert body["data"]["attributes"]["transcript_url"] == (
+        "https://share.transistor.fm/s/1dde3f66/transcript")
+    transcript = "me: hi there!\n\nyou: hello!\n"
+
+    def fetch(resource):
+        # stub_service_request parity: the fetch is the transcript_url
+        # (+".txt" in the reference HTTP layer); any other URL means the
+        # replicator asked for the wrong thing -> fail loudly
+        url = resource["attributes"]["transcript_url"]
+        if url != "https://share.transistor.fm/s/1dde3f66/transcript":
+            raise AssertionError(f"unexpected enrichment fetch: {url}")
+        return {"transcript_text": transcript}
+
+    spec = transistor_episode_v1(fetch_transcript=fetch)
+    t = Warehouse(spark, str(tmp_warehouse)).table("org", spec.table)
+    res = upsert_envelopes(t, _env(spark, [body]), spec)
+    assert res.inserted == 1
+    row = t.read().collect()[0]
+    assert row.transistor_id == "655205"
+    assert row.transcript_text == transcript  # assert_is_enriched
+    # stores_enrichment_column: false -> no enrichment column
+    assert "enrichment" not in [f.name for f in t.schema().fields]
+
+    # 'errors if fetching enrichment errors' (stub_service_request_error)
+    def fetch_err(resource):
+        raise RuntimeError("enrichment http 500")
+
+    spec_err = transistor_episode_v1(fetch_transcript=fetch_err)
+    t2 = Warehouse(spark, str(tmp_warehouse)).table("org2", spec_err.table)
+    with pytest.raises(Exception, match="enrichment http 500"):
+        upsert_envelopes(t2, _env(spark, [body]), spec_err)
+    assert not t2.exists() or t2.read().count() == 0

@@ -48,6 +48,17 @@ class BackfillNotSupported(RuntimeError):
     reference CLI prints (spec.backfill_not_supported_message)."""
 
 
+class CredentialsMissing(RuntimeError):
+    """Backfill credentials absent (replicator.rb:22) — terminal, never
+    retried (jobs/backfill.rb:41 rescues it as a no-op). Raised by the
+    pre-flight ``credential_check`` (base.rb:1107-1109's blank
+    key+secret+depends_on gate) or by a ``fetch_page`` closure that
+    discovers its dependency's auth is gone mid-run (the per-family
+    raises: intercom_v1_mixin.rb:80, sponsy_v1_mixin.rb:112,
+    email_octopus_list_v1.rb:94). ``str(exc)`` is the user-facing
+    message the concrete replicator specs pin."""
+
+
 PageFetcher = Callable[[str | None, Any], tuple[Sequence[dict], str | None]]
 # (pagination_token, last_backfilled) -> (items, next_token)
 
@@ -87,6 +98,11 @@ class Backfiller:
     retry_base_sleep: float = 0.1  # backfiller.rb:37-46 backoff (scaled down)
     upsert_page_size: int = 2000  # icalendar_calendar_v1.rb:165
     cursors: CursorStore | None = None
+    # Pre-flight credentials gate (base.rb:1107-1109 / find_at_root!,
+    # replicator.rb:222-230): called before the first fetch; raise
+    # CredentialsMissing when the integration (or the dependency it
+    # borrows auth from) has no usable credentials.
+    credential_check: Callable[[], None] | None = None
     # dependent integrations to backfill after this one
     # (recursive backfill, base.rb:215-226)
     children: list["Backfiller"] = field(default_factory=list)
@@ -97,7 +113,7 @@ class Backfiller:
         while True:
             try:
                 return self.fetch_page(token, last)
-            except BackfillAuthError:
+            except (BackfillAuthError, CredentialsMissing):
                 raise
             except Exception:
                 attempt += 1
@@ -129,6 +145,8 @@ class Backfiller:
         if not self.spec.supports_backfill:
             raise BackfillNotSupported(
                 self.spec.backfill_not_supported_message())
+        if self.credential_check is not None:
+            self.credential_check()
         last = (
             self.cursors.get(self.opaque_id)
             if (incremental and self.cursors)
@@ -156,6 +174,47 @@ class Backfiller:
             for child in self.children:
                 child.backfill(incremental=incremental, recursive=True)
         return total
+
+
+def dependency_table_pager(
+    table,
+    json_path: str,
+    ts_col: str = "updated_at",
+) -> PageFetcher:
+    """PageFetcher reading the managed TABLE of a dependency
+    integration — the reference's "a replicator backfilling against
+    the table of its dependency" shared example
+    (shared_examples_for_replicators.rb:964-1021; the concrete shape
+    is sponsy_customer_v1.rb:30-53: customers are projected out of the
+    slot table's data bodies). One page: dependency rows newer than
+    ``last_backfilled`` when incremental (every row otherwise), each
+    row's ``json_path`` projection of its data body becoming one
+    backfill item. Rows whose projection is absent are skipped, like
+    the reference's nil-customer slots.
+
+    Scale note: the filter + JSON projection run IN SPARK; only the
+    projected bodies cross to the driver loop (the same driver-side
+    page shape as any fetch_page). Dependency tables here are
+    dimension-sized (slots per publication, episodes per show). For a
+    corpus-sized dependency feed the right tool is the change-stream
+    consumer (operators/matview.scd2 / stream_changes), not a paged
+    backfill."""
+    from pyspark.sql import functions as F
+
+    def fetch(token: str | None, last) -> tuple[list[dict], str | None]:
+        df = table.read()
+        if last:
+            df = df.where(F.col(ts_col) > F.lit(str(last)).cast("timestamp"))
+        bodies = [
+            r[0]
+            for r in df.select(
+                F.get_json_object(F.col("data"), f"$.{json_path}")
+            ).collect()
+            if r[0] is not None
+        ]
+        return [json.loads(b) for b in bodies], None
+
+    return fetch
 
 
 def parallel_backfill(backfillers: Iterable[Backfiller], degree: int = 3) -> list[int]:
