@@ -6488,8 +6488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie-break. The served order is computed by _rotation_sorted
         # from the tracked driver record: _ROTATION_PRIORITY first
         # (red rows + code-changed re-checks), then never-checked,
-        # then stalest-first. r11 window ≈ the 9 priority entries +
-        # the 18 r6-latest rows + the oldest r7 rows. ---
+        # then stalest-first. r13 window ≈ the 6 priority entries +
+        # embed_decontaminate_ivf (new) + the 34 r8-latest rows +
+        # the oldest r9 rows. ---
         "bootstrap_value_ci": q_bootstrap_value_ci,
         "ab_test_readout": q_ab_test_readout,
         "chi2_contingency": q_chi2_contingency,

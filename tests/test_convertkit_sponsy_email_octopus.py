@@ -144,3 +144,64 @@ def test_email_octopus_contact_webhook_and_api_shapes(spark, tmp_warehouse):
     row = t.read().collect()[0]
     assert row.email_address == "new@b.c"
     assert row.created_at == dt.datetime(2021, 2, 1)
+
+
+def test_sponsy_status_publication_id_stamped_before_upsert(spark, tmp_warehouse):
+    """sponsy_status_v1_spec.rb:202-221 'specialized backfill behavior':
+    the per-publication child backfiller requests
+    /v1/publications/{pub}/status with the mixin's exact query shape and
+    stamps publication_id into each body before upsert — the payload
+    itself carries no publication id, so the stored column proves the
+    prepare_body hook ran. Body is the spec's make_body(['2022-09-02'])
+    shape (random hex pinned for determinism)."""
+    import json as _json
+
+    from webhookdb_spark.replicators.sponsy import (
+        SPONSY_STATUS_V1,
+        publication_child_backfillers,
+    )
+    from webhookdb_spark.storage import Warehouse
+
+    page = {
+        "data": [{
+            "id": "2022-09-02-9f3a11aa",
+            "createdAt": "2022-09-02T22:07:36.241Z",
+            "updatedAt": "2022-09-02T19:27:34.962Z",
+            "name": "Sent", "slug": "sent", "color": "#2A0481", "order": 3,
+        }],
+        "cursor": {"afterCursor": None},
+    }
+    calls = []
+
+    def http_get(url, query):
+        calls.append((url, dict(query)))
+        return _json.dumps(page)
+
+    wh = Warehouse(spark, str(tmp_warehouse / "wh"))
+    from webhookdb_spark.replicators.sponsy import (
+        SPONSY_PLACEMENT_V1,
+        SPONSY_SLOT_V1,
+    )
+
+    # slots/placements run the identical block with their own tail
+    # (sponsy_slot_v1_spec.rb:255-279, sponsy_placement_v1_spec.rb:202-221)
+    for spec, tail in ((SPONSY_STATUS_V1, "status"),
+                       (SPONSY_SLOT_V1, "slots"),
+                       (SPONSY_PLACEMENT_V1, "placements")):
+        calls.clear()
+        bfs = publication_child_backfillers(
+            spark, wh, "org1", spec, tail, http_get, ["pubid1"])
+        assert [bf.backfill() for bf in bfs] == [1]
+        assert calls == [(
+            f"https://api.getsponsy.com/v1/publications/pubid1/{tail}",
+            {"limit": "100", "afterCursor": None,
+             "orderBy": "updatedAt", "orderDirection": "DESC"},
+        )]
+        rows = wh.table("org1", spec.table).read().collect()
+        assert len(rows) == 1
+        assert rows[0]["sponsy_id"].startswith("2022-09-02-")
+        assert rows[0]["publication_id"] == "pubid1"
+        # the stamp rides into the stored body too (prepare_body
+        # mutates the body, not just a column)
+        assert _json.loads(rows[0]["data"])["publication_id"] == "pubid1"
+    assert rows[0]["name"] == "Sent"

@@ -142,3 +142,51 @@ SPONSY_STATUS_V1 = _sponsy_spec(
         Col("order", I, optional=True),
     ),
 )
+
+
+SPONSY_API_URL = "https://api.getsponsy.com/v1/publications"
+
+
+def publication_child_backfillers(
+    spark,
+    warehouse,
+    org: str,
+    spec: ReplicatorSpec,
+    tail: str,
+    http_get,
+    publication_ids: list[str],
+    **backfiller_kwargs,
+):
+    """PublicationChildBackfiller analog (sponsy_v1_mixin.rb:134-170):
+    every child resource (status/slot/placement) is fetched PER
+    PUBLICATION from ``/v1/publications/{pub}/{tail}``, and the
+    publication's id is stamped into each body before upsert
+    (prepare_body, :150-153) — the payload itself does not carry it,
+    which is why the specs assert the stamped column.
+
+    ``publication_ids`` come from the dependency's table (the
+    reference reads them with ``_publication_backfillers``,
+    sponsy_v1_mixin.rb:111-131). The reference runs these children
+    SEQUENTIALLY (sponsy sets no ``_parallel_backfill``); fanning the
+    list through ``parallel_backfill`` also works — same-table merge
+    races resolve via the manifest-CAS retry in ``Backfiller._flush``
+    — but keeps the reference's rate-limit posture only when
+    sequential."""
+    from webhookdb_spark.sources.backfill import Backfiller
+    from webhookdb_spark.sources.pagers import sponsy_page_fetcher
+
+    return [
+        Backfiller(
+            spark=spark,
+            warehouse=warehouse,
+            org=org,
+            spec=spec,
+            fetch_page=sponsy_page_fetcher(
+                http_get, SPONSY_API_URL, f"/{pub}/{tail}"),
+            prepare_item=lambda body, pub=pub: {
+                **body, "publication_id": pub},
+            opaque_id=f"{spec.name}-{pub}",
+            **backfiller_kwargs,
+        )
+        for pub in publication_ids
+    ]

@@ -103,6 +103,11 @@ class Backfiller:
     # CredentialsMissing when the integration (or the dependency it
     # borrows auth from) has no usable credentials.
     credential_check: Callable[[], None] | None = None
+    # Per-item body transform applied between fetch and upsert — the
+    # reference Backfiller's prepare_body hook (backfiller.rb:60,76;
+    # e.g. sponsy_v1_mixin.rb:151-154 stamping publication_id into
+    # every body of a per-publication child backfiller).
+    prepare_item: Callable[[dict], dict] | None = None
     # dependent integrations to backfill after this one
     # (recursive backfill, base.rb:215-226)
     children: list["Backfiller"] = field(default_factory=list)
@@ -138,7 +143,23 @@ class Backfiller:
         ]
         env = self.spark.createDataFrame(rows, ENVELOPE_SCHEMA)
         table = self.warehouse.table(self.org, self.spec.table)
-        self.merge_results.append(upsert_envelopes(table, env, self.spec))
+        from webhookdb_spark.storage import ConcurrentWriteError
+
+        # Concurrent backfillers can target the SAME table (e.g.
+        # per-publication sponsy children through parallel_backfill);
+        # the manifest CAS makes the loser safe but raises. The MERGE
+        # is idempotent and upsert_envelopes re-reads the manifest per
+        # call, so reload-and-retry converges — bounded to the same
+        # attempt budget as a flaky page fetch.
+        for attempt in range(self.page_retries):
+            try:
+                self.merge_results.append(
+                    upsert_envelopes(table, env, self.spec))
+                return
+            except ConcurrentWriteError:
+                if attempt == self.page_retries - 1:
+                    raise
+                time.sleep(self.retry_base_sleep * (2 ** attempt))
 
     def backfill(self, incremental: bool = True, recursive: bool = True) -> int:
         """Run to exhaustion; returns total items processed."""
@@ -158,6 +179,8 @@ class Backfiller:
         total = 0
         while True:
             items, token = self._fetch_with_retry(token, last)
+            if self.prepare_item is not None:
+                items = [self.prepare_item(it) for it in items]
             buffer.extend(items)
             total += len(items)
             if len(buffer) >= self.upsert_page_size:
