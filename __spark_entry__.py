@@ -3685,8 +3685,12 @@ def q_embed_decontaminate_ivf(spark: SparkSession, sf: str) -> DataFrame:
     construction: a scaled copy is cosine-identical to its eval
     source, so both share the argmax cell."""
     train, ev = _embed_decon_sides(spark, sf)
+    # broadcast_probes: this fixture's eval side is benchmark-sized by
+    # construction, so pin the small side instead of letting AQE
+    # broadcast the (conceptually 100 TB) train side at toy scale
     return S.embed_decontaminate_ivf(
-        train, ev, threshold=0.9, n_centroids=8, nprobe=2)
+        train, ev, threshold=0.9, n_centroids=8, nprobe=2,
+        broadcast_probes=True)
 
 
 def q_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:

@@ -1426,6 +1426,39 @@ def test_embed_decontaminate_ragged_dims_agree_across_engines(spark):
     oracle = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
     assert oracle == got
 
+    # The IVF pair must drop ragged pairs identically too (code-review
+    # r13: the guard was initially added only to the brute twin). Here
+    # the EVAL side is ragged (train must be fixed-dim for Lloyd): a
+    # 2-dim eval prefix of a 3-dim train vector would score an
+    # unguarded partial cosine of exactly 1.0 in DuckDB (the dot
+    # ranges over the SHORTER eval, all indexes in bounds) while the
+    # Spark fold NULL-drops it.
+    from webhookdb_spark.operators.similarity import (
+        embed_decontaminate_ivf,
+        sql_embed_decontaminate_ivf,
+    )
+
+    tr2_rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 2.0, 0.0])]
+    ev2_rows = [(0, [1.0, 0.0]), (7, [0.0, 1.0, 0.0])]
+    tr2 = spark.createDataFrame(
+        tr2_rows, "vec_id long, embedding array<double>")
+    ev2 = spark.createDataFrame(
+        ev2_rows, "vec_id long, embedding array<double>")
+    got_ivf = {(r.train_id, r.eval_id)
+               for r in embed_decontaminate_ivf(
+                   tr2, ev2, threshold=0.9, n_centroids=1, nprobe=1
+               ).collect()}
+    con.execute("CREATE TABLE tr2 (vec_id BIGINT, embedding DOUBLE[])")
+    con.execute("CREATE TABLE ev2 (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO tr2 VALUES (?, ?)", tr2_rows)
+    con.executemany("INSERT INTO ev2 VALUES (?, ?)", ev2_rows)
+    sql_ivf = sql_embed_decontaminate_ivf(
+        "SELECT * FROM tr2", "SELECT * FROM ev2", threshold=0.9,
+        n_centroids=1, nprobe=1)
+    oracle_ivf = {(r[0], r[1]) for r in con.execute(sql_ivf).fetchall()}
+    # (1, 0) is the ragged pair an unguarded oracle would emit at 1.0
+    assert got_ivf == oracle_ivf == {(2, 7)}
+
 
 def _decon_fixture(spark):
     """The planted-leakage train/eval pair (driver fixture convention):

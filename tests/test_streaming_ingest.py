@@ -886,3 +886,50 @@ def test_streaming_endpoint_intake_verifies_per_microbatch(spark, tmp_warehouse)
         pipeline.start(stream, str(tmp_warehouse / "ckpt2"),
                        trigger_once=True, verify_secrets=secrets,
                        dedup_deliveries_watermark="1 hour")
+
+
+def test_streaming_endpoint_clock_is_batch_derived(spark, tmp_warehouse):
+    """Code-review r13: the verify_secrets stream pins each
+    micro-batch's verification clock to the batch's own newest
+    received_at (data-derived), NOT the wall clock — so a checkpointed
+    re-execution of the same batch minutes later reaches the same
+    timestamp-window verdicts. Pinned by feeding a day-old
+    Stripe-signed delivery whose signature matches its arrival
+    instant: a wall clock would 401 it (outside the ±300 s window); the
+    batch-derived clock verifies and merges it."""
+    import hashlib
+    import hmac as hmac_mod
+
+    land = tmp_warehouse / "landing"
+    land.mkdir(parents=True, exist_ok=True)
+    secret = "whsec_s"
+    received = dt.datetime(2026, 8, 15, 12, 0, 0, tzinfo=dt.timezone.utc)
+    t0 = int(received.timestamp())  # signature epoch == arrival epoch
+    body = json.dumps({"my_id": "old1", "at": "2026-08-15T12:00:00Z"})
+    sig = hmac_mod.new(secret.encode(), f"{t0}.{body}".encode(),
+                       hashlib.sha256).hexdigest()
+    with open(land / "b1.json", "w") as fh:
+        fh.write(json.dumps({
+            "integration_opaque_id": "svi_a", "service_name": "fake_v1",
+            "request_method": "POST",
+            "request_path": "/v1/service_integrations/svi_a",
+            "headers": {"Stripe-Signature": f"t={t0},v1={sig}"},
+            "body": body,
+            "received_at": "2026-08-15T12:00:00.000Z",
+        }) + "\n")
+
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    pipeline = IngestPipeline(
+        warehouse=wh, audit_table_path=str(tmp_warehouse / "audit"))
+    pipeline.register(IntegrationRuntime(
+        opaque_id="svi_a", org="org1", spec=FAKE_V1))
+    q = pipeline.start(
+        read_envelope_stream(spark, str(land)),
+        str(tmp_warehouse / "ckpt"), trigger_once=True,
+        verify_secrets={"svi_a": ("stripe", secret)})
+    q.awaitTermination(120)
+
+    table = wh.table("org1", "fake_v1")
+    assert [r["my_id"] for r in table.read().collect()] == ["old1"]
+    audit = spark.read.parquet(str(tmp_warehouse / "audit"))
+    assert audit.collect()[0]["_reject_reason"] is None

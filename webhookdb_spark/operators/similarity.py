@@ -156,22 +156,18 @@ def sql_embed_decontaminate(
     """
 
 
-def _decon_probe_pairs(
-    assigned: DataFrame,
+def _decon_probes(
+    spark,
     cents: list[list[float]],
     eval_df: DataFrame,
-    threshold: float,
     nprobe: int,
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Shared tail of the IVF decontamination pair: eval vectors probe
-    their ``nprobe`` nearest cells, candidates are (train, eval) rows
-    sharing a probed cell, exact rounded cosine thresholds them, and
-    the per-train-id best-match window picks one eval per train (ties
-    → lowest eval id). ``assigned`` is (vec_id, c_vec, cent_id) from
-    :func:`ivf_assign` or a partition-pruned index read."""
-    spark = assigned.sparkSession
+    """(eval_id, q_vec, cent_id, e_norm): each eval vector's ``nprobe``
+    nearest cells (rounded cosine, ties → lowest cent_id), its vector,
+    and its hoisted norm. Built ONCE and shared between the pruning
+    collect and the candidate join."""
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cent_id int, cent_vec array<double>",
@@ -186,16 +182,31 @@ def _decon_probe_pairs(
     pw = Window.partitionBy("eval_id").orderBy(
         F.col("cscore").desc(), F.col("cent_id").asc()
     )
-    # Norms hoist to per-ROW columns on both sides (the same ~3x
-    # lesson as embed_decontaminate): the per-PAIR work is one dot
-    # fold, and round(dot/(t_norm*e_norm), 6) is the identical
-    # arithmetic chain to :func:`cosine`'s inline form.
-    probes = (
+    # e_norm hoists to a per-ROW column here (the same ~3x lesson as
+    # embed_decontaminate) so the per-PAIR work downstream is one dot
+    # fold; round(dot/(t_norm*e_norm), 6) is the identical arithmetic
+    # chain to :func:`cosine`'s inline form.
+    return (
         q.withColumn("prank", F.row_number().over(pw))
         .where(F.col("prank") <= nprobe)
         .select("eval_id", "q_vec", "cent_id",
                 _norm(F.col("q_vec")).alias("e_norm"))
     )
+
+
+def _decon_probe_pairs(
+    assigned: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    broadcast_probes: bool = False,
+) -> DataFrame:
+    """Shared tail of the IVF decontamination pair: candidates are
+    (train, eval) rows sharing a probed cell, exact rounded cosine
+    thresholds them, and the per-train-id best-match window picks one
+    eval per train (ties → lowest eval id). ``assigned`` is
+    (vec_id, c_vec, cent_id) from :func:`ivf_assign` or a
+    partition-pruned index read; ``probes`` from :func:`_decon_probes`.
+    """
     t = assigned.withColumn("t_norm", _norm(F.col("c_vec")))
     denom = F.col("t_norm") * F.col("e_norm")
     cos = F.round(
@@ -204,9 +215,16 @@ def _decon_probe_pairs(
         ),
         6,
     )
-    # each train vector lives in exactly one cell and an eval probes
-    # distinct cells, so the join cannot duplicate (train, eval) pairs
-    paired = t.join(F.broadcast(probes), on="cent_id")
+    # Each train vector lives in exactly one cell and an eval probes
+    # distinct cells, so the join cannot duplicate (train, eval) pairs.
+    # No hint by default: the corpus-sized-eval case this operator
+    # exists for must be free to shuffle-hash-join on cent_id instead
+    # of forcing |eval|·nprobe vectors through the driver. Pass
+    # broadcast_probes=True when the eval side is known benchmark-sized
+    # (pins BuildRight on the small side; AQE can otherwise choose to
+    # broadcast the TRAIN side at toy scale).
+    paired = t.join(
+        F.broadcast(probes) if broadcast_probes else probes, on="cent_id")
     hits = paired.select(
         F.col("vec_id").alias("train_id"),
         "eval_id",
@@ -232,6 +250,7 @@ def embed_decontaminate_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
+    broadcast_probes: bool = False,
 ) -> DataFrame:
     """(train_id, eval_id, cosine_sim): the corpus-scale variant of
     :func:`embed_decontaminate` — same output contract (best eval
@@ -265,8 +284,10 @@ def embed_decontaminate_ivf(
     for _ in range(n_refine):
         cents = ivf_refine(train, cents, id_col, vec_col, sample_fraction)
     assigned = ivf_assign(train, cents, id_col, vec_col)
+    probes = _decon_probes(
+        train.sparkSession, cents, eval_df, nprobe, id_col, vec_col)
     return _decon_probe_pairs(
-        assigned, cents, eval_df, threshold, nprobe, id_col, vec_col)
+        assigned, probes, threshold, broadcast_probes=broadcast_probes)
 
 
 def decontaminate_ivf_index(
@@ -277,6 +298,7 @@ def decontaminate_ivf_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool = False,
 ) -> DataFrame:
     """:func:`embed_decontaminate_ivf` against a persisted
     :func:`write_ivf_index` directory: the sidecar centroids ARE the
@@ -291,36 +313,22 @@ def decontaminate_ivf_index(
 
     meta = json.loads((Path(path) / "_ivf_meta.json").read_text())
     cents = meta["centroids"]
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cent_id int, cent_vec array<double>",
-    )
-    q = (
-        eval_df.select(
-            F.col(id_col).alias("eval_id"), F.col(vec_col).alias("q_vec")
-        )
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
-    )
-    pw = Window.partitionBy("eval_id").orderBy(
-        F.col("cscore").desc(), F.col("cent_id").asc()
-    )
-    probes = (
-        q.withColumn("prank", F.row_number().over(pw))
-        .where(F.col("prank") <= nprobe)
-        .select("cent_id")
-        .distinct()
-    )
+    # One probe ranking, shared by the pruning collect and the
+    # candidate join (query_ivf_index does the same) — persisted so
+    # the collect does not recompute the |eval|×C cosine pass.
+    probes = _decon_probes(
+        spark, cents, eval_df, nprobe, id_col, vec_col).persist()
     # JUSTIFIED COLLECT: ≤ n_centroids cell ids — metadata-sized, and
     # the literal IN list is what turns into parquet directory pruning
-    cells = sorted(r.cent_id for r in probes.collect())
+    cells = sorted(
+        r.cent_id for r in probes.select("cent_id").distinct().collect())
     read_schema = _T.StructType.fromJson(json.loads(meta["schema"]))
     assigned = (
         spark.read.schema(read_schema).parquet(path)
         .where(F.col("cent_id").isin(cells))
     )
     return _decon_probe_pairs(
-        assigned, cents, eval_df, threshold, nprobe, id_col, vec_col)
+        assigned, probes, threshold, broadcast_probes=broadcast_probes)
 
 
 def sql_embed_decontaminate_ivf(
@@ -334,10 +342,18 @@ def sql_embed_decontaminate_ivf(
     """DuckDB twin of :func:`embed_decontaminate_ivf` — identical seed
     rule, ``n_refine`` unrolled fixed-point Lloyd iterations, probe
     ranking, rounded cosine, and tie-breaks. ``train_sql`` /
-    ``eval_sql`` are subqueries projecting (vec_id, embedding)."""
+    ``eval_sql`` are subqueries projecting (vec_id, embedding). The
+    hits CTE carries the same ragged-dimension NULL guard as
+    :func:`sql_embed_decontaminate` — without it DuckDB's list_sum
+    skips the out-of-bounds terms of a length-mismatched pair and
+    scores a partial cosine the Spark fold NULL-drops."""
     cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
     cos_qc = _SQL_COS.format(a="q.embedding", b="c.cvec")
-    cos_tq = _SQL_COS.format(a="a.embedding", b="p.q_vec")
+    cos_tq = (
+        "CASE WHEN len(a.embedding) != len(p.q_vec) THEN NULL ELSE "
+        + _SQL_COS.format(a="a.embedding", b="p.q_vec")
+        + " END"
+    )
     layers, cent_final = _sql_ivf_layers(
         f"({train_sql})", n_centroids, n_refine)
     return f"""

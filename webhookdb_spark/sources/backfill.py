@@ -150,14 +150,16 @@ class Backfiller:
         # the manifest CAS makes the loser safe but raises. The MERGE
         # is idempotent and upsert_envelopes re-reads the manifest per
         # call, so reload-and-retry converges — bounded to the same
-        # attempt budget as a flaky page fetch.
-        for attempt in range(self.page_retries):
+        # attempt budget as a flaky page fetch (min 1: the merge must
+        # always run even under a fail-fast page_retries=0 config).
+        attempts = max(1, self.page_retries)
+        for attempt in range(attempts):
             try:
                 self.merge_results.append(
                     upsert_envelopes(table, env, self.spec))
                 return
             except ConcurrentWriteError:
-                if attempt == self.page_retries - 1:
+                if attempt == attempts - 1:
                     raise
                 time.sleep(self.retry_base_sleep * (2 ** attempt))
 

@@ -297,9 +297,12 @@ class IngestPipeline:
         Use it when the deployment has no separate endpoint tier in
         front of the stream — a bad-secret delivery then lands in the
         audit archive with its 401 verdict and never reaches the table,
-        and the checkpointed replay of a micro-batch re-verifies
-        identically (the clock pins per intake call, so at-least-once
-        redelivery converges on the idempotent MERGE). Mutually
+        and the checkpointed re-execution of a micro-batch re-verifies
+        identically (the clock pins to the batch's own newest
+        received_at — data-derived, so a crash-restart re-run minutes
+        later reaches the same timestamp-window verdicts and the
+        at-least-once redelivery converges on the idempotent MERGE).
+        Mutually
         exclusive with ``dedup_deliveries_watermark``: stream-level
         dedup drops retries BEFORE the archive, which would break the
         endpoint's log-every-delivery contract.
@@ -340,7 +343,30 @@ class IngestPipeline:
             ).drop("_delivery_key")
         if verify_secrets is not None:
             def _body(df, bid):
-                self.intake_batch(df, secrets=verify_secrets)
+                # Pin the verification clock to the BATCH'S OWN newest
+                # arrival instant, not the wall clock: foreachBatch can
+                # re-execute a micro-batch after a crash (same batch id,
+                # minutes later), and a wall clock would flip
+                # timestamp-window verdicts (Stripe ±300 s) between the
+                # original run and the re-run — the re-executed batch
+                # must archive the SAME verdicts it archived before.
+                # max(received_at) is derived from the batch's data, so
+                # re-execution is deterministic, and at first execution
+                # it is within the trigger interval of the wall clock.
+                import datetime as _dt
+
+                newest = df.agg(F.max("received_at")).first()[0]
+                # collected timestamps are naive session-UTC; stamp the
+                # zone so .timestamp() cannot drift on a non-UTC host
+                now_ts = (
+                    int(newest.replace(
+                        tzinfo=_dt.timezone.utc).timestamp())
+                    if newest is not None and newest.tzinfo is None
+                    else int(newest.timestamp()) if newest is not None
+                    else None
+                )
+                self.intake_batch(df, secrets=verify_secrets,
+                                  now_ts=now_ts)
         else:
             def _body(df, bid):
                 self.process_batch(df, bid)
