@@ -185,3 +185,22 @@ def test_steal_storm_mutual_exclusion(tmp_path):
     final = int((tmp_path / "counter.txt").read_text())
     assert final == sum(wins), (final, wins)
     assert sum(wins) > 0
+
+
+def test_release_is_atomic_against_steal_swap(tmp_path):
+    """r13 code review: release uses rename-and-verify, so even when a
+    stealer swaps in ITS fresh lock between our last holds() check and
+    the unlink, the foreign lock is restored, not destroyed. (The old
+    holds()-then-unlink had exactly that TOCTOU.) Simulated by
+    replacing the lock content post-acquire: the release must put the
+    foreign lock back via the link-restore path."""
+    lk = _ManifestLock(tmp_path, timeout=0.5)
+    lk.__enter__()
+    lk.lock_path.unlink()
+    # stealer's fresh O_EXCL lock
+    lk.lock_path.write_bytes(b"4242.stealer")
+    lk.__exit__(None, None, None)
+    assert lk.lock_path.read_bytes() == b"4242.stealer"
+    # and no stray .rel.* residue
+    assert not list(tmp_path.glob("_manifest.rel.*"))
+    lk.lock_path.unlink()

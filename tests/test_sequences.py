@@ -112,8 +112,24 @@ def test_int_or_sequence_from_regex_round_trip(spark, tmp_warehouse):
 def test_sequence_watermark_persists(tmp_warehouse):
     s = IntegrationSequence(tmp_warehouse)
     assert s.watermark() == 0
-    s._advance(41)
+    assert s._reserve(41) == 0  # range starts at the old watermark
     assert IntegrationSequence(tmp_warehouse).watermark() == 41
+
+
+def test_sequence_concurrent_reserves_disjoint(tmp_warehouse):
+    """r13 code review: two concurrent fills must draw DISJOINT ranges
+    — the reservation is an O_EXCL-locked atomic RMW, so a thread pool
+    hammering it yields every value exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    s = IntegrationSequence(tmp_warehouse / "conc")
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        starts = list(ex.map(lambda n: s._reserve(n), [7] * 40))
+    ranges = sorted((st, st + 7) for st in starts)
+    assert len(set(st for st, _ in ranges)) == 40  # all distinct
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert a1 == b0  # contiguous, no overlap, no gap
+    assert s.watermark() == 280
 
 
 UUID7_RE = re.compile(

@@ -1019,3 +1019,74 @@ def test_contract_upsert_releases_checkpoint_blocks(spark, tmp_warehouse):
     assert after <= before, (
         f"contract upsert leaked {after - before} checkpointed RDD(s)"
     )
+
+
+def test_zonemap_stats_exclude_sentinel_and_out_of_hint_rows(spark, tmp_warehouse):
+    """r13 code review: the zone-map refresh aggregates ONLY the listed
+    buckets' staging partitions. delete_where's _part=-1 schema
+    sentinel must not persist a bogus '-1' zonemaps entry, and rows
+    routed outside the buckets hint (the documented-lost-rows misuse)
+    must not overwrite an untouched bucket's stats with bounds over
+    data that is then discarded."""
+    from pyspark.sql import types as T
+
+    from webhookdb_spark.functions.converters import str2inthash_py
+    from webhookdb_spark.storage import PART_COL
+
+    t = ManagedTable(spark, tmp_warehouse / "org" / "zmsent")
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("data", T.StringType()),
+    ])
+    t.create(schema, key="k", n_buckets=4, zonemap_cols=("v",))
+    rows = [(f"k{i}", str2inthash_py(f"k{i}") % 4 * 1000 + i, "d")
+            for i in range(40)]
+    t.overwrite_all(spark.createDataFrame(rows, schema))
+    before = dict(t.manifest.zonemaps)
+    assert set(before) <= {"0", "1", "2", "3"} and "-1" not in before
+
+    # delete_where stages its all-NULL sentinel under _part=-1
+    t.delete_where(F.col("v") < 0)  # deletes nothing, rewrites nothing
+    assert "-1" not in (t.manifest.zonemaps or {})
+
+    # out-of-hint rows: write bucket-0 rows while hinting only their
+    # bucket, but smuggle a stray row routed to another bucket — its
+    # stats must NOT touch the unlisted bucket's entry
+    b0_keys = [f"k{i}" for i in range(40)
+               if str2inthash_py(f"k{i}") % 4 == 0]
+    stray_key = next(f"s{i}" for i in range(100)
+                     if str2inthash_py(f"s{i}") % 4 == 1)
+    from webhookdb_spark.storage import bucket_expr
+
+    part = spark.createDataFrame(
+        [(k, 5, "d") for k in b0_keys] + [(stray_key, 999999999, "d")],
+        schema,
+    ).withColumn(PART_COL, bucket_expr("k", 4))
+    t.overwrite_buckets(part, [0])
+    after = t.manifest.zonemaps
+    assert after["0"]["v"] == [5, 5]
+    assert after["1"] == before["1"]  # unlisted bucket stats untouched
+
+
+def test_add_columns_bumps_txn_under_cas(spark, tmp_warehouse):
+    """r13 code review: schema evolution's manifest save goes through
+    the lock + CAS like every other write and bumps txn — an unguarded
+    same-txn save could clobber a concurrent MERGE's committed
+    manifest with the pre-merge buckets map."""
+    from pyspark.sql import types as T
+
+    t = ManagedTable(spark, tmp_warehouse / "org" / "evolve_cas")
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("data", T.StringType()),
+    ])
+    t.create(schema, key="k", n_buckets=2)
+    t.overwrite_all(spark.createDataFrame([("a", "{}")], schema))
+    txn0 = t.manifest.txn
+    t.add_columns([T.StructField("extra", T.LongType())],
+                  backfill={"extra": F.lit(7)})
+    # schema save bumped txn once, the rewrite committed once more
+    assert t.manifest.txn == txn0 + 2
+    got = t.read().collect()
+    assert got[0]["extra"] == 7

@@ -65,15 +65,55 @@ class IntegrationSequence:
             return json.loads(self.file.read_text())["watermark"]
         return 0
 
-    def _advance(self, to: int) -> None:
+    def _reserve(self, n: int) -> int:
+        """Atomically reserve ``n`` values; returns the watermark the
+        range starts from. O_EXCL lock + tmp/os.replace write (r13
+        code review): without the lock two concurrent fills read the
+        same watermark and issue DUPLICATE 'unique' values, and a
+        plain write_text torn by a crash leaves unparseable state."""
         import json
+        import os
+        import time as _time
 
         self.file.parent.mkdir(parents=True, exist_ok=True)
-        self.file.write_text(json.dumps({"watermark": to}))
+        lock = self.file.with_suffix(".lock")
+        deadline = _time.monotonic() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                # stale-holder bound: a crashed reservation (the
+                # critical section is a file RMW, never a Spark job)
+                # cannot hold this for long
+                try:
+                    if _time.time() - lock.stat().st_mtime > 10.0:
+                        lock.unlink(missing_ok=True)
+                        continue
+                except OSError:
+                    continue
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"sequence lock stuck: {lock}") from None
+                _time.sleep(0.02)
+        try:
+            wm = self.watermark()
+            tmp = self.file.with_suffix(".tmp")
+            tmp.write_text(json.dumps({"watermark": wm + n}))
+            os.replace(tmp, self.file)
+            return wm
+        finally:
+            lock.unlink(missing_ok=True)
 
-    def fill(self, df: DataFrame, col: str) -> DataFrame:
+    def fill(self, df: DataFrame, col: str,
+             checkpointed: bool = False) -> DataFrame:
         """Fill NULLs of ``col`` with fresh sequence values and advance
-        the watermark.
+        the watermark. Pass ``checkpointed=True`` when ``df`` is
+        already pinned (an eager localCheckpoint or a plan rooted in
+        one) — a multi-sequence spec then pins the batch ONCE instead
+        of stacking one never-released checkpoint per column (r13 code
+        review).
 
         Dense assignment without global coordination: one cheap
         per-partition count job computes cumulative offsets (the
@@ -88,9 +128,11 @@ class IntegrationSequence:
         making the assignment stable before the watermark moves. The
         watermark advances by the batch's row count, so values stay
         compact — a ``monotonically_increasing_id`` offset would inflate
-        the counter by 2^33 per partition per batch."""
-        wm = self.watermark()
-        df = df.localCheckpoint(eager=True)
+        the counter by 2^33 per partition per batch. The range is
+        RESERVED atomically after counting (``_reserve``), so
+        concurrent fills on the same table get disjoint ranges."""
+        if not checkpointed:
+            df = df.localCheckpoint(eager=True)
         with_pid = df.withColumn("_pid", F.spark_partition_id())
         # Count only rows that actually DRAW (col IS NULL): the
         # reference's defaulter calls nextval per nil value
@@ -109,6 +151,7 @@ class IntegrationSequence:
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
+        wm = self._reserve(acc)
         off = F.element_at(
             F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
             F.col("_pid"),
@@ -120,9 +163,8 @@ class IntegrationSequence:
             F.when(F.col(col).isNull(), 1).otherwise(0)
         ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         fresh = (F.lit(wm) + off + draw_idx).cast("long")
-        out = with_pid.withColumn(col, F.coalesce(F.col(col), fresh)).drop("_pid")
-        self._advance(wm + acc)
-        return out
+        return with_pid.withColumn(
+            col, F.coalesce(F.col(col), fresh)).drop("_pid")
 
 
 @dataclass
@@ -227,22 +269,24 @@ def merge_upsert(
         F.count(F.when(F.col(ACTION_COL) == "update", 1)).alias("update"),
         F.count(F.when(F.col(ACTION_COL) == "keep", 1)).alias("keep"),
     )
-    table.overwrite_buckets(merged, affected, extra_cols=[ACTION_COL])
+    committed_txn, committed_buckets = table.overwrite_buckets(
+        merged, affected, extra_cols=[ACTION_COL])
     counts = obs.get
     # Change set (post-image of inserted/updated rows) goes to a
     # per-transaction changes dir — never through the driver. It feeds
     # dependent notification and webhook fan-out (base.rb:813-838) and is
-    # the CDC analog of Delta CDF. Derived by re-reading the bucket files
-    # written above (no lineage recompute).
-    new_m = table.manifest
-    written = [str(table.path / new_m.buckets[str(b)]) for b in affected]
+    # the CDC analog of Delta CDF. Derived from the bucket dirs THIS
+    # commit wrote (overwrite_buckets' return — re-reading
+    # table.manifest here could see a concurrent writer's later txn
+    # and mislabel/clobber its change set; r13 code review).
+    written = [str(table.path / committed_buckets[str(b)]) for b in affected]
     changed = (
         table.spark.read.schema(changed_schema)
         .parquet(*written)
         .where(F.col(ACTION_COL) != "keep")
     )
     if capture_changes:
-        changes_path = str(table.path / "_changes" / f"txn_{new_m.txn}")
+        changes_path = str(table.path / "_changes" / f"txn_{committed_txn}")
         changed.write.mode("overwrite").parquet(changes_path)
         changed_df = table.spark.read.schema(changed_schema).parquet(changes_path)
     else:
@@ -381,8 +425,12 @@ def _shape_for_merge(
     ]
     if seq_cols:
         seq = IntegrationSequence(table.path)
+        # one pinned batch for every sequence column — each fill only
+        # coalesces its own column, so chaining plans over the single
+        # checkpoint is equivalent and avoids per-column checkpoints
+        shaped = shaped.localCheckpoint(eager=True)
         for name in seq_cols:
-            shaped = seq.fill(shaped, name)
+            shaped = seq.fill(shaped, name, checkpointed=True)
     return shaped
 
 

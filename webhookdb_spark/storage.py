@@ -52,10 +52,16 @@ identity-verified    check), renames the lock aside, re-verifies the stale
                      TOCTOU incarnation check).
 Readers are          A reader resolves the manifest ONCE and reads only
 snapshot-isolated    the version dirs that snapshot names; a concurrent
-                     commit creates NEW ``v{txn}_{wtoken}`` dirs and GC
-                     deletes only dirs no retained snapshot references —
+(keep_versions>=1)   commit creates NEW ``v{txn}_{wtoken}`` dirs and GC
+                     deletes only dirs a retained snapshot references —
                      a mid-compaction/mid-merge reader keeps a complete,
-                     consistent file list. tests/test_upsert.py
+                     consistent file list PROVIDED its snapshot is
+                     retained. At the default ``keep_versions=0`` GC
+                     reclaims the superseded dirs at commit, so a
+                     reader mid-scan across a concurrent overwrite of
+                     the same bucket can hit FileNotFound (retry by
+                     re-resolving the manifest); size retention to the
+                     longest expected scan. tests/test_upsert.py
                      (time travel / keep_versions).
 Staging is           Data lands in a writer-unique ``_staging_*`` dir and
 invisible until      is promoted by per-bucket ``os.replace``; nothing
@@ -215,10 +221,32 @@ class _ManifestLock:
                 sleep = min(sleep * 1.5, 1.0)
 
     def __exit__(self, *exc) -> None:
-        # Only remove the lock if it is still OURS — after a steal the
-        # path may hold another writer's fresh lock.
-        if self.holds():
-            self.lock_path.unlink(missing_ok=True)
+        # Release with the same rename-and-verify shape as the steal
+        # path: a bare holds()-then-unlink is a TOCTOU — a stealer can
+        # swap in ITS fresh lock between our read and our unlink, and
+        # the blind unlink would destroy that fresh lock and admit two
+        # writers (r13 code review). rename serializes against every
+        # other rename/acquire; the token check decides whose lock we
+        # actually took off the path.
+        rel = self.lock_path.with_suffix(
+            f".rel.{os.getpid()}.{uuid.uuid4().hex}")
+        try:
+            self.lock_path.rename(rel)
+        except OSError:
+            return  # already stolen and released; nothing of ours left
+        try:
+            content = rel.read_bytes()
+        except OSError:
+            content = None
+        if content != self.token:
+            # we grabbed a stealer's fresh lock — put it back (link
+            # fails harmlessly if yet another writer acquired
+            # meanwhile; that stealer's holds() check protects it)
+            try:
+                os.link(rel, self.lock_path)
+            except OSError:
+                pass
+        rel.unlink(missing_ok=True)
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -258,8 +286,24 @@ class Manifest:
 
     def save(self, path: Path) -> None:
         tmp = path / f"_manifest.{uuid.uuid4().hex}.tmp"
-        tmp.write_text(json.dumps(self.__dict__))
+        # fsync file AND directory before/after the rename: without it
+        # a power loss can persist the rename metadata ahead of the tmp
+        # file's data blocks, leaving a zero-length/torn _manifest.json
+        # — the torn-manifest state the atomic-replace contract rules
+        # out (r13 code review).
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(self.__dict__))
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, path / "_manifest.json")
+        try:
+            dfd = os.open(path, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # some filesystems refuse directory fsync
 
 
 class ManagedTable:
@@ -448,8 +492,13 @@ class ManagedTable:
     # -- write -------------------------------------------------------------
     def overwrite_buckets(
         self, df: DataFrame, buckets: list[int], extra_cols: list[str] | None = None
-    ) -> None:
+    ) -> tuple[int, dict[str, str]]:
         """Swap in new data for the given buckets; df must carry PART_COL.
+        Returns ``(committed_txn, {bucket_id: rel_dir})`` for the
+        written buckets — callers needing the just-committed files
+        (e.g. the MERGE change-set derivation) must use this instead of
+        re-reading ``self.manifest``, which a concurrent writer may
+        have advanced past this commit in the meantime.
 
         Writes the new bucket files under a fresh writer-unique version
         directory, then atomically replaces the manifest — readers of
@@ -533,8 +582,15 @@ class ManagedTable:
         new_zonemaps = dict(getattr(m, "zonemaps", None) or {})
         if zm_cols:
             seen: set[str] = set()
+            # Stats restricted to the LISTED buckets (r13 code review):
+            # the staging dir can also hold delete_where's _part=-1
+            # schema sentinel and any out-of-hint stray partitions —
+            # neither is promoted, so letting their rows into the stats
+            # would persist a bogus entry (or non-conservative bounds
+            # over data that is then discarded, un-pruning soundness).
             stat_rows = (
                 self.spark.read.parquet(str(staging))
+                .where(F.col(PART_COL).isin([int(b) for b in buckets]))
                 .groupBy(PART_COL)
                 .agg(*[x for c in zm_cols
                        for x in (F.min(c).alias(f"mn_{c}"),
@@ -552,7 +608,6 @@ class ManagedTable:
                 if str(bb) not in seen:
                     new_zonemaps.pop(str(bb), None)
         new_buckets = dict(m.buckets)
-        old_dirs: list[str] = []
         for b in buckets:
             src = staging / f"{PART_COL}={b}"
             rel = f"buckets/{b}/v{txn}_{wtoken}"
@@ -562,8 +617,6 @@ class ManagedTable:
                 os.replace(src, dst)
             else:  # bucket became empty (e.g. all rows deleted)
                 dst.mkdir(parents=True, exist_ok=True)
-            if str(b) in new_buckets:
-                old_dirs.append(new_buckets[str(b)])
             new_buckets[str(b)] = rel
         # Retention: the superseded snapshot joins the history, the
         # oldest entries beyond keep_versions drop out, and GC deletes
@@ -614,6 +667,7 @@ class ManagedTable:
             for rel in snap["buckets"].values():
                 if rel not in referenced:
                     shutil.rmtree(self.path / rel, ignore_errors=True)
+        return txn, {str(b): new_buckets[str(b)] for b in buckets}
 
     def overwrite_all(self, df: DataFrame) -> None:
         m = self.manifest
@@ -716,9 +770,30 @@ class ManagedTable:
             + [f for f in schema.fields if f.name == "data"]
         )
         m = self.manifest
-        # replace() carries every manifest field (zorder, zone maps,
-        # retention) through the schema evolution
-        dataclasses.replace(m, schema_json=new_schema.json()).save(self.path)
+        # Schema save goes through the SAME lock + CAS as every other
+        # manifest write (r13 code review): an unguarded save here
+        # could clobber a concurrent MERGE's committed manifest with
+        # this pre-merge buckets map, silently rolling the table back.
+        with _ManifestLock(self.path) as lk:
+            current = Manifest.load(self.path)
+            if current.txn != m.txn:
+                raise ConcurrentWriteError(
+                    f"manifest advanced txn {m.txn} -> {current.txn} "
+                    "during schema evolution; reload and retry"
+                )
+            if not lk.holds():
+                raise ConcurrentWriteError(
+                    "manifest lock stolen during schema evolution; "
+                    "reload and retry"
+                )
+            # replace() carries every manifest field (zorder, zone
+            # maps, retention) through the schema evolution; txn bumps
+            # so concurrent writers planning from the old schema lose
+            # their CAS instead of committing rows missing the columns
+            dataclasses.replace(
+                current, txn=current.txn + 1,
+                schema_json=new_schema.json(),
+            ).save(self.path)
         self.overwrite_all(df.select(*new_order, PART_COL))
 
 
