@@ -6390,18 +6390,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # put here). Prune entries once a fresh full-green row lands on the
 # tracked record.
 _ROTATION_PRIORITY: list[str] = [
-    # r13: sql_embed_decontaminate grew the ragged-dimension NULL
-    # guard (ADVICE r12) after its r12 row — fingerprint drift,
-    # re-check on the new twin:
-    "embed_decontaminate",
-    # r13: ReplicatorSpec's supports_backfill comment block changed
-    # (ADVICE r12 exact-equality pin) after these queries' r12 rows —
-    # behaviorally inert, but code-changed⇒re-check is mechanical:
-    "matview_event_totals",
-    "pipeline_lifecycle",
-    "upsert_merge",
-    "scd2_feed_maintained",
-    "table_diff",
+    # r14: empty at round open — all six r13 entries got fully-green
+    # r13 driver rows (CORRECTNESS_r13.json) and the fingerprint record
+    # was regenerated at r13, so the staleness sort alone puts the r9
+    # cohort (the oldest latest-check rows) at the head of this
+    # round's ~50-row window. Entries land here again only when r14
+    # code changes touch a query after its latest green row.
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None
