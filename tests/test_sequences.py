@@ -132,6 +132,45 @@ def test_sequence_concurrent_reserves_disjoint(tmp_warehouse):
     assert s.watermark() == 280
 
 
+def test_sequence_fresh_foreign_lock_not_evicted(tmp_warehouse):
+    """r13 ADVICE (medium): the old blind stale-unlink let a waiter
+    evict a FRESH lock that replaced a stale one mid-check. The steal
+    is now rename-and-verify: a fresh foreign lock must survive a
+    blocked waiter's full timeout, and the waiter must raise instead
+    of entering the critical section."""
+    import pytest
+
+    from webhookdb_spark.storage import ConcurrentWriteError
+
+    s = IntegrationSequence(tmp_warehouse / "fresh")
+    s.file.parent.mkdir(parents=True, exist_ok=True)
+    lock = s.file.parent / (s.file.name + ".lock")
+    lock.write_bytes(b"someone-else.fresh-token")  # fresh mtime = now
+    s.lock_timeout = 0.4
+    with pytest.raises(ConcurrentWriteError):
+        s._reserve(5)
+    assert lock.read_bytes() == b"someone-else.fresh-token"
+    assert s.watermark() == 0  # no reservation happened
+
+
+def test_sequence_stale_lock_stolen_and_reservation_proceeds(tmp_warehouse):
+    """Crashed-holder recovery still works: a lock whose mtime is past
+    stale_after is stolen (rename-and-verify) and the reservation
+    completes."""
+    import os
+    import time
+
+    s = IntegrationSequence(tmp_warehouse / "stale")
+    s.file.parent.mkdir(parents=True, exist_ok=True)
+    lock = s.file.parent / (s.file.name + ".lock")
+    lock.write_bytes(b"crashed-holder.token")
+    old = time.time() - 60.0
+    os.utime(lock, (old, old))
+    assert s._reserve(9) == 0
+    assert s.watermark() == 9
+    assert not lock.exists()  # released cleanly after the steal
+
+
 UUID7_RE = re.compile(
     r"^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
 )

@@ -888,6 +888,62 @@ def test_streaming_endpoint_intake_verifies_per_microbatch(spark, tmp_warehouse)
                        dedup_deliveries_watermark="1 hour")
 
 
+def test_audit_archive_idempotent_per_microbatch(spark, tmp_warehouse):
+    """r13 ADVICE: a crash between the audit append and the checkpoint
+    commit re-executes the micro-batch; the audit write keyed on the
+    foreachBatch batch id (overwrite on _batch=<id>) must archive every
+    delivery exactly once across re-execution, for BOTH foreachBatch
+    bodies (intake_batch and process_batch). Direct calls (no batch id)
+    keep plain append semantics under _batch=-1."""
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    pipeline = IngestPipeline(
+        warehouse=wh, audit_table_path=str(tmp_warehouse / "audit"))
+    pipeline.register(IntegrationRuntime(
+        opaque_id="svi_a", org="org1", spec=FAKE_V1))
+    secrets = {"svi_a": ("whdb_customer", "s3cr3t")}
+
+    def envelope_df(my_id, secret):
+        return spark.createDataFrame([{
+            "integration_opaque_id": "svi_a",
+            "service_name": "fake_v1",
+            "request_method": "POST",
+            "request_path": "/v1/service_integrations/svi_a",
+            "headers": {"Whdb-Secret": secret},
+            "body": json.dumps(
+                {"my_id": my_id, "at": "2024-06-01T00:00:00Z"}),
+            "received_at": "2024-06-01T00:00:00.000Z",
+        }]).withColumn(
+            "received_at", F.col("received_at").cast("timestamp"))
+
+    audit_path = str(tmp_warehouse / "audit")
+    # re-executed intake_batch (same batch id) → archived exactly once
+    batch = envelope_df("good1", "s3cr3t")
+    pipeline.intake_batch(batch, secrets, audit_batch_id=7)
+    pipeline.intake_batch(batch, secrets, audit_batch_id=7)
+    assert spark.read.parquet(audit_path).count() == 1
+    # a different batch id is a different micro-batch → appends
+    pipeline.intake_batch(envelope_df("good2", "s3cr3t"), secrets,
+                          audit_batch_id=8)
+    assert spark.read.parquet(audit_path).count() == 2
+    # re-executed process_batch path, same contract
+    pipeline.process_batch(envelope_df("good3", "s3cr3t"),
+                           audit_batch_id=9)
+    pipeline.process_batch(envelope_df("good3", "s3cr3t"),
+                           audit_batch_id=9)
+    audit = spark.read.parquet(audit_path)
+    assert audit.count() == 3
+    # direct (no batch id) stays append-only: at-least-once by contract
+    pipeline.process_batch(envelope_df("good4", "s3cr3t"))
+    pipeline.process_batch(envelope_df("good4", "s3cr3t"))
+    audit = spark.read.parquet(audit_path)
+    assert audit.count() == 5
+    assert audit.where("_batch = -1").count() == 2
+    # the MERGE stays idempotent under the redelivery either way
+    table = wh.table("org1", "fake_v1")
+    assert sorted(r["my_id"] for r in table.read().collect()) == [
+        "good1", "good2", "good3", "good4"]
+
+
 def test_streaming_endpoint_clock_is_batch_derived(spark, tmp_warehouse):
     """Code-review r13: the verify_secrets stream pins each
     micro-batch's verification clock to the batch's own newest

@@ -1069,6 +1069,55 @@ def test_zonemap_stats_exclude_sentinel_and_out_of_hint_rows(spark, tmp_warehous
     assert after["1"] == before["1"]  # unlisted bucket stats untouched
 
 
+def test_add_columns_aborts_if_commit_lands_before_rewrite(
+        spark, tmp_warehouse, monkeypatch):
+    """r13 ADVICE: add_columns once read the table through one manifest
+    load and CAS'd against a second — a commit landing between the two
+    passed the txn check yet got silently rewritten away. Now one
+    snapshot drives read + schema + CAS, and the final rewrite is
+    pinned to the schema-save txn via expected_txn: a commit sneaking
+    in between the schema save and the rewrite must raise
+    ConcurrentWriteError instead of discarding the concurrent rows."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from webhookdb_spark.storage import ConcurrentWriteError
+
+    t = ManagedTable(spark, tmp_warehouse / "org" / "evolve_toctou")
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("data", T.StringType()),
+    ])
+    t.create(schema, key="k", n_buckets=2)
+    t.overwrite_all(spark.createDataFrame([("a", "{}")], schema))
+
+    other = ManagedTable(spark, tmp_warehouse / "org" / "evolve_toctou")
+    orig = ManagedTable.overwrite_all
+
+    def hooked(self, df, expected_txn=None):
+        # Concurrent writer commits AFTER add_columns' schema save but
+        # BEFORE its rewrite (the narrowest remaining window). It plans
+        # from the post-save manifest, so it writes the evolved schema.
+        monkeypatch.setattr(ManagedTable, "overwrite_all", orig)
+        evolved = T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("extra", T.LongType()),
+            T.StructField("data", T.StringType()),
+        ])
+        other.overwrite_all(spark.createDataFrame(
+            [("a", 5, "{}"), ("b", 6, "{}")], evolved))
+        return orig(self, df, expected_txn=expected_txn)
+
+    monkeypatch.setattr(ManagedTable, "overwrite_all", hooked)
+    with pytest.raises(ConcurrentWriteError):
+        t.add_columns([T.StructField("extra", T.LongType())],
+                      backfill={"extra": F.lit(7)})
+    # The concurrent writer's row survives; schema evolved additively
+    # (old files surface NULL for the new column), nothing was lost.
+    rows = {r["k"] for r in t.read().collect()}
+    assert rows == {"a", "b"}
+
+
 def test_add_columns_bumps_txn_under_cas(spark, tmp_warehouse):
     """r13 code review: schema evolution's manifest save goes through
     the lock + CAS like every other write and bumps txn — an unguarded

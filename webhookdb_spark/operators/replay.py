@@ -88,7 +88,10 @@ def replay_webhooks(
             & (F.col("received_at") >= F.lit(from_ts))
             & (F.col("received_at") < F.lit(to_ts))
         )
-        .drop("_day")
+        # _batch is the audit write's idempotence key (one dir per
+        # foreachBatch id; -1 for direct appends) — plumbing, not
+        # envelope data, so it must not flow into re-processing
+        .drop("_day", "_batch")
     )
     if secrets is not None:
         import time

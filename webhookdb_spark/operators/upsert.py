@@ -57,6 +57,9 @@ class IntegrationSequence:
         from pathlib import Path
 
         self.file = Path(path) / "_sequence.json"
+        # Test seam: tests shorten the blocked-waiter deadline so a
+        # fresh foreign lock can be proven un-evictable in <1s.
+        self.lock_timeout = 30.0
 
     def watermark(self) -> int:
         import json
@@ -67,44 +70,52 @@ class IntegrationSequence:
 
     def _reserve(self, n: int) -> int:
         """Atomically reserve ``n`` values; returns the watermark the
-        range starts from. O_EXCL lock + tmp/os.replace write (r13
-        code review): without the lock two concurrent fills read the
-        same watermark and issue DUPLICATE 'unique' values, and a
-        plain write_text torn by a crash leaves unparseable state."""
+        range starts from. Serialized by the identity-verified
+        ``_ManifestLock`` (token + rename-and-verify steal/release):
+        without the lock two concurrent fills read the same watermark
+        and issue DUPLICATE 'unique' values, and a plain write_text
+        torn by a crash leaves unparseable state. The r13 version's
+        blind stale-unlink let two waiters that both passed the
+        staleness check evict each other's FRESH lock and both enter
+        the critical section (r13 ADVICE); the steal pattern renames
+        the suspect lock aside, verifies its content is the measured
+        stale token, and the ``holds()`` check below stops a wrongly
+        evicted holder from committing a duplicate range."""
         import json
         import os
-        import time as _time
+        import uuid as _uuid
+
+        from webhookdb_spark.storage import (
+            ConcurrentWriteError,
+            _ManifestLock,
+        )
 
         self.file.parent.mkdir(parents=True, exist_ok=True)
-        lock = self.file.with_suffix(".lock")
-        deadline = _time.monotonic() + 30.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                # stale-holder bound: a crashed reservation (the
-                # critical section is a file RMW, never a Spark job)
-                # cannot hold this for long
-                try:
-                    if _time.time() - lock.stat().st_mtime > 10.0:
-                        lock.unlink(missing_ok=True)
-                        continue
-                except OSError:
-                    continue
-                if _time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"sequence lock stuck: {lock}") from None
-                _time.sleep(0.02)
-        try:
+        # The critical section is one JSON read + one JSON write —
+        # never a Spark job — so a 10s stale bound is still generous;
+        # 30s total wait matches the old deadline.
+        lock = _ManifestLock(
+            self.file.parent, timeout=self.lock_timeout, stale_after=10.0,
+            lock_name=self.file.name + ".lock",
+        )
+        with lock:
             wm = self.watermark()
-            tmp = self.file.with_suffix(".tmp")
+            # Writer-unique tmp: a holder stolen mid-section and the
+            # thief must not interleave writes through one tmp path.
+            tmp = self.file.with_suffix(
+                f".tmp.{os.getpid()}.{_uuid.uuid4().hex}")
             tmp.write_text(json.dumps({"watermark": wm + n}))
+            if not lock.holds():
+                # Stolen (we stalled past stale_after): committing now
+                # could race the thief's own read→replace window and
+                # hand out a duplicate range. Abort; caller retries.
+                tmp.unlink(missing_ok=True)
+                raise ConcurrentWriteError(
+                    f"sequence lock {lock.lock_path} stolen during "
+                    "reservation; retry"
+                )
             os.replace(tmp, self.file)
             return wm
-        finally:
-            lock.unlink(missing_ok=True)
 
     def fill(self, df: DataFrame, col: str,
              checkpointed: bool = False) -> DataFrame:

@@ -126,8 +126,9 @@ class _ManifestLock:
     """
 
     def __init__(self, table_path: Path, timeout: float = 10.0,
-                 stale_after: float = 60.0):
-        self.lock_path = table_path / "_manifest.lock"
+                 stale_after: float = 60.0,
+                 lock_name: str = "_manifest.lock"):
+        self.lock_path = table_path / lock_name
         self.timeout = timeout
         self.stale_after = stale_after
         self.token = f"{os.getpid()}.{uuid.uuid4().hex}".encode()
@@ -491,7 +492,9 @@ class ManagedTable:
 
     # -- write -------------------------------------------------------------
     def overwrite_buckets(
-        self, df: DataFrame, buckets: list[int], extra_cols: list[str] | None = None
+        self, df: DataFrame, buckets: list[int],
+        extra_cols: list[str] | None = None,
+        expected_txn: int | None = None,
     ) -> tuple[int, dict[str, str]]:
         """Swap in new data for the given buckets; df must carry PART_COL.
         Returns ``(committed_txn, {bucket_id: rel_dir})`` for the
@@ -516,8 +519,20 @@ class ManagedTable:
         around the verify→save pair, which makes the commit a true
         compare-and-swap. Losers raise :class:`ConcurrentWriteError`
         after removing only their own staging/version dirs.
+
+        ``expected_txn`` pins the CAS baseline to a snapshot the CALLER
+        already holds (r13 ADVICE: add_columns' TOCTOU): when given,
+        the write aborts unless the manifest is still at exactly that
+        txn at plan time, so a ``df`` derived from the caller's
+        snapshot can never overwrite a commit that landed between the
+        caller's manifest load and this call.
         """
         m = self.manifest
+        if expected_txn is not None and m.txn != expected_txn:
+            raise ConcurrentWriteError(
+                f"manifest advanced past caller snapshot txn "
+                f"{expected_txn} -> {m.txn}; reload and retry"
+            )
         txn = m.txn + 1
         wtoken = uuid.uuid4().hex[:8]
         staging = self.path / f"_staging_{txn}_{wtoken}"
@@ -669,11 +684,13 @@ class ManagedTable:
                     shutil.rmtree(self.path / rel, ignore_errors=True)
         return txn, {str(b): new_buckets[str(b)] for b in buckets}
 
-    def overwrite_all(self, df: DataFrame) -> None:
+    def overwrite_all(self, df: DataFrame,
+                      expected_txn: int | None = None) -> None:
         m = self.manifest
         if PART_COL not in df.columns:
             df = df.withColumn(PART_COL, bucket_expr(m.key, m.n_buckets))
-        self.overwrite_buckets(df, list(range(m.n_buckets)))
+        self.overwrite_buckets(df, list(range(m.n_buckets)),
+                               expected_txn=expected_txn)
 
     def delete_where(
         self,
@@ -749,13 +766,30 @@ class ManagedTable:
     def add_columns(self, new_fields: list[T.StructField], backfill: dict | None = None) -> None:
         """Additive schema evolution: extend the schema and rewrite with
         backfill expressions derived from `data` (base.rb:600-631's chunked
-        UPDATE, collapsed to one declarative rewrite)."""
-        schema = self.schema()
+        UPDATE, collapsed to one declarative rewrite).
+
+        One manifest snapshot ``m`` drives the read (explicit bucket
+        paths), the schema, AND the CAS baseline (r13 ADVICE: a
+        ``self.read()`` here plus a separate ``self.manifest`` reload
+        for the CAS was a TOCTOU — a commit landing between the two
+        loads passed the txn check, yet the rewrite then replayed every
+        bucket from the pre-commit file list, silently discarding the
+        concurrent writer's rows). The final ``overwrite_all`` is
+        additionally pinned to the schema-save txn via ``expected_txn``
+        so the window between the two commits is closed too.
+        """
+        m = self.manifest
+        schema = T.StructType.fromJson(json.loads(m.schema_json))
         existing = {f.name for f in schema.fields}
         add = [f for f in new_fields if f.name not in existing]
         if not add:
             return
-        df = self.read().withColumn(PART_COL, bucket_expr(self.manifest.key, self.manifest.n_buckets))
+        paths = [str(self.path / rel) for rel in m.buckets.values()]
+        base = (
+            self.spark.read.schema(schema).parquet(*paths)
+            if paths else self.spark.createDataFrame([], schema)
+        )
+        df = base.withColumn(PART_COL, bucket_expr(m.key, m.n_buckets))
         for fld in add:
             expr = (backfill or {}).get(fld.name)
             df = df.withColumn(
@@ -769,11 +803,11 @@ class ManagedTable:
             + add
             + [f for f in schema.fields if f.name == "data"]
         )
-        m = self.manifest
         # Schema save goes through the SAME lock + CAS as every other
         # manifest write (r13 code review): an unguarded save here
         # could clobber a concurrent MERGE's committed manifest with
         # this pre-merge buckets map, silently rolling the table back.
+        # The CAS baseline is THE snapshot the read above derives from.
         with _ManifestLock(self.path) as lk:
             current = Manifest.load(self.path)
             if current.txn != m.txn:
@@ -794,7 +828,11 @@ class ManagedTable:
                 current, txn=current.txn + 1,
                 schema_json=new_schema.json(),
             ).save(self.path)
-        self.overwrite_all(df.select(*new_order, PART_COL))
+        # Pin the rewrite to the txn the schema save just produced: a
+        # commit sneaking in between the save and this rewrite would
+        # otherwise be replayed over from the pre-save file list.
+        self.overwrite_all(df.select(*new_order, PART_COL),
+                           expected_txn=m.txn + 1)
 
 
 class Warehouse:

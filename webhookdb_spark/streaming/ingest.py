@@ -100,8 +100,39 @@ class IngestPipeline:
             return lk
 
     # -- batch path --------------------------------------------------------
+    def _write_audit(self, enveloped: DataFrame,
+                     audit_batch_id: int | None) -> None:
+        """Archive one batch into the audit table, partitioned
+        ``_batch=<id>/_day=<date>``.
+
+        With ``audit_batch_id`` (the foreachBatch batch id — stable
+        across checkpointed re-execution) the write is mode-OVERWRITE
+        on the batch's own ``_batch=<id>`` subdirectory: a micro-batch
+        re-executed after a crash between the audit append and the
+        checkpoint commit REPLACES its earlier (possibly partial) audit
+        rows instead of appending them twice (r13 ADVICE) — verdicts
+        are batch-clock-derived, so the re-run writes identical rows.
+        Assumes one streaming query per audit path (batch ids from two
+        checkpoints would collide — the endpoint model is one intake
+        stream per archive). Without it (direct synchronous calls, no
+        redelivery machinery) the write appends under ``_batch=-1``,
+        which keeps the directory's partition layout uniform so readers
+        discover one consistent schema."""
+        audited = enveloped.withColumn("_day", F.to_date("received_at"))
+        if audit_batch_id is None:
+            (
+                audited.write.mode("append").partitionBy("_day")
+                .parquet(f"{self.audit_table_path}/_batch=-1")
+            )
+        else:
+            (
+                audited.write.mode("overwrite").partitionBy("_day")
+                .parquet(f"{self.audit_table_path}/_batch={int(audit_batch_id)}")
+            )
+
     def process_batch(self, envelopes: DataFrame, batch_id: int = 0,
-                      skip_audit: bool = False) -> None:
+                      skip_audit: bool = False,
+                      audit_batch_id: int | None = None) -> None:
         """The foreachBatch body.
 
         Routing: one pass over the micro-batch per *distinct integration
@@ -119,16 +150,11 @@ class IngestPipeline:
         try:
             if self.audit_table_path and not is_replay and not skip_audit:
                 # Audit log (logged_webhooks analog, api/helpers.rb:227-230):
-                # append-only, partitioned by arrival date for the trim jobs.
-                # This runs BEFORE any delivery dedup: the reference logs
+                # partitioned by arrival date for the trim jobs. This
+                # runs BEFORE any delivery dedup: the reference logs
                 # every delivery at intake (api/helpers.rb:271), retries
                 # included, so replay/forensics never lose rows.
-                (
-                    envelopes.withColumn("_day", F.to_date("received_at"))
-                    .write.mode("append")
-                    .partitionBy("_day")
-                    .parquet(self.audit_table_path)
-                )
+                self._write_audit(envelopes, audit_batch_id)
             if self.dedup_deliveries:
                 deduped = (
                     envelopes.withColumn(
@@ -185,6 +211,7 @@ class IngestPipeline:
         envelopes: DataFrame,
         secrets: dict[str, tuple[str, str]],
         now_ts: int | None = None,
+        audit_batch_id: int | None = None,
     ) -> tuple[int, DataFrame]:
         """One webhook-ENDPOINT intake batch with the reference's exact
         ordering (api/helpers.rb:182-271): bot GETs are dropped before
@@ -229,14 +256,11 @@ class IngestPipeline:
         ).persist()
         try:
             # an all-bot batch writes nothing (an empty parquet append
-            # still creates a schemaless directory)
+            # still creates a schemaless directory); with
+            # audit_batch_id the write is idempotent per micro-batch
+            # (overwrite on _batch=<id> — see _write_audit)
             if self.audit_table_path and verified.count():
-                (
-                    verified.withColumn("_day", F.to_date("received_at"))
-                    .write.mode("append")
-                    .partitionBy("_day")
-                    .parquet(self.audit_table_path)
-                )
+                self._write_audit(verified, audit_batch_id)
             ok = accepted(verified)
             n_ok = ok.count()
             if n_ok:
@@ -366,10 +390,10 @@ class IngestPipeline:
                     else None
                 )
                 self.intake_batch(df, secrets=verify_secrets,
-                                  now_ts=now_ts)
+                                  now_ts=now_ts, audit_batch_id=bid)
         else:
             def _body(df, bid):
-                self.process_batch(df, bid)
+                self.process_batch(df, bid, audit_batch_id=bid)
         writer = (
             envelope_stream.writeStream.foreachBatch(_body)
             .option("checkpointLocation", checkpoint_dir)
