@@ -720,12 +720,37 @@ def test_backfill_not_supported_gate_and_messages(spark, tmp_warehouse):
         "webhookdb_customer_v1",
     }
     flagged = {n for n, s in _REGISTRY.items() if not s.supports_backfill}
-    # EXACT equality, not subset: supports_backfill defaults True here
-    # (inverting the reference descriptor's default-false), so a future
-    # webhook-only port that forgets the flag fails OPEN — backfill
-    # silently runs instead of raising. Any registry change to the
-    # flagged set must update this list from the reference descriptors.
+    # EXACT equality, not subset: supports_backfill now defaults False
+    # (r14 — matching the reference descriptor's fail-closed default,
+    # api_backfillable), so pollable specs OPT IN explicitly. Equality
+    # still pins both directions: a port that forgets the opt-in fails
+    # CLOSED and shows up here as an unexpected flagged entry. Any
+    # registry change to either side must update this list from the
+    # reference descriptors.
     assert expected == flagged
+
+    # The fail-closed default itself (r13 verdict): a spec defined
+    # OUTSIDE the registry that never states the flag refuses manual
+    # backfill with the reference's message (base.rb:277-290) instead
+    # of silently running one.
+    from webhookdb_spark.spec import Col, ReplicatorSpec
+    from webhookdb_spark.types import ColumnType
+
+    unflagged = ReplicatorSpec(
+        name="downstream_custom_v1", table="downstream_custom_v1",
+        remote_key=Col("my_id", ColumnType.TEXT, data_key="id"),
+        denorm_cols=(),
+    )
+    assert unflagged.supports_backfill is False
+    bf2 = Backfiller(
+        spark=spark,
+        warehouse=Warehouse(spark, str(tmp_warehouse / "wh2")),
+        org="org1", spec=unflagged,
+        fetch_page=lambda tok, last: ([], None),
+    )
+    with pytest.raises(BackfillNotSupported) as ei2:
+        bf2.backfill()
+    assert "webhookdb integrations reset downstream_custom_v1" in str(ei2.value)
 
     spec = _REGISTRY["jotform_webhook_v1"]
     bf = Backfiller(

@@ -24,6 +24,7 @@ CONV_GEO_LNG = converter_array_element(index=1, sep=" ")
 
 ATOM_SINGLE_FEED_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="atom_single_feed_v1",
         table="atom_single_feed_v1",
         remote_key=Col("entry_id", ColumnType.TEXT, data_key="id"),

@@ -201,6 +201,7 @@ def flatten_price_list(docs: DataFrame, body_col: str = "body") -> DataFrame:
 
 AWS_PRICING_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="aws_pricing_v1",
         table="aws_pricing_v1",
         # rate codes are globally unique ("SKU.TermCode.RateCode")

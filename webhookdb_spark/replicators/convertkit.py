@@ -40,6 +40,7 @@ def convertkit_broadcast_v1(
     /v3/broadcasts/:id/stats."""
     enrich = (lambda r: fetch_stats(r)) if fetch_stats else (lambda r: None)
     return ReplicatorSpec(
+        supports_backfill=True,
         name="convertkit_broadcast_v1",
         table="convertkit_broadcast_v1",
         remote_key=_KEY,
@@ -81,6 +82,7 @@ def _canceled_at_defaulter(body: Column) -> Column:
 
 CONVERTKIT_SUBSCRIBER_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="convertkit_subscriber_v1",
         table="convertkit_subscriber_v1",
         remote_key=_KEY,
@@ -116,6 +118,7 @@ def convertkit_tag_v1(
     /v3/tags/:id/subscriptions, body kept (store_enrichment_body)."""
     enrich = (lambda r: fetch_subscriptions(r)) if fetch_subscriptions else (lambda r: None)
     return ReplicatorSpec(
+        supports_backfill=True,
         name="convertkit_tag_v1",
         table="convertkit_tag_v1",
         remote_key=_KEY,

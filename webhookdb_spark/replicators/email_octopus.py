@@ -35,6 +35,7 @@ _DATA_DIFF = lambda s, t: t("data") != s("data")  # noqa: E731
 # email_octopus_campaign_v1.rb:22-37
 EMAIL_OCTOPUS_CAMPAIGN_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="email_octopus_campaign_v1",
         table="email_octopus_campaign_v1",
         remote_key=Col("email_octopus_id", T, data_key="id"),
@@ -57,6 +58,7 @@ EMAIL_OCTOPUS_CAMPAIGN_V1 = register(
 # email_octopus_list_v1.rb:22-35
 EMAIL_OCTOPUS_LIST_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="email_octopus_list_v1",
         table="email_octopus_list_v1",
         remote_key=Col("email_octopus_id", T, data_key="id"),
@@ -99,6 +101,7 @@ def _drop_webhook_rows_without_occurred_at(df: DataFrame) -> DataFrame:
 # email_octopus_contact_v1.rb:27-78
 EMAIL_OCTOPUS_CONTACT_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="email_octopus_contact_v1",
         table="email_octopus_contact_v1",
         remote_key=Col("compound_identity", T, optional=True,

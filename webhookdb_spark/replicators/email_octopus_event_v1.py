@@ -73,6 +73,7 @@ def _normalize_shapes(df: DataFrame) -> DataFrame:
 
 EMAIL_OCTOPUS_EVENT_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="email_octopus_event_v1",
         table="email_octopus_event_v1",
         remote_key=Col(

@@ -15,6 +15,7 @@ from webhookdb_spark.types import ColumnType
 
 FAKE_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="fake_v1",
         table="fake_v1",
         remote_key=Col("my_id", ColumnType.TEXT),
@@ -30,6 +31,7 @@ FAKE_V1 = register(
 # lean FAKE_V1 above is the excluded form, this variant the full one.
 FAKE_INT_OR_SEQ_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="fake_int_or_seq_v1",
         table="fake_int_or_seq_v1",
         remote_key=Col("my_id", ColumnType.TEXT),
@@ -143,6 +145,7 @@ def _exhaustive_cols(include_unimplemented_sql: bool = True):
 
 FAKE_EXHAUSTIVE_CONVERTER_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="fake_exhaustive_converter_v1",
         table="fake_exhaustive_converter_v1",
         remote_key=Col("my_id", ColumnType.TEXT),

@@ -86,6 +86,7 @@ FRONT_MESSAGE_V1 = register(
 # and may be updated ONLY while a side is still missing.
 FRONT_SIGNALWIRE_MESSAGE_CHANNEL_APP_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="front_signalwire_message_channel_app_v1",
         table="front_signalwire_message_channel_app_v1",
         remote_key=Col("external_id", T),
@@ -124,6 +125,7 @@ def _j(body: Column, path: str) -> Column:
 # intercom_conversation_v1.rb:20-47
 INTERCOM_CONVERSATION_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="intercom_conversation_v1",
         table="intercom_conversation_v1",
         # deleted events carry conversation_id only
@@ -155,6 +157,7 @@ INTERCOM_CONVERSATION_V1 = register(
 # signalwire_media_v1.rb:20-48 — MMS media metadata rows.
 SIGNALWIRE_MEDIA_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="signalwire_media_v1",
         table="signalwire_media_v1",
         remote_key=Col("signalwire_id", T, data_key="sid"),

@@ -40,6 +40,7 @@ def github_resource_and_event(webhook_key: str):
 # github_issue_comment_v1.rb:11-34
 GITHUB_ISSUE_COMMENT_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="github_issue_comment_v1",
         table="github_issue_comment_v1",
         remote_key=Col("github_id", BI, data_key="id"),
@@ -61,6 +62,7 @@ GITHUB_ISSUE_COMMENT_V1 = register(
 # github_release_v1.rb:11-28
 GITHUB_RELEASE_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="github_release_v1",
         table="github_release_v1",
         remote_key=Col("github_id", BI, data_key="id"),
@@ -83,6 +85,7 @@ GITHUB_RELEASE_V1 = register(
 # github_repository_event_v1.rb:11-24 — backfill-only events API
 GITHUB_REPOSITORY_EVENT_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="github_repository_event_v1",
         table="github_repository_event_v1",
         remote_key=Col("github_id", T, data_key="id"),

@@ -12,6 +12,7 @@ from webhookdb_spark.types import ColumnType
 
 GITHUB_ISSUE_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="github_issue_v1",
         table="github_issue_v1",
         remote_key=Col("github_id", ColumnType.BIGINT, data_key="id"),

@@ -13,6 +13,7 @@ from webhookdb_spark.types import ColumnType
 
 GITHUB_PULL_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="github_pull_v1",
         table="github_pull_v1",
         remote_key=Col("github_id", ColumnType.BIGINT, data_key="id"),

@@ -69,6 +69,7 @@ def increase_spec(
         )
     return register(
         ReplicatorSpec(
+            supports_backfill=True,
             name=name,
             table=name,
             remote_key=Col("increase_id", ColumnType.TEXT, data_key="id"),

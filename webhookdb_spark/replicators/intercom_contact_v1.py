@@ -53,6 +53,7 @@ def _resource_and_event(body: Column) -> tuple[Column, Column | None]:
 
 INTERCOM_CONTACT_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="intercom_contact_v1",
         table="intercom_contact_v1",
         remote_key=Col("intercom_id", ColumnType.TEXT, data_key="id"),

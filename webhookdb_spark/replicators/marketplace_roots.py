@@ -36,6 +36,7 @@ FRONT_MARKETPLACE_ROOT_V1 = register(
 # intercom_marketplace_root_v1.rb:20-58
 INTERCOM_MARKETPLACE_ROOT_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="intercom_marketplace_root_v1",
         table="intercom_marketplace_root_v1",
         remote_key=Col("ignore_id", ColumnType.INTEGER),
@@ -48,6 +49,7 @@ INTERCOM_MARKETPLACE_ROOT_V1 = register(
 # increase_app_v1.rb:23-41 (dispatch: increase.route_increase_events)
 INCREASE_APP_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="increase_app_v1",
         table="increase_app_v1",
         remote_key=Col("ignore_id", ColumnType.INTEGER),

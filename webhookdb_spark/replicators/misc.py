@@ -20,6 +20,7 @@ OBJ = ColumnType.OBJECT
 # with ISO dates and sid key.
 SIGNALWIRE_MESSAGE_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="signalwire_message_v1",
         table="signalwire_message_v1",
         remote_key=Col("signalwire_id", T, data_key="sid"),

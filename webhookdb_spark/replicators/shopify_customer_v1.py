@@ -15,6 +15,7 @@ T, TS = ColumnType.TEXT, ColumnType.TIMESTAMP
 
 SHOPIFY_CUSTOMER_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="shopify_customer_v1",
         table="shopify_customer_v1",
         remote_key=Col("shopify_id", T, data_key="id"),

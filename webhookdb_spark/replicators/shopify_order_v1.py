@@ -16,6 +16,7 @@ from webhookdb_spark.types import ColumnType
 
 SHOPIFY_ORDER_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="shopify_order_v1",
         table="shopify_order_v1",
         remote_key=Col("shopify_id", ColumnType.TEXT, data_key="id"),

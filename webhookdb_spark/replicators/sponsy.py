@@ -57,6 +57,7 @@ def _ts_cols() -> tuple[Col, ...]:
 def _sponsy_spec(name: str, denorm_cols: tuple[Col, ...]) -> ReplicatorSpec:
     return register(
         ReplicatorSpec(
+            supports_backfill=True,
             name=name,
             table=name,
             remote_key=_KEY,

@@ -39,6 +39,7 @@ def stripe_spec(
     no ``created`` field (stripe_invoice_item_v1.rb uses ``date``)."""
     return register(
         ReplicatorSpec(
+            supports_backfill=True,
             name=name,
             table=name,
             remote_key=Col("stripe_id", ColumnType.TEXT, data_key="id"),

@@ -29,6 +29,7 @@ def _resource_and_event(body: Column) -> tuple[Column, Column | None]:
 
 STRIPE_CHARGE_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="stripe_charge_v1",
         table="stripe_charge_v1",
         remote_key=Col("stripe_id", ColumnType.TEXT, data_key="id"),

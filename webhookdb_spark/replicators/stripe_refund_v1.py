@@ -26,6 +26,7 @@ def _resource_and_event(body: Column) -> tuple[Column, Column | None]:
 
 STRIPE_REFUND_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="stripe_refund_v1",
         table="stripe_refund_v1",
         remote_key=Col("stripe_id", ColumnType.TEXT, data_key="id"),

@@ -201,6 +201,7 @@ def transistor_episode_v1(
         return fetch_transcript(resource)
 
     return ReplicatorSpec(
+        supports_backfill=True,
         name="transistor_episode_v1",
         table="transistor_episode_v1",
         remote_key=_KEY,
@@ -244,6 +245,7 @@ TRANSISTOR_EPISODE_V1 = register(transistor_episode_v1())
 # transistor_show_v1.rb:21-38
 TRANSISTOR_SHOW_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="transistor_show_v1",
         table="transistor_show_v1",
         remote_key=_KEY,

@@ -21,6 +21,7 @@ def _compound(body):
 
 TRANSISTOR_EPISODE_STATS_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="transistor_episode_stats_v1",
         table="transistor_episode_stats_v1",
         remote_key=Col("compound_id", ColumnType.TEXT),

@@ -17,6 +17,7 @@ from webhookdb_spark.types import ColumnType
 
 TWILIO_SMS_V1 = register(
     ReplicatorSpec(
+        supports_backfill=True,
         name="twilio_sms_v1",
         table="twilio_sms_v1",
         remote_key=Col("twilio_id", ColumnType.TEXT, data_key="sid"),

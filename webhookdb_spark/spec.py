@@ -324,13 +324,13 @@ class ReplicatorSpec:
     creates_dependents: tuple[str, ...] = ()
     # Descriptor backfillability (replicator.rb:99,140): webhook-only
     # streams refuse manual backfill (base.rb:1105) with the message
-    # below. The reference's descriptor DEFAULTS to false and services
-    # opt in; here the default is True because every spec in this
-    # registry except the 11 webhook-only ones opted in. Because this
-    # inversion makes a forgotten flag fail OPEN, the flagged set is
-    # pinned by EXACT equality in tests/test_backfill_sync.py — update
-    # that list from the reference descriptors when porting.
-    supports_backfill: bool = True
+    # below. Matches the reference descriptor's FAIL-CLOSED default
+    # (api_backfillable defaults false; services opt in) — a spec that
+    # forgets the flag refuses backfill with the reference's message
+    # instead of silently running one. The registry's split is pinned
+    # by EXACT equality on both sides in tests/test_backfill_sync.py —
+    # update that list from the reference descriptors when porting.
+    supports_backfill: bool = False
     # Used by the default not-supported message (base.rb:279-289).
     documentation_url: str | None = None
     # Custom override (the backfill_not_supported_message override,
