@@ -2417,6 +2417,18 @@ def q_media_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     return M.decode_images(M.media_jpeg_from_documents(load(spark, sf, "documents")))
 
 
+def q_media_jpeg_decode_progressive(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL progressive-JPEG dimension decode (r13 verdict item 6):
+    documents become SOF2 marker streams with a DHT segment BEFORE the
+    frame header, so the walker must skip C4 (huffman tables) and read
+    the SOF2 fields — the non-baseline half of a real image corpus,
+    still zero codec dependencies. Oracle rebuilds the bytes and parses
+    the post-DHT big-endian offsets in SQL."""
+    return M.decode_images(
+        M.media_jpeg_progressive_from_documents(load(spark, sf, "documents"))
+    )
+
+
 def q_media_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio decode: canonical PCM WAV payloads, chunk-walking
     parser extracting (sample_rate, channels, bits, n_samples)."""
@@ -6390,12 +6402,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # put here). Prune entries once a fresh full-green row lands on the
 # tracked record.
 _ROTATION_PRIORITY: list[str] = [
-    # r14: empty at round open — all six r13 entries got fully-green
-    # r13 driver rows (CORRECTNESS_r13.json) and the fingerprint record
-    # was regenerated at r13, so the staleness sort alone puts the r9
-    # cohort (the oldest latest-check rows) at the head of this
-    # round's ~50-row window. Entries land here again only when r14
-    # code changes touch a query after its latest green row.
+    # r14: never-checked — the new SOF2 progressive-JPEG decode query:
+    "media_jpeg_decode_progressive",
+    # r14: fingerprint drift from this round's concurrency-advice fixes
+    # (upsert.py sequence lock, storage.py add_columns snapshot +
+    # expected_txn CAS, ingest.py idempotent audit) — storage-path
+    # queries re-check on the changed code:
+    "matview_event_totals",
+    "pipeline_lifecycle",
+    "upsert_merge",
+    "scd2_feed_maintained",
+    "table_diff",
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None
@@ -6668,6 +6685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "media_audio_features": q_media_audio_features,
         "media_jpeg_decode": q_media_jpeg_decode,
+        "media_jpeg_decode_progressive": q_media_jpeg_decode_progressive,
         "media_pixel_features": q_media_pixel_features,
         "order_deciles": q_order_deciles,
         "order_percentiles": q_order_percentiles,
@@ -7001,6 +7019,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": M.sql_byte_histogram_features(),
         "media_decode": M.sql_media_decode(),
         "media_jpeg_decode": M.sql_media_jpeg_decode(),
+        "media_jpeg_decode_progressive": M.sql_media_jpeg_decode_progressive(),
         "media_wav_decode": M.sql_media_wav_decode(),
         "media_audio_features": M.sql_media_audio_features(),
         "media_pixel_features": M.sql_media_pixel_features(),

@@ -611,6 +611,80 @@ FROM m
 """
 
 
+# Progressive-JPEG fixture pieces: a DHT segment (marker C4 — huffman
+# tables, NOT a frame header; the SOFn walker must skip it) followed by
+# an SOF2 (progressive) frame header. DHT length 0x13 = 2 length bytes
+# + 1 class/dest byte + 16 zero code counts + 0 symbols.
+_JPEG_DHT = "FFC4" + "0013" + "00" + "00" * 16
+_JPEG_SOF2_PRE = "FFC2" + "000B" + "08"
+# SOI+APP0 = 20 bytes, DHT = 2 + 0x13 = 21 bytes, SOF marker+len+
+# precision = 5 more → big-endian height/width land at 46/48.
+_JPEG2_H_OFF = 46
+_JPEG2_W_OFF = 48
+
+
+def media_jpeg_progressive_from_documents(docs: DataFrame) -> DataFrame:
+    """Structurally valid PROGRESSIVE JPEG per document: SOI + JFIF
+    APP0 + DHT + SOF2 + SOS + entropy bytes + EOI. Two things differ
+    from the baseline fixture on purpose: the frame header is SOF2
+    (the progressive marker, r13 verdict's one unexercised-at-registry-
+    scale decode notch), and a DHT sits BEFORE it so a decoder that
+    treats any FFCx as a frame header reads garbage dimensions — the
+    walker must skip C4. Dimension arithmetic also differs from the
+    baseline so the two queries cannot pass by mirroring each other."""
+    w = (F.col("doc_id") % 90 + 32).cast("int")
+    h = (F.col("doc_id") % 60 + 24).cast("int")
+    content = F.unhex(
+        F.concat(
+            F.lit(_JPEG_SOI_APP0),
+            F.lit(_JPEG_DHT),
+            F.lit(_JPEG_SOF2_PRE),
+            F.format_string("%04X", h),
+            F.format_string("%04X", w),
+            F.lit(_JPEG_SOF_POST),
+            F.lit(_JPEG_SOS),
+            F.hex(F.encode(F.col("text"), "UTF-8")),
+            F.lit("FFD9"),
+        )
+    )
+    meta = F.struct(
+        F.lit("image/jpeg").alias("mime"),
+        w.alias("width"),
+        h.alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def sql_media_jpeg_decode_progressive(table: str = "documents") -> str:
+    """DuckDB twin of media_jpeg_progressive_from_documents →
+    decode_images: rebuilds the identical SOF2 byte stream and parses
+    the big-endian height/width at the post-DHT frame-header offsets."""
+    w = "(doc_id % 90 + 32)"
+    h = "(doc_id % 60 + 24)"
+    hx = (
+        f"'{_JPEG_SOI_APP0}' || '{_JPEG_DHT}' || '{_JPEG_SOF2_PRE}' || "
+        f"printf('%04X', {h}) || printf('%04X', {w}) || "
+        f"'{_JPEG_SOF_POST}' || '{_JPEG_SOS}' || hex(encode(text)) || 'FFD9'"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, {hx} AS hx FROM {table}
+)
+SELECT media_id,
+       CAST({_sql_be_int("hx", _JPEG2_W_OFF, 2)} AS INTEGER) AS width,
+       CAST({_sql_be_int("hx", _JPEG2_H_OFF, 2)} AS INTEGER) AS height,
+       md5(hx) AS checksum
+FROM m
+"""
+
+
 def media_wav_from_documents(docs: DataFrame) -> DataFrame:
     """Canonical 44-byte-header PCM WAV per document (deterministic
     rate/channels from doc_id; UTF-8 text bytes as sample data)."""
