@@ -37,6 +37,29 @@ STRAGGLER_RATIO = 3.0
 STRAGGLER_EXTRA_RUNS = 2
 
 
+def measure_canary(spark) -> float:
+    """Min-of-2 wall time of a fixed, data-independent Spark job:
+    xxhash64 over 400M generated longs, shuffled into 1000 groups and
+    aggregated. Pure compute + one bounded shuffle — no files, no SF
+    dependence — so its drift between sessions measures the HOST, not
+    the code under test. Sized to ~2-4 s on the 32-thread quiet host:
+    long enough that scheduler jitter is <5% of the reading, short
+    enough to add negligible wall time to a bench pass."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        start = time.perf_counter()
+        (
+            spark.range(0, 400_000_000)
+            .select((F.xxhash64("id") % 1000).alias("b"), F.col("id"))
+            .groupBy("b").agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - start
+
+    return round(min(once(), once()), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -70,6 +93,17 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - start
+
+    # Host-speed canary (r14, after two rounds of floor-band
+    # adjudication): a fixed CPU-bound job — hash 50M generated rows,
+    # one 1000-group shuffle — whose wall time tracks the host's
+    # effective compute speed independent of the registry and the SF.
+    # Reading the record: if every query elevates over its floor by
+    # roughly canary_sec / floors["__canary__"], the band is host
+    # drift; a query spiking while the canary holds is a real
+    # regression. The reserved "__canary__" floor key never collides
+    # with a query name (queries are identifiers).
+    canary_sec = measure_canary(spark)
 
     qfns = {n: f for n, f in entrymod.queries().items() if n not in SKIP}
     timings: dict[str, float] = {}
@@ -107,6 +141,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "reran": reran,
+        "canary_sec": canary_sec,
         "sf": sf,
     }))
     # ... then a compact summary as the FINAL line, sized to fit the
@@ -138,6 +173,7 @@ def main() -> None:
                 round(timings[q], 2) for q in order
             ],
             "reran": reran,
+            "canary_sec": canary_sec,
             "sf": sf,
         }
         compact = json.dumps(doc, separators=(",", ":"))
@@ -156,6 +192,7 @@ def main() -> None:
                 "query_count": len(timings),
                 "slowest_only": n < len(timings),
                 "reran": reran,
+                "canary_sec": canary_sec,
                 "sf": sf,
             }
             if rest:

@@ -51,6 +51,18 @@ def main() -> int:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - start
 
+    # Host-speed canary (r14): same fixed job as bench.py's — its
+    # ratio to the committed "__canary__" floor is the session's host
+    # factor. x_floor_hostnorm divides that factor out, so a query is
+    # flagged only when it outruns the drift EVERY query shares.
+    from bench import measure_canary  # repo root is on sys.path
+
+    canary_sec = measure_canary(spark)
+    canary_floor = floors.get("__canary__")
+    host_factor = (
+        round(canary_sec / canary_floor, 2) if canary_floor else None
+    )
+
     # interleave the three passes (A B C, A B C, ...) so one noise
     # window cannot inflate all three samples of the same query
     samples: dict[str, list[float]] = {n: [] for n in targets}
@@ -62,20 +74,33 @@ def main() -> int:
     for name in targets:
         med = round(statistics.median(samples[name]), 3)
         floor = floors.get(name)
+        x = round(med / floor, 2) if floor else None
         report[name] = {
             "median": med,
             "runs": [round(s, 3) for s in samples[name]],
             "floor": floor,
-            "x_floor": round(med / floor, 2) if floor else None,
+            "x_floor": x,
+            "x_floor_hostnorm": (
+                round(x / host_factor, 2)
+                if x is not None and host_factor else None
+            ),
         }
+    def _worst(r):
+        # host-normalized ratio when the canary floor exists, raw
+        # otherwise — the regression bar stays 2.0 either way
+        return (r["x_floor_hostnorm"]
+                if r["x_floor_hostnorm"] is not None else r["x_floor"])
     doc = {
         "metric": "slowest_k_median_of_3",
         "sf_dir": sf_dir,
         "k": k,
+        "canary_sec": canary_sec,
+        "canary_floor": canary_floor,
+        "host_factor": host_factor,
         "queries": report,
         "regressions": sorted(
             n for n, r in report.items()
-            if r["x_floor"] is not None and r["x_floor"] > 2.0
+            if _worst(r) is not None and _worst(r) > 2.0
         ),
     }
     line = json.dumps(doc)
