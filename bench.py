@@ -39,8 +39,10 @@ STRAGGLER_EXTRA_RUNS = 2
 
 def measure_canary(spark) -> float:
     """Min-of-2 wall time of a fixed, data-independent Spark job:
-    xxhash64 over 400M generated longs, shuffled into 1000 groups and
-    aggregated. Pure compute + one bounded shuffle — no files, no SF
+    xxhash64 over 400M generated longs, shuffled into ~2000 groups
+    (signed % 1000 keeps both sign halves — the group count is fixed,
+    which is all that matters) and aggregated. Pure compute + one
+    bounded shuffle — no files, no SF
     dependence — so its drift between sessions measures the HOST, not
     the code under test. Sized to ~2-4 s on the 32-thread quiet host:
     long enough that scheduler jitter is <5% of the reading, short
@@ -95,9 +97,10 @@ def main() -> None:
         return time.perf_counter() - start
 
     # Host-speed canary (r14, after two rounds of floor-band
-    # adjudication): a fixed CPU-bound job — hash 50M generated rows,
-    # one 1000-group shuffle — whose wall time tracks the host's
-    # effective compute speed independent of the registry and the SF.
+    # adjudication): a fixed CPU-bound job — xxhash64 over 400M
+    # generated rows, one shuffle into ~2000 groups (signed % 1000) —
+    # whose wall time tracks the host's effective compute speed
+    # independent of the registry and the SF.
     # Reading the record: if every query elevates over its floor by
     # roughly canary_sec / floors["__canary__"], the band is host
     # drift; a query spiking while the canary holds is a real

@@ -944,6 +944,47 @@ def test_audit_archive_idempotent_per_microbatch(spark, tmp_warehouse):
         "good1", "good2", "good3", "good4"]
 
 
+def test_audit_archive_migrates_legacy_day_layout(spark, tmp_warehouse):
+    """Pre-r14 archives have _day=... at the root; the first write of
+    the _batch=<id> layout must migrate them in place (mixed depths
+    fail Spark partition discovery) and the merged archive stays
+    readable with every row intact."""
+    audit_path = tmp_warehouse / "audit_legacy"
+    wh = Warehouse(spark, tmp_warehouse / "wh")
+    pipeline = IngestPipeline(warehouse=wh, audit_table_path=str(audit_path))
+    pipeline.register(IntegrationRuntime(
+        opaque_id="svi_a", org="org1", spec=FAKE_V1))
+
+    def envelope_df(my_id):
+        return spark.createDataFrame([{
+            "integration_opaque_id": "svi_a",
+            "service_name": "fake_v1",
+            "request_method": "POST",
+            "request_path": "/v1/service_integrations/svi_a",
+            "headers": {"Whdb-Secret": "s"},
+            "body": json.dumps(
+                {"my_id": my_id, "at": "2024-06-01T00:00:00Z"}),
+            "received_at": "2024-06-01T00:00:00.000Z",
+        }]).withColumn(
+            "received_at", F.col("received_at").cast("timestamp"))
+
+    # legacy layout: a plain _day append at the archive root
+    (
+        envelope_df("old1").withColumn("_day", F.to_date("received_at"))
+        .write.mode("append").partitionBy("_day")
+        .parquet(str(audit_path))
+    )
+    assert (audit_path / "_day=2024-06-01").is_dir()
+    # first post-upgrade write migrates the legacy dirs, then appends
+    pipeline.process_batch(envelope_df("new1"), audit_batch_id=3)
+    assert not (audit_path / "_day=2024-06-01").exists()
+    assert (audit_path / "_batch=-1" / "_day=2024-06-01").is_dir()
+    audit = spark.read.parquet(str(audit_path))
+    ids = sorted(json.loads(r["body"])["my_id"] for r in audit.collect())
+    assert ids == ["new1", "old1"]
+    assert sorted(r["_batch"] for r in audit.collect()) == [-1, 3]
+
+
 def test_streaming_endpoint_clock_is_batch_derived(spark, tmp_warehouse):
     """Code-review r13: the verify_secrets stream pins each
     micro-batch's verification clock to the batch's own newest

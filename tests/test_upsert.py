@@ -1116,6 +1116,16 @@ def test_add_columns_aborts_if_commit_lands_before_rewrite(
     # (old files surface NULL for the new column), nothing was lost.
     rows = {r["k"] for r in t.read().collect()}
     assert rows == {"a", "b"}
+    # The advised retry must COMPLETE the interrupted evolution (r14
+    # code review): the column is already in the schema, so a bare
+    # early return would skip the backfill forever. The retry
+    # re-applies it NULL-preserving — the concurrent writer's own
+    # value (6) survives the coalesce.
+    t2 = ManagedTable(spark, tmp_warehouse / "org" / "evolve_toctou")
+    t2.add_columns([T.StructField("extra", T.LongType())],
+                   backfill={"extra": F.lit(7)})
+    got = {r["k"]: r["extra"] for r in t2.read().collect()}
+    assert got == {"a": 5, "b": 6}
 
 
 def test_add_columns_bumps_txn_under_cas(spark, tmp_warehouse):

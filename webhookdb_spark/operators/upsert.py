@@ -79,8 +79,14 @@ class IntegrationSequence:
         staleness check evict each other's FRESH lock and both enter
         the critical section (r13 ADVICE); the steal pattern renames
         the suspect lock aside, verifies its content is the measured
-        stale token, and the ``holds()`` check below stops a wrongly
-        evicted holder from committing a duplicate range."""
+        stale token, and the ``holds()`` check below makes a wrongly
+        evicted holder abort — except in the instruction-width window
+        between its holds() read and its os.replace, the same residual
+        every optimistic file lock here accepts (a steal requires the
+        holder to have stalled >10s first, and the whole critical
+        section is a microsecond JSON RMW; fully closing it needs
+        kernel locks, which the shared-filesystem posture rules out —
+        flock is unreliable on NFS)."""
         import json
         import os
         import uuid as _uuid

@@ -782,7 +782,19 @@ class ManagedTable:
         schema = T.StructType.fromJson(json.loads(m.schema_json))
         existing = {f.name for f in schema.fields}
         add = [f for f in new_fields if f.name not in existing]
-        if not add:
+        # Retry idempotence (r14 code review): add_columns commits
+        # TWICE (schema save, then the backfill rewrite). If the first
+        # attempt's rewrite lost its CAS, the advised retry arrives
+        # with the column already in the schema — a bare early return
+        # would silently skip the backfill forever. Fields already
+        # present whose caller supplied a backfill expression re-apply
+        # it NULL-preserving (coalesce keeps values a completed first
+        # attempt wrote), making the whole operation safely re-runnable.
+        redo = [
+            f for f in new_fields
+            if f.name in existing and (backfill or {}).get(f.name) is not None
+        ]
+        if not add and not redo:
             return
         paths = [str(self.path / rel) for rel in m.buckets.values()]
         base = (
@@ -795,6 +807,12 @@ class ManagedTable:
             df = df.withColumn(
                 fld.name, (expr if expr is not None else F.lit(None)).cast(fld.dataType)
             )
+        for fld in redo:
+            expr = (backfill or {})[fld.name]
+            df = df.withColumn(
+                fld.name,
+                F.coalesce(F.col(fld.name), expr.cast(fld.dataType)),
+            )
         # data column stays last, matching the reference layout (base.rb:344-369)
         front = [f.name for f in schema.fields if f.name != "data"]
         new_order = front + [f.name for f in add] + ["data"]
@@ -803,36 +821,40 @@ class ManagedTable:
             + add
             + [f for f in schema.fields if f.name == "data"]
         )
-        # Schema save goes through the SAME lock + CAS as every other
-        # manifest write (r13 code review): an unguarded save here
-        # could clobber a concurrent MERGE's committed manifest with
-        # this pre-merge buckets map, silently rolling the table back.
-        # The CAS baseline is THE snapshot the read above derives from.
-        with _ManifestLock(self.path) as lk:
-            current = Manifest.load(self.path)
-            if current.txn != m.txn:
-                raise ConcurrentWriteError(
-                    f"manifest advanced txn {m.txn} -> {current.txn} "
-                    "during schema evolution; reload and retry"
-                )
-            if not lk.holds():
-                raise ConcurrentWriteError(
-                    "manifest lock stolen during schema evolution; "
-                    "reload and retry"
-                )
-            # replace() carries every manifest field (zorder, zone
-            # maps, retention) through the schema evolution; txn bumps
-            # so concurrent writers planning from the old schema lose
-            # their CAS instead of committing rows missing the columns
-            dataclasses.replace(
-                current, txn=current.txn + 1,
-                schema_json=new_schema.json(),
-            ).save(self.path)
-        # Pin the rewrite to the txn the schema save just produced: a
-        # commit sneaking in between the save and this rewrite would
-        # otherwise be replayed over from the pre-save file list.
+        if add:
+            # Schema save goes through the SAME lock + CAS as every
+            # other manifest write (r13 code review): an unguarded save
+            # here could clobber a concurrent MERGE's committed
+            # manifest with this pre-merge buckets map, silently
+            # rolling the table back. The CAS baseline is THE snapshot
+            # the read above derives from.
+            with _ManifestLock(self.path) as lk:
+                current = Manifest.load(self.path)
+                if current.txn != m.txn:
+                    raise ConcurrentWriteError(
+                        f"manifest advanced txn {m.txn} -> {current.txn} "
+                        "during schema evolution; reload and retry"
+                    )
+                if not lk.holds():
+                    raise ConcurrentWriteError(
+                        "manifest lock stolen during schema evolution; "
+                        "reload and retry"
+                    )
+                # replace() carries every manifest field (zorder, zone
+                # maps, retention) through the schema evolution; txn
+                # bumps so concurrent writers planning from the old
+                # schema lose their CAS instead of committing rows
+                # missing the columns
+                dataclasses.replace(
+                    current, txn=current.txn + 1,
+                    schema_json=new_schema.json(),
+                ).save(self.path)
+        # Pin the rewrite to the txn the schema save just produced (or,
+        # on a redo-only retry, to the snapshot read above): a commit
+        # sneaking in between would otherwise be replayed over from the
+        # pre-save file list.
         self.overwrite_all(df.select(*new_order, PART_COL),
-                           expected_txn=m.txn + 1)
+                           expected_txn=m.txn + 1 if add else m.txn)
 
 
 class Warehouse:

@@ -117,7 +117,42 @@ class IngestPipeline:
         stream per archive). Without it (direct synchronous calls, no
         redelivery machinery) the write appends under ``_batch=-1``,
         which keeps the directory's partition layout uniform so readers
-        discover one consistent schema."""
+        discover one consistent schema.
+
+        Archives written by the pre-r14 layout (``_day=...`` at the
+        root) are migrated in place on first write: mixing leaf files
+        at two partition depths would fail Spark's partition discovery
+        ('Conflicting directory structures'), so legacy day dirs are
+        renamed under ``_batch=-1/`` — same data, same append
+        semantics, one directory level deeper."""
+        import os
+        from pathlib import Path
+
+        root = Path(self.audit_table_path)
+        if root.is_dir():
+            legacy = [p for p in root.iterdir()
+                      if p.is_dir() and p.name.startswith("_day=")]
+            if legacy:
+                dest = root / "_batch=-1"
+                dest.mkdir(exist_ok=True)
+                for p in legacy:
+                    try:
+                        os.rename(p, dest / p.name)
+                    except OSError:
+                        # a concurrent writer migrated it first, or the
+                        # target day already exists (two legacy writers)
+                        # — merge file-by-file in that case
+                        tgt = dest / p.name
+                        if tgt.is_dir():
+                            for f in p.iterdir():
+                                try:
+                                    os.rename(f, tgt / f.name)
+                                except OSError:
+                                    pass
+                            try:
+                                p.rmdir()
+                            except OSError:
+                                pass
         audited = enveloped.withColumn("_day", F.to_date("received_at"))
         if audit_batch_id is None:
             (
