@@ -6413,6 +6413,12 @@ _ROTATION_PRIORITY: list[str] = [
     "upsert_merge",
     "scd2_feed_maintained",
     "table_diff",
+    # r14: fingerprint drift from the TIFF/WebP header-dimension
+    # parsers added to _parse_image_header (decode_images closure);
+    # no testdata payload is TIFF/WebP so results are unchanged —
+    # re-checks pin that:
+    "media_decode",
+    "media_jpeg_decode",
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None

@@ -104,6 +104,102 @@ def test_parse_image_header_formats():
     assert M._parse_image_header(b"not an image") is None
 
 
+def _tiff(w, h, endian="<", wtype=3, htype=4, extra_entry=True):
+    import struct
+
+    entries = []
+    if extra_entry:  # BitsPerSample ahead of the dims, must be skipped
+        entries.append(struct.pack(endian + "HHI", 258, 3, 1) + struct.pack(endian + "H", 8) + b"\x00\x00")
+    for tag, vtype, val in ((256, wtype, w), (257, htype, h)):
+        if vtype == 3:
+            value = struct.pack(endian + "H", val) + b"\x00\x00"
+        else:
+            value = struct.pack(endian + "I", val)
+        entries.append(struct.pack(endian + "HHI", tag, vtype, 1) + value)
+    magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+    ifd = struct.pack(endian + "H", len(entries)) + b"".join(entries) + struct.pack(endian + "I", 0)
+    return magic + struct.pack(endian + "I", 8) + ifd
+
+
+def test_parse_tiff_dims_ifd_walk():
+    import struct
+
+    # little-endian with a skipped non-dim entry, SHORT width + LONG height
+    assert M._parse_image_header(_tiff(800, 600)) == (800, 600)
+    # big-endian, both LONG
+    assert M._parse_image_header(_tiff(70000, 3, endian=">", wtype=4)) == (70000, 3)
+    # both SHORT, no extra entry
+    assert M._parse_image_header(_tiff(12, 34, htype=3, extra_entry=False)) == (12, 34)
+    # truncated directory, missing height tag, unsupported value type → None
+    assert M._parse_image_header(_tiff(800, 600)[:20]) is None
+    only_w = _tiff(800, 600, extra_entry=False)
+    only_w = only_w[:8] + struct.pack("<H", 1) + only_w[10:22] + struct.pack("<I", 0)
+    assert M._parse_image_header(only_w) is None
+    assert M._parse_image_header(_tiff(800, 600, wtype=5)) is None
+    # IFD offset past the end of the payload
+    assert M._parse_image_header(b"II*\x00" + struct.pack("<I", 9999)) is None
+
+
+def _webp(chunk):
+    import struct
+
+    body = chunk + (b"\x00" if len(chunk) % 2 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def test_parse_webp_dims_all_frame_headers():
+    import struct
+
+    # VP8 lossy: 3-byte frame tag, 9D 01 2A start code, 14-bit LE dims
+    vp8 = (b"VP8 " + struct.pack("<I", 12) + b"\x00\x00\x00\x9d\x01\x2a"
+           + struct.pack("<HH", 550, 368) + b"\x00\x00")
+    assert M._parse_image_header(_webp(vp8)) == (550, 368)
+    # scale bits in the top 2 bits of each u16 must be masked off
+    vp8s = (b"VP8 " + struct.pack("<I", 12) + b"\x00\x00\x00\x9d\x01\x2a"
+            + struct.pack("<HH", 550 | 0x4000, 368 | 0x8000) + b"\x00\x00")
+    assert M._parse_image_header(_webp(vp8s)) == (550, 368)
+    # VP8L lossless: 2F signature, then (width-1 | (height-1)<<14) LE
+    bits = (400 - 1) | ((301 - 1) << 14)
+    vp8l = b"VP8L" + struct.pack("<I", 6) + b"\x2f" + struct.pack("<I", bits) + b"\x00"
+    assert M._parse_image_header(_webp(vp8l)) == (400, 301)
+    # VP8X extended: flags u32, then 24-bit LE canvas minus-one fields
+    vp8x = (b"VP8X" + struct.pack("<I", 10) + b"\x00" * 4
+            + (1280 - 1).to_bytes(3, "little") + (720 - 1).to_bytes(3, "little"))
+    assert M._parse_image_header(_webp(vp8x)) == (1280, 720)
+    # an odd-sized leading chunk is word-aligned before the frame header
+    iccp = b"ICCP" + struct.pack("<I", 3) + b"abc\x00"
+    assert M._parse_image_header(_webp(iccp + vp8l)) == (400, 301)
+    # bad VP8 start code, bad VP8L signature, truncation, no frame chunk
+    bad = (b"VP8 " + struct.pack("<I", 12) + b"\x00\x00\x00\x9d\x01\x2b"
+           + struct.pack("<HH", 550, 368) + b"\x00\x00")
+    assert M._parse_image_header(_webp(bad)) is None
+    badl = b"VP8L" + struct.pack("<I", 6) + b"\x30" + struct.pack("<I", bits) + b"\x00"
+    assert M._parse_image_header(_webp(badl)) is None
+    assert M._parse_image_header(_webp(vp8)[:16]) is None
+    assert M._parse_image_header(_webp(b"ALPH" + struct.pack("<I", 2) + b"ab")) is None
+
+
+def test_decode_images_real_tiff_webp_roundtrip(spark):
+    import struct
+
+    bits = (9 - 1) | ((7 - 1) << 14)
+    payloads = {
+        10: _tiff(33, 21),
+        11: _webp(b"VP8L" + struct.pack("<I", 6) + b"\x2f"
+                  + struct.pack("<I", bits) + b"\x00"),
+    }
+    media = spark.createDataFrame(
+        [(mid, buf, {"width": None, "height": None, "duration_ms": None})
+         for mid, buf in payloads.items()],
+        "media_id long, content binary, meta map<string,int>",
+    )
+    rows = {r.media_id: r for r in M.decode_images(media).collect()}
+    assert (rows[10].width, rows[10].height) == (33, 21)
+    assert (rows[11].width, rows[11].height) == (9, 7)
+    assert rows[10].checksum == hashlib.md5(
+        payloads[10].hex().upper().encode()).hexdigest()
+
+
 def _jpeg(w, h, marker=b"\xc0", extra_segments=b"", fill=b""):
     import struct
 

@@ -66,8 +66,12 @@ FP_FILE = REPO / "tools" / "query_fingerprints.json"
 # the wholesale fp drift — the drift is explained by the algorithm, not
 # by code — EXCEPT queries passed via --unvouch (anything whose code
 # actually changed since its row must still be named). v2: resolve
-# function-local `from X import Y` imports into the closure.
-FP_ALGO = 2
+# function-local `from X import Y` imports into the closure. v3:
+# follow module-alias attribute references (`M.decode_images(...)`
+# where `M` is a module-level `import ... as M`) — module objects have
+# no __module__, so v2's _is_ours() rejected them and every query
+# written in that style had a closure of just itself + load().
+FP_ALGO = 3
 _OUR_ROOTS = {"webhookdb_spark", "__spark_entry__"}
 
 
@@ -103,6 +107,9 @@ def load_record() -> tuple[dict[str, int], int]:
 
 
 def _is_ours(obj) -> bool:
+    if isinstance(obj, types.ModuleType):
+        name = getattr(obj, "__name__", "")
+        return isinstance(name, str) and name.split(".")[0] in _OUR_ROOTS
     mod = getattr(obj, "__module__", None)
     return isinstance(mod, str) and mod.split(".")[0] in _OUR_ROOTS
 

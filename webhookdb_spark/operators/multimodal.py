@@ -205,7 +205,8 @@ FROM nib
 
 
 def _parse_image_header(buf: bytes) -> tuple[int, int] | None:
-    """(width, height) from a BMP / PNG / GIF / JPEG header, else None."""
+    """(width, height) from a BMP / PNG / GIF / JPEG / TIFF / WebP
+    header, else None."""
     import struct
 
     if len(buf) >= 26 and buf[:2] == b"BM":
@@ -219,6 +220,10 @@ def _parse_image_header(buf: bytes) -> tuple[int, int] | None:
         return w, h
     if len(buf) >= 4 and buf[:2] == b"\xff\xd8":
         return _parse_jpeg_dims(buf)
+    if len(buf) >= 8 and buf[:4] in (b"II*\x00", b"MM\x00*"):
+        return _parse_tiff_dims(buf)
+    if len(buf) >= 20 and buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        return _parse_webp_dims(buf)
     return None
 
 
@@ -251,6 +256,75 @@ def _parse_jpeg_dims(buf: bytes) -> tuple[int, int] | None:
                 return w, h
             return None
         pos += 2 + seg_len
+    return None
+
+
+def _parse_tiff_dims(buf: bytes) -> tuple[int, int] | None:
+    """Walk TIFF IFD0 to tags 256/257 (ImageWidth/ImageLength) — pure
+    ``struct`` over the TIFF 6.0 directory layout, both byte orders
+    (``II``/``MM``); SHORT(3) and LONG(4) values are inline in the
+    12-byte entry's value field, so no second seek is needed. Any
+    other value type, a truncated directory, or a missing tag yields
+    None (corrupt payloads become filterable rows, not dead tasks)."""
+    import struct
+
+    endian = "<" if buf[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(endian + "I", buf, 4)
+    if ifd_off + 2 > len(buf):
+        return None
+    (n_entries,) = struct.unpack_from(endian + "H", buf, ifd_off)
+    width = height = None
+    for i in range(n_entries):
+        entry = ifd_off + 2 + 12 * i
+        if entry + 12 > len(buf):
+            return None
+        tag, vtype = struct.unpack_from(endian + "HH", buf, entry)
+        if tag not in (256, 257):
+            continue
+        if vtype == 3:  # SHORT
+            (val,) = struct.unpack_from(endian + "H", buf, entry + 8)
+        elif vtype == 4:  # LONG
+            (val,) = struct.unpack_from(endian + "I", buf, entry + 8)
+        else:
+            return None
+        if tag == 256:
+            width = int(val)
+        else:
+            height = int(val)
+        if width is not None and height is not None:
+            return width, height
+    return None
+
+
+def _parse_webp_dims(buf: bytes) -> tuple[int, int] | None:
+    """Canvas (width, height) from a RIFF/WEBP payload via the same
+    word-aligned chunk walk as :func:`_parse_wav_header`, reading
+    whichever frame-header chunk appears (RFC 9649 wire layouts):
+    ``VP8 `` lossy (start code ``9D 01 2A`` then 14-bit LE dims),
+    ``VP8L`` lossless (``2F`` then width-1/height-1 packed 14+14 bits),
+    ``VP8X`` extended (24-bit LE canvas minus-one fields). No entropy
+    decoding — the dimensions precede the coded data in all three."""
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = pos + 8
+        if cid == b"VP8 " and body + 10 <= len(buf):
+            if buf[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                return None
+            w, h = struct.unpack_from("<HH", buf, body + 6)
+            return w & 0x3FFF, h & 0x3FFF
+        if cid == b"VP8L" and body + 5 <= len(buf):
+            if buf[body] != 0x2F:
+                return None
+            (bits,) = struct.unpack_from("<I", buf, body + 1)
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if cid == b"VP8X" and body + 10 <= len(buf):
+            w = int.from_bytes(buf[body + 4 : body + 7], "little") + 1
+            h = int.from_bytes(buf[body + 7 : body + 10], "little") + 1
+            return w, h
+        pos = body + size + (size & 1)  # chunks are word-aligned
     return None
 
 
@@ -300,10 +374,11 @@ def decode_images(
 ) -> DataFrame:
     """Decode image payloads to (width, height, payload checksum).
 
-    REAL for headerful formats: BMP/PNG/GIF dimensions are parsed from
-    the bytes by ``_parse_image_header``, and JPEG dimensions by the
-    SOFn marker walk (``_parse_jpeg_dims``) — no codec library
-    involved. Other compressed formats fall back to PIL when importable;
+    REAL for headerful formats: BMP/PNG/GIF/TIFF/WebP dimensions are
+    parsed from the bytes by ``_parse_image_header`` (TIFF via the
+    IFD0 tag walk, WebP via the RIFF chunk walk over all three frame
+    headers), and JPEG dimensions by the SOFn marker walk
+    (``_parse_jpeg_dims``) — no codec library involved. Other compressed formats fall back to PIL when importable;
     otherwise ``allow_fake`` substitutes metadata dimensions, and with
     neither available an unrecognized payload follows ``on_error``:
     ``"raise"`` fails the task (strict pipelines), ``"null"`` emits
@@ -346,9 +421,9 @@ def decode_images(
                         parsed = (int(meta["width"] or 0), int(meta["height"] or 0))
                     elif on_error == "raise":
                         raise NotImplementedError(
-                            "unrecognized image format (not BMP/PNG/GIF) and no "
-                            "codec available; install pillow, pass allow_fake, "
-                            "or use on_error='null'"
+                            "unrecognized image format (not BMP/PNG/GIF/JPEG/"
+                            "TIFF/WebP) and no codec available; install "
+                            "pillow, pass allow_fake, or use on_error='null'"
                         )
                     else:
                         parsed = (None, None)
