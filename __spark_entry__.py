@@ -6419,6 +6419,12 @@ _ROTATION_PRIORITY: list[str] = [
     # re-checks pin that:
     "media_decode",
     "media_jpeg_decode",
+    # r14: stale vouches surfaced by the fingerprint-algo v3 fix (the
+    # module-alias blind spot): their code changed after their r9 rows
+    # without a driver re-check. Both pass the r14 sf0.01+sf0.1 sweeps
+    # on current code; fronted so the driver re-vouches them now:
+    "dsir_resample",
+    "winsorize_values",
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None
