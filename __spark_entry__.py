@@ -2429,6 +2429,20 @@ def q_media_jpeg_decode_progressive(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_tiff_webp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL TIFF + WebP dimension decode: documents become one of
+    three wire formats by doc_id % 3 — little-endian TIFF (IFD0 tag
+    walk), WebP VP8L (14+14-bit packed dims behind the lossless
+    signature), WebP VP8X (24-bit canvas minus-one fields) — and the
+    kernel parses width/height back out of the actual header bytes,
+    exercising every branch the TIFF/WebP parsers have. Oracle
+    rebuilds the same bytes and re-parses each variant's own fields
+    in SQL (mod/div lane arithmetic for VP8L)."""
+    return M.decode_images(
+        M.media_tiff_webp_from_documents(load(spark, sf, "documents"))
+    )
+
+
 def q_media_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio decode: canonical PCM WAV payloads, chunk-walking
     parser extracting (sample_rate, channels, bits, n_samples)."""
@@ -6402,8 +6416,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # put here). Prune entries once a fresh full-green row lands on the
 # tracked record.
 _ROTATION_PRIORITY: list[str] = [
-    # r14: never-checked — the new SOF2 progressive-JPEG decode query:
+    # r14: never-checked — the new SOF2 progressive-JPEG decode query
+    # and the new TIFF/WebP three-variant decode query:
     "media_jpeg_decode_progressive",
+    "media_tiff_webp_decode",
     # r14: fingerprint drift from this round's concurrency-advice fixes
     # (upsert.py sequence lock, storage.py add_columns snapshot +
     # expected_txn CAS, ingest.py idempotent audit) — storage-path
@@ -6698,6 +6714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features": q_media_audio_features,
         "media_jpeg_decode": q_media_jpeg_decode,
         "media_jpeg_decode_progressive": q_media_jpeg_decode_progressive,
+        "media_tiff_webp_decode": q_media_tiff_webp_decode,
         "media_pixel_features": q_media_pixel_features,
         "order_deciles": q_order_deciles,
         "order_percentiles": q_order_percentiles,
@@ -7032,6 +7049,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": M.sql_media_decode(),
         "media_jpeg_decode": M.sql_media_jpeg_decode(),
         "media_jpeg_decode_progressive": M.sql_media_jpeg_decode_progressive(),
+        "media_tiff_webp_decode": M.sql_media_tiff_webp_decode(),
         "media_wav_decode": M.sql_media_wav_decode(),
         "media_audio_features": M.sql_media_audio_features(),
         "media_pixel_features": M.sql_media_pixel_features(),

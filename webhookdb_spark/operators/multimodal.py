@@ -760,6 +760,118 @@ FROM m
 """
 
 
+# TIFF fixture pieces (little-endian, fixed two-entry IFD0): magic +
+# IFD offset 8 + entry count 2; entries are (tag, type LONG, count 1,
+# inline value). Width value lands at byte 18, height at byte 30.
+_TIFF_PRE = "49492A00" + "08000000" + "0200"
+_TIFF_E1 = "0001" + "0400" + "01000000"  # tag 256 (ImageWidth), LONG
+_TIFF_E2 = "0101" + "0400" + "01000000"  # tag 257 (ImageLength), LONG
+_TIFF_NEXT = "00000000"
+_TIFF_W_OFF = 18
+_TIFF_H_OFF = 30
+# WebP fixture pieces: RIFF + size + WEBP, then one frame-header chunk.
+# VP8L payload = signature 2F + the packed (w-1 | (h-1)<<14) u32 at
+# byte 21, odd size 5 so one pad byte; VP8X payload = 4 flag bytes +
+# 24-bit canvas minus-one fields at bytes 24 and 27, even size 10.
+_WEBP_VP8L_PRE = "52494646"  # 'RIFF'; size + 'WEBP' + chunk follow
+_VP8L_BITS_OFF = 21
+_VP8X_W_OFF = 24
+_VP8X_H_OFF = 27
+
+
+def media_tiff_webp_from_documents(docs: DataFrame) -> DataFrame:
+    """Structurally valid TIFF or WebP per document, chosen by
+    ``doc_id % 3``: 0 → little-endian TIFF (two-entry IFD0, LONG
+    width/height), 1 → WebP VP8L (lossless signature + 14+14-bit
+    packed dimensions), 2 → WebP VP8X (extended header, 24-bit canvas
+    fields). The document's UTF-8 bytes trail as image data. Native
+    hex assembly like the BMP/JPEG fixtures — three different wire
+    encodings of the same deterministic dimensions, so the TIFF IFD
+    walk and both WebP frame-header branches all execute at registry
+    scale."""
+    n = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    w = (F.col("doc_id") % 120 + 12).cast("int")
+    h = (F.col("doc_id") % 96 + 12).cast("int")
+    v = F.col("doc_id") % 3
+    text_hex = F.hex(F.encode(F.col("text"), "UTF-8"))
+    tiff = F.concat(
+        F.lit(_TIFF_PRE + _TIFF_E1), _le_hex(w, 4),
+        F.lit(_TIFF_E2), _le_hex(h, 4), F.lit(_TIFF_NEXT), text_hex,
+    )
+    vp8l = F.concat(
+        F.lit(_WEBP_VP8L_PRE), _le_hex(n + F.lit(18), 4),
+        F.lit("57454250" + "5650384C" + "05000000" + "2F"),
+        _le_hex((w - 1) + (h - 1) * 16384, 4), F.lit("00"), text_hex,
+    )
+    vp8x = F.concat(
+        F.lit(_WEBP_VP8L_PRE), _le_hex(n + F.lit(22), 4),
+        F.lit("57454250" + "56503858" + "0A000000" + "00000000"),
+        _le_hex(w - 1, 3), _le_hex(h - 1, 3), text_hex,
+    )
+    content = F.unhex(F.when(v == 0, tiff).when(v == 1, vp8l).otherwise(vp8x))
+    meta = F.struct(
+        F.when(v == 0, F.lit("image/tiff")).otherwise(F.lit("image/webp")).alias("mime"),
+        w.alias("width"),
+        h.alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        content.alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def sql_media_tiff_webp_decode(table: str = "documents") -> str:
+    """DuckDB twin of media_tiff_webp_from_documents → decode_images:
+    assembles the identical bytes as hex, then re-parses the
+    dimensions out of each variant's own wire fields — the TIFF IFD
+    value slots, the VP8L packed u32 (mod/div arithmetic on the
+    14-bit lanes), the VP8X minus-one 24-bit fields — and hashes the
+    payload."""
+    n = "octet_length(encode(text))"
+    w = "(doc_id % 120 + 12)"
+    h = "(doc_id % 96 + 12)"
+    tiff = (
+        f"'{_TIFF_PRE}{_TIFF_E1}' || {_sql_le_hex(w, 4)} || '{_TIFF_E2}' || "
+        f"{_sql_le_hex(h, 4)} || '{_TIFF_NEXT}' || hex(encode(text))"
+    )
+    vp8l = (
+        f"'{_WEBP_VP8L_PRE}' || {_sql_le_hex(f'{n} + 18', 4)} || "
+        f"'574542505650384C050000002F' || "
+        f"{_sql_le_hex(f'({w} - 1) + ({h} - 1) * 16384', 4)} || '00' || "
+        f"hex(encode(text))"
+    )
+    vp8x = (
+        f"'{_WEBP_VP8L_PRE}' || {_sql_le_hex(f'{n} + 22', 4)} || "
+        f"'57454250565038580A00000000000000' || "
+        f"{_sql_le_hex(f'{w} - 1', 3)} || {_sql_le_hex(f'{h} - 1', 3)} || "
+        f"hex(encode(text))"
+    )
+    bits = _sql_le_int("hx", _VP8L_BITS_OFF, 4)
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 3 AS v,
+         CASE doc_id % 3 WHEN 0 THEN {tiff} WHEN 1 THEN {vp8l}
+              ELSE {vp8x} END AS hx
+  FROM {table}
+)
+SELECT media_id,
+       CAST(CASE v WHEN 0 THEN {_sql_le_int("hx", _TIFF_W_OFF, 4)}
+                   WHEN 1 THEN ({bits} % 16384) + 1
+                   ELSE {_sql_le_int("hx", _VP8X_W_OFF, 3)} + 1
+            END AS INTEGER) AS width,
+       CAST(CASE v WHEN 0 THEN {_sql_le_int("hx", _TIFF_H_OFF, 4)}
+                   WHEN 1 THEN (({bits} // 16384) % 16384) + 1
+                   ELSE {_sql_le_int("hx", _VP8X_H_OFF, 3)} + 1
+            END AS INTEGER) AS height,
+       md5(hx) AS checksum
+FROM m
+"""
+
+
 def media_wav_from_documents(docs: DataFrame) -> DataFrame:
     """Canonical 44-byte-header PCM WAV per document (deterministic
     rate/channels from doc_id; UTF-8 text bytes as sample data)."""
