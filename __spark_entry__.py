@@ -2434,8 +2434,9 @@ def q_media_tiff_webp_decode(spark: SparkSession, sf: str) -> DataFrame:
     three wire formats by doc_id % 3 — little-endian TIFF (IFD0 tag
     walk), WebP VP8L (14+14-bit packed dims behind the lossless
     signature), WebP VP8X (24-bit canvas minus-one fields) — and the
-    kernel parses width/height back out of the actual header bytes,
-    exercising every branch the TIFF/WebP parsers have. Oracle
+    kernel parses width/height back out of the actual header bytes.
+    (The VP8-lossy, big-endian-TIFF, and SHORT-typed branches run in
+    the unit/property suites, not at registry scale.) Oracle
     rebuilds the same bytes and re-parses each variant's own fields
     in SQL (mod/div lane arithmetic for VP8L)."""
     return M.decode_images(

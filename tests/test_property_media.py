@@ -33,6 +33,8 @@ _settings = settings(
 _PARSERS = (
     M._parse_image_header,
     M._parse_jpeg_dims,
+    M._parse_tiff_dims,
+    M._parse_webp_dims,
     M._parse_wav_header,
     M._parse_avi_frames,
     M._parse_avi_usec_per_frame,
@@ -58,6 +60,7 @@ def test_parsers_never_raise_on_magic_prefixed_mutations(buf, pos, byte):
     """Adversarial case: buffers that START with a real magic number but
     carry arbitrary mutated tails — the path where offset math runs."""
     for magic in (b"BM", b"\x89PNG\r\n\x1a\n", b"GIF8", b"\xff\xd8",
+                  b"II*\x00", b"MM\x00*", b"RIFF\x20\x00\x00\x00WEBP",
                   b"RIFF\x20\x00\x00\x00WAVE", b"RIFF\x20\x00\x00\x00AVI "):
         b = bytearray(magic + buf)
         if pos < len(b):
@@ -136,6 +139,31 @@ def test_jpeg_roundtrip_and_truncation(w, h, junk, cut):
     M._parse_jpeg_dims(buf[:cut])
 
 
+@given(
+    st.integers(min_value=1, max_value=16384),
+    st.integers(min_value=1, max_value=16384),
+    st.integers(min_value=0, max_value=80),
+)
+@settings(max_examples=120, deadline=None)
+def test_tiff_webp_roundtrip_and_truncation(w, h, cut):
+    tiff = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 2)
+            + struct.pack("<HHI", 256, 4, 1) + struct.pack("<I", w)
+            + struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", h)
+            + struct.pack("<I", 0))
+    assert M._parse_tiff_dims(tiff) == (w, h)
+    M._parse_tiff_dims(tiff[:cut])
+    bits = (w - 1) | ((h - 1) << 14)
+    vp8l = (b"RIFF" + struct.pack("<I", 18) + b"WEBP" + b"VP8L"
+            + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits) + b"\x00")
+    assert M._parse_webp_dims(vp8l) == (w, h)
+    M._parse_webp_dims(vp8l[:cut])
+    vp8x = (b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8X"
+            + struct.pack("<I", 10) + b"\x00" * 4
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    assert M._parse_webp_dims(vp8x) == (w, h)
+    M._parse_webp_dims(vp8x[:cut])
+
+
 # -- layer 3: cross-engine agreement + null-mode resilience ------------------
 
 _text = st.text(
@@ -163,6 +191,7 @@ def test_bmp_and_jpeg_decode_cross_engine(spark, rows):
     for build, sql in (
         (M.media_bmp_from_documents, M.sql_media_decode()),
         (M.media_jpeg_from_documents, M.sql_media_jpeg_decode()),
+        (M.media_tiff_webp_from_documents, M.sql_media_tiff_webp_decode()),
     ):
         got = {
             r.media_id: (r.width, r.height, r.checksum)

@@ -268,6 +268,8 @@ def _parse_tiff_dims(buf: bytes) -> tuple[int, int] | None:
     None (corrupt payloads become filterable rows, not dead tasks)."""
     import struct
 
+    if len(buf) < 8:  # callable on raw bytes too, not just behind magic
+        return None
     endian = "<" if buf[:2] == b"II" else ">"
     (ifd_off,) = struct.unpack_from(endian + "I", buf, 4)
     if ifd_off + 2 > len(buf):
@@ -378,8 +380,8 @@ def decode_images(
     parsed from the bytes by ``_parse_image_header`` (TIFF via the
     IFD0 tag walk, WebP via the RIFF chunk walk over all three frame
     headers), and JPEG dimensions by the SOFn marker walk
-    (``_parse_jpeg_dims``) — no codec library involved. Other compressed formats fall back to PIL when importable;
-    otherwise ``allow_fake`` substitutes metadata dimensions, and with
+    (``_parse_jpeg_dims``) — no codec library involved. Other
+    compressed formats fall back to PIL when importable; otherwise ``allow_fake`` substitutes metadata dimensions, and with
     neither available an unrecognized payload follows ``on_error``:
     ``"raise"`` fails the task (strict pipelines), ``"null"`` emits
     NULL dimensions — the 100 TB posture, where one corrupt payload
@@ -773,7 +775,7 @@ _TIFF_H_OFF = 30
 # VP8L payload = signature 2F + the packed (w-1 | (h-1)<<14) u32 at
 # byte 21, odd size 5 so one pad byte; VP8X payload = 4 flag bytes +
 # 24-bit canvas minus-one fields at bytes 24 and 27, even size 10.
-_WEBP_VP8L_PRE = "52494646"  # 'RIFF'; size + 'WEBP' + chunk follow
+_RIFF_MAGIC = "52494646"  # 'RIFF'; size + 'WEBP' + chunk follow
 _VP8L_BITS_OFF = 21
 _VP8X_W_OFF = 24
 _VP8X_H_OFF = 27
@@ -799,12 +801,12 @@ def media_tiff_webp_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(_TIFF_E2), _le_hex(h, 4), F.lit(_TIFF_NEXT), text_hex,
     )
     vp8l = F.concat(
-        F.lit(_WEBP_VP8L_PRE), _le_hex(n + F.lit(18), 4),
+        F.lit(_RIFF_MAGIC), _le_hex(n + F.lit(18), 4),
         F.lit("57454250" + "5650384C" + "05000000" + "2F"),
         _le_hex((w - 1) + (h - 1) * 16384, 4), F.lit("00"), text_hex,
     )
     vp8x = F.concat(
-        F.lit(_WEBP_VP8L_PRE), _le_hex(n + F.lit(22), 4),
+        F.lit(_RIFF_MAGIC), _le_hex(n + F.lit(22), 4),
         F.lit("57454250" + "56503858" + "0A000000" + "00000000"),
         _le_hex(w - 1, 3), _le_hex(h - 1, 3), text_hex,
     )
@@ -839,13 +841,13 @@ def sql_media_tiff_webp_decode(table: str = "documents") -> str:
         f"{_sql_le_hex(h, 4)} || '{_TIFF_NEXT}' || hex(encode(text))"
     )
     vp8l = (
-        f"'{_WEBP_VP8L_PRE}' || {_sql_le_hex(f'{n} + 18', 4)} || "
+        f"'{_RIFF_MAGIC}' || {_sql_le_hex(f'{n} + 18', 4)} || "
         f"'574542505650384C050000002F' || "
         f"{_sql_le_hex(f'({w} - 1) + ({h} - 1) * 16384', 4)} || '00' || "
         f"hex(encode(text))"
     )
     vp8x = (
-        f"'{_WEBP_VP8L_PRE}' || {_sql_le_hex(f'{n} + 22', 4)} || "
+        f"'{_RIFF_MAGIC}' || {_sql_le_hex(f'{n} + 22', 4)} || "
         f"'57454250565038580A00000000000000' || "
         f"{_sql_le_hex(f'{w} - 1', 3)} || {_sql_le_hex(f'{h} - 1', 3)} || "
         f"hex(encode(text))"
