@@ -70,8 +70,12 @@ FP_FILE = REPO / "tools" / "query_fingerprints.json"
 # follow module-alias attribute references (`M.decode_images(...)`
 # where `M` is a module-level `import ... as M`) — module objects have
 # no __module__, so v2's _is_ours() rejected them and every query
-# written in that style had a closure of just itself + load().
-FP_ALGO = 3
+# written in that style had a closure of just itself + load(). v4:
+# record the module-level assignment source of referenced INSTANCES of
+# our classes (e.g. Converter constants whose lambdas define behavior)
+# — v3 collected functions/classes/modules/scalars only, so editing
+# CONV_TO_I's lambda never drifted json_extraction.
+FP_ALGO = 4
 _OUR_ROOTS = {"webhookdb_spark", "__spark_entry__"}
 
 
@@ -183,6 +187,60 @@ def _collect_sources(fn, seen: dict[str, str], depth: int = 0) -> None:
             _collect_sources(obj, seen, depth + 1)
         elif isinstance(obj, (str, int, float)) and not isinstance(obj, bool):
             seen.setdefault(const_key, repr(obj))
+        elif not isinstance(obj, types.ModuleType) and _is_ours(type(obj)):
+            # an INSTANCE of one of our classes (e.g. a Converter with
+            # behavior-defining lambdas): its construction lives in a
+            # module-level assignment, not in any function source, so
+            # v3 recorded nothing and editing it never drifted a
+            # fingerprint. Record the class closure plus the verbatim
+            # assignment statement that builds the instance.
+            _collect_sources(type(obj), seen, depth + 1)
+            bound = _binding_source(obj)
+            if bound is not None:
+                seen.setdefault(f"inst:{bound[0]}", bound[1])
+
+
+_MOD_AST_CACHE: dict[str, tuple[str, "ast.Module"] | None] = {}
+
+
+def _binding_source(obj) -> tuple[str, str] | None:
+    """("module:NAME", source text) of the module-level assignment that
+    binds ``obj`` in one of our modules, found by identity scan (robust
+    to `from X import Y as Z` renames at the reference site), else
+    None. Deterministic: modules and binding names scanned sorted."""
+    for modname in sorted(sys.modules):
+        if modname.split(".")[0] not in _OUR_ROOTS:
+            continue
+        mod = sys.modules[modname]
+        if not isinstance(mod, types.ModuleType):
+            continue
+        names = sorted(n for n, v in vars(mod).items() if v is obj)
+        if not names:
+            continue
+        cached = _MOD_AST_CACHE.get(modname)
+        if cached is None and modname not in _MOD_AST_CACHE:
+            try:
+                msrc = inspect.getsource(mod)
+                cached = (msrc, ast.parse(msrc))
+            except (OSError, TypeError, SyntaxError):
+                cached = None
+            _MOD_AST_CACHE[modname] = cached
+        if cached is None:
+            continue
+        msrc, tree = cached
+        for stmt in tree.body:
+            if isinstance(stmt, ast.Assign):
+                targets = stmt.targets
+            elif isinstance(stmt, (ast.AnnAssign, ast.AugAssign)):
+                targets = [stmt.target]
+            else:
+                continue
+            for t in targets:
+                if isinstance(t, ast.Name) and t.id in names:
+                    seg = ast.get_source_segment(msrc, stmt)
+                    if seg:
+                        return f"{modname}:{t.id}", seg
+    return None
 
 
 def compute_fingerprints(entrymod) -> dict[str, str]:
