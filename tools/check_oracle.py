@@ -139,6 +139,12 @@ def main() -> int:
             failures += 1
         else:
             print(f"ok   {name}: {len(srows)} rows match")
+    # machine-checkable trailer: progress-bar carriage returns can glue
+    # onto per-query lines when stderr is merged in, so a sweep
+    # post-processor must be able to detect swallowed lines by count
+    n_run = len([n for n in qs if not only or n in only])
+    print(f"SWEEP {n_run - failures} ok / {failures} fail / {n_run} run",
+          flush=True)
     spark.stop()
     return 1 if failures else 0
 
