@@ -158,6 +158,55 @@ def test_fingerprint_closure_resolves_function_local_imports():
     assert any("operators.upsert" in k for k in keys)
 
 
+def test_fingerprint_closure_follows_module_aliases():
+    """Algo v3: `M.decode_images(...)` with a module-level
+    `import ... as M` must pull the operator (and its transitive
+    helpers) into the closure — v2 rejected module objects in
+    _is_ours (they have no __module__), so every query written in
+    that style fingerprinted as just itself + load() and operator
+    edits never drifted it."""
+    import sys
+
+    from tools.rotation_audit import FP_ALGO, _collect_sources
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    assert FP_ALGO >= 3
+    seen = {}
+    _collect_sources(entrymod.q_media_decode, seen)
+    keys = set(seen)
+    assert any("multimodal.decode_images" in k for k in keys), sorted(keys)
+    # and transitively into the raw parsers the kernel dispatches to
+    assert any("multimodal._parse_image_header" in k for k in keys)
+    assert any("multimodal._parse_tiff_dims" in k for k in keys)
+
+
+def test_fingerprint_closure_records_instance_assignments():
+    """Algo v4: a referenced INSTANCE of one of our classes (the
+    Converter constants, whose lambdas define cross-engine behavior)
+    must contribute its module-level assignment source — otherwise
+    editing CONV_TO_I's spark/sql lambda never drifts
+    json_extraction."""
+    import sys
+
+    from tools.rotation_audit import FP_ALGO, _collect_sources
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    assert FP_ALGO >= 4
+    seen = {}
+    _collect_sources(entrymod.queries()["json_extraction"], seen)
+    key = "inst:webhookdb_spark.functions.converters:CONV_TO_I"
+    assert key in seen, sorted(k for k in seen if k.startswith("inst:"))
+    # the recorded text is the verbatim assignment, lambdas included
+    assert seen[key].startswith("CONV_TO_I = Converter(")
+    assert "lambda" in seen[key]
+    # and the class closure rode along
+    assert any("converters.Converter" in k for k in seen)
+
+
 def test_rotation_record_matches_audit_view():
     """queries()'s ordering source and the audit must read the SAME
     record (git-tracked correctness files): a divergence would let the
