@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webhookdb_spark.operators.util import sql_str_lit
+from webhookdb_spark.operators.util import scale_out, sql_str_lit
 
 _EPOCH = "1970-01-01"
 
@@ -277,7 +277,12 @@ def numeric_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
             F.sum((x * x).cast("decimal(38,12)")).alias(f"sxx_{tag}"),
             F.sum((y * y).cast("decimal(38,12)")).alias(f"syy_{tag}"),
         ]
-    moments = df.agg(*aggs)
+    # Partial aggregation of the 6*|pairs| decimal moment sums happens
+    # in the scan stage; scale_out spreads it when the input is one fat
+    # file (no-op on a many-split scan). Project to the needed columns
+    # first so the round-robin exchange moves only them. Decimal sums
+    # are order-independent, so the result is partitioning-invariant.
+    moments = scale_out(df.select(*cols)).agg(*aggs)
     # All pair rows come from the ONE moments row via a single explode
     # — a per-pair union would re-execute the aggregate (and rescan the
     # table) once per pair, which the plan gate
@@ -1641,6 +1646,12 @@ def poisson_bootstrap_ci(
     b = df.select(F.col(id_col).alias("_id"), d.alias("_d")).where(
         d.isNotNull()
     )
+    # The n_replicates-way explode + per-(id,b) md5 + CASE ladder all
+    # run in the SCAN stage; a coarse input (one row group) would pin
+    # that 100x-amplified work to one task. scale_out is a no-op on an
+    # already-parallel scan and costs one narrow shuffle of the (id,
+    # value) pairs — 1/n_replicates of the work it parallelizes.
+    b = scale_out(b)
     reps = b.select(
         "_id", "_d",
         F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("_b"),

@@ -86,7 +86,10 @@ def embed_decontaminate(
     # is ONE dot fold instead of three (dot + both norms re-folded
     # pair-wise) — same arithmetic chain, measured ~3x on the sf0.1
     # fixture. The oracle twin hoists identically in CTEs.
-    t = train.select(
+    # The |eval|-way nested loop (one dot fold per pair) is fused into
+    # the train scan; scale_out spreads it when the train input is one
+    # fat file (no-op on a many-split scan at real scale).
+    t = scale_out(train.select(id_col, vec_col)).select(
         F.col(id_col).alias("train_id"),
         F.col(vec_col).alias("t_vec"),
         _norm(F.col(vec_col)).alias("t_norm"),
