@@ -85,7 +85,7 @@ def main() -> None:
                 print(f"--- {name}: {len(jobs)} jobs ---")
                 for j in jobs:
                     dur = ms(j, "completionTime") - ms(j, "submissionTime")
-                    desc = (j.get("description") or j["name"])[:110]
+                    desc = j["name"].split("\n")[0][:110]
                     print(f"  job {j['jobId']:>4} {dur:7.3f}s "
                           f"tasks={j['numTasks']:<4} {desc}")
         print(f"{name}: min={min(times):.3f}  runs="

@@ -78,13 +78,15 @@ class IncrementalAggMaintainer:
     def watermark(self) -> int:
         return int(self._meta()["watermark"])
 
-    def _read(self, part: str) -> DataFrame | None:
+    def _read(self, part: str, schema=None) -> DataFrame | None:
         m = self._meta()
         if not m["current"]:
             return None
-        return self.spark.read.parquet(
-            str(self.path / m["current"] / part)
-        )
+        reader = self.spark.read
+        if schema is not None:
+            # Known layout: skip the footer schema-inference job.
+            reader = reader.schema(schema)
+        return reader.parquet(str(self.path / m["current"] / part))
 
     def state(self) -> DataFrame | None:
         """Per-key contributions (key, group, value), or None before
@@ -124,8 +126,18 @@ class IncrementalAggMaintainer:
             F.col(self.group_col).alias("group"),
             F.col(self.value_col).cast("long").alias("value"),
         )
+        # Materialize the compacted window ONCE: fresh feeds the
+        # retract semi-join, the apply deltas, AND the new-state union
+        # — un-pinned, each consumer re-reads the feed dirs and re-runs
+        # the per-key compaction window (4 passes per run). Batch-sized
+        # by construction (one row per touched key), the same posture
+        # as the upsert path's shaped-batch checkpoint.
+        fresh = fresh.localCheckpoint(eager=True)
 
-        state = self.state()
+        state = self._read(
+            "state",
+            schema=fresh.schema,  # state IS last run's new_state shape
+        )
         if state is None:
             state = self.spark.createDataFrame(
                 [], "key long, group string, value long"
@@ -149,7 +161,18 @@ class IncrementalAggMaintainer:
                 F.col("value").cast("long").alias("dv"),
             )
         )
-        agg = self.aggregate()
+        from pyspark.sql import types as _T
+
+        agg = self._read(
+            "agg",
+            schema=_T.StructType(
+                [
+                    fresh.schema["group"],
+                    _T.StructField("n_keys", _T.LongType()),
+                    _T.StructField("total", _T.LongType()),
+                ]
+            ),
+        )
         base = (
             agg.select(
                 "group",
@@ -175,6 +198,11 @@ class IncrementalAggMaintainer:
         new_dir = self.path / f"v_{new_wm}"
         new_state.write.mode("overwrite").parquet(str(new_dir / "state"))
         new_agg.write.mode("overwrite").parquet(str(new_dir / "agg"))
+        from webhookdb_spark.operators.upsert import (
+            _release_local_checkpoint,
+        )
+
+        _release_local_checkpoint(fresh)
         tmp = self.path / "meta.json.tmp"
         tmp.write_text(
             _json.dumps({"watermark": new_wm, "current": f"v_{new_wm}"})
