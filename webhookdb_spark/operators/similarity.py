@@ -1561,6 +1561,40 @@ def _pq_refine(
     return out
 
 
+def ivfpq_cells(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    cbs: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes, cent_id) in ONE narrow map over the corpus.
+
+    The coarse assignment (:func:`ivf_assign`) and the PQ encoding
+    (:func:`pq_encode`) are both pure per-row expressions over the
+    same vector, so computing them side by side replaces the
+    assign-scan + encode-scan + vec_id shuffle join that previously
+    re-paired them: two full corpus scans and two Exchanges collapse
+    to one scan with no join. Expressions are copied verbatim from
+    the two operators, so codes and cell ids are bit-identical."""
+    m, d = len(cbs), len(cbs[0][0])
+    cb_lit = _pq_cb_lit(cbs)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.element_at(F.col("c_vec"), s * d + i).cast("double"),
+        ),
+    )
+    b = bind(assigned, "_subs", subs)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _pq_assign_code(cb_lit, s, F.element_at(F.col("_subs"), s + 1)),
+    )
+    return b.select("vec_id", codes.alias("codes"), "cent_id")
+
+
 def pq_encode(
     corpus: DataFrame,
     cbs: list[list[list[float]]],
@@ -1805,16 +1839,13 @@ def ann_topk_ivfpq(
     carries a full value-hash oracle.
     """
     spark = corpus.sparkSession
-    # coarse quantizer + cell assignment (ivf machinery)
+    # coarse quantizer + subspace codebooks, then ONE combined
+    # assign+encode map (see ivfpq_cells)
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     for _ in range(n_refine):
         cents = ivf_refine(corpus, cents, id_col, vec_col)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
-
-    # PQ codes (subspace codebooks over the full corpus)
     cbs = pq_codebooks(corpus, m, ksub, n_refine, id_col, vec_col)
-    codes = pq_encode(corpus, cbs, id_col, vec_col)
-    cells = codes.join(assigned.select("vec_id", "cent_id"), "vec_id")
+    cells = ivfpq_cells(corpus, cents, cbs, id_col, vec_col)
 
     # probe the nprobe nearest cells per query
     cent_df = spark.createDataFrame(
@@ -2594,10 +2625,8 @@ def write_ivfpq_index(
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
         for _ in range(n_refine):
             cents = ivf_refine(corpus, cents, id_col, vec_col)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
     cbs = codebooks or pq_codebooks(corpus, m, ksub, n_refine, id_col, vec_col)
-    codes = pq_encode(corpus, cbs, id_col, vec_col)
-    cells = codes.join(assigned.select("vec_id", "cent_id"), "vec_id")
+    cells = ivfpq_cells(corpus, cents, cbs, id_col, vec_col)
     cells.write.mode("overwrite").partitionBy("cent_id").parquet(path)
     read_schema = (
         cells.drop("cent_id").withColumn("cent_id", F.lit(0).cast("int")).schema
@@ -2719,9 +2748,7 @@ def append_to_ivfpq_index(
     meta = json.loads((Path(path) / "_ivfpq_meta.json").read_text())
     cents = [[float(x) for x in c] for c in meta["centroids"]]
     cbs = [[list(map(float, cw)) for cw in cb] for cb in meta["codebooks"]]
-    assigned = ivf_assign(new_vectors, cents, id_col, vec_col)
-    codes = pq_encode(new_vectors, cbs, id_col, vec_col)
-    cells = codes.join(assigned.select("vec_id", "cent_id"), "vec_id")
+    cells = ivfpq_cells(new_vectors, cents, cbs, id_col, vec_col)
     cells.write.mode("append").partitionBy("cent_id").parquet(path)
 
 
