@@ -612,6 +612,9 @@ def _ii_write_segment(idx: DataFrame, seg_dir) -> None:
         .sortWithinPartitions("shard", "token", "chunk")
         .write.partitionBy("shard")
         .mode("overwrite")
+        # segment dirs are written fresh; skip the dynamic-overwrite
+        # commit path
+        .option("partitionOverwriteMode", "static")
         .parquet(str(seg_dir))
     )
 

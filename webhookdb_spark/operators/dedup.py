@@ -1558,6 +1558,9 @@ def _span_write_segment(counts: DataFrame, seg_dir) -> None:
         .sortWithinPartitions("shard", "h")
         .write.partitionBy("shard")
         .mode("overwrite")
+        # segment dirs are written fresh; skip the dynamic-overwrite
+        # commit path
+        .option("partitionOverwriteMode", "static")
         .parquet(str(seg_dir))
     )
 

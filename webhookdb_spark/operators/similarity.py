@@ -2246,7 +2246,9 @@ def write_lsh_index(
         .select("vec_id", "vec", "_sig", tbl)
         .select("vec_id", "vec", "tbl", tsig.alias("sig"))
     )
-    rows.write.mode("overwrite").partitionBy("tbl", "sig").parquet(path)
+    rows.write.mode("overwrite").partitionBy("tbl", "sig").option(
+        "partitionOverwriteMode", "static"  # replace-the-index semantics
+    ).parquet(path)
     # record the exact read schema: without it Spark type-INFERS the
     # sig partition value and "010101" silently becomes the int 10101
     read_schema = (
@@ -2392,7 +2394,9 @@ def write_ivf_index(
         for _ in range(n_refine):
             cents = ivf_refine(corpus, cents, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    assigned.write.mode("overwrite").partitionBy("cent_id").option(
+        "partitionOverwriteMode", "static"  # replace-the-index semantics
+    ).parquet(path)
     read_schema = (
         assigned.drop("cent_id").withColumn("cent_id", F.lit(0).cast("int")).schema
     )
@@ -2627,7 +2631,9 @@ def write_ivfpq_index(
             cents = ivf_refine(corpus, cents, id_col, vec_col)
     cbs = codebooks or pq_codebooks(corpus, m, ksub, n_refine, id_col, vec_col)
     cells = ivfpq_cells(corpus, cents, cbs, id_col, vec_col)
-    cells.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    cells.write.mode("overwrite").partitionBy("cent_id").option(
+        "partitionOverwriteMode", "static"  # replace-the-index semantics
+    ).parquet(path)
     read_schema = (
         cells.drop("cent_id").withColumn("cent_id", F.lit(0).cast("int")).schema
     )

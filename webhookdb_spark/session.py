@@ -51,6 +51,12 @@ def get_spark(
         # callers convert with timestamp_micros(ns div 1000), which
         # truncates exactly like DuckDB's ns→us read.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Nothing in the engine reads _SUCCESS markers; skip writing
+        # them (one driver-side FS op per write job).
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+            "false",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

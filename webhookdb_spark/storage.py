@@ -566,6 +566,10 @@ class ManagedTable:
         (
             out.write.partitionBy(PART_COL)
             .mode("overwrite")
+            # staging dir is fresh (txn+writer-unique): the session-wide
+            # dynamic overwrite mode would route this through the slower
+            # per-partition commit for nothing
+            .option("partitionOverwriteMode", "static")
             .parquet(str(staging))
         )
         def _abort(reason: str) -> None:

@@ -162,6 +162,12 @@ class IngestPipeline:
         else:
             (
                 audited.write.mode("overwrite").partitionBy("_day")
+                # whole-batch replace IS the idempotence contract: a
+                # re-executed micro-batch rewrites its _batch dir with
+                # identical content, so the static commit path (replace
+                # the dir) is equivalent to dynamic and skips its
+                # slower per-partition protocol
+                .option("partitionOverwriteMode", "static")
                 .parquet(f"{self.audit_table_path}/_batch={int(audit_batch_id)}")
             )
 
