@@ -646,7 +646,9 @@ def bloom_decontaminate(
             _bloom_probe_kernel(words, n_bits, k),
             "doc_id long, n_flagged_ngrams int, n_ngrams int, flagged boolean",
         )
-    words_lit = F.array(*[F.lit(w).cast("long") for w in words])
+    from webhookdb_spark.operators.util import lit_longs
+
+    words_lit = lit_longs(words)
 
     def bit_set(p: Column) -> Column:
         word = F.element_at(words_lit, F.floor(p / 32).cast("int") + 1)

@@ -52,6 +52,12 @@ def pagerank(
         )
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        # The edge set feeds every iteration's contrib join PLUS outdeg
+        # and verts (~2 + iters lineage references); pin it once so the
+        # upstream scan+distinct runs a single time instead of being
+        # re-executed per reference. (Blocks are freed when the ranks
+        # RDD is GC'd — same posture as scd2_apply's history pin.)
+        .localCheckpoint(eager=True)
     )
     verts = (
         e.select(F.col("src").alias("v"))

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from webhookdb_spark.operators.util import bind, scale_out
+from webhookdb_spark.operators.util import bind, lit_doubles, scale_out
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -485,7 +485,7 @@ def plane_dots(vec: Column, planes: list[list[float]]) -> Column:
     32 separate per-plane aggregates compile a ~planes×dims node tree
     and ran ~6× slower end-to-end). Dots are rounded to 6 places so
     sign decisions are engine-portable."""
-    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    planes_lit = lit_doubles([list(p) for p in planes])
     return F.transform(
         planes_lit,
         lambda p: F.round(
@@ -919,8 +919,8 @@ def ivf_assign(
     # expression list recompiles a ~C×dim-node tree on every new centroid
     # set (~3× slower end-to-end at C=8).
     b = bind(scale_out(corpus.select(id_col, vec_col)), "_vn", _norm(F.col(vec_col)))
-    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    norms_lit = F.array(*[F.lit(math.sqrt(sum(x * x for x in c))) for c in centroids])
+    cents_lit = lit_doubles([list(c) for c in centroids])
+    norms_lit = lit_doubles([math.sqrt(sum(x * x for x in c)) for c in centroids])
     # zero-norm guard matches :func:`cosine`'s 0.0 convention
     scores = F.zip_with(
         cents_lit,
@@ -1459,10 +1459,7 @@ def _floor6(c: Column) -> Column:
 
 
 def _pq_cb_lit(cbs: list[list[list[float]]]) -> Column:
-    return F.array(*[
-        F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in cb])
-        for cb in cbs
-    ])
+    return lit_doubles([[list(cw) for cw in cb] for cb in cbs])
 
 
 def _pq_subvectors(corpus: DataFrame, m: int, d: int, id_col: str, vec_col: str) -> DataFrame:
@@ -2081,8 +2078,8 @@ def embedding_cluster_profile(
         cents = ivf_refine(corpus, cents, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
-    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-    norms_lit = F.array(*[F.lit(math.sqrt(sum(x * x for x in c))) for c in cents])
+    cents_lit = lit_doubles([list(c) for c in cents])
+    norms_lit = lit_doubles([math.sqrt(sum(x * x for x in c)) for c in cents])
     cvec = F.element_at(cents_lit, F.col("cent_id") + 1)
     cnrm = F.element_at(norms_lit, F.col("cent_id") + 1)
     vn = _norm(F.col("c_vec"))
@@ -2790,9 +2787,7 @@ def rp_project(
         n_dims = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(out_dims, n_dims, tag="rp")
     scale = (3.0 / out_dims) ** 0.5
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
-    )
+    planes_lit = lit_doubles([list(p) for p in planes])
     proj = F.transform(
         planes_lit,
         lambda p: _floor6(
@@ -2946,10 +2941,8 @@ def pca_project(
     array-literal transform shape as :func:`rp_project`; no UDF, no
     shuffle), so projecting appended vectors under a FROZEN model is
     exactly the same arithmetic as projecting them at training time."""
-    mean_lit = F.array(*[F.lit(float(x)) for x in model["mean"]])
-    comps_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in model["components"]]
-    )
+    mean_lit = lit_doubles(list(model["mean"]))
+    comps_lit = lit_doubles([list(c) for c in model["components"]])
     centered = F.zip_with(
         F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m
     )
@@ -3005,13 +2998,11 @@ def pca_invariants(
     gram = comps @ comps.T
     ortho_ppm = int(round(float(np.abs(gram - np.eye(len(comps))).max()) * 1e6))
 
-    mean_lit = F.array(*[F.lit(float(x)) for x in model["mean"]])
-    comps_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in model["components"]]
-    )
+    mean_lit = lit_doubles(list(model["mean"]))
+    comps_lit = lit_doubles([list(c) for c in model["components"]])
     # d×k transpose literal for the reconstruction R·proj
-    compsT_lit = F.array(*[
-        F.array(*[F.lit(float(comps[r][j])) for r in range(len(comps))])
+    compsT_lit = lit_doubles([
+        [float(comps[r][j]) for r in range(len(comps))]
         for j in range(comps.shape[1])
     ])
 

@@ -40,6 +40,48 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def lit_doubles(vals) -> Column:
+    """A (possibly nested) list of finite floats as ONE array literal.
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round-trip per element
+    — a 8x64 centroid matrix is ~500 driver calls (~0.4 s measured),
+    and the ANN operators build several per query. Rendering the whole
+    nested array as a single ``expr`` string is one round-trip and
+    value-identical: ``repr(float)`` is the shortest IEEE-754
+    round-trip form, and CAST(string AS DOUBLE) parses it back to the
+    same bits. Guarded to finite values (the callers' md5-derived
+    planes/centroids/codebooks are always finite).
+    """
+    import math
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            if not v:
+                raise ValueError("lit_doubles: empty array level")
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        f = float(v)
+        if not math.isfinite(f):
+            raise ValueError(f"lit_doubles: non-finite value {v!r}")
+        return f"CAST('{f!r}' AS DOUBLE)"
+
+    return F.expr(render(vals))
+
+
+def lit_longs(vals) -> Column:
+    """A (possibly nested) list of ints as ONE array<bigint> literal —
+    the integer twin of :func:`lit_doubles` (a 2^16-bit bloom bitmap
+    is 2048 words, i.e. 2048 py4j round-trips as per-element lits)."""
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            if not v:
+                raise ValueError("lit_longs: empty array level")
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        return f"{int(v)}L"
+
+    return F.expr(render(vals))
+
+
 def sql_str_lit(x) -> str:
     """Render a Python string as a SQL string literal, escaping embedded
     single quotes (the only metacharacter inside a standard literal).
