@@ -442,7 +442,9 @@ class DatabaseSyncTarget:
             spark = pending.sparkSession
             dest = str(self.dest_path)
             if Path(dest).exists():
-                existing = spark.read.parquet(dest)
+                # Replica layout is fixed (written from this same plan
+                # shape last cycle): pin the schema, skip footer inference.
+                existing = spark.read.schema(pending.schema).parquet(dest)
                 merged = (
                     existing.join(
                         pending.select(self.key_col), on=self.key_col, how="left_anti"
@@ -451,11 +453,15 @@ class DatabaseSyncTarget:
                 )
                 tmp = dest + ".staging"
                 merged.write.mode("overwrite").parquet(tmp)
-                final = spark.read.parquet(tmp)
-                final.write.mode("overwrite").parquet(dest)
+                # Swap the staged dir into place with a rename instead of
+                # re-reading tmp and rewriting dest (a second full replica
+                # write). Crash exposure is no wider than the overwrite
+                # path it replaces (overwrite also deletes dest first).
+                import os
                 import shutil
 
-                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.rmtree(dest, ignore_errors=True)
+                os.replace(tmp, dest)
             else:
                 pending.write.parquet(dest)
         st["last_synced_at"] = now
@@ -489,28 +495,45 @@ class DatabaseSyncTarget:
         st = self.state.load()
         last_txn = int(st.get("last_synced_txn", 0))
         window = changes_since(table, last_txn)
-        max_txn = window.agg(F.max("_txn").alias("m")).first().m
+        # One aggregation pass gives both the new watermark and the
+        # synced-row count: the compaction keeps exactly one row per key
+        # in the window, so countDistinct(key) == pending.count() (merge
+        # keys are non-null by shaping — a NULL remote key never reaches
+        # the change feed). The old shape ran first() + count() as two
+        # jobs, the second re-executing the window compaction.
+        stats_row = window.agg(
+            F.max("_txn").alias("m"),
+            F.countDistinct(table.manifest.key).alias("n"),
+        ).first()
+        max_txn = stats_row.m
         if max_txn is None:
             st.setdefault("stats", []).append({"synced": 0, "at": now})
             self.state.save(st)
             return 0
+        n = int(stats_row.n)
         pending = latest_change_per_key(window, table.manifest.key).drop(
             "_action", "_txn"
         )
-        n = pending.count()
         spark = pending.sparkSession
         dest = str(self.dest_path)
         if Path(dest).exists():
-            existing = spark.read.parquet(dest)
+            # Replica schema is fixed by the table's (it was written from
+            # this same pending shape): skip footer schema inference.
+            existing = spark.read.schema(pending.schema).parquet(dest)
             merged = existing.join(
                 pending.select(self.key_col), on=self.key_col, how="left_anti"
             ).unionByName(pending)
             tmp = dest + ".staging"
             merged.write.mode("overwrite").parquet(tmp)
-            spark.read.parquet(tmp).write.mode("overwrite").parquet(dest)
+            # Rename-swap the staged replica instead of re-reading tmp and
+            # rewriting dest — that second pass rewrote the ENTIRE replica
+            # every sync cycle. Crash exposure is no wider than overwrite
+            # mode's own delete-then-write on dest.
+            import os
             import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(dest, ignore_errors=True)
+            os.replace(tmp, dest)
         else:
             pending.write.parquet(dest)
         st["last_synced_txn"] = int(max_txn)
