@@ -6417,31 +6417,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # put here). Prune entries once a fresh full-green row lands on the
 # tracked record.
 _ROTATION_PRIORITY: list[str] = [
-    # r14: never-checked — the new SOF2 progressive-JPEG decode query
-    # and the new TIFF/WebP three-variant decode query:
-    "media_jpeg_decode_progressive",
-    "media_tiff_webp_decode",
-    # r14: fingerprint drift from this round's concurrency-advice fixes
-    # (upsert.py sequence lock, storage.py add_columns snapshot +
-    # expected_txn CAS, ingest.py idempotent audit) — storage-path
-    # queries re-check on the changed code:
+    # r15 (optimization round): fingerprint drift from this round's
+    # performance changes — single-pass IVF/PQ cell+code computation,
+    # one-expr nested array literals (lit_doubles/lit_longs), static
+    # partitioned-write commit path, IVM feed-window pinning, pagerank
+    # edge-set localCheckpoint, map-heavy stage repartitioning. All
+    # pass the r15 sf0.01/sf0.1 oracle sweeps on current code; fronted
+    # so the driver re-vouches them on the optimized code:
+    "ann_ivf_topk",
+    "ann_ivfpq_persisted",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "ann_rp_topk",
+    "bootstrap_value_ci",
+    "cluster_profile",
+    "decontaminate_bloom",
+    "embed_decontaminate",
+    "embed_decontaminate_ivf",
+    "embed_near_dup",
+    "embed_near_dup_ivf",
+    "embed_pca_project",
+    "embed_rp_project",
+    "inverted_index_persisted",
+    "lineitem_correlations",
     "matview_event_totals",
     "pipeline_lifecycle",
-    "upsert_merge",
     "scd2_feed_maintained",
+    "span_store_incremental",
     "table_diff",
-    # r14: fingerprint drift from the TIFF/WebP header-dimension
-    # parsers added to _parse_image_header (decode_images closure);
-    # no testdata payload is TIFF/WebP so results are unchanged —
-    # re-checks pin that:
-    "media_decode",
-    "media_jpeg_decode",
-    # r14: stale vouches surfaced by the fingerprint-algo v3 fix (the
-    # module-alias blind spot): their code changed after their r9 rows
-    # without a driver re-check. Both pass the r14 sf0.01+sf0.1 sweeps
-    # on current code; fronted so the driver re-vouches them now:
-    "dsir_resample",
-    "winsorize_values",
+    "trade_pagerank",
+    "upsert_merge",
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None
