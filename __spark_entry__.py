@@ -2745,7 +2745,13 @@ def q_scd2_feed_maintained(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("ts").alias("received_at"),
                 F.col("event_id").alias("_seq"),
             )
-            upsert_envelopes(table, env, spec)
+            # Whole-keyspace batches: every window spans the user_id
+            # space, so pass the documented bulk-load routing hint and
+            # skip the per-batch bucket-discovery scan (merge_upsert
+            # docstring). Feed-driven consumers see the same change
+            # set — "keep" rows never enter the feed.
+            upsert_envelopes(table, env, spec,
+                             buckets=list(range(spec.n_buckets)))
             mt.run(table)
         return mt.history().localCheckpoint(eager=True)
     finally:
@@ -3150,7 +3156,11 @@ def q_matview_event_totals(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("ts").alias("received_at"),
                 F.col("event_id").alias("_seq"),
             )
-            upsert_envelopes(table, env, spec)
+            # Whole-keyspace batches (see scd2_feed_maintained): the
+            # routing hint skips the per-batch discovery scan; the IVM
+            # consumes the identical change feed.
+            upsert_envelopes(table, env, spec,
+                             buckets=list(range(spec.n_buckets)))
             mt.run(table)
         return mt.aggregate().select(
             F.col("group").alias("event_type"), "n_keys", "total"
@@ -6322,8 +6332,12 @@ def q_pipeline_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("ts").alias("received_at"),
                 F.col("event_id").alias("_seq"),
             )
+            # Whole-keyspace arrival windows: the bulk-load routing
+            # hint (merge_upsert docstring) skips the per-batch bucket
+            # discovery scan; IVM and sync consume the identical feed.
             upsert_envelopes_with_contract(
-                table, env, spec, rules, f"{root}/quarantine"
+                table, env, spec, rules, f"{root}/quarantine",
+                buckets=list(range(spec.n_buckets)),
             )
             mt.run(table)  # IVM consumes the feed BEFORE the sync trims
             target.run_sync_changes(
