@@ -6456,6 +6456,8 @@ _ROTATION_PRIORITY: list[str] = [
     "lineitem_correlations",
     "matview_event_totals",
     "pipeline_lifecycle",
+    "profile_orders",
+    "profile_orders_approx",
     "scd2_feed_maintained",
     "span_store_incremental",
     "table_diff",

@@ -63,8 +63,14 @@ def profile_columns(
     ~1/sqrt(k-2) relative error, exact below ``kmv_k`` distincts).
     Same output schema; every other statistic stays exact. The exact
     mode remains the oracle twin."""
+    from webhookdb_spark.operators.util import scale_out
+
     cols = columns or df.columns
-    stream = df.select(
+    # The explode amplifies every input row by len(cols) and both
+    # aggregations inherit the scan's partitioning — a one-file table
+    # profiles in ONE task without this (scale_out is a no-op once the
+    # scan itself is parallel).
+    stream = scale_out(df.select(*cols)).select(
         F.explode(
             F.array(*[
                 F.struct(
