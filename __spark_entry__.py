@@ -6446,6 +6446,7 @@ _ROTATION_PRIORITY: list[str] = [
     "bootstrap_value_ci",
     "cluster_profile",
     "decontaminate_bloom",
+    "dedup_eval",
     "embed_decontaminate",
     "embed_decontaminate_ivf",
     "embed_near_dup",
@@ -6453,8 +6454,10 @@ _ROTATION_PRIORITY: list[str] = [
     "embed_pca_project",
     "embed_rp_project",
     "inverted_index_persisted",
+    "jaccard_prefix_pairs",
     "lineitem_correlations",
     "matview_event_totals",
+    "pipeline_curate",
     "pipeline_lifecycle",
     "profile_orders",
     "profile_orders_approx",

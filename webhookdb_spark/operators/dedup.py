@@ -1178,7 +1178,13 @@ def _word_ngram_stream(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
         lambda x: x != "",
     )
-    base = df.select("doc_id", words.alias("_w"))
+    # The tokenize + shingle transform is the CPU cost of the whole
+    # prefix join and inherits the scan's partitioning — a one-file
+    # corpus shingles in ONE task (scale_out is a no-op once the scan
+    # itself is parallel).
+    base = scale_out(df.select("doc_id", F.col(text_col))).select(
+        "doc_id", words.alias("_w")
+    )
     if ngram == 1:
         toks = F.array_distinct(F.col("_w"))
     else:
