@@ -219,3 +219,39 @@ def test_rotation_record_matches_audit_view():
     audit_latest, _ = load_record()
     entry_latest = entrymod._latest_driver_round()
     assert entry_latest == audit_latest
+
+
+def test_retro_round_commit_regex_matches_documented_forms(monkeypatch):
+    """r14 ADVICE: _round_commits only matched 'round N: verdict...'
+    while the docstring claims the verdict/advice/... family — a
+    record commit titled with another documented lead word made its
+    round silently unauditable."""
+    import tools.retro_vouch_audit as rv
+
+    class _R:
+        stdout = (
+            "aaa round 9: verdict/advice/correctness/bench\n"
+            "bbb round 10: advice records\n"
+            "ccc round 11: correctness refresh\n"
+            "ddd round 12: bench records\n"
+            "eee round 13: something unrelated\n"
+            "fff not a record commit\n"
+        )
+
+    monkeypatch.setattr(rv.subprocess, "run", lambda *a, **k: _R())
+    assert set(rv._round_commits()) == {9, 10, 11, 12}
+
+
+def test_retro_unlocatable_round_with_vouches_fails(monkeypatch, capsys):
+    """r14 ADVICE: a round that holds vouches but has no locatable
+    round-close commit must FAIL the audit (exit 1), not warn and
+    exit 0 — exiting clean there vouches blind."""
+    import sys as _sys
+
+    import tools.retro_vouch_audit as rv
+
+    monkeypatch.setattr(rv, "_round_commits", lambda: {})
+    monkeypatch.setattr(rv, "_fps_at", lambda root: {})
+    monkeypatch.setattr(_sys, "argv", ["retro_vouch_audit.py"])
+    assert rv.main() == 1
+    assert "FAIL" in capsys.readouterr().out

@@ -183,3 +183,42 @@ def test_uuid7_format_and_time_ordering(spark):
     assert len(set(vals)) == 50
     # time prefix is the same batch-millisecond or later vs a past stamp
     assert all(v >= "017" for v in vals)
+
+
+def test_fill_retries_once_on_stolen_reservation(spark, tmp_warehouse, monkeypatch):
+    """r14 ADVICE: _reserve aborts a stolen-lock reservation with
+    'caller retries', but fill() (its only caller) never retried, so a
+    transient steal failed the whole fill. fill() now absorbs exactly
+    one steal (the abort commits nothing, so an immediate retry is
+    safe) and a persistent steal still propagates."""
+    import pytest
+
+    from webhookdb_spark.operators.upsert import IntegrationSequence
+    from webhookdb_spark.storage import ConcurrentWriteError
+
+    s = IntegrationSequence(tmp_warehouse / "retry_seq")
+    real = s._reserve
+    calls = {"n": 0}
+
+    def flaky(n):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConcurrentWriteError("stolen during reservation")
+        return real(n)
+
+    monkeypatch.setattr(s, "_reserve", flaky)
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, counter long"
+    )
+    out = s.fill(df, "counter")
+    assert sorted(r["counter"] for r in out.collect()) == [1, 2]
+    assert calls["n"] == 2  # one steal absorbed, one success
+    assert s.watermark() == 2  # advanced exactly once
+
+    def always_stolen(n):
+        raise ConcurrentWriteError("stolen during reservation")
+
+    monkeypatch.setattr(s, "_reserve", always_stolen)
+    with pytest.raises(ConcurrentWriteError):
+        s.fill(spark.createDataFrame([(3, None)], "id long, counter long"),
+               "counter")

@@ -1030,3 +1030,42 @@ def test_streaming_endpoint_clock_is_batch_derived(spark, tmp_warehouse):
     assert [r["my_id"] for r in table.read().collect()] == ["old1"]
     audit = spark.read.parquet(str(tmp_warehouse / "audit"))
     assert audit.collect()[0]["_reject_reason"] is None
+
+
+def test_audit_legacy_scan_runs_once_per_pipeline(spark, tmp_warehouse):
+    """r14 ADVICE: _write_audit re-scanned the audit root for legacy
+    _day= dirs on EVERY micro-batch. The scan result is now cached per
+    pipeline instance: once a scan finds no legacy dirs (or a
+    migration completes) later batches skip the iterdir entirely —
+    proven behaviorally by planting a legacy-shaped dir after the flag
+    is set and observing it is NOT migrated (the pre-r14 layout cannot
+    reappear under a live pipeline; only a fresh process re-checks)."""
+    audit_path = tmp_warehouse / "audit_once"
+    wh = Warehouse(spark, tmp_warehouse / "wh_once")
+    pipeline = IngestPipeline(
+        warehouse=wh, audit_table_path=str(audit_path))
+    pipeline.register(IntegrationRuntime(
+        opaque_id="svi_a", org="org1", spec=FAKE_V1))
+
+    def envelope_df(my_id):
+        return spark.createDataFrame([{
+            "integration_opaque_id": "svi_a",
+            "service_name": "fake_v1",
+            "request_method": "POST",
+            "request_path": "/v1/service_integrations/svi_a",
+            "headers": {"Whdb-Secret": "s"},
+            "body": json.dumps(
+                {"my_id": my_id, "at": "2024-06-01T00:00:00Z"}),
+            "received_at": "2024-06-01T00:00:00.000Z",
+        }]).withColumn(
+            "received_at", F.col("received_at").cast("timestamp"))
+
+    pipeline.process_batch(envelope_df("a1"), audit_batch_id=1)
+    pipeline.process_batch(envelope_df("a2"), audit_batch_id=2)
+    assert pipeline._audit_migrated is True
+    # plant a legacy-shaped dir AFTER the flag is cached: a skipped
+    # scan leaves it untouched (before the fix every batch migrated it)
+    legacy = audit_path / "_day=2099-01-01"
+    legacy.mkdir()
+    pipeline.process_batch(envelope_df("a3"), audit_batch_id=3)
+    assert legacy.is_dir()  # not migrated: the per-batch scan is gone

@@ -1149,3 +1149,41 @@ def test_add_columns_bumps_txn_under_cas(spark, tmp_warehouse):
     assert t.manifest.txn == txn0 + 2
     got = t.read().collect()
     assert got[0]["extra"] == 7
+
+
+def test_add_columns_redo_skips_rewrite_when_backfill_complete(
+    spark, tmp_warehouse
+):
+    """r14 ADVICE: a routine idempotent ensure-columns call that passes
+    a backfill expression for an already-present column paid a full
+    table rewrite on EVERY invocation. The redo path now probes for
+    remaining NULLs (LIMIT 1) and early-returns when the first
+    attempt's backfill already completed — no manifest commit, no
+    rewrite. A column that genuinely still has NULLs keeps rewriting."""
+    from pyspark.sql import types as T
+
+    t = ManagedTable(spark, tmp_warehouse / "org" / "evolve_redo")
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("data", T.StringType()),
+    ])
+    t.create(schema, key="k", n_buckets=2)
+    t.overwrite_all(spark.createDataFrame([("a", "{}"), ("b", "{}")], schema))
+    t.add_columns([T.StructField("extra", T.LongType())],
+                  backfill={"extra": F.lit(7)})
+    txn_after_first = t.manifest.txn
+    # idempotent re-run (startup ensure-columns): nothing left to fill
+    t.add_columns([T.StructField("extra", T.LongType())],
+                  backfill={"extra": F.lit(7)})
+    assert t.manifest.txn == txn_after_first  # no commit, no rewrite
+    assert sorted(r["extra"] for r in t.read().collect()) == [7, 7]
+
+    # a redo with NULLs remaining still completes the backfill
+    t2 = ManagedTable(spark, tmp_warehouse / "org" / "evolve_redo2")
+    t2.create(schema, key="k", n_buckets=2)
+    t2.overwrite_all(spark.createDataFrame([("a", "{}")], schema))
+    t2.add_columns([T.StructField("extra", T.LongType())], backfill=None)
+    assert t2.read().collect()[0]["extra"] is None
+    t2.add_columns([T.StructField("extra", T.LongType())],
+                   backfill={"extra": F.lit(9)})
+    assert t2.read().collect()[0]["extra"] == 9

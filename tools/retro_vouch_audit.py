@@ -72,7 +72,12 @@ def _round_commits() -> dict[int, str]:
     commits: dict[int, str] = {}
     for line in out.splitlines():
         sha, _, subject = line.partition(" ")
-        m = re.match(r"round (\d+): verdict", subject)
+        # Match every documented round-close subject form — the
+        # records have shipped as "round N: verdict/advice/..." with
+        # varying tails (r14 ADVICE: the verdict-only match made a
+        # differently-titled record commit silently unauditable).
+        m = re.match(r"round (\d+): (verdict|advice|correctness|bench)",
+                     subject)
         if m:
             commits.setdefault(int(m.group(1)), sha)
     return commits
@@ -91,11 +96,17 @@ def main() -> int:
     head_fps = _fps_at(str(REPO))
 
     stale: dict[str, int] = {}
+    unauditable = 0
     for rnd in rounds:
         commit = commits.get(rnd)
         if commit is None:
+            # r14 ADVICE: a round holding vouches that cannot be
+            # located is an audit FAILURE, not a warning — exiting 0
+            # here would vouch blind.
+            n = sum(1 for v in vouch.values() if v == rnd)
             print(f"r{rnd}: NO round-close commit found — cannot audit "
-                  f"{sum(1 for v in vouch.values() if v == rnd)} vouches")
+                  f"{n} vouches (FAIL)")
+            unauditable += n
             continue
         qs = sorted(q for q, v in vouch.items() if v == rnd)
         with tempfile.TemporaryDirectory(prefix=f"retro_r{rnd}_") as wt:
@@ -125,6 +136,10 @@ def main() -> int:
         print("remedy: python tools/rotation_audit.py --update --unvouch "
               + " ".join(sorted(stale)) + "  and front them in "
               "_ROTATION_PRIORITY")
+        return 1
+    if unauditable:
+        print(f"retro vouch audit: {unauditable} vouch(es) in rounds with "
+              "no locatable round-close commit")
         return 1
     print("retro vouch audit: clean — every vouched fingerprint matches HEAD")
     return 0

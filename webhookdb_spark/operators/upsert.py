@@ -168,7 +168,18 @@ class IntegrationSequence:
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
-        wm = self._reserve(acc)
+        # A stolen lock aborts the reservation without committing
+        # anything (r14 ADVICE: _reserve's "caller retries" contract
+        # was aspirational — nothing retried). One immediate retry is
+        # safe (the aborted attempt wrote nothing) and absorbs the
+        # transient steal; a second failure propagates, since repeated
+        # steals mean the 10s stale bound is genuinely being tripped.
+        from webhookdb_spark.storage import ConcurrentWriteError
+
+        try:
+            wm = self._reserve(acc)
+        except ConcurrentWriteError:
+            wm = self._reserve(acc)
         off = F.element_at(
             F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
             F.col("_pid"),

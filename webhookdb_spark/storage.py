@@ -805,6 +805,20 @@ class ManagedTable:
             self.spark.read.schema(schema).parquet(*paths)
             if paths else self.spark.createDataFrame([], schema)
         )
+        if not add:
+            # Redo-only retry (r14 ADVICE): a routine idempotent
+            # ensure-columns call that passes a backfill expression for
+            # an already-present column must not pay a full-table
+            # rewrite on every invocation. The coalesce rewrite only
+            # changes NULL cells, so one bounded existence probe (any
+            # NULL in any redo column, LIMIT 1) decides whether there
+            # is anything left to complete.
+            has_null = None
+            for f in redo:
+                c = F.col(f.name).isNull()
+                has_null = c if has_null is None else (has_null | c)
+            if not base.where(has_null).limit(1).take(1):
+                return
         df = base.withColumn(PART_COL, bucket_expr(m.key, m.n_buckets))
         for fld in add:
             expr = (backfill or {}).get(fld.name)

@@ -129,30 +129,45 @@ class IngestPipeline:
         from pathlib import Path
 
         root = Path(self.audit_table_path)
-        if root.is_dir():
+        # One-shot migration (r14 ADVICE): once a scan has found no
+        # legacy dirs, every later micro-batch skips the iterdir — the
+        # pre-r14 layout cannot reappear under this pipeline. The flag
+        # is per-instance, so a fresh process re-checks once, which is
+        # exactly the migration contract. NOTE: while dirs are
+        # mid-rename a concurrent READER can transiently hit Spark's
+        # 'Conflicting directory structures' partition-discovery error
+        # — the window is one os.rename per legacy day and closes
+        # permanently after the first post-migration write.
+        if getattr(self, "_audit_migrated", False):
+            legacy = []
+        elif root.is_dir():
             legacy = [p for p in root.iterdir()
                       if p.is_dir() and p.name.startswith("_day=")]
-            if legacy:
-                dest = root / "_batch=-1"
-                dest.mkdir(exist_ok=True)
-                for p in legacy:
-                    try:
-                        os.rename(p, dest / p.name)
-                    except OSError:
-                        # a concurrent writer migrated it first, or the
-                        # target day already exists (two legacy writers)
-                        # — merge file-by-file in that case
-                        tgt = dest / p.name
-                        if tgt.is_dir():
-                            for f in p.iterdir():
-                                try:
-                                    os.rename(f, tgt / f.name)
-                                except OSError:
-                                    pass
+            self._audit_migrated = not legacy
+        else:
+            legacy = []
+        if legacy:
+            dest = root / "_batch=-1"
+            dest.mkdir(exist_ok=True)
+            for p in legacy:
+                try:
+                    os.rename(p, dest / p.name)
+                except OSError:
+                    # a concurrent writer migrated it first, or the
+                    # target day already exists (two legacy writers)
+                    # — merge file-by-file in that case
+                    tgt = dest / p.name
+                    if tgt.is_dir():
+                        for f in p.iterdir():
                             try:
-                                p.rmdir()
+                                os.rename(f, tgt / f.name)
                             except OSError:
                                 pass
+                        try:
+                            p.rmdir()
+                        except OSError:
+                            pass
+            self._audit_migrated = True
         audited = enveloped.withColumn("_day", F.to_date("received_at"))
         if audit_batch_id is None:
             (
