@@ -923,3 +923,54 @@ def test_backfill_requires_credentials_from_dependency(spark, tmp_warehouse):
                        match="Intercom Auth integration has a valid Auth Token"):
         bf2.backfill()
     assert attempts["n"] == 1  # fetch never ran for bf2
+
+
+def test_dependency_table_pager_pages_with_keyset_cursor(spark, tmp_warehouse):
+    """r14 VERDICT order: the pager returned the WHOLE parent table as
+    one page (token always None) and collected every projected body to
+    the driver, where the reference pages at 1,000 rows
+    (organization.rb:24). It now keyset-paginates on the dependency
+    table's remote key: at most page_size bodies per fetch, cursor
+    token = last key of the page, and the paged traversal is
+    exhaustive and duplicate-free."""
+    import datetime as dt
+    import json as _json
+
+    from webhookdb_spark.operators.upsert import upsert_envelopes
+    from webhookdb_spark.replicators.sponsy import SPONSY_SLOT_V1
+    from webhookdb_spark.sources.backfill import dependency_table_pager
+
+    now = dt.datetime(2026, 8, 16, 12, 0, 0)
+
+    def slot_body(i):
+        ts = now.isoformat() + "Z"
+        return {
+            "id": f"slot-{i}", "publication_id": "pub1",
+            "createdAt": ts, "updatedAt": ts,
+            "customer": {"id": f"cust-{i}", "updatedAt": ts,
+                         "createdAt": ts, "name": f"C{i}", "logo": "",
+                         "notes": None, "portalText": None,
+                         "portalId": "p1"},
+        }
+
+    wh = Warehouse(spark, tmp_warehouse / "wh_pager")
+    slots = wh.table("org1", SPONSY_SLOT_V1.table)
+    env = spark.createDataFrame(
+        [(_json.dumps(slot_body(i)), now) for i in range(5)],
+        "body string, received_at timestamp",
+    )
+    upsert_envelopes(slots, env, SPONSY_SLOT_V1)
+
+    fetch = dependency_table_pager(slots, "customer", page_size=2)
+    seen, token, pages = [], None, 0
+    while True:
+        items, token = fetch(token, None)
+        assert len(items) <= 2  # page envelope honored
+        seen.extend(it["id"] for it in items)
+        pages += 1
+        if token is None:
+            break
+        assert isinstance(token, str)  # cursor is a string token
+    assert pages >= 3  # 5 rows at page_size=2 cannot be one page
+    assert sorted(seen) == [f"cust-{i}" for i in range(5)]
+    assert len(seen) == len(set(seen))  # no duplicates across pages

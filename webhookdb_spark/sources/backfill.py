@@ -205,6 +205,7 @@ def dependency_table_pager(
     table,
     json_path: str,
     ts_col: str = "updated_at",
+    page_size: int = 1000,
 ) -> PageFetcher:
     """PageFetcher reading the managed TABLE of a dependency
     integration — the reference's "a replicator backfilling against
@@ -217,27 +218,36 @@ def dependency_table_pager(
     backfill item. Rows whose projection is absent are skipped, like
     the reference's nil-customer slots.
 
-    Scale note: the filter + JSON projection run IN SPARK; only the
-    projected bodies cross to the driver loop (the same driver-side
-    page shape as any fetch_page). Dependency tables here are
-    dimension-sized (slots per publication, episodes per show). For a
-    corpus-sized dependency feed the right tool is the change-stream
-    consumer (operators/matview.scd2 / stream_changes), not a paged
-    backfill."""
+    Scale note: the filter + JSON projection run IN SPARK and the
+    driver sees at most ``page_size`` projected bodies per fetch —
+    keyset pagination on the table's (unique, non-null) remote key,
+    matching the reference's 1,000-row page envelope
+    (organization.rb:24). Each page is one ordered top-K job; the
+    cursor token is the last key of the previous page, so a
+    dimension-sized OR large dependency table streams through bounded
+    driver memory. For a corpus-sized dependency feed the right tool
+    is still the change-stream consumer (operators/matview.scd2 /
+    stream_changes), not a paged backfill."""
     from pyspark.sql import functions as F
 
     def fetch(token: str | None, last) -> tuple[list[dict], str | None]:
         df = table.read()
         if last:
             df = df.where(F.col(ts_col) > F.lit(str(last)).cast("timestamp"))
-        bodies = [
-            r[0]
-            for r in df.select(
-                F.get_json_object(F.col("data"), f"$.{json_path}")
-            ).collect()
-            if r[0] is not None
-        ]
-        return [json.loads(b) for b in bodies], None
+        key = table.manifest.key
+        ktype = df.schema[key].dataType
+        proj = df.select(
+            F.col(key).alias("_k"),
+            F.get_json_object(F.col("data"), f"$.{json_path}").alias("_b"),
+        ).where(F.col("_b").isNotNull())
+        if token is not None:
+            proj = proj.where(F.col("_k") > F.lit(token).cast(ktype))
+        rows = proj.orderBy("_k").limit(page_size).collect()
+        items = [json.loads(r["_b"]) for r in rows]
+        next_token = (
+            str(rows[-1]["_k"]) if len(rows) == page_size else None
+        )
+        return items, next_token
 
     return fetch
 
