@@ -270,6 +270,46 @@ def test_capture_changes_off_skips_cdc_write(spark, tmp_warehouse):
     assert any((tmp_warehouse / "org" / "fake_v1" / "_changes").iterdir())
 
 
+def test_hinted_merge_empty_batch_no_txn_churn(spark, tmp_warehouse):
+    """A buckets hint must not defeat the empty-batch early return: a
+    hinted merge of ZERO rows (e.g. a contract upsert whose batch fully
+    quarantined) takes the no-op path — zero counts, no txn bump, no
+    bucket rewrites. Regression pin: on an empty table the hinted empty
+    merge used to collapse the observed plan to an empty LocalRelation,
+    dropping the CollectMetrics node so Observation.get raised a py4j
+    assertion; on a non-empty table it rewrote every hinted bucket as
+    'keep' rows."""
+    import datetime as dt
+    import json
+
+    from webhookdb_spark.replicators.fake import FAKE_V1
+    from webhookdb_spark.storage import Warehouse
+
+    t = Warehouse(spark, str(tmp_warehouse)).table("org", "fake_hint")
+    hint = range(FAKE_V1.n_buckets)
+    empty_env = spark.createDataFrame(
+        [], "body string, received_at timestamp"
+    )
+    # empty table: the shape that asserted inside Observation.get
+    res = upsert_envelopes(t, empty_env, FAKE_V1, buckets=hint)
+    assert (res.inserted, res.updated, res.noop) == (0, 0, 0)
+    assert res.changed.count() == 0
+    txn0 = t.manifest.txn
+    # non-empty table: still a no-op — no txn bump, rows intact
+    env = spark.createDataFrame(
+        [(json.dumps({"my_id": "k1", "at": "2024-06-01T00:00:00Z"}),
+          dt.datetime(2026, 1, 1))],
+        "body string, received_at timestamp",
+    )
+    upsert_envelopes(t, env, FAKE_V1, buckets=hint)
+    txn1 = t.manifest.txn
+    assert txn1 == txn0 + 1
+    res2 = upsert_envelopes(t, empty_env, FAKE_V1, buckets=hint)
+    assert (res2.inserted, res2.updated, res2.noop) == (0, 0, 0)
+    assert t.manifest.txn == txn1
+    assert t.read().count() == 1
+
+
 def test_zorder_write_narrows_file_stats_on_both_dimensions(spark, tmp_path):
     """A table created with zorder=(x, y) must produce parquet files
     whose min/max stats are narrow on BOTH columns, so a predicate on

@@ -270,7 +270,15 @@ def merge_upsert(
     key = spec.remote_key.name
     part_src = spec.partition_key_source or key
     if buckets is not None:
-        affected = list(buckets)
+        # The hint skips discovery, but an empty batch must still take the
+        # no-txn-churn early return below (discovery would have found no
+        # buckets): without it a hinted no-op merge rewrites every hinted
+        # bucket as "keep" rows, and on an empty table the merged plan
+        # collapses to an empty LocalRelation, dropping the CollectMetrics
+        # node so Observation.get fails. isEmpty is one limit-1 job over
+        # the (already checkpointed) batch — far cheaper than the distinct
+        # shuffle+collect the hint replaced.
+        affected = [] if batch.isEmpty() else list(buckets)
     else:
         # Column-pruned discovery pass over the PRE-dedup batch: dedup
         # never changes the key set, so this skips the row_number shuffle
