@@ -38,6 +38,7 @@ from webhookdb_spark.operators import history as H  # noqa: E402
 from webhookdb_spark.operators import skew as SKW  # noqa: E402
 from webhookdb_spark.operators import digest as DG  # noqa: E402
 from webhookdb_spark.operators import text as X  # noqa: E402
+from webhookdb_spark.operators.util import scale_out  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -5754,7 +5755,12 @@ def q_orders_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
     ext = F.col("l_extendedprice").cast("string").try_cast(dec)
     dis = F.col("l_discount").cast("string").try_cast(dec)
     tax = F.col("l_tax").cast("string").try_cast(dec)
-    per = li.groupBy("l_orderkey").agg(
+    # Three string round-trips + a decimal multiply chain per row is
+    # CPU the single-file scan task would otherwise run alone;
+    # scale_out spreads it (no-op on a multi-file input).
+    per = scale_out(
+        li.select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    ).groupBy("l_orderkey").agg(
         F.sum(
             (ext * (F.lit(1).cast(dec) - dis) * (F.lit(1).cast(dec) + tax))
             .cast("decimal(38,12)")
@@ -6457,6 +6463,10 @@ _ROTATION_PRIORITY: list[str] = [
     "jaccard_prefix_pairs",
     "lineitem_correlations",
     "matview_event_totals",
+    # second-tier pass: co_occurrence distinct-stream localCheckpoint;
+    # reconciliation pre-aggregation scale_out
+    "orders_reconciliation",
+    "parts_bought_together",
     "pipeline_curate",
     "pipeline_lifecycle",
     "profile_orders",

@@ -506,9 +506,18 @@ def co_occurrence(
     back broadcast (distinct items are dimension-sized next to the
     pair stream). A basket with B items emits B(B-1)/2 pairs — bound B
     upstream for degenerate baskets (carts, not crawls)."""
-    s = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    s = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        # Three consumers (both join sides + the support aggregate)
+        # re-executed the scan+distinct subtree — two of them under
+        # broadcast builds, where exchange reuse never applies. Pin it
+        # once; blocks are freed when the RDD is GC'd (same posture as
+        # pagerank's edge pin).
+        .localCheckpoint(eager=True)
+    )
     a = s.select("basket", F.col("item").alias("item_a"))
     b = s.select("basket", F.col("item").alias("item_b"))
     pairs = (
