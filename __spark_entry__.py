@@ -4267,7 +4267,14 @@ def q_length_quality_grid(spark: SparkSession, sf: str) -> DataFrame:
     window), so the grid is value-hash exact. Output one row per
     occupied (len_decile, quality_decile) cell."""
     docs = load(spark, sf, "documents")
-    q = TX.quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    # Four consumers (the count, both global ranks, the join spine)
+    # otherwise re-execute the quality_score text heuristics — the
+    # query's CPU cost. Pin the narrow 3-col result once.
+    q = (
+        TX.quality_score(docs)
+        .select("doc_id", "n_tokens", "quality_score")
+        .localCheckpoint(eager=True)
+    )
     n = q.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     rl = SA.global_rank(q, ["n_tokens", "doc_id"], rank_col="_rl").select(
         "doc_id", "_rl"
@@ -6453,6 +6460,10 @@ _ROTATION_PRIORITY: list[str] = [
     "cluster_profile",
     "decontaminate_bloom",
     "dedup_eval",
+    # second-tier pass: repeated-subtree pins (dsir cnts table,
+    # quality-score grid spine)
+    "dsir_importance",
+    "dsir_resample",
     "embed_decontaminate",
     "embed_decontaminate_ivf",
     "embed_near_dup",
@@ -6461,6 +6472,7 @@ _ROTATION_PRIORITY: list[str] = [
     "embed_rp_project",
     "inverted_index_persisted",
     "jaccard_prefix_pairs",
+    "length_quality_grid",
     "lineitem_correlations",
     "matview_event_totals",
     # second-tier pass: co_occurrence distinct-stream localCheckpoint;

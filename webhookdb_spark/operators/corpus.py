@@ -1175,6 +1175,13 @@ def dsir_logweights(
         grams.select("doc_id", "lang", bucket.alias("_b"))
         .groupBy("doc_id", "lang", "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
+        # Two consumers (bucket statistics and the final per-doc join)
+        # otherwise re-execute the explode+hash+groupBy subtree — the
+        # query's whole CPU cost — because the stats branch sits under
+        # a broadcast build where exchange reuse does not apply. Pin
+        # the compressed table (<= n_buckets rows per doc); blocks are
+        # freed when the RDD is GC'd (pagerank posture).
+        .localCheckpoint(eager=True)
     )
     is_t = (F.col("lang") == target_lang).cast("long")
     bstats = cnts.groupBy("_b").agg(
