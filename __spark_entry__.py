@@ -6475,6 +6475,8 @@ _ROTATION_PRIORITY: list[str] = [
     "length_quality_grid",
     "lineitem_correlations",
     "matview_event_totals",
+    # second-tier pass: frame-set distinct pin (4 demux executions -> 1)
+    "media_video_near_dup",
     # second-tier pass: co_occurrence distinct-stream localCheckpoint;
     # reconciliation pre-aggregation scale_out
     "orders_reconciliation",

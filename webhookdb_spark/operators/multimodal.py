@@ -1779,7 +1779,16 @@ def frame_set_similarity(
     key to pre-filter, exactly like a stop-word in a token join.
     """
     num, den = threshold_num, threshold_den
-    u = frames.select("media_id", "checksum").distinct()
+    # Three consumers (both self-join sides + the per-video sizes)
+    # otherwise re-execute the upstream frame stream — for the AVI
+    # path that is the container assembly + demux kernel, the whole
+    # cost of the query. Pin the tiny (media_id, checksum) set once;
+    # blocks are freed when the RDD is GC'd (pagerank posture).
+    u = (
+        frames.select("media_id", "checksum")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sz = u.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n"))
     inter = (
         u.alias("a")
