@@ -595,19 +595,23 @@ def test_bucketed_colocated_join_has_no_exchange(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
-def test_dsir_reuses_gram_aggregate_stage(spark):
+def test_dsir_gram_aggregate_materialized_once(spark):
     """dsir_importance consumes its (doc_id, bucket) count table from
     three places (bucket stats, the totals row, the per-doc join); at
-    100 TB the gram explode must run ONCE, not once per consumer. The
-    static plan shows three scan branches, but AQE stage reuse
-    collapses them — pin that: the executed adaptive plan must carry
-    reused stages and touch the heavy gram aggregate a single time."""
+    100 TB the gram explode must run ONCE, not once per consumer.
+    r15: AQE stage reuse only collapsed part of that fan-out (the
+    profile still showed twin gram jobs, and pinning won its
+    interleaved A/B ~1.5x), so the count table now carries one eager
+    localCheckpoint at operator build. Pin the stronger invariant: the
+    final plan reads the pinned RDD everywhere and contains NO corpus
+    scan at all — a reappearing parquet scan means a consumer escaped
+    the pin and the gram explode is being re-executed."""
     df = entry.queries()["dsir_importance"](spark, SF)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    reused = len(re.findall(r"ReusedQueryStage|ReusedExchange", plan))
-    assert reused >= 2, f"gram stage recomputed (reused={reused})"
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
 
 
 def test_span_novelty_single_scan_two_shuffles(spark):
