@@ -37,6 +37,82 @@ STRAGGLER_RATIO = 3.0
 STRAGGLER_EXTRA_RUNS = 2
 
 
+def warm_jit(spark) -> None:
+    """Data-independent JVM warm-up of the shared expression machinery
+    (guide §1: measure steady-state throughput, not cold-start).
+
+    One JVM runs the whole suite, so without this the FIRST queries to
+    exercise a hot library path — MessageDigest/md5, NumberConverter/
+    conv, Decimal arithmetic, the regex engine, UTF8String ops, array
+    higher-order functions, window/sort machinery, JSON codecs, join
+    hash/merge paths — are billed HotSpot's one-time interpreted
+    execution + tiered-compilation of those paths. Measured on a quiet
+    host (r15): the md5+decimal replicate query read 30.7s on its first
+    execution and 3.1s warm — a 10x artifact that made a query's
+    recorded time depend on its POSITION in the suite, and pushed the
+    host-speed canary itself to 2.3-3.4s when its warm reading is
+    ~0.86s vs a 0.765 floor. Everything below is computed from
+    spark.range() literals and discarded via the noop sink; no input
+    data is touched and nothing a query computes is cached.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    # hash draws / string shaping / decimal aggregation (md5-uniform
+    # CDF draws, str2inthash-style conv, exact-decimal sums)
+    s = F.concat_ws(":", F.col("id").cast("string"),
+                    (F.col("id") % 97).cast("string"))
+    u = F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long") % 1_000_000
+    d = (F.col("id") % 9973).cast("string").try_cast("decimal(18,6)")
+    w = (F.when(u < 367_879, 0).when(u < 735_759, 1)
+          .when(u < 919_699, 2).otherwise(3))
+    (spark.range(0, 12_000_000)
+     .select((F.col("id") % 211).alias("g"), u.alias("u"), w.alias("w"),
+             d.alias("d"), F.xxhash64(s).alias("x"),
+             F.crc32(s.cast("binary")).alias("c"),
+             F.length(F.regexp_replace(s, "[0-9]+", "x")).alias("r"),
+             F.length(F.element_at(F.split(s, ":"), 2)).alias("sp"),
+             F.levenshtein(F.substring(s, 1, 8),
+                           F.reverse(F.substring(s, 1, 8))).alias("lv"),
+             F.length(F.unhex(F.hex(F.col("id")))).alias("uh"))
+     .groupBy("g")
+     .agg(F.sum(F.col("d") * F.col("w")).alias("sd"),
+          F.sum("u").alias("su"),
+          F.percentile(F.col("x").cast("double"), F.lit(0.5)).alias("p"),
+          F.count(F.lit(1)).alias("n"))
+     .write.format("noop").mode("overwrite").save())
+    # higher-order array funcs, explode, windows, JSON round-trip
+    arr = F.sequence(F.lit(0), F.lit(24))
+    wdw = Window.partitionBy(F.col("id") % 64).orderBy("e", "id")
+    (spark.range(0, 500_000)
+     .select("id",
+             F.aggregate(F.transform(arr, lambda x: x * (F.col("id") % 7)),
+                         F.lit(0).cast("long"),
+                         lambda a, x: a + x).alias("ho"),
+             F.array_sort(F.transform(arr, lambda x: -x)).alias("srt"),
+             F.explode(F.slice(arr, 1, 4)).alias("e"))
+     .withColumn("j", F.to_json(F.struct("id", "e")))
+     .withColumn("back", F.from_json("j", "id long, e int").getField("e"))
+     .withColumn("rn", F.row_number().over(wdw))
+     .withColumn("lg", F.lag("e").over(wdw))
+     .write.format("noop").mode("overwrite").save())
+    # join machinery: one sort-merge, one broadcast, one global sort
+    a = spark.range(0, 1_000_000).select(
+        (F.col("id") % 200_000).alias("k"), F.col("id").alias("v"))
+    b = spark.range(0, 1_000_000).select(
+        (F.col("id") % 200_000).alias("k"), (F.col("id") * 2).alias("w2"))
+    (a.join(b.hint("merge"), "k")
+      .groupBy((F.col("k") % 101).alias("g"))
+      .agg(F.sum(F.col("v") + F.col("w2")).alias("s"))
+      .write.format("noop").mode("overwrite").save())
+    sm = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("m"))
+    (a.join(F.broadcast(sm), "k").select(F.length("m").alias("l"), "v")
+      .groupBy("l").count().write.format("noop").mode("overwrite").save())
+    (spark.range(0, 1_000_000)
+      .select(F.md5(F.col("id").cast("string")).alias("m"))
+      .orderBy("m").write.format("noop").mode("overwrite").save())
+
+
 def measure_canary(spark) -> float:
     """Min-of-2 wall time of a fixed, data-independent Spark job:
     xxhash64 over 400M generated longs, shuffled into ~2000 groups
@@ -81,6 +157,10 @@ def main() -> None:
     # spin up the Python/Arrow worker pool so the first pandas-UDF
     # query isn't billed for it
     spark.range(8).mapInPandas(lambda it: it, "id long").count()
+    # JIT warm-up of shared expression paths (see warm_jit docstring):
+    # runs BEFORE the canary so the canary measures the host, not the
+    # JVM's tiered-compilation state.
+    warm_jit(spark)
 
     # Steady-state timing: each query runs at least twice and reports
     # the min — the first execution pays one-off whole-stage-codegen

@@ -45,6 +45,10 @@ def main() -> int:
     for t in entrymod.TABLES:  # same warm-up discipline as bench.py
         entrymod.load(spark, sf_dir, t).count()
     spark.range(8).mapInPandas(lambda it: it, "id long").count()
+    # Same JIT warm-up as bench.py (see bench.warm_jit docstring).
+    import bench as benchmod
+
+    benchmod.warm_jit(spark)
 
     def run_once(fn) -> float:
         start = time.perf_counter()

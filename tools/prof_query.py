@@ -47,6 +47,12 @@ def main() -> None:
     for t in entrymod.TABLES:
         entrymod.load(spark, sf_dir, t).count()
     spark.range(8).mapInPandas(lambda it: it, "id long").count()
+    # Same JIT warm-up as bench.py so isolated prof numbers are
+    # comparable to in-bench readings (fresh JVM per prof invocation
+    # otherwise re-pays tiered compilation the bench absorbed).
+    import bench as benchmod
+
+    benchmod.warm_jit(spark)
 
     def job_snapshot():
         import json

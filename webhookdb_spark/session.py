@@ -27,6 +27,7 @@ def get_spark(
         # coalescing makes the exact number less load-bearing.
         shuffle_partitions = cpus
 
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -44,7 +45,20 @@ def get_spark(
         # Arrow for the few pandas-UDF paths (canonical JSON, RRULE, ICS).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", driver_mem)
+        # Commit the heap up front (cluster executors run with fixed
+        # heaps; local-mode default lets the heap grow lazily, so the
+        # first heavy queries pay page-fault + heap-resize stalls that
+        # steady-state throughput never sees — guide §1 cold-start vs
+        # steady-state). -Xms mirrors spark.driver.memory so the pair
+        # can never disagree. No-op if the JVM is already running.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTIONS",
+                f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Read parquet TIMESTAMP(NANOS) (unsupported natively) as long;
