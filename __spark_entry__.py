@@ -45,23 +45,50 @@ TABLES = (
 ).split()
 
 
+# Constructed base-table plans, keyed by session then (sf_dir, table).
+# spark.read.parquet() re-derives metadata on EVERY call — parquet
+# footer schema inference plus DataSource/FileIndex setup, measured
+# 85-100 ms per call on local files — and a query touches up to 6
+# tables, so plan CONSTRUCTION paid ~0.2-0.5 s of pure metadata
+# re-derivation per query. The input files are immutable for a given
+# sf_dir, so the first read's plan is authoritative; later loads reuse
+# it (guide §6: explicit ReadSchema / listing reuse — the same
+# footer-skip the storage/matview reads already use, and what
+# spark.table() gives you for free on a catalog table). Only the LAZY
+# plan (schema + file listing) is reused: DataFrames are immutable,
+# nothing row-valued is cached, and every action still computes from
+# the parquet inputs. Keyed weakly by the SparkSession so a stopped
+# session's plans are never handed to a new one (tests spin up
+# several sessions per process).
+from weakref import WeakKeyDictionary  # noqa: E402
+
+_LOAD_PLANS: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    per_session = _LOAD_PLANS.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
         # natively; read it as long ns (runtime-settable legacy conf)
         # and truncate to µs exactly like DuckDB's ns→µs read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            # Keep the raw int64 alongside the derived timestamp: filters
-            # on a derived column cannot reach the parquet scan, so range
-            # queries add an equivalent `_ts_ns` predicate (ts_filter) and
-            # get row-group pruning back.
-            df = df.withColumn("_ts_ns", F.col("ts")).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Keep the raw int64 alongside the derived timestamp: filters
+        # on a derived column cannot reach the parquet scan, so range
+        # queries add an equivalent `_ts_ns` predicate (ts_filter) and
+        # get row-group pruning back.
+        df = df.withColumn("_ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    per_session[key] = df
+    return df
 
 
 def _epoch_us(ts_str: str) -> int:
