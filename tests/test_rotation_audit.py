@@ -68,23 +68,35 @@ def test_fingerprint_code_change_makes_query_needy(monkeypatch):
     fingerprint differs from the vouched one (and with no driver row
     newer than the fingerprint record) must be treated as needy — if
     it sits deep in the registry the audit goes red with NEEDY-BURIED,
-    exactly like a never-checked query."""
+    exactly like a never-checked query.
+
+    Pinned on a SYNTHETIC fully-vouched baseline (every stored fp set
+    to the current computed fp, vouched at its latest row) rather than
+    the repo's live vouch state: a round that edits shared
+    infrastructure (r15: ``load()``) legitimately drifts EVERY
+    closure, making the whole registry needy at once — burial is then
+    vacuously impossible and the live state can't host this assertion
+    (the same repo-independence discipline as
+    test_rotation_sorted_orders_needy_first)."""
     import tools.rotation_audit as ra
 
-    stored = ra.load_fingerprints()
-    assert stored is not None
-    # Pick the LAST registry entry (freshest, deepest position) and
-    # pretend its code changed since its vouched round.
     import sys
 
     sys.path.insert(0, str(REPO))
     import __spark_entry__ as entrymod
 
-    victim = list(entrymod.queries().keys())[-1]
-    fake = json.loads(json.dumps(stored))
+    registry = list(entrymod.queries().keys())
+    victim = registry[-1]
+    latest, newest = load_record()
+    fps = ra.compute_fingerprints(entrymod)
+    fake = {
+        "recorded_at": max(newest, latest.get(victim, 0)),
+        "algo": ra.FP_ALGO,
+        "queries": {
+            q: {"fp": fps[q], "vouched": latest.get(q)} for q in registry
+        },
+    }
     fake["queries"][victim]["fp"] = "0" * 64
-    latest, _ = load_record()
-    fake["recorded_at"] = max(fake["recorded_at"], latest.get(victim, 0))
     monkeypatch.setattr(ra, "load_fingerprints", lambda: fake)
     problems = ra.audit()
     assert any(p.startswith(f"NEEDY-BURIED {victim}") for p in problems), problems
@@ -242,14 +254,27 @@ def test_retro_round_commit_regex_matches_documented_forms(monkeypatch):
     assert set(rv._round_commits()) == {9, 10, 11, 12}
 
 
-def test_retro_unlocatable_round_with_vouches_fails(monkeypatch, capsys):
+def test_retro_unlocatable_round_with_vouches_fails(
+    monkeypatch, capsys, tmp_path
+):
     """r14 ADVICE: a round that holds vouches but has no locatable
     round-close commit must FAIL the audit (exit 1), not warn and
-    exit 0 — exiting clean there vouches blind."""
+    exit 0 — exiting clean there vouches blind.
+
+    Runs against a SYNTHETIC one-vouch fingerprint file: the live file
+    can legitimately hold zero vouches right after a round that edits
+    shared infrastructure (r15: ``load()`` drifted every closure), and
+    with no vouches there is nothing for this rule to fail on."""
     import sys as _sys
 
     import tools.retro_vouch_audit as rv
 
+    (tmp_path / "tools").mkdir()
+    (tmp_path / "tools" / "query_fingerprints.json").write_text(json.dumps({
+        "recorded_at": 14, "algo": 4,
+        "queries": {"some_query": {"fp": "0" * 64, "vouched": 12}},
+    }))
+    monkeypatch.setattr(rv, "REPO", tmp_path)
     monkeypatch.setattr(rv, "_round_commits", lambda: {})
     monkeypatch.setattr(rv, "_fps_at", lambda root: {})
     monkeypatch.setattr(_sys, "argv", ["retro_vouch_audit.py"])
