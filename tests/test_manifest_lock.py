@@ -160,7 +160,17 @@ def _stress_worker(args):
                 if (idx + i) % 5 == 0:
                     _t.sleep(0.3)
                 if lk.holds():
-                    counter.write_text(str(v + 1))
+                    # Atomic publish (tmp + rename): a stealer whose
+                    # read lands mid-write must see old-or-new, never
+                    # a truncated file — write_text's truncate-then-
+                    # write window crashed a reader with int('') once
+                    # under a 3x-oversubscribed host. The REAL
+                    # protocol publishes by rename too (staging dir +
+                    # manifest CAS), so this models it faithfully; the
+                    # final==sum(wins) interleaving pin is unchanged.
+                    tmp = counter.with_suffix(f".tmp{idx}")
+                    tmp.write_text(str(v + 1))
+                    tmp.replace(counter)
                     wins += 1
         except ConcurrentWriteError:
             pass
