@@ -6471,52 +6471,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # put here). Prune entries once a fresh full-green row lands on the
 # tracked record.
 _ROTATION_PRIORITY: list[str] = [
-    # r15 (optimization round): fingerprint drift from this round's
-    # performance changes — single-pass IVF/PQ cell+code computation,
-    # one-expr nested array literals (lit_doubles/lit_longs), static
-    # partitioned-write commit path, IVM feed-window pinning, pagerank
-    # edge-set localCheckpoint, map-heavy stage repartitioning. All
-    # pass the r15 sf0.01/sf0.1 oracle sweeps on current code; fronted
-    # so the driver re-vouches them on the optimized code:
-    "ann_ivf_topk",
-    "ann_ivfpq_persisted",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "ann_rp_topk",
-    "bootstrap_value_ci",
-    "cluster_profile",
-    "decontaminate_bloom",
-    "dedup_eval",
-    # second-tier pass: repeated-subtree pins (dsir cnts table,
-    # quality-score grid spine)
-    "dsir_importance",
-    "dsir_resample",
-    "embed_decontaminate",
-    "embed_decontaminate_ivf",
-    "embed_near_dup",
-    "embed_near_dup_ivf",
-    "embed_pca_project",
-    "embed_rp_project",
-    "inverted_index_persisted",
-    "jaccard_prefix_pairs",
-    "length_quality_grid",
-    "lineitem_correlations",
-    "matview_event_totals",
-    # second-tier pass: frame-set distinct pin (4 demux executions -> 1)
-    "media_video_near_dup",
-    # second-tier pass: co_occurrence distinct-stream localCheckpoint;
-    # reconciliation pre-aggregation scale_out
-    "orders_reconciliation",
-    "parts_bought_together",
-    "pipeline_curate",
-    "pipeline_lifecycle",
-    "profile_orders",
-    "profile_orders_approx",
-    "scd2_feed_maintained",
-    "span_store_incremental",
-    "table_diff",
-    "trade_pagerank",
-    "upsert_merge",
+    # (r16 start) All 34 r15 entries pruned: every one got a fully-green
+    # r15 driver row (CORRECTNESS_r15.json), so the staleness sort alone
+    # now orders them correctly. Entries return here when this round's
+    # optimization drift unvouches queries the sweeps have re-verified.
 ]
 
 _ROTATION_RECORD: dict[str, int] | None = None
