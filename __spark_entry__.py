@@ -57,18 +57,51 @@ TABLES = (
 # spark.table() gives you for free on a catalog table). Only the LAZY
 # plan (schema + file listing) is reused: DataFrames are immutable,
 # nothing row-valued is cached, and every action still computes from
-# the parquet inputs. Keyed weakly by the SparkSession so a stopped
-# session's plans are never handed to a new one (tests spin up
-# several sessions per process).
-from weakref import WeakKeyDictionary  # noqa: E402
+# the parquet inputs. Keyed by id(session), value = (weakref(session),
+# plans); identity keying still prevents cross-session reuse, and every
+# load() sweeps entries whose session died or was STOPPED — a plain
+# WeakKeyDictionary can never reclaim here because the cached
+# DataFrames strongly reference their session (value→key cycle, r15
+# driver ADVICE), and pyspark itself retains stopped sessions via
+# internal closures, so eager stopped-session eviction is the only
+# deterministic cleanup.
+import weakref  # noqa: E402
 
-_LOAD_PLANS: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    WeakKeyDictionary()
-)
+_LOAD_PLANS: dict[int, tuple] = {}
+
+
+def _session_stopped(spark) -> bool:
+    try:
+        sc = spark._sc
+        return sc is None or sc._jsc is None
+    except Exception:
+        return True
+
+
+def clear_plan_cache(spark: SparkSession | None = None) -> None:
+    """Drop cached base-table read plans (all sessions, or one).
+
+    Call this if a test/tool ever regenerates a parquet under an
+    sf_dir within one session — otherwise later load() calls would
+    silently reuse the first read's file listing (r15 ADVICE: make
+    in-session regeneration fail loudly, not read stale data)."""
+    if spark is None:
+        _LOAD_PLANS.clear()
+    else:
+        _LOAD_PLANS.pop(id(spark), None)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    per_session = _LOAD_PLANS.setdefault(spark, {})
+    for k in [k for k, (ref, _) in _LOAD_PLANS.items()
+              if (obj := ref()) is None or _session_stopped(obj)]:
+        _LOAD_PLANS.pop(k, None)
+    sid = id(spark)
+    ent = _LOAD_PLANS.get(sid)
+    if ent is None or ent[0]() is not spark:
+        per_session: dict[tuple[str, str], DataFrame] = {}
+        _LOAD_PLANS[sid] = (weakref.ref(spark), per_session)
+    else:
+        per_session = ent[1]
     key = (sf_dir, name)
     cached = per_session.get(key)
     if cached is not None:

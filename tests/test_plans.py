@@ -798,3 +798,42 @@ def test_envelope_intake_projection_stays_jvm_side(spark, tmp_path):
     # span) — the gate here is "no Python hop", plus shape: one scan,
     # one filter, one projection, nothing else
     assert "Scan json" in p and "PythonUDF" not in p
+
+
+def test_load_plan_cache_entry_dies_with_session():
+    """The per-session read-plan cache must not accumulate stopped
+    sessions' plans (r15 ADVICE): weak KEYING can never fire because
+    the cached DataFrames strongly reference their session, so load()
+    evicts stopped/dead sessions eagerly, and clear_plan_cache() drops
+    entries on demand. Runs in a subprocess: the suite's shared
+    getOrCreate session must stay up."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    code = """
+import sys
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as e
+from webhookdb_spark.session import get_spark
+SF = {sf!r}
+s = get_spark(app_name="plan-cache-proc", cpus=2, shuffle_partitions=2)
+df = e.load(s, SF, "region")
+sid = id(s)
+assert sid in e._LOAD_PLANS
+assert e.load(s, SF, "region") is df          # reuse within a session
+e.clear_plan_cache(s)                          # explicit invalidation
+assert sid not in e._LOAD_PLANS
+df2 = e.load(s, SF, "region")
+assert df2 is not df and sid in e._LOAD_PLANS  # fresh plan after clear
+s.stop()
+s2 = get_spark(app_name="plan-cache-proc-2", cpus=2, shuffle_partitions=2)
+e.load(s2, SF, "nation")                       # any load sweeps the dead
+assert sid not in e._LOAD_PLANS or sid == id(s2), (
+    "stopped session's plans survived the sweep")
+s2.stop()
+print("PLAN_CACHE_OK")
+""".format(repo=str(Path(__file__).resolve().parent.parent), sf=SF)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=240)
+    assert "PLAN_CACHE_OK" in out.stdout, out.stdout + out.stderr

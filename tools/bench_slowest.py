@@ -41,7 +41,7 @@ def main() -> int:
                if n in qfns][:k]
 
     spark = get_spark(app_name="webhookdb-spark-bench-slowest", cpus=cpus,
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus, commit_heap=True)
     for t in entrymod.TABLES:  # same warm-up discipline as bench.py
         entrymod.load(spark, sf_dir, t).count()
     spark.range(8).mapInPandas(lambda it: it, "id long").count()

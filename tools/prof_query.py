@@ -43,7 +43,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     extra = {"spark.ui.enabled": "true"} if args.ui else None
     spark = get_spark(app_name="prof-query", cpus=cpus,
-                      shuffle_partitions=cpus, extra_conf=extra)
+                      shuffle_partitions=cpus, extra_conf=extra,
+                      commit_heap=True)
     for t in entrymod.TABLES:
         entrymod.load(spark, sf_dir, t).count()
     spark.range(8).mapInPandas(lambda it: it, "id long").count()

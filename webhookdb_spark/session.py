@@ -18,6 +18,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    commit_heap: bool = False,
 ) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
@@ -46,19 +47,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", driver_mem)
-        # Commit the heap up front (cluster executors run with fixed
-        # heaps; local-mode default lets the heap grow lazily, so the
-        # first heavy queries pay page-fault + heap-resize stalls that
-        # steady-state throughput never sees — guide §1 cold-start vs
-        # steady-state). -Xms mirrors spark.driver.memory so the pair
-        # can never disagree. No-op if the JVM is already running.
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_DRIVER_JAVA_OPTIONS",
-                f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
-            ),
-        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Read parquet TIMESTAMP(NANOS) (unsupported natively) as long;
@@ -72,6 +60,20 @@ def get_spark(
             "false",
         )
     )
+    # Commit the heap up front ONLY for the measurement entry points
+    # (bench.py / tools pass commit_heap=True): cluster executors run
+    # with fixed heaps, so a lazily-grown local heap bills the first
+    # heavy queries page-fault + heap-resize stalls steady-state
+    # throughput never sees (guide §1). Scoped here instead of a
+    # blanket default because eagerly touching `driver_mem` of RSS at
+    # EVERY session start penalizes tests/tools on small hosts (r15
+    # driver ADVICE). SPARK_DRIVER_JAVA_OPTIONS still overrides both
+    # ways; no-op if the JVM is already running.
+    java_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTIONS")
+    if java_opts is None and commit_heap:
+        java_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
