@@ -44,6 +44,67 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+from webhookdb_spark.spec import Col as _SCol, ReplicatorSpec as _RSpec  # noqa: E402
+from webhookdb_spark.types import ColumnType as _SCT  # noqa: E402
+
+# Replicator specs for the storage-composite queries, hoisted to module
+# level so the per-spec expression memos (shape projection, merge CASE
+# chains) persist across bench runs and merge cycles — a frozen
+# dataclass built per call produced the identical value anyway, but a
+# fresh instance starts every memo cold (guide §5 driver work).
+_EVENTS_SIM_SPEC = _RSpec(
+    name="events_sim",
+    table="events_sim",
+    remote_key=_SCol("k", _SCT.TEXT),
+    denorm_cols=(
+        _SCol("ts", _SCT.TIMESTAMP),
+        _SCol("event_id", _SCT.BIGINT),
+        _SCol("value", _SCT.DOUBLE),
+    ),
+    timestamp_col="ts",
+    update_where=lambda s, t: t("ts") < s("ts"),
+    n_buckets=8,
+)
+# shared by scd2_feed_maintained and table_diff (identical value)
+_USER_STATE_SPEC = _RSpec(
+    name="user_state_v1",
+    table="user_state_v1",
+    remote_key=_SCol("user_id", _SCT.BIGINT),
+    denorm_cols=(
+        _SCol("event_type", _SCT.TEXT),
+        _SCol("ts_us", _SCT.BIGINT),
+    ),
+    timestamp_col="ts_us",
+    update_where=lambda s, t: s("ts_us") > t("ts_us"),
+    n_buckets=4,
+)
+_USER_STATE_IVM_SPEC = _RSpec(
+    name="user_state_v1",
+    table="user_state_v1",
+    remote_key=_SCol("user_id", _SCT.BIGINT),
+    denorm_cols=(
+        _SCol("event_type", _SCT.TEXT),
+        _SCol("ts_us", _SCT.BIGINT),
+        _SCol("value_cents", _SCT.BIGINT),
+    ),
+    timestamp_col="ts_us",
+    update_where=lambda s, t: s("ts_us") > t("ts_us"),
+    n_buckets=4,
+)
+_PIPELINE_DEMO_SPEC = _RSpec(
+    name="pipeline_demo_v1",
+    table="pipeline_demo_v1",
+    remote_key=_SCol("user_id", _SCT.BIGINT),
+    denorm_cols=(
+        _SCol("event_type", _SCT.TEXT),
+        _SCol("ts_us", _SCT.BIGINT),
+        _SCol("value_cents", _SCT.BIGINT),
+    ),
+    timestamp_col="ts_us",
+    update_where=lambda s, t: s("ts_us") > t("ts_us"),
+    n_buckets=4,
+)
+
 
 # Constructed base-table plans, keyed by session then (sf_dir, table).
 # spark.read.parquet() re-derives metadata on EVERY call — parquet
@@ -1933,19 +1994,7 @@ def q_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
     from webhookdb_spark.storage import Warehouse
     from webhookdb_spark.types import ColumnType
 
-    spec = ReplicatorSpec(
-        name="events_sim",
-        table="events_sim",
-        remote_key=Col("k", ColumnType.TEXT),
-        denorm_cols=(
-            Col("ts", ColumnType.TIMESTAMP),
-            Col("event_id", ColumnType.BIGINT),
-            Col("value", ColumnType.DOUBLE),
-        ),
-        timestamp_col="ts",
-        update_where=lambda s, t: t("ts") < s("ts"),
-        n_buckets=8,
-    )
+    spec = _EVENTS_SIM_SPEC
     # events.parquet is one row group → a single scan task; spread the
     # envelope construction across cores the way a real webhook source
     # (Kafka partitions / many files) would arrive already parallel.
@@ -2764,18 +2813,7 @@ def q_scd2_feed_maintained(spark: SparkSession, sf: str) -> DataFrame:
     from webhookdb_spark.storage import Warehouse
     from webhookdb_spark.types import ColumnType
 
-    spec = ReplicatorSpec(
-        name="user_state_v1",
-        table="user_state_v1",
-        remote_key=Col("user_id", ColumnType.BIGINT),
-        denorm_cols=(
-            Col("event_type", ColumnType.TEXT),
-            Col("ts_us", ColumnType.BIGINT),
-        ),
-        timestamp_col="ts_us",
-        update_where=lambda s, t: s("ts_us") > t("ts_us"),
-        n_buckets=4,
-    )
+    spec = _USER_STATE_SPEC
     ev = load(spark, sf, "events")
     root = tempfile.mkdtemp(prefix="whdb_scd2feed_")
     try:
@@ -3086,18 +3124,7 @@ def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     from webhookdb_spark.storage import Warehouse
     from webhookdb_spark.types import ColumnType
 
-    spec = ReplicatorSpec(
-        name="user_state_v1",
-        table="user_state_v1",
-        remote_key=Col("user_id", ColumnType.BIGINT),
-        denorm_cols=(
-            Col("event_type", ColumnType.TEXT),
-            Col("ts_us", ColumnType.BIGINT),
-        ),
-        timestamp_col="ts_us",
-        update_where=lambda s, t: s("ts_us") > t("ts_us"),
-        n_buckets=4,
-    )
+    spec = _USER_STATE_SPEC
     ev = load(spark, sf, "events")
     split = "2024-01-15"
     root = tempfile.mkdtemp(prefix="whdb_tdiff_")
@@ -3173,19 +3200,7 @@ def q_matview_event_totals(spark: SparkSession, sf: str) -> DataFrame:
     from webhookdb_spark.storage import Warehouse
     from webhookdb_spark.types import ColumnType
 
-    spec = ReplicatorSpec(
-        name="user_state_v1",
-        table="user_state_v1",
-        remote_key=Col("user_id", ColumnType.BIGINT),
-        denorm_cols=(
-            Col("event_type", ColumnType.TEXT),
-            Col("ts_us", ColumnType.BIGINT),
-            Col("value_cents", ColumnType.BIGINT),
-        ),
-        timestamp_col="ts_us",
-        update_where=lambda s, t: s("ts_us") > t("ts_us"),
-        n_buckets=4,
-    )
+    spec = _USER_STATE_IVM_SPEC
     ev = load(spark, sf, "events")
     splits = ("2024-01-15", "2024-01-23")
     windows = [
@@ -6341,19 +6356,7 @@ def q_pipeline_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     from webhookdb_spark.storage import Warehouse
     from webhookdb_spark.types import ColumnType
 
-    spec = ReplicatorSpec(
-        name="pipeline_demo_v1",
-        table="pipeline_demo_v1",
-        remote_key=Col("user_id", ColumnType.BIGINT),
-        denorm_cols=(
-            Col("event_type", ColumnType.TEXT),
-            Col("ts_us", ColumnType.BIGINT),
-            Col("value_cents", ColumnType.BIGINT),
-        ),
-        timestamp_col="ts_us",
-        update_where=lambda s, t: s("ts_us") > t("ts_us"),
-        n_buckets=4,
-    )
+    spec = _PIPELINE_DEMO_SPEC
     rules = [
         # not_null first: in_set/between are documented NULL-pass, but
         # the DuckDB oracle's IN/BETWEEN predicates EXCLUDE NULL rows —

@@ -511,6 +511,9 @@ def sql_fd_audit(table: str, candidates: list[tuple[str, str]]) -> str:
     return " UNION ALL ".join(selects)
 
 
+_REASON_MEMO: dict[tuple, "Column"] = {}
+
+
 def expectation_reason(rules) -> "Column":
     """Per-ROW companion to :func:`check_expectations`: the first
     failing rule's name as a Column (NULL when every rule passes) —
@@ -519,8 +522,18 @@ def expectation_reason(rules) -> "Column":
     (``unique`` is an aggregate property and raises here); same NULL
     semantics as the aggregate form (in_set/between/regex pass on
     NULL — compose with not_null to forbid it). One narrow CASE
-    chain, shuffle-free.
+    chain, shuffle-free. Memoized per canonicalized rule tuple: the
+    landing-contract composites evaluate the SAME contract every
+    micro-batch, and this chain costs one py4j round-trip per Column
+    operator to build (guide §5 driver work).
     """
+    mkey = tuple(
+        tuple(tuple(p) if isinstance(p, (list, tuple, set)) else p for p in r)
+        for r in rules
+    )
+    hit = _REASON_MEMO.get(mkey)
+    if hit is not None:
+        return hit
     reason = None
     for rule in rules:
         kind, col = rule[0], rule[1]
@@ -550,4 +563,6 @@ def expectation_reason(rules) -> "Column":
             raise ValueError(f"unknown rule kind: {kind}")
         arm = F.when(cond, F.lit(name))
         reason = arm if reason is None else reason.when(cond, F.lit(name))
-    return reason if reason is not None else F.lit(None).cast("string")
+    out = reason if reason is not None else F.lit(None).cast("string")
+    _REASON_MEMO[mkey] = out
+    return out

@@ -195,6 +195,22 @@ class IntegrationSequence:
             col, F.coalesce(F.col(col), fresh)).drop("_pid")
 
 
+_DEDUPE_AGG_MEMO: dict[tuple, Column] = {}
+
+_OBS_COUNT_EXPRS: list[Column] = []
+
+
+def _obs_count_exprs() -> list[Column]:
+    """The constant insert/update/keep tallies every MERGE observes —
+    built once (Observation.observe copies the trees into each plan)."""
+    if not _OBS_COUNT_EXPRS:
+        _OBS_COUNT_EXPRS.extend(
+            F.count(F.when(F.col(ACTION_COL) == a, 1)).alias(a)
+            for a in ("insert", "update", "keep")
+        )
+    return _OBS_COUNT_EXPRS
+
+
 @dataclass
 class MergeResult:
     inserted: int
@@ -220,15 +236,20 @@ def dedupe_last_wins(batch: DataFrame, key: str, order_col: str = "_received_at"
     # batch collapses BEFORE the shuffle (a window shuffles every row).
     # Struct comparison puts NULL order keys lowest, matching
     # desc_nulls_last; `_seq` breaks received_at ties by arrival order.
-    order_cols = [F.col(order_col)]
-    if "_seq" in batch.columns:
-        order_cols.append(F.col("_seq"))
-    others = [c for c in batch.columns if c != key]
-    return (
-        batch.groupBy(key)
-        .agg(F.max_by(F.struct(*others), F.struct(*order_cols)).alias("_r"))
-        .select(key, "_r.*")
-    )
+    # The agg expression is a pure tree of (key, order_col, columns) —
+    # memoized because the ingest composites dedupe a batch with the
+    # same shaped schema every MERGE cycle (guide §5 driver work).
+    mkey = (key, order_col, tuple(batch.columns))
+    agg = _DEDUPE_AGG_MEMO.get(mkey)
+    if agg is None:
+        order_cols = [F.col(order_col)]
+        if "_seq" in batch.columns:
+            order_cols.append(F.col("_seq"))
+        others = [c for c in batch.columns if c != key]
+        agg = _DEDUPE_AGG_MEMO[mkey] = F.max_by(
+            F.struct(*others), F.struct(*order_cols)
+        ).alias("_r")
+    return batch.groupBy(key).agg(agg).select(key, "_r.*")
 
 
 def merge_upsert(
@@ -299,12 +320,7 @@ def merge_upsert(
     merged = build_merge(table, batch, spec, affected)
 
     obs = Observation()
-    merged = merged.observe(
-        obs,
-        F.count(F.when(F.col(ACTION_COL) == "insert", 1)).alias("insert"),
-        F.count(F.when(F.col(ACTION_COL) == "update", 1)).alias("update"),
-        F.count(F.when(F.col(ACTION_COL) == "keep", 1)).alias("keep"),
-    )
+    merged = merged.observe(obs, *_obs_count_exprs())
     committed_txn, committed_buckets = table.overwrite_buckets(
         merged, affected, extra_cols=[ACTION_COL])
     counts = obs.get
@@ -367,55 +383,76 @@ def build_merge(
         s = batch.alias("s")
         t = target.alias("t")
         joined = s.join(t, on=F.col(f"s.{key}") == F.col(f"t.{key}"), how="full_outer")
-
-        def sc(name: str) -> Column:
-            return F.col(f"s.{name}")
-
-        def tc(name: str) -> Column:
-            return F.col(f"t.{name}")
-
-        matched = sc(key).isNotNull() & tc(key).isNotNull()
-        update_ok = (
-            spec.update_where(sc, tc) if spec.update_where is not None else F.lit(True)
-        )
-        action = (
-            F.when(tc(key).isNull(), F.lit("insert"))
-            .when(matched & update_ok, F.lit("update"))
-            .otherwise(F.lit("keep"))
-        )
-
-        skip_nil = {c.name for c in spec.all_cols if c.skip_nil}
-        coalesce_upd = set(spec.coalesce_on_update)
-        out_cols: list[Column] = []
-        for name in data_cols:
-            if name in spec.custom_update_exprs:
-                # _upsert_update_expr override (base.rb:931-956)
-                upd = spec.custom_update_exprs[name](sc, tc)
-            elif name == "data" and spec.merge_data_on_update:
-                # jsonb `t.data || excluded.data` (base.rb:948-949):
-                # shallow object merge, incoming keys win. Arrow-batched
-                # UDF — a faithful shallow merge must preserve nested
-                # values verbatim, which map<string,string> round-trips
-                # cannot. Opt-in per replicator, off the default path.
-                upd = json_merge_udf()(tc(name), sc(name))
-            elif name in coalesce_upd:
-                upd = F.coalesce(tc(name), sc(name))
-            elif name in skip_nil:
-                upd = F.coalesce(sc(name), tc(name))
-            else:
-                upd = sc(name)
-            val = (
-                F.when(F.col(ACTION_COL) == "keep", tc(name))
-                .when(F.col(ACTION_COL) == "insert", sc(name))
-                .otherwise(upd)
-            )
-            out_cols.append(val.alias(name))
+        action, out_cols = _merge_exprs(spec, key, tuple(data_cols))
         merged = joined.withColumn(ACTION_COL, action).select(
             *out_cols,
             F.coalesce(F.col(f"s.{PART_COL}"), F.col(f"t.{PART_COL}")).alias(PART_COL),
             F.col(ACTION_COL),
         )
     return merged
+
+
+def _merge_exprs(
+    spec: ReplicatorSpec, key: str, data_cols: tuple[str, ...]
+) -> tuple[Column, list[Column]]:
+    """The action-tag and per-column merge expressions of
+    :func:`build_merge` — pure functions of (spec, key, data_cols)
+    referencing only the ``s.``/``t.`` join aliases, so the immutable
+    trees are memoized per spec: the composite ingest queries run many
+    MERGE cycles per query, and rebuilding these CASE chains cost one
+    py4j round-trip per Column operator per cycle (guide §5)."""
+    memo = getattr(spec, "_merge_exprs_memo", None)
+    if memo is None:
+        memo = {}
+        object.__setattr__(spec, "_merge_exprs_memo", memo)
+    hit = memo.get((key, data_cols))
+    if hit is not None:
+        return hit
+
+    def sc(name: str) -> Column:
+        return F.col(f"s.{name}")
+
+    def tc(name: str) -> Column:
+        return F.col(f"t.{name}")
+
+    matched = sc(key).isNotNull() & tc(key).isNotNull()
+    update_ok = (
+        spec.update_where(sc, tc) if spec.update_where is not None else F.lit(True)
+    )
+    action = (
+        F.when(tc(key).isNull(), F.lit("insert"))
+        .when(matched & update_ok, F.lit("update"))
+        .otherwise(F.lit("keep"))
+    )
+
+    skip_nil = {c.name for c in spec.all_cols if c.skip_nil}
+    coalesce_upd = set(spec.coalesce_on_update)
+    out_cols: list[Column] = []
+    for name in data_cols:
+        if name in spec.custom_update_exprs:
+            # _upsert_update_expr override (base.rb:931-956)
+            upd = spec.custom_update_exprs[name](sc, tc)
+        elif name == "data" and spec.merge_data_on_update:
+            # jsonb `t.data || excluded.data` (base.rb:948-949):
+            # shallow object merge, incoming keys win. Arrow-batched
+            # UDF — a faithful shallow merge must preserve nested
+            # values verbatim, which map<string,string> round-trips
+            # cannot. Opt-in per replicator, off the default path.
+            upd = json_merge_udf()(tc(name), sc(name))
+        elif name in coalesce_upd:
+            upd = F.coalesce(tc(name), sc(name))
+        elif name in skip_nil:
+            upd = F.coalesce(sc(name), tc(name))
+        else:
+            upd = sc(name)
+        val = (
+            F.when(F.col(ACTION_COL) == "keep", tc(name))
+            .when(F.col(ACTION_COL) == "insert", sc(name))
+            .otherwise(upd)
+        )
+        out_cols.append(val.alias(name))
+    memo[(key, data_cols)] = (action, out_cols)
+    return action, out_cols
 
 
 def upsert_envelopes(
@@ -595,27 +632,42 @@ def changes_since(
     spark = table.spark
     if not txns:
         return spark.createDataFrame([], schema.add("_txn", "long"))
-    parts = [
+    # ONE multi-path scan instead of a per-txn read + unionByName chain:
+    # a window of K txns cost K schema conversions, K FileIndex setups
+    # and a K-leg union plan (K+ driver jobs); the single scan derives
+    # each row's _txn from its file path — the txn dir name IS the txn
+    # id, so the rows are identical by construction (guide §6 listing /
+    # §5 driver work).
+    paths = [str(table.path / "_changes" / f"txn_{t}") for t in txns]
+    return (
         spark.read.schema(schema)
-        .parquet(str(table.path / "_changes" / f"txn_{t}"))
-        .withColumn("_txn", F.lit(t).cast("long"))
-        for t in txns
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .parquet(*paths)
+        .withColumn(
+            "_txn",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"/txn_(\d+)/[^/]*$", 1
+            ).cast("long"),
+        )
+    )
+
+
+_LATEST_CHANGE_RN_MEMO: dict[str, Column] = {}
 
 
 def latest_change_per_key(changes: DataFrame, key: str) -> DataFrame:
     """Compact a :func:`changes_since` window to one row per key (the
     highest-txn post-image) — what a warehouse MERGE consumer wants.
-    The window partitions on the key: per-key work, never global."""
-    from pyspark.sql.window import Window
+    The window partitions on the key: per-key work, never global.
+    The row_number-over-window tree is memoized per key (guide §5:
+    the feed consumers compact every sync cycle)."""
+    rn = _LATEST_CHANGE_RN_MEMO.get(key)
+    if rn is None:
+        from pyspark.sql.window import Window
 
-    w = Window.partitionBy(key).orderBy(F.col("_txn").desc())
+        w = Window.partitionBy(key).orderBy(F.col("_txn").desc())
+        rn = _LATEST_CHANGE_RN_MEMO[key] = F.row_number().over(w)
     return (
-        changes.withColumn("_rn", F.row_number().over(w))
+        changes.withColumn("_rn", rn)
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )

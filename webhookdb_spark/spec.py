@@ -371,6 +371,76 @@ class ReplicatorSpec:
         fields.append(T.StructField("data", T.StringType()))
         return T.StructType(fields)
 
+    def _build_shape_exprs(
+        self,
+        body_col: str,
+        engine: str,
+        has_received_at: bool,
+        has_seq: bool,
+    ) -> tuple[Column, Column, Column | None, list[Column]]:
+        """(resource0, resource1, event0, cols) for :meth:`shape`.
+
+        ``resource0``/``event0`` are the raw unwrap expressions over the
+        body column (what the enrichment/variant materialization steps
+        stamp); ``resource1`` is the post-enrichment resource expression
+        the variant bind parses; ``cols`` is the full typed extraction
+        projection, referencing only stable column names (``_rsrc``/
+        ``_rv``/``_evt``/``_evv``/``_resource``/``_enrichment`` or the
+        body column itself). All are immutable expression trees — shape()
+        memoizes this per (body_col, engine, flags)."""
+        body = F.col(body_col)
+        if self.resource_and_event is not None:
+            resource, event = self.resource_and_event(body)
+        else:
+            resource, event = body, None
+        resource0, event0 = resource, event
+
+        enrichment = None
+        if self.enrichment_fetcher is not None:
+            # extraction reads the materialized resource/enrichment
+            resource = F.col("_resource")
+            enrichment = F.col("_enrichment")
+            if self.enrichment_replaces_resource:
+                # increase_v1_mixin.rb:55-58 — the fetched resource
+                # replaces an event envelope; `data` follows suit.
+                resource = F.coalesce(enrichment, resource)
+        resource1 = resource
+
+        body_variant = None
+        event_variant = None
+        if engine == "variant":
+            resource = F.col("_rsrc")
+            body_variant = F.col("_rv")
+            if event is not None:
+                event = F.col("_evt")
+                event_variant = F.col("_evv")
+        cols = [
+            c.extraction_expr(
+                resource, event, enrichment, body_variant, event_variant
+            )
+            for c in self.all_cols
+        ]
+        if self.store_enrichment_body:
+            cols.append(enrichment.alias("enrichment"))
+        # `data` keeps the full raw resource payload (base.rb:456-458);
+        # canonicalized lazily on compare (functions/converters.py).
+        if self.data_key is not None:
+            cols.append(
+                F.get_json_object(resource, f"$.{self.data_key}").alias("data")
+            )
+        else:
+            cols.append(resource.alias("data"))
+        if has_received_at:
+            cols.append(F.col("received_at").alias("_received_at"))
+        else:
+            cols.append(F.current_timestamp().alias("_received_at"))
+        if has_seq:
+            # arrival ordinal — the intra-batch last-wins tiebreaker
+            # (page order in the reference's hash overwrite,
+            # backfiller.rb:75-83)
+            cols.append(F.col("_seq"))
+        return resource0, resource1, event0, cols
+
     def shape(
         self,
         envelopes: DataFrame,
@@ -404,6 +474,34 @@ class ReplicatorSpec:
             raise NotImplementedError(
                 f"{self.name} is a stub integration only for auth purposes"
             )
+        # The extraction expressions are pure functions of
+        # (spec, body_col, engine, received_at/_seq presence) — immutable
+        # unresolved trees safe to reuse across batches — but BUILDING
+        # them costs hundreds of py4j round-trips per call (one per
+        # Column operator), and the composite ingest queries shape a
+        # dozen batches per run. Memoized per spec instance (guide §5:
+        # the driver should do almost no per-batch work).
+        mkey = (
+            body_col,
+            engine,
+            "received_at" in envelopes.columns,
+            "_seq" in envelopes.columns,
+        )
+        memo = getattr(self, "_shape_memo", None)
+        if memo is None:
+            memo = {}
+            object.__setattr__(self, "_shape_memo", memo)
+        hit = memo.get(mkey)
+        if hit is None:
+            hit = self._build_shape_exprs(
+                body_col,
+                engine,
+                has_received_at="received_at" in envelopes.columns,
+                has_seq="_seq" in envelopes.columns,
+            )
+            memo[mkey] = hit
+        resource0, resource1, event0, cols = hit
+
         if self.explode_body_array:
             # Array bodies fan out one element per row (order-preserving:
             # posexplode folds into _seq so intra-batch last-wins still
@@ -422,72 +520,31 @@ class ReplicatorSpec:
                     F.col("_seq") * F.lit(1_000_000) + F.col("_elem_idx"),
                 )
             envelopes = envelopes.drop("_elem_idx")
-        body = F.col(body_col)
-        if self.resource_and_event is not None:
-            resource, event = self.resource_and_event(body)
-        else:
-            resource, event = body, None
 
-        enrichment = None
         if self.enrichment_fetcher is not None:
             envelopes = _attach_enrichment(
-                envelopes.withColumn("_resource", resource), self.enrichment_fetcher
+                envelopes.withColumn("_resource", resource0),
+                self.enrichment_fetcher,
             )
-            # extraction now reads the materialized resource/enrichment
-            resource = F.col("_resource")
-            enrichment = F.col("_enrichment")
-            if self.enrichment_replaces_resource:
-                # increase_v1_mixin.rb:55-58 — the fetched resource
-                # replaces an event envelope; `data` follows suit.
-                resource = F.coalesce(enrichment, resource)
 
-        body_variant = None
-        event_variant = None
         if engine == "variant":
             from webhookdb_spark.operators.util import bind
 
             envelopes = bind(
-                envelopes.withColumn("_rsrc", resource),
+                envelopes.withColumn("_rsrc", resource1),
                 "_rv",
                 F.try_parse_json(F.col("_rsrc")),
             )
-            resource = F.col("_rsrc")
-            body_variant = F.col("_rv")
-            if event is not None:
+            if event0 is not None:
                 # parse the EVENT envelope once too: event_key digs on
                 # wrapped payloads (stripe event envelopes) otherwise
                 # re-parse the event JSON per column — the exact
                 # pattern the resource-side A/B measured at 1.7-2.3×
                 envelopes = bind(
-                    envelopes.withColumn("_evt", event),
+                    envelopes.withColumn("_evt", event0),
                     "_evv",
                     F.try_parse_json(F.col("_evt")),
                 )
-                event = F.col("_evt")
-                event_variant = F.col("_evv")
-        cols = [
-            c.extraction_expr(
-                resource, event, enrichment, body_variant, event_variant
-            )
-            for c in self.all_cols
-        ]
-        if self.store_enrichment_body:
-            cols.append(enrichment.alias("enrichment"))
-        # `data` keeps the full raw resource payload (base.rb:456-458);
-        # canonicalized lazily on compare (functions/converters.py).
-        if self.data_key is not None:
-            cols.append(F.get_json_object(resource, f"$.{self.data_key}").alias("data"))
-        else:
-            cols.append(resource.alias("data"))
-        if "received_at" in envelopes.columns:
-            cols.append(F.col("received_at").alias("_received_at"))
-        else:
-            cols.append(F.current_timestamp().alias("_received_at"))
-        if "_seq" in envelopes.columns:
-            # arrival ordinal — the intra-batch last-wins tiebreaker
-            # (page order in the reference's hash overwrite,
-            # backfiller.rb:75-83)
-            cols.append(F.col("_seq"))
         out = envelopes.select(*cols)
         if self.prepare_hook is not None:
             out = self.prepare_hook(out)

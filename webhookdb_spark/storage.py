@@ -250,10 +250,20 @@ class _ManifestLock:
         rel.unlink(missing_ok=True)
 
 
+_BUCKET_EXPR_MEMO: dict[tuple[str, int], "F.Column"] = {}
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """pmod(str2inthash(key), n) — reference partition routing
-    (partitionable_mixin.rb:49-54)."""
-    return F.pmod(CONV_STR2HASH.spark(F.col(key_col).cast("string")), F.lit(n_buckets))
+    (partitionable_mixin.rb:49-54). Memoized: the expression is a pure
+    immutable tree of (key_col, n_buckets) and the ingest composites
+    rebuild it several times per MERGE cycle (guide §5 driver work)."""
+    hit = _BUCKET_EXPR_MEMO.get((key_col, n_buckets))
+    if hit is None:
+        hit = _BUCKET_EXPR_MEMO[(key_col, n_buckets)] = F.pmod(
+            CONV_STR2HASH.spark(F.col(key_col).cast("string")), F.lit(n_buckets)
+        )
+    return hit
 
 
 @dataclass
