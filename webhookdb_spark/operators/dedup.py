@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from webhookdb_spark.operators.text import SQL_TOKENS, WS, ascii_lower, tokens
-from webhookdb_spark.operators.util import bind, scale_out
+from webhookdb_spark.operators.util import bind, memo_col, scale_out
 
 DEFAULT_N_HASHES = 8
 DEFAULT_BANDS = 4
@@ -67,9 +67,19 @@ def shingle_sets(
     evaluated exactly once per row: tokens are bound behind one
     projection barrier (so per-position ``element_at`` is O(1) on a
     materialized array), the shingle array behind a second (so K
-    downstream hash columns don't re-shingle). Narrow, no shuffle."""
-    b = bind(scale_out(df), "_toks", tokens(ascii_lower(F.col(text_col))))
-    return bind(b, out, shingles_of(F.col("_toks"), shingle_n)).drop("_toks")
+    downstream hash columns don't re-shingle). Narrow, no shuffle.
+    Both trees memoized per (text_col / shingle_n) — the dedup
+    composites shingle several slices per query (guide §5)."""
+    tok = memo_col(
+        ("shingle_toks", text_col),
+        lambda: tokens(ascii_lower(F.col(text_col))),
+    )
+    sh = memo_col(
+        ("shingles_of", "_toks", shingle_n),
+        lambda: shingles_of(F.col("_toks"), shingle_n),
+    )
+    b = bind(scale_out(df), "_toks", tok)
+    return bind(b, out, sh).drop("_toks")
 
 
 def sql_shingles(c: str = "text", n: int = 3) -> str:
@@ -131,23 +141,34 @@ def minhash_signatures(
     """
     sh = F.col("_sh")
     base = shingle_sets(df.select("doc_id", text_col), text_col, shingle_n)
-    salts = F.array(*[F.lit(f"{i}:") for i in range(n_hashes)])
-    sigs = F.aggregate(
-        sh,
-        # 'g' sorts above every md5 hex digit — the identity for least()
-        F.array_repeat(F.lit("g"), n_hashes),
-        lambda acc, s: F.zip_with(
-            acc,
-            F.transform(salts, lambda p: F.md5(F.concat(p, s))),
-            lambda a, b: F.least(a, b),
-        ),
-    )
+
+    def build_sig() -> Column:
+        salts = F.array(*[F.lit(f"{i}:") for i in range(n_hashes)])
+        return F.aggregate(
+            sh,
+            # 'g' sorts above every md5 hex digit — the identity for
+            # least()
+            F.array_repeat(F.lit("g"), n_hashes),
+            lambda acc, s: F.zip_with(
+                acc,
+                F.transform(salts, lambda p: F.md5(F.concat(p, s))),
+                lambda a, b: F.least(a, b),
+            ),
+        ).alias("_sigs")
+
+    # memoized: the signature walk and the h0..hK unpack are pure trees
+    # of n_hashes over the fixed `_sh`/`_sigs` names (guide §5)
+    sigs = memo_col(("minhash_sigs", n_hashes), build_sig)
     cols = [
-        F.element_at(F.col("_sigs"), i + 1).alias(f"h{i}") for i in range(n_hashes)
+        memo_col(
+            ("minhash_h", n_hashes, i),
+            lambda i=i: F.element_at(F.col("_sigs"), i + 1).alias(f"h{i}"),
+        )
+        for i in range(n_hashes)
     ]
     return (
         base.where(F.size(sh) > 0)
-        .select("doc_id", sigs.alias("_sigs"))
+        .select("doc_id", sigs)
         .select("doc_id", *cols)
     )
 
@@ -1026,18 +1047,28 @@ def lsh_bands(
     once, and every new batch joins against it instead of recomputing
     corpus signatures."""
     rows_per_band = n_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws(
-                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    return sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+
+    def build_bands() -> Column:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+        return F.explode(F.array(*band_cols)).alias("band")
+
+    # memoized: pure tree of (n_hashes, bands) over the h0..hK names
+    band = memo_col(("lsh_bands", n_hashes, bands), build_bands)
+    return sigs.select("doc_id", band).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
 
 
 def incremental_minhash_dedup(

@@ -171,77 +171,31 @@ def scd2_apply(
     closed = touched.where(~F.col("is_current"))
     cur = touched.where(F.col("is_current"))
 
-    order = [F.col(ts_col), F.col("_src")] + (
-        [F.col(seq_col)] if seq_col else []
+    x = _scd2_apply_exprs(
+        key_col,
+        tuple(attr_cols),
+        ts_col,
+        seq_col,
+        dict(batch.dtypes)[seq_col] if seq_col else None,
+        open_end_ts,
     )
-    w = Window.partitionBy(key_col).orderBy(*order)
 
     # Pseudo-event: each touched key's current state re-asserted at its
     # valid_from with _src=0, so it sorts before any equal-ts batch
     # event and provides the LAG baseline for change detection.
-    pseudo = cur.select(
-        F.col(key_col),
-        F.col("valid_from").alias(ts_col),
-        *[F.col(c) for c in attr_cols],
-        F.lit(0).alias("_src"),
-        *(
-            [F.lit(None).cast(dict(batch.dtypes)[seq_col]).alias(seq_col)]
-            if seq_col
-            else []
-        ),
-    )
-    ev = pseudo.unionByName(
-        batch.select(
-            F.col(key_col),
-            F.col(ts_col),
-            *[F.col(c) for c in attr_cols],
-            F.lit(1).alias("_src"),
-            *([F.col(seq_col)] if seq_col else []),
-        )
-    )
-    lagged = ev.select(
-        "*",
-        *[F.lag(c).over(w).alias(f"_prev_{c}") for c in attr_cols],
-        F.row_number().over(w).alias("_rn"),
-    )
-    changed = F.lit(False)
-    for c in attr_cols:
-        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_prev_{c}"))
+    pseudo = cur.select(*x["pseudo_cols"])
+    ev = pseudo.unionByName(batch.select(*x["batch_cols"]))
+    lagged = ev.select("*", *x["lag_cols"])
     # batch rows only: for touched keys the pseudo row holds _rn=1, so
     # a batch row is kept iff it differs from its predecessor; for NEW
     # keys the first batch row has _rn=1 and is always kept.
-    kept = lagged.where(
-        (F.col("_src") == 1) & ((F.col("_rn") == 1) | changed)
-    )
+    kept = lagged.where(x["kept_cond"])
 
-    w2 = Window.partitionBy(key_col).orderBy(*order)
     base = cur.select(F.col(key_col), F.col("version").alias("_base"))
-    lead_ts = F.lead(ts_col).over(w2)
-    new_valid_to = (
-        F.coalesce(lead_ts, F.lit(open_end_ts).cast("timestamp"))
-        if open_end_ts
-        else lead_ts
-    )
     new_versions = (
-        kept.select(
-            F.col(key_col),
-            *[F.col(c) for c in attr_cols],
-            F.col(ts_col).alias("valid_from"),
-            new_valid_to.alias("valid_to"),
-            F.row_number().over(w2).alias("_vn"),
-            lead_ts.isNull().alias("is_current"),
-        )
+        kept.select(*x["nv_cols"])
         .join(F.broadcast(base), key_col, "left")
-        .select(
-            F.col(key_col),
-            *[F.col(c) for c in attr_cols],
-            "valid_from",
-            "valid_to",
-            (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_vn"))
-            .cast("int")
-            .alias("version"),
-            "is_current",
-        )
+        .select(*x["nv_out_cols"])
     )
     # Close each current row whose key opened a new version; keys whose
     # whole batch collapsed away (no state change) stay current.
@@ -254,20 +208,8 @@ def scd2_apply(
     # union under a bogus satisfied-distribution claim (the union's
     # per-branch hashpartitioning) and die zipping 3N-vs-N partition
     # RDDs; broadcast hash joins never zip.
-    cur_updated = (
-        cur.join(F.broadcast(first_new), key_col, "left")
-        .select(
-            F.col(key_col),
-            *[F.col(c) for c in attr_cols],
-            "valid_from",
-            F.coalesce(F.col("_next_from"), F.col("valid_to")).alias(
-                "valid_to"
-            ),
-            "version",
-            (F.col("_next_from").isNull() & F.col("is_current")).alias(
-                "is_current"
-            ),
-        )
+    cur_updated = cur.join(F.broadcast(first_new), key_col, "left").select(
+        *x["cur_upd_cols"]
     )
     cols = [
         key_col, *attr_cols, "valid_from", "valid_to", "version", "is_current"
@@ -278,6 +220,107 @@ def scd2_apply(
         .unionByName(cur_updated.select(*cols))
         .unionByName(new_versions.select(*cols))
     )
+
+
+_SCD2_APPLY_MEMO: dict[tuple, dict] = {}
+
+
+def _scd2_apply_exprs(
+    key_col: str,
+    attr_cols: tuple[str, ...],
+    ts_col: str,
+    seq_col: str | None,
+    seq_dtype: str | None,
+    open_end_ts: str | None,
+) -> dict:
+    """The pure expression trees of :func:`scd2_apply`, memoized on the
+    full parameter tuple: the feed maintainers run one apply per batch
+    window, and each rebuild cost one py4j round-trip per Column
+    operator (guide §5 driver work). Trees reference column NAMES only,
+    so reuse across batches is exactly the module-level-constant
+    semantics."""
+    mkey = (key_col, attr_cols, ts_col, seq_col, seq_dtype, open_end_ts)
+    hit = _SCD2_APPLY_MEMO.get(mkey)
+    if hit is not None:
+        return hit
+    order = [F.col(ts_col), F.col("_src")] + (
+        [F.col(seq_col)] if seq_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+
+    pseudo_cols = [
+        F.col(key_col),
+        F.col("valid_from").alias(ts_col),
+        *[F.col(c) for c in attr_cols],
+        F.lit(0).alias("_src"),
+        *(
+            [F.lit(None).cast(seq_dtype).alias(seq_col)]
+            if seq_col
+            else []
+        ),
+    ]
+    batch_cols = [
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c) for c in attr_cols],
+        F.lit(1).alias("_src"),
+        *([F.col(seq_col)] if seq_col else []),
+    ]
+    lag_cols = [
+        *[F.lag(c).over(w).alias(f"_prev_{c}") for c in attr_cols],
+        F.row_number().over(w).alias("_rn"),
+    ]
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_prev_{c}"))
+    kept_cond = (F.col("_src") == 1) & ((F.col("_rn") == 1) | changed)
+
+    lead_ts = F.lead(ts_col).over(w2)
+    new_valid_to = (
+        F.coalesce(lead_ts, F.lit(open_end_ts).cast("timestamp"))
+        if open_end_ts
+        else lead_ts
+    )
+    nv_cols = [
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        new_valid_to.alias("valid_to"),
+        F.row_number().over(w2).alias("_vn"),
+        lead_ts.isNull().alias("is_current"),
+    ]
+    nv_out_cols = [
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        "valid_from",
+        "valid_to",
+        (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_vn"))
+        .cast("int")
+        .alias("version"),
+        "is_current",
+    ]
+    cur_upd_cols = [
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        "valid_from",
+        F.coalesce(F.col("_next_from"), F.col("valid_to")).alias("valid_to"),
+        "version",
+        (F.col("_next_from").isNull() & F.col("is_current")).alias(
+            "is_current"
+        ),
+    ]
+    hit = {
+        "pseudo_cols": pseudo_cols,
+        "batch_cols": batch_cols,
+        "lag_cols": lag_cols,
+        "kept_cond": kept_cond,
+        "nv_cols": nv_cols,
+        "nv_out_cols": nv_out_cols,
+        "cur_upd_cols": cur_upd_cols,
+    }
+    _SCD2_APPLY_MEMO[mkey] = hit
+    return hit
 
 
 def scd2_from_feed(

@@ -95,6 +95,26 @@ def sql_str_list(items) -> str:
     return ", ".join(sql_str_lit(x) for x in items)
 
 
+_COL_MEMO: dict[tuple, Column] = {}
+
+
+def memo_col(key: tuple, build) -> Column:
+    """Memoize a pure constructed Column expression by parameter key.
+
+    A Column is an immutable unresolved expression tree, but BUILDING
+    one costs one py4j round-trip (~0.13-0.5 ms) per operator — the
+    hashing/shingling operators rebuild identical 50-200-operator trees
+    on every call, and a composite query calls them dozens of times
+    (guide §5: driver work). Keys must capture every parameter the
+    expression depends on (column NAMES, not DataFrames — the trees
+    bind by name at analysis time, so reuse across inputs is exactly
+    the semantics of writing the expression once at module level)."""
+    hit = _COL_MEMO.get(key)
+    if hit is None:
+        hit = _COL_MEMO[key] = build()
+    return hit
+
+
 def bind(df: DataFrame, name: str, expr: Column) -> DataFrame:
     """Materialize ``expr`` as column ``name`` behind a projection
     barrier, guaranteeing it is evaluated exactly once per row.
@@ -111,5 +131,12 @@ def bind(df: DataFrame, name: str, expr: Column) -> DataFrame:
     referenced *inside* a lambda (e.g. ``element_at(split(x), i)`` in a
     ``transform``) — the inner expression is re-evaluated per array
     element, turning a linear scan quadratic.
+
+    withColumn instead of ``select(*df.columns, …)``: same Generate
+    plan (generators are legal in withColumn), but ONE py4j call where
+    select paid one per column name (guide §5) — bind() runs dozens of
+    times per dedup composite. ``name`` must be fresh (select would
+    reject a duplicate; withColumn would silently replace).
     """
-    return df.select(*df.columns, F.explode(F.array(expr)).alias(name))
+    assert name not in df.columns, f"bind: column {name!r} already exists"
+    return df.withColumn(name, F.explode(F.array(expr)))
