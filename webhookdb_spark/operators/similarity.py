@@ -45,6 +45,60 @@ def _norm(a: Column) -> Column:
     )
 
 
+# -- Spark-SQL text twins of the Column builders above ------------------------
+# The ANN operators compose deep higher-order expressions (fold dots,
+# norms, per-cell scores, ADC LUTs) around data-derived literals. Built
+# through the Column API that costs one py4j round-trip per operator
+# (~0.13-0.5 ms), and the Lloyd train loops rebuild them each iteration
+# with FRESH literals, so memoization never hits there. Rendering the
+# same expression as Spark-SQL text (pure Python string work) and
+# parsing it with ONE F.expr call yields the identical tree — the SQL
+# parser builds the same Cast/Multiply/aggregate nodes the Column API
+# does, pinned by the ANN family's full value-hash oracles (guide §5
+# driver work). Each *_sql helper mirrors its Column twin EXACTLY
+# (casts included) so fold order and rounding are bit-identical.
+
+def _sqdot(a: str, b: str) -> str:
+    """SQL twin of :func:`_dot`."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sqdot_pre(a: str, b: str) -> str:
+    """SQL twin of :func:`_dot_pre` (both sides already DOUBLE)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sqnorm(a: str) -> str:
+    """SQL twin of :func:`_norm`."""
+    return (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def _sql2sq(a: str, b: str) -> str:
+    """SQL twin of :func:`_l2sq` (inputs already DOUBLE, no casts)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sqcos(a: str, b: str) -> str:
+    """SQL twin of :func:`cosine` (incl. the zero-norm 0.0 guard)."""
+    na, nb = _sqnorm(a), _sqnorm(b)
+    return (
+        f"round(CASE WHEN ({na} * {nb}) = 0.0D THEN 0.0D "
+        f"ELSE {_sqdot(a, b)} / ({na} * {nb}) END, 6)"
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity, defined as 0.0 when either vector has zero
     norm (a degenerate-but-real corpus case: zeroed/padded embeddings;
@@ -909,7 +963,7 @@ def ivf_assign(
     probing read ``nprobe/C`` of the data."""
     import math
 
-    from webhookdb_spark.operators.util import bind, scale_out
+    from webhookdb_spark.operators.util import bind, memo_col, scale_out, sql_doubles
 
     # The vector's norm is bound once per row; centroid norms fold to
     # Python constants (same left-fold sum as the Column expression, so
@@ -917,20 +971,23 @@ def ivf_assign(
     # array-of-arrays literal scored by a single generic zip_with lambda:
     # structurally constant codegen regardless of C, where a per-centroid
     # expression list recompiles a ~C×dim-node tree on every new centroid
-    # set (~3× slower end-to-end at C=8).
-    b = bind(scale_out(corpus.select(id_col, vec_col)), "_vn", _norm(F.col(vec_col)))
-    cents_lit = lit_doubles([list(c) for c in centroids])
-    norms_lit = lit_doubles([math.sqrt(sum(x * x for x in c)) for c in centroids])
+    # set (~3× slower end-to-end at C=8). The whole score expression is
+    # composed as ONE SQL string (fresh literals per Lloyd iteration
+    # defeat memoization; text composition is pure Python + one parse).
+    b = bind(
+        scale_out(corpus.select(id_col, vec_col)),
+        "_vn",
+        memo_col(("ann_norm", vec_col), lambda: F.expr(_sqnorm(f"`{vec_col}`"))),
+    )
+    cents_sql = sql_doubles([list(c) for c in centroids])
+    norms_sql = sql_doubles(
+        [math.sqrt(sum(x * x for x in c)) for c in centroids]
+    )
     # zero-norm guard matches :func:`cosine`'s 0.0 convention
-    scores = F.zip_with(
-        cents_lit,
-        norms_lit,
-        lambda c, nrm: F.round(
-            F.when(F.col("_vn") * nrm == 0.0, F.lit(0.0)).otherwise(
-                _dot(F.col(vec_col), c) / (F.col("_vn") * nrm)
-            ),
-            6,
-        ),
+    scores = F.expr(
+        f"zip_with({cents_sql}, {norms_sql}, (c, nrm) -> "
+        f"round(CASE WHEN (_vn * nrm) = 0.0D THEN 0.0D ELSE "
+        f"{_sqdot(f'`{vec_col}`', 'c')} / (_vn * nrm) END, 6))"
     )
     b = bind(b, "_cs", scores)
     assigned = (
@@ -1462,16 +1519,16 @@ def _pq_cb_lit(cbs: list[list[list[float]]]) -> Column:
     return lit_doubles([[list(cw) for cw in cb] for cb in cbs])
 
 
+def _pq_cb_sql(cbs: list[list[list[float]]]) -> str:
+    from webhookdb_spark.operators.util import sql_doubles
+
+    return sql_doubles([[list(cw) for cw in cb] for cb in cbs])
+
+
 def _pq_subvectors(corpus: DataFrame, m: int, d: int, id_col: str, vec_col: str) -> DataFrame:
     """(vec_id, sub_id, sv): each vector split into m d-dim DOUBLE
     subvectors — a narrow map (posexplode), no shuffle."""
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.transform(
-            F.sequence(F.lit(1), F.lit(d)),
-            lambda i: F.element_at(F.col(vec_col), s * d + i).cast("double"),
-        ),
-    )
+    subs = F.expr(_sq_subvectors(f"`{vec_col}`", m, d))
     return (
         scale_out(corpus.select(id_col, vec_col))
         .select(F.col(id_col).alias("vec_id"), F.posexplode(subs).alias("sub_id", "sv"))
@@ -1516,6 +1573,26 @@ def _pq_assign_code(cb_lit: Column, sub_id: Column, sv: Column) -> Column:
         lambda cw: F.floor(_l2sq(sv, cw) * F.lit(1e6)),
     )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _sq_pq_assign_code(cb: str, sub_id: str, sv: str) -> str:
+    """SQL twin of :func:`_pq_assign_code`."""
+    dists = (
+        f"transform(element_at({cb}, {sub_id} + 1), "
+        f"cw -> floor({_sql2sq(sv, 'cw')} * 1000000.0D))"
+    )
+    return (
+        f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+    )
+
+
+def _sq_subvectors(vec: str, m: int, d: int) -> str:
+    """SQL twin of the m×d DOUBLE subvector split used by
+    :func:`pq_encode` / :func:`ivfpq_cells` / :func:`_pq_subvectors`."""
+    return (
+        f"transform(sequence(0, {m - 1}), s -> transform(sequence(1, {d}), "
+        f"i -> CAST(element_at({vec}, s * {d} + i) AS DOUBLE)))"
+    )
 
 
 def _pq_refine(
@@ -1575,19 +1652,14 @@ def ivfpq_cells(
     to one scan with no join. Expressions are copied verbatim from
     the two operators, so codes and cell ids are bit-identical."""
     m, d = len(cbs), len(cbs[0][0])
-    cb_lit = _pq_cb_lit(cbs)
+    cb_sql = _pq_cb_sql(cbs)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.transform(
-            F.sequence(F.lit(1), F.lit(d)),
-            lambda i: F.element_at(F.col("c_vec"), s * d + i).cast("double"),
-        ),
-    )
+    subs = F.expr(_sq_subvectors("c_vec", m, d))
     b = bind(assigned, "_subs", subs)
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: _pq_assign_code(cb_lit, s, F.element_at(F.col("_subs"), s + 1)),
+    codes = F.expr(
+        f"transform(sequence(0, {m - 1}), s -> "
+        + _sq_pq_assign_code(cb_sql, "s", "element_at(_subs, s + 1)")
+        + ")"
     )
     return b.select("vec_id", codes.alias("codes"), "cent_id")
 
@@ -1605,18 +1677,13 @@ def pq_encode(
     ANN query scans instead of the floats; a keyed exchange here would
     shuffle the entire corpus for nothing."""
     m, d = len(cbs), len(cbs[0][0])
-    cb_lit = _pq_cb_lit(cbs)
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.transform(
-            F.sequence(F.lit(1), F.lit(d)),
-            lambda i: F.element_at(F.col(vec_col), s * d + i).cast("double"),
-        ),
-    )
+    cb_sql = _pq_cb_sql(cbs)
+    subs = F.expr(_sq_subvectors(f"`{vec_col}`", m, d))
     b = bind(scale_out(corpus.select(id_col, vec_col)), "_subs", subs)
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: _pq_assign_code(cb_lit, s, F.element_at(F.col("_subs"), s + 1)),
+    codes = F.expr(
+        f"transform(sequence(0, {m - 1}), s -> "
+        + _sq_pq_assign_code(cb_sql, "s", "element_at(_subs, s + 1)")
+        + ")"
     )
     return b.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
 
@@ -1657,19 +1724,11 @@ def adc_topk(
     broadcast side, m table lookups per corpus vector, top-k window.
     The only shuffle is the final per-query top-k."""
     m, d = len(cbs), len(cbs[0][0])
-    cb_lit = _pq_cb_lit(cbs)
+    cb_sql = _pq_cb_sql(cbs)
 
-    q_subs = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.transform(
-            F.sequence(F.lit(1), F.lit(d)),
-            lambda i: F.element_at(F.col("q_vec"), s * d + i).cast("double"),
-        ),
-    )
-    lut = F.zip_with(
-        q_subs,
-        cb_lit,
-        lambda qs, cb: F.transform(cb, lambda cw: _dot_pre(qs, cw)),
+    lut = F.expr(
+        f"zip_with({_sq_subvectors('q_vec', m, d)}, {cb_sql}, "
+        f"(qs, cb) -> transform(cb, cw -> {_sqdot_pre('qs', 'cw')}))"
     )
     q = bind(
         queries.select(
@@ -1682,16 +1741,15 @@ def adc_topk(
     paired = codes.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id")
     )
-    approx = _floor6(
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
-            lambda acc, s: acc
-            + F.element_at(
-                F.element_at(F.col("_lut"), s + 1),
-                F.element_at(F.col("codes"), s + 1) + 1,
-            ),
-        )
+    from webhookdb_spark.operators.util import memo_col
+
+    approx = memo_col(
+        ("adc_approx", m),
+        lambda: F.expr(
+            f"floor(aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> acc + "
+            f"element_at(element_at(_lut, s + 1), "
+            f"element_at(codes, s + 1) + 1)) * 1000000.0D) / 1000000.0D"
+        ),
     )
     scored = paired.select("query_id", "vec_id", approx.alias("approx_ip"))
     w = Window.partitionBy("query_id").orderBy(

@@ -40,18 +40,9 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-def lit_doubles(vals) -> Column:
-    """A (possibly nested) list of finite floats as ONE array literal.
-
-    ``F.array(*[F.lit(x) ...])`` costs one py4j round-trip per element
-    — a 8x64 centroid matrix is ~500 driver calls (~0.4 s measured),
-    and the ANN operators build several per query. Rendering the whole
-    nested array as a single ``expr`` string is one round-trip and
-    value-identical: ``repr(float)`` is the shortest IEEE-754
-    round-trip form, and CAST(string AS DOUBLE) parses it back to the
-    same bits. Guarded to finite values (the callers' md5-derived
-    planes/centroids/codebooks are always finite).
-    """
+def sql_doubles(vals) -> str:
+    """The SQL text of :func:`lit_doubles` — for callers composing a
+    larger single-``expr`` string around the literal."""
     import math
 
     def render(v) -> str:
@@ -64,7 +55,22 @@ def lit_doubles(vals) -> Column:
             raise ValueError(f"lit_doubles: non-finite value {v!r}")
         return f"CAST('{f!r}' AS DOUBLE)"
 
-    return F.expr(render(vals))
+    return render(vals)
+
+
+def lit_doubles(vals) -> Column:
+    """A (possibly nested) list of finite floats as ONE array literal.
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round-trip per element
+    — a 8x64 centroid matrix is ~500 driver calls (~0.4 s measured),
+    and the ANN operators build several per query. Rendering the whole
+    nested array as a single ``expr`` string is one round-trip and
+    value-identical: ``repr(float)`` is the shortest IEEE-754
+    round-trip form, and CAST(string AS DOUBLE) parses it back to the
+    same bits. Guarded to finite values (the callers' md5-derived
+    planes/centroids/codebooks are always finite).
+    """
+    return F.expr(sql_doubles(vals))
 
 
 def lit_longs(vals) -> Column:

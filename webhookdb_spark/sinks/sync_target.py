@@ -494,26 +494,29 @@ class DatabaseSyncTarget:
             )
         st = self.state.load()
         last_txn = int(st.get("last_synced_txn", 0))
+        # The new watermark comes from the txn DIR NAMES (a driver-side
+        # listing change_txns already does — no Spark job), and the
+        # synced-row count rides the merge write as an Observation: the
+        # compaction keeps exactly one row per key, so count(*) of
+        # pending == countDistinct(key) of the window. The old shape ran
+        # a full window scan+aggregate per cycle just for these stats.
+        from webhookdb_spark.operators.upsert import change_txns
+
+        txns = [t for t in change_txns(table) if t > last_txn]
         window = changes_since(table, last_txn)
-        # One aggregation pass gives both the new watermark and the
-        # synced-row count: the compaction keeps exactly one row per key
-        # in the window, so countDistinct(key) == pending.count() (merge
-        # keys are non-null by shaping — a NULL remote key never reaches
-        # the change feed). The old shape ran first() + count() as two
-        # jobs, the second re-executing the window compaction.
-        stats_row = window.agg(
-            F.max("_txn").alias("m"),
-            F.countDistinct(table.manifest.key).alias("n"),
-        ).first()
-        max_txn = stats_row.m
-        if max_txn is None:
+        if not txns or window.isEmpty():
+            # no captured txns (or only empty change sets): stats-only,
+            # watermark unmoved — same as the old max(_txn) IS NULL arm
             st.setdefault("stats", []).append({"synced": 0, "at": now})
             self.state.save(st)
             return 0
-        n = int(stats_row.n)
+        max_txn = max(txns)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         pending = latest_change_per_key(window, table.manifest.key).drop(
             "_action", "_txn"
-        )
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
         spark = pending.sparkSession
         dest = str(self.dest_path)
         if Path(dest).exists():
@@ -536,6 +539,7 @@ class DatabaseSyncTarget:
             os.replace(tmp, dest)
         else:
             pending.write.parquet(dest)
+        n = int(obs.get["n"])
         st["last_synced_txn"] = int(max_txn)
         st.setdefault("stats", []).append({"synced": n, "at": now})
         self.state.save(st)
