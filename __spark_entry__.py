@@ -2792,6 +2792,38 @@ def q_scd2_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return hist
 
 
+_ENV_COLS_MEMO: dict = {}
+
+
+def _event_env_cols(value_cents: bool = False) -> list:
+    """The events→envelope projection the ingest composites build per
+    arrival window: (opaque_id, body, received_at, _seq) with the JSON
+    body carrying (user_id, event_type, ts_us[, value_cents]). A pure
+    constant tree (~30 py4j round-trips to build) shared by four
+    composite queries × N windows each — memoized once per process
+    (guide §5 driver work)."""
+    cols = _ENV_COLS_MEMO.get(value_cents)
+    if cols is None:
+        fields = [
+            "user_id",
+            "event_type",
+            # ts may load as TIMESTAMP_NTZ; session TZ is UTC so the
+            # cast is value-identity
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        ]
+        if value_cents:
+            fields.append(
+                F.floor(F.col("value") * 100).cast("long").alias("value_cents")
+            )
+        cols = _ENV_COLS_MEMO[value_cents] = [
+            F.col("event_id").cast("string").alias("opaque_id"),
+            F.to_json(F.struct(*fields)).alias("body"),
+            F.col("ts").alias("received_at"),
+            F.col("event_id").alias("_seq"),
+        ]
+    return cols
+
+
 def q_scd2_feed_maintained(spark: SparkSession, sf: str) -> DataFrame:
     """SCD2 history maintained BY INGESTION: events land in a managed
     table through the real envelope->shape->MERGE path in three
@@ -2828,22 +2860,7 @@ def q_scd2_feed_maintained(spark: SparkSession, sf: str) -> DataFrame:
             ev.where(F.col("ts") >= splits[1]),
         ]
         for w in windows:
-            env = w.select(
-                F.col("event_id").cast("string").alias("opaque_id"),
-                F.to_json(
-                    F.struct(
-                        "user_id",
-                        "event_type",
-                        # ts may load as TIMESTAMP_NTZ; session TZ is
-                        # UTC so the cast is value-identity
-                        F.unix_micros(
-                            F.col("ts").cast("timestamp")
-                        ).alias("ts_us"),
-                    )
-                ).alias("body"),
-                F.col("ts").alias("received_at"),
-                F.col("event_id").alias("_seq"),
-            )
+            env = w.select(*_event_env_cols())
             # Whole-keyspace batches: every window spans the user_id
             # space, so pass the documented bulk-load routing hint and
             # skip the per-batch bucket-discovery scan (merge_upsert
@@ -3138,20 +3155,7 @@ def q_table_diff(spark: SparkSession, sf: str) -> DataFrame:
             ev.where(F.col("ts") < split),
             ev.where(F.col("ts") >= split),
         ):
-            env = w.select(
-                F.col("event_id").cast("string").alias("opaque_id"),
-                F.to_json(
-                    F.struct(
-                        "user_id",
-                        "event_type",
-                        F.unix_micros(
-                            F.col("ts").cast("timestamp")
-                        ).alias("ts_us"),
-                    )
-                ).alias("body"),
-                F.col("ts").alias("received_at"),
-                F.col("event_id").alias("_seq"),
-            )
+            env = w.select(*_event_env_cols())
             upsert_envelopes(table, env, spec)
             txns.append(table.manifest.txn)
         return snapshot_diff(table, txns[0], txns[1]).localCheckpoint(
@@ -3215,23 +3219,7 @@ def q_matview_event_totals(spark: SparkSession, sf: str) -> DataFrame:
             spark, f"{root}/ivm", "user_id", "event_type", "value_cents"
         )
         for w in windows:
-            env = w.select(
-                F.col("event_id").cast("string").alias("opaque_id"),
-                F.to_json(
-                    F.struct(
-                        "user_id",
-                        "event_type",
-                        F.unix_micros(
-                            F.col("ts").cast("timestamp")
-                        ).alias("ts_us"),
-                        F.floor(F.col("value") * 100)
-                        .cast("long")
-                        .alias("value_cents"),
-                    )
-                ).alias("body"),
-                F.col("ts").alias("received_at"),
-                F.col("event_id").alias("_seq"),
-            )
+            env = w.select(*_event_env_cols(value_cents=True))
             # Whole-keyspace batches (see scd2_feed_maintained): the
             # routing hint skips the per-batch discovery scan; the IVM
             # consumes the identical change feed.
@@ -6391,23 +6379,7 @@ def q_pipeline_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
             dest_path=_P(root) / "replica.parquet",
         )
         for i, w in enumerate(windows):
-            env = w.select(
-                F.col("event_id").cast("string").alias("opaque_id"),
-                F.to_json(
-                    F.struct(
-                        "user_id",
-                        "event_type",
-                        F.unix_micros(
-                            F.col("ts").cast("timestamp")
-                        ).alias("ts_us"),
-                        F.floor(F.col("value") * 100)
-                        .cast("long")
-                        .alias("value_cents"),
-                    )
-                ).alias("body"),
-                F.col("ts").alias("received_at"),
-                F.col("event_id").alias("_seq"),
-            )
+            env = w.select(*_event_env_cols(value_cents=True))
             # Whole-keyspace arrival windows: the bulk-load routing
             # hint (merge_upsert docstring) skips the per-batch bucket
             # discovery scan; IVM and sync consume the identical feed.

@@ -1420,16 +1420,23 @@ def _span_windows(df: DataFrame, k: int, text_col: str, extra: list[str]):
     b = bind(
         scale_out(df.select("doc_id", *extra, text_col)),
         "_t",
-        tokens(F.col(text_col)),
+        memo_col(
+            ("span_toks", text_col), lambda: tokens(F.col(text_col))
+        ),
     )
-    wins = F.transform(
-        F.sequence(F.lit(0), F.size("_t") - k),
-        lambda i: F.md5(F.array_join(F.slice("_t", i + 1, k), " ")),
+    # pure trees of (k) over the fixed `_t` name — memoized (guide §5):
+    # the span composites window several slices per query
+    exploded = memo_col(
+        ("span_wins", k),
+        lambda: F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - k),
+                lambda i: F.md5(F.array_join(F.slice("_t", i + 1, k), " ")),
+            )
+        ).alias("h"),
     )
-    return (
-        b.where(F.size("_t") >= k)
-        .select("doc_id", *extra, F.explode(wins).alias("h"))
-    )
+    gate = memo_col(("span_gate", k), lambda: F.size("_t") >= k)
+    return b.where(gate).select("doc_id", *extra, exploded)
 
 
 def span_novelty(
@@ -1581,12 +1588,21 @@ def _span_counts(df: DataFrame, k: int, text_col: str, n_shards: int) -> DataFra
     """Distinct window hashes with occurrence counts, sharded by a hex
     prefix of the hash (uniform by construction — md5)."""
     wins = _span_windows(df, k, text_col, [])
-    shard = F.pmod(
-        F.conv(F.substring("h", 1, 6), 16, 10).cast("long"), F.lit(n_shards)
-    ).cast("int")
+    shard = memo_col(
+        ("span_shard", n_shards),
+        lambda: F.pmod(
+            F.conv(F.substring("h", 1, 6), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
     return (
         wins.groupBy("h")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(
+            memo_col(
+                ("span_count_n",),
+                lambda: F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
         .withColumn("shard", shard)
     )
 

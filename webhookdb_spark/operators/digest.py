@@ -34,13 +34,38 @@ _NULL_SENTINEL = "\x1enull"
 _SEP = "\x1f"
 
 
-def _canon(df: DataFrame, c: str):
-    dt = dict(df.dtypes)[c]
+def _canon_dt(c: str, dt: str):
+    """Canonicalized string form of column ``c`` of dtype ``dt``."""
     if any(dt.startswith(t) for t in _NUM_TYPES):
         v = F.col(c).cast("string").try_cast("decimal(38,6)").cast("string")
     else:
         v = F.col(c).cast("string")
     return F.coalesce(v, F.lit(_NULL_SENTINEL))
+
+
+def _canon(df: DataFrame, c: str):
+    return _canon_dt(c, dict(df.dtypes)[c])
+
+
+def _row_hash(dts: tuple[tuple[str, str], ...]):
+    """28-bit md5 row hash over the canonicalized unit-separated column
+    string — a pure tree of the (name, dtype) tuple, memoized: the
+    digest/diff composites rebuild it per snapshot side per cycle, and
+    ``df.dtypes`` alone is one JVM round-trip per call (guide §5)."""
+    from webhookdb_spark.operators.util import memo_col
+
+    return memo_col(
+        ("digest_row_hash", dts),
+        lambda: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(_SEP, *[_canon_dt(c, d) for c, d in dts])),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
 
 
 def table_digest(
@@ -56,22 +81,39 @@ def table_digest(
     a mismatch localizes the re-sync. ``digest`` is the BIGINT sum of
     each row's 28-bit md5 over the canonicalized, sentinel-NULL,
     unit-separated column string."""
+    from webhookdb_spark.operators.util import memo_col
+
     use = cols or df.columns
     key = key_col or use[0]
-    row_str = F.concat_ws(_SEP, *[_canon(df, c) for c in use])
-    row_h = F.conv(F.substring(F.md5(row_str), 1, 7), 16, 10).cast("long")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col(key).cast("string")), 1, 7), 16, 10
-        ).cast("long")
-        % n_buckets
-    ).cast("int")
+    dt_map = dict(df.dtypes)
+    row_h = _row_hash(tuple((c, dt_map[c]) for c in use))
+    bucket = memo_col(
+        ("digest_bucket", key, n_buckets),
+        lambda: (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col(key).cast("string")), 1, 7),
+                    16,
+                    10,
+                ).cast("long")
+                % n_buckets
+            )
+            .cast("int")
+            .alias("bucket")
+        ),
+    )
     return (
-        df.select(bucket.alias("bucket"), row_h.alias("_h"))
+        df.select(bucket, row_h.alias("_h"))
         .groupBy("bucket")
         .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.sum("_h").cast("long").alias("digest"),
+            memo_col(
+                ("digest_nrows",),
+                lambda: F.count("*").cast("long").alias("n_rows"),
+            ),
+            memo_col(
+                ("digest_sum",),
+                lambda: F.sum("_h").cast("long").alias("digest"),
+            ),
         )
         .orderBy("bucket")
     )
@@ -161,11 +203,17 @@ def snapshot_diff(
     old = table.read(buckets=touched, at_txn=from_txn)
     new = table.read(buckets=touched, at_txn=to_txn)
 
+    from webhookdb_spark.operators.util import memo_col
+
     def hashed(df, side):
-        row_str = F.concat_ws(_SEP, *[_canon(df, c) for c in df.columns])
-        h = F.conv(F.substring(F.md5(row_str), 1, 7), 16, 10).cast("long")
+        dts = tuple(df.dtypes)
+        h = _row_hash(dts)
         return df.select(
-            F.col(key).alias(f"_k_{side}"), h.alias(f"_h_{side}")
+            memo_col(
+                ("snapdiff_k", key, side),
+                lambda: F.col(key).alias(f"_k_{side}"),
+            ),
+            h.alias(f"_h_{side}"),
         )
 
     o, n = hashed(old, "o"), hashed(new, "n")

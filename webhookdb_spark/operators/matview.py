@@ -121,10 +121,19 @@ class IncrementalAggMaintainer:
         compacted = latest_change_per_key(window, table.manifest.key)
         if self.project is not None:
             compacted = self.project(compacted)
+        # The per-cycle expression trees below are pure functions of the
+        # maintainer's column names — memoized so the N-cycle composite
+        # queries build them once per process (guide §5 driver work).
+        from webhookdb_spark.operators.util import memo_col
+
+        mk = ("ivm", self.key_col, self.group_col, self.value_col)
         fresh = compacted.select(
-            F.col(self.key_col).alias("key"),
-            F.col(self.group_col).alias("group"),
-            F.col(self.value_col).cast("long").alias("value"),
+            memo_col(mk + ("key",), lambda: F.col(self.key_col).alias("key")),
+            memo_col(mk + ("group",), lambda: F.col(self.group_col).alias("group")),
+            memo_col(
+                mk + ("value",),
+                lambda: F.col(self.value_col).cast("long").alias("value"),
+            ),
         )
         # Materialize the compacted window ONCE: fresh feeds the
         # retract semi-join, the apply deltas, AND the new-state union
@@ -152,13 +161,19 @@ class IncrementalAggMaintainer:
         )
         deltas = touched_old.select(
             "group",
-            F.lit(-1).cast("long").alias("dk"),
-            (-F.col("value")).cast("long").alias("dv"),
+            memo_col(("ivm_dk", -1), lambda: F.lit(-1).cast("long").alias("dk")),
+            memo_col(
+                ("ivm_dv", -1),
+                lambda: (-F.col("value")).cast("long").alias("dv"),
+            ),
         ).unionByName(
             fresh.select(
                 "group",
-                F.lit(1).cast("long").alias("dk"),
-                F.col("value").cast("long").alias("dv"),
+                memo_col(("ivm_dk", 1), lambda: F.lit(1).cast("long").alias("dk")),
+                memo_col(
+                    ("ivm_dv", 1),
+                    lambda: F.col("value").cast("long").alias("dv"),
+                ),
             )
         )
         from pyspark.sql import types as _T
@@ -176,8 +191,14 @@ class IncrementalAggMaintainer:
         base = (
             agg.select(
                 "group",
-                F.col("n_keys").cast("long").alias("dk"),
-                F.col("total").cast("long").alias("dv"),
+                memo_col(
+                    ("ivm_base_dk",),
+                    lambda: F.col("n_keys").cast("long").alias("dk"),
+                ),
+                memo_col(
+                    ("ivm_base_dv",),
+                    lambda: F.col("total").cast("long").alias("dv"),
+                ),
             )
             if agg is not None
             else deltas.limit(0)
@@ -186,10 +207,16 @@ class IncrementalAggMaintainer:
             base.unionByName(deltas)
             .groupBy("group")
             .agg(
-                F.sum("dk").cast("long").alias("n_keys"),
-                F.sum("dv").cast("long").alias("total"),
+                memo_col(
+                    ("ivm_agg_nk",),
+                    lambda: F.sum("dk").cast("long").alias("n_keys"),
+                ),
+                memo_col(
+                    ("ivm_agg_tot",),
+                    lambda: F.sum("dv").cast("long").alias("total"),
+                ),
             )
-            .where(F.col("n_keys") > 0)
+            .where(memo_col(("ivm_agg_pos",), lambda: F.col("n_keys") > 0))
         )
         new_state = state.join(
             fresh.select("key").distinct(), "key", "anti"

@@ -111,6 +111,41 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def _cos_named(a: str, b: str) -> Column:
+    """:func:`cosine` over two NAMED columns, memoized — the tree binds
+    by name at analysis time and building it costs ~40 py4j round-trips
+    (guide §5). The SQL text parses to the identical Cast/CaseWhen/fold
+    tree (pinned by the ANN family's value-hash oracles)."""
+    from webhookdb_spark.operators.util import memo_col
+
+    return memo_col(
+        ("cos_named", a, b), lambda: F.expr(_sqcos(f"`{a}`", f"`{b}`"))
+    )
+
+
+def _norm_named(c: str) -> Column:
+    """:func:`_norm` of a NAMED column, memoized (see :func:`_cos_named`)."""
+    from webhookdb_spark.operators.util import memo_col
+
+    return memo_col(("norm_named", c), lambda: F.expr(_sqnorm(f"`{c}`")))
+
+
+def _cos_pre_named(a: str, b: str, na: str, nb: str) -> Column:
+    """Cosine with PRE-computed norm columns ``na``/``nb`` (the hoisted
+    per-row-norm form the probe paths use), memoized by the four names.
+    Mirrors the inline Column tree exactly: round(CASE 0-denom guard,
+    dot/denom, 6)."""
+    from webhookdb_spark.operators.util import memo_col
+
+    return memo_col(
+        ("cos_pre_named", a, b, na, nb),
+        lambda: F.expr(
+            f"round(CASE WHEN (`{na}` * `{nb}`) = 0.0D THEN 0.0D "
+            f"ELSE {_sqdot(f'`{a}`', f'`{b}`')} / (`{na}` * `{nb}`) END, 6)"
+        ),
+    )
+
+
 def embed_decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -146,20 +181,14 @@ def embed_decontaminate(
     t = scale_out(train.select(id_col, vec_col)).select(
         F.col(id_col).alias("train_id"),
         F.col(vec_col).alias("t_vec"),
-        _norm(F.col(vec_col)).alias("t_norm"),
+        _norm_named(vec_col).alias("t_norm"),
     )
     e = eval_df.select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("e_vec"),
-        _norm(F.col(vec_col)).alias("e_norm"),
+        _norm_named(vec_col).alias("e_norm"),
     )
-    denom = F.col("t_norm") * F.col("e_norm")
-    cos = F.round(
-        F.when(denom == 0.0, F.lit(0.0)).otherwise(
-            _dot(F.col("t_vec"), F.col("e_vec")) / denom
-        ),
-        6,
-    )
+    cos = _cos_pre_named("t_vec", "e_vec", "t_norm", "e_norm")
     hits = (
         t.crossJoin(F.broadcast(e))
         .select("train_id", "eval_id", cos.alias("cosine_sim"))
@@ -234,7 +263,7 @@ def _decon_probes(
             F.col(id_col).alias("eval_id"), F.col(vec_col).alias("q_vec")
         )
         .crossJoin(F.broadcast(cent_df))
-        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("cscore", _cos_named("q_vec", "cent_vec"))
     )
     pw = Window.partitionBy("eval_id").orderBy(
         F.col("cscore").desc(), F.col("cent_id").asc()
@@ -247,7 +276,7 @@ def _decon_probes(
         q.withColumn("prank", F.row_number().over(pw))
         .where(F.col("prank") <= nprobe)
         .select("eval_id", "q_vec", "cent_id",
-                _norm(F.col("q_vec")).alias("e_norm"))
+                _norm_named("q_vec").alias("e_norm"))
     )
 
 
@@ -264,14 +293,8 @@ def _decon_probe_pairs(
     (vec_id, c_vec, cent_id) from :func:`ivf_assign` or a
     partition-pruned index read; ``probes`` from :func:`_decon_probes`.
     """
-    t = assigned.withColumn("t_norm", _norm(F.col("c_vec")))
-    denom = F.col("t_norm") * F.col("e_norm")
-    cos = F.round(
-        F.when(denom == 0.0, F.lit(0.0)).otherwise(
-            _dot(F.col("c_vec"), F.col("q_vec")) / denom
-        ),
-        6,
-    )
+    t = assigned.withColumn("t_norm", _norm_named("c_vec"))
+    cos = _cos_pre_named("c_vec", "q_vec", "t_norm", "e_norm")
     # Each train vector lives in exactly one cell and an eval probes
     # distinct cells, so the join cannot duplicate (train, eval) pairs.
     # No hint by default: the corpus-sized-eval case this operator
@@ -467,7 +490,7 @@ def cosine_topk(
     scored = paired.select(
         "query_id",
         "vec_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        _cos_named("q_vec", "c_vec").alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
@@ -715,7 +738,7 @@ def ann_topk_lsh(
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            _cos_named("q_vec", "c_vec").alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -924,20 +947,37 @@ def ivf_refine(
         from webhookdb_spark.operators.sampling import hash_fraction_sample
 
         corpus = hash_fraction_sample(corpus, sample_fraction, id_col=id_col)
+    from webhookdb_spark.operators.util import memo_col
+
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    # constant trees rebuilt per Lloyd iteration — memoized (guide §5)
     means = (
-        assigned.select("cent_id", F.posexplode("c_vec").alias("pos", "x"))
+        assigned.select(
+            "cent_id",
+            memo_col(
+                ("lloyd_posx",),
+                lambda: F.posexplode("c_vec").alias("pos", "x"),
+            ),
+        )
         .groupBy("cent_id", "pos")
         .agg(
-            F.sum(
-                F.floor(F.col("x").cast("double") * _FIX_SCALE).cast("long")
-            ).alias("s"),
-            F.count("*").alias("n"),
+            memo_col(
+                ("lloyd_s",),
+                lambda: F.sum(
+                    F.floor(F.col("x").cast("double") * _FIX_SCALE).cast("long")
+                ).alias("s"),
+            ),
+            memo_col(("lloyd_n",), lambda: F.count("*").alias("n")),
         )
         .select(
             "cent_id",
             "pos",
-            (F.floor(F.col("s") / F.col("n")) / _FIX_SCALE).alias("m"),
+            memo_col(
+                ("lloyd_m",),
+                lambda: (F.floor(F.col("s") / F.col("n")) / _FIX_SCALE).alias(
+                    "m"
+                ),
+            ),
         )
         .collect()
     )
@@ -1033,7 +1073,7 @@ def ann_topk_ivf(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
         .crossJoin(F.broadcast(cent_df))
-        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("cscore", _cos_named("q_vec", "cent_vec"))
     )
     pw = Window.partitionBy("query_id").orderBy(
         F.col("cscore").desc(), F.col("cent_id").asc()
@@ -1049,7 +1089,7 @@ def ann_topk_ivf(
         F.col("vec_id") != F.col("query_id")
     )
     scored = paired.select(
-        "query_id", "vec_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
+        "query_id", "vec_id", _cos_named("q_vec", "c_vec").alias("cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
@@ -1258,7 +1298,7 @@ def embedding_near_dup_ivf(
         F.col("vec_a") < F.col("vec_b")
     )
     return (
-        bind(paired, "cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        bind(paired, "cosine_sim", _cos_named("_va", "_vb"))
         .where(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", "cosine_sim")
     )
@@ -1418,7 +1458,7 @@ def embedding_near_dup_pairs(
     # bind() the score so the threshold filter isn't pushed into the
     # join and the cosine evaluated twice per candidate
     return (
-        bind(paired, "cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        bind(paired, "cosine_sim", _cos_named("_va", "_vb"))
         .where(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", "cosine_sim")
     )
@@ -1909,7 +1949,7 @@ def ann_topk_ivfpq(
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .crossJoin(F.broadcast(cent_df))
-        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("cscore", _cos_named("q_vec", "cent_vec"))
     )
     pw = Window.partitionBy("query_id").orderBy(
         F.col("cscore").desc(), F.col("cent_id").asc()
@@ -2408,7 +2448,7 @@ def query_lsh_index(
     )
     scored = cand.select(
         "query_id", "vec_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        _cos_named("q_vec", "c_vec").alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
@@ -2488,7 +2528,7 @@ def query_ivf_index(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
         .crossJoin(F.broadcast(cent_df))
-        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("cscore", _cos_named("q_vec", "cent_vec"))
     )
     pw = Window.partitionBy("query_id").orderBy(
         F.col("cscore").desc(), F.col("cent_id").asc()
@@ -2509,7 +2549,7 @@ def query_ivf_index(
     )
     scored = paired.select(
         "query_id", "vec_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        _cos_named("q_vec", "c_vec").alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
@@ -2732,7 +2772,7 @@ def query_ivfpq_index(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
         .crossJoin(F.broadcast(cent_df))
-        .withColumn("cscore", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("cscore", _cos_named("q_vec", "cent_vec"))
     )
     pw = Window.partitionBy("query_id").orderBy(
         F.col("cscore").desc(), F.col("cent_id").asc()
@@ -3178,7 +3218,7 @@ def hard_negatives(
     )
     scored = paired.select(
         "query_id", "query_label", "vec_id", "neg_label",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        _cos_named("q_vec", "c_vec").alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()

@@ -549,6 +549,35 @@ class ManagedTable:
         out = df.select(
             *[f.name for f in self.schema().fields], *(extra_cols or []), PART_COL
         ).repartition(max(len(buckets), 1), F.col(PART_COL))
+        # Zone-map refresh rides the staged write as an Observation
+        # (guide §5: fuse driver actions): per listed bucket, a count
+        # (so an empty bucket drops its stats, exactly like the old
+        # staged-files re-read) and min/max per tracked column,
+        # restricted by the same listed-bucket condition the old
+        # `.where(PART_COL isin buckets)` enforced — stray partitions
+        # and delete_where's _part=-1 sentinel never leak into stats.
+        # This replaces a whole post-write read job per commit.
+        zm_cols = getattr(m, "zonemap_cols", None)
+        zm_obs = None
+        if zm_cols:
+            from pyspark.sql import Observation
+
+            zm_obs = Observation()
+            zm_aggs = []
+            for b in buckets:
+                bb = int(b)
+                cond = F.col(PART_COL) == bb
+                zm_aggs.append(
+                    F.count(F.when(cond, F.lit(1))).alias(f"n_{bb}")
+                )
+                for c in zm_cols:
+                    v = F.when(cond, F.col(c))
+                    zm_aggs.append(F.min(v).alias(f"mn_{bb}_{c}"))
+                    zm_aggs.append(F.max(v).alias(f"mx_{bb}_{c}"))
+            # observed BEFORE the optional zorder sort so the sort stays
+            # the write's direct child (file-level Morton clustering
+            # depends on that ordering reaching the writer)
+            out = out.observe(zm_obs, *zm_aggs)
         if m.zorder:
             # Morton-sort within each bucket task: with a rolling
             # maxRecordsPerFile (or parquet's own row groups) every
@@ -601,41 +630,25 @@ class ManagedTable:
                 f"manifest advanced txn {m.txn} -> {current.txn} before "
                 "promote; reload and retry"
             )
-        # Zone-map refresh for the written buckets: one column-pruned
-        # pass over the JUST-STAGED files (parquet footers make the
-        # min/max aggregate near-metadata cost), collected at
-        # bucket-count size (JUSTIFIED COLLECT: rows == touched
-        # buckets). Buckets written empty lose their stats; untouched
-        # buckets keep theirs.
-        zm_cols = getattr(m, "zonemap_cols", None)
+        # Zone-map refresh for the written buckets, read from the
+        # Observation that rode the staged write (values are the same
+        # rows the old staged-files re-read aggregated; an all-NULL
+        # column in a non-empty bucket stores [None, None] exactly as
+        # the groupBy row did). Buckets written empty lose their stats;
+        # untouched buckets keep theirs.
         new_zonemaps = dict(getattr(m, "zonemaps", None) or {})
         if zm_cols:
-            seen: set[str] = set()
-            # Stats restricted to the LISTED buckets (r13 code review):
-            # the staging dir can also hold delete_where's _part=-1
-            # schema sentinel and any out-of-hint stray partitions —
-            # neither is promoted, so letting their rows into the stats
-            # would persist a bogus entry (or non-conservative bounds
-            # over data that is then discarded, un-pruning soundness).
-            stat_rows = (
-                self.spark.read.parquet(str(staging))
-                .where(F.col(PART_COL).isin([int(b) for b in buckets]))
-                .groupBy(PART_COL)
-                .agg(*[x for c in zm_cols
-                       for x in (F.min(c).alias(f"mn_{c}"),
-                                 F.max(c).alias(f"mx_{c}"))])
-                .collect()
-            ) if any((staging / f"{PART_COL}={b}").exists()
-                     for b in buckets) else []
-            for r in stat_rows:
-                bid = str(r[PART_COL])
-                seen.add(bid)
-                new_zonemaps[bid] = {
-                    c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in zm_cols
-                }
-            for bb in buckets:
-                if str(bb) not in seen:
-                    new_zonemaps.pop(str(bb), None)
+            vals = zm_obs.get
+            for b in buckets:
+                bb = int(b)
+                bid = str(b)
+                if vals[f"n_{bb}"]:
+                    new_zonemaps[bid] = {
+                        c: [vals[f"mn_{bb}_{c}"], vals[f"mx_{bb}_{c}"]]
+                        for c in zm_cols
+                    }
+                else:
+                    new_zonemaps.pop(bid, None)
         new_buckets = dict(m.buckets)
         for b in buckets:
             src = staging / f"{PART_COL}={b}"
